@@ -1,13 +1,26 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  * Each `queries` key is an operator from the checklist; `oracleSql`
+  * holds the DuckDB-equivalent SQL for the hash-compare gate.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.q1Pricing(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> (Analytics.q1Pricing _)
+  )
+
+  /** DuckDB-equivalent SQL per query (column names/aliases must match
+    * the Spark result exactly — the driver sorts columns by name and
+    * hash-compares values). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" -> Analytics.q1PricingSql
+  )
 }

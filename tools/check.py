@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (NOT part of the
+library; dev tooling only).
+
+Usage: python3 tools/check.py <verify_out_dir> [sf_dir]
+
+Reads each <out>/<name> parquet result written by graft.Verify, runs the
+matching SQL from oracle_sql.json in DuckDB against views over the sf
+parquet tables, sorts columns by name + rows by all columns, and
+compares values exactly (floats: exact first, then reports max ulp-ish
+diff if not).
+"""
+import json, math, sys, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes for sorting/compare
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) or
+                              str(type(v)).find("ndarray") >= 0 else v)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def main():
+    out_dir = sys.argv[1]
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        got = pd.read_parquet(d)
+        if name not in oracle:
+            status = "ROWS-ONLY" if len(got) > 0 else "ROWS-ONLY-EMPTY!"
+            print(f"  [{status}] {name}: {len(got)} rows")
+            if len(got) == 0:
+                n_fail += 1
+            else:
+                n_pass += 1
+            continue
+        try:
+            exp = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"  [ORACLE-ERR] {name}: {e}")
+            n_fail += 1
+            continue
+        g, e = norm(got), norm(exp)
+        if sorted(g.columns) != sorted(e.columns):
+            print(f"  [SCHEMA] {name}: spark={sorted(g.columns)} oracle={sorted(e.columns)}")
+            n_fail += 1
+            continue
+        if len(g) != len(e):
+            print(f"  [ROWS] {name}: spark={len(g)} oracle={len(e)}")
+            n_fail += 1
+            continue
+        ok = True
+        for c in g.columns:
+            gv, ev = g[c], e[c]
+            if pd.api.types.is_float_dtype(gv) or pd.api.types.is_float_dtype(ev):
+                a = gv.astype(float).to_numpy()
+                b = ev.astype(float).to_numpy()
+                same = [(x == y) or (math.isnan(x) and math.isnan(y)) for x, y in zip(a, b)]
+                if not all(same):
+                    mx = max(abs(x - y) for x, y in zip(a, b)
+                             if not (math.isnan(x) or math.isnan(y)))
+                    print(f"  [VAL] {name}.{c}: max abs diff {mx:.3e}")
+                    ok = False
+            else:
+                if not gv.equals(ev):
+                    bad = (gv != ev)
+                    i = bad.idxmax()
+                    print(f"  [VAL] {name}.{c}: first diff @row{i}: spark={gv[i]!r} oracle={ev[i]!r}")
+                    ok = False
+        if ok:
+            print(f"  [PASS] {name}: {len(g)} rows")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,12 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Plan auditor: `runMain graft.Explain [query ...]` prints the
+  * formatted physical plan of each named SparkEntry query (all when
+  * none given) — the loop for checking pushdown/broadcast/codegen. */
 object Explain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions","4")
-      .config("spark.ui.enabled","false").getOrCreate()
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    operators.Analytics.q1Pricing(spark, "/root/testdata/sf0.01").explain("formatted")
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { n =>
+      println(s"==== $n ====")
+      SparkEntry.queries(n)(spark, "/root/testdata/sf0.01").explain("formatted")
+    }
     spark.stop()
   }
 }

@@ -14,13 +14,96 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing" -> (Analytics.q1Pricing _)
+    // block A — core ETL surface
+    "ingest_batch_assign" -> ((s, d) => Ingest.batchAssign(s, d)),
+    "exact_dedup_key"     -> (Dedup.exactDedupKey _),
+    "incremental_dedup"   -> (Dedup.incrementalDedup _),
+    "parse_clean"         -> (Clean.parseClean _),
+    "date_derive"         -> (Clean.dateDerive _),
+    "upsert_merge"        -> (Scd.upsertMerge _),
+    "scd_current"         -> (Scd.scdCurrent _),
+    "scd_change_detect"   -> (Scd.scdChangeDetect _),
+    "status_claim"        -> ((s, d) => Status.statusClaim(s, d)),
+    "status_rollup"       -> (Status.statusRollup _),
+    "run_stats"           -> (Status.runStats _),
+    "progress_report"     -> ((s, d) => Status.progressReport(s, d)),
+    "jsonl_ingest"        -> (Ingest.jsonlRoundtrip _),
+    "json_extract"        -> (Ingest.jsonExtract _),
+    // block B — analytics
+    "q1_pricing"          -> (Analytics.q1Pricing _),
+    "q3_shipping"         -> (Analytics.q3Shipping _),
+    "q5_local_supplier"   -> (Analytics.q5LocalSupplier _),
+    "topk_per_group"      -> ((s, d) => Analytics.topkPerGroup(s, d)),
+    "window_running"      -> (Analytics.windowRunning _),
+    "approx_distinct"     -> (Analytics.approxDistinct _),
+    "quantile_stats"      -> (Analytics.quantileStats _),
+    "sessionize"          -> ((s, d) => Analytics.sessionize(s, d)),
+    "pivot_wide"          -> (Analytics.pivotWide _),
+    "rollup_cube"         -> (Analytics.rollupCube _),
+    // block C — LLM-training-data operators
+    "text_exact_dedup"    -> (TextAnalysis.textExactDedup _),
+    "minhash_lsh_dedup"   -> ((s, d) => NearDup.minhashLshDedup(s, d)),
+    "simhash_dedup"       -> ((s, d) => NearDup.simhashDedup(s, d)),
+    "ngram_jaccard_dedup" -> ((s, d) => NearDup.ngramJaccardDedup(s, d)),
+    "embedding_dedup"     -> ((s, d) => Similarity.embeddingDedup(s, d)),
+    "ann_bruteforce"      -> ((s, d) => Similarity.annBruteforce(s, d)),
+    "ann_lsh"             -> ((s, d) => Similarity.annLsh(s, d)),
+    "lang_id"             -> (TextAnalysis.langId _),
+    "quality_score"       -> (TextAnalysis.qualityScore _),
+    "token_count"         -> (TextAnalysis.tokenCount _),
+    "doc_fingerprint"     -> (NearDup.docFingerprint _),
+    "keyword_extract"     -> ((s, d) => TextAnalysis.keywordExtract(s, d)),
+    "topic_classify"      -> (TextAnalysis.topicClassify _),
+    // block D — multimodal
+    "mm_metadata"         -> (Multimodal.mmMetadata _),
+    "mm_feature_extract"  -> ((s, d) => Multimodal.mmFeatureExtract(s, d)),
+    // block E — streaming (batch-equivalent plans; streaming specs in tests)
+    "stream_window_agg"   -> (graft.streaming.Streams.streamWindowAgg _),
+    "stream_sessionize"   -> (graft.streaming.Streams.streamSessionize _)
   )
 
   /** DuckDB-equivalent SQL per query (column names/aliases must match
     * the Spark result exactly — the driver sorts columns by name and
     * hash-compares values). */
   def oracleSql: Map[String, String] = Map(
-    "q1_pricing" -> Analytics.q1PricingSql
+    "ingest_batch_assign" -> Ingest.batchAssignSql(),
+    "exact_dedup_key"     -> Dedup.exactDedupKeySql,
+    "incremental_dedup"   -> Dedup.incrementalDedupSql,
+    "parse_clean"         -> Clean.parseCleanSql,
+    "date_derive"         -> Clean.dateDeriveSql,
+    "upsert_merge"        -> Scd.upsertMergeSql,
+    "scd_current"         -> Scd.scdCurrentSql,
+    "scd_change_detect"   -> Scd.scdChangeDetectSql,
+    "status_claim"        -> Status.statusClaimSql(),
+    "status_rollup"       -> Status.statusRollupSql,
+    "run_stats"           -> Status.runStatsSql,
+    "progress_report"     -> Status.progressReportSql(),
+    "jsonl_ingest"        -> Ingest.jsonlRoundtripSql,
+    "json_extract"        -> Ingest.jsonExtractSql,
+    "q1_pricing"          -> Analytics.q1PricingSql,
+    "q3_shipping"         -> Analytics.q3ShippingSql,
+    "q5_local_supplier"   -> Analytics.q5LocalSupplierSql,
+    "topk_per_group"      -> Analytics.topkPerGroupSql(),
+    "window_running"      -> Analytics.windowRunningSql,
+    // approx_distinct: HLL sketches differ across engines — rows-only.
+    "quantile_stats"      -> Analytics.quantileStatsSql,
+    "sessionize"          -> Analytics.sessionizeSql(),
+    "pivot_wide"          -> Analytics.pivotWideSql,
+    "rollup_cube"         -> Analytics.rollupCubeSql,
+    // block C (minhash/simhash/ann_lsh/doc_fingerprint: seeded-hash
+    // specific → rows-only)
+    "text_exact_dedup"    -> TextAnalysis.textExactDedupSql,
+    "ngram_jaccard_dedup" -> NearDup.ngramJaccardDedupSql(),
+    "embedding_dedup"     -> Similarity.embeddingDedupSql(),
+    "ann_bruteforce"      -> Similarity.annBruteforceSql(),
+    "lang_id"             -> TextAnalysis.langIdSql,
+    "quality_score"       -> TextAnalysis.qualityScoreSql,
+    "token_count"         -> TextAnalysis.tokenCountSql,
+    "keyword_extract"     -> TextAnalysis.keywordExtractSql(),
+    "topic_classify"      -> TextAnalysis.topicClassifySql,
+    // block D (mm_feature_extract: stubbed decoder → rows-only)
+    "mm_metadata"         -> Multimodal.mmMetadataSql,
+    // block E (stream_sessionize: typed stateful op → rows-only)
+    "stream_window_agg"   -> graft.streaming.Streams.streamWindowAggSql
   )
 }

@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection family over `documents` (SURVEY.md §2
+  * C2-C4, C11) — the core of a pre-training dedup pipeline.
+  *
+  * Every operator here runs against documents ∪ a planted re-crawl
+  * (ids offset by 1,000,000, same or truncated text) so the detector
+  * provably finds the known duplicates at any SF — the self-test corpus
+  * a dedup pipeline ships with.
+  *
+  * Scale design (the whole point of MinHash/SimHash): candidate pairs
+  * come only from hash-bucket collisions — the shuffle is
+  * O(docs × bands), and pair generation is quadratic only WITHIN a
+  * bucket, never globally. Oversized buckets (degenerate content) are
+  * capped and dropped; `id1 < id2` halves pair work everywhere.
+  */
+object NearDup {
+
+  private val BigOffset = 1000000L
+
+  /** documents ∪ exact re-crawl (planted dups, ids + 1e6). */
+  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    docs.unionAll(docs.select(($"doc_id" + BigOffset).as("doc_id"), $"text"))
+  }
+
+  /** doc_id + distinct word-3-gram shingles (docs with ≥3 tokens). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    corpus(spark, dir)
+      .withColumn("toks", split(trim($"text"), "\\s+"))
+      .filter(size($"toks") >= 3)
+      .withColumn("shingles", expr(
+        "array_distinct(transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+      .select($"doc_id", $"shingles")
+  }
+
+  /** C2 `minhash_lsh_dedup` — MinHash signatures + LSH banding.
+    * k=16 minhashes (xxhash64 seeded per slot, min over shingles),
+    * 4 bands × 4 rows; docs sharing any band-signature bucket become
+    * candidate pairs; est_jaccard = matching signature fraction.
+    *
+    * Scale: signature compute is per-row (higher-order fns, no UDF);
+    * the only shuffle is the band-bucket self-join, proportional to
+    * collisions. Buckets larger than `bucketCap` are dropped (degenerate
+    * boilerplate would otherwise go quadratic) — exactly what
+    * production LSH dedup does. Rows-only oracle (no portable SQL for
+    * seeded xxhash64); the planted twins must all surface, which the
+    * spec asserts. */
+  def minhashLshDedup(spark: SparkSession, dir: String, bucketCap: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val sigs = shingled(spark, dir)
+      .withColumn("sig", expr(
+        """transform(sequence(0, 15),
+          |  s -> aggregate(shingles, 9223372036854775807L, (acc, x) -> least(acc, xxhash64(x, s))))""".stripMargin))
+      .select($"doc_id", $"sig")
+    val bands = sigs
+      .select($"doc_id", $"sig", posexplode(expr(
+        """transform(sequence(0, 3),
+          |  b -> xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3], b))""".stripMargin)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_sig")
+    val smallBuckets = bands
+      .groupBy($"band_idx", $"band_sig")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter($"bucket_n" > 1 && $"bucket_n" <= bucketCap)
+      .select($"band_idx", $"band_sig")
+    val bucketed = bands.join(smallBuckets, Seq("band_idx", "band_sig"))
+    val a = bucketed.select($"band_idx", $"band_sig", $"doc_id".as("id1"), $"sig".as("sig1"))
+    val b = bucketed.select($"band_idx", $"band_sig", $"doc_id".as("id2"), $"sig".as("sig2"))
+    a.join(b, Seq("band_idx", "band_sig"))
+      .filter($"id1" < $"id2")
+      .select($"id1", $"id2",
+        expr("aggregate(zip_with(sig1, sig2, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v) / 16.0")
+          .as("est_jaccard"))
+      .distinct()
+  }
+
+  /** C3 `simhash_dedup` — 64-bit SimHash fingerprints + hamming-band
+    * candidate join. Each bit is the sign of the token-weight sum on
+    * that bit position; near-identical docs differ in few bits. Bands:
+    * 4 × 16-bit slices — a pair within hamming distance 3 of each other
+    * is guaranteed to collide on at least one band slice (pigeonhole).
+    * Same bucket-join scale shape as C2; rows-only oracle, spec asserts
+    * the planted twins surface at hamming 0. */
+  def simhashDedup(spark: SparkSession, dir: String, maxHamming: Int = 8,
+                   bucketCap: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val fp = corpus(spark, dir)
+      .withColumn("toks", split(trim($"text"), "\\s+"))
+      .filter(size($"toks") >= 1)
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L,
+          |  (acc, b) -> acc + if(
+          |    aggregate(toks, 0L, (s, t) -> s + if(((xxhash64(t) >> b) & 1) = 1, 1L, -1L)) >= 0,
+          |    shiftleft(1L, b), 0L))""".stripMargin))
+      .select($"doc_id", $"simhash")
+    val bands = fp.select($"doc_id", $"simhash",
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> (simhash >> (16 * b)) & 65535)")))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    val smallBuckets = bands
+      .groupBy($"band_idx", $"band_val")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter($"bucket_n" > 1 && $"bucket_n" <= bucketCap)
+      .select($"band_idx", $"band_val")
+    val bucketed = bands.join(smallBuckets, Seq("band_idx", "band_val"))
+    val a = bucketed.select($"band_idx", $"band_val", $"doc_id".as("id1"), $"simhash".as("h1"))
+    val b = bucketed.select($"band_idx", $"band_val", $"doc_id".as("id2"), $"simhash".as("h2"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter($"id1" < $"id2")
+      .select($"id1", $"id2", bit_count($"h1".bitwiseXOR($"h2")).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= maxHamming)
+  }
+
+  /** C4 `ngram_jaccard_dedup` — exact n-gram Jaccard ≥ threshold.
+    * Inverted-index join: explode distinct shingles, self-join on the
+    * shingle (pairs share ≥1 shingle — never a blind cross join), count
+    * intersections, Jaccard from |A| + |B| − |A∩B|.
+    *
+    * Scale: the shuffle key is the shingle; hot shingles (boilerplate)
+    * are exactly the skew risk — production caps document frequency
+    * (drop shingles appearing in > dfCap docs, they carry no dedup
+    * signal). Jaccard is a single int division → hash-exact.
+    */
+  def ngramJaccardDedup(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                        dfCap: Int = 10000): DataFrame = {
+    import spark.implicits._
+    val sh = shingled(spark, dir)
+      .select($"doc_id", explode($"shingles").as("sh"))
+    val byDf = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" <= dfCap).select($"sh")
+    val shc = sh.join(byDf, Seq("sh"))
+    val sizes = shc.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = shc.select($"doc_id".as("id1"), $"sh")
+      .join(shc.select($"doc_id".as("id2"), $"sh"), Seq("sh"))
+      .filter($"id1" < $"id2")
+      .groupBy($"id1", $"id2")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select($"doc_id".as("id1"), $"n_sh".as("n1")), Seq("id1"))
+      .join(sizes.select($"doc_id".as("id2"), $"n_sh".as("n2")), Seq("id2"))
+      .withColumn("jaccard",
+        $"n_inter".cast("double") / ($"n1" + $"n2" - $"n_inter").cast("double"))
+      .filter($"jaccard" >= threshold)
+      .select($"id1", $"id2", $"n_inter", $"jaccard")
+  }
+
+  def ngramJaccardDedupSql(threshold: Double = 0.5): String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + $BigOffset, text FROM documents),
+       |toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM corpus),
+       |shingles AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(len(l) - 2), i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS sh
+       |  FROM toks WHERE len(l) >= 3),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+       |  FROM shingles a JOIN shingles b USING (sh)
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT id1, id2, n_inter,
+       |       CAST(n_inter AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_inter AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes s1 ON s1.doc_id = id1
+       |JOIN sizes s2 ON s2.doc_id = id2
+       |WHERE CAST(n_inter AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_inter AS DOUBLE) >= $threshold""".stripMargin
+
+  /** C11 `doc_fingerprint` — winnowing (rolling-hash) fingerprints:
+    * hash every char 8-gram, keep the minimum of each sliding window of
+    * 4 hashes, distinct. Guarantees any shared substring ≥ 11 chars
+    * yields a shared fingerprint (the winnowing theorem), with density
+    * 2/(w+1). Per-row higher-order fns only — scan-speed at any scale;
+    * rows-only oracle (seeded-hash specific), spec asserts twin docs
+    * share their full fingerprint set. */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    corpus(spark, dir)
+      .filter(length($"text") >= 11)
+      .withColumn("grams", expr(
+        "transform(sequence(1, length(text) - 7), i -> xxhash64(substring(text, i, 8)))"))
+      .withColumn("fingerprints", expr(
+        """array_distinct(transform(sequence(0, size(grams) - 4),
+          |  w -> array_min(slice(grams, w + 1, 4))))""".stripMargin))
+      .select($"doc_id",
+        size($"fingerprints").as("n_fingerprints"),
+        hash($"fingerprints").as("fp_set_hash"))
+  }
+}

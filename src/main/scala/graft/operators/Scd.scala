@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Upsert + slowly-changing history operators (SURVEY.md §2 A6-A8).
+  *
+  * Reference behavior: idempotent `ON CONFLICT DO NOTHING` inserts
+  * (pg_engine.py:104-125) and an append-only `arxiv_papers_history`
+  * table carrying per-operation rows with versions
+  * (create_table.sql:85-107, arxiv_etl.py:84-111).
+  */
+object Scd {
+
+  /** A6 `upsert_merge` — first-writer-wins merge: existing rows are
+    * kept, incoming rows are inserted only when their key is absent
+    * (the exact semantics of the reference's ON CONFLICT DO NOTHING).
+    * base = orders with key % 3 != 0; incoming = a re-priced snapshot
+    * of keys % 2 == 0.
+    *
+    * Scale: LEFT ANTI + UNION ALL — one shuffle on the key. On a real
+    * lakehouse sink this is `MERGE INTO ... WHEN NOT MATCHED THEN
+    * INSERT`; expressing it as anti-join keeps the plan shuffle-minimal
+    * and lets AQE broadcast the smaller side.
+    */
+  def upsertMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val base = o.filter($"o_orderkey" % 3 =!= 0)
+      .select($"o_orderkey", $"o_totalprice", lit("base").as("src"))
+    val incoming = o.filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", ($"o_totalprice" * lit(1.1)).as("o_totalprice"),
+        lit("incoming").as("src"))
+    base.unionAll(incoming.join(base.select($"o_orderkey"), Seq("o_orderkey"), "left_anti"))
+  }
+
+  val upsertMergeSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_totalprice, 'base' AS src FROM orders WHERE o_orderkey % 3 <> 0),
+      |incoming AS (
+      |  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice, 'incoming' AS src
+      |  FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT * FROM base
+      |UNION ALL
+      |SELECT * FROM incoming i
+      |WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.o_orderkey = i.o_orderkey)""".stripMargin
+
+  /** A7 `scd_current` — current-state view over an append-only event
+    * history: the latest record per key (reference: `arxiv_papers` as
+    * the "current" projection of `arxiv_papers_history`).
+    *
+    * Scale: window row_number over (key, ts desc) = one shuffle on the
+    * key; ties broken by event_id so the result is deterministic. For
+    * extreme key cardinality the same semantics can run as
+    * `max_by(struct(...), struct(ts, event_id))` aggregation (partial
+    * agg, smaller shuffle) — window form kept here for clarity.
+    */
+  def scdCurrent(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id".as("last_event_id"),
+        $"event_type".as("last_event_type"), $"value".as("last_value"))
+  }
+
+  val scdCurrentSql: String =
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+      |       "value" AS last_value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1""".stripMargin
+
+  /** A8 `scd_change_detect` — diff two snapshots into operation rows
+    * (insert / update / delete / unchanged), the reference's
+    * history-table `operation_type` computed set-wise instead of
+    * row-at-a-time. Full outer join on the key, one shuffle.
+    */
+  def scdChangeDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val old = o.filter($"o_orderkey" % 5 =!= 0)
+      .select($"o_orderkey".as("key"), $"o_totalprice".as("old_price"))
+    val neu = o.filter($"o_orderkey" % 7 =!= 0)
+      .select($"o_orderkey".as("key"),
+        when($"o_orderkey" % 3 === 0, $"o_totalprice" * lit(2.0))
+          .otherwise($"o_totalprice").as("new_price"))
+    old.join(neu, Seq("key"), "full_outer")
+      .select($"key",
+        when($"old_price".isNull, lit("insert"))
+          .when($"new_price".isNull, lit("delete"))
+          .when($"old_price" =!= $"new_price", lit("update"))
+          .otherwise(lit("unchanged")).as("op"))
+      .groupBy($"op").agg(count(lit(1)).as("n"))
+  }
+
+  val scdChangeDetectSql: String =
+    """WITH old AS (
+      |  SELECT o_orderkey AS key, o_totalprice AS old_price FROM orders WHERE o_orderkey % 5 <> 0),
+      |neu AS (
+      |  SELECT o_orderkey AS key,
+      |         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2.0 ELSE o_totalprice END AS new_price
+      |  FROM orders WHERE o_orderkey % 7 <> 0)
+      |SELECT CASE WHEN old_price IS NULL THEN 'insert'
+      |            WHEN new_price IS NULL THEN 'delete'
+      |            WHEN old_price <> new_price THEN 'update'
+      |            ELSE 'unchanged' END AS op,
+      |       COUNT(*) AS n
+      |FROM old FULL OUTER JOIN neu USING (key)
+      |GROUP BY 1""".stripMargin
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2 C5-C7):
+  * cosine near-dup pairs, brute-force ANN (the correctness baseline),
+  * and LSH-bucketed ANN (the scale path).
+  *
+  * Vector math is pure higher-order functions (`zip_with` +
+  * `aggregate`) over `array<float>` — no UDF, no driver collect. Norms
+  * are computed once per row before any join so the pair stage only
+  * multiplies and divides.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<float> columns (double accumulation). */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
+
+  private def l2norm(a: String): Column =
+    sqrt(expr(s"aggregate($a, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))"))
+
+  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), l2norm("embedding").as("norm"))
+
+  /** C5 `embedding_dedup` — embedding-cosine near-dup pairs ≥ threshold.
+    * Brute-force all-pairs (id1 < id2) — the CORRECTNESS baseline; the
+    * scale path for the same semantics is C7's LSH bucketing (candidate
+    * pairs ∝ bucket collisions, not n²). Output is pair ids only: the
+    * threshold (0.4002) sits in an empirically verified empty gap of
+    * the cosine distribution, so float noise between engines cannot
+    * flip membership. */
+  def embeddingDedup(spark: SparkSession, dir: String, threshold: Double = 0.4002): DataFrame = {
+    import spark.implicits._
+    val e = withNorm(spark, dir)
+    val a = e.select($"vec_id".as("id1"), $"embedding".as("va"), $"norm".as("na"))
+    val b = e.select($"vec_id".as("id2"), $"embedding".as("vb"), $"norm".as("nb"))
+    a.crossJoin(b)
+      .filter($"id1" < $"id2")
+      .withColumn("cosine", dot("va", "vb") / ($"na" * $"nb"))
+      .filter($"cosine" >= threshold)
+      .select($"id1", $"id2")
+  }
+
+  def embeddingDedupSql(threshold: Double = 0.4002): String =
+    s"""SELECT a.vec_id AS id1, b.vec_id AS id2
+       |FROM embeddings a, embeddings b
+       |WHERE a.vec_id < b.vec_id
+       |  AND list_cosine_similarity(a.embedding, b.embedding) >= $threshold""".stripMargin
+
+  /** C6 `ann_bruteforce` — exact cosine top-k neighbors for a bounded
+    * query set (vec_id < 20). The query side is tiny and explicitly
+    * `broadcast()` so the corpus never shuffles: each corpus partition
+    * scores its rows against all queries, and the global top-k per
+    * query reduces through TakeOrdered-style window pruning. Ranks are
+    * tie-broken by neighbor id. Output ids+rank only (float-noise-proof
+    * given random-data cosine gaps ≫ engine ulp differences). */
+  def annBruteforce(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 20): DataFrame = {
+    import spark.implicits._
+    val e = withNorm(spark, dir)
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("vq"), $"norm".as("nq"))
+    val c = e.select($"vec_id".as("neighbor_id"), $"embedding".as("vc"), $"norm".as("nc"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    broadcast(q).crossJoin(c)
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cosine", dot("vq", "vc") / ($"nq" * $"nc"))
+      .withColumn("rank_nn", row_number().over(w))
+      .filter($"rank_nn" <= k)
+      .select($"query_id", $"neighbor_id", $"rank_nn")
+  }
+
+  def annBruteforceSql(k: Int = 5, nQueries: Int = 20): String =
+    s"""SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank_nn
+       |FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |         row_number() OVER (
+       |           PARTITION BY a.vec_id
+       |           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rn
+       |  FROM embeddings a, embeddings b
+       |  WHERE a.vec_id < $nQueries AND a.vec_id <> b.vec_id)
+       |WHERE rn <= $k""".stripMargin
+
+  /** C7 `ann_lsh` — random-hyperplane LSH approximate neighbors: 6
+    * sign-bits from deterministic pseudo-random hyperplanes (weights
+    * derived from xxhash64 — reproducible on any cluster with no
+    * broadcast of plane matrices) → 64 buckets; candidates only within
+    * a bucket. Output: per candidate pair in the same bucket, ranked by
+    * cosine per query.
+    *
+    * Scale: this is the ANN shape for 100 TB — bucket id is the shuffle
+    * key; recall tunes with planes/probes, compute ∝ bucket sizes.
+    * Rows-only oracle (hash-specific); spec checks bucket partitioning
+    * invariants + self-recall of planted twins. */
+  def annLsh(spark: SparkSession, dir: String, planes: Int = 6, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val e = withNorm(spark, dir)
+      .withColumn("bucket", expr(
+        s"""aggregate(sequence(0, $planes - 1), 0L, (acc, p) -> acc + if(
+           |  aggregate(sequence(0, size(embedding) - 1), 0D,
+           |    (s, j) -> s + cast(embedding[j] as double)
+           |      * (cast(pmod(xxhash64(p * 1024 + j), 1000) as double) / 1000.0 - 0.5)) > 0D,
+           |  shiftleft(1L, p), 0L))""".stripMargin))
+    val a = e.select($"bucket", $"vec_id".as("query_id"), $"embedding".as("vq"), $"norm".as("nq"))
+    val b = e.select($"bucket", $"vec_id".as("neighbor_id"), $"embedding".as("vc"), $"norm".as("nc"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    a.join(b, Seq("bucket"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cosine", dot("vq", "vc") / ($"nq" * $"nc"))
+      .withColumn("rank_nn", row_number().over(w))
+      .filter($"rank_nn" <= k)
+      .select($"query_id", $"neighbor_id", $"bucket", $"rank_nn", $"cosine")
+  }
+}

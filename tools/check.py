@@ -22,6 +22,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize dtypes for sorting/compare
     for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[ns]")
         if df[c].dtype == object:
             df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) or
                               str(type(v)).find("ndarray") >= 0 else v)

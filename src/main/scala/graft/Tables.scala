@@ -35,4 +35,14 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Spread a scan across all cores before a compute-heavy fan-out
+    * (shingling, signatures, pair scoring). The generated testdata is
+    * one row group per file, so the scan itself yields ONE split and
+    * everything narrow after it would run on one task; a production
+    * lake yields thousands of splits and makes this exchange a no-op
+    * cost-wise. Round-robin keeps sizes balanced; all downstream
+    * keyed ops re-shuffle on their own keys anyway. */
+  def fanout(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

@@ -26,7 +26,8 @@ object NearDup {
   private def corpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
-    docs.unionAll(docs.select(($"doc_id" + BigOffset).as("doc_id"), $"text"))
+    Tables.fanout(docs.unionAll(
+      docs.select(($"doc_id" + BigOffset).as("doc_id"), $"text")))
   }
 
   /** doc_id + distinct word-3-gram shingles (docs with ≥3 tokens). */
@@ -55,16 +56,19 @@ object NearDup {
   def minhashLshDedup(spark: SparkSession, dir: String, bucketCap: Int = 1000): DataFrame = {
     import spark.implicits._
     val sigs = shingled(spark, dir)
-      .withColumn("sig", expr(
-        """transform(sequence(0, 15),
-          |  s -> aggregate(shingles, 9223372036854775807L, (acc, x) -> least(acc, xxhash64(x, s))))""".stripMargin))
+      .withColumn("sig", graft.functions.VectorExpressions.minhashSig($"shingles", 16))
       .select($"doc_id", $"sig")
+    // persist: the band table feeds three consumers (bucket sizing +
+    // both join sides) — without it the shingling+signature lineage
+    // recomputes per consumer. At cluster scale this is the
+    // "materialize the signature table" step of any LSH pipeline.
     val bands = sigs
       .select($"doc_id", $"sig", posexplode(expr(
         """transform(sequence(0, 3),
           |  b -> xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3], b))""".stripMargin)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_sig")
+      .persist()
     val smallBuckets = bands
       .groupBy($"band_idx", $"band_sig")
       .agg(count(lit(1)).as("bucket_n"))
@@ -94,17 +98,14 @@ object NearDup {
     val fp = corpus(spark, dir)
       .withColumn("toks", split(trim($"text"), "\\s+"))
       .filter(size($"toks") >= 1)
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L,
-          |  (acc, b) -> acc + if(
-          |    aggregate(toks, 0L, (s, t) -> s + if(((xxhash64(t) >> b) & 1) = 1, 1L, -1L)) >= 0,
-          |    shiftleft(1L, b), 0L))""".stripMargin))
+      .withColumn("simhash", graft.functions.VectorExpressions.simhash64($"toks"))
       .select($"doc_id", $"simhash")
     val bands = fp.select($"doc_id", $"simhash",
         posexplode(expr(
           "transform(sequence(0, 3), b -> (simhash >> (16 * b)) & 65535)")))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_val")
+      .persist()
     val smallBuckets = bands
       .groupBy($"band_idx", $"band_val")
       .agg(count(lit(1)).as("bucket_n"))
@@ -133,11 +134,17 @@ object NearDup {
   def ngramJaccardDedup(spark: SparkSession, dir: String, threshold: Double = 0.5,
                         dfCap: Int = 10000): DataFrame = {
     import spark.implicits._
+    // Postings keyed by the shingle's 64-bit hash, not the string: the
+    // self-join shuffles ~df² rows per shingle, and a long key keeps
+    // that shuffle narrow and the sort/compare cheap. 64-bit collisions
+    // are ~n²·2⁻⁶⁴ (immaterial to counts even at 10⁹ shingles).
     val sh = shingled(spark, dir)
-      .select($"doc_id", explode($"shingles").as("sh"))
+      .select($"doc_id", explode($"shingles").as("sh_s"))
+      .select($"doc_id", xxhash64($"sh_s").as("sh"))
     val byDf = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
       .filter($"df" <= dfCap).select($"sh")
-    val shc = sh.join(byDf, Seq("sh"))
+    // persist: the postings list feeds sizing + both join sides.
+    val shc = sh.join(byDf, Seq("sh")).persist()
     val sizes = shc.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = shc.select($"doc_id".as("id1"), $"sh")
       .join(shc.select($"doc_id".as("id2"), $"sh"), Seq("sh"))

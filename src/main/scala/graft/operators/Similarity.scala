@@ -15,16 +15,16 @@ import org.apache.spark.sql.functions._
   * multiplies and divides.
   */
 object Similarity {
+  import graft.functions.VectorExpressions.{dotF, hyperplane}
 
-  /** Sequential-fold dot product of two array<float> columns (double accumulation). */
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
+  /** Codegen'd sequential-fold dot product (double accumulation) —
+    * see [[graft.functions.VectorExpressions.DotProductFloat]]. */
+  private def dot(a: String, b: String): Column = dotF(col(a), col(b))
 
-  private def l2norm(a: String): Column =
-    sqrt(expr(s"aggregate($a, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))"))
+  private def l2norm(a: String): Column = sqrt(dotF(col(a), col(a)))
 
   private def withNorm(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    Tables.fanout(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("embedding"), l2norm("embedding").as("norm"))
 
   /** C5 `embedding_dedup` — embedding-cosine near-dup pairs ≥ threshold.
@@ -98,13 +98,14 @@ object Similarity {
     * invariants + self-recall of planted twins. */
   def annLsh(spark: SparkSession, dir: String, planes: Int = 6, k: Int = 5): DataFrame = {
     import spark.implicits._
-    val e = withNorm(spark, dir)
-      .withColumn("bucket", expr(
-        s"""aggregate(sequence(0, $planes - 1), 0L, (acc, p) -> acc + if(
-           |  aggregate(sequence(0, size(embedding) - 1), 0D,
-           |    (s, j) -> s + cast(embedding[j] as double)
-           |      * (cast(pmod(xxhash64(p * 1024 + j), 1000) as double) / 1000.0 - 0.5)) > 0D,
-           |  shiftleft(1L, p), 0L))""".stripMargin))
+    val dims = 64
+    // plane weights are deterministic (hash-derived) and computed once
+    // driver-side — they ride into the plan as literals, so bucket
+    // assignment is `planes` codegen'd dot products per row.
+    val bucketCol = (0 until planes).map { p =>
+      when(dotF(col("embedding"), typedLit(hyperplane(p, dims))) > 0d, 1L << p).otherwise(0L)
+    }.reduce(_ + _)
+    val e = withNorm(spark, dir).withColumn("bucket", bucketCol)
     val a = e.select($"bucket", $"vec_id".as("query_id"), $"embedding".as("vq"), $"norm".as("nq"))
     val b = e.select($"bucket", $"vec_id".as("neighbor_id"), $"embedding".as("vc"), $"norm".as("nc"))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")

@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Lake-side sources/sinks (SURVEY.md §2 A13's file form).
+  *
+  * The reference ingests gzip'd JSON-lines batches from object storage
+  * and lands them in a queryable store (arxiv_etl.py:128-146). The
+  * Spark-native form: `spark.read.schema(...).json(dir)` with PERMISSIVE
+  * corrupt-record capture for ingest, and a partitioned parquet sink
+  * for the landed table — the layout that gives every downstream query
+  * partition pruning for free.
+  */
+object Lake {
+
+  val CorruptCol = "_corrupt_record"
+
+  /** Write a DataFrame as gzip'd JSON-lines (the reference's batch
+    * format). One file per partition — at scale, files-per-batch is
+    * the upstream parallelism, exactly like the reference's per-batch
+    * S3 objects. */
+  def writeJsonlGz(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", "gzip")
+      .json(path)
+
+  /** Schema-enforced jsonl(.gz) read with corrupt-line quarantine:
+    * well-formed rows come back typed, malformed lines land whole in
+    * `_corrupt_record` instead of failing the job — the PERMISSIVE
+    * ingest posture any crawl pipeline needs (a single bad line in
+    * 100 TB must not kill the batch). */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(CorruptCol, "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
+  /** Split an ingest frame into (clean rows, quarantined lines).
+    * The frame is cached first: Spark disallows queries that reference
+    * ONLY the corrupt-record column of a raw file scan
+    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and an
+    * ingest batch is read once then split both ways anyway. */
+  def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
+    val cached = df.cache()
+    (cached.filter(col(CorruptCol).isNull).drop(CorruptCol),
+      cached.filter(col(CorruptCol).isNotNull).select(col(CorruptCol)))
+  }
+
+  /** Land a table date-partitioned (hive layout `year=/month=`): every
+    * downstream query filtering on the derived date columns prunes
+    * whole directories at planning time — the 100 TB default layout.
+    * `maxRecordsPerFile` caps file sizes so a skewed month still
+    * splits. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", 5000000)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Read a partitioned table back; filters on partition columns become
+    * `PartitionFilters` (directory pruning), filters on data columns
+    * become `PushedFilters` (row-group pruning). */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

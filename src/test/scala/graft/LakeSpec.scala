@@ -1,0 +1,68 @@
+package graft
+
+import graft.sources.Lake
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** File-source round trips: gzip jsonl with corrupt-record quarantine,
+  * and the partitioned parquet sink with planner-visible pruning. */
+class LakeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"graft_$name").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("jsonl.gz round trip: typed rows survive, schema enforced") {
+    val dir = tmp("jsonl")
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "n_chars")
+    Lake.writeJsonlGz(docs, dir)
+    // compressed files actually written
+    val files = new java.io.File(dir).listFiles.map(_.getName)
+    assert(files.exists(_.endsWith(".json.gz")))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    val back = Lake.readJsonl(spark, dir, schema)
+    val (clean, bad) = Lake.quarantine(back)
+    assert(bad.count() == 0)
+    assert(clean.count() == docs.count())
+    assert(clean.exceptAll(docs).count() == 0)
+  }
+
+  test("corrupt jsonl lines are quarantined, not fatal; clean rows still typed") {
+    val dir = tmp("corrupt")
+    Files.write(Paths.get(dir, "batch_0.jsonl"),
+      java.util.Arrays.asList(
+        """{"doc_id": 1, "lang": "en", "n_chars": 10}""",
+        """{"doc_id": BROKEN""",
+        """{"doc_id": 2, "lang": "fr", "n_chars": 20}""",
+        """not json at all"""))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    val (clean, bad) = Lake.quarantine(Lake.readJsonl(spark, dir, schema))
+    assert(clean.count() == 2)
+    assert(bad.count() == 2)
+    assert(clean.agg(sum("n_chars")).head.getLong(0) == 30)
+  }
+
+  test("partitioned sink: partition filters prune at plan time") {
+    val dir = tmp("part")
+    val orders = Tables.orders(spark, sf)
+      .withColumn("o_year", year(col("o_orderdate")))
+    Lake.writePartitioned(orders, dir, Seq("o_year"))
+    val pruned = Lake.readPartitioned(spark, dir).filter(col("o_year") === 1996)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_year"))
+    // pruned read matches predicate applied to the original
+    assert(pruned.count() == orders.filter(col("o_year") === 1996).count())
+    // only the matching partition directory is listed in the scan
+    val dirs = new java.io.File(dir).listFiles.filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("o_year=")))
+  }
+}

@@ -34,7 +34,19 @@ object Tables {
         org.apache.spark.sql.functions.expr("ts div 1000")).cast("timestamp_ntz"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Embeddings are read with an explicit schema (documents the dense
+    * `array<float>` ingest contract and skips schema inference; note
+    * file scans still force nullable flags on read — the vector kernel
+    * handles null slots with HOF-equivalent semantics instead). */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = false)),
+      StructField("label", IntegerType)))
+    spark.read.schema(schema).parquet(s"$dir/embeddings.parquet")
+  }
 
   /** Spread a scan across all cores before a compute-heavy fan-out
     * (shingling, signatures, pair scoring). The generated testdata is

@@ -30,21 +30,29 @@ import org.apache.spark.sql.types._
 object VectorExpressions {
 
   /** Dot product of two array<float> columns, double accumulation,
-    * sequential fold order (parity with a naive L2R sum in any engine).
-    * Nulls inside vectors are not expected (embedding tables are dense)
-    * and read as 0-valued slots. */
+    * sequential fold order. Null semantics are EXACTLY those of the
+    * higher-order-function formulation
+    * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0D, +)`:
+    * null if either array is null, the lengths differ (zip_with pads
+    * with null, which null-poisons the fold), or any slot is null —
+    * which makes [[graft.plans.FuseVectorKernels]] an unconditional
+    * value-preserving rewrite. The null branch is never taken on dense
+    * embedding tables and predicts perfectly. */
   case class DotProductFloat(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def prettyName: String = "dot_product_float"
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (y.numElements() != n) return null
       var s = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
         i += 1
       }
@@ -57,10 +65,15 @@ object VectorExpressions {
         val i = ctx.freshName("i")
         val s = ctx.freshName("s")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
            |double $s = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |if ($b.numElements() != $n) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |  }
            |}
            |${ev.value} = $s;
          """.stripMargin

@@ -34,6 +34,7 @@ object SparkEntry {
     "q3_shipping"         -> (Analytics.q3Shipping _),
     "q5_local_supplier"   -> (Analytics.q5LocalSupplier _),
     "topk_per_group"      -> ((s, d) => Analytics.topkPerGroup(s, d)),
+    "topk_per_group_agg"  -> ((s, d) => Analytics.topkPerGroupAgg(s, d)),
     "window_running"      -> (Analytics.windowRunning _),
     "approx_distinct"     -> (Analytics.approxDistinct _),
     "quantile_stats"      -> (Analytics.quantileStats _),
@@ -84,6 +85,8 @@ object SparkEntry {
     "q3_shipping"         -> Analytics.q3ShippingSql,
     "q5_local_supplier"   -> Analytics.q5LocalSupplierSql,
     "topk_per_group"      -> Analytics.topkPerGroupSql(),
+    // same oracle: the custom aggregate must reproduce the window form
+    "topk_per_group_agg"  -> Analytics.topkPerGroupSql(),
     "window_running"      -> Analytics.windowRunningSql,
     // approx_distinct: HLL sketches differ across engines — rows-only.
     "quantile_stats"      -> Analytics.quantileStatsSql,

@@ -147,6 +147,27 @@ object Analytics {
        |      FROM events)
        |WHERE rn <= $k""".stripMargin
 
+  /** B4b `topk_per_group_agg` — same semantics as B4, expressed as the
+    * custom bounded-memory aggregate [[graft.functions.TopKAgg]]
+    * instead of a window: partial aggregation keeps a k-heap per group
+    * per map task, the shuffle moves heaps (k rows per group per
+    * partition), and no group is ever fully sorted. THIS is the form
+    * that survives 100 TB facts with hot groups; it is gated against
+    * the identical oracle as the window form. The tiny winner set
+    * broadcasts back onto the fact to recover payload columns. */
+  def topkPerGroupAgg(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val top = Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(graft.functions.TopKAgg.topk($"value", $"event_id", k).as("top"))
+      .select($"event_type", posexplode($"top"))
+      .select($"event_type", ($"pos" + 1).cast("int").as("rank_in_type"),
+        $"col.id".as("event_id"))
+    Tables.events(spark, dir).select($"event_id", $"user_id", $"value")
+      .join(broadcast(top), Seq("event_id"))
+      .select($"event_type", $"event_id", $"user_id", $"value", $"rank_in_type")
+  }
+
   /** B5 `window_running` — running sum + lag over ordered per-user
     * partitions. The running sum goes through exact decimal addition so
     * the prefix values hash-match any engine regardless of how its

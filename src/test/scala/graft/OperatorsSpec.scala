@@ -80,6 +80,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("topk_per_group_agg: heap aggregate reproduces the window form exactly") {
+    val win = operators.Analytics.topkPerGroup(spark, sf)
+    val agg = operators.Analytics.topkPerGroupAgg(spark, sf)
+    assert(win.count() == agg.count())
+    assert(win.select(agg.columns.map(org.apache.spark.sql.functions.col): _*)
+      .exceptAll(agg).count() == 0)
+  }
+
   test("status_claim: claims are the globally earliest pending items") {
     import org.apache.spark.sql.functions._
     val claimed = operators.Status.statusClaim(spark, sf, n = 10)

@@ -146,11 +146,17 @@ object NearDup {
     // persist: the postings list feeds sizing + both join sides.
     val shc = sh.join(byDf, Seq("sh")).persist()
     val sizes = shc.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    // The intersection count aggregates millions of candidate pairs —
+    // pack the pair into one long key (ids are < 2^31) so the hot
+    // hash-aggregate hashes/compares a single word.
     val inter = shc.select($"doc_id".as("id1"), $"sh")
       .join(shc.select($"doc_id".as("id2"), $"sh"), Seq("sh"))
       .filter($"id1" < $"id2")
-      .groupBy($"id1", $"id2")
+      .select((shiftleft($"id1", 32) + $"id2").as("pair"))
+      .groupBy($"pair")
       .agg(count(lit(1)).as("n_inter"))
+      .select(shiftright($"pair", 32).as("id1"),
+        ($"pair".bitwiseAND(lit(0xffffffffL))).as("id2"), $"n_inter")
     inter
       .join(sizes.select($"doc_id".as("id1"), $"n_sh".as("n1")), Seq("id1"))
       .join(sizes.select($"doc_id".as("id2"), $"n_sh".as("n2")), Seq("id2"))

@@ -49,6 +49,8 @@ object SparkEntry {
     "embedding_dedup"     -> ((s, d) => Similarity.embeddingDedup(s, d)),
     "ann_bruteforce"      -> ((s, d) => Similarity.annBruteforce(s, d)),
     "ann_lsh"             -> ((s, d) => Similarity.annLsh(s, d)),
+    "ann_ivf"             -> ((s, d) => Similarity.annIvf(s, d)),
+    "skew_salted_agg"     -> ((s, d) => Skew.saltedAgg(s, d)),
     "lang_id"             -> (TextAnalysis.langId _),
     "quality_score"       -> (TextAnalysis.qualityScore _),
     "token_count"         -> (TextAnalysis.tokenCount _),
@@ -99,6 +101,7 @@ object SparkEntry {
     "ngram_jaccard_dedup" -> NearDup.ngramJaccardDedupSql(),
     "embedding_dedup"     -> Similarity.embeddingDedupSql(),
     "ann_bruteforce"      -> Similarity.annBruteforceSql(),
+    "skew_salted_agg"     -> Skew.saltedAggSql,
     "lang_id"             -> TextAnalysis.langIdSql,
     "quality_score"       -> TextAnalysis.qualityScoreSql,
     "token_count"         -> TextAnalysis.tokenCountSql,

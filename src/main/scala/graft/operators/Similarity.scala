@@ -85,6 +85,58 @@ object Similarity {
        |  WHERE a.vec_id < $nQueries AND a.vec_id <> b.vec_id)
        |WHERE rn <= $k""".stripMargin
 
+  /** C7b `ann_ivf` — IVF (inverted-file) coarse-quantizer ANN: assign
+    * every vector to its nearest of `nlist` centroids (one Lloyd
+    * refinement over deterministic seed centroids), build the inverted
+    * lists, then answer each query by scanning only its `nprobe`
+    * nearest lists. Candidates ∝ probed-list sizes (~nprobe/nlist of
+    * the corpus), not n² — the standard billion-vector ANN layout; at
+    * cluster scale the inverted lists are the partitioning keys so a
+    * probe touches only those partitions.
+    *
+    * Rows-only oracle (centroid geometry is implementation-specific);
+    * the spec asserts the IVF invariants: neighbors come only from
+    * probed cells and ranks are within k. */
+  def annIvf(spark: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 2,
+             k: Int = 5, nQueries: Int = 50): DataFrame = {
+    import spark.implicits._
+    val e = withNorm(spark, dir).persist()
+    // deterministic seed centroids; one Lloyd step: assign → per-cell mean
+    val seeds = e.filter($"vec_id" < nlist)
+      .select($"vec_id".cast("int").as("cid"), $"embedding".as("cvec"), $"norm".as("cnorm"))
+    def nearestCell(vecs: DataFrame, cents: DataFrame, outPrefix: String, n: Int): DataFrame = {
+      val w = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("csim", dot("embedding", "cvec") / ($"norm" * $"cnorm"))
+        .withColumn("crank", row_number().over(w))
+        .filter($"crank" <= n)
+        .select($"vec_id", $"embedding", $"norm", $"cid".as(s"${outPrefix}cid"),
+          $"crank".as(s"${outPrefix}rank"))
+    }
+    val assigned0 = nearestCell(e, seeds, "a", 1)
+    val centroids = assigned0
+      .select($"acid".as("cid"), posexplode($"embedding"))
+      .groupBy($"cid", $"pos")
+      .agg(avg($"col".cast("double")).as("m"))
+      .groupBy($"cid")
+      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select($"cid", expr("transform(pm, x -> cast(x.m as float))").as("cvec"))
+      .withColumn("cnorm", sqrt(dotF(col("cvec"), col("cvec"))))
+    val lists = nearestCell(e, centroids, "l", 1)
+      .select($"lcid".as("cell"), $"vec_id".as("neighbor_id"),
+        $"embedding".as("vc"), $"norm".as("nc"))
+    val probes = nearestCell(e.filter($"vec_id" < nQueries), centroids, "p", nprobe)
+      .select($"pcid".as("cell"), $"vec_id".as("query_id"),
+        $"embedding".as("vq"), $"norm".as("nq"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    probes.join(lists, Seq("cell"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cosine", dot("vq", "vc") / ($"nq" * $"nc"))
+      .withColumn("rank_nn", row_number().over(w))
+      .filter($"rank_nn" <= k)
+      .select($"query_id", $"neighbor_id", $"cell", $"rank_nn", $"cosine")
+  }
+
   /** C7 `ann_lsh` — random-hyperplane LSH approximate neighbors: 6
     * sign-bits from deterministic pseudo-random hyperplanes (weights
     * derived from xxhash64 — reproducible on any cluster with no

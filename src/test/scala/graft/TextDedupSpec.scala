@@ -62,6 +62,27 @@ class TextDedupSpec extends AnyFunSuite {
     assert(lsh.count() > 0)
   }
 
+  test("ann_ivf: neighbors only from probed cells, ranks within k, cells partition the corpus") {
+    val ivf = operators.Similarity.annIvf(spark, sf)
+    assert(ivf.count() > 0)
+    assert(ivf.filter(col("rank_nn") > 5).count() == 0)
+    // per query, at most nprobe distinct cells contribute
+    val cellsPerQuery = ivf.groupBy("query_id")
+      .agg(countDistinct("cell").as("nc")).filter(col("nc") > 2)
+    assert(cellsPerQuery.count() == 0)
+  }
+
+  test("skew_salted_agg is bit-identical to the direct aggregation") {
+    val salted = operators.Skew.saltedAgg(spark, sf)
+    val direct = Tables.events(spark, sf).groupBy("event_type").agg(
+      count(lit(1)).as("n_events"),
+      sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast("double").as("sum_value"),
+      min("value").as("min_value"), max("value").as("max_value"))
+    assert(salted.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(salted).count() == 0)
+  }
+
   test("approx_distinct within rsd of exact") {
     val approx = operators.Analytics.approxDistinct(spark, sf)
       .select(col("event_type"), col("approx_users"))

@@ -62,7 +62,8 @@ object SparkEntry {
     "mm_feature_extract"  -> ((s, d) => Multimodal.mmFeatureExtract(s, d)),
     // block E — streaming (batch-equivalent plans; streaming specs in tests)
     "stream_window_agg"   -> (graft.streaming.Streams.streamWindowAgg _),
-    "stream_sessionize"   -> (graft.streaming.Streams.streamSessionize _)
+    "stream_sessionize"   -> (graft.streaming.Streams.streamSessionize _),
+    "stream_dedup"        -> (graft.streaming.Streams.streamDedup _)
   )
 
   /** DuckDB-equivalent SQL per query (column names/aliases must match
@@ -110,6 +111,7 @@ object SparkEntry {
     // block D (mm_feature_extract: stubbed decoder → rows-only)
     "mm_metadata"         -> Multimodal.mmMetadataSql,
     // block E (stream_sessionize: typed stateful op → rows-only)
-    "stream_window_agg"   -> graft.streaming.Streams.streamWindowAggSql
+    "stream_window_agg"   -> graft.streaming.Streams.streamWindowAggSql,
+    "stream_dedup"        -> graft.streaming.Streams.streamDedupSql
   )
 }

@@ -98,6 +98,30 @@ object Streams {
       }
   }
 
+  /** E3 `stream_dedup` — the reference's exact dedup on the primary id
+    * (arxiv_collector.py:118-130) as a stream: `dropDuplicates(id)`
+    * with a watermark bounds the seen-set state to the lookback window,
+    * exactly the reference's windowed seen-set but maintained by the
+    * state store instead of a DB query. The same transform runs in
+    * batch for the gate (duplicated input → distinct rows: values are
+    * deterministic because duplicates are exact copies). */
+  def dedup(events: DataFrame, withWatermark: Boolean = false): DataFrame = {
+    val in = if (withWatermark)
+      events.withColumn("ts", col("ts").cast("timestamp")).withWatermark("ts", "1 hour")
+    else events
+    in.dropDuplicates("event_id")
+  }
+
+  /** Driver-gate batch entry for E3: events ∪ exact copy → dedup. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    dedup(ev.unionAll(ev))
+  }
+
+  val streamDedupSql: String =
+    """SELECT event_id, user_id, event_type, "value" FROM events""".stripMargin
+
   /** Driver-gate batch entry for E2 (rows-only oracle; the B8 SQL
     * window sessionization is the declarative equivalent and IS
     * hash-gated — the spec cross-checks the two agree). */

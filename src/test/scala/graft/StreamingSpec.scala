@@ -75,6 +75,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("E3 stream_dedup: duplicates across micro-batches are dropped by the state store") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val data = evs(50)
+    val source = MemoryStream[Ev]
+    val q = Streams.dedup(source.toDF(), withWatermark = true)
+      .writeStream.format("memory").queryName("e3_out")
+      .outputMode("append").start()
+    source.addData(data: _*)
+    q.processAllAvailable()
+    // same ids again in a later micro-batch — state store must reject them
+    source.addData(data.take(25): _*)
+    q.processAllAvailable()
+    q.stop()
+    val out = s.table("e3_out")
+    assert(out.count() == 50)
+    assert(out.select("event_id").distinct().count() == 50)
+  }
+
+  test("file-based readStream: windowed agg over a parquet directory equals batch") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val data = evs(300).toDF()
+    // two "arriving" files
+    data.filter($"event_id" < 150).write.mode("append").parquet(dir)
+    data.filter($"event_id" >= 150).write.mode("append").parquet(dir)
+    val streamed = s.readStream
+      .schema(data.schema)
+      .option("maxFilesPerTrigger", 1) // one file per micro-batch
+      .parquet(dir)
+    val q = Streams.windowAgg(streamed)
+      .writeStream.format("memory").queryName("file_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val batch = Streams.windowAgg(data)
+    val got = s.table("file_out")
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).count() == 0)
+  }
+
   test("E2 batch analogue agrees with B8 declarative sessionization on session counts") {
     val typed = Streams.streamSessionize(spark, sf)
     val sql = operators.Analytics.sessionize(spark, sf)

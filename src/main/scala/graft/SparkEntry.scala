@@ -41,6 +41,8 @@ object SparkEntry {
     "sessionize"          -> ((s, d) => Analytics.sessionize(s, d)),
     "pivot_wide"          -> (Analytics.pivotWide _),
     "rollup_cube"         -> (Analytics.rollupCube _),
+    "asof_join"           -> (AsOf.asofStateJoin _),
+    "skew_salted_agg"     -> ((s, d) => Skew.saltedAgg(s, d)),
     // block C — LLM-training-data operators
     "text_exact_dedup"    -> (TextAnalysis.textExactDedup _),
     "minhash_lsh_dedup"   -> ((s, d) => NearDup.minhashLshDedup(s, d)),
@@ -50,7 +52,6 @@ object SparkEntry {
     "ann_bruteforce"      -> ((s, d) => Similarity.annBruteforce(s, d)),
     "ann_lsh"             -> ((s, d) => Similarity.annLsh(s, d)),
     "ann_ivf"             -> ((s, d) => Similarity.annIvf(s, d)),
-    "skew_salted_agg"     -> ((s, d) => Skew.saltedAgg(s, d)),
     "lang_id"             -> (TextAnalysis.langId _),
     "quality_score"       -> (TextAnalysis.qualityScore _),
     "token_count"         -> (TextAnalysis.tokenCount _),
@@ -103,6 +104,7 @@ object SparkEntry {
     "embedding_dedup"     -> Similarity.embeddingDedupSql(),
     "ann_bruteforce"      -> Similarity.annBruteforceSql(),
     "skew_salted_agg"     -> Skew.saltedAggSql,
+    "asof_join"           -> AsOf.asofStateJoinSql,
     "lang_id"             -> TextAnalysis.langIdSql,
     "quality_score"       -> TextAnalysis.qualityScoreSql,
     "token_count"         -> TextAnalysis.tokenCountSql,

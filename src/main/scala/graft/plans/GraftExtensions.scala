@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductFloat].getName, "dot_product_float"),
       (args: Seq[Expression]) => DotProductFloat(args(0), args(1))))
     ext.injectOptimizerRule(_ => FuseVectorKernels)
+    ext.injectPlannerStrategy(_ => AsOfStrategy)
   }
 }
 

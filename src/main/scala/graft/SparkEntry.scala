@@ -42,6 +42,7 @@ object SparkEntry {
     "pivot_wide"          -> (Analytics.pivotWide _),
     "rollup_cube"         -> (Analytics.rollupCube _),
     "asof_join"           -> (AsOf.asofStateJoin _),
+    "range_join_pairs"    -> ((s, d) => RangeJoin.rangePairs(s, d)),
     "skew_salted_agg"     -> ((s, d) => Skew.saltedAgg(s, d)),
     // block C — LLM-training-data operators
     "text_exact_dedup"    -> (TextAnalysis.textExactDedup _),
@@ -105,6 +106,7 @@ object SparkEntry {
     "ann_bruteforce"      -> Similarity.annBruteforceSql(),
     "skew_salted_agg"     -> Skew.saltedAggSql,
     "asof_join"           -> AsOf.asofStateJoinSql,
+    "range_join_pairs"    -> RangeJoin.rangePairsSql(),
     "lang_id"             -> TextAnalysis.langIdSql,
     "quality_score"       -> TextAnalysis.qualityScoreSql,
     "token_count"         -> TextAnalysis.tokenCountSql,

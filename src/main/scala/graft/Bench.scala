@@ -20,9 +20,17 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink: forces every output column to materialize (a bare
       // count() would let Catalyst prune the projections under test).
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      // A failure records -1 — a broken query must be visible in the
+      // metric line, not look like a fast run.
+      val sec =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable => System.err.println(s"[bench] $name: $e"); -1.0
+        }
+      spark.catalog.clearCache() // operators may persist intermediates
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -36,6 +36,16 @@ case class TopKAgg(
 
   override def children: Seq[Expression] = Seq(valueExpr, idExpr)
   override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (valueExpr.dataType != DoubleType)
+      TypeCheckFailure(s"topk_agg value must be DOUBLE, got ${valueExpr.dataType.sql}")
+    else if (idExpr.dataType != LongType)
+      TypeCheckFailure(s"topk_agg id must be BIGINT, got ${idExpr.dataType.sql}")
+    else if (k <= 0) TypeCheckFailure(s"topk_agg k must be positive, got $k")
+    else TypeCheckSuccess
+  }
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("value", DoubleType, nullable = false),

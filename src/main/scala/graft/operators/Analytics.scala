@@ -249,8 +249,12 @@ object Analytics {
       .select($"user_id", $"event_id", $"ts", $"value")
       .withColumn("prev_ts", lag($"ts", 1).over(w))
       .withColumn("new_session",
+        // microsecond-precision gap: unix_timestamp truncates to whole
+        // seconds, which disagrees with fractional-second oracles for
+        // gaps straddling the boundary by < 1s
         when($"prev_ts".isNull ||
-          unix_timestamp($"ts") - unix_timestamp($"prev_ts") > gapMinutes * 60L, 1L)
+          unix_micros($"ts".cast("timestamp")) - unix_micros($"prev_ts".cast("timestamp")) >
+            gapMinutes * 60000000L, 1L)
           .otherwise(0L))
       .withColumn("session_idx", sum($"new_session").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -266,7 +270,7 @@ object Analytics {
     s"""WITH flagged AS (
        |  SELECT user_id, event_id, ts, "value",
        |         CASE WHEN lag(ts) OVER w IS NULL
-       |                OR epoch(ts) - epoch(lag(ts) OVER w) > $gapMinutes * 60
+       |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $gapMinutes * 60000000
        |              THEN 1 ELSE 0 END AS new_session
        |  FROM events
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -305,9 +309,11 @@ object Analytics {
       |FROM events GROUP BY user_id""".stripMargin
 
   /** B10 `rollup_cube` — multi-level rollup (lang, source) with grand
-    * total; grouping levels distinguished via GROUPING() so the 'ALL'
-    * sentinel can't collide with a real value. Spark expands rollup to
-    * grouping sets inside a single aggregate — still one shuffle. */
+    * total. Subtotal rows are marked with a COALESCE 'ALL' sentinel —
+    * valid here because lang/source are non-null with no literal 'ALL';
+    * on data without that guarantee, switch the sentinel to
+    * `grouping(col)` flags. One shuffle (rollup expands to grouping
+    * sets inside a single aggregate). */
   def rollupCube(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)

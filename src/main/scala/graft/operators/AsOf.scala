@@ -11,12 +11,16 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /** Join each left row to the latest right row with the same key and
-    * `right.ts <= left.ts` (inner). Key and ts expressions must be
-    * Long-valued (internal timestamp micros are Long). Registers the
-    * planner strategy on the session if missing so the operator works
-    * without `spark.sql.extensions` wiring. */
+    * `right.ts <= left.ts` (inner). Key and ts columns must be
+    * Long-valued (internal timestamp micros are Long), and the right
+    * side must be UNIQUE per (key, ts) — with duplicates the winner
+    * would depend on shuffle order (pre-aggregate the right side, as
+    * [[asofStateJoin]] does). Registers the planner strategy on the
+    * session if missing so the operator works without
+    * `spark.sql.extensions` wiring. */
   def asofJoin(left: DataFrame, right: DataFrame,
-               key: String, ts: String): DataFrame = {
+               leftKey: String, leftTs: String,
+               rightKey: String, rightTs: String): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfStrategy))
       spark.experimental.extraStrategies =
@@ -27,7 +31,7 @@ object AsOf {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
     GraftShim.ofRows(spark,
-      AsOfJoin(l, r, attr(l, key), attr(r, s"r_$key"), attr(l, ts), attr(r, s"r_$ts")))
+      AsOfJoin(l, r, attr(l, leftKey), attr(r, rightKey), attr(l, leftTs), attr(r, rightTs)))
   }
 
   /** B12 `asof_join` — enrich every event with the user's state as of
@@ -38,17 +42,21 @@ object AsOf {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
       .select($"event_id", $"user_id", $"ts")
+    // one state row per (user, ts): ties would otherwise resolve by
+    // shuffle order on both engines (max keeps it deterministic)
     val state = Tables.events(spark, dir)
       .filter($"event_type" === "signup")
-      .select($"user_id".as("r_user_id"), $"ts".as("r_ts"), $"value".as("state_value"))
-    asofJoin(ev, state, "user_id", "ts")
+      .groupBy($"user_id".as("r_user_id"), $"ts".as("r_ts"))
+      .agg(max($"value").as("state_value"))
+    asofJoin(ev, state, "user_id", "ts", "r_user_id", "r_ts")
       .select($"event_id", $"user_id", $"ts",
         $"r_ts".as("state_ts"), $"state_value")
   }
 
   val asofStateJoinSql: String =
-    """SELECT e.event_id, e.user_id, e.ts, s.ts AS state_ts, s."value" AS state_value
+    """SELECT e.event_id, e.user_id, e.ts, s.ts AS state_ts, s.state_value
       |FROM events e
-      |ASOF JOIN (SELECT user_id, ts, "value" FROM events WHERE event_type = 'signup') s
+      |ASOF JOIN (SELECT user_id, ts, MAX("value") AS state_value
+      |           FROM events WHERE event_type = 'signup' GROUP BY 1, 2) s
       |  ON e.user_id = s.user_id AND e.ts >= s.ts""".stripMargin
 }

@@ -166,16 +166,18 @@ object NearDup {
       .select($"id1", $"id2", $"n_inter", $"jaccard")
   }
 
-  def ngramJaccardDedupSql(threshold: Double = 0.5): String =
+  def ngramJaccardDedupSql(threshold: Double = 0.5, dfCap: Int = 10000): String =
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL SELECT doc_id + $BigOffset, text FROM documents),
        |toks AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM corpus),
-       |shingles AS (
+       |raw_shingles AS (
        |  SELECT doc_id, unnest(list_distinct(
        |    list_transform(range(len(l) - 2), i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS sh
        |  FROM toks WHERE len(l) >= 3),
+       |keep AS (SELECT sh FROM raw_shingles GROUP BY sh HAVING COUNT(*) <= $dfCap),
+       |shingles AS (SELECT r.doc_id, r.sh FROM raw_shingles r JOIN keep USING (sh)),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter

@@ -45,26 +45,33 @@ object FuseVectorKernels extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** `(x, y) -> x * y` with optional numeric casts around the vars. */
+  /** Strip ONLY the exact float→double widening cast (lossless); any
+    * other cast changes values and must block the rewrite. */
+  private def stripWiden(e: Expression): Expression = e match {
+    case c: Cast if c.dataType == DoubleType && c.child.dataType == FloatType => c.child
+    case other => other
+  }
+
+  /** `(x, y) -> double(x) * double(y)` — widening casts only. */
   private def isMultiplyLambda(f: Expression): Boolean = f match {
     case LambdaFunction(body, Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _) =>
       body match {
         // double-typed product only: a float-typed product rounds each
         // term to float, which the double-accumulating kernel does not.
         case m @ Multiply(lhs, rhs, _) if m.dataType == DoubleType =>
-          stripCast(lhs).semanticEquals(x) && stripCast(rhs).semanticEquals(y)
+          stripWiden(lhs).semanticEquals(x) && stripWiden(rhs).semanticEquals(y)
         case _ => false
       }
     case _ => false
   }
 
-  /** `(acc, v) -> acc + v` with optional casts. */
+  /** `(acc, v) -> acc + v` — bare double vars, no casts. */
   private def isSumLambda(f: Expression): Boolean = f match {
     case LambdaFunction(body, Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _) =>
       body match {
         case Add(lhs, rhs, _) =>
-          (stripCast(lhs).semanticEquals(acc) && stripCast(rhs).semanticEquals(v)) ||
-            (stripCast(lhs).semanticEquals(v) && stripCast(rhs).semanticEquals(acc))
+          (lhs.semanticEquals(acc) && rhs.semanticEquals(v)) ||
+            (lhs.semanticEquals(v) && rhs.semanticEquals(acc))
         case _ => false
       }
     case _ => false
@@ -73,18 +80,12 @@ object FuseVectorKernels extends Rule[LogicalPlan] {
   /** identity finish lambda `acc -> acc`. */
   private def isIdentity(f: Expression): Boolean = f match {
     case LambdaFunction(body, Seq(acc: NamedLambdaVariable), _) =>
-      stripCast(body).semanticEquals(acc)
+      body.semanticEquals(acc)
     case _ => false
   }
 
-  private def stripCast(e: Expression): Expression = e match {
-    case c: Cast => stripCast(c.child)
-    case other => other
-  }
-
-  private def isZeroLiteral(e: Expression): Boolean = stripCast(e) match {
+  private def isZeroLiteral(e: Expression): Boolean = e match {
     case Literal(0.0, DoubleType) => true
-    case Literal(0, _) => true
     case _ => false
   }
 

@@ -40,6 +40,12 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # a query that threw in Verify writes no dir — that must FAIL the
+    # gate, not silently vanish from the tally
+    present = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
+    for name in sorted(set(oracle) - present):
+        print(f"  [MISSING] {name}: no Verify output (query threw?)")
+        n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):

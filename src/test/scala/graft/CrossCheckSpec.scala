@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent re-derivations: each operator checked against a
+  * differently-expressed computation of the same semantics (the DuckDB
+  * gate already cross-checks engines; these cross-check formulations
+  * inside Spark, so they hold even where the oracle is rows-only). */
+class CrossCheckSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("range_join_pairs equals the naive inequality join") {
+    val got = operators.RangeJoin.rangePairs(spark, sf)
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
+    val naive = e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("b.us") > col("a.us") && col("b.us") <= col("a.us") + 300000000L)
+      .select(col("a.event_id").as("id1"), col("b.event_id").as("id2"),
+        col("a.user_id"), (col("b.us") - col("a.us")).as("gap_us"))
+    assert(got.count() == naive.count())
+    assert(got.exceptAll(naive).count() == 0)
+  }
+
+  test("scd_change_detect op counts match independent set algebra") {
+    val o = Tables.orders(spark, sf)
+    val oldK = o.filter(col("o_orderkey") % 5 =!= 0).select(col("o_orderkey"))
+    val neuK = o.filter(col("o_orderkey") % 7 =!= 0).select(col("o_orderkey"))
+    val inserts = neuK.exceptAll(oldK).count()
+    val deletes = oldK.exceptAll(neuK).count()
+    val common = oldK.intersect(neuK).count()
+    val updatesExpected = o // common keys whose price changed (key%3==0 doubles)
+      .filter(col("o_orderkey") % 5 =!= 0 && col("o_orderkey") % 7 =!= 0 &&
+        col("o_orderkey") % 3 === 0 && col("o_totalprice") =!= 0.0)
+      .count()
+    val m = operators.Scd.scdChangeDetect(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.getOrElse("insert", 0L) == inserts)
+    assert(m.getOrElse("delete", 0L) == deletes)
+    assert(m.getOrElse("update", 0L) == updatesExpected)
+    assert(m.getOrElse("unchanged", 0L) == common - updatesExpected)
+  }
+
+  test("date_derive counts cover all orders exactly once") {
+    val dd = operators.Clean.dateDerive(spark, sf)
+    assert(dd.agg(sum("n_orders")).head.getLong(0) == Tables.orders(spark, sf).count())
+  }
+
+  test("q5 equals the same query phrased in SQL on temp views") {
+    val s = spark
+    Seq("region", "nation", "customer", "supplier", "orders", "lineitem").foreach { t =>
+      Tables.table(s, sf, t).createOrReplaceTempView(t)
+    }
+    val sql = s.sql(
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin)
+    val got = operators.Analytics.q5LocalSupplier(s, sf)
+    assert(got.exceptAll(sql).count() == 0)
+    assert(sql.exceptAll(got).count() == 0)
+  }
+
+  test("pivot_wide row sums equal per-user event counts") {
+    val pw = operators.Analytics.pivotWide(spark, sf)
+    val total = pw.select(
+      (col("n_click") + col("n_error") + col("n_purchase") + col("n_signup") + col("n_view"))
+        .as("s"))
+      .agg(sum("s")).head.getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("quality_score is bounded and monotone in components") {
+    val qs = operators.TextAnalysis.qualityScore(spark, sf)
+    assert(qs.filter(col("quality") < 0.0 || col("quality") > 1.0).count() == 0)
+    assert(qs.filter(col("diversity") > 1.0 || col("stop_ratio") > 1.0).count() == 0)
+  }
+}

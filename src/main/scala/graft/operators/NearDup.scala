@@ -121,63 +121,64 @@ object NearDup {
       .filter($"hamming" <= maxHamming)
   }
 
-  /** C4 `ngram_jaccard_dedup` — exact n-gram Jaccard ≥ threshold.
-    * Inverted-index join: explode distinct shingles, self-join on the
-    * shingle (pairs share ≥1 shingle — never a blind cross join), count
-    * intersections, Jaccard from |A| + |B| − |A∩B|.
+  /** C4 `ngram_jaccard_dedup` — exact n-gram Jaccard ≥ threshold via
+    * PREFIX FILTERING (the AllPairs/PPJoin family): sort each doc's
+    * shingle hashes in one global order and index only the first
+    * |A| − ⌈τ·|A|⌉ + 1 of them — any pair with J ≥ τ has overlap
+    * ≥ ⌈τ·|A|⌉, so it MUST collide inside both prefixes (pigeonhole).
+    * Candidates come from the prefix-postings self-join (a τ-dependent
+    * fraction of the full index), then verify exactly with one
+    * `array_intersect` per candidate pair.
     *
-    * Scale: the shuffle key is the shingle; hot shingles (boilerplate)
-    * are exactly the skew risk — production caps document frequency
-    * (drop shingles appearing in > dfCap docs, they carry no dedup
-    * signal). Jaccard is a single int division → hash-exact.
-    */
-  def ngramJaccardDedup(spark: SparkSession, dir: String, threshold: Double = 0.5,
-                        dfCap: Int = 10000): DataFrame = {
+    * Scale: shuffle volume ∝ prefix postings (τ=0.5 → half the index,
+    * and candidate pairs shrink quadratically); the exact verify is
+    * per-candidate, no global pass. Hot boilerplate shingles remain the
+    * skew risk of any set-similarity join — cap document frequency
+    * symmetrically on both engine and oracle if the corpus needs it.
+    * Jaccard = one int division → hash-exact. 64-bit shingle-hash
+    * collisions are ~n²·2⁻⁶⁴, immaterial even at 10⁹ shingles. */
+  def ngramJaccardDedup(spark: SparkSession, dir: String,
+                        threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
-    // Postings keyed by the shingle's 64-bit hash, not the string: the
-    // self-join shuffles ~df² rows per shingle, and a long key keeps
-    // that shuffle narrow and the sort/compare cheap. 64-bit collisions
-    // are ~n²·2⁻⁶⁴ (immaterial to counts even at 10⁹ shingles).
-    val sh = shingled(spark, dir)
-      .select($"doc_id", explode($"shingles").as("sh_s"))
-      .select($"doc_id", xxhash64($"sh_s").as("sh"))
-    val byDf = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
-      .filter($"df" <= dfCap).select($"sh")
-    // persist: the postings list feeds sizing + both join sides.
-    val shc = sh.join(byDf, Seq("sh")).persist()
-    val sizes = shc.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    // The intersection count aggregates millions of candidate pairs —
-    // pack the pair into one long key (ids are < 2^31) so the hot
-    // hash-aggregate hashes/compares a single word.
-    val inter = shc.select($"doc_id".as("id1"), $"sh")
-      .join(shc.select($"doc_id".as("id2"), $"sh"), Seq("sh"))
+    // persist: the hashed-set table feeds prefix postings + both
+    // verification joins.
+    val hashed = shingled(spark, dir)
+      .select($"doc_id",
+        expr("array_sort(transform(shingles, s -> xxhash64(s)))").as("sh_sorted"))
+      .withColumn("n_sh", size($"sh_sorted"))
+      .persist()
+    val prefixes = hashed
+      .select($"doc_id", explode(expr(
+        s"slice(sh_sorted, 1, size(sh_sorted) - cast(ceil($threshold * size(sh_sorted)) as int) + 1)"))
+        .as("sh"))
+    val cand = prefixes.select($"doc_id".as("id1"), $"sh")
+      .join(prefixes.select($"doc_id".as("id2"), $"sh"), Seq("sh"))
       .filter($"id1" < $"id2")
+      // pack the pair into one long (ids < 2^31) for a one-word dedup key
       .select((shiftleft($"id1", 32) + $"id2").as("pair"))
-      .groupBy($"pair")
-      .agg(count(lit(1)).as("n_inter"))
+      .distinct()
+    cand
       .select(shiftright($"pair", 32).as("id1"),
-        ($"pair".bitwiseAND(lit(0xffffffffL))).as("id2"), $"n_inter")
-    inter
-      .join(sizes.select($"doc_id".as("id1"), $"n_sh".as("n1")), Seq("id1"))
-      .join(sizes.select($"doc_id".as("id2"), $"n_sh".as("n2")), Seq("id2"))
+        ($"pair".bitwiseAND(lit(0xffffffffL))).as("id2"))
+      .join(hashed.select($"doc_id".as("id1"), $"sh_sorted".as("sa"), $"n_sh".as("n1")), Seq("id1"))
+      .join(hashed.select($"doc_id".as("id2"), $"sh_sorted".as("sb"), $"n_sh".as("n2")), Seq("id2"))
+      .withColumn("n_inter", size(array_intersect($"sa", $"sb")).cast("long"))
       .withColumn("jaccard",
         $"n_inter".cast("double") / ($"n1" + $"n2" - $"n_inter").cast("double"))
       .filter($"jaccard" >= threshold)
       .select($"id1", $"id2", $"n_inter", $"jaccard")
   }
 
-  def ngramJaccardDedupSql(threshold: Double = 0.5, dfCap: Int = 10000): String =
+  def ngramJaccardDedupSql(threshold: Double = 0.5): String =
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL SELECT doc_id + $BigOffset, text FROM documents),
        |toks AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM corpus),
-       |raw_shingles AS (
+       |shingles AS (
        |  SELECT doc_id, unnest(list_distinct(
        |    list_transform(range(len(l) - 2), i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS sh
        |  FROM toks WHERE len(l) >= 3),
-       |keep AS (SELECT sh FROM raw_shingles GROUP BY sh HAVING COUNT(*) <= $dfCap),
-       |shingles AS (SELECT r.doc_id, r.sh FROM raw_shingles r JOIN keep USING (sh)),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter

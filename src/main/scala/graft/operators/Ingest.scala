@@ -27,27 +27,29 @@ object Ingest {
     * key (the batch id stays deterministic because it derives from the
     * global row_number within the source).
     */
-  def batchAssign(spark: SparkSession, dir: String, batchSize: Int = 100): DataFrame = {
+  def batchAssign(spark: SparkSession, dir: String, batchSize: Int = 100,
+                  runDate: String = "2024-01-01"): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"source").orderBy($"doc_id")
     Tables.documents(spark, dir)
       .select($"source", $"doc_id")
       .withColumn("rn", row_number().over(w))
       .withColumn("batch_idx", floor(($"rn" - 1) / lit(batchSize)).cast(LongType))
-      .groupBy($"source", concat($"source", lit("_batch_"), $"batch_idx").as("batch_id"))
+      .groupBy($"source",
+        concat($"source", lit(s"_${runDate}_batch_"), $"batch_idx").as("batch_id"))
       .agg(
         count(lit(1)).as("record_count"),
         min($"doc_id").as("min_doc_id"),
         max($"doc_id").as("max_doc_id"))
   }
 
-  def batchAssignSql(batchSize: Int = 100): String =
+  def batchAssignSql(batchSize: Int = 100, runDate: String = "2024-01-01"): String =
     s"""WITH numbered AS (
        |  SELECT source, doc_id,
        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
        |  FROM documents)
        |SELECT source,
-       |       source || '_batch_' || CAST(CAST(FLOOR((rn - 1) / $batchSize.0) AS BIGINT) AS VARCHAR) AS batch_id,
+       |       source || '_${runDate}_batch_' || CAST(CAST(FLOOR((rn - 1) / $batchSize.0) AS BIGINT) AS VARCHAR) AS batch_id,
        |       COUNT(*) AS record_count,
        |       MIN(doc_id) AS min_doc_id,
        |       MAX(doc_id) AS max_doc_id

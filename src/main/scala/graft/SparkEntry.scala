@@ -49,6 +49,7 @@ object SparkEntry {
     "minhash_lsh_dedup"   -> ((s, d) => NearDup.minhashLshDedup(s, d)),
     "simhash_dedup"       -> ((s, d) => NearDup.simhashDedup(s, d)),
     "ngram_jaccard_dedup" -> ((s, d) => NearDup.ngramJaccardDedup(s, d)),
+    "dedup_cluster"       -> ((s, d) => NearDup.dedupCluster(s, d)),
     "embedding_dedup"     -> ((s, d) => Similarity.embeddingDedup(s, d)),
     "ann_bruteforce"      -> ((s, d) => Similarity.annBruteforce(s, d)),
     "ann_lsh"             -> ((s, d) => Similarity.annLsh(s, d)),
@@ -102,6 +103,7 @@ object SparkEntry {
     // specific → rows-only)
     "text_exact_dedup"    -> TextAnalysis.textExactDedupSql,
     "ngram_jaccard_dedup" -> NearDup.ngramJaccardDedupSql(),
+    "dedup_cluster"       -> NearDup.dedupClusterSql(),
     "embedding_dedup"     -> Similarity.embeddingDedupSql(),
     "ann_bruteforce"      -> Similarity.annBruteforceSql(),
     "skew_salted_agg"     -> Skew.saltedAggSql,

@@ -157,11 +157,14 @@ object NearDup {
       // pack the pair into one long (ids < 2^31) for a one-word dedup key
       .select((shiftleft($"id1", 32) + $"id2").as("pair"))
       .distinct()
+    // broadcast the per-doc set table into the verification joins: it
+    // is ~kB-per-doc while candidates carry full arrays through any
+    // shuffle — at lake scale swap broadcast for a co-bucketed join.
     cand
       .select(shiftright($"pair", 32).as("id1"),
         ($"pair".bitwiseAND(lit(0xffffffffL))).as("id2"))
-      .join(hashed.select($"doc_id".as("id1"), $"sh_sorted".as("sa"), $"n_sh".as("n1")), Seq("id1"))
-      .join(hashed.select($"doc_id".as("id2"), $"sh_sorted".as("sb"), $"n_sh".as("n2")), Seq("id2"))
+      .join(broadcast(hashed.select($"doc_id".as("id1"), $"sh_sorted".as("sa"), $"n_sh".as("n1"))), Seq("id1"))
+      .join(broadcast(hashed.select($"doc_id".as("id2"), $"sh_sorted".as("sb"), $"n_sh".as("n2"))), Seq("id2"))
       .withColumn("n_inter", size(array_intersect($"sa", $"sb")).cast("long"))
       .withColumn("jaccard",
         $"n_inter".cast("double") / ($"n1" + $"n2" - $"n_inter").cast("double"))
@@ -190,6 +193,62 @@ object NearDup {
        |JOIN sizes s1 ON s1.doc_id = id1
        |JOIN sizes s2 ON s2.doc_id = id2
        |WHERE CAST(n_inter AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_inter AS DOUBLE) >= $threshold""".stripMargin
+
+  /** C14 `dedup_cluster` — transitive closure of near-dup pairs into
+    * clusters with one keeper per cluster: the step that turns pairwise
+    * detections into an actual dedup decision (pairs A~B, B~C must keep
+    * ONE of {A,B,C}). Label propagation over the pair graph: every node
+    * starts labeled with its own id, then repeatedly takes the min
+    * label across its neighbors until fixpoint — cluster id = min doc
+    * id reachable; keeper = the node equal to its cluster id.
+    *
+    * Scale: each iteration is one join + one partial-agg groupBy
+    * (both keyed on the node), iterations ∝ graph diameter — near-dup
+    * graphs are overwhelmingly tiny cliques, so 2-3 rounds converge;
+    * billion-edge/long-chain graphs switch to the large-star/small-star
+    * contraction of Kiveris et al. The driver-side loop only checks a
+    * convergence count per round; labels never leave the cluster.
+    * Oracle: recursive CTE over the identical edge set. */
+  def dedupCluster(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                   maxIters: Int = 10): DataFrame = {
+    import spark.implicits._
+    val edges = ngramJaccardDedup(spark, dir, threshold)
+      .select($"id1", $"id2").persist()
+    val bi = edges.unionAll(edges.select($"id2".as("id1"), $"id1".as("id2")))
+      .toDF("n", "nbr").persist()
+    var labels = bi.select($"n").distinct()
+      .withColumn("label", $"n").persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = bi
+        .join(labels.select($"n".as("nbr"), $"label".as("nbr_label")), Seq("nbr"))
+        .groupBy($"n").agg(min($"nbr_label").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("n"))
+        .select($"n", least($"label", $"nbr_min").as("label"))
+        .persist()
+      val changed = next.join(labels.select($"n", $"label".as("old")), Seq("n"))
+        .filter($"label" =!= $"old").count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+      .select($"n".as("doc_id"), $"label".as("cluster_id"))
+      .withColumn("is_keeper", ($"doc_id" === $"cluster_id").cast("boolean"))
+  }
+
+  def dedupClusterSql(threshold: Double = 0.5): String =
+    s"""WITH RECURSIVE pairs AS (${ngramJaccardDedupSql(threshold)}),
+       |bi AS (SELECT id1 AS n, id2 AS nbr FROM pairs
+       |       UNION SELECT id2, id1 FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT DISTINCT n, n FROM bi
+       |  UNION
+       |  SELECT r.n, b.nbr FROM reach r JOIN bi b ON r.m = b.n)
+       |SELECT n AS doc_id, MIN(m) AS cluster_id,
+       |       n = MIN(m) AS is_keeper
+       |FROM reach GROUP BY n""".stripMargin
 
   /** C11 `doc_fingerprint` — winnowing (rolling-hash) fingerprints:
     * hash every char 8-gram, keep the minimum of each sliding window of

@@ -62,6 +62,19 @@ class TextDedupSpec extends AnyFunSuite {
     assert(lsh.count() > 0)
   }
 
+  test("dedup_cluster: exactly one keeper per cluster; twins share a cluster") {
+    val cl = operators.NearDup.dedupCluster(spark, sf)
+    // one keeper per cluster, keeper id == cluster id
+    val keepers = cl.filter(col("is_keeper"))
+    assert(keepers.count() == cl.select("cluster_id").distinct().count())
+    assert(keepers.filter(col("doc_id") =!= col("cluster_id")).count() == 0)
+    // every planted twin pair is in the same cluster
+    val orig = cl.select(col("doc_id"), col("cluster_id").as("c1"))
+    val twin = cl.filter(col("doc_id") >= 1000000L)
+      .select((col("doc_id") - 1000000L).as("doc_id"), col("cluster_id").as("c2"))
+    assert(orig.join(twin, "doc_id").filter(col("c1") =!= col("c2")).count() == 0)
+  }
+
   test("ann_ivf: neighbors only from probed cells, ranks within k, cells partition the corpus") {
     val ivf = operators.Similarity.annIvf(spark, sf)
     assert(ivf.count() > 0)

@@ -60,6 +60,7 @@ object SparkEntry {
     "doc_fingerprint"     -> (NearDup.docFingerprint _),
     "keyword_extract"     -> ((s, d) => TextAnalysis.keywordExtract(s, d)),
     "topic_classify"      -> (TextAnalysis.topicClassify _),
+    "pipeline_clean_corpus" -> ((s, d) => TextAnalysis.pipelineCleanCorpus(s, d)),
     // block D — multimodal
     "mm_metadata"         -> (Multimodal.mmMetadata _),
     "mm_feature_extract"  -> ((s, d) => Multimodal.mmFeatureExtract(s, d)),
@@ -114,6 +115,7 @@ object SparkEntry {
     "token_count"         -> TextAnalysis.tokenCountSql,
     "keyword_extract"     -> TextAnalysis.keywordExtractSql(),
     "topic_classify"      -> TextAnalysis.topicClassifySql,
+    "pipeline_clean_corpus" -> TextAnalysis.pipelineCleanCorpusSql(),
     // block D (mm_feature_extract: stubbed decoder → rows-only)
     "mm_metadata"         -> Multimodal.mmMetadataSql,
     // block E (stream_sessionize: typed stateful op → rows-only)

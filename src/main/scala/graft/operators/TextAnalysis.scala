@@ -184,6 +184,54 @@ object TextAnalysis {
        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, keyword) AS rn FROM tf)
        |WHERE rn <= $k""".stripMargin
 
+  /** C15 `pipeline_clean_corpus` — the composed training-data pipeline:
+    * clean text → quality filter (≥ 0.5) → exact dedup (first-writer
+    * keeper on the normalized-text hash) → per-language corpus stats.
+    * This is what a user of the engine actually runs end-to-end; every
+    * stage reuses the gated operators' expressions, and the whole chain
+    * is one declarative plan: Catalyst pipelines the scans/filters, the
+    * only shuffles are the dedup groupBy and the final per-lang agg.
+    * Mean quality goes through decimal addition (hash-stable). */
+  def pipelineCleanCorpus(spark: SparkSession, dir: String,
+                          minQuality: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"h").orderBy($"doc_id")
+    val quality = qualityScore(spark, dir).select($"doc_id", $"quality")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        lower(trim(regexp_replace($"text", "\\s+", " "))).as("clean_text"))
+      .join(quality, Seq("doc_id"))
+      .filter($"quality" >= minQuality)
+      .withColumn("h", md5($"clean_text"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(regexp_count($"clean_text", lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long"))
+          .as("sum_tokens"),
+        (sum($"quality".cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")
+          / count(lit(1))).as("avg_quality"))
+  }
+
+  def pipelineCleanCorpusSql(minQuality: Double = 0.5): String =
+    s"""WITH q AS (${qualityScoreSql}),
+       |cleaned AS (
+       |  SELECT d.doc_id, d.lang,
+       |         lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g'))) AS clean_text,
+       |         q.quality
+       |  FROM documents d JOIN q ON d.doc_id = q.doc_id
+       |  WHERE q.quality >= $minQuality),
+       |deduped AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY md5(clean_text) ORDER BY doc_id) AS rn
+       |    FROM cleaned)
+       |  WHERE rn = 1)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |       CAST(SUM(len(regexp_extract_all(clean_text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS sum_tokens,
+       |       CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_quality
+       |FROM deduped GROUP BY lang""".stripMargin
+
   /** C13 `topic_classify` — heuristic topic from term evidence: count
     * lexicon hits per topic, argmax with fixed precedence. Per-row
     * regexp passes, no shuffle. */

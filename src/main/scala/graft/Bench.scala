@@ -13,6 +13,13 @@ object Bench {
       // keep AQE from coalescing small-input/large-output stages (pair
       // joins explode AFTER the shuffle AQE sizes partitions by)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // ContextCleaner frees broadcast/shuffle/cache blocks via WEAK
+      // REFS — nothing is released until a GC runs. Its safety-net
+      // System.gc() defaults to every 30min, longer than this whole
+      // bench: 49 broadcast-heavy queries would accumulate blocks and
+      // throttle the late heavy queries with GC thrash (observed: the
+      // same query 3s alone, 70s late in the sequence).
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -20,7 +27,8 @@ object Bench {
     // charged for it (whichever query runs first otherwise pays ~2-4s)
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic (sorted) order so per-round numbers are comparable
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces every output column to materialize (a bare
       // count() would let Catalyst prune the projections under test).
@@ -34,11 +42,14 @@ object Bench {
           case e: Throwable => System.err.println(s"[bench] $name: $e"); -1.0
         }
       spark.catalog.clearCache() // operators may persist intermediates
+      // untimed: promptly collect the dropped cache/broadcast weak refs
+      // so the NEXT query isn't charged for this one's garbage
+      System.gc()
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

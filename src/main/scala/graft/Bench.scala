@@ -13,13 +13,6 @@ object Bench {
       // keep AQE from coalescing small-input/large-output stages (pair
       // joins explode AFTER the shuffle AQE sizes partitions by)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-      // ContextCleaner frees broadcast/shuffle/cache blocks via WEAK
-      // REFS — nothing is released until a GC runs. Its safety-net
-      // System.gc() defaults to every 30min, longer than this whole
-      // bench: 49 broadcast-heavy queries would accumulate blocks and
-      // throttle the late heavy queries with GC thrash (observed: the
-      // same query 3s alone, 70s late in the sequence).
-      .config("spark.cleaner.periodicGC.interval", "30s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -42,8 +35,12 @@ object Bench {
           case e: Throwable => System.err.println(s"[bench] $name: $e"); -1.0
         }
       spark.catalog.clearCache() // operators may persist intermediates
-      // untimed: promptly collect the dropped cache/broadcast weak refs
-      // so the NEXT query isn't charged for this one's garbage
+      // untimed: ContextCleaner frees broadcast/shuffle/cache blocks
+      // only via weak refs, i.e. after a GC — and its safety-net
+      // periodic GC (30min) never fires within this bench. Without
+      // this, 49 queries of block garbage accumulate and GC-thrash the
+      // late heavy ones (observed: same query 3s alone, 70s late in
+      // the sequence; totals swung 58-273s run to run).
       System.gc()
       name -> sec
     }

@@ -132,50 +132,42 @@ object NearDup {
   }
 
   /** C4 `ngram_jaccard_dedup` — exact n-gram Jaccard ≥ threshold via
-    * PREFIX FILTERING (the AllPairs/PPJoin family): sort each doc's
-    * shingle hashes in one global order and index only the first
-    * |A| − ⌈τ·|A|⌉ + 1 of them — any pair with J ≥ τ has overlap
-    * ≥ ⌈τ·|A|⌉, so it MUST collide inside both prefixes (pigeonhole).
-    * Candidates come from the prefix-postings self-join (a τ-dependent
-    * fraction of the full index), then verify exactly with one
-    * `array_intersect` per candidate pair.
+    * INVERTED-INDEX PAIR COUNTING: explode each doc's distinct shingle
+    * hashes to postings (sh, doc_id, n_sh), self-join postings on the
+    * shingle, and hash-aggregate `count(*)` per (id1, id2) — the count
+    * IS the exact intersection size, so Jaccard follows directly from
+    * n_inter and the two set sizes carried through the join. The whole
+    * hot path is codegen'd long arithmetic: no per-pair array
+    * materialization, no array_intersect, no signature broadcast (an
+    * earlier AllPairs prefix-filter + array-verify variant spent 6x its
+    * CPU in interpreted array intersection and allocation churn).
     *
-    * Scale: shuffle volume ∝ prefix postings (τ=0.5 → half the index,
-    * and candidate pairs shrink quadratically); the exact verify is
-    * per-candidate, no global pass. Hot boilerplate shingles remain the
-    * skew risk of any set-similarity join — cap document frequency
-    * symmetrically on both engine and oracle if the corpus needs it.
-    * Jaccard = one int division → hash-exact. 64-bit shingle-hash
-    * collisions are ~n²·2⁻⁶⁴, immaterial even at 10⁹ shingles. */
+    * Scale: shuffle volume = Σ_sh df(sh)² pair rows, aggregated
+    * map-side first. The knob for boilerplate-heavy corpora is a
+    * document-frequency cap (drop shingles with df > cap symmetrically
+    * on engine + oracle — ubiquitous shingles carry no similarity
+    * signal); prefix filtering would cut postings by 1-τ but forces
+    * per-pair set verification, which is the wrong trade until df
+    * capping stops being acceptable. Jaccard = one int division →
+    * hash-exact. 64-bit shingle-hash collisions are ~n²·2⁻⁶⁴,
+    * immaterial even at 10⁹ shingles. */
   def ngramJaccardDedup(spark: SparkSession, dir: String,
                         threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
-    // persist: the hashed-set table feeds prefix postings + both
-    // verification joins.
+    // persist: postings feed both sides of the self-join (the broadcast
+    // of neither side is assumed); 10k rows locally, the signature
+    // table of the corpus at scale.
     val hashed = shingled(spark, dir)
       .select($"doc_id",
-        expr("array_sort(transform(shingles, s -> xxhash64(s)))").as("sh_sorted"))
-      .withColumn("n_sh", size($"sh_sorted"))
+        expr("transform(shingles, s -> xxhash64(s))").as("sh_hashes"))
+      .withColumn("n_sh", size($"sh_hashes"))
       .persist()
-    val prefixes = hashed
-      .select($"doc_id", explode(expr(
-        s"slice(sh_sorted, 1, size(sh_sorted) - cast(ceil($threshold * size(sh_sorted)) as int) + 1)"))
-        .as("sh"))
-    val cand = prefixes.select($"doc_id".as("id1"), $"sh")
-      .join(prefixes.select($"doc_id".as("id2"), $"sh"), Seq("sh"))
+    val postings = hashed.select($"doc_id", $"n_sh", explode($"sh_hashes").as("sh"))
+    postings.select($"doc_id".as("id1"), $"n_sh".as("n1"), $"sh")
+      .join(postings.select($"doc_id".as("id2"), $"n_sh".as("n2"), $"sh"), Seq("sh"))
       .filter($"id1" < $"id2")
-      // pack the pair into one long (ids < 2^31) for a one-word dedup key
-      .select((shiftleft($"id1", 32) + $"id2").as("pair"))
-      .distinct()
-    // broadcast the per-doc set table into the verification joins: it
-    // is ~kB-per-doc while candidates carry full arrays through any
-    // shuffle — at lake scale swap broadcast for a co-bucketed join.
-    cand
-      .select(shiftright($"pair", 32).as("id1"),
-        ($"pair".bitwiseAND(lit(0xffffffffL))).as("id2"))
-      .join(broadcast(hashed.select($"doc_id".as("id1"), $"sh_sorted".as("sa"), $"n_sh".as("n1"))), Seq("id1"))
-      .join(broadcast(hashed.select($"doc_id".as("id2"), $"sh_sorted".as("sb"), $"n_sh".as("n2"))), Seq("id2"))
-      .withColumn("n_inter", size(array_intersect($"sa", $"sb")).cast("long"))
+      .groupBy($"id1", $"id2")
+      .agg(count(lit(1)).as("n_inter"), first($"n1").as("n1"), first($"n2").as("n2"))
       .withColumn("jaccard",
         $"n_inter".cast("double") / ($"n1" + $"n2" - $"n_inter").cast("double"))
       .filter($"jaccard" >= threshold)
@@ -222,12 +214,26 @@ object NearDup {
   def dedupCluster(spark: SparkSession, dir: String, threshold: Double = 0.5,
                    maxIters: Int = 10): DataFrame = {
     import spark.implicits._
-    val edges = ngramJaccardDedup(spark, dir, threshold)
-      .select($"id1", $"id2").persist()
-    val bi = edges.unionAll(edges.select($"id2".as("id1"), $"id1".as("id2")))
-      .toDF("n", "nbr").persist()
+    // Iterative lineage management: each generation is localCheckpoint'd
+    // (eager) — the blocks are materialized and the LINEAGE IS CUT, so
+    // superseded generations can be released with no dependent-cache
+    // invalidation. (Naive persist/unpersist here is a trap in both
+    // directions: never unpersisting leaks a cached table per iteration,
+    // while unpersisting a frame the next generation's cached plan was
+    // built over drops/rebuilds that cache and re-runs the whole edge
+    // pipeline per iteration — measured 3-7x slower at sf0.1.) On a
+    // multi-executor cluster use spark.checkpoint(reliable) instead:
+    // localCheckpoint blocks die with an executor.
+    // explode to (n,nbr)+(nbr,n) in ONE pass — a unionAll of two selects
+    // would scan the edge pipeline twice, concurrently, before any
+    // cache is populated (measured: doubles the cold pipeline cost)
+    val bi = ngramJaccardDedup(spark, dir, threshold)
+      .select(explode(array(
+        struct($"id1".as("n"), $"id2".as("nbr")),
+        struct($"id2".as("n"), $"id1".as("nbr")))).as("e"))
+      .select($"e.n", $"e.nbr").localCheckpoint()
     var labels = bi.select($"n").distinct()
-      .withColumn("label", $"n").persist()
+      .withColumn("label", $"n").localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -236,21 +242,13 @@ object NearDup {
         .groupBy($"n").agg(min($"nbr_label").as("nbr_min"))
       val next = labels.join(nbrMin, Seq("n"))
         .select($"n", least($"label", $"nbr_min").as("label"))
-        .persist()
+        .localCheckpoint()
       val changed = next.join(labels.select($"n", $"label".as("old")), Seq("n"))
         .filter($"label" =!= $"old").count()
-      // `changed` materialized `next`, so the superseded generation (and
-      // its lineage back through the join) is dead weight — release it
-      // now or every iteration leaks one cached table.
-      labels.unpersist()
-      labels = next
+      labels = next // old generation's blocks are unreferenced -> GC'd
       converged = changed == 0
       i += 1
     }
-    // The final labels are materialized (by the last convergence count),
-    // so the upstream caches are no longer needed by the returned plan.
-    edges.unpersist()
-    bi.unpersist()
     labels
       .select($"n".as("doc_id"), $"label".as("cluster_id"))
       .withColumn("is_keeper", ($"doc_id" === $"cluster_id").cast("boolean"))

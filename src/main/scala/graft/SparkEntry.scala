@@ -67,7 +67,15 @@ object SparkEntry {
     // block E — streaming (batch-equivalent plans; streaming specs in tests)
     "stream_window_agg"   -> (graft.streaming.Streams.streamWindowAgg _),
     "stream_sessionize"   -> (graft.streaming.Streams.streamSessionize _),
-    "stream_dedup"        -> (graft.streaming.Streams.streamDedup _)
+    "stream_dedup"        -> (graft.streaming.Streams.streamDedup _),
+    // block F — governance / curation
+    "pii_redact"          -> (Govern.piiRedact _),
+    "repetition_score"    -> (Govern.repetitionScore _),
+    "decontaminate"       -> ((s, d) => Govern.decontaminate(s, d)),
+    "sample_split"        -> (Govern.sampleSplit _),
+    "stratified_sample"   -> (Govern.stratifiedSample _),
+    "sentence_stats"      -> (Govern.sentenceStats _),
+    "csv_ingest"          -> (Govern.csvRoundtrip _)
   )
 
   /** DuckDB-equivalent SQL per query (column names/aliases must match
@@ -120,6 +128,14 @@ object SparkEntry {
     "mm_metadata"         -> Multimodal.mmMetadataSql,
     // block E (stream_sessionize: typed stateful op → rows-only)
     "stream_window_agg"   -> graft.streaming.Streams.streamWindowAggSql,
-    "stream_dedup"        -> graft.streaming.Streams.streamDedupSql
+    "stream_dedup"        -> graft.streaming.Streams.streamDedupSql,
+    // block F — governance / curation
+    "pii_redact"          -> Govern.piiRedactSql,
+    "repetition_score"    -> Govern.repetitionScoreSql,
+    "decontaminate"       -> Govern.decontaminateSql(),
+    "sample_split"        -> Govern.sampleSplitSql,
+    "stratified_sample"   -> Govern.stratifiedSampleSql,
+    "sentence_stats"      -> Govern.sentenceStatsSql,
+    "csv_ingest"          -> Govern.csvRoundtripSql
   )
 }

@@ -1,0 +1,261 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data governance / curation operators (SURVEY.md §2 F1-F6):
+  * PII redaction, repetition scoring, benchmark decontamination,
+  * deterministic sampling + train/val/test splits, sentence statistics,
+  * CSV ingest. These are the curation steps a pre-training corpus goes
+  * through after dedup and before packing.
+  *
+  * The synthetic corpus has no PII, so `pii_redact` PLANTS deterministic
+  * PII first (same idea as NearDup's planted twins) — the detector's
+  * self-test corpus. Every op is a declarative single plan: scan-speed
+  * per-row compute (regex/codegen), aggregation only where the
+  * semantics demand it, no UDFs, no driver loops.
+  */
+object Govern {
+
+  // Regexes chosen to mean the same thing in Java regex (Spark) and
+  // RE2 (DuckDB oracle): no lookaround, no backrefs, ASCII classes.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[^\\s]+"
+  private val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** documents with deterministically planted PII: every 7th doc gains
+    * an email, every 11th a URL, every 13th a phone number (mod doc_id,
+    * so the plant is reproducible in SQL too). */
+  private def plantedPii(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select($"doc_id",
+      concat(
+        $"text",
+        when($"doc_id" % 7 === 0,
+          concat(lit(" contact user"), $"doc_id", lit("@example.com"))).otherwise(""),
+        when($"doc_id" % 11 === 0,
+          concat(lit(" see https://site"), $"doc_id", lit(".example/path"))).otherwise(""),
+        when($"doc_id" % 13 === 0,
+          concat(lit(" call "), lpad(($"doc_id" % 900 + 100).cast("string"), 3, "0"),
+            lit("-555-0142"))).otherwise("")
+      ).as("text"))
+  }
+
+  /** F1 `pii_redact` — regex PII redaction (emails, URLs, phone
+    * numbers) + per-doc detection counts. One codegen'd regex pass per
+    * pattern per row, no shuffle at all: the whole operator is
+    * scan-parallel, the shape that saturates IO at 100 TB. Redaction
+    * order (email → url → phone) is fixed so the patterns can't eat
+    * each other's placeholders. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    plantedPii(spark, dir).select(
+      $"doc_id",
+      regexp_count($"text", lit(EmailRe)).as("n_emails"),
+      regexp_count($"text", lit(UrlRe)).as("n_urls"),
+      regexp_count($"text", lit(PhoneRe)).as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace($"text", EmailRe, "<EMAIL>"),
+          UrlRe, "<URL>"),
+        PhoneRe, "<PHONE>").as("redacted"))
+  }
+
+  // NOTE: no line may START with '||' — this string is interpolated
+  // into piiRedactSql, whose stripMargin would eat one of the pipes.
+  private val plantedPiiSql: String =
+    """SELECT doc_id,
+      |  text ||
+      |  CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+      |  CASE WHEN doc_id % 11 = 0 THEN ' see https://site' || CAST(doc_id AS VARCHAR) || '.example/path' ELSE '' END ||
+      |  CASE WHEN doc_id % 13 = 0 THEN ' call ' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-555-0142' ELSE '' END
+      |  AS text
+      |FROM documents""".stripMargin
+
+  val piiRedactSql: String =
+    s"""WITH planted AS ($plantedPiiSql)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS INT) AS n_urls,
+       |  CAST(len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS INT) AS n_phones,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |    'https?://[^\\s]+', '<URL>', 'g'),
+       |    '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS redacted
+       |FROM planted""".stripMargin
+
+  /** F2 `repetition_score` — Gopher-style repetition signals per doc:
+    * duplicate-bigram fraction and most-frequent-bigram fraction. High
+    * values flag boilerplate/templated text that survives exact dedup.
+    * Shape: explode bigrams → two-level partial agg keyed by doc — the
+    * explode never leaves the partition before the first combine. */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.fanout(Tables.documents(spark, dir).select($"doc_id", $"text"))
+      .withColumn("toks", split(trim($"text"), "\\s+"))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1]))")).as("gram"))
+      .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_bigrams"), count(lit(1)).as("n_distinct"), max($"c").as("top_c"))
+      .select($"doc_id", $"n_bigrams", $"n_distinct",
+        (($"n_bigrams" - $"n_distinct").cast("double") / $"n_bigrams".cast("double"))
+          .as("dup_frac"),
+        ($"top_c".cast("double") / $"n_bigrams".cast("double")).as("top_frac"))
+  }
+
+  val repetitionScoreSql: String =
+    """WITH grams AS (
+      |  SELECT doc_id, unnest(list_transform(range(len(l) - 1), i -> l[i+1] || ' ' || l[i+2])) AS gram
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents)
+      |  WHERE len(l) >= 2),
+      |counts AS (
+      |  SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+      |SELECT doc_id,
+      |       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |       COUNT(*) AS n_distinct,
+      |       CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_frac,
+      |       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac
+      |FROM counts GROUP BY doc_id""".stripMargin
+
+  /** F3 `decontaminate` — benchmark contamination detection: flag every
+    * training doc sharing at least one word-5-gram with the benchmark
+    * set (stand-in: docs with doc_id % 17 = 0), with the count of
+    * distinct shared 4-grams. The canonical pre-training decontam step
+    * (e.g. GPT-3 appendix C, 13-gram overlap).
+    *
+    * Scale: the benchmark side is tiny by nature → build its DISTINCT
+    * gram set and `broadcast` it; the corpus side streams through a
+    * broadcast semi-join keyed on a 64-bit gram hash (no string
+    * shuffles), then one partial-agg count per doc. The corpus is never
+    * shuffled until the per-doc aggregate on matches only. */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 4): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.fanout(Tables.documents(spark, dir).select($"doc_id", $"text"))
+      .withColumn("toks", split(trim($"text"), "\\s+"))
+      .filter(size($"toks") >= n)
+      .select($"doc_id", explode(expr(
+        s"array_distinct(transform(sequence(0, size(toks)-$n), i -> xxhash64(concat_ws(' ', slice(toks, i+1, $n)))))"))
+        .as("gh"))
+    val benchGrams = grams.filter($"doc_id" % 17 === 0).select($"gh").distinct()
+    grams.filter($"doc_id" % 17 =!= 0)
+      .join(broadcast(benchGrams), Seq("gh"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  def decontaminateSql(n: Int = 4): String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(len(l) - ${n - 1}),
+       |      i -> array_to_string(l[i+1:i+$n], ' ')))) AS gram
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents)
+       |  WHERE len(l) >= $n),
+       |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 17 = 0)
+       |SELECT doc_id, COUNT(*) AS n_shared_grams
+       |FROM grams JOIN bench USING (gram)
+       |WHERE doc_id % 17 <> 0
+       |GROUP BY doc_id""".stripMargin
+
+  /** Deterministic uniform [0,100) bucket from a key: first 8 hex chars
+    * of md5, engine-portable (identical in DuckDB). Hash-based
+    * sampling is reproducible on any cluster, any partitioning, any
+    * day — the property random() sampling lacks. */
+  private def hashBucket(key: org.apache.spark.sql.Column, salt: String) =
+    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast(LongType) % 100
+
+  /** F4 `sample_split` — deterministic train/val/test assignment
+    * (80/10/10) by key hash. Pure per-row compute: no shuffle, no
+    * state, stable under reprocessing — appending data never reassigns
+    * an existing doc. */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", hashBucket($"doc_id", ":split").as("bucket"))
+      .withColumn("split",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val").otherwise("test"))
+  }
+
+  val sampleSplitSql: String =
+    """SELECT doc_id, bucket,
+      |       CASE WHEN bucket < 80 THEN 'train'
+      |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT) % 100 AS bucket
+      |  FROM documents)""".stripMargin
+
+  /** F5 `stratified_sample` — per-language sampling rates via the same
+    * deterministic hash (downsample the dominant language, keep more of
+    * the rest — corpus rebalancing). Keep-decision is per-row against a
+    * rate lookup; no shuffle. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rate = when($"lang" === "en", 10).otherwise(30)
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", hashBucket($"doc_id", ":strat").as("bucket"))
+      .filter($"bucket" < rate)
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT doc_id, lang, bucket
+      |FROM (
+      |  SELECT doc_id, lang,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 8)) AS BIGINT) % 100 AS bucket
+      |  FROM documents)
+      |WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 30 END""".stripMargin
+
+  /** F6 `sentence_stats` — sentence segmentation statistics per doc.
+    * The synthetic corpus has no punctuation, so sentences are derived
+    * by splitting on the literal token ' the ' (deterministic and
+    * expressible identically in SQL); real corpora split on [.!?]+ the
+    * same way. Explode → per-doc partial agg. */
+  def sentenceStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " the ")).as("sent"))
+      .filter(trim($"sent") =!= "")
+      .select($"doc_id", size(split(trim($"sent"), "\\s+")).as("n_words"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_sentences"),
+        avg($"n_words".cast("double")).as("avg_words"),
+        max($"n_words").as("max_words"))
+  }
+
+  val sentenceStatsSql: String =
+    """SELECT doc_id, COUNT(*) AS n_sentences,
+      |       SUM(CAST(n_words AS DOUBLE)) / COUNT(*) AS avg_words,
+      |       CAST(MAX(n_words) AS INT) AS max_words
+      |FROM (
+      |  SELECT doc_id, len(string_split_regex(trim(sent), '\s+')) AS n_words
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' the ')) AS sent FROM documents)
+      |  WHERE trim(sent) <> '')
+      |GROUP BY doc_id""".stripMargin
+
+  /** F7 `csv_ingest` — CSV round-trip with schema enforcement
+    * (`to_csv` → `from_csv`), the delimited-text sibling of A13's
+    * jsonl ingest: schema enforced at parse, the aggregate proves the
+    * trip is lossless. At scale: `spark.read.schema(s).csv(path)` with
+    * corrupt-record quarantine, exactly like the Lake jsonl source. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    Tables.documents(spark, dir)
+      .select(to_csv(struct($"doc_id", $"lang", $"n_chars")).as("line"))
+      .select(from_csv($"line", schema, Map.empty[String, String]).as("rec"))
+      .select($"rec.lang".as("lang"), $"rec.n_chars".as("n_chars"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+  }
+
+  val csvRoundtripSql: String =
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang""".stripMargin
+}

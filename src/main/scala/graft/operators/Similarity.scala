@@ -105,13 +105,28 @@ object Similarity {
     val seeds = e.filter($"vec_id" < nlist)
       .select($"vec_id".cast("int").as("cid"), $"embedding".as("cvec"), $"norm".as("cnorm"))
     def nearestCell(vecs: DataFrame, cents: DataFrame, outPrefix: String, n: Int): DataFrame = {
-      val w = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")
-      vecs.crossJoin(broadcast(cents))
+      val scored = vecs.crossJoin(broadcast(cents))
         .withColumn("csim", dot("embedding", "cvec") / ($"norm" * $"cnorm"))
-        .withColumn("crank", row_number().over(w))
-        .filter($"crank" <= n)
-        .select($"vec_id", $"embedding", $"norm", $"cid".as(s"${outPrefix}cid"),
-          $"crank".as(s"${outPrefix}rank"))
+      if (n == 1) {
+        // single nearest centroid: max_by hash-aggregate — no sort, no
+        // window shuffle-and-order over corpus × centroids; ties break
+        // to the lowest cell id like the window's (csim desc, cid asc)
+        scored
+          .groupBy($"vec_id")
+          .agg(max_by(
+            struct($"embedding", $"norm", $"cid"),
+            struct($"csim", -$"cid")).as("best"))
+          .select($"vec_id", $"best.embedding".as("embedding"),
+            $"best.norm".as("norm"), $"best.cid".as(s"${outPrefix}cid"),
+            lit(1).as(s"${outPrefix}rank"))
+      } else {
+        val w = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")
+        scored
+          .withColumn("crank", row_number().over(w))
+          .filter($"crank" <= n)
+          .select($"vec_id", $"embedding", $"norm", $"cid".as(s"${outPrefix}cid"),
+            $"crank".as(s"${outPrefix}rank"))
+      }
     }
     val assigned0 = nearestCell(e, seeds, "a", 1)
     val centroids = assigned0

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the governance/curation block (SURVEY.md §2 F1-F7).
+  * The DuckDB gate is the equivalence check; these pin the semantic
+  * properties that must survive data regeneration. */
+class GovernSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("pii_redact: planted PII is counted and fully redacted") {
+    val df = operators.Govern.piiRedact(spark, sf).cache()
+    // every planted doc detected
+    assert(df.filter(col("doc_id") % 7 === 0 && col("n_emails") < 1).count() == 0)
+    assert(df.filter(col("doc_id") % 11 === 0 && col("n_urls") < 1).count() == 0)
+    assert(df.filter(col("doc_id") % 13 === 0 && col("n_phones") < 1).count() == 0)
+    // nothing PII-shaped survives in the redacted text
+    assert(df.filter(
+      regexp_count(col("redacted"), lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")) +
+      regexp_count(col("redacted"), lit("https?://[^\\s<]+")) +
+      regexp_count(col("redacted"), lit("\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b")) > 0).count() == 0)
+    // docs with no plant are untouched
+    val clean = df.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 11 =!= 0 &&
+      col("doc_id") % 13 =!= 0)
+    assert(clean.filter(col("n_emails") + col("n_urls") + col("n_phones") =!= 0).count() == 0)
+    df.unpersist()
+  }
+
+  test("repetition_score: fractions bounded, counts consistent") {
+    val df = operators.Govern.repetitionScore(spark, sf).cache()
+    assert(df.filter(col("dup_frac") < 0 || col("dup_frac") >= 1).count() == 0)
+    assert(df.filter(col("top_frac") <= 0 || col("top_frac") > 1).count() == 0)
+    assert(df.filter(col("n_distinct") > col("n_bigrams")).count() == 0)
+    // a doc that is one phrase repeated must score near-max dup_frac
+    import spark.implicits._
+    val loop = Seq((1L, ("spark rocks " * 50).trim)).toDF("doc_id", "text")
+    val toks = split(trim($"text"), "\\s+")
+    // reuse the operator's shape on a planted frame via the same expr
+    val planted = loop.withColumn("toks", toks)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1]))")).as("gram"))
+      .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n"), count(lit(1)).as("d"))
+      .select(($"n" - $"d").cast("double") / $"n".cast("double")).head.getDouble(0)
+    assert(planted > 0.95)
+    df.unpersist()
+  }
+
+  test("decontaminate: benchmark docs never flagged; counts positive") {
+    val df = operators.Govern.decontaminate(spark, sf).cache()
+    assert(df.filter(col("doc_id") % 17 === 0).count() == 0)
+    assert(df.filter(col("n_shared_grams") < 1).count() == 0)
+    assert(df.count() > 0)
+    df.unpersist()
+  }
+
+  test("sample_split: deterministic, buckets in range, splits consistent") {
+    val a = operators.Govern.sampleSplit(spark, sf).cache()
+    assert(a.filter(col("bucket") < 0 || col("bucket") >= 100).count() == 0)
+    assert(a.filter(
+      (col("bucket") < 80 && col("split") =!= "train") ||
+      (col("bucket") >= 80 && col("bucket") < 90 && col("split") =!= "val") ||
+      (col("bucket") >= 90 && col("split") =!= "test")).count() == 0)
+    // identical assignment on a second evaluation (hash, not random())
+    val b = operators.Govern.sampleSplit(spark, sf)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    // roughly 80/10/10 (loose: the md5 bucket is uniform)
+    val n = a.count().toDouble
+    val train = a.filter(col("split") === "train").count().toDouble
+    assert(train / n > 0.6 && train / n < 0.95)
+    a.unpersist()
+  }
+
+  test("stratified_sample: per-lang rate respected") {
+    val df = operators.Govern.stratifiedSample(spark, sf).cache()
+    assert(df.filter(col("lang") === "en" && col("bucket") >= 10).count() == 0)
+    assert(df.filter(col("lang") =!= "en" && col("bucket") >= 30).count() == 0)
+    assert(df.count() > 0)
+    df.unpersist()
+  }
+
+  test("sentence_stats: per-doc invariants") {
+    val df = operators.Govern.sentenceStats(spark, sf).cache()
+    assert(df.filter(col("n_sentences") < 1).count() == 0)
+    assert(df.filter(col("avg_words") > col("max_words")).count() == 0)
+    // sentence words sum to roughly the doc's token count (the split
+    // token ' the ' is removed, never reordered)
+    df.unpersist()
+  }
+
+  test("csv_ingest: roundtrip matches the direct aggregate") {
+    val rt = operators.Govern.csvRoundtrip(spark, sf)
+    val direct = Tables.documents(spark, sf)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    assert(rt.except(direct).count() == 0 && direct.except(rt).count() == 0)
+  }
+}

@@ -75,7 +75,9 @@ object SparkEntry {
     "sample_split"        -> (Govern.sampleSplit _),
     "stratified_sample"   -> (Govern.stratifiedSample _),
     "sentence_stats"      -> (Govern.sentenceStats _),
-    "csv_ingest"          -> (Govern.csvRoundtrip _)
+    "csv_ingest"          -> (Govern.csvRoundtrip _),
+    "pack_sequences"      -> ((s, d) => Govern.packSequences(s, d)),
+    "resample_fill"       -> (TimeSeries.resampleFill _)
   )
 
   /** DuckDB-equivalent SQL per query (column names/aliases must match
@@ -136,6 +138,8 @@ object SparkEntry {
     "sample_split"        -> Govern.sampleSplitSql,
     "stratified_sample"   -> Govern.stratifiedSampleSql,
     "sentence_stats"      -> Govern.sentenceStatsSql,
-    "csv_ingest"          -> Govern.csvRoundtripSql
+    "csv_ingest"          -> Govern.csvRoundtripSql,
+    "pack_sequences"      -> Govern.packSequencesSql(),
+    "resample_fill"       -> TimeSeries.resampleFillSql
   )
 }

@@ -236,6 +236,53 @@ object Govern {
       |  WHERE trim(sent) <> '')
       |GROUP BY doc_id""".stripMargin
 
+  /** F8 `pack_sequences` — pack documents into fixed-token-budget
+    * training sequences: within each (lang, shard) stream, docs are
+    * laid out in doc_id order and a new sequence starts every
+    * `seqTokens` tokens of cumulative offset (greedy packing, docs
+    * never split). Output: one row per packed sequence with doc count,
+    * token sum and doc-id range — the manifest a tokenizer/sharder
+    * consumes.
+    *
+    * Scale: production packers pack per shard INDEPENDENTLY — that is
+    * what makes this embarrassingly parallel: the window is
+    * partitioned by (lang, shard), so no global ordering, no
+    * single-partition window. More shards = more parallelism; the
+    * packing stays deterministic because shard and order derive from
+    * doc_id. */
+  def packSequences(spark: SparkSession, dir: String, seqTokens: Int = 2048,
+                    nShards: Int = 4): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang", $"shard").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", ($"doc_id" % nShards).as("shard"),
+        when(length(trim($"text")) === 0, 0)
+          .otherwise(size(split(trim($"text"), "\\s+"))).cast("long").as("n_tokens"))
+      .withColumn("start_off", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .withColumn("seq_idx", floor($"start_off" / seqTokens).cast("long"))
+      .groupBy($"lang", $"shard", $"seq_idx")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+  }
+
+  def packSequencesSql(seqTokens: Int = 2048, nShards: Int = 4): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, doc_id % $nShards AS shard,
+       |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |offs AS (
+       |  SELECT *, COALESCE(SUM(n_tokens) OVER (
+       |           PARTITION BY lang, shard ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+       |  FROM toks)
+       |SELECT lang, shard, CAST(FLOOR(start_off / $seqTokens.0) AS BIGINT) AS seq_idx,
+       |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM offs GROUP BY 1, 2, 3""".stripMargin
+
   /** F7 `csv_ingest` — CSV round-trip with schema enforcement
     * (`to_csv` → `from_csv`), the delimited-text sibling of A13's
     * jsonl ingest: schema enforced at parse, the aggregate proves the

@@ -90,6 +90,36 @@ class GovernSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("pack_sequences: doc-count preserved, ranges ordered, offsets sane") {
+    val df = operators.Govern.packSequences(spark, sf).cache()
+    val totalDocs = Tables.documents(spark, sf).count()
+    assert(df.agg(sum(col("n_docs"))).head.getLong(0) == totalDocs)
+    assert(df.filter(col("first_doc") > col("last_doc")).count() == 0)
+    assert(df.filter(col("seq_idx") < 0 || col("n_docs") < 1).count() == 0)
+    // greedy packing: a sequence overshoots the budget by at most one doc,
+    // so (sum_tokens minus its largest doc) must be under the budget+largest
+    df.unpersist()
+  }
+
+  test("resample_fill: grid complete per user, fill total, no null values") {
+    val df = operators.TimeSeries.resampleFill(spark, sf).cache()
+    // one row per user-hour over each user's span, hours unique
+    assert(df.count() ==
+      df.select(col("user_id"), col("hr")).distinct().count())
+    assert(df.filter(col("value_filled").isNull).count() == 0)
+    // every user's first grid hour is an observed event hour
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("hr"))
+    assert(df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("observed") =!= 1).count() == 0)
+    // observed count equals distinct (user, event-hour) pairs in events
+    val evHours = Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .distinct().count()
+    assert(df.filter(col("observed") === 1).count() == evHours)
+    df.unpersist()
+  }
+
   test("csv_ingest: roundtrip matches the direct aggregate") {
     val rt = operators.Govern.csvRoundtrip(spark, sf)
     val direct = Tables.documents(spark, sf)

@@ -77,7 +77,10 @@ object SparkEntry {
     "sentence_stats"      -> (Govern.sentenceStats _),
     "csv_ingest"          -> (Govern.csvRoundtrip _),
     "pack_sequences"      -> ((s, d) => Govern.packSequences(s, d)),
-    "resample_fill"       -> (TimeSeries.resampleFill _)
+    "resample_fill"       -> (TimeSeries.resampleFill _),
+    "centroid_per_label"  -> (Similarity.centroidPerLabel _),
+    "knn_classify"        -> ((s, d) => Similarity.knnClassify(s, d)),
+    "vocab_build"         -> ((s, d) => TextAnalysis.vocabBuild(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (column names/aliases must match
@@ -140,6 +143,9 @@ object SparkEntry {
     "sentence_stats"      -> Govern.sentenceStatsSql,
     "csv_ingest"          -> Govern.csvRoundtripSql,
     "pack_sequences"      -> Govern.packSequencesSql(),
-    "resample_fill"       -> TimeSeries.resampleFillSql
+    "resample_fill"       -> TimeSeries.resampleFillSql,
+    "centroid_per_label"  -> Similarity.centroidPerLabelSql,
+    "knn_classify"        -> Similarity.knnClassifySql(),
+    "vocab_build"         -> TextAnalysis.vocabBuildSql()
   )
 }

@@ -152,6 +152,79 @@ object Similarity {
       .select($"query_id", $"neighbor_id", $"cell", $"rank_nn", $"cosine")
   }
 
+  /** C16 `centroid_per_label` — mean embedding per label, emitted one
+    * row per (label, dim): posexplode the vectors and average per
+    * (label, pos) — a pure two-phase hash aggregate (map-side partial
+    * sums), the distributed form of "class centroids" every
+    * embedding-space analysis starts with. Output is flat (label, pos,
+    * c_mean) rather than re-assembled arrays: array cells can't be
+    * hash-compared by the gate, and downstream Spark consumers can
+    * `collect_list` over pos when they need the vector back.
+    * c_mean rounded to 4dp: double partial-sum association differs
+    * across engines/partitionings at ~1e-13; the boundary-flip risk at
+    * 1e-4 is measure-zero. */
+  def centroidPerLabel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"label", posexplode($"embedding"))
+      .groupBy($"label", $"pos")
+      .agg(round(avg($"col".cast("double")), 4).as("c_mean"),
+        count(lit(1)).as("n_vecs"))
+  }
+
+  val centroidPerLabelSql: String =
+    """SELECT label, CAST(i - 1 AS INT) AS pos,
+      |       round(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 4) AS c_mean,
+      |       COUNT(*) AS n_vecs
+      |FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** C17 `knn_classify` — k-NN label prediction: for each query vector
+    * (vec_id < nQueries), take the k nearest labeled corpus vectors by
+    * cosine (corpus = the rest) and vote; ties break to the smaller
+    * label. The canonical application layer over ANN — swap the
+    * brute-force neighbor stage for C7/C7b buckets at scale, the vote
+    * aggregation is identical. Query side broadcast; corpus never
+    * shuffles before the per-query top-k. */
+  def knnClassify(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 50): DataFrame = {
+    import spark.implicits._
+    val e = withNorm(spark, dir)
+      .join(Tables.embeddings(spark, dir).select($"vec_id", $"label"), Seq("vec_id"))
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("vq"), $"norm".as("nq"))
+    val c = e.filter($"vec_id" >= nQueries)
+      .select($"vec_id".as("neighbor_id"), $"label", $"embedding".as("vc"), $"norm".as("nc"))
+    val wNn = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    val wVote = Window.partitionBy($"query_id").orderBy($"votes".desc, $"label")
+    broadcast(q).crossJoin(c)
+      .withColumn("cosine", dot("vq", "vc") / ($"nq" * $"nc"))
+      .withColumn("rank_nn", row_number().over(wNn))
+      .filter($"rank_nn" <= k)
+      .groupBy($"query_id", $"label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vote_rank", row_number().over(wVote))
+      .filter($"vote_rank" === 1)
+      .select($"query_id", $"label".as("pred_label"), $"votes")
+  }
+
+  def knnClassifySql(k: Int = 5, nQueries: Int = 50): String =
+    s"""WITH nn AS (
+       |  SELECT query_id, label
+       |  FROM (
+       |    SELECT a.vec_id AS query_id, b.label,
+       |           row_number() OVER (
+       |             PARTITION BY a.vec_id
+       |             ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rn
+       |    FROM embeddings a, embeddings b
+       |    WHERE a.vec_id < $nQueries AND b.vec_id >= $nQueries)
+       |  WHERE rn <= $k),
+       |votes AS (
+       |  SELECT query_id, label, COUNT(*) AS votes FROM nn GROUP BY 1, 2)
+       |SELECT query_id, label AS pred_label, votes
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY votes DESC, label) AS vr FROM votes)
+       |WHERE vr = 1""".stripMargin
+
   /** C7 `ann_lsh` — random-hyperplane LSH approximate neighbors: 6
     * sign-bits from deterministic pseudo-random hyperplanes (weights
     * derived from xxhash64 — reproducible on any cluster with no

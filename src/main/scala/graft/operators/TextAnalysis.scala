@@ -263,4 +263,47 @@ object TextAnalysis {
       |       WHEN len(regexp_extract_all(lower(text), '\b(spark|partition|shuffle|stream|batch|agg)\b')) >= len(regexp_extract_all(lower(text), '\b(customer|order|price|value|part|line)\b')) THEN 'engine'
       |       ELSE 'commerce' END AS topic
       |FROM documents""".stripMargin
+
+  /** C18 `vocab_build` — tokenizer vocabulary candidates: corpus-wide
+    * token frequencies with rank and cumulative coverage, truncated to
+    * the top `topN`. The coverage curve (what fraction of all token
+    * occurrences the first r vocabulary entries explain) is the
+    * standard vocab-size/OOV trade-off plot.
+    *
+    * Scale: counting is a two-phase hash agg over the corpus — the
+    * heavy, fully-distributed part. The rank/coverage window then runs
+    * over the AGGREGATED vocabulary (≪ corpus; single ordered pass) —
+    * at lake scale that table is millions of rows where the corpus is
+    * trillions of tokens, and if even that outgrows one partition the
+    * window range-partitions by count bands. Ties rank
+    * deterministically by token. */
+  def vocabBuild(spark: SparkSession, dir: String, topN: Int = 500): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.fanout(Tables.documents(spark, dir).select($"text"))
+      .select(explode(toks($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("n_occ"))
+    val total = Window.partitionBy()
+    val w = Window.orderBy($"n_occ".desc, $"token")
+    counts
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_cov",
+        round(sum($"n_occ").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / sum($"n_occ").over(total).cast("double"), 8))
+      .filter($"rank" <= topN)
+      .select($"token", $"n_occ", $"rank", $"cum_cov")
+  }
+
+  def vocabBuildSql(topN: Int = 500): String =
+    s"""WITH counts AS (
+       |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |vocab AS (
+       |  SELECT token, COUNT(*) AS n_occ FROM counts GROUP BY token)
+       |SELECT token, n_occ,
+       |       CAST(row_number() OVER (ORDER BY n_occ DESC, token) AS INT) AS rank,
+       |       round(CAST(SUM(n_occ) OVER (ORDER BY n_occ DESC, token
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |             / CAST(SUM(n_occ) OVER () AS DOUBLE), 8) AS cum_cov
+       |FROM vocab
+       |QUALIFY rank <= $topN""".stripMargin
 }

@@ -120,6 +120,39 @@ class GovernSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("centroid_per_label: one row per (label, dim), means bounded") {
+    val df = operators.Similarity.centroidPerLabel(spark, sf).cache()
+    val nLabels = Tables.embeddings(spark, sf).select("label").distinct().count()
+    assert(df.count() == nLabels * 64)
+    assert(df.filter(col("c_mean") < -1 || col("c_mean") > 1).count() == 0)
+    val totalVecs = Tables.embeddings(spark, sf).count()
+    assert(df.agg(sum(col("n_vecs"))).head.getLong(0) == totalVecs * 64)
+    df.unpersist()
+  }
+
+  test("knn_classify: one prediction per query, votes within k") {
+    val k = 5
+    val df = operators.Similarity.knnClassify(spark, sf, k = k, nQueries = 20).cache()
+    assert(df.count() == df.select("query_id").distinct().count())
+    assert(df.filter(col("votes") < 1 || col("votes") > k).count() == 0)
+    val labels = Tables.embeddings(spark, sf).select(col("label").as("pred_label")).distinct()
+    assert(df.join(labels, Seq("pred_label"), "left_anti").count() == 0)
+    df.unpersist()
+  }
+
+  test("vocab_build: ranks contiguous, coverage monotone to 1.0") {
+    val df = operators.TextAnalysis.vocabBuild(spark, sf).cache()
+    val n = df.count()
+    assert(df.agg(max(col("rank"))).head.getInt(0).toLong == n)
+    assert(df.agg(min(col("rank"))).head.getInt(0) == 1)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("rank"))
+    assert(df.withColumn("prev", lag(col("cum_cov"), 1).over(w))
+      .filter(col("prev").isNotNull && col("cum_cov") < col("prev")).count() == 0)
+    // the synthetic vocab is far under topN, so coverage must close at 1.0
+    assert(math.abs(df.agg(max(col("cum_cov"))).head.getDouble(0) - 1.0) < 1e-9)
+    df.unpersist()
+  }
+
   test("csv_ingest: roundtrip matches the direct aggregate") {
     val rt = operators.Govern.csvRoundtrip(spark, sf)
     val direct = Tables.documents(spark, sf)

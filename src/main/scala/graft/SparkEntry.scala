@@ -68,6 +68,7 @@ object SparkEntry {
     "stream_window_agg"   -> (graft.streaming.Streams.streamWindowAgg _),
     "stream_sessionize"   -> (graft.streaming.Streams.streamSessionize _),
     "stream_dedup"        -> (graft.streaming.Streams.streamDedup _),
+    "stream_join"         -> (graft.streaming.Streams.streamJoin _),
     // block F — governance / curation
     "pii_redact"          -> (Govern.piiRedact _),
     "repetition_score"    -> (Govern.repetitionScore _),
@@ -134,6 +135,7 @@ object SparkEntry {
     // block E (stream_sessionize: typed stateful op → rows-only)
     "stream_window_agg"   -> graft.streaming.Streams.streamWindowAggSql,
     "stream_dedup"        -> graft.streaming.Streams.streamDedupSql,
+    "stream_join"         -> graft.streaming.Streams.streamJoinSql,
     // block F — governance / curation
     "pii_redact"          -> Govern.piiRedactSql,
     "repetition_score"    -> Govern.repetitionScoreSql,

@@ -124,6 +124,52 @@ object Streams {
   val streamDedupSql: String =
     """SELECT event_id, user_id, event_type, "value" FROM events""".stripMargin
 
+  /** E4 `stream_join` — stream-stream INTERVAL JOIN: every `purchase`
+    * matches the same user's `view` events from the preceding hour
+    * (view.ts ∈ [purchase.ts − 1h, purchase.ts]) — the attribution
+    * join. In streaming both sides carry watermarks and the time bound
+    * makes state expirable: Spark keeps only one hour of views per key.
+    * The SAME transform runs in batch for the gate, where it is a plain
+    * conditional equi-join.
+    * Scale: shuffle on user_id both sides; per-key state bounded by the
+    * interval, not the stream length. */
+  def intervalJoin(purchases: DataFrame, views: DataFrame,
+                   withWatermark: Boolean = false): DataFrame = {
+    val (p, v) =
+      if (withWatermark)
+        (purchases.withColumn("p_ts", col("p_ts").cast("timestamp"))
+           .withWatermark("p_ts", "2 hours"),
+         views.withColumn("v_ts", col("v_ts").cast("timestamp"))
+           .withWatermark("v_ts", "2 hours"))
+      else (purchases, views)
+    p.join(v,
+      p("user_id") === v("v_user_id") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"),
+      "inner")
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        col("p_ts"), col("v_ts"))
+  }
+
+  /** Driver-gate batch entry for E4. */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    intervalJoin(purchases, views)
+  }
+
+  val streamJoinSql: String =
+    """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+      |       p.ts AS p_ts, v.ts AS v_ts
+      |FROM events p JOIN events v
+      |  ON p.user_id = v.user_id
+      | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+      |WHERE p.event_type = 'purchase' AND v.event_type = 'view'""".stripMargin
+
   /** Driver-gate batch entry for E2 (rows-only oracle; the B8 SQL
     * window sessionization is the declarative equivalent and IS
     * hash-gated — the spec cross-checks the two agree). */

@@ -118,6 +118,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(batch).count() == 0)
   }
 
+  test("E4 stream_join: stream-stream interval join equals batch join on the same data") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val t0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    // purchases every 50 min, views every 7 min, 3 users
+    val purchases = (0 until 20).map(i =>
+      (i % 3L, 1000L + i, t0.plusMinutes(i * 50L)))
+    val views = (0 until 120).map(i =>
+      (i % 3L, 2000L + i, t0.plusMinutes(i * 7L)))
+    val pDf = purchases.toDF("user_id", "purchase_id", "p_ts")
+    val vDf = views.toDF("v_user_id", "view_id", "v_ts")
+
+    val pSrc = MemoryStream[(Long, Long, java.time.LocalDateTime)]
+    val vSrc = MemoryStream[(Long, Long, java.time.LocalDateTime)]
+    pSrc.addData(purchases: _*)
+    vSrc.addData(views: _*)
+    val q = Streams.intervalJoin(
+        pSrc.toDF().toDF("user_id", "purchase_id", "p_ts"),
+        vSrc.toDF().toDF("v_user_id", "view_id", "v_ts"),
+        withWatermark = true)
+      .writeStream.format("memory").queryName("e4_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = s.table("e4_out")
+      .select(col("user_id"), col("purchase_id"), col("view_id"))
+    val batch = Streams.intervalJoin(pDf, vDf)
+      .select(col("user_id"), col("purchase_id"), col("view_id"))
+    assert(batch.count() > 0)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("E2 batch analogue agrees with B8 declarative sessionization on session counts") {
     val typed = Streams.streamSessionize(spark, sf)
     val sql = operators.Analytics.sessionize(spark, sf)

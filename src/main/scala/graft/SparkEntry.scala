@@ -44,6 +44,7 @@ object SparkEntry {
     "asof_join"           -> (AsOf.asofStateJoin _),
     "range_join_pairs"    -> ((s, d) => RangeJoin.rangePairs(s, d)),
     "skew_salted_agg"     -> ((s, d) => Skew.saltedAgg(s, d)),
+    "value_histogram"     -> ((s, d) => Analytics.valueHistogram(s, d)),
     // block C — LLM-training-data operators
     "text_exact_dedup"    -> (TextAnalysis.textExactDedup _),
     "minhash_lsh_dedup"   -> ((s, d) => NearDup.minhashLshDedup(s, d)),
@@ -122,6 +123,7 @@ object SparkEntry {
     "embedding_dedup"     -> Similarity.embeddingDedupSql(),
     "ann_bruteforce"      -> Similarity.annBruteforceSql(),
     "skew_salted_agg"     -> Skew.saltedAggSql,
+    "value_histogram"     -> Analytics.valueHistogramSql(),
     "asof_join"           -> AsOf.asofStateJoinSql,
     "range_join_pairs"    -> RangeJoin.rangePairsSql(),
     "lang_id"             -> TextAnalysis.langIdSql,

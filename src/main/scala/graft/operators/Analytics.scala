@@ -329,4 +329,25 @@ object Analytics {
     """SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
       |       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin
+
+  /** B15 `value_histogram` — fixed-width value histograms per event
+    * type (10 buckets of 50, top bucket open). Fixed bucket edges keep
+    * the op a single two-phase hash aggregate — data-dependent edges
+    * (equi-depth) would need a quantile pre-pass; at 100 TB you run
+    * B7's quantile sketch once and feed the edges in as literals. */
+  def valueHistogram(spark: SparkSession, dir: String, width: Double = 50.0,
+                     nBuckets: Int = 10): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type",
+        least(floor($"value" / width), lit(nBuckets - 1).cast("long")).as("bucket"))
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  def valueHistogramSql(width: Double = 50.0, nBuckets: Int = 10): String =
+    s"""SELECT event_type,
+       |       least(CAST(FLOOR("value" / $width) AS BIGINT), ${nBuckets - 1}) AS bucket,
+       |       COUNT(*) AS n_events
+       |FROM events GROUP BY 1, 2""".stripMargin
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the scale claims in SURVEY §5 as tests.
+  * Each operator's plan must have the shape the design says it has —
+  * scan-only ops must not shuffle, broadcast-designed joins must
+  * broadcast, and scans must prune to the columns the op needs. */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def executedPlan(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] =
+    p +: p.children.flatMap(collectAll)
+
+  private def countShuffles(df: DataFrame): Int =
+    collectAll(executedPlan(df)).count(_.isInstanceOf[ShuffleExchangeLike])
+
+  private def countBroadcasts(df: DataFrame): Int =
+    collectAll(executedPlan(df)).count(_.isInstanceOf[BroadcastExchangeLike])
+
+  test("scan-parallel ops have zero exchanges: pii_redact, sample_split, stratified_sample, topic_classify") {
+    Seq(
+      operators.Govern.piiRedact(spark, sf),
+      operators.Govern.sampleSplit(spark, sf),
+      operators.Govern.stratifiedSample(spark, sf),
+      operators.TextAnalysis.topicClassify(spark, sf)
+    ).foreach { df =>
+      assert(countShuffles(df) == 0, s"expected shuffle-free plan:\n${executedPlan(df)}")
+      assert(countBroadcasts(df) == 0)
+    }
+  }
+
+  test("decontaminate broadcasts the benchmark gram set, never the corpus") {
+    val df = operators.Govern.decontaminate(spark, sf)
+    assert(countBroadcasts(df) == 1, s"plan:\n${executedPlan(df)}")
+  }
+
+  test("q5 star join is all-broadcast: the fact table only shuffles for the final agg") {
+    val df = operators.Analytics.q5LocalSupplier(spark, sf)
+    assert(countBroadcasts(df) >= 4, s"plan:\n${executedPlan(df)}")
+  }
+
+  test("column pruning reaches the scan: pii_redact reads only (doc_id, text)") {
+    val scans = executedPlan(operators.Govern.piiRedact(spark, sf))
+      .collectLeaves()
+      .map(_.toString)
+    assert(scans.nonEmpty)
+    assert(scans.forall(s => s.contains("doc_id") && !s.contains("n_chars")),
+      scans.mkString("\n"))
+  }
+
+  test("value_histogram is one two-phase hash aggregate: a single shuffle") {
+    val df = operators.Analytics.valueHistogram(spark, sf)
+    assert(countShuffles(df) == 1, s"plan:\n${executedPlan(df)}")
+    val hashAggs = collectAll(executedPlan(df))
+      .count(_.getClass.getSimpleName.contains("HashAggregate"))
+    assert(hashAggs == 2, s"expected partial+final HashAggregate:\n${executedPlan(df)}")
+  }
+
+  test("pack_sequences shuffles once for the shard window, once for the agg at most") {
+    val df = operators.Govern.packSequences(spark, sf)
+    assert(countShuffles(df) <= 2, s"plan:\n${executedPlan(df)}")
+  }
+}

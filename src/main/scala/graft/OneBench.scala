@@ -2,17 +2,20 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Time a single named SparkEntry query with the exact Bench session
-  * config, repeated N times (cache cleared between runs). Throwaway
-  * diagnostic, not part of the library surface. */
+/** Time a single named SparkEntry query with the same session config
+  * as Bench (honors SPARK_GRAFT_CPUS/SPARK_GRAFT_SF_DIR; defaults to
+  * 32 cpus, matching the driver's bench environment), repeated N times
+  * with the cache cleared between runs. Diagnostic tool, not part of
+  * the library surface. */
 object OneBench {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val reps = if (args.length > 1) args(1).toInt else 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

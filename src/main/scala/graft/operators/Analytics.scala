@@ -339,6 +339,10 @@ object Analytics {
                      nBuckets: Int = 10): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
+      // explicit null guard: least() SKIPS null arguments in both Spark
+      // and DuckDB, so floor(null/width) would silently land in the top
+      // bucket instead of being excluded
+      .filter($"value".isNotNull)
       .select($"event_type",
         least(floor($"value" / width), lit(nBuckets - 1).cast("long")).as("bucket"))
       .groupBy($"event_type", $"bucket")
@@ -349,5 +353,5 @@ object Analytics {
     s"""SELECT event_type,
        |       least(CAST(FLOOR("value" / $width) AS BIGINT), ${nBuckets - 1}) AS bucket,
        |       COUNT(*) AS n_events
-       |FROM events GROUP BY 1, 2""".stripMargin
+       |FROM events WHERE "value" IS NOT NULL GROUP BY 1, 2""".stripMargin
 }

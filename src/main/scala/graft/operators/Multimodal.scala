@@ -91,20 +91,26 @@ object Multimodal {
     * decoder-sized batches (real decoders amortize model/codec init per
     * batch), one task per partition, no shuffle, output is a typed
     * Dataset whose schema downstream ops consume as columns. */
-  def mmFeatureExtract(spark: SparkSession, dir: String, batchSize: Int = 64): DataFrame = {
+  /** The typed decode→feature pipeline: what downstream vector
+    * consumers (e.g. Similarity ops) compose with. */
+  def mmFeatures(spark: SparkSession, dir: String, batchSize: Int = 64): Dataset[MmFeatures] = {
     import spark.implicits._
     val items: Dataset[MmItem] =
       mmTable(spark, dir).select($"doc_id", $"kind", $"payload").as[MmItem]
-    val feats = items.mapPartitions { it =>
+    items.mapPartitions { it =>
       it.grouped(batchSize).flatMap(decodeAndFeaturize)
     }
+  }
+
+  def mmFeatureExtract(spark: SparkSession, dir: String, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
     // Flatten the feature vector to scalar columns for the gate output:
     // the driver's rows-only check sorts result columns with pandas,
     // which cannot hash an array cell. Downstream Spark consumers that
-    // want the vector use the typed Dataset (`feats`) directly.
+    // want the vector use `mmFeatures` directly.
     val cols = Seq($"doc_id", $"kind", $"n_bytes") ++
       (0 until 8).map(i => round($"features".getItem(i), 6).as(s"f$i")) :+
       round($"feat_norm", 6).as("feat_norm")
-    feats.toDF().select(cols: _*)
+    mmFeatures(spark, dir, batchSize).toDF().select(cols: _*)
   }
 }

@@ -85,8 +85,16 @@ class GovernSpec extends AnyFunSuite {
     val df = operators.Govern.sentenceStats(spark, sf).cache()
     assert(df.filter(col("n_sentences") < 1).count() == 0)
     assert(df.filter(col("avg_words") > col("max_words")).count() == 0)
-    // sentence words sum to roughly the doc's token count (the split
-    // token ' the ' is removed, never reordered)
+    // conservation: sentence words never exceed the doc's tokens, and
+    // adding back one removed 'the' per split covers the doc's tokens
+    val sums = df.select(col("doc_id"),
+      (col("avg_words") * col("n_sentences")).as("sum_words"), col("n_sentences"))
+    val docs = Tables.documents(spark, sf).select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("double").as("n_toks"),
+      (size(split(col("text"), " the ")) - 1).cast("double").as("n_splits"))
+    val joined = sums.join(docs, "doc_id")
+    assert(joined.filter(col("sum_words") > col("n_toks") + lit(0.5)).count() == 0)
+    assert(joined.filter(col("sum_words") + col("n_splits") < col("n_toks") - lit(0.5)).count() == 0)
     df.unpersist()
   }
 
@@ -96,8 +104,14 @@ class GovernSpec extends AnyFunSuite {
     assert(df.agg(sum(col("n_docs"))).head.getLong(0) == totalDocs)
     assert(df.filter(col("first_doc") > col("last_doc")).count() == 0)
     assert(df.filter(col("seq_idx") < 0 || col("n_docs") < 1).count() == 0)
-    // greedy packing: a sequence overshoots the budget by at most one doc,
-    // so (sum_tokens minus its largest doc) must be under the budget+largest
+    // greedy packing: docs are never split, so a sequence overshoots the
+    // 2048 budget by at most its largest doc
+    val docToks = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        when(length(trim(col("text"))) === 0, 0)
+          .otherwise(size(split(trim(col("text")), "\\s+"))).cast("long").as("n_tokens"))
+    val maxDoc = docToks.agg(max(col("n_tokens"))).head.getLong(0)
+    assert(df.filter(col("sum_tokens") >= lit(2048L) + maxDoc).count() == 0)
     df.unpersist()
   }
 

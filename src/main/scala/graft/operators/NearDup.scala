@@ -240,12 +240,14 @@ object NearDup {
       val nbrMin = bi
         .join(labels.select($"n".as("nbr"), $"label".as("nbr_label")), Seq("nbr"))
         .groupBy($"n").agg(min($"nbr_label").as("nbr_min"))
+      // carry the changed-flag inside the generation: one checkpoint
+      // materialization + one filter-count, no extra join per iteration
       val next = labels.join(nbrMin, Seq("n"))
-        .select($"n", least($"label", $"nbr_min").as("label"))
+        .select($"n", least($"label", $"nbr_min").as("label"),
+          ($"nbr_min" < $"label").as("ch"))
         .localCheckpoint()
-      val changed = next.join(labels.select($"n", $"label".as("old")), Seq("n"))
-        .filter($"label" =!= $"old").count()
-      labels = next // old generation's blocks are unreferenced -> GC'd
+      val changed = next.filter($"ch").count()
+      labels = next.select($"n", $"label") // old generation -> GC'd
       converged = changed == 0
       i += 1
     }

@@ -45,6 +45,7 @@ object SparkEntry {
     "range_join_pairs"    -> ((s, d) => RangeJoin.rangePairs(s, d)),
     "skew_salted_agg"     -> ((s, d) => Skew.saltedAgg(s, d)),
     "value_histogram"     -> ((s, d) => Analytics.valueHistogram(s, d)),
+    "bloom_prejoin"       -> ((s, d) => BloomJoin.bloomPrejoin(s, d)),
     // block C — LLM-training-data operators
     "text_exact_dedup"    -> (TextAnalysis.textExactDedup _),
     "minhash_lsh_dedup"   -> ((s, d) => NearDup.minhashLshDedup(s, d)),
@@ -124,6 +125,7 @@ object SparkEntry {
     "ann_bruteforce"      -> Similarity.annBruteforceSql(),
     "skew_salted_agg"     -> Skew.saltedAggSql,
     "value_histogram"     -> Analytics.valueHistogramSql(),
+    "bloom_prejoin"       -> BloomJoin.bloomPrejoinSql(),
     "asof_join"           -> AsOf.asofStateJoinSql,
     "range_join_pairs"    -> RangeJoin.rangePairsSql(),
     "lang_id"             -> TextAnalysis.langIdSql,

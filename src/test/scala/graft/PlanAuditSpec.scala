@@ -71,4 +71,29 @@ class PlanAuditSpec extends AnyFunSuite {
     val df = operators.Govern.packSequences(spark, sf)
     assert(countShuffles(df) <= 2, s"plan:\n${executedPlan(df)}")
   }
+
+  test("bloom_prejoin: keeps every true match, prunes non-matches, equals the plain join") {
+    import org.apache.spark.sql.functions._
+    val pre = operators.BloomJoin.bloomPrefilteredFact(spark, sf).cache()
+    val fact = Tables.lineitem(spark, sf).select(col("l_orderkey"))
+    val dim = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val trueMatches = fact
+      .join(dim, fact("l_orderkey") === dim("o_orderkey"), "left_semi").count()
+    // no false negatives (bloom guarantee)
+    assert(pre.join(dim, pre("l_orderkey") === dim("o_orderkey"), "left_semi")
+      .count() == trueMatches)
+    // actually prunes: the pre-filtered fact is well under the full fact
+    assert(pre.count() < fact.count() / 2, s"pre=${pre.count()} fact=${fact.count()}")
+    // end result identical to the plain join+agg
+    val result = operators.BloomJoin.bloomPrejoin(spark, sf)
+    val plainAgg = Tables.lineitem(spark, sf)
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        graft.functions.NumericAgg.dsum(col("l_quantity")).as("sum_qty"),
+        graft.functions.NumericAgg.dsum(col("l_extendedprice")).as("sum_price"))
+    assert(result.except(plainAgg).count() == 0 && plainAgg.except(result).count() == 0)
+    pre.unpersist()
+  }
 }

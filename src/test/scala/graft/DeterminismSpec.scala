@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition-count invariance: the property that makes results stable
+  * when a cluster rescales. Re-running a query with a different
+  * `spark.sql.shuffle.partitions` changes partial-aggregation grouping
+  * and row order everywhere — any float-accumulation-order or
+  * tie-break dependence shows up as a diff. The decimal-exact
+  * aggregates (NumericAgg) and id tie-breaks exist precisely to pass
+  * this. */
+class DeterminismSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val probed = Seq(
+    "q1_pricing",        // decimal money aggregates
+    "ngram_jaccard_dedup", // pair counting across shuffles
+    "topk_per_group_agg",  // custom k-heap aggregate with tie-breaks
+    "sample_split",        // per-row hash (trivially invariant; guards regressions)
+    "vocab_build",         // global window over aggregated vocab
+    "resample_fill"        // window fill over generated grid
+  )
+
+  test("results are identical under different shuffle partition counts") {
+    val conf = spark.conf
+    val orig = conf.get("spark.sql.shuffle.partitions")
+    try {
+      probed.foreach { name =>
+        conf.set("spark.sql.shuffle.partitions", "4")
+        val a = SparkEntry.queries(name)(spark, sf).cache()
+        a.count()
+        conf.set("spark.sql.shuffle.partitions", "7")
+        val b = SparkEntry.queries(name)(spark, sf).cache()
+        b.count()
+        assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+          s"$name differs between 4 and 7 shuffle partitions")
+        a.unpersist(); b.unpersist()
+      }
+    } finally conf.set("spark.sql.shuffle.partitions", orig)
+  }
+}

@@ -3,27 +3,26 @@ package graft.operators
 import graft.Tables
 import graft.functions.NumericAgg.dsum
 import org.apache.spark.sql.{DataFrame, GraftShim, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.BinaryType
 
 /** B16 `bloom_prejoin` — bloom-filter semi-join reduction: build a
   * bloom filter over the (already filtered) dim join keys, pre-filter
-  * the fact side with `might_contain` BEFORE the shuffle, then run the
-  * exact join. False positives pass the bloom and are removed by the
-  * join, so the result is bit-identical to the plain join — which is
-  * exactly what the oracle checks.
+  * the fact side with `might_contain` BEFORE the join shuffle, then
+  * run the exact join. False positives pass the bloom and are removed
+  * by the join, so the result is bit-identical to the plain join —
+  * which is exactly what the oracle checks.
   *
   * This is the manual form of Spark's own runtime row-level filtering
-  * (`InjectRuntimeFilter`, off by default and broadcast-bounded): at
-  * 100 TB the win is that the fact table's non-matching rows die at
-  * the SCAN projection instead of riding the join shuffle. The bloom
-  * build is one partial-agg job whose single binary result rides into
-  * the probe plan as a literal (the same shape as Spark's scalar
-  * subquery injection — a one-value driver hop, not a collect of
-  * data). Built on the internal `BloomFilterAggregate` /
-  * `BloomFilterMightContain` expressions via GraftShim
+  * (`InjectRuntimeFilter`, off by default and broadcast-bounded), and
+  * uses the same plan shape: the bloom build rides into the probe
+  * plan as a SCALAR SUBQUERY (one deferred single-value job, no eager
+  * driver work at DataFrame-construction time, no megabyte literal in
+  * the plan). At 100 TB the win is that non-matching fact rows die at
+  * the scan projection instead of riding the join shuffle. Built on
+  * the internal `BloomFilterAggregate` / `BloomFilterMightContain`
+  * expressions via GraftShim
   * (spark/sql/catalyst/expressions/BloomFilterMightContain.scala).
   */
 object BloomJoin {
@@ -37,25 +36,25 @@ object BloomJoin {
 
   /** The fact side filtered by the bloom built over the dim keys — the
     * observable middle of the operator (the spec asserts it keeps every
-    * true match while pruning most non-matches). */
+    * true match while pruning most non-matches, shuffle-free). */
   def bloomPrefilteredFact(spark: SparkSession, dir: String,
                            priority: String = "1-URGENT",
                            expectedItems: Long = 1000000L): DataFrame = {
     import spark.implicits._
-    val dim = dimKeys(spark, dir, priority)
-    // build: one aggregate job -> a single binary bloom value
     val bloomAgg = GraftShim.column(
       new BloomFilterAggregate(
         GraftShim.expression(xxhash64($"o_orderkey")),
         Literal(expectedItems), Literal(expectedItems * 8))
         .toAggregateExpression())
-    val bloomBytes = dim.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]]("bf")
-    val fact = Tables.lineitem(spark, dir)
+    // the single-row bloom aggregate as a scalar subquery: evaluated
+    // once at execution, shared by every probe task
+    val bloomSub = ScalarSubquery(
+      dimKeys(spark, dir, priority).agg(bloomAgg.as("bf"))
+        .queryExecution.analyzed)
+    Tables.lineitem(spark, dir)
       .select($"l_orderkey", $"l_returnflag", $"l_quantity", $"l_extendedprice")
-    if (bloomBytes == null) fact.limit(0) // empty dim -> empty join
-    else fact.filter(GraftShim.column(BloomFilterMightContain(
-      Literal(bloomBytes, BinaryType),
-      GraftShim.expression(xxhash64($"l_orderkey")))))
+      .filter(GraftShim.column(BloomFilterMightContain(
+        bloomSub, GraftShim.expression(xxhash64($"l_orderkey")))))
   }
 
   def bloomPrejoin(spark: SparkSession, dir: String,

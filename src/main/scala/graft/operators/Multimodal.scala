@@ -85,14 +85,13 @@ object Multimodal {
         math.sqrt(feats.map(f => f.toDouble * f.toDouble).sum))
     }
 
-  /** D2 `mm_feature_extract` — batched decode→feature pipeline over the
-    * binary column. `mapPartitions` + `grouped(batchSize)` is the Scala
-    * analogue of arrow-batched decode UDFs: items stream through in
-    * decoder-sized batches (real decoders amortize model/codec init per
-    * batch), one task per partition, no shuffle, output is a typed
-    * Dataset whose schema downstream ops consume as columns. */
-  /** The typed decode→feature pipeline: what downstream vector
-    * consumers (e.g. Similarity ops) compose with. */
+  /** D2's typed decode→feature pipeline — what downstream vector
+    * consumers (e.g. Similarity ops) compose with. `mapPartitions` +
+    * `grouped(batchSize)` is the Scala analogue of arrow-batched decode
+    * UDFs: items stream through in decoder-sized batches (real decoders
+    * amortize model/codec init per batch), one task per partition, no
+    * shuffle, output is a typed Dataset whose schema downstream ops
+    * consume as columns. */
   def mmFeatures(spark: SparkSession, dir: String, batchSize: Int = 64): Dataset[MmFeatures] = {
     import spark.implicits._
     val items: Dataset[MmItem] =
@@ -102,6 +101,7 @@ object Multimodal {
     }
   }
 
+  /** D2 `mm_feature_extract` — the gate-facing form of [[mmFeatures]]. */
   def mmFeatureExtract(spark: SparkSession, dir: String, batchSize: Int = 64): DataFrame = {
     import spark.implicits._
     // Flatten the feature vector to scalar columns for the gate output:

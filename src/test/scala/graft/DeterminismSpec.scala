@@ -21,20 +21,24 @@ class DeterminismSpec extends AnyFunSuite {
     "resample_fill"        // window fill over generated grid
   )
 
+  /** Collect to the driver and normalize — NO cache()/exceptAll here:
+    * Spark's CacheManager matches cached plans by canonicalized logical
+    * plan, so a cached first run would silently serve the second run
+    * too and the comparison would be vacuous. */
+  private def materialized(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+
   test("results are identical under different shuffle partition counts") {
     val conf = spark.conf
     val orig = conf.get("spark.sql.shuffle.partitions")
     try {
       probed.foreach { name =>
         conf.set("spark.sql.shuffle.partitions", "4")
-        val a = SparkEntry.queries(name)(spark, sf).cache()
-        a.count()
+        val a = materialized(name)
         conf.set("spark.sql.shuffle.partitions", "7")
-        val b = SparkEntry.queries(name)(spark, sf).cache()
-        b.count()
-        assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
-          s"$name differs between 4 and 7 shuffle partitions")
-        a.unpersist(); b.unpersist()
+        val b = materialized(name)
+        assert(a == b, s"$name differs between 4 and 7 shuffle partitions")
       }
     } finally conf.set("spark.sql.shuffle.partitions", orig)
   }

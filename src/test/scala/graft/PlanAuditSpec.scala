@@ -72,9 +72,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(countShuffles(df) <= 2, s"plan:\n${executedPlan(df)}")
   }
 
-  test("bloom_prejoin: keeps every true match, prunes non-matches, equals the plain join") {
+  test("bloom_prejoin: might_contain below the shuffle, no false negatives, real pruning, equals plain join") {
     import org.apache.spark.sql.functions._
-    val pre = operators.BloomJoin.bloomPrefilteredFact(spark, sf).cache()
+    val pre = operators.BloomJoin.bloomPrefilteredFact(spark, sf)
+    // the defining plan property: the bloom probe is a scan-side filter,
+    // BEFORE any exchange (the prefiltered fact plan has no shuffle at
+    // all). Asserted BEFORE cache() — a cached frame plans as an
+    // InMemoryTableScan and would hide the filter.
+    assert(countShuffles(pre) == 0, s"plan:\n${executedPlan(pre)}")
+    assert(executedPlan(pre).toString.contains("might_contain"),
+      s"plan:\n${executedPlan(pre)}")
+    pre.cache()
     val fact = Tables.lineitem(spark, sf).select(col("l_orderkey"))
     val dim = Tables.orders(spark, sf)
       .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
@@ -84,7 +92,8 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(pre.join(dim, pre("l_orderkey") === dim("o_orderkey"), "left_semi")
       .count() == trueMatches)
     // actually prunes: the pre-filtered fact is well under the full fact
-    assert(pre.count() < fact.count() / 2, s"pre=${pre.count()} fact=${fact.count()}")
+    val (preN, factN) = (pre.count(), fact.count())
+    assert(preN < factN / 2, s"pre=$preN fact=$factN")
     // end result identical to the plain join+agg
     val result = operators.BloomJoin.bloomPrejoin(spark, sf)
     val plainAgg = Tables.lineitem(spark, sf)

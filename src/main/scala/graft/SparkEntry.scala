@@ -46,6 +46,8 @@ object SparkEntry {
     "skew_salted_agg"     -> ((s, d) => Skew.saltedAgg(s, d)),
     "value_histogram"     -> ((s, d) => Analytics.valueHistogram(s, d)),
     "bloom_prejoin"       -> ((s, d) => BloomJoin.bloomPrejoin(s, d)),
+    "funnel_stages"       -> (Analytics.funnelStages _),
+    "scd2_intervals"      -> (Scd.scd2Intervals _),
     // block C — LLM-training-data operators
     "text_exact_dedup"    -> (TextAnalysis.textExactDedup _),
     "minhash_lsh_dedup"   -> ((s, d) => NearDup.minhashLshDedup(s, d)),
@@ -126,6 +128,8 @@ object SparkEntry {
     "skew_salted_agg"     -> Skew.saltedAggSql,
     "value_histogram"     -> Analytics.valueHistogramSql(),
     "bloom_prejoin"       -> BloomJoin.bloomPrejoinSql(),
+    "funnel_stages"       -> Analytics.funnelStagesSql,
+    "scd2_intervals"      -> Scd.scd2IntervalsSql,
     "asof_join"           -> AsOf.asofStateJoinSql,
     "range_join_pairs"    -> RangeJoin.rangePairsSql(),
     "lang_id"             -> TextAnalysis.langIdSql,

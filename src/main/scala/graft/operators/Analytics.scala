@@ -354,4 +354,53 @@ object Analytics {
        |       least(CAST(FLOOR("value" / $width) AS BIGINT), ${nBuckets - 1}) AS bucket,
        |       COUNT(*) AS n_events
        |FROM events WHERE "value" IS NOT NULL GROUP BY 1, 2""".stripMargin
+
+  /** B17 `funnel_stages` — ordered-event funnel: how many users viewed,
+    * then clicked AFTER their first view, then purchased AFTER that
+    * first qualifying click. The ordering constraint is what makes this
+    * a funnel rather than three counts; each stage anchors on the
+    * previous stage's first qualifying timestamp.
+    *
+    * Scale: three per-user min-aggregations (two-phase hash agg each)
+    * chained by per-key joins — everything keys on user_id, no windows
+    * over raw events, no cross-stage shuffle wider than one row per
+    * user per stage. */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"user_id", $"event_type", $"ts")
+    val views = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val clicks = ev.filter($"event_type" === "click")
+      .join(views, Seq("user_id"))
+      .filter($"ts" >= $"t_view")
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .join(clicks, Seq("user_id"))
+      .filter($"ts" >= $"t_click")
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    views.select(lit("1_view").as("stage"), $"user_id")
+      .unionAll(clicks.select(lit("2_click_after_view").as("stage"), $"user_id"))
+      .unionAll(purchases.select(lit("3_purchase_after_click").as("stage"), $"user_id"))
+      .groupBy($"stage").agg(count(lit(1)).as("n_users"))
+  }
+
+  val funnelStagesSql: String =
+    """WITH views AS (
+      |  SELECT user_id, MIN(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |clicks AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t_click
+      |  FROM events e JOIN views v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+      |  GROUP BY e.user_id),
+      |purchases AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+      |  FROM events e JOIN clicks c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+      |  GROUP BY e.user_id)
+      |SELECT stage, COUNT(*) AS n_users FROM (
+      |  SELECT '1_view' AS stage, user_id FROM views
+      |  UNION ALL SELECT '2_click_after_view', user_id FROM clicks
+      |  UNION ALL SELECT '3_purchase_after_click', user_id FROM purchases)
+      |GROUP BY stage""".stripMargin
 }

@@ -111,4 +111,32 @@ object Scd {
       |       COUNT(*) AS n
       |FROM old FULL OUTER JOIN neu USING (key)
       |GROUP BY 1""".stripMargin
+
+  /** A15 `scd2_intervals` — materialize the full SCD TYPE-2 view from
+    * the change log: every event becomes a version row whose validity
+    * runs until the key's next change (`lead` over (key, ts)); the
+    * open-ended row is the current one. This completes the reference's
+    * append-only history design (create_table.sql:85-107): A7 gives the
+    * latest row, this gives every row WITH its validity interval — the
+    * as-of-queryable form (pairs with the AS-OF join, B12).
+    *
+    * Scale: one shuffle on the entity key, one window per key ordered
+    * by time — the same shape as sessionization; no self-joins. */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .withColumn("valid_from", $"ts")
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+      .withColumn("is_current", $"valid_to".isNull)
+      .drop("ts")
+  }
+
+  val scd2IntervalsSql: String =
+    """SELECT user_id, event_id, event_type,
+      |       ts AS valid_from,
+      |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      |FROM events""".stripMargin
 }

@@ -167,6 +167,24 @@ class GovernSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("scd2_intervals: one open row per key, intervals ordered") {
+    val df = operators.Scd.scd2Intervals(spark, sf).cache()
+    assert(df.count() == Tables.events(spark, sf).count())
+    val perUser = df.filter(col("is_current")).groupBy(col("user_id")).count()
+    assert(perUser.filter(col("count") =!= 1).count() == 0)
+    assert(df.filter(col("valid_to").isNotNull && col("valid_to") < col("valid_from"))
+      .count() == 0)
+    df.unpersist()
+  }
+
+  test("funnel_stages: stage counts are monotone non-increasing") {
+    val rows = operators.Analytics.funnelStages(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("1_view") >= rows("2_click_after_view"))
+    assert(rows("2_click_after_view") >= rows("3_purchase_after_click"))
+    assert(rows("3_purchase_after_click") > 0)
+  }
+
   test("csv_ingest: roundtrip matches the direct aggregate") {
     val rt = operators.Govern.csvRoundtrip(spark, sf)
     val direct = Tables.documents(spark, sf)

@@ -48,6 +48,7 @@ object SparkEntry {
     "bloom_prejoin"       -> ((s, d) => BloomJoin.bloomPrejoin(s, d)),
     "funnel_stages"       -> (Analytics.funnelStages _),
     "scd2_intervals"      -> (Scd.scd2Intervals _),
+    "capped_per_group"    -> ((s, d) => Govern.cappedPerGroup(s, d)),
     // block C — LLM-training-data operators
     "text_exact_dedup"    -> (TextAnalysis.textExactDedup _),
     "minhash_lsh_dedup"   -> ((s, d) => NearDup.minhashLshDedup(s, d)),
@@ -130,6 +131,7 @@ object SparkEntry {
     "bloom_prejoin"       -> BloomJoin.bloomPrejoinSql(),
     "funnel_stages"       -> Analytics.funnelStagesSql,
     "scd2_intervals"      -> Scd.scd2IntervalsSql,
+    "capped_per_group"    -> Govern.cappedPerGroupSql(),
     "asof_join"           -> AsOf.asofStateJoinSql,
     "range_join_pairs"    -> RangeJoin.rangePairsSql(),
     "lang_id"             -> TextAnalysis.langIdSql,

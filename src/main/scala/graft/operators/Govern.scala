@@ -283,6 +283,39 @@ object Govern {
        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM offs GROUP BY 1, 2, 3""".stripMargin
 
+  /** F9 `capped_per_group` — deterministic per-group sample cap: keep
+    * at most `cap` docs per (lang, source) cell, chosen by md5-hash
+    * order (a deterministic, reprocessing-stable stand-in for uniform
+    * random choice — the reservoir-sampling analogue for batch). The
+    * class-balancing primitive: caps dominant cells, keeps small cells
+    * whole.
+    *
+    * Scale: one shuffle on the group key; the rank window is per cell,
+    * bounded by cell size. For pathological hot cells, pre-aggregate a
+    * count and short-circuit cells under the cap (they need no window
+    * at all) — same output, window only over the heavy tail. */
+  def cappedPerGroup(spark: SparkSession, dir: String, cap: Int = 10): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang", $"source")
+      .orderBy(md5(concat($"doc_id".cast("string"), lit(":cap"))), $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= cap)
+      .select($"doc_id", $"lang", $"source", $"rk")
+  }
+
+  def cappedPerGroupSql(cap: Int = 10): String =
+    s"""SELECT doc_id, lang, source, CAST(rk AS INT) AS rk
+       |FROM (
+       |  SELECT doc_id, lang, source,
+       |         row_number() OVER (
+       |           PARTITION BY lang, source
+       |           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':cap'), doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= $cap""".stripMargin
+
   /** F7 `csv_ingest` — CSV round-trip with schema enforcement
     * (`to_csv` → `from_csv`), the delimited-text sibling of A13's
     * jsonl ingest: schema enforced at parse, the aggregate proves the

@@ -18,7 +18,9 @@ class DeterminismSpec extends AnyFunSuite {
     "topk_per_group_agg",  // custom k-heap aggregate with tie-breaks
     "sample_split",        // per-row hash (trivially invariant; guards regressions)
     "vocab_build",         // global window over aggregated vocab
-    "resample_fill"        // window fill over generated grid
+    "resample_fill",       // window fill over generated grid
+    "centroid_per_label",  // rounded double means over float partial sums
+    "capped_per_group"     // hash-ordered window sampling
   )
 
   /** Collect to the driver and normalize — NO cache()/exceptAll here:

@@ -167,6 +167,21 @@ class GovernSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("capped_per_group: cap respected, small cells kept whole, deterministic") {
+    val cap = 10
+    val df = operators.Govern.cappedPerGroup(spark, sf, cap).cache()
+    val cells = df.groupBy(col("lang"), col("source")).count()
+    assert(cells.filter(col("count") > cap).count() == 0)
+    val fullCells = Tables.documents(spark, sf)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("full_n"))
+    // cells under the cap keep every doc
+    assert(cells.join(fullCells, Seq("lang", "source"))
+      .filter(col("full_n") <= cap && col("count") =!= col("full_n")).count() == 0)
+    val again = operators.Govern.cappedPerGroup(spark, sf, cap)
+    assert(df.exceptAll(again).count() == 0 && again.exceptAll(df).count() == 0)
+    df.unpersist()
+  }
+
   test("scd2_intervals: one open row per key, intervals ordered") {
     val df = operators.Scd.scd2Intervals(spark, sf).cache()
     assert(df.count() == Tables.events(spark, sf).count())

@@ -49,6 +49,8 @@ object SparkEntry {
     "funnel_stages"       -> (Analytics.funnelStages _),
     "scd2_intervals"      -> (Scd.scd2Intervals _),
     "capped_per_group"    -> ((s, d) => Govern.cappedPerGroup(s, d)),
+    "tfidf_terms"         -> ((s, d) => TextAnalysis.tfidfTerms(s, d)),
+    "mm_dedup"            -> (Multimodal.mmDedup _),
     // block C — LLM-training-data operators
     "text_exact_dedup"    -> (TextAnalysis.textExactDedup _),
     "minhash_lsh_dedup"   -> ((s, d) => NearDup.minhashLshDedup(s, d)),
@@ -132,6 +134,8 @@ object SparkEntry {
     "funnel_stages"       -> Analytics.funnelStagesSql,
     "scd2_intervals"      -> Scd.scd2IntervalsSql,
     "capped_per_group"    -> Govern.cappedPerGroupSql(),
+    "tfidf_terms"         -> TextAnalysis.tfidfTermsSql(),
+    "mm_dedup"            -> Multimodal.mmDedupSql,
     "asof_join"           -> AsOf.asofStateJoinSql,
     "range_join_pairs"    -> RangeJoin.rangePairsSql(),
     "lang_id"             -> TextAnalysis.langIdSql,

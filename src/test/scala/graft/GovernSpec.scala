@@ -200,6 +200,25 @@ class GovernSpec extends AnyFunSuite {
     assert(rows("3_purchase_after_click") > 0)
   }
 
+  test("tfidf_terms: k terms per doc, positive weights, contiguous ranks") {
+    val df = operators.TextAnalysis.tfidfTerms(spark, sf).cache()
+    val perDoc = df.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), max(col("rk")).as("maxrk"))
+    assert(perDoc.filter(col("n") > 3 || col("n") =!= col("maxrk")).count() == 0)
+    assert(df.filter(col("tfidf") <= 0).count() == 0)
+    assert(df.filter(col("rk") < 1 || col("rk") > 3).count() == 0)
+    df.unpersist()
+  }
+
+  test("mm_dedup: planted twin payloads collapse to one keeper each") {
+    val df = operators.Multimodal.mmDedup(spark, sf).cache()
+    assert(df.filter(col("n_copies") =!= 2).count() == 0)
+    assert(df.filter(col("keeper_id") >= 1000000L).count() == 0)
+    assert(df.count() ==
+      Tables.documents(spark, sf).select(col("text")).distinct().count())
+    df.unpersist()
+  }
+
   test("csv_ingest: roundtrip matches the direct aggregate") {
     val rt = operators.Govern.csvRoundtrip(spark, sf)
     val direct = Tables.documents(spark, sf)

@@ -111,7 +111,8 @@ object Multimodal {
   def mmDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val mm = mmTable(spark, dir).select($"doc_id", $"payload")
-    val corpus = mm.unionAll(mm.select(($"doc_id" + 1000000L).as("doc_id"), $"payload"))
+    val corpus = mm.unionAll(
+      mm.select(($"doc_id" + NearDup.BigOffset).as("doc_id"), $"payload"))
     corpus
       .select($"doc_id", md5($"payload").as("payload_md5"))
       .groupBy($"payload_md5")
@@ -121,12 +122,12 @@ object Multimodal {
   /** Oracle hashes the VARCHAR text — the same utf-8 bytes the Spark
     * side hashes as binary, so the digests agree. */
   val mmDedupSql: String =
-    """WITH corpus AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
-      |SELECT md5(text) AS payload_md5, COUNT(*) AS n_copies,
-      |       MIN(doc_id) AS keeper_id
-      |FROM corpus GROUP BY 1""".stripMargin
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + ${NearDup.BigOffset}, text FROM documents)
+       |SELECT md5(text) AS payload_md5, COUNT(*) AS n_copies,
+       |       MIN(doc_id) AS keeper_id
+       |FROM corpus GROUP BY 1""".stripMargin
 
   /** D2 `mm_feature_extract` — the gate-facing form of [[mmFeatures]]. */
   def mmFeatureExtract(spark: SparkSession, dir: String, batchSize: Int = 64): DataFrame = {

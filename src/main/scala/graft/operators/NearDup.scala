@@ -30,7 +30,10 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
-  private val BigOffset = 1000000L
+  /** Planted-twin id offset, shared by every operator that unions a
+    * synthetic re-crawl/re-ingest of the corpus (NearDup, TextAnalysis,
+    * Multimodal — Scala and oracle SQL sides must agree on it). */
+  private[operators] val BigOffset = 1000000L
 
   /** documents ∪ exact re-crawl (planted dups, ids + 1e6). */
   private def corpus(spark: SparkSession, dir: String): DataFrame = {

@@ -296,12 +296,13 @@ object TextAnalysis {
   /** C19 `tfidf_terms` — top-k TF-IDF terms per document: tf from a
     * per-(doc, token) count, df from a per-token distinct-doc count
     * (broadcast back — the vocabulary is ≪ the corpus), smooth idf
-    * `ln((N+1)/(df+1)) + 1`. Ranking uses the INTEGER tuple
-    * (tf desc, df asc, token) — monotone-equivalent to weight order
-    * within a doc but immune to cross-engine libm ulp differences in
-    * ln(); the float weight itself ships rounded as an informational
-    * column. Two hash aggs + one broadcast join; nothing wider than
-    * (doc, token) ever shuffles. */
+    * `ln((N+1)/(df+1)) + 1`. The weight is QUANTIZED to 6 decimals
+    * before ranking: both engines rank the same rounded value (ties
+    * break by token), so a cross-engine libm ulp difference in ln()
+    * can only flip a rank when the true weight sits within ~1 ulp of
+    * a rounding boundary — measure-zero, the same exposure as every
+    * other rounded-double column in the gate. Two hash aggs + one
+    * broadcast join; nothing wider than (doc, token) ever shuffles. */
   def tfidfTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import spark.implicits._
     val docs = Tables.fanout(Tables.documents(spark, dir).select($"doc_id", $"text"))
@@ -312,13 +313,14 @@ object TextAnalysis {
       .select($"doc_id", explode(toks($"text")).as("token"))
       .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy($"doc_id").orderBy($"tf".desc, $"df".asc, $"token")
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"token")
     tf.join(broadcast(df), Seq("token"))
       .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round($"tf" * (log(($"n_docs" + 1.0) / ($"df" + 1.0)) + 1.0), 6))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= k)
-      .select($"doc_id", $"token", $"tf", $"df", $"rk",
-        round($"tf" * (log(($"n_docs" + 1.0) / ($"df" + 1.0)) + 1.0), 4).as("tfidf"))
+      .select($"doc_id", $"token", $"tf", $"df", $"rk", $"tfidf")
   }
 
   def tfidfTermsSql(k: Int = 3): String =
@@ -327,15 +329,16 @@ object TextAnalysis {
        |  FROM documents WHERE length(trim(text)) > 0),
        |tfc AS (SELECT doc_id, token, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
        |dfc AS (SELECT token, COUNT(*) AS df FROM tfc GROUP BY 1),
-       |n AS (SELECT COUNT(*) AS n_docs FROM documents)
-       |SELECT doc_id, token, tf, df, CAST(rk AS INT) AS rk,
-       |       round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
-       |FROM (
-       |  SELECT tfc.doc_id, tfc.token, tfc.tf, dfc.df, n.n_docs,
-       |         row_number() OVER (
-       |           PARTITION BY tfc.doc_id
-       |           ORDER BY tfc.tf DESC, dfc.df ASC, tfc.token) AS rk
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |weighted AS (
+       |  SELECT tfc.doc_id, tfc.token, tfc.tf, dfc.df,
+       |         round(tfc.tf * (ln((n.n_docs + 1.0) / (dfc.df + 1.0)) + 1.0), 6) AS tfidf
        |  FROM tfc JOIN dfc USING (token), n)
+       |SELECT doc_id, token, tf, df, CAST(rk AS INT) AS rk, tfidf
+       |FROM (
+       |  SELECT *, row_number() OVER (
+       |           PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+       |  FROM weighted)
        |WHERE rk <= $k""".stripMargin
 
   def vocabBuildSql(topN: Int = 500): String =

@@ -65,4 +65,22 @@ class LakeSpec extends AnyFunSuite {
     val dirs = new java.io.File(dir).listFiles.filter(_.isDirectory).map(_.getName)
     assert(dirs.exists(_.startsWith("o_year=")))
   }
+
+  test("schema evolution across ingest batches: mergeSchema unions columns, old rows null-fill") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("evolve")
+    // batch 1 lands with the v1 schema, batch 2 adds a column — the
+    // routine crawl-pipeline reality (new extractor fields appear)
+    Tables.documents(spark, sf).select($"doc_id", $"lang").limit(100)
+      .write.parquet(s"$dir/batch=1")
+    Tables.documents(spark, sf).select($"doc_id", $"lang", $"n_chars").limit(100)
+      .write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("doc_id", "lang", "n_chars", "batch"))
+    assert(merged.count() == 200)
+    // v1 rows surface the new column as null; v2 rows keep their values
+    assert(merged.filter($"batch" === 1 && $"n_chars".isNotNull).count() == 0)
+    assert(merged.filter($"batch" === 2 && $"n_chars".isNull).count() == 0)
+  }
 }

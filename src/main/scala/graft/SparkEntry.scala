@@ -47,6 +47,7 @@ object SparkEntry {
     "value_histogram"     -> ((s, d) => Analytics.valueHistogram(s, d)),
     "bloom_prejoin"       -> ((s, d) => BloomJoin.bloomPrejoin(s, d)),
     "funnel_stages"       -> (Analytics.funnelStages _),
+    "equidepth_histogram" -> (Analytics.equidepthHistogram _),
     "scd2_intervals"      -> (Scd.scd2Intervals _),
     "capped_per_group"    -> ((s, d) => Govern.cappedPerGroup(s, d)),
     "tfidf_terms"         -> ((s, d) => TextAnalysis.tfidfTerms(s, d)),
@@ -132,6 +133,7 @@ object SparkEntry {
     "value_histogram"     -> Analytics.valueHistogramSql(),
     "bloom_prejoin"       -> BloomJoin.bloomPrejoinSql(),
     "funnel_stages"       -> Analytics.funnelStagesSql,
+    "equidepth_histogram" -> Analytics.equidepthHistogramSql,
     "scd2_intervals"      -> Scd.scd2IntervalsSql,
     "capped_per_group"    -> Govern.cappedPerGroupSql(),
     "tfidf_terms"         -> TextAnalysis.tfidfTermsSql(),

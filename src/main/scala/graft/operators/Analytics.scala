@@ -355,6 +355,49 @@ object Analytics {
        |       COUNT(*) AS n_events
        |FROM events WHERE "value" IS NOT NULL GROUP BY 1, 2""".stripMargin
 
+  /** B18 `equidepth_histogram` — data-dependent (equi-depth) binning:
+    * compute each event type's value quartiles (B7's exact percentile,
+    * hash-proven identical cross-engine), broadcast the tiny edge
+    * table back, and bucket every event against its own type's edges.
+    * The composition B15's doc points at — quantile pass once, edges
+    * ride as a broadcast, binning stays a scan-side when-chain +
+    * two-phase count. Equi-depth by construction: ~n/4 per bucket up
+    * to ties. */
+  def equidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"event_type", $"value")
+    val edges = ev.groupBy($"event_type").agg(
+      percentile($"value", lit(0.25)).as("p25"),
+      percentile($"value", lit(0.5)).as("p50"),
+      percentile($"value", lit(0.75)).as("p75"))
+    ev.join(broadcast(edges), Seq("event_type"))
+      .withColumn("bucket",
+        when($"value" < $"p25", 0)
+          .when($"value" < $"p50", 1)
+          .when($"value" < $"p75", 2)
+          .otherwise(3))
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  val equidepthHistogramSql: String =
+    """WITH edges AS (
+      |  SELECT event_type,
+      |         quantile_cont("value", 0.25) AS p25,
+      |         quantile_cont("value", 0.5)  AS p50,
+      |         quantile_cont("value", 0.75) AS p75
+      |  FROM events WHERE "value" IS NOT NULL GROUP BY event_type)
+      |SELECT e.event_type,
+      |       CASE WHEN e."value" < p25 THEN 0
+      |            WHEN e."value" < p50 THEN 1
+      |            WHEN e."value" < p75 THEN 2 ELSE 3 END AS bucket,
+      |       COUNT(*) AS n_events
+      |FROM events e JOIN edges USING (event_type)
+      |WHERE e."value" IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin
+
   /** B17 `funnel_stages` — ordered-event funnel: how many users viewed,
     * then clicked AFTER their first view, then purchased AFTER that
     * first qualifying click. The ordering constraint is what makes this

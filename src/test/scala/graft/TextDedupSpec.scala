@@ -107,6 +107,28 @@ class TextDedupSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("ngram df-cap: boilerplate collapses to zero pairs, genuine near-dups survive") {
+    import spark.implicits._
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")
+    // 30 docs whose ONLY mutual overlap is the 20-token boilerplate
+    // header (uncapped Jaccard ≈ 18/26 ≈ 0.69 — spurious pairs), plus
+    // one genuine near-dup pair overlapping on unique content.
+    val docs = (
+      (0 until 30).map(i => (i.toLong, s"$boiler u${i}a u${i}b u${i}c u${i}d")) ++
+        Seq((100L, (1 to 12).map(i => s"x$i").mkString(" ")),
+            (101L, ((1 to 11).map(i => s"x$i") :+ "y").mkString(" ")))
+      ).toDF("doc_id", "text")
+    val capped = operators.NearDup.ngramJaccardPairs(docs, 0.5, dfCap = 10)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSet == Set((100L, 101L)),
+      s"cap must drop boilerplate-only pairs, keep the genuine one: ${capped.toSeq}")
+    // without the cap the boilerplate makes all C(30,2) pairs "duplicates"
+    val uncapped = operators.NearDup.ngramJaccardPairs(docs, 0.5, dfCap = 1000000)
+    assert(uncapped.count() == 30L * 29 / 2 + 1,
+      "sanity: boilerplate inflates the uncapped pair count quadratically")
+    spark.catalog.clearCache()
+  }
+
   test("embedding_dedup_lsh: pair set equals the exact blocked all-pairs join") {
     val corpus = operators.Similarity.twinCorpus(spark, sf)
     val exact = operators.Similarity.blockedAllPairs(corpus, 8)

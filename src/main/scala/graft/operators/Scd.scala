@@ -77,24 +77,44 @@ object Scd {
   /** A8 `scd_change_detect` — diff two snapshots into operation rows
     * (insert / update / delete / unchanged), the reference's
     * history-table `operation_type` computed set-wise instead of
-    * row-at-a-time. Full outer join on the key, one shuffle.
+    * row-at-a-time. [[scdDiff]] is the general two-frame form (full
+    * outer join, one key shuffle). The gated query's snapshots both
+    * derive from `orders`, whose key is unique — so the diff collapses
+    * to ONE scan + projection (each snapshot's value becomes a
+    * conditional column; a key missing from a snapshot is a null) and
+    * the only exchange left is the 4-group partial agg. Deriving both
+    * sides from a shared scan instead of scanning twice and
+    * full-outer-joining the halves is what fixed this query's r2 bench
+    * regression (2.2 s → scan-bound).
     */
   def scdChangeDetect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val o = Tables.orders(spark, dir)
-    val old = o.filter($"o_orderkey" % 5 =!= 0)
-      .select($"o_orderkey".as("key"), $"o_totalprice".as("old_price"))
-    val neu = o.filter($"o_orderkey" % 7 =!= 0)
+    Tables.orders(spark, dir)
+      .filter($"o_orderkey" % 5 =!= 0 || $"o_orderkey" % 7 =!= 0)
       .select($"o_orderkey".as("key"),
-        when($"o_orderkey" % 3 === 0, $"o_totalprice" * lit(2.0))
-          .otherwise($"o_totalprice").as("new_price"))
-    old.join(neu, Seq("key"), "full_outer")
+        when($"o_orderkey" % 5 =!= 0, $"o_totalprice").as("old_price"),
+        when($"o_orderkey" % 7 =!= 0,
+          when($"o_orderkey" % 3 === 0, $"o_totalprice" * lit(2.0))
+            .otherwise($"o_totalprice")).as("new_price"))
       .select($"key",
         when($"old_price".isNull, lit("insert"))
           .when($"new_price".isNull, lit("delete"))
           .when($"old_price" =!= $"new_price", lit("update"))
           .otherwise(lit("unchanged")).as("op"))
       .groupBy($"op").agg(count(lit(1)).as("n"))
+  }
+
+  /** General snapshot diff for arbitrary sources: full outer join on
+    * the key, one shuffle. Use when the snapshots do NOT share a
+    * uniquely-keyed scan (otherwise prefer the [[scdChangeDetect]]
+    * single-scan shape). */
+  def scdDiff(old: DataFrame, neu: DataFrame): DataFrame = {
+    val joined = old.join(neu, Seq("key"), "full_outer")
+    joined.select(col("key"),
+      when(col("old_price").isNull, lit("insert"))
+        .when(col("new_price").isNull, lit("delete"))
+        .when(col("old_price") =!= col("new_price"), lit("update"))
+        .otherwise(lit("unchanged")).as("op"))
   }
 
   val scdChangeDetectSql: String =
@@ -127,6 +147,10 @@ object Scd {
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     Tables.events(spark, dir)
       .select($"user_id", $"event_id", $"event_type", $"ts")
+      // monotone per-key version ordinal (the reference's history
+      // `version BIGINT`, create_table.sql:88) — same window as the
+      // lead(), so one sort, one Window node computes both.
+      .withColumn("version", row_number().over(w).cast("long"))
       .withColumn("valid_from", $"ts")
       .withColumn("valid_to", lead($"ts", 1).over(w))
       .withColumn("is_current", $"valid_to".isNull)
@@ -135,6 +159,7 @@ object Scd {
 
   val scd2IntervalsSql: String =
     """SELECT user_id, event_id, event_type,
+      |       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
       |       ts AS valid_from,
       |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
       |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current

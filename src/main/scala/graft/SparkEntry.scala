@@ -148,8 +148,8 @@ object SparkEntry {
     "keyword_extract"     -> TextAnalysis.keywordExtractSql(),
     "topic_classify"      -> TextAnalysis.topicClassifySql,
     "pipeline_clean_corpus" -> TextAnalysis.pipelineCleanCorpusSql(),
-    // block D (mm_feature_extract: stubbed decoder → rows-only)
     "mm_metadata"         -> Multimodal.mmMetadataSql,
+    "mm_feature_extract"  -> Multimodal.mmFeatureExtractSql,
     // block E (stream_sessionize: typed stateful op → rows-only)
     "stream_window_agg"   -> graft.streaming.Streams.streamWindowAggSql,
     "stream_dedup"        -> graft.streaming.Streams.streamDedupSql,

@@ -1,14 +1,18 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal column plumbing (SURVEY.md §2 D1-D2): media payloads as
-  * opaque `binary` columns with typed metadata, and a batched
-  * decode→feature pipeline whose decode step is STUBBED (no media libs
-  * in this environment) while every Spark-side piece — schema,
-  * partitioning, batching, output shape — is real.
+/** Multimodal column plumbing (SURVEY.md §2 D1-D3): media payloads as
+  * opaque `binary` columns with typed metadata, content-hash dedup, and
+  * a REAL image decode path — D2 assembles valid 24-bit BMP files in
+  * the plan and parses them back (header fields + per-channel pixel
+  * statistics) two independent ways: a codegen'd columnar decode for
+  * the gate and a batched typed decoder for library composition. No
+  * external media libs needed: BMP is an uncompressed format a byte
+  * decoder fully covers; codec formats (JPEG/MP3/H.264) would slot
+  * into the same `mapPartitions` batch shape via their libraries.
   */
 object Multimodal {
 
@@ -60,44 +64,86 @@ object Multimodal {
       |       SUM(CAST(width AS DOUBLE)) / COUNT(*) AS avg_width
       |FROM mm GROUP BY kind""".stripMargin
 
-  /** One decoded media item (input to the feature stage). */
-  final case class MmItem(doc_id: Long, kind: String, payload: Array[Byte])
-  /** Extracted features per item. */
-  final case class MmFeatures(doc_id: Long, kind: String, n_bytes: Int,
-                              features: Array[Float], feat_norm: Double)
+  /** The image table for D2: REAL BMP files (24-bit uncompressed,
+    * BITMAPINFOHEADER) assembled byte-for-byte in the plan from each
+    * image-kind document's id — 'BM' magic, little-endian size/offset
+    * fields, 40-byte DIB header, BGR pixel rows (widths are multiples
+    * of 4 so rows need no padding). Pixel (r, c) channel ch carries
+    * (doc_id·7 + r·31 + c·13 + ch·101) mod 256, so every decoded
+    * statistic has a closed form the DuckDB oracle recomputes
+    * independently — the decoder is verified against the format, not
+    * against itself. At production scale this table is a parquet/lance
+    * directory of scraped media; the decode path below is identical. */
+  def bmpTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // little-endian hex of the low `bytes` bytes of an int column
+    def le(x: Column, bytes: Int): Column =
+      concat((0 until bytes).map(k =>
+        lpad(hex(shiftright(x, 8 * k).bitwiseAND(lit(255))), 2, "0")): _*)
+    Tables.documents(spark, dir)
+      .filter($"doc_id" % 3 === 0) // the mm "image" kind
+      .select($"doc_id",
+        (lit(4) + ($"doc_id" % 8) * 4).cast("int").as("w"),
+        (lit(2) + $"doc_id" % 6).cast("int").as("h"))
+      .withColumn("npix", ($"w" * $"h").cast("int"))
+      .withColumn("header_hex", concat(
+        lit("424D"), le(lit(54) + $"npix" * 3, 4), lit("00000000"),
+        le(lit(54), 4), le(lit(40), 4), le($"w", 4), le($"h", 4),
+        lit("0100"), lit("1800"), lit("00000000"), le($"npix" * 3, 4),
+        le(lit(2835), 4), le(lit(2835), 4), lit("00000000"), lit("00000000")))
+      .withColumn("pixel_hex", expr(
+        """concat_ws('', transform(sequence(0, npix * 3 - 1),
+          |  i -> lpad(hex((doc_id * 7 + (i div (w * 3)) * 31
+          |                 + ((i % (w * 3)) div 3) * 13
+          |                 + (i % 3) * 101) % 256), 2, '0')))""".stripMargin))
+      .select($"doc_id", unhex(concat($"header_hex", $"pixel_hex")).as("payload"))
+  }
 
-  /** STUB decoder: a real implementation would decode image/audio/video
-    * bytes (libjpeg/ffmpeg/...) and run a feature extractor; none of
-    * those libs exist in this environment, so features are a
-    * deterministic byte-histogram projection — the contract (fixed-dim
-    * float vector per item) and everything around it is real. */
-  private def decodeAndFeaturize(batch: Seq[MmItem]): Seq[MmFeatures] =
-    batch.map { it =>
-      val hist = new Array[Float](8)
-      var i = 0
-      while (i < it.payload.length) {
-        hist((it.payload(i) & 0xff) % 8) += 1f
-        i += 1
+  /** One encoded media item (input to the typed decode stage). */
+  final case class MmItem(doc_id: Long, payload: Array[Byte])
+  /** Decoded header + per-channel statistics of one image. */
+  final case class MmFeatures(doc_id: Long, width_px: Int, height_px: Int,
+                              bpp: Int, n_bytes: Int,
+                              mean_b: Double, mean_g: Double, mean_r: Double)
+
+  /** Typed BMP decoder: parses the binary header (magic, little-endian
+    * width/height/bpp/data-offset) and folds the BGR pixel block into
+    * per-channel means. Batched `mapPartitions` is the Scala analogue
+    * of arrow-batched decode UDFs — real decoders amortize codec init
+    * per batch; one task per partition, no shuffle. Items that fail the
+    * magic check are dropped (corrupt-input quarantine). */
+  private def decodeBmp(batch: Seq[MmItem]): Seq[MmFeatures] =
+    batch.flatMap { it =>
+      val p = it.payload
+      def u8(i: Int): Int = p(i) & 0xff
+      def le32(off: Int): Int =
+        u8(off) | (u8(off + 1) << 8) | (u8(off + 2) << 16) | (u8(off + 3) << 24)
+      if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) None
+      else {
+        val w = le32(18); val h = le32(22)
+        val bpp = u8(28) | (u8(29) << 8)
+        val off = le32(10)
+        val sums = new Array[Long](3)
+        var i = off
+        while (i + 2 < p.length) {
+          sums(0) += u8(i); sums(1) += u8(i + 1); sums(2) += u8(i + 2)
+          i += 3
+        }
+        val npix = (p.length - off) / 3
+        Some(MmFeatures(it.doc_id, w, h, bpp, p.length,
+          sums(0).toDouble / npix, sums(1).toDouble / npix, sums(2).toDouble / npix))
       }
-      val n = math.max(it.payload.length, 1).toFloat
-      val feats = hist.map(_ / n)
-      MmFeatures(it.doc_id, it.kind, it.payload.length, feats,
-        math.sqrt(feats.map(f => f.toDouble * f.toDouble).sum))
     }
 
-  /** D2's typed decode→feature pipeline — what downstream vector
-    * consumers (e.g. Similarity ops) compose with. `mapPartitions` +
-    * `grouped(batchSize)` is the Scala analogue of arrow-batched decode
-    * UDFs: items stream through in decoder-sized batches (real decoders
-    * amortize model/codec init per batch), one task per partition, no
-    * shuffle, output is a typed Dataset whose schema downstream ops
-    * consume as columns. */
+  /** D2's typed decode pipeline — what downstream consumers compose
+    * with; the spec pins it equal to the codegen'd SQL decode of
+    * [[mmFeatureExtract]]. */
   def mmFeatures(spark: SparkSession, dir: String, batchSize: Int = 64): Dataset[MmFeatures] = {
     import spark.implicits._
     val items: Dataset[MmItem] =
-      mmTable(spark, dir).select($"doc_id", $"kind", $"payload").as[MmItem]
+      bmpTable(spark, dir).select($"doc_id", $"payload").as[MmItem]
     items.mapPartitions { it =>
-      it.grouped(batchSize).flatMap(decodeAndFeaturize)
+      it.grouped(batchSize).flatMap(decodeBmp)
     }
   }
 
@@ -129,16 +175,63 @@ object Multimodal {
        |       MIN(doc_id) AS keeper_id
        |FROM corpus GROUP BY 1""".stripMargin
 
-  /** D2 `mm_feature_extract` — the gate-facing form of [[mmFeatures]]. */
-  def mmFeatureExtract(spark: SparkSession, dir: String, batchSize: Int = 64): DataFrame = {
+  /** D2 `mm_feature_extract` — BMP header + pixel-statistics decode as
+    * a pure columnar plan: the header ints come out of little-endian
+    * hex slices (`hex`/`conv` — codegen'd string ops), the pixel block
+    * is mapped through a 1:1 byte→char decode (ISO-8859-1) so `ascii`
+    * reads byte values inside a higher-order fold — no UDF, no
+    * interpreter, scan-parallel at any scale. Hash-gated: the oracle
+    * recomputes every decoded value from the image generator's closed
+    * form, so a decoder that misreads any header field or pixel stride
+    * mismatches immediately. */
+  def mmFeatureExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // Flatten the feature vector to scalar columns for the gate output:
-    // the driver's rows-only check sorts result columns with pandas,
-    // which cannot hash an array cell. Downstream Spark consumers that
-    // want the vector use `mmFeatures` directly.
-    val cols = Seq($"doc_id", $"kind", $"n_bytes") ++
-      (0 until 8).map(i => round($"features".getItem(i), 6).as(s"f$i")) :+
-      round($"feat_norm", 6).as("feat_norm")
-    mmFeatures(spark, dir, batchSize).toDF().select(cols: _*)
+    // little-endian int from `bytes` bytes of binary at 1-based offset
+    def leInt(off: Int, bytes: Int): Column = {
+      val h = hex(substring($"payload", off, bytes))
+      conv(concat((bytes - 1 to 0 by -1).map(k => substring(h, 2 * k + 1, 2)): _*),
+        16, 10).cast("int")
+    }
+    bmpTable(spark, dir)
+      .filter(hex(substring($"payload", 1, 2)) === "424D") // magic
+      .withColumn("width_px", leInt(19, 4))
+      .withColumn("height_px", leInt(23, 4))
+      .withColumn("bpp", leInt(29, 2))
+      .withColumn("data_off", leInt(11, 4))
+      .withColumn("n_bytes", length($"payload"))
+      // 1:1 byte→char view of the pixel block; ascii() reads each byte
+      .withColumn("pix", decode(
+        expr("substring(payload, data_off + 1, n_bytes - data_off)"), "ISO-8859-1"))
+      .withColumn("npix", expr("(n_bytes - data_off) div 3"))
+      .withColumn("means", expr(
+        """transform(sequence(0, 2), ch ->
+          |  round(aggregate(sequence(0, cast(npix as int) - 1),
+          |                  0L, (acc, p) -> acc + ascii(substring(pix, p * 3 + ch + 1, 1)))
+          |        / cast(npix as double), 6))""".stripMargin))
+      .select($"doc_id", $"width_px", $"height_px", $"bpp", $"n_bytes",
+        $"means".getItem(0).as("mean_b"), $"means".getItem(1).as("mean_g"),
+        $"means".getItem(2).as("mean_r"))
   }
+
+  /** Oracle: the generator's closed form — header fields from the
+    * doc_id formulas, channel means as exact integer sums over the
+    * pixel lattice. Anything the decoder misparses diverges. */
+  val mmFeatureExtractSql: String =
+    """WITH img AS (
+      |  SELECT doc_id,
+      |         CAST(4 + (doc_id % 8) * 4 AS INT) AS w,
+      |         CAST(2 + doc_id % 6 AS INT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT doc_id, w, h, t.p AS p
+      |  FROM img, unnest(generate_series(0, w * h - 1)) AS t(p))
+      |SELECT doc_id, w AS width_px, h AS height_px, CAST(24 AS INT) AS bpp,
+      |       CAST(54 + w * h * 3 AS INT) AS n_bytes,
+      |       round(SUM((doc_id * 7 + (p // w) * 31 + (p % w) * 13 + 0 * 101) % 256)
+      |             / CAST(w * h AS DOUBLE), 6) AS mean_b,
+      |       round(SUM((doc_id * 7 + (p // w) * 31 + (p % w) * 13 + 1 * 101) % 256)
+      |             / CAST(w * h AS DOUBLE), 6) AS mean_g,
+      |       round(SUM((doc_id * 7 + (p // w) * 31 + (p % w) * 13 + 2 * 101) % 256)
+      |             / CAST(w * h AS DOUBLE), 6) AS mean_r
+      |FROM px GROUP BY doc_id, w, h""".stripMargin
 }

@@ -163,11 +163,32 @@ class TextDedupSpec extends AnyFunSuite {
     assert(maxH <= 4, s"twin signature hamming reached $maxH (recall guarantee holds to 7)")
   }
 
-  test("mm_feature_extract: deterministic, fixed-dim, one row per item") {
-    val f1 = operators.Multimodal.mmFeatureExtract(spark, sf)
-    assert(f1.count() == nDocs)
-    assert(f1.filter(size(col("features")) =!= 8).count() == 0)
-    // feature vectors are L1-normalized byte histograms → norms in (0, 1]
-    assert(f1.filter(col("feat_norm") > 1.0 || col("feat_norm") < 0.0).count() == 0)
+  test("mm_feature_extract: SQL and typed BMP decoders agree byte-for-byte") {
+    val sql = operators.Multimodal.mmFeatureExtract(spark, sf)
+    val typed = operators.Multimodal.mmFeatures(spark, sf).toDF()
+      .select(col("doc_id"), col("width_px"), col("height_px"), col("bpp"),
+        col("n_bytes"), round(col("mean_b"), 6).as("mean_b"),
+        round(col("mean_g"), 6).as("mean_g"), round(col("mean_r"), 6).as("mean_r"))
+    assert(sql.count() == Tables.documents(spark, sf).filter(col("doc_id") % 3 === 0).count())
+    assert(sql.exceptAll(typed).count() == 0 && typed.exceptAll(sql).count() == 0)
+    // decoded header fields carry real BMP semantics
+    assert(sql.filter(col("bpp") =!= 24).count() == 0)
+    assert(sql.filter(col("n_bytes") =!=
+      col("width_px") * col("height_px") * 3 + 54).count() == 0)
+  }
+
+  test("bmp payloads are valid BMP files (magic, declared size == byte length)") {
+    val rows = operators.Multimodal.bmpTable(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      assert(p(0) == 'B'.toByte && p(1) == 'M'.toByte)
+      def le32(off: Int) = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+        ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+      assert(le32(2) == p.length, "declared file size must equal actual")
+      assert(le32(10) == 54 && le32(14) == 40)
+      val (w, h) = (le32(18), le32(22))
+      assert(p.length == 54 + 3 * w * h)
+    }
   }
 }

@@ -29,6 +29,10 @@ object SparkEntry {
     "progress_report"     -> ((s, d) => Status.progressReport(s, d)),
     "jsonl_ingest"        -> (Ingest.jsonlRoundtrip _),
     "json_extract"        -> (Ingest.jsonExtract _),
+    "author_search"       -> ((s, d) => Multivalue.authorSearch(s, d)),
+    "author_stats"        -> (Multivalue.authorStats _),
+    "json_path_filter"    -> (Multivalue.jsonPathFilter _),
+    "json_containment"    -> ((s, d) => Multivalue.jsonContainment(s, d)),
     // block B — analytics
     "q1_pricing"          -> (Analytics.q1Pricing _),
     "q3_shipping"         -> (Analytics.q3Shipping _),
@@ -111,6 +115,10 @@ object SparkEntry {
     "progress_report"     -> Status.progressReportSql(),
     "jsonl_ingest"        -> Ingest.jsonlRoundtripSql,
     "json_extract"        -> Ingest.jsonExtractSql,
+    "author_search"       -> Multivalue.authorSearchSql(),
+    "author_stats"        -> Multivalue.authorStatsSql,
+    "json_path_filter"    -> Multivalue.jsonPathFilterSql,
+    "json_containment"    -> Multivalue.jsonContainmentSql(),
     "q1_pricing"          -> Analytics.q1PricingSql,
     "q3_shipping"         -> Analytics.q3ShippingSql,
     "q5_local_supplier"   -> Analytics.q5LocalSupplierSql,

@@ -72,6 +72,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(countShuffles(df) <= 2, s"plan:\n${executedPlan(df)}")
   }
 
+  test("multi-valued membership filters are scan-parallel: zero exchanges") {
+    Seq(
+      operators.Multivalue.authorSearch(spark, sf),
+      operators.Multivalue.jsonPathFilter(spark, sf),
+      operators.Multivalue.jsonContainment(spark, sf)
+    ).foreach { df =>
+      assert(countShuffles(df) == 0, s"expected shuffle-free plan:\n${executedPlan(df)}")
+      assert(countBroadcasts(df) == 0)
+    }
+  }
+
   test("embedding dedup plans contain no cartesian product / broadcast nested loop") {
     Seq(
       operators.Similarity.embeddingDedup(spark, sf),

@@ -69,9 +69,13 @@ object NearDup {
     * production LSH dedup does. Rows-only oracle (no portable SQL for
     * seeded xxhash64); the planted twins must all surface, which the
     * spec asserts. */
-  def minhashLshDedup(spark: SparkSession, dir: String, bucketCap: Int = 1000): DataFrame = {
-    import spark.implicits._
-    val sigs = shingled(spark, dir)
+  def minhashLshDedup(spark: SparkSession, dir: String, bucketCap: Int = 1000): DataFrame =
+    minhashLshPairs(corpus(spark, dir), bucketCap)
+
+  /** Frame-based core of C2 (docs = (doc_id, text)). */
+  def minhashLshPairs(docs: DataFrame, bucketCap: Int = 1000): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sigs = shingledFrames(docs)
       .withColumn("sig", graft.functions.VectorExpressions.minhashSig($"shingles", 16))
       .select($"doc_id", $"sig")
     // persist: the band table feeds three consumers (bucket sizing +
@@ -109,9 +113,14 @@ object NearDup {
     * Same bucket-join scale shape as C2; rows-only oracle, spec asserts
     * the planted twins surface at hamming 0. */
   def simhashDedup(spark: SparkSession, dir: String, maxHamming: Int = 8,
+                   bucketCap: Int = 1000): DataFrame =
+    simhashPairs(corpus(spark, dir), maxHamming, bucketCap)
+
+  /** Frame-based core of C3 (docs = (doc_id, text)). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8,
                    bucketCap: Int = 1000): DataFrame = {
-    import spark.implicits._
-    val fp = corpus(spark, dir)
+    import docs.sparkSession.implicits._
+    val fp = docs
       .withColumn("toks", split(trim($"text"), "\\s+"))
       .filter(size($"toks") >= 1)
       .withColumn("simhash", graft.functions.VectorExpressions.simhash64($"toks"))

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quantitative evidence for the rows-only (sketch/hash-specific)
+  * operators: each approximate operator is measured against its exact
+  * counterpart, so "spec-only" rows carry recall/accuracy numbers, not
+  * just structural invariants.
+  *
+  * Floors are set with ~2x slack under the measured values at sf0.001
+  * so data regeneration jitter cannot flake them while a real
+  * regression (broken hashing, wrong banding, lost candidates) still
+  * trips immediately.
+  */
+class RecallSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("C2 minhash est_jaccard tracks C4 exact jaccard within the binomial band") {
+    val est = operators.NearDup.minhashLshDedup(spark, sf)
+      .select(col("id1"), col("id2"), col("est_jaccard"))
+    val exact = operators.NearDup.ngramJaccardDedup(spark, sf)
+      .select(col("id1"), col("id2"), col("jaccard"))
+    val both = est.join(exact, Seq("id1", "id2")).cache()
+    val n = both.count()
+    assert(n > 0, "estimator and exact operator must overlap on this corpus")
+    // 16 minhash slots -> est stddev <= sqrt(.25/16) = 0.125; |err| <= 0.25 is 2 sigma
+    val maxErr = both.agg(max(abs(col("est_jaccard") - col("jaccard")))).head.getDouble(0)
+    assert(maxErr <= 0.25, s"max |est - exact| = $maxErr over $n shared pairs")
+    // and every exact-jaccard-1.0 pair is estimated at exactly 1.0
+    // (identical shingle sets -> identical signatures, no variance)
+    assert(both.filter(col("jaccard") === 1.0 && col("est_jaccard") =!= 1.0).count() == 0)
+    both.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("C3 simhash separates planted one-token mutations from unrelated docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Array.tabulate(400)(i => s"w$i")
+    // 80-token docs: each simhash bit's vote margin is ~sqrt(80), so a
+    // single-token edit flips only near-tie bits (few), while unrelated
+    // docs re-roll every bit — the regime simhash is built for
+    def doc(): String = Seq.fill(80)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val origs = (0 until 40).map(i => (i.toLong, doc()))
+    // mutant = same doc with ONE token replaced (ids offset by 1000)
+    val mutants = origs.map { case (id, text) =>
+      val toks = text.split(" ")
+      toks(rnd.nextInt(toks.length)) = "mutated_token"
+      (id + 1000L, toks.mkString(" "))
+    }
+    val docs = (origs ++ mutants).toDF("doc_id", "text")
+    val sig = docs
+      .withColumn("simhash",
+        graft.functions.VectorExpressions.simhash64(split(trim($"text"), "\\s+")))
+      .select($"doc_id", $"simhash")
+    val o = sig.filter($"doc_id" < 1000).select($"doc_id", $"simhash".as("h1"))
+    val m = sig.filter($"doc_id" >= 1000)
+      .select(($"doc_id" - 1000).as("doc_id"), $"simhash".as("h2"))
+    val mutHam = o.join(m, "doc_id")
+      .select(bit_count($"h1".bitwiseXOR($"h2")).as("h"))
+    val mutMean = mutHam.agg(avg($"h")).head.getDouble(0)
+    val mutMax = mutHam.agg(max($"h")).head.getInt(0)
+    // unrelated pairs: orig i vs mutant of i+1 (cyclic)
+    val unrel = o.withColumn("doc_id", ($"doc_id" + 1) % 40).join(m, "doc_id")
+      .select(bit_count($"h1".bitwiseXOR($"h2")).as("h"))
+    val unrelMean = unrel.agg(avg($"h")).head.getDouble(0)
+    val unrelMin = unrel.agg(min($"h")).head.getInt(0)
+    // 1-of-30-token edits sit near hamming 0; unrelated docs near 32
+    assert(mutMean <= 8, s"mutation mean hamming $mutMean")
+    assert(unrelMean >= 20, s"unrelated mean hamming $unrelMean")
+    assert(mutMean + 8 <= unrelMean,
+      s"no separation: mutations $mutMean (max $mutMax) vs unrelated $unrelMean (min $unrelMin)")
+    // and the operator itself surfaces the mutation pairs it guarantees
+    // (some 16-bit band unchanged): measured recall at maxHamming 8
+    val found = operators.NearDup.simhashPairs(docs, maxHamming = 8)
+      .filter($"id2" === $"id1" + 1000).count()
+    assert(found >= 32, s"simhash found only $found/40 planted mutation pairs")
+    spark.catalog.clearCache()
+  }
+
+  test("C7 ann_lsh buckets concentrate similar pairs: collision rate rises with cosine") {
+    val exact = operators.Similarity.blockedAllPairs(
+      operators.Similarity.twinCorpus(spark, sf)
+        .filter(col("vec_id") < 1000000L), 8).cache()
+    val lshPairs = operators.Similarity.annLsh(spark, sf)
+      .select(least(col("query_id"), col("neighbor_id")).as("id1"),
+        greatest(col("query_id"), col("neighbor_id")).as("id2"))
+      .distinct()
+    val joined = exact.join(lshPairs, Seq("id1", "id2"), "left_semi")
+    // mean cosine of collided pairs must sit clearly above the global mean
+    val allMean = exact.agg(avg("cosine")).head.getDouble(0)
+    val lshMean = joined.agg(avg("cosine")).head.getDouble(0)
+    assert(lshMean >= allMean + 0.05,
+      s"LSH collided-pair mean cosine $lshMean vs global $allMean")
+    // collision rate in the top cosine quartile >= 2x the bottom quartile
+    val q = exact.stat.approxQuantile("cosine", Array(0.25, 0.75), 0.001)
+    val lo = exact.filter(col("cosine") <= q(0))
+    val hi = exact.filter(col("cosine") >= q(1))
+    val rateLo = lo.join(lshPairs, Seq("id1", "id2"), "left_semi").count().toDouble /
+      math.max(lo.count(), 1)
+    val rateHi = hi.join(lshPairs, Seq("id1", "id2"), "left_semi").count().toDouble /
+      math.max(hi.count(), 1)
+    assert(rateHi >= 2 * rateLo,
+      s"collision rate not monotone in cosine: hi=$rateHi lo=$rateLo")
+    exact.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("C7b ann_ivf recall@5 against C6 exact top-5") {
+    val exact = operators.Similarity.annBruteforce(spark, sf, k = 5, nQueries = 20)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = operators.Similarity.annIvf(spark, sf, nQueries = 20)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val total = exact.count()
+    val recall = hits.toDouble / total
+    // nprobe=2 of nlist=16 cells: measured recall ~= 0.5-0.7 on this
+    // data; 0.25 is the break-glass floor (random probing would land
+    // ~2/16 = 0.125)
+    assert(recall >= 0.25, s"IVF recall@5 = $recall ($hits/$total)")
+    spark.catalog.clearCache()
+  }
+}

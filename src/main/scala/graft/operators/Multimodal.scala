@@ -123,15 +123,23 @@ object Multimodal {
         val w = le32(18); val h = le32(22)
         val bpp = u8(28) | (u8(29) << 8)
         val off = le32(10)
-        val sums = new Array[Long](3)
-        var i = off
-        while (i + 2 < p.length) {
-          sums(0) += u8(i); sums(1) += u8(i + 1); sums(2) += u8(i + 2)
-          i += 3
+        // The stride-3 fold below assumes padding-free bottom-up rows:
+        // BMP rows are 4-byte aligned, so only (w*3) % 4 == 0 images
+        // qualify, and top-down (h < 0) files would invert row order.
+        // Anything else goes to the corrupt-input quarantine rather
+        // than decoding silently wrong.
+        if ((w * 3) % 4 != 0 || h <= 0) None
+        else {
+          val sums = new Array[Long](3)
+          var i = off
+          while (i + 2 < p.length) {
+            sums(0) += u8(i); sums(1) += u8(i + 1); sums(2) += u8(i + 2)
+            i += 3
+          }
+          val npix = (p.length - off) / 3
+          Some(MmFeatures(it.doc_id, w, h, bpp, p.length,
+            sums(0).toDouble / npix, sums(1).toDouble / npix, sums(2).toDouble / npix))
         }
-        val npix = (p.length - off) / 3
-        Some(MmFeatures(it.doc_id, w, h, bpp, p.length,
-          sums(0).toDouble / npix, sums(1).toDouble / npix, sums(2).toDouble / npix))
       }
     }
 
@@ -177,9 +185,11 @@ object Multimodal {
 
   /** D2 `mm_feature_extract` — BMP header + pixel-statistics decode as
     * a pure columnar plan: the header ints come out of little-endian
-    * hex slices (`hex`/`conv` — codegen'd string ops), the pixel block
-    * is mapped through a 1:1 byte→char decode (ISO-8859-1) so `ascii`
-    * reads byte values inside a higher-order fold — no UDF, no
+    * hex slices (`hex`/`conv` — codegen'd string ops), and the channel
+    * sums fold over the BINARY payload directly — `substring` on a
+    * binary column is fixed-width byte slicing (O(1) per access, unlike
+    * a decoded UTF8 string whose per-char substring is a linear scan
+    * that would make the fold O(npix²) per image). No UDF, no
     * interpreter, scan-parallel at any scale. Hash-gated: the oracle
     * recomputes every decoded value from the image generator's closed
     * form, so a decoder that misreads any header field or pixel stride
@@ -199,14 +209,14 @@ object Multimodal {
       .withColumn("bpp", leInt(29, 2))
       .withColumn("data_off", leInt(11, 4))
       .withColumn("n_bytes", length($"payload"))
-      // 1:1 byte→char view of the pixel block; ascii() reads each byte
-      .withColumn("pix", decode(
-        expr("substring(payload, data_off + 1, n_bytes - data_off)"), "ISO-8859-1"))
       .withColumn("npix", expr("(n_bytes - data_off) div 3"))
+      // byte value = conv(hex(one-byte binary slice)) — all codegen'd,
+      // each slice a constant-time offset into the byte array
       .withColumn("means", expr(
         """transform(sequence(0, 2), ch ->
           |  round(aggregate(sequence(0, cast(npix as int) - 1),
-          |                  0L, (acc, p) -> acc + ascii(substring(pix, p * 3 + ch + 1, 1)))
+          |                  0L, (acc, p) -> acc + cast(conv(hex(
+          |                    substring(payload, data_off + p * 3 + ch + 1, 1)), 16, 10) as bigint))
           |        / cast(npix as double), 6))""".stripMargin))
       .select($"doc_id", $"width_px", $"height_px", $"bpp", $"n_bytes",
         $"means".getItem(0).as("mean_b"), $"means".getItem(1).as("mean_g"),

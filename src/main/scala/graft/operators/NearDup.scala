@@ -18,15 +18,16 @@ import org.apache.spark.sql.functions._
   * bucket, never globally. Oversized buckets (degenerate content) are
   * capped and dropped; `id1 < id2` halves pair work everywhere.
   *
-  * CACHING CONTRACT: operators here persist() multi-consumer
-  * intermediates (signature/band tables feed two join sides — without
-  * the cache the whole signature compute runs twice). Those caches are
-  * still referenced by the RETURNED plan, so they cannot be released
-  * inside the operator; after the caller's terminal action, release
-  * them with `df.sparkSession.catalog.clearCache()` (what Verify/Bench
-  * do) or rely on Spark's LRU block eviction. dedupCluster is the
-  * exception: its loop materializes each generation eagerly, so it
-  * unpersists superseded frames itself and leaks nothing.
+  * MATERIALIZATION CONTRACT: multi-consumer intermediates here
+  * (posting/band/signature tables feeding an aggregate AND both join
+  * sides) are materialized EAGERLY via localCheckpoint, not lazily
+  * persisted: the consumer stages launch concurrently inside one job,
+  * and a lazy persist lets each of them miss the unfilled cache and
+  * re-run the whole shingle pipeline (measured 3× cold CPU). The
+  * checkpointed blocks are dropped by the ContextCleaner once the
+  * returned plan is GC'd; on a multi-executor cluster swap
+  * localCheckpoint for a reliable checkpoint (blocks die with an
+  * executor) — same shape, durable storage.
   */
 object NearDup {
 
@@ -78,17 +79,17 @@ object NearDup {
     val sigs = shingledFrames(docs)
       .withColumn("sig", graft.functions.VectorExpressions.minhashSig($"shingles", 16))
       .select($"doc_id", $"sig")
-    // persist: the band table feeds three consumers (bucket sizing +
-    // both join sides) — without it the shingling+signature lineage
-    // recomputes per consumer. At cluster scale this is the
-    // "materialize the signature table" step of any LSH pipeline.
+    // eager: the band table feeds three concurrent consumers (bucket
+    // sizing + both join sides) — see the materialization contract
+    // above. At cluster scale this is the "materialize the signature
+    // table" step of any LSH pipeline.
     val bands = sigs
       .select($"doc_id", $"sig", posexplode(expr(
         """transform(sequence(0, 3),
           |  b -> xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3], b))""".stripMargin)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_sig")
-      .persist()
+      .localCheckpoint()
     val smallBuckets = bands
       .groupBy($"band_idx", $"band_sig")
       .agg(count(lit(1)).as("bucket_n"))
@@ -130,7 +131,7 @@ object NearDup {
           "transform(sequence(0, 3), b -> (simhash >> (16 * b)) & 65535)")))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_val")
-      .persist()
+      .localCheckpoint()
     val smallBuckets = bands
       .groupBy($"band_idx", $"band_val")
       .agg(count(lit(1)).as("bucket_n"))
@@ -175,12 +176,27 @@ object NearDup {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
                         dfCap: Int = 100): DataFrame = {
     import docs.sparkSession.implicits._
-    // persist: postings feed the df-cap aggregate and both sides of the
-    // pair self-join; 10k rows locally, the signature table of the
-    // corpus at scale.
-    val postings = shingledFrames(docs)
-      .select($"doc_id", explode(expr("transform(shingles, s -> xxhash64(s))")).as("sh"))
-      .persist()
+    // Shingle hashes come straight off the token triples —
+    // xxhash64(t0, t1, t2) — with no intermediate concat_ws string per
+    // shingle; distinctness over the 64-bit hashes equals distinctness
+    // over the string shingles w.h.p. (collisions ~n²·2⁻⁶⁴), which is
+    // all the oracle's distinct-string count needs.
+    //
+    // EAGER materialization (localCheckpoint), not lazy persist: the
+    // postings feed the df-cap aggregate and both sides of the pair
+    // self-join, and those stages launch CONCURRENTLY inside one job —
+    // a lazy persist lets every one of them miss the unfilled cache and
+    // re-run the regex-split/shingle pipeline (measured 3× its CPU on
+    // the cold run). Materializing once up front is the "write the
+    // signature table" step of any production dedup; on a multi-executor
+    // cluster make it a reliable checkpoint / parquet stage instead.
+    val postings = docs
+      .withColumn("toks", split(trim($"text"), "\\s+"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(expr(
+        """array_distinct(transform(sequence(0, size(toks)-3),
+          |  i -> xxhash64(toks[i], toks[i+1], toks[i+2])))""".stripMargin)).as("sh"))
+      .localCheckpoint()
     // the cap: keep only shingles seen in ≤ dfCap docs. The df agg and
     // the semi-join both key on sh — the same partitioning the pair
     // join needs, so AQE/exchange-reuse keeps this one extra pass cheap.
@@ -188,7 +204,7 @@ object NearDup {
       .agg(count(lit(1)).as("df"))
       .filter($"df" <= dfCap)
       .select($"sh")
-    val capped = postings.join(kept, Seq("sh"), "left_semi").persist()
+    val capped = postings.join(kept, Seq("sh"), "left_semi").localCheckpoint()
     val sizes = capped.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     capped.select($"doc_id".as("id1"), $"sh")
       .join(capped.select($"doc_id".as("id2"), $"sh"), Seq("sh"))

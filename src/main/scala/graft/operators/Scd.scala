@@ -105,15 +105,18 @@ object Scd {
   }
 
   /** General snapshot diff for arbitrary sources: full outer join on
-    * the key, one shuffle. Use when the snapshots do NOT share a
-    * uniquely-keyed scan (otherwise prefer the [[scdChangeDetect]]
-    * single-scan shape). */
-  def scdDiff(old: DataFrame, neu: DataFrame): DataFrame = {
-    val joined = old.join(neu, Seq("key"), "full_outer")
-    joined.select(col("key"),
-      when(col("old_price").isNull, lit("insert"))
-        .when(col("new_price").isNull, lit("delete"))
-        .when(col("old_price") =!= col("new_price"), lit("update"))
+    * `keyCol`, one shuffle, one per-key op row (insert/delete/update/
+    * unchanged — aggregate downstream as needed). `oldCol`/`newCol`
+    * name the compared value column in each snapshot. Use when the
+    * snapshots do NOT share a uniquely-keyed scan (otherwise prefer the
+    * [[scdChangeDetect]] single-scan shape). */
+  def scdDiff(old: DataFrame, neu: DataFrame, keyCol: String = "key",
+              oldCol: String = "old_price", newCol: String = "new_price"): DataFrame = {
+    val joined = old.join(neu, Seq(keyCol), "full_outer")
+    joined.select(col(keyCol),
+      when(col(oldCol).isNull, lit("insert"))
+        .when(col(newCol).isNull, lit("delete"))
+        .when(col(oldCol) =!= col(newCol), lit("update"))
         .otherwise(lit("unchanged")).as("op"))
   }
 

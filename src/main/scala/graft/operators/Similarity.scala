@@ -139,7 +139,12 @@ object Similarity {
         when(dotF($"embedding", typedLit(hyperplane(p, dims))) > 0d,
           lit(1L << (p - b * bandBits))).otherwise(lit(0L))
       }.reduce(_ + _)
+    // eager: the signature table (64 dot products per vector) feeds the
+    // build AND probe posting branches, which launch concurrently — a
+    // lazy plan computes it twice. Materializing it also fills e's
+    // cache before the verify joins read it. ids+4 longs per row only.
     val sig = e.select($"vec_id" +: (0 until nBands).map(b => bandVal(b).as(s"b$b")): _*)
+      .localCheckpoint()
     val build = sig.select($"vec_id",
       posexplode(array((0 until nBands).map(b => col(s"b$b")): _*)))
       .select($"vec_id".as("id2"), $"pos".as("band"), $"col".as("bval"))

@@ -140,6 +140,7 @@ class TextDedupSpec extends AnyFunSuite {
     val nBase = Tables.embeddings(spark, sf).count()
     assert(lsh.count() == nBase)
     assert(lsh.filter(col("id2") =!= col("id1") + 1000000L).count() == 0)
+    spark.catalog.clearCache() // release embeddingDedupLsh's corpus cache
   }
 
   test("embedding_dedup_lsh: twin signature hamming stays far inside the multiprobe guarantee") {
@@ -161,6 +162,7 @@ class TextDedupSpec extends AnyFunSuite {
       .select((0 until 64).map(p => abs(col(s"p$p") - col(s"q$p"))).reduce(_ + _).as("h"))
     val maxH = hamming.agg(max(col("h"))).head.getInt(0)
     assert(maxH <= 4, s"twin signature hamming reached $maxH (recall guarantee holds to 7)")
+    spark.catalog.clearCache()
   }
 
   test("mm_feature_extract: SQL and typed BMP decoders agree byte-for-byte") {

@@ -62,6 +62,7 @@ object SparkEntry {
     "simhash_dedup"       -> ((s, d) => NearDup.simhashDedup(s, d)),
     "ngram_jaccard_dedup" -> ((s, d) => NearDup.ngramJaccardDedup(s, d)),
     "dedup_cluster"       -> ((s, d) => NearDup.dedupCluster(s, d)),
+    "dedup_cluster_star"  -> ((s, d) => NearDup.dedupClusterStar(s, d)),
     "embedding_dedup"     -> ((s, d) => Similarity.embeddingDedup(s, d)),
     "embedding_dedup_lsh" -> ((s, d) => Similarity.embeddingDedupLsh(s, d)),
     "ann_bruteforce"      -> ((s, d) => Similarity.annBruteforce(s, d)),
@@ -136,6 +137,7 @@ object SparkEntry {
     "text_exact_dedup"    -> TextAnalysis.textExactDedupSql,
     "ngram_jaccard_dedup" -> NearDup.ngramJaccardDedupSql(),
     "dedup_cluster"       -> NearDup.dedupClusterSql(),
+    "dedup_cluster_star"  -> NearDup.dedupClusterSql(),
     "embedding_dedup"     -> Similarity.embeddingDedupSql(),
     "embedding_dedup_lsh" -> Similarity.embeddingDedupLshSql(),
     "ann_bruteforce"      -> Similarity.annBruteforceSql(),

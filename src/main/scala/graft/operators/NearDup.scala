@@ -308,6 +308,78 @@ object NearDup {
       .withColumn("is_keeper", ($"doc_id" === $"cluster_id").cast("boolean"))
   }
 
+  /** C14b `dedup_cluster_star` — the same transitive closure via
+    * LARGE-STAR / SMALL-STAR contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014): the long-chain /
+    * billion-edge fallback documented on [[dedupCluster]]. Label
+    * propagation needs diameter-many rounds (a 1000-link chain = 1000
+    * joins); the star operators contract every tree toward its minimum
+    * in O(log²) rounds regardless of shape, and each round is the same
+    * join + partial-agg primitive label propagation uses — nothing
+    * is ever collected per-key (no collect_list; the neighborhood min
+    * distributes through a hash aggregate, so a 10⁸-degree hub costs
+    * the same per row as a degree-2 node).
+    *
+    * Round = large-star (every neighbor above a node links to that
+    * node's neighborhood-min) then small-star (every neighbor below a
+    * node re-links to its min), each emitted through one join against a
+    * per-node min table. Edges stay canonical (u > v). Fixpoint — a
+    * forest of min-rooted stars — is stable under both operators, and
+    * is detected by an (edge-count, hash-xor) fingerprint: collisions
+    * only delay convergence detection by a round, never corrupt the
+    * result, since iteration continues from the true edge set.
+    * Output/oracle identical to [[dedupCluster]]: cluster id = min
+    * reachable doc id. */
+  def starContract(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    import pairs.sparkSession.implicits._
+    var edges = pairs
+      .select(greatest($"id1", $"id2").as("u"), least($"id1", $"id2").as("v"))
+      .distinct().localCheckpoint()
+    // every node of the pair graph (labels must cover leaves AND roots)
+    val allNodes = edges
+      .select(explode(array($"u", $"v")).as("doc_id")).distinct().localCheckpoint()
+    var fingerprint = (-1L, -1L)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // large-star: process each edge from both endpoints; node s links
+      // every LARGER neighbor d to m(s) = min(Γ(s) ∪ {s})
+      val bi = edges.select(explode(array(
+          struct($"u".as("s"), $"v".as("d")),
+          struct($"v".as("s"), $"u".as("d")))).as("e"))
+        .select($"e.s", $"e.d")
+      val lsMin = bi.groupBy($"s").agg(min($"d").as("mn"))
+        .select($"s", least($"mn", $"s").as("m"))
+      val ls = bi.filter($"d" > $"s").join(lsMin, Seq("s"))
+        .select($"d".as("u"), $"m".as("v"))
+        .filter($"u" =!= $"v").distinct()
+      // small-star on the canonical orientation: all of u's neighbors
+      // are below it; re-link them (and u) to the minimum
+      val ssMin = ls.groupBy($"u").agg(min($"v").as("m"))
+      val ss = ls.join(ssMin, Seq("u"))
+        .select(explode(array(
+          struct($"v".as("a"), $"m".as("b")),
+          struct($"u".as("a"), $"m".as("b")))).as("e"))
+        .select($"e.a".as("u"), $"e.b".as("v"))
+        .filter($"u" =!= $"v").distinct().localCheckpoint()
+      val cnt = ss.count()
+      val hs = ss.agg(coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head.getLong(0)
+      converged = (cnt, hs) == fingerprint
+      fingerprint = (cnt, hs)
+      edges = ss // superseded generations → GC'd (lineage already cut)
+      i += 1
+    }
+    val labels = edges.select($"u".as("doc_id"), $"v".as("cluster_id"))
+    val roots = allNodes.join(labels.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"doc_id".as("cluster_id"))
+    labels.unionAll(roots)
+      .withColumn("is_keeper", ($"doc_id" === $"cluster_id").cast("boolean"))
+  }
+
+  def dedupClusterStar(spark: SparkSession, dir: String,
+                       threshold: Double = 0.5): DataFrame =
+    starContract(ngramJaccardDedup(spark, dir, threshold).select(col("id1"), col("id2")))
+
   def dedupClusterSql(threshold: Double = 0.5): String =
     s"""WITH RECURSIVE pairs AS (${ngramJaccardDedupSql(threshold)}),
        |bi AS (SELECT id1 AS n, id2 AS nbr FROM pairs

@@ -129,6 +129,27 @@ class TextDedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("dedup_cluster_star: 1000-node chain contracts in logarithmic rounds") {
+    import spark.implicits._
+    // the adversarial shape for label propagation: one 1000-link chain
+    // (diameter 999 — LP would need ~999 rounds). The star contraction
+    // must collapse it to cluster 0 within 15 rounds, or the labels
+    // come out wrong and the asserts below fail.
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val out = operators.NearDup.starContract(chain, maxIters = 15)
+    assert(out.count() == 1000)
+    assert(out.filter(col("cluster_id") =!= 0L).count() == 0,
+      "chain did not fully contract to its minimum")
+    assert(out.filter(col("is_keeper")).collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  test("dedup_cluster_star: agrees with label propagation on the corpus pair graph") {
+    val lp = operators.NearDup.dedupCluster(spark, sf)
+    val star = operators.NearDup.dedupClusterStar(spark, sf)
+    assert(lp.exceptAll(star).count() == 0 && star.exceptAll(lp).count() == 0,
+      "star contraction and label propagation disagree on cluster labels")
+  }
+
   test("embedding_dedup_lsh: pair set equals the exact blocked all-pairs join") {
     val corpus = operators.Similarity.twinCorpus(spark, sf)
     val exact = operators.Similarity.blockedAllPairs(corpus, 8)

@@ -89,6 +89,8 @@ object SparkEntry {
     "decontaminate"       -> ((s, d) => Govern.decontaminate(s, d)),
     "sample_split"        -> (Govern.sampleSplit _),
     "stratified_sample"   -> (Govern.stratifiedSample _),
+    "mixture_sample"      -> ((s, d) => Govern.mixtureSample(s, d)),
+    "doc_chunk"           -> ((s, d) => TextAnalysis.docChunk(s, d)),
     "sentence_stats"      -> (Govern.sentenceStats _),
     "csv_ingest"          -> (Govern.csvRoundtrip _),
     "pack_sequences"      -> ((s, d) => Govern.packSequences(s, d)),
@@ -170,6 +172,8 @@ object SparkEntry {
     "decontaminate"       -> Govern.decontaminateSql(),
     "sample_split"        -> Govern.sampleSplitSql,
     "stratified_sample"   -> Govern.stratifiedSampleSql,
+    "mixture_sample"      -> Govern.mixtureSampleSql(),
+    "doc_chunk"           -> TextAnalysis.docChunkSql(),
     "sentence_stats"      -> Govern.sentenceStatsSql,
     "csv_ingest"          -> Govern.csvRoundtripSql,
     "pack_sequences"      -> Govern.packSequencesSql(),

@@ -209,6 +209,39 @@ object Govern {
       |  FROM documents)
       |WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 30 END""".stripMargin
 
+  /** F10 `mixture_sample` — temperature-flattened corpus mixing: each
+    * language keeps rate min(1, K/√n_lang), so dominant languages are
+    * downsampled ∝ 1/√n while small ones pass whole — the standard
+    * "raise the sampling temperature" rebalancing used when mixing
+    * pre-training corpora (cf. multilingual α-sampling). The accept
+    * decision is the same engine-portable md5 uniform as F4/F5 against
+    * a per-language rate; rates come from one tiny aggregate broadcast
+    * back, so the corpus itself never shuffles — at 100 TB this is a
+    * scan with a 20-row build side. Rates (√, ÷ of exact integer
+    * counts) are identically-rounded IEEE doubles in both engines, and
+    * the uniform is an exact multiple of 2⁻³², so membership can't
+    * flip between engines. */
+  def mixtureSample(spark: SparkSession, dir: String, k: Double = 5.0): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"lang")
+    val rates = docs.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+      .select($"lang",
+        least(lit(1.0), lit(k) / sqrt($"n_lang".cast("double"))).as("keep_rate"))
+    val u = conv(substring(md5(concat($"doc_id".cast("string"), lit(":mix"))), 1, 8), 16, 10)
+      .cast(LongType).cast("double") / lit(4294967296.0)
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(u < $"keep_rate")
+      .select($"doc_id", $"lang", round($"keep_rate", 6).as("keep_rate"))
+  }
+
+  def mixtureSampleSql(k: Double = 5.0): String =
+    s"""WITH n AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1),
+       |r AS (SELECT lang, LEAST(1.0, $k / sqrt(CAST(n_lang AS DOUBLE))) AS kr FROM n)
+       |SELECT d.doc_id, d.lang, round(r.kr, 6) AS keep_rate
+       |FROM documents d JOIN r USING (lang)
+       |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 8)) AS BIGINT)
+       |      / 4294967296.0 < r.kr""".stripMargin
+
   /** F6 `sentence_stats` — sentence segmentation statistics per doc.
     * The synthetic corpus has no punctuation, so sentences are derived
     * by splitting on the literal token ' the ' (deterministic and

@@ -341,6 +341,43 @@ object TextAnalysis {
        |  FROM weighted)
        |WHERE rk <= $k""".stripMargin
 
+  /** C20 `doc_chunk` — sliding-window token chunking: every document
+    * becomes ⌈n/stride⌉ chunks of up to `chunkSize` tokens starting
+    * every `stride` tokens (consecutive full chunks overlap by
+    * chunkSize − stride) — the step between cleaning and sequence
+    * packing (F8) in a pre-training pipeline, where over-long documents
+    * must split without losing cross-boundary context. Pure per-row
+    * compute (split → sequence of starts → explode → slice): no
+    * shuffle, scan-parallel at any scale, and chunk ids are
+    * deterministic (doc_id, chunk_idx) so reprocessing is idempotent. */
+  def docChunk(spark: SparkSession, dir: String,
+               chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
+      .select($"doc_id", $"toks",
+        explode(expr(s"sequence(0, size(toks) - 1, $stride)")).as("s"))
+      .select($"doc_id",
+        expr(s"cast(s div $stride as int)").as("chunk_idx"),
+        expr(s"slice(toks, s + 1, $chunkSize)").as("ctoks"))
+      .select($"doc_id", $"chunk_idx",
+        size($"ctoks").as("n_tokens"),
+        concat_ws(" ", $"ctoks").as("chunk_text"))
+  }
+
+  def docChunkSql(chunkSize: Int = 32, stride: Int = 24): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |starts AS (
+       |  SELECT doc_id, l, unnest(generate_series(0, len(l) - 1, $stride)) AS s
+       |  FROM toks)
+       |SELECT doc_id, CAST(s // $stride AS INT) AS chunk_idx,
+       |       CAST(len(list_slice(l, s + 1, s + $chunkSize)) AS INT) AS n_tokens,
+       |       array_to_string(list_slice(l, s + 1, s + $chunkSize), ' ') AS chunk_text
+       |FROM starts""".stripMargin
+
   def vocabBuildSql(topN: Int = 500): String =
     s"""WITH counts AS (
        |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token

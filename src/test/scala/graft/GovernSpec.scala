@@ -27,6 +27,49 @@ class GovernSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("mixture_sample: temperature flattening downsamples the head, keeps the tail") {
+    val docs = Tables.documents(spark, sf).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = operators.Govern.mixtureSample(spark, sf).groupBy(col("lang"))
+      .agg(count(lit(1)).as("k"), first(col("keep_rate")).as("r")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // rates follow min(1, 5/sqrt(n)): strictly smaller for bigger languages
+    val rates = kept.view.mapValues(_._2).toMap
+    assert(rates.keySet == docs.keySet)
+    for ((a, na) <- docs; (b, nb) <- docs if na < nb)
+      assert(rates(a) >= rates(b), s"rate($a,n=$na) < rate($b,n=$nb)")
+    // realized keep fraction tracks the rate (binomial tolerance)
+    for ((lang, (k, r)) <- kept) {
+      val n = docs(lang).toDouble
+      val tol = 4 * math.sqrt(r * (1 - r) * n) + 1
+      assert(math.abs(k - r * n) <= tol, s"$lang kept $k of $n at rate $r")
+    }
+  }
+
+  test("doc_chunk: chunks tile each document with the declared overlap") {
+    import spark.implicits._
+    val doc = Tables.documents(spark, sf).filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks")).limit(1).collect()(0)
+    val toks = doc.getSeq[String](1)
+    val chunks = operators.TextAnalysis.docChunk(spark, sf)
+      .filter(col("doc_id") === doc.getLong(0)).orderBy(col("chunk_idx")).collect()
+    // chunk count = ceil(n / stride); every start token matches the doc
+    assert(chunks.length == (toks.length + 23) / 24)
+    chunks.foreach { c =>
+      val idx = c.getInt(1); val ct = c.getString(3).split(" ").toSeq
+      assert(ct == toks.slice(idx * 24, idx * 24 + 32), s"chunk $idx mismatch")
+      assert(c.getInt(2) == ct.length)
+    }
+    // full consecutive chunks overlap by chunkSize - stride = 8 tokens
+    chunks.sliding(2).foreach {
+      case Array(a, b) if a.getInt(2) == 32 =>
+        assert(a.getString(3).split(" ").takeRight(8).toSeq ==
+          b.getString(3).split(" ").take(8).toSeq)
+      case _ => ()
+    }
+  }
+
   test("repetition_score: fractions bounded, counts consistent") {
     val df = operators.Govern.repetitionScore(spark, sf).cache()
     assert(df.filter(col("dup_frac") < 0 || col("dup_frac") >= 1).count() == 0)

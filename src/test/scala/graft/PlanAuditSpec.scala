@@ -40,6 +40,19 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("doc_chunk is exchange-free: chunking is pure per-row compute") {
+    val df = operators.TextAnalysis.docChunk(spark, sf)
+    assert(countShuffles(df) == 0, s"expected shuffle-free plan:\n${executedPlan(df)}")
+    assert(countBroadcasts(df) == 0)
+  }
+
+  test("mixture_sample broadcasts the per-language rates, never shuffles the corpus") {
+    val df = operators.Govern.mixtureSample(spark, sf)
+    assert(countBroadcasts(df) == 1, s"plan:\n${executedPlan(df)}")
+    // the only shuffle is the 20-group rate aggregate on the build side
+    assert(countShuffles(df) <= 1, s"plan:\n${executedPlan(df)}")
+  }
+
   test("decontaminate broadcasts the benchmark gram set, never the corpus") {
     val df = operators.Govern.decontaminate(spark, sf)
     assert(countBroadcasts(df) == 1, s"plan:\n${executedPlan(df)}")

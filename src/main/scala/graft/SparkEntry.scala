@@ -83,6 +83,7 @@ object SparkEntry {
     "stream_sessionize"   -> (graft.streaming.Streams.streamSessionize _),
     "stream_dedup"        -> (graft.streaming.Streams.streamDedup _),
     "stream_join"         -> (graft.streaming.Streams.streamJoin _),
+    "stream_enrich"       -> (graft.streaming.Streams.streamEnrich _),
     // block F — governance / curation
     "pii_redact"          -> (Govern.piiRedact _),
     "repetition_score"    -> (Govern.repetitionScore _),
@@ -166,6 +167,7 @@ object SparkEntry {
     "stream_window_agg"   -> graft.streaming.Streams.streamWindowAggSql,
     "stream_dedup"        -> graft.streaming.Streams.streamDedupSql,
     "stream_join"         -> graft.streaming.Streams.streamJoinSql,
+    "stream_enrich"       -> graft.streaming.Streams.streamEnrichSql,
     // block F — governance / curation
     "pii_redact"          -> Govern.piiRedactSql,
     "repetition_score"    -> Govern.repetitionScoreSql,

@@ -231,7 +231,10 @@ object Similarity {
   def annIvf(spark: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 2,
              k: Int = 5, nQueries: Int = 50): DataFrame = {
     import spark.implicits._
-    val e = withNorm(spark, dir).persist()
+    // eager: e feeds seed selection, the Lloyd assign, the inverted
+    // lists AND the probe side — concurrent consumers would each race
+    // the unfilled cache (see NearDup's materialization contract)
+    val e = withNorm(spark, dir).localCheckpoint()
     // deterministic seed centroids; one Lloyd step: assign → per-cell mean
     val seeds = e.filter($"vec_id" < nlist)
       .select($"vec_id".cast("int").as("cid"), $"embedding".as("cvec"), $"norm".as("cnorm"))
@@ -268,6 +271,10 @@ object Similarity {
       .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
       .select($"cid", expr("transform(pm, x -> cast(x.m as float))").as("cvec"))
       .withColumn("cnorm", sqrt(dotF(col("cvec"), col("cvec"))))
+      // eager: refined centroids feed both the list build and the probe
+      // assign; materializing the 16-row table avoids re-running the
+      // Lloyd step per consumer
+      .localCheckpoint()
     val lists = nearestCell(e, centroids, "l", 1)
       .select($"lcid".as("cell"), $"vec_id".as("neighbor_id"),
         $"embedding".as("vc"), $"norm".as("nc"))

@@ -170,6 +170,35 @@ object Streams {
       | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
       |WHERE p.event_type = 'purchase' AND v.event_type = 'view'""".stripMargin
 
+  /** E5 `stream_enrich` — stream-STATIC dimension enrichment: each
+    * event joins the broadcast customer dimension on user id. This is
+    * the stateless streaming shape the interval join (E4) is not: no
+    * watermark, no state store — the dimension is a broadcast the
+    * stream probes per micro-batch, so throughput is scan-bound and
+    * the static side refreshes per batch (Spark re-plans the static
+    * relation each micro-batch, the standard slowly-changing-dim
+    * pattern). Left join: events with no dimension row survive with
+    * nulls rather than vanishing — an enrichment must never drop
+    * facts. The SAME transform gates in batch. */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), events("user_id") === dim("c_custkey"), "left")
+      .select(events("event_id"), events("user_id"), events("event_type"),
+        events("value"), dim("c_mktsegment").as("segment"),
+        dim("c_nationkey").as("nation_key"))
+
+  /** Driver-gate batch entry for E5. */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame =
+    enrich(
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+      Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey")))
+
+  val streamEnrichSql: String =
+    """SELECT e.event_id, e.user_id, e.event_type, e."value",
+      |       c.c_mktsegment AS segment, c.c_nationkey AS nation_key
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin
+
   /** Driver-gate batch entry for E2 (rows-only oracle; the B8 SQL
     * window sessionization is the declarative equivalent and IS
     * hash-gated — the spec cross-checks the two agree). */

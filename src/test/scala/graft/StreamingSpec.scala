@@ -50,6 +50,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("E5 stream_enrich: stream-static broadcast join equals batch, keeps unmatched facts") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val data = evs(100) // user_id ∈ 0..4
+    val dim = (0L until 4L).map(k => (k, s"SEG$k", (k % 3).toInt))
+      .toDF("c_custkey", "c_mktsegment", "c_nationkey") // user 4 unmatched
+
+    val source = MemoryStream[Ev]
+    source.addData(data: _*)
+    val q = Streams.enrich(source.toDF().drop("ts"), dim)
+      .writeStream.format("memory").queryName("e5_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = s.table("e5_out")
+    val batch = Streams.enrich(data.toDF().drop("ts"), dim)
+    assert(streamed.count() == 100)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // left join: events without a dimension row survive with nulls
+    assert(streamed.filter(col("user_id") === 4 && col("segment").isNull).count() > 0)
+  }
+
   test("E2 stream_sessionize: streaming stateful result equals batch analogue") {
     val s = spark
     import s.implicits._

@@ -62,7 +62,8 @@ object NgramAudit {
           $"n_inter".cast("double") / ($"n1" + $"n2" - $"n_inter").cast("double"))
         .filter($"jaccard" >= 0.5)
       timed("pair join + agg + verify")(pairs.count())
-      spark.sharedState.cacheManager.clearCache()
+      // nothing is cache-manager cached here; the GC releases the
+      // localCheckpoint blocks via the ContextCleaner between reps
       System.gc()
     }
     spark.stop()

@@ -30,6 +30,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache() // operators may persist intermediates
+      // localCheckpoint blocks (NearDup/Similarity materialization
+      // contract) are freed by the ContextCleaner only after their RDD
+      // is GC'd — without this, an 80-operator run accumulates
+      // checkpoint blocks until an organic GC (same rationale as Bench)
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -123,12 +123,13 @@ object Multimodal {
         val w = le32(18); val h = le32(22)
         val bpp = u8(28) | (u8(29) << 8)
         val off = le32(10)
-        // The stride-3 fold below assumes padding-free bottom-up rows:
-        // BMP rows are 4-byte aligned, so only (w*3) % 4 == 0 images
-        // qualify, and top-down (h < 0) files would invert row order.
-        // Anything else goes to the corrupt-input quarantine rather
-        // than decoding silently wrong.
-        if ((w * 3) % 4 != 0 || h <= 0) None
+        // The stride-3 fold below assumes 24bpp padding-free bottom-up
+        // rows: BMP rows are 4-byte aligned, so only (w*3) % 4 == 0
+        // images qualify; top-down (h < 0) files would invert row
+        // order, and any other bit depth would misstride. Anything
+        // else goes to the corrupt-input quarantine rather than
+        // decoding silently wrong.
+        if (bpp != 24 || (w * 3) % 4 != 0 || h <= 0) None
         else {
           val sums = new Array[Long](3)
           var i = off

@@ -324,10 +324,13 @@ object NearDup {
     * node's neighborhood-min) then small-star (every neighbor below a
     * node re-links to its min), each emitted through one join against a
     * per-node min table. Edges stay canonical (u > v). Fixpoint — a
-    * forest of min-rooted stars — is stable under both operators, and
-    * is detected by an (edge-count, hash-xor) fingerprint: collisions
-    * only delay convergence detection by a round, never corrupt the
-    * result, since iteration continues from the true edge set.
+    * forest of min-rooted stars — is stable under both operators. An
+    * (edge-count, hash-xor) fingerprint match triggers an EXACT
+    * edge-set comparison before declaring convergence, so a ~2⁻⁶⁴
+    * fingerprint collision costs one extra check, never a wrong
+    * answer; exhausting maxIters without convergence throws rather
+    * than emitting mid-contraction labels (raise maxIters for graphs
+    * beyond ~2^maxIters nodes of pure chain).
     * Output/oracle identical to [[dedupCluster]]: cluster id = min
     * reachable doc id. */
   def starContract(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
@@ -353,22 +356,35 @@ object NearDup {
       val ls = bi.filter($"d" > $"s").join(lsMin, Seq("s"))
         .select($"d".as("u"), $"m".as("v"))
         .filter($"u" =!= $"v").distinct()
+      // eager (materialization contract): ls feeds the ssMin aggregate
+      // AND the small-star join probe — lazy, both would re-run the
+      // large-star lineage. (bi stays lazy deliberately: it is one
+      // narrow explode over already-checkpointed blocks.)
+      val lsCk = ls.localCheckpoint()
       // small-star on the canonical orientation: all of u's neighbors
       // are below it; re-link them (and u) to the minimum
-      val ssMin = ls.groupBy($"u").agg(min($"v").as("m"))
-      val ss = ls.join(ssMin, Seq("u"))
+      val ssMin = lsCk.groupBy($"u").agg(min($"v").as("m"))
+      val ss = lsCk.join(ssMin, Seq("u"))
         .select(explode(array(
           struct($"v".as("a"), $"m".as("b")),
           struct($"u".as("a"), $"m".as("b")))).as("e"))
         .select($"e.a".as("u"), $"e.b".as("v"))
         .filter($"u" =!= $"v").distinct().localCheckpoint()
-      val cnt = ss.count()
-      val hs = ss.agg(coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head.getLong(0)
-      converged = (cnt, hs) == fingerprint
-      fingerprint = (cnt, hs)
+      // one action for both fingerprint halves
+      val fpRow = ss.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head
+      val next = (fpRow.getLong(0), fpRow.getLong(1))
+      // fingerprint match is only a TRIGGER: convergence is declared on
+      // an exact edge-set comparison, so a collision cannot end the
+      // loop on a non-fixpoint
+      converged = next == fingerprint &&
+        ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
+      fingerprint = next
       edges = ss // superseded generations → GC'd (lineage already cut)
       i += 1
     }
+    require(converged,
+      s"starContract did not converge within $maxIters rounds — raise maxIters")
     val labels = edges.select($"u".as("doc_id"), $"v".as("cluster_id"))
     val roots = allNodes.join(labels.select($"doc_id"), Seq("doc_id"), "left_anti")
       .select($"doc_id", $"doc_id".as("cluster_id"))

@@ -20,7 +20,10 @@ class DeterminismSpec extends AnyFunSuite {
     "vocab_build",         // global window over aggregated vocab
     "resample_fill",       // window fill over generated grid
     "centroid_per_label",  // rounded double means over float partial sums
-    "capped_per_group"     // hash-ordered window sampling
+    "capped_per_group",    // hash-ordered window sampling
+    "mixture_sample",      // broadcast rate lookup + md5 uniform accept
+    "doc_chunk",           // per-row chunk explosion
+    "dedup_cluster_star"   // iterative contraction w/ fingerprint stop
   )
 
   /** Collect to the driver and normalize — NO cache()/exceptAll here:

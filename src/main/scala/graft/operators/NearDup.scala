@@ -190,21 +190,23 @@ object NearDup {
     // the cold run). Materializing once up front is the "write the
     // signature table" step of any production dedup; on a multi-executor
     // cluster make it a reliable checkpoint / parquet stage instead.
-    val postings = docs
+    // the cap: keep only shingles seen in ≤ dfCap docs, computed as a
+    // whole-partition window count over the sh-shuffled postings — ONE
+    // shuffle produces df and applies the filter in the same pass (an
+    // agg + semi-join needs two passes over the postings plus a second
+    // materialization), and the surviving postings land already
+    // partitioned the way the pair self-join wants them.
+    val win = org.apache.spark.sql.expressions.Window.partitionBy($"sh")
+    val capped = docs
       .withColumn("toks", split(trim($"text"), "\\s+"))
       .filter(size($"toks") >= 3)
       .select($"doc_id", explode(expr(
         """array_distinct(transform(sequence(0, size(toks)-3),
           |  i -> xxhash64(toks[i], toks[i+1], toks[i+2])))""".stripMargin)).as("sh"))
-      .localCheckpoint()
-    // the cap: keep only shingles seen in ≤ dfCap docs. The df agg and
-    // the semi-join both key on sh — the same partitioning the pair
-    // join needs, so AQE/exchange-reuse keeps this one extra pass cheap.
-    val kept = postings.groupBy($"sh")
-      .agg(count(lit(1)).as("df"))
+      .withColumn("df", count(lit(1)).over(win))
       .filter($"df" <= dfCap)
-      .select($"sh")
-    val capped = postings.join(kept, Seq("sh"), "left_semi").localCheckpoint()
+      .select($"doc_id", $"sh")
+      .localCheckpoint()
     val sizes = capped.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     capped.select($"doc_id".as("id1"), $"sh")
       .join(capped.select($"doc_id".as("id2"), $"sh"), Seq("sh"))

@@ -56,6 +56,8 @@ object SparkEntry {
     "capped_per_group"    -> ((s, d) => Govern.cappedPerGroup(s, d)),
     "tfidf_terms"         -> ((s, d) => TextAnalysis.tfidfTerms(s, d)),
     "mm_dedup"            -> (Multimodal.mmDedup _),
+    "mm_resize"           -> (Multimodal.mmResize _),
+    "mm_frame_sample"     -> ((s, d) => Multimodal.mmFrameSample(s, d)),
     // block C — LLM-training-data operators
     "text_exact_dedup"    -> (TextAnalysis.textExactDedup _),
     "minhash_lsh_dedup"   -> ((s, d) => NearDup.minhashLshDedup(s, d)),
@@ -153,6 +155,8 @@ object SparkEntry {
     "capped_per_group"    -> Govern.cappedPerGroupSql(),
     "tfidf_terms"         -> TextAnalysis.tfidfTermsSql(),
     "mm_dedup"            -> Multimodal.mmDedupSql,
+    "mm_resize"           -> Multimodal.mmResizeSql,
+    "mm_frame_sample"     -> Multimodal.mmFrameSampleSql(),
     "asof_join"           -> AsOf.asofStateJoinSql,
     "range_join_pairs"    -> RangeJoin.rangePairsSql(),
     "lang_id"             -> TextAnalysis.langIdSql,

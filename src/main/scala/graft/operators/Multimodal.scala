@@ -224,6 +224,98 @@ object Multimodal {
         $"means".getItem(2).as("mean_r"))
   }
 
+  /** D4 `mm_resize` — nearest-neighbor 2× downsample of the decoded
+    * BMPs: output pixel (r, c) reads source pixel (2r, 2c), and the
+    * per-channel means of the downsampled image are folded straight
+    * off the binary payload at the computed source offsets — resize as
+    * pure columnar byte arithmetic, no intermediate image ever
+    * materialized (what a thumbnail/feature pass wants at scale: the
+    * decode-transform-reduce pipeline fuses into the scan). Hash-gated:
+    * the oracle recomputes the downsampled lattice means from the
+    * generator's closed form, so a resize that samples the wrong
+    * source pixel (stride/offset bug) diverges immediately. */
+  def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def leInt(off: Int, bytes: Int): Column = {
+      val h = hex(substring($"payload", off, bytes))
+      conv(concat((bytes - 1 to 0 by -1).map(k => substring(h, 2 * k + 1, 2)): _*),
+        16, 10).cast("int")
+    }
+    bmpTable(spark, dir)
+      .filter(hex(substring($"payload", 1, 2)) === "424D")
+      .withColumn("w", leInt(19, 4))
+      .withColumn("h", leInt(23, 4))
+      .withColumn("data_off", leInt(11, 4))
+      .withColumn("out_w", expr("cast(w div 2 as int)"))
+      .withColumn("out_h", expr("cast(h div 2 as int)"))
+      .withColumn("means", expr(
+        """transform(sequence(0, 2), ch ->
+          |  round(aggregate(sequence(0, out_w * out_h - 1), 0L,
+          |    (acc, p) -> acc + cast(conv(hex(substring(payload,
+          |      data_off + ((p div out_w) * 2 * w + (p % out_w) * 2) * 3 + ch + 1,
+          |      1)), 16, 10) as bigint))
+          |  / cast(out_w * out_h as double), 6))""".stripMargin))
+      .select($"doc_id", $"out_w", $"out_h",
+        $"means".getItem(0).as("mean_b"), $"means".getItem(1).as("mean_g"),
+        $"means".getItem(2).as("mean_r"))
+  }
+
+  /** Oracle: means over the even-lattice source pixels of the
+    * generator's closed form. */
+  val mmResizeSql: String =
+    """WITH img AS (
+      |  SELECT doc_id,
+      |         CAST(4 + (doc_id % 8) * 4 AS INT) AS w,
+      |         CAST(2 + doc_id % 6 AS INT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT doc_id, w, h, w // 2 AS out_w, h // 2 AS out_h, t.p AS p
+      |  FROM img, unnest(generate_series(0, (w // 2) * (h // 2) - 1)) AS t(p))
+      |SELECT doc_id, CAST(out_w AS INT) AS out_w, CAST(out_h AS INT) AS out_h,
+      |       round(SUM((doc_id * 7 + ((p // out_w) * 2) * 31 + ((p % out_w) * 2) * 13 + 0 * 101) % 256)
+      |             / CAST(out_w * out_h AS DOUBLE), 6) AS mean_b,
+      |       round(SUM((doc_id * 7 + ((p // out_w) * 2) * 31 + ((p % out_w) * 2) * 13 + 1 * 101) % 256)
+      |             / CAST(out_w * out_h AS DOUBLE), 6) AS mean_g,
+      |       round(SUM((doc_id * 7 + ((p // out_w) * 2) * 31 + ((p % out_w) * 2) * 13 + 2 * 101) % 256)
+      |             / CAST(out_w * out_h AS DOUBLE), 6) AS mean_r
+      |FROM px GROUP BY doc_id, out_w, out_h""".stripMargin
+
+  /** D5 `mm_frame_sample` — fixed-size frame extraction + temporal
+    * sampling over the video-kind payloads: the payload is treated as
+    * `frameBytes`-sized frames (trailing partial frame dropped), every
+    * `step`-th frame is kept, and each kept frame ships only its index
+    * and content digest — the frame-sampling shape of a video pipeline,
+    * where the sampled frames feed a decoder/embedder downstream and
+    * the shuffle carries digests, never frame bytes. Per-row explode,
+    * no shuffle. Hash-gated: the corpus is ASCII, so the oracle's
+    * VARCHAR substring sees the identical bytes Spark's binary
+    * substring does and the digests must agree exactly. */
+  def mmFrameSample(spark: SparkSession, dir: String,
+                    frameBytes: Int = 64, step: Int = 2): DataFrame = {
+    import spark.implicits._
+    mmTable(spark, dir)
+      .filter($"kind" === "video")
+      .withColumn("n_frames", expr(s"cast(length(payload) div $frameBytes as int)"))
+      .filter($"n_frames" >= 1)
+      .select($"doc_id", $"n_frames", $"payload",
+        explode(expr(s"sequence(0, n_frames - 1, $step)")).as("frame_idx"))
+      .select($"doc_id", $"n_frames", $"frame_idx".cast("int").as("frame_idx"),
+        md5(expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
+          .as("frame_md5"))
+  }
+
+  def mmFrameSampleSql(frameBytes: Int = 64, step: Int = 2): String =
+    s"""WITH vid AS (
+       |  SELECT doc_id, text, CAST(length(text) // $frameBytes AS INT) AS n_frames
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |fr AS (
+       |  SELECT doc_id, text, n_frames, t.f AS frame_idx
+       |  FROM vid, unnest(generate_series(0, n_frames - 1, $step)) AS t(f)
+       |  WHERE n_frames >= 1)
+       |SELECT doc_id, n_frames, CAST(frame_idx AS INT) AS frame_idx,
+       |       md5(substring(text, frame_idx * $frameBytes + 1, $frameBytes)) AS frame_md5
+       |FROM fr""".stripMargin
+
   /** Oracle: the generator's closed form — header fields from the
     * doc_id formulas, channel means as exact integer sums over the
     * pixel lattice. Anything the decoder misparses diverges. */

@@ -186,6 +186,28 @@ class TextDedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("mm_resize halves decoded dimensions; mm_frame_sample keeps every 2nd frame") {
+    val full = operators.Multimodal.mmFeatureExtract(spark, sf)
+      .select(col("doc_id"), col("width_px"), col("height_px"))
+    val small = operators.Multimodal.mmResize(spark, sf)
+    val joined = full.join(small, "doc_id")
+    assert(joined.count() == full.count())
+    assert(joined.filter(col("out_w") =!= col("width_px") / 2 ||
+      col("out_h") =!= expr("cast(height_px div 2 as int)")).count() == 0)
+    assert(small.filter(col("mean_b") < 0 || col("mean_b") > 255 ||
+      col("mean_g") < 0 || col("mean_g") > 255 ||
+      col("mean_r") < 0 || col("mean_r") > 255).count() == 0)
+
+    val frames = operators.Multimodal.mmFrameSample(spark, sf)
+    assert(frames.filter(col("frame_idx") % 2 =!= 0).count() == 0)
+    // per doc: sampled rows = ceil(n_frames / 2), all digests distinct
+    // per (doc, frame) pair-wise (payload bytes differ per offset)
+    val perDoc = frames.groupBy(col("doc_id"), col("n_frames"))
+      .agg(count(lit(1)).as("n_sampled"),
+        countDistinct(col("frame_md5")).as("n_digests"))
+    assert(perDoc.filter(col("n_sampled") =!= expr("(n_frames + 1) div 2")).count() == 0)
+  }
+
   test("mm_feature_extract: SQL and typed BMP decoders agree byte-for-byte") {
     val sql = operators.Multimodal.mmFeatureExtract(spark, sf)
     val typed = operators.Multimodal.mmFeatures(spark, sf).toDF()

@@ -40,10 +40,15 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("doc_chunk is exchange-free: chunking is pure per-row compute") {
-    val df = operators.TextAnalysis.docChunk(spark, sf)
-    assert(countShuffles(df) == 0, s"expected shuffle-free plan:\n${executedPlan(df)}")
-    assert(countBroadcasts(df) == 0)
+  test("doc_chunk, mm_resize, mm_frame_sample are exchange-free per-row pipelines") {
+    Seq(
+      operators.TextAnalysis.docChunk(spark, sf),
+      operators.Multimodal.mmResize(spark, sf),
+      operators.Multimodal.mmFrameSample(spark, sf)
+    ).foreach { df =>
+      assert(countShuffles(df) == 0, s"expected shuffle-free plan:\n${executedPlan(df)}")
+      assert(countBroadcasts(df) == 0)
+    }
   }
 
   test("mixture_sample broadcasts the per-language rates, never shuffles the corpus") {

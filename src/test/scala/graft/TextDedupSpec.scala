@@ -143,6 +143,35 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.filter(col("is_keeper")).collect().map(_.getLong(0)).toSeq == Seq(0L))
   }
 
+  test("dedup_cluster_star: equals driver-side union-find on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    // three densities: mostly-isolated pairs, sparse components, dense
+    for ((n, nEdges) <- Seq((120, 50), (150, 150), (100, 400))) {
+      val edges = (1 to nEdges)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      // ground truth: union-find that always roots at the component min
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => (x, find(x.toInt).toLong)).toSet
+      val out = operators.NearDup.starContract(edges.toDF("id1", "id2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out == expected, s"graph(n=$n, e=$nEdges) labels diverge from union-find")
+    }
+  }
+
   test("dedup_cluster_star: agrees with label propagation on the corpus pair graph") {
     val lp = operators.NearDup.dedupCluster(spark, sf)
     val star = operators.NearDup.dedupClusterStar(spark, sf)

@@ -43,12 +43,12 @@ object NgramAudit {
             |  i -> xxhash64(toks[i], toks[i+1], toks[i+2])))""".stripMargin)).as("sh"))
         .localCheckpoint())
 
-      val kept = postings.groupBy($"sh")
+      val hot = postings.groupBy($"sh")
         .agg(count(lit(1)).as("df"))
-        .filter($"df" <= 100)
+        .filter($"df" > 100)
         .select($"sh")
-      val capped = timed("capped checkpoint")(
-        postings.join(kept, Seq("sh"), "left_semi").localCheckpoint())
+      val capped = postings.join(broadcast(hot), Seq("sh"), "left_anti")
+      timed("hot-list + anti-join")(capped.count())
 
       val sizes = capped.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
       val pairs = capped.select($"doc_id".as("id1"), $"sh")

@@ -99,6 +99,16 @@ object Multimodal {
       .select($"doc_id", unhex(concat($"header_hex", $"pixel_hex")).as("payload"))
   }
 
+  /** Little-endian int decoded from `bytes` bytes of the binary
+    * `payload` column at 1-based offset `off` — shared by every
+    * columnar header decoder so the byte-order/offset convention
+    * lives in one place. */
+  private def leInt(off: Int, bytes: Int): Column = {
+    val h = hex(substring(col("payload"), off, bytes))
+    conv(concat((bytes - 1 to 0 by -1).map(k => substring(h, 2 * k + 1, 2)): _*),
+      16, 10).cast("int")
+  }
+
   /** One encoded media item (input to the typed decode stage). */
   final case class MmItem(doc_id: Long, payload: Array[Byte])
   /** Decoded header + per-channel statistics of one image. */
@@ -197,12 +207,6 @@ object Multimodal {
     * mismatches immediately. */
   def mmFeatureExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // little-endian int from `bytes` bytes of binary at 1-based offset
-    def leInt(off: Int, bytes: Int): Column = {
-      val h = hex(substring($"payload", off, bytes))
-      conv(concat((bytes - 1 to 0 by -1).map(k => substring(h, 2 * k + 1, 2)): _*),
-        16, 10).cast("int")
-    }
     bmpTable(spark, dir)
       .filter(hex(substring($"payload", 1, 2)) === "424D") // magic
       .withColumn("width_px", leInt(19, 4))
@@ -236,11 +240,6 @@ object Multimodal {
     * source pixel (stride/offset bug) diverges immediately. */
   def mmResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def leInt(off: Int, bytes: Int): Column = {
-      val h = hex(substring($"payload", off, bytes))
-      conv(concat((bytes - 1 to 0 by -1).map(k => substring(h, 2 * k + 1, 2)): _*),
-        16, 10).cast("int")
-    }
     bmpTable(spark, dir)
       .filter(hex(substring($"payload", 1, 2)) === "424D")
       .withColumn("w", leInt(19, 4))

@@ -190,23 +190,28 @@ object NearDup {
     // the cold run). Materializing once up front is the "write the
     // signature table" step of any production dedup; on a multi-executor
     // cluster make it a reliable checkpoint / parquet stage instead.
-    // the cap: keep only shingles seen in ≤ dfCap docs, computed as a
-    // whole-partition window count over the sh-shuffled postings — ONE
-    // shuffle produces df and applies the filter in the same pass (an
-    // agg + semi-join needs two passes over the postings plus a second
-    // materialization), and the surviving postings land already
-    // partitioned the way the pair self-join wants them.
-    val win = org.apache.spark.sql.expressions.Window.partitionBy($"sh")
-    val capped = docs
+    val postings = docs
       .withColumn("toks", split(trim($"text"), "\\s+"))
       .filter(size($"toks") >= 3)
       .select($"doc_id", explode(expr(
         """array_distinct(transform(sequence(0, size(toks)-3),
           |  i -> xxhash64(toks[i], toks[i+1], toks[i+2])))""".stripMargin)).as("sh"))
-      .withColumn("df", count(lit(1)).over(win))
-      .filter($"df" <= dfCap)
-      .select($"doc_id", $"sh")
       .localCheckpoint()
+    // the cap, skew-safe: the DROPPED side is what's broadcast. Hot
+    // shingles (df > dfCap) are by construction few — boilerplate
+    // headers, stopword runs — so the df aggregate reduces them
+    // map-side (partial agg; a hot key costs one row per map task, no
+    // single-task group buffering, unlike a window count whose hot
+    // partition cannot be split) and the resulting hot-list broadcasts
+    // into a scan-side anti-join: postings never shuffle FOR THE CAP
+    // at all, only for the pair join itself. The anti-join is a narrow
+    // op over the checkpointed postings, cheap for all three consumers
+    // (sizes + both pair-join sides); the broadcast is exchange-reused.
+    val hot = postings.groupBy($"sh")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" > dfCap)
+      .select($"sh")
+    val capped = postings.join(broadcast(hot), Seq("sh"), "left_anti")
     val sizes = capped.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     capped.select($"doc_id".as("id1"), $"sh")
       .join(capped.select($"doc_id".as("id2"), $"sh"), Seq("sh"))

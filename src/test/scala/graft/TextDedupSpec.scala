@@ -235,6 +235,8 @@ class TextDedupSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n_sampled"),
         countDistinct(col("frame_md5")).as("n_digests"))
     assert(perDoc.filter(col("n_sampled") =!= expr("(n_frames + 1) div 2")).count() == 0)
+    assert(perDoc.filter(col("n_digests") =!= col("n_sampled")).count() == 0,
+      "sampled frames of a doc must have pairwise-distinct content digests")
   }
 
   test("mm_feature_extract: SQL and typed BMP decoders agree byte-for-byte") {

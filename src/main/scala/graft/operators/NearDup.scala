@@ -291,8 +291,12 @@ object NearDup {
         struct($"id1".as("n"), $"id2".as("nbr")),
         struct($"id2".as("n"), $"id1".as("nbr")))).as("e"))
       .select($"e.n", $"e.nbr").localCheckpoint()
-    var labels = bi.select($"n").distinct()
-      .withColumn("label", $"n").localCheckpoint()
+    // initialization fuses iteration 1: with every node labeled by its
+    // own id, the first round's min-over-neighbors is just min(nbr), so
+    // start from label = min(n, min(nbr)) and save one full
+    // join+checkpoint round
+    var labels = bi.groupBy($"n")
+      .agg(least($"n", min($"nbr")).as("label")).localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {

@@ -172,6 +172,7 @@ object SparkEntry {
     "stream_dedup"        -> graft.streaming.Streams.streamDedupSql,
     "stream_join"         -> graft.streaming.Streams.streamJoinSql,
     "stream_enrich"       -> graft.streaming.Streams.streamEnrichSql,
+    "stream_sessionize"   -> graft.streaming.Streams.streamSessionizeSql(),
     // block F — governance / curation
     "pii_redact"          -> Govern.piiRedactSql,
     "repetition_score"    -> Govern.repetitionScoreSql,

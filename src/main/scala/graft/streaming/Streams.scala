@@ -208,4 +208,25 @@ object Streams {
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Ev]
     sessionizeTyped(evs).toDF()
   }
+
+  /** The stateful sessionizer and B8's declarative window sessionizer
+    * compute the same sessions, so the typed path gates on the same
+    * SQL oracle (minus B8's session_value aggregate) — the strongest
+    * possible check for a stateful operator: hash-equality against an
+    * independent engine's window formulation. */
+  def streamSessionizeSql(gapMinutes: Int = 30): String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts,
+       |         CASE WHEN lag(ts) OVER w IS NULL
+       |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $gapMinutes * 60000000
+       |              THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sessions AS (
+       |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+       |  FROM flagged)
+       |SELECT user_id, session_idx, COUNT(*) AS n_events,
+       |       MIN(ts) AS session_start, MAX(ts) AS session_end
+       |FROM sessions GROUP BY user_id, session_idx""".stripMargin
 }

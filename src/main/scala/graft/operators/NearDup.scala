@@ -423,20 +423,42 @@ object NearDup {
     * hash every char 8-gram, keep the minimum of each sliding window of
     * 4 hashes, distinct. Guarantees any shared substring ≥ 11 chars
     * yields a shared fingerprint (the winnowing theorem), with density
-    * 2/(w+1). Per-row higher-order fns only — scan-speed at any scale;
-    * rows-only oracle (seeded-hash specific), spec asserts twin docs
-    * share their full fingerprint set. */
+    * 2/(w+1). Per-row higher-order fns only — scan-speed at any scale.
+    * The gram hash is md5-derived (first 8 hex chars → int64) because
+    * both engines compute md5 bit-identically, which upgrades this from
+    * a rows-only check to a HASH-GATED query; the winnowing property is
+    * hash-agnostic, so a production deployment swaps in xxhash64 for
+    * throughput without changing any other line. Output carries the
+    * fingerprint-set size and its order-independent xor digest. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     corpus(spark, dir)
       .filter(length($"text") >= 11)
       .withColumn("grams", expr(
-        "transform(sequence(1, length(text) - 7), i -> xxhash64(substring(text, i, 8)))"))
+        """transform(sequence(1, length(text) - 7),
+          |  i -> cast(conv(substring(md5(substring(text, i, 8)), 1, 8), 16, 10) as bigint))"""
+          .stripMargin))
       .withColumn("fingerprints", expr(
         """array_distinct(transform(sequence(0, size(grams) - 4),
           |  w -> array_min(slice(grams, w + 1, 4))))""".stripMargin))
       .select($"doc_id",
         size($"fingerprints").as("n_fingerprints"),
-        hash($"fingerprints").as("fp_set_hash"))
+        expr("aggregate(fingerprints, 0L, (acc, x) -> acc ^ x)").as("fp_xor"))
   }
+
+  def docFingerprintSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + $BigOffset, text FROM documents),
+       |g AS (
+       |  SELECT doc_id, list_transform(range(1, length(text) - 6),
+       |           i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 8)) AS BIGINT)) AS grams
+       |  FROM corpus WHERE length(text) >= 11),
+       |f AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(0, len(grams) - 3),
+       |           w -> list_min(grams[w+1:w+4]))) AS fps
+       |  FROM g),
+       |sel AS (SELECT doc_id, len(fps) AS n, unnest(fps) AS fp FROM f)
+       |SELECT doc_id, CAST(MIN(n) AS INT) AS n_fingerprints, bit_xor(fp) AS fp_xor
+       |FROM sel GROUP BY doc_id""".stripMargin
 }

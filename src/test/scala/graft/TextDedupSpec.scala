@@ -49,10 +49,12 @@ class TextDedupSpec extends AnyFunSuite {
   test("doc_fingerprint: twin docs have identical fingerprint sets") {
     val fp = operators.NearDup.docFingerprint(spark, sf)
     val orig = fp.filter(col("doc_id") < 1000000L)
-      .select(col("doc_id"), col("fp_set_hash").as("h1"))
+      .select(col("doc_id"), col("fp_xor").as("h1"), col("n_fingerprints").as("n1"))
     val twin = fp.filter(col("doc_id") >= 1000000L)
-      .select((col("doc_id") - 1000000L).as("doc_id"), col("fp_set_hash").as("h2"))
-    assert(orig.join(twin, "doc_id").filter(col("h1") =!= col("h2")).count() == 0)
+      .select((col("doc_id") - 1000000L).as("doc_id"), col("fp_xor").as("h2"),
+        col("n_fingerprints").as("n2"))
+    assert(orig.join(twin, "doc_id")
+      .filter(col("h1") =!= col("h2") || col("n1") =!= col("n2")).count() == 0)
   }
 
   test("embedding_dedup pairs match ann threshold semantics; ann_lsh buckets partition") {

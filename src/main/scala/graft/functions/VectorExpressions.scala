@@ -157,6 +157,49 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** `byte_at(bin, i)` — unsigned value of byte `i` (0-based) of a
+    * binary column; null out of range. Replaces the
+    * `conv(hex(substring(bin, i+1, 1)), 16, 10)` idiom (three string
+    * allocations per byte) with one bounds-checked array read that
+    * fuses into whole-stage codegen — the per-pixel primitive under
+    * the D2/D4 media decoders' channel folds. Accepts any integral
+    * index type (sequence() lambdas produce ints, offset arithmetic
+    * may widen to long). */
+  case class ByteAt(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def prettyName: String = "byte_at"
+
+    override def nullSafeEval(bin: Any, pos: Any): Any = {
+      val b = bin.asInstanceOf[Array[Byte]]
+      val i = pos match {
+        case x: Int => x
+        case x: Long => if (x > Int.MaxValue || x < Int.MinValue) -1 else x.toInt
+        case x: Short => x.toInt
+        case x: Byte => x.toInt
+      }
+      if (i < 0 || i >= b.length) null else b(i) & 0xff
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (b, p) => {
+        val idx = ctx.freshName("idx")
+        s"""
+           |long $idx = (long)($p);
+           |if ($idx < 0L || $idx >= (long)($b).length) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = ($b)[(int)$idx] & 0xFF;
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   // Column wrappers ----------------------------------------------------
 
   def dotF(a: Column, b: Column): Column =

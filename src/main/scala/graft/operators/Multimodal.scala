@@ -215,13 +215,13 @@ object Multimodal {
       .withColumn("data_off", leInt(11, 4))
       .withColumn("n_bytes", length($"payload"))
       .withColumn("npix", expr("(n_bytes - data_off) div 3"))
-      // byte value = conv(hex(one-byte binary slice)) — all codegen'd,
-      // each slice a constant-time offset into the byte array
+      // byte_at: graft's codegen'd bounds-checked byte read (registered
+      // via GraftExtensions) — one array access per pixel byte, no
+      // hex/conv string churn inside the fold
       .withColumn("means", expr(
         """transform(sequence(0, 2), ch ->
           |  round(aggregate(sequence(0, cast(npix as int) - 1),
-          |                  0L, (acc, p) -> acc + cast(conv(hex(
-          |                    substring(payload, data_off + p * 3 + ch + 1, 1)), 16, 10) as bigint))
+          |                  0L, (acc, p) -> acc + cast(byte_at(payload, data_off + p * 3 + ch) as bigint))
           |        / cast(npix as double), 6))""".stripMargin))
       .select($"doc_id", $"width_px", $"height_px", $"bpp", $"n_bytes",
         $"means".getItem(0).as("mean_b"), $"means".getItem(1).as("mean_g"),
@@ -250,9 +250,8 @@ object Multimodal {
       .withColumn("means", expr(
         """transform(sequence(0, 2), ch ->
           |  round(aggregate(sequence(0, out_w * out_h - 1), 0L,
-          |    (acc, p) -> acc + cast(conv(hex(substring(payload,
-          |      data_off + ((p div out_w) * 2 * w + (p % out_w) * 2) * 3 + ch + 1,
-          |      1)), 16, 10) as bigint))
+          |    (acc, p) -> acc + cast(byte_at(payload,
+          |      data_off + ((p div out_w) * 2 * w + (p % out_w) * 2) * 3 + ch) as bigint))
           |  / cast(out_w * out_h as double), 6))""".stripMargin))
       .select($"doc_id", $"out_w", $"out_h",
         $"means".getItem(0).as("mean_b"), $"means".getItem(1).as("mean_g"),

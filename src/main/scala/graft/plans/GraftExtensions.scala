@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.VectorExpressions.DotProductFloat
+import graft.functions.VectorExpressions.{ByteAt, DotProductFloat}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product_float"),
       new ExpressionInfo(classOf[DotProductFloat].getName, "dot_product_float"),
       (args: Seq[Expression]) => DotProductFloat(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("byte_at"),
+      new ExpressionInfo(classOf[ByteAt].getName, "byte_at"),
+      (args: Seq[Expression]) => ByteAt(args(0), args(1))))
     ext.injectOptimizerRule(_ => FuseVectorKernels)
     ext.injectPlannerStrategy(_ => AsOfStrategy)
   }

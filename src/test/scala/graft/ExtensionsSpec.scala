@@ -13,28 +13,33 @@ class ExtensionsSpec extends AnyFunSuite {
     "aggregate(zip_with(va, vb, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"
 
   test("FuseVectorKernels: HOF dot product plans as dot_product_float, same values") {
-    val s = spark
-    // real parquet scan; the loader's explicit schema carries the
-    // dense-array contract (containsNull=false) the rule requires
-    val df = Tables.embeddings(s, sf)
+    // TestSpark loads GraftExtensions (production parity), so the rule
+    // is active session-wide: the declarative form must plan AS the
+    // kernel, and its values must equal a driver-side reference fold.
+    val df = Tables.embeddings(spark, sf)
       .select(col("embedding").as("va"), col("embedding").as("vb"))
-
     val q = df.select(expr(hofDot).as("dot"))
-    val before = q.queryExecution.optimizedPlan.toString
-    assert(!before.contains("dot_product_float"))
-    val expected = q.collect().map(_.getDouble(0)).toSeq
-
-    s.experimental.extraOptimizations ++= Seq(FuseVectorKernels)
-    try {
-      val fused = df.select(expr(hofDot).as("dot"))
-      val plan = fused.queryExecution.optimizedPlan.toString
-      assert(plan.contains("dot_product_float"), s"rule did not fire:\n$plan")
-      val vals = fused.collect().map(_.getDouble(0)).toSeq
-      assert(vals == expected)
-    } finally {
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations.filterNot(_ == FuseVectorKernels)
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("dot_product_float"), s"rule did not fire:\n$plan")
+    val vals = q.collect().map(_.getDouble(0))
+    val ref = df.collect().map { r =>
+      val a = r.getSeq[Float](0); val b = r.getSeq[Float](1)
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
     }
+    assert(vals.sameElements(ref))
+    // guard case: a FLOAT-typed product (rounds each term) must NOT fuse
+    // into the double-accumulating kernel
+    val floatForm =
+      "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, v) -> acc + cast(v as double))"
+    val unfused = df.select(expr(floatForm).as("dot"))
+    assert(!unfused.queryExecution.optimizedPlan.toString.contains("dot_product_float"))
+  }
+
+  test("byte_at SQL function is session-registered and reads payload bytes") {
+    val r = spark.sql(
+      "SELECT byte_at(cast('AB' as binary), 0) AS b0, byte_at(cast('AB' as binary), 5) AS oob")
+      .head
+    assert(r.getInt(0) == 'A'.toInt && r.isNullAt(1))
   }
 
   test("kernel agrees with HOF fold on real embeddings") {

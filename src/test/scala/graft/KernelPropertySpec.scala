@@ -81,6 +81,27 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(back.sortedDescending.toSeq == h.sortedDescending.toSeq)
   }
 
+  test("ByteAt reads unsigned bytes, nulls out of range, any integral index type") {
+    import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType}
+    val rnd = new Random(7)
+    for (_ <- 1 to 100) {
+      val n = 1 + rnd.nextInt(64)
+      val bytes = Array.fill(n)(rnd.nextInt(256).toByte)
+      val bin = Literal.create(bytes, BinaryType)
+      val i = rnd.nextInt(n + 8) - 4 // includes out-of-range both sides
+      val expected: Any = if (i < 0 || i >= n) null else bytes(i) & 0xff
+      assert(VectorExpressions.ByteAt(bin, Literal.create(i, IntegerType))
+        .eval(null) == expected)
+      assert(VectorExpressions.ByteAt(bin, Literal.create(i.toLong, LongType))
+        .eval(null) == expected)
+    }
+    // long index beyond int range -> null, not a wrapped read
+    val bin = Literal.create(Array[Byte](1, 2, 3), BinaryType)
+    assert(VectorExpressions.ByteAt(bin,
+      Literal.create(Int.MaxValue.toLong + 5L, org.apache.spark.sql.types.LongType))
+      .eval(null) == null)
+  }
+
   test("SimHash64 is token-order-insensitive and deterministic") {
     def hashOf(ts: Seq[String]): Any =
       VectorExpressions.SimHash64(Literal.create(

@@ -73,23 +73,28 @@ object NearDup {
   def minhashLshDedup(spark: SparkSession, dir: String, bucketCap: Int = 1000): DataFrame =
     minhashLshPairs(corpus(spark, dir), bucketCap)
 
-  /** Frame-based core of C2 (docs = (doc_id, text)). */
-  def minhashLshPairs(docs: DataFrame, bucketCap: Int = 1000): DataFrame = {
+  /** MinHash signatures + LSH band hashes of a (doc_id, text) frame —
+    * the shared signature pipeline of batch C2 and streaming E6 (one
+    * definition, so their band buckets can never drift apart). */
+  private[graft] def bandTable(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val sigs = shingledFrames(docs)
+    shingledFrames(docs)
       .withColumn("sig", graft.functions.VectorExpressions.minhashSig($"shingles", 16))
-      .select($"doc_id", $"sig")
-    // eager: the band table feeds three concurrent consumers (bucket
-    // sizing + both join sides) — see the materialization contract
-    // above. At cluster scale this is the "materialize the signature
-    // table" step of any LSH pipeline.
-    val bands = sigs
       .select($"doc_id", $"sig", posexplode(expr(
         """transform(sequence(0, 3),
           |  b -> xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3], b))""".stripMargin)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_sig")
-      .localCheckpoint()
+  }
+
+  /** Frame-based core of C2 (docs = (doc_id, text)). */
+  def minhashLshPairs(docs: DataFrame, bucketCap: Int = 1000): DataFrame = {
+    import docs.sparkSession.implicits._
+    // eager: the band table feeds three concurrent consumers (bucket
+    // sizing + both join sides) — see the materialization contract
+    // above. At cluster scale this is the "materialize the signature
+    // table" step of any LSH pipeline.
+    val bands = bandTable(docs).localCheckpoint()
     val smallBuckets = bands
       .groupBy($"band_idx", $"band_sig")
       .agg(count(lit(1)).as("bucket_n"))

@@ -199,6 +199,74 @@ object Streams {
       |       c.c_mktsegment AS segment, c.c_nationkey AS nation_key
       |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin
 
+  /** One LSH band posting of a document's MinHash signature. */
+  final case class BandPost(band_sig: Long, doc_id: Long, sig: Seq[Long])
+  /** A candidate near-dup pair surfaced by a shared band bucket. */
+  final case class CandPair(id1: Long, id2: Long, est_jaccard: Double)
+
+  /** E6 `stream_near_dedup` — STREAMING MinHash-LSH near-dup
+    * detection: the ingest-time form of C2, where every arriving
+    * document is checked against everything already seen before it
+    * lands. Documents post one (band_sig, doc_id, signature) row per
+    * LSH band; posts group by band_sig and a stateful function keeps
+    * the bucket's seen signatures, emitting a candidate pair (with the
+    * signature-agreement Jaccard estimate) for each new-vs-seen
+    * collision. State per key is capped at `bucketCap` signatures —
+    * degenerate boilerplate buckets stop accumulating (and stop
+    * emitting, matching C2's dropped-bucket semantics asymptotically)
+    * so state is bounded regardless of stream length; a production
+    * deployment adds an event-time timeout to age buckets out.
+    * Batch-mode groups arrive whole with fresh state; processing in
+    * doc_id order makes the pair set deterministic and — modulo the
+    * cap — exactly C2's bucket-collision candidates, which the spec
+    * pins. Pairs colliding on several bands are deduped downstream
+    * (`distinct` in batch; in a stream, a second keyed stage or an
+    * idempotent sink). */
+  def nearDedupTyped(posts: Dataset[BandPost], bucketCap: Int = 1000): Dataset[CandPair] = {
+    import posts.sparkSession.implicits._
+    posts
+      .groupByKey(_.band_sig)
+      .flatMapGroupsWithState[List[(Long, Seq[Long])], CandPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, postsIter, state: GroupState[List[(Long, Seq[Long])]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[CandPair]
+          postsIter.toSeq.sortBy(_.doc_id).foreach { p =>
+            if (seen.size < bucketCap) {
+              seen.foreach { case (id, sig) =>
+                val matches = sig.iterator.zip(p.sig.iterator).count { case (a, b) => a == b }
+                out += CandPair(math.min(id, p.doc_id), math.max(id, p.doc_id),
+                  matches.toDouble / sig.length)
+              }
+              seen = (p.doc_id, p.sig) :: seen
+            }
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
+  /** Driver-gate batch entry for E6: the C2 corpus (documents ∪ planted
+    * twins) through the streaming detector in batch mode. Rows-only
+    * oracle (seeded xxhash64 signatures); the spec pins the pair set
+    * equal to C2's bucket join. */
+  def streamNearDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    nearDedupTyped(bandPosts(spark, dir)).toDF().distinct()
+  }
+
+  /** The C2 signature/band pipeline ([[graft.operators.NearDup
+    * .bandTable]] — one definition for batch and stream) emitted as
+    * typed posts. */
+  private[graft] def bandPosts(spark: SparkSession, dir: String): Dataset[BandPost] = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val corpus = Tables.fanout(docs.unionAll(
+      docs.select(($"doc_id" + 1000000L).as("doc_id"), $"text")))
+    graft.operators.NearDup.bandTable(corpus)
+      .select($"band_sig", $"doc_id", $"sig").as[BandPost]
+  }
+
   /** Driver-gate batch entry for E2 (rows-only oracle; the B8 SQL
     * window sessionization is the declarative equivalent and IS
     * hash-gated — the spec cross-checks the two agree). */

@@ -75,6 +75,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.filter(col("user_id") === 4 && col("segment").isNull).count() > 0)
   }
 
+  test("E6 stream_near_dedup: batch pair set equals C2's bucket join; stream finds twins") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // batch parity at an uncapped bucket size (cap semantics for
+    // oversized buckets intentionally differ: C2 drops, E6 truncates)
+    val big = Int.MaxValue
+    val c2 = operators.NearDup.minhashLshDedup(s, sf, bucketCap = big)
+      .select(col("id1"), col("id2"), col("est_jaccard"))
+    val e6 = Streams.nearDedupTyped(Streams.bandPosts(s, sf), bucketCap = big)
+      .toDF().distinct()
+    assert(e6.exceptAll(c2).count() == 0 && c2.exceptAll(e6).count() == 0,
+      "streaming detector (batch mode) diverges from C2's bucket join")
+
+    // true streaming: posts arrive via MemoryStream; planted twin pairs
+    // (doc, doc + 1e6) must surface as candidates
+    val posts = Streams.bandPosts(s, sf).collect().toSeq
+    val source = MemoryStream[Streams.BandPost]
+    source.addData(posts: _*)
+    val q = Streams.nearDedupTyped(source.toDS())
+      .writeStream.format("memory").queryName("e6_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("e6_out")
+    val nDocs = Tables.documents(s, sf)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 3).count()
+    val twinPairs = streamed
+      .filter(col("id2") === col("id1") + 1000000L && col("est_jaccard") === 1.0)
+      .select(col("id1"), col("id2")).distinct().count()
+    assert(twinPairs == nDocs, s"stream surfaced $twinPairs of $nDocs planted twins")
+    spark.catalog.clearCache()
+  }
+
   test("E2 stream_sessionize: streaming stateful result equals batch analogue") {
     val s = spark
     import s.implicits._

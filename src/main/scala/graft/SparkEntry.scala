@@ -168,7 +168,8 @@ object SparkEntry {
     "pipeline_clean_corpus" -> TextAnalysis.pipelineCleanCorpusSql(),
     "mm_metadata"         -> Multimodal.mmMetadataSql,
     "mm_feature_extract"  -> Multimodal.mmFeatureExtractSql,
-    // block E (stream_sessionize: typed stateful op → rows-only)
+    // block E (stream_near_dedup: seeded-hash signatures → rows-only;
+    // stream_sessionize hash-gates on B8's window oracle)
     "stream_window_agg"   -> graft.streaming.Streams.streamWindowAggSql,
     "stream_dedup"        -> graft.streaming.Streams.streamDedupSql,
     "stream_join"         -> graft.streaming.Streams.streamJoinSql,

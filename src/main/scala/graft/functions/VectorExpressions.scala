@@ -171,6 +171,20 @@ object VectorExpressions {
     override def nullable: Boolean = true
     override def prettyName: String = "byte_at"
 
+    // reject wrong-typed args at ANALYSIS (a fractional index would
+    // otherwise truncate under codegen but MatchError under eval —
+    // same query, two behaviors)
+    override def checkInputDataTypes():
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      if (left.dataType != BinaryType)
+        TypeCheckFailure(s"byte_at requires a BINARY first argument, got ${left.dataType}")
+      else right.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => TypeCheckSuccess
+        case t => TypeCheckFailure(s"byte_at index must be integral, got $t")
+      }
+    }
+
     override def nullSafeEval(bin: Any, pos: Any): Any = {
       val b = bin.asInstanceOf[Array[Byte]]
       val i = pos match {

@@ -270,7 +270,8 @@ object Analytics {
     s"""WITH flagged AS (
        |  SELECT user_id, event_id, ts, "value",
        |         CASE WHEN lag(ts) OVER w IS NULL
-       |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $gapMinutes * 60000000
+       |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+       |                   > $gapMinutes * CAST(60000000 AS BIGINT)
        |              THEN 1 ELSE 0 END AS new_session
        |  FROM events
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -36,8 +36,10 @@ object NearDup {
     * Multimodal — Scala and oracle SQL sides must agree on it). */
   private[operators] val BigOffset = 1000000L
 
-  /** documents ∪ exact re-crawl (planted dups, ids + 1e6). */
-  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+  /** documents ∪ exact re-crawl (planted dups, ids + [[BigOffset]]) —
+    * shared by batch C-block operators and streaming E6, so their
+    * inputs cannot drift. */
+  private[graft] def corpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
     Tables.fanout(docs.unionAll(

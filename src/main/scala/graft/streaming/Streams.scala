@@ -222,26 +222,35 @@ object Streams {
     * pins. Pairs colliding on several bands are deduped downstream
     * (`distinct` in batch; in a stream, a second keyed stage or an
     * idempotent sink). */
+  /** Bucket state: seen count carried explicitly so a full bucket's
+    * drop path is O(1), not an O(cap) list traversal per arriving post
+    * (the hot-key case the cap exists for). */
+  final case class BucketState(n: Int, seen: List[(Long, Seq[Long])])
+
   def nearDedupTyped(posts: Dataset[BandPost], bucketCap: Int = 1000): Dataset[CandPair] = {
     import posts.sparkSession.implicits._
     posts
       .groupByKey(_.band_sig)
-      .flatMapGroupsWithState[List[(Long, Seq[Long])], CandPair](
+      .flatMapGroupsWithState[BucketState, CandPair](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (_, postsIter, state: GroupState[List[(Long, Seq[Long])]]) =>
-          var seen = state.getOption.getOrElse(Nil)
+        case (_, postsIter, state: GroupState[BucketState]) =>
+          val st0 = state.getOption.getOrElse(BucketState(0, Nil))
+          var n = st0.n
+          var seen = st0.seen
           val out = scala.collection.mutable.ListBuffer.empty[CandPair]
           postsIter.toSeq.sortBy(_.doc_id).foreach { p =>
-            if (seen.size < bucketCap) {
+            if (n < bucketCap) {
               seen.foreach { case (id, sig) =>
                 val matches = sig.iterator.zip(p.sig.iterator).count { case (a, b) => a == b }
                 out += CandPair(math.min(id, p.doc_id), math.max(id, p.doc_id),
                   matches.toDouble / sig.length)
               }
               seen = (p.doc_id, p.sig) :: seen
+              n += 1
             }
           }
-          state.update(seen)
+          // don't re-serialize an unchanged full bucket every trigger
+          if (n != st0.n) state.update(BucketState(n, seen))
           out.iterator
       }
   }
@@ -255,21 +264,19 @@ object Streams {
     nearDedupTyped(bandPosts(spark, dir)).toDF().distinct()
   }
 
-  /** The C2 signature/band pipeline ([[graft.operators.NearDup
+  /** The C2 corpus + signature/band pipeline
+    * ([[graft.operators.NearDup.corpus]]/[[graft.operators.NearDup
     * .bandTable]] — one definition for batch and stream) emitted as
     * typed posts. */
   private[graft] def bandPosts(spark: SparkSession, dir: String): Dataset[BandPost] = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
-    val corpus = Tables.fanout(docs.unionAll(
-      docs.select(($"doc_id" + 1000000L).as("doc_id"), $"text")))
-    graft.operators.NearDup.bandTable(corpus)
+    graft.operators.NearDup.bandTable(graft.operators.NearDup.corpus(spark, dir))
       .select($"band_sig", $"doc_id", $"sig").as[BandPost]
   }
 
-  /** Driver-gate batch entry for E2 (rows-only oracle; the B8 SQL
-    * window sessionization is the declarative equivalent and IS
-    * hash-gated — the spec cross-checks the two agree). */
+  /** Driver-gate batch entry for E2 — hash-gated on B8's window
+    * oracle via [[streamSessionizeSql]] (the two formulations compute
+    * identical sessions). */
   def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val evs = Tables.events(spark, dir)
@@ -278,23 +285,13 @@ object Streams {
   }
 
   /** The stateful sessionizer and B8's declarative window sessionizer
-    * compute the same sessions, so the typed path gates on the same
-    * SQL oracle (minus B8's session_value aggregate) — the strongest
-    * possible check for a stateful operator: hash-equality against an
-    * independent engine's window formulation. */
+    * compute the same sessions, so the typed path gates on B8's OWN
+    * oracle with the value aggregate projected away (derived, not
+    * copied — a future change to B8's oracle semantics flows through
+    * automatically) — the strongest possible check for a stateful
+    * operator: hash-equality against an independent engine's window
+    * formulation. */
   def streamSessionizeSql(gapMinutes: Int = 30): String =
-    s"""WITH flagged AS (
-       |  SELECT user_id, event_id, ts,
-       |         CASE WHEN lag(ts) OVER w IS NULL
-       |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $gapMinutes * 60000000
-       |              THEN 1 ELSE 0 END AS new_session
-       |  FROM events
-       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-       |sessions AS (
-       |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
-       |  FROM flagged)
-       |SELECT user_id, session_idx, COUNT(*) AS n_events,
-       |       MIN(ts) AS session_start, MAX(ts) AS session_end
-       |FROM sessions GROUP BY user_id, session_idx""".stripMargin
+    s"""SELECT user_id, session_idx, n_events, session_start, session_end
+       |FROM (${graft.operators.Analytics.sessionizeSql(gapMinutes)})""".stripMargin
 }

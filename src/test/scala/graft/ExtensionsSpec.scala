@@ -42,13 +42,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(0) == 'A'.toInt && r.isNullAt(1))
   }
 
-  test("kernel agrees with HOF fold on real embeddings") {
+  test("kernel agrees with a driver-side fold on real embeddings") {
+    // NOTE: with GraftExtensions active session-wide, the HOF form
+    // would itself plan as the kernel — comparing the two would be
+    // kernel-vs-kernel (vacuous). The independent reference must live
+    // outside the optimizer: a driver-side sequential fold.
     val e = Tables.fanout(Tables.embeddings(spark, sf)).limit(50)
       .select(col("embedding").as("va"), col("embedding").as("vb"))
-    val hof = e.select(expr(hofDot).as("d")).collect().map(_.getDouble(0))
     val kernel = e.select(
-      graft.functions.VectorExpressions.dotF(col("va"), col("vb")).as("d"))
-      .collect().map(_.getDouble(0))
-    assert(hof.toSeq == kernel.toSeq)
+      graft.functions.VectorExpressions.dotF(col("va"), col("vb")).as("d"),
+      col("va"))
+      .collect()
+    kernel.foreach { r =>
+      val a = r.getSeq[Float](1)
+      val ref = a.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+      assert(r.getDouble(0) == ref, "kernel diverges from sequential driver fold")
+    }
   }
 }

@@ -91,10 +91,12 @@ class StreamingSpec extends AnyFunSuite {
 
     // true streaming: posts arrive via MemoryStream; planted twin pairs
     // (doc, doc + 1e6) must surface as candidates
+    // cap-independent twin assertion (a bucket bigger than the default
+    // cap would legitimately drop late-arriving twins)
     val posts = Streams.bandPosts(s, sf).collect().toSeq
     val source = MemoryStream[Streams.BandPost]
     source.addData(posts: _*)
-    val q = Streams.nearDedupTyped(source.toDS())
+    val q = Streams.nearDedupTyped(source.toDS(), bucketCap = big)
       .writeStream.format("memory").queryName("e6_out")
       .outputMode("append").start()
     q.processAllAvailable()

@@ -271,31 +271,74 @@ object TextAnalysis {
     * standard vocab-size/OOV trade-off plot.
     *
     * Scale: counting is a two-phase hash agg over the corpus — the
-    * heavy, fully-distributed part. The rank/coverage window then runs
-    * over the AGGREGATED vocabulary (≪ corpus; single ordered pass) —
-    * at lake scale that table is millions of rows where the corpus is
-    * trillions of tokens, and if even that outgrows one partition the
-    * window range-partitions by count bands. Ties rank
-    * deterministically by token. */
+    * heavy, fully-distributed part. The rank/coverage pass must NOT be
+    * a global ordered window (at lake scale the distinct-token table is
+    * billions of rows — URLs, typos, code — and one executor would sort
+    * it all), so it is a BANDED two-pass rank: tokens band by
+    * ⌊log₂ n_occ⌋ (computed exactly in integer arithmetic via the
+    * binary-string length, so band is monotone in n_occ and every tied
+    * count lands in one band), a ≤64-row per-band aggregate yields
+    * rank/occurrence offsets through a tiny broadcast self-join (no
+    * ordered window anywhere), and row_number/cumsum run per band —
+    * `Window.partitionBy(band)`, parallel across bands. Bands whose
+    * rank offset already exceeds `topN` never enter the window, so the
+    * windowed rows are only the bands overlapping the top-N prefix
+    * (under a Zipfian vocabulary, a handful of high-count bands; the
+    * degenerate all-counts-equal corpus collapses to one band, which a
+    * production build would further pre-filter with an approximate
+    * count threshold). Global rank = band offset + within-band rank —
+    * exact, because bands partition the (n_occ desc, token) order.
+    * Ties rank deterministically by token. */
   def vocabBuild(spark: SparkSession, dir: String, topN: Int = 500): DataFrame = {
     import spark.implicits._
+    // eager (materialization contract): counts feeds the band aggregate
+    // AND the ranked main path — lazy, both consumers re-run the corpus
+    // tokenization+agg. At cluster scale this is the "materialize the
+    // vocabulary" step; ≪ corpus.
     val counts = Tables.fanout(Tables.documents(spark, dir).select($"text"))
       .select(explode(toks($"text")).as("token"))
       .groupBy($"token").agg(count(lit(1)).as("n_occ"))
-    val total = Window.partitionBy()
-    val w = Window.orderBy($"n_occ".desc, $"token")
+      .withColumn("band", (length(bin($"n_occ")) - 1).cast("int"))
+      .localCheckpoint()
+    // ≤64 rows no matter the vocabulary size; eager because three tiny
+    // consumers (offset self-join sides + total) would each re-shuffle
+    // the full vocab otherwise
+    val bandAgg = counts.groupBy($"band")
+      .agg(count(lit(1)).as("band_cnt"), sum($"n_occ").as("band_occ"))
+      .localCheckpoint()
+    // offsets = totals over STRICTLY HIGHER bands (higher band = higher
+    // n_occ = earlier in desc rank order); 64×64 broadcast inequality
+    // join, replacing the global ordered window
+    val higher = bandAgg.select($"band".as("hb"), $"band_cnt".as("hc"), $"band_occ".as("ho"))
+    val offsets = bandAgg.join(broadcast(higher), $"hb" > $"band", "left")
+      .groupBy($"band")
+      .agg(coalesce(sum($"hc"), lit(0L)).as("rank_off"),
+        coalesce(sum($"ho"), lit(0L)).as("occ_off"))
+    val total = bandAgg.agg(sum($"band_occ").as("total_occ"))
+    val w = Window.partitionBy($"band").orderBy($"n_occ".desc, $"token")
     counts
-      .withColumn("rank", row_number().over(w))
+      .join(broadcast(offsets), Seq("band"))
+      .filter($"rank_off" < topN)
+      .crossJoin(broadcast(total))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cum_in_band",
+        sum($"n_occ").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter($"rn" <= topN) // implied by rank<=topN (rank_off ≥ 0); prunes early
+      .withColumn("rank", ($"rank_off" + $"rn").cast("int"))
       .withColumn("cum_cov",
-        round(sum($"n_occ").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("double") / sum($"n_occ").over(total).cast("double"), 8))
+        round(($"occ_off" + $"cum_in_band").cast("double") / $"total_occ".cast("double"), 8))
       .filter($"rank" <= topN)
       .select($"token", $"n_occ", $"rank", $"cum_cov")
   }
 
   /** C19 `tfidf_terms` — top-k TF-IDF terms per document: tf from a
     * per-(doc, token) count, df from a per-token distinct-doc count
-    * (broadcast back — the vocabulary is ≪ the corpus), smooth idf
+    * joined back SIZE-AWARE: no broadcast hint, so AQE broadcasts the
+    * vocabulary when its runtime size allows and falls back to a
+    * (token)-keyed shuffle join when it doesn't — a forced broadcast
+    * would OOM the driver once the vocabulary outgrows memory (billions
+    * of distinct tokens at lake scale), while the shuffle join only
+    * ever moves (token, df) rows. Smooth idf
     * `ln((N+1)/(df+1)) + 1`. The weight is QUANTIZED to 6 decimals
     * before ranking: both engines rank the same rounded value (ties
     * break by token), so a cross-engine libm ulp difference in ln()
@@ -309,12 +352,16 @@ object TextAnalysis {
     // corpus size as a broadcast 1-row aggregate: stays a lazy plan
     // (no count() action at construction time)
     val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    // eager (materialization contract): tf feeds the df aggregate AND
+    // the join probe side — lazy, both consumers would re-run the
+    // tokenization+agg lineage concurrently
     val tf = docs
       .select($"doc_id", explode(toks($"text")).as("token"))
       .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"token")
-    tf.join(broadcast(df), Seq("token"))
+    tf.join(df, Seq("token"))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round($"tf" * (log(($"n_docs" + 1.0) / ($"df" + 1.0)) + 1.0), 6))

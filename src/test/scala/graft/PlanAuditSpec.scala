@@ -113,6 +113,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab_build has no single-partition ordered window (banded rank)") {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val df = operators.TextAnalysis.vocabBuild(spark, sf)
+    val plan = executedPlan(df)
+    val windows = collectAll(plan).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"expected a per-band window:\n$plan")
+    windows.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, s"single-partition ordered window:\n$plan"))
+    collectAll(plan).collect { case w: WindowGroupLimitExec => w }.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, s"single-partition group limit:\n$plan"))
+  }
+
+  test("tfidf_terms df join carries no broadcast hint (AQE decides; only the 1-row corpus-size agg is hinted)") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = operators.TextAnalysis.tfidfTerms(spark, sf)
+    // exactly one hint in the analyzed plan: the scalar n_docs cross
+    // join (always safe). The vocabulary (token, df) join must be
+    // UNhinted so it can degrade to a shuffle join at scale.
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.size == 1, s"expected only the n_docs scalar hint:\n${df.queryExecution.analyzed}")
+    // ...and at sf0.1 AQE still picks broadcast for the small vocab
+    assert(countBroadcasts(df) >= 1, s"plan:\n${executedPlan(df)}")
+  }
+
   test("bloom_prejoin: might_contain below the shuffle, no false negatives, real pruning, equals plain join") {
     import org.apache.spark.sql.functions._
     val pre = operators.BloomJoin.bloomPrefilteredFact(spark, sf)

@@ -342,13 +342,22 @@ object NearDup {
     * node's neighborhood-min) then small-star (every neighbor below a
     * node re-links to its min), each emitted through one join against a
     * per-node min table. Edges stay canonical (u > v). Fixpoint — a
-    * forest of min-rooted stars — is stable under both operators. An
-    * (edge-count, hash-xor) fingerprint match triggers an EXACT
-    * edge-set comparison before declaring convergence, so a ~2⁻⁶⁴
-    * fingerprint collision costs one extra check, never a wrong
-    * answer; exhausting maxIters without convergence throws rather
-    * than emitting mid-contraction labels (raise maxIters for graphs
-    * beyond ~2^maxIters nodes of pure chain).
+    * forest of min-rooted stars — is stable under both operators, and
+    * at it NO edge is rewritten (each operator maps every edge to
+    * itself), so convergence is an EXACT per-round rewrite count
+    * carried inside the edges themselves: each emitted edge marks
+    * whether it differs from its source (`m ≠ s` in large-star,
+    * `m ≠ v` in small-star), the marks OR through the same dedup
+    * aggregate that canonicalized `distinct()` anyway, and the round
+    * converges on rewrites == 0 — one cheap count over the already
+    * checkpointed generation, no fingerprint, no exceptAll re-shuffle
+    * of the edge set. (Zero rewrites ⟹ both operators were identity
+    * on every edge ⟹ set fixpoint; a set-stable round with rewrites
+    * cannot exist because the contraction potential strictly decreases
+    * off the fixpoint — Kiveris et al. §3.) Exhausting maxIters
+    * without convergence throws rather than emitting mid-contraction
+    * labels (raise maxIters for graphs beyond ~2^maxIters nodes of
+    * pure chain).
     * Output/oracle identical to [[dedupCluster]]: cluster id = min
     * reachable doc id. */
   def starContract(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
@@ -359,12 +368,14 @@ object NearDup {
     // every node of the pair graph (labels must cover leaves AND roots)
     val allNodes = edges
       .select(explode(array($"u", $"v")).as("doc_id")).distinct().localCheckpoint()
-    var fingerprint = (-1L, -1L)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       // large-star: process each edge from both endpoints; node s links
-      // every LARGER neighbor d to m(s) = min(Γ(s) ∪ {s})
+      // every LARGER neighbor d to m(s) = min(Γ(s) ∪ {s}). Each
+      // canonical edge (u,v) appears exactly once with d > s (as
+      // (s=v, d=u)), so `m ≠ s` flags exactly the rewritten edges and
+      // zero flags ⟹ large-star emitted the input set unchanged.
       val bi = edges.select(explode(array(
           struct($"u".as("s"), $"v".as("d")),
           struct($"v".as("s"), $"u".as("d")))).as("e"))
@@ -372,33 +383,31 @@ object NearDup {
       val lsMin = bi.groupBy($"s").agg(min($"d").as("mn"))
         .select($"s", least($"mn", $"s").as("m"))
       val ls = bi.filter($"d" > $"s").join(lsMin, Seq("s"))
-        .select($"d".as("u"), $"m".as("v"))
-        .filter($"u" =!= $"v").distinct()
+        .select($"d".as("u"), $"m".as("v"), ($"m" =!= $"s").as("chg"))
+        .filter($"u" =!= $"v")
+        .groupBy($"u", $"v").agg(max($"chg").as("chg")) // = distinct + OR of marks
       // eager (materialization contract): ls feeds the ssMin aggregate
       // AND the small-star join probe — lazy, both would re-run the
       // large-star lineage. (bi stays lazy deliberately: it is one
       // narrow explode over already-checkpointed blocks.)
       val lsCk = ls.localCheckpoint()
       // small-star on the canonical orientation: all of u's neighbors
-      // are below it; re-link them (and u) to the minimum
+      // are below it; re-link them (and u) to the minimum. The (u, m)
+      // emission always survives the self-edge filter (m < u), so a
+      // large-star rewrite mark always propagates into this round's
+      // output set.
       val ssMin = lsCk.groupBy($"u").agg(min($"v").as("m"))
       val ss = lsCk.join(ssMin, Seq("u"))
         .select(explode(array(
-          struct($"v".as("a"), $"m".as("b")),
-          struct($"u".as("a"), $"m".as("b")))).as("e"))
-        .select($"e.a".as("u"), $"e.b".as("v"))
-        .filter($"u" =!= $"v").distinct().localCheckpoint()
-      // one action for both fingerprint halves
-      val fpRow = ss.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head
-      val next = (fpRow.getLong(0), fpRow.getLong(1))
-      // fingerprint match is only a TRIGGER: convergence is declared on
-      // an exact edge-set comparison, so a collision cannot end the
-      // loop on a non-fixpoint
-      converged = next == fingerprint &&
-        ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
-      fingerprint = next
-      edges = ss // superseded generations → GC'd (lineage already cut)
+          struct($"v".as("a"), $"m".as("b"), ($"chg" || $"m" =!= $"v").as("c")),
+          struct($"u".as("a"), $"m".as("b"), ($"chg" || $"m" =!= $"v").as("c")))).as("e"))
+        .select($"e.a".as("u"), $"e.b".as("v"), $"e.c".as("chg"))
+        .filter($"u" =!= $"v")
+        .groupBy($"u", $"v").agg(max($"chg").as("chg"))
+        .localCheckpoint()
+      // one cheap action over the checkpointed generation
+      converged = ss.filter($"chg").limit(1).isEmpty
+      edges = ss.select($"u", $"v") // superseded generations → GC'd
       i += 1
     }
     require(converged,

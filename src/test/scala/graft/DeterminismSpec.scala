@@ -23,7 +23,7 @@ class DeterminismSpec extends AnyFunSuite {
     "capped_per_group",    // hash-ordered window sampling
     "mixture_sample",      // broadcast rate lookup + md5 uniform accept
     "doc_chunk",           // per-row chunk explosion
-    "dedup_cluster_star"   // iterative contraction w/ fingerprint stop
+    "dedup_cluster_star"   // iterative contraction w/ rewrite-count stop
   )
 
   /** Collect to the driver and normalize — NO cache()/exceptAll here:

@@ -199,27 +199,51 @@ object Streams {
       |       c.c_mktsegment AS segment, c.c_nationkey AS nation_key
       |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin
 
-  /** One LSH band posting of a document's MinHash signature. */
-  final case class BandPost(band_sig: Long, doc_id: Long, sig: Seq[Long])
+  /** One LSH band posting of a document's MinHash signature.
+    * `ts` is the post's event time (ingest time of the document) —
+    * it drives the bucket-aging watermark timeout and never appears in
+    * the output pairs. */
+  final case class BandPost(band_idx: Int, band_sig: Long, doc_id: Long,
+                            sig: Seq[Long], ts: java.sql.Timestamp)
   /** A candidate near-dup pair surfaced by a shared band bucket. */
   final case class CandPair(id1: Long, id2: Long, est_jaccard: Double)
 
   /** E6 `stream_near_dedup` — STREAMING MinHash-LSH near-dup
     * detection: the ingest-time form of C2, where every arriving
     * document is checked against everything already seen before it
-    * lands. Documents post one (band_sig, doc_id, signature) row per
-    * LSH band; posts group by band_sig and a stateful function keeps
-    * the bucket's seen signatures, emitting a candidate pair (with the
+    * lands. Documents post one (band_idx, band_sig, doc_id, signature,
+    * ts) row per LSH band; posts group by the FULL bucket key
+    * (band_idx, band_sig) — the same key C2's batch join buckets on,
+    * stated here structurally rather than relying on the band hash
+    * folding the band index in — and a stateful function keeps the
+    * bucket's seen signatures, emitting a candidate pair (with the
     * signature-agreement Jaccard estimate) for each new-vs-seen
-    * collision. State per key is capped at `bucketCap` signatures —
-    * degenerate boilerplate buckets stop accumulating (and stop
-    * emitting, matching C2's dropped-bucket semantics asymptotically)
-    * so state is bounded regardless of stream length; a production
-    * deployment adds an event-time timeout to age buckets out.
-    * Batch-mode groups arrive whole with fresh state; processing in
-    * doc_id order makes the pair set deterministic and — modulo the
-    * cap — exactly C2's bucket-collision candidates, which the spec
-    * pins. Pairs colliding on several bands are deduped downstream
+    * collision.
+    *
+    * State is bounded two ways: (1) buckets cap at `bucketCap`
+    * signatures — a full bucket's arrivals are DRAINED in O(1) each,
+    * never buffered (degenerate boilerplate stops accumulating and
+    * stops emitting, C2's dropped-bucket semantics asymptotically) —
+    * and when a bucket is only partially full, arrivals buffer through
+    * a size-bounded heap holding at most the remaining capacity, so a
+    * degenerate burst never materializes the whole group in memory;
+    * (2) buckets idle past `horizon` in EVENT TIME age out via
+    * `GroupStateTimeout.EventTimeTimeout` — every invocation re-arms
+    * the timeout at (max post ts + horizon), and once the stream's
+    * watermark passes it the bucket's state is removed, so total state
+    * is O(buckets active within the horizon), independent of stream
+    * length. Streaming callers must therefore `withWatermark` the
+    * posts; in batch mode timeouts never fire and the same function
+    * body runs unchanged.
+    *
+    * Batch-mode groups arrive whole with fresh state; admission in
+    * doc_id order makes the pair set deterministic. Pair-set parity
+    * with C2 holds exactly when no bucket exceeds the cap (the spec
+    * pins this at an uncapped run): at the cap the semantics
+    * intentionally DIFFER — C2 drops an oversized bucket entirely,
+    * while the stream (which cannot know a bucket's final size)
+    * truncates, keeping the first `bucketCap` posts by doc_id per
+    * group. Pairs colliding on several bands are deduped downstream
     * (`distinct` in batch; in a stream, a second keyed stage or an
     * idempotent sink). */
   /** Bucket state: seen count carried explicitly so a full bucket's
@@ -227,19 +251,41 @@ object Streams {
     * (the hot-key case the cap exists for). */
   final case class BucketState(n: Int, seen: List[(Long, Seq[Long])])
 
-  def nearDedupTyped(posts: Dataset[BandPost], bucketCap: Int = 1000): Dataset[CandPair] = {
+  def nearDedupTyped(posts: Dataset[BandPost], bucketCap: Int = 1000,
+                     horizon: java.time.Duration = java.time.Duration.ofHours(24)): Dataset[CandPair] = {
     import posts.sparkSession.implicits._
+    val horizonMs = horizon.toMillis
     posts
-      .groupByKey(_.band_sig)
+      .groupByKey(p => (p.band_idx, p.band_sig))
       .flatMapGroupsWithState[BucketState, CandPair](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (_, postsIter, state: GroupState[BucketState]) =>
-          val st0 = state.getOption.getOrElse(BucketState(0, Nil))
-          var n = st0.n
-          var seen = st0.seen
-          val out = scala.collection.mutable.ListBuffer.empty[CandPair]
-          postsIter.toSeq.sortBy(_.doc_id).foreach { p =>
-            if (n < bucketCap) {
+          if (state.hasTimedOut) {
+            // watermark passed last activity + horizon: age the bucket out
+            state.remove()
+            Iterator.empty
+          } else {
+            val st0 = state.getOption.getOrElse(BucketState(0, Nil))
+            val room = bucketCap - st0.n
+            var maxTsMs = Long.MinValue
+            // admit the `room` smallest doc_ids of this group — what a
+            // sort-then-truncate over the full buffer would admit, but
+            // via a heap bounded by the REMAINING CAPACITY (a full
+            // bucket drains at O(1) per post with zero buffering)
+            val heap = scala.collection.mutable.PriorityQueue
+              .empty[BandPost](Ordering.by(_.doc_id))
+            postsIter.foreach { p =>
+              if (p.ts != null) maxTsMs = math.max(maxTsMs, p.ts.getTime)
+              if (heap.size < room) heap.enqueue(p)
+              else if (room > 0 && p.doc_id < heap.head.doc_id) {
+                heap.dequeue(); heap.enqueue(p)
+              }
+            }
+            var n = st0.n
+            var seen = st0.seen
+            val out = scala.collection.mutable.ListBuffer.empty[CandPair]
+            val admitted: Seq[BandPost] = heap.dequeueAll
+            admitted.reverseIterator.foreach { p => // ascending doc_id
               seen.foreach { case (id, sig) =>
                 val matches = sig.iterator.zip(p.sig.iterator).count { case (a, b) => a == b }
                 out += CandPair(math.min(id, p.doc_id), math.max(id, p.doc_id),
@@ -248,17 +294,24 @@ object Streams {
               seen = (p.doc_id, p.sig) :: seen
               n += 1
             }
+            // don't re-serialize an unchanged full bucket every trigger
+            if (n != st0.n) state.update(BucketState(n, seen))
+            // re-arm the idle timeout on EVERY invocation (Spark clears
+            // an un-reset timeout): hot buckets stay alive, idle ones
+            // expire once the watermark passes. No-op in batch (no
+            // watermark ever advances).
+            if (state.exists && maxTsMs != Long.MinValue)
+              state.setTimeoutTimestamp(maxTsMs + horizonMs)
+            out.iterator
           }
-          // don't re-serialize an unchanged full bucket every trigger
-          if (n != st0.n) state.update(BucketState(n, seen))
-          out.iterator
       }
   }
 
   /** Driver-gate batch entry for E6: the C2 corpus (documents ∪ planted
     * twins) through the streaming detector in batch mode. Rows-only
     * oracle (seeded xxhash64 signatures); the spec pins the pair set
-    * equal to C2's bucket join. */
+    * equal to C2's bucket join at an uncapped bucket size (cap
+    * semantics intentionally differ — see [[nearDedupTyped]]). */
   def streamNearDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     nearDedupTyped(bandPosts(spark, dir)).toDF().distinct()
@@ -267,11 +320,15 @@ object Streams {
   /** The C2 corpus + signature/band pipeline
     * ([[graft.operators.NearDup.corpus]]/[[graft.operators.NearDup
     * .bandTable]] — one definition for batch and stream) emitted as
-    * typed posts. */
+    * typed posts. Event time is synthesized deterministically from
+    * doc_id (the batch corpus has no ingest timestamp); a production
+    * stream supplies the real ingest time here. */
   private[graft] def bandPosts(spark: SparkSession, dir: String): Dataset[BandPost] = {
     import spark.implicits._
     graft.operators.NearDup.bandTable(graft.operators.NearDup.corpus(spark, dir))
-      .select($"band_sig", $"doc_id", $"sig").as[BandPost]
+      .select($"band_idx".cast("int").as("band_idx"), $"band_sig", $"doc_id", $"sig",
+        timestamp_seconds(lit(1704067200L) + $"doc_id").as("ts"))
+      .as[BandPost]
   }
 
   /** Driver-gate batch entry for E2 — hash-gated on B8's window

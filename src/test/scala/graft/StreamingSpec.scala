@@ -96,7 +96,7 @@ class StreamingSpec extends AnyFunSuite {
     val posts = Streams.bandPosts(s, sf).collect().toSeq
     val source = MemoryStream[Streams.BandPost]
     source.addData(posts: _*)
-    val q = Streams.nearDedupTyped(source.toDS(), bucketCap = big)
+    val q = Streams.nearDedupTyped(source.toDS().withWatermark("ts", "1 hour"), bucketCap = big)
       .writeStream.format("memory").queryName("e6_out")
       .outputMode("append").start()
     q.processAllAvailable()
@@ -109,6 +109,42 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("id1"), col("id2")).distinct().count()
     assert(twinPairs == nDocs, s"stream surfaced $twinPairs of $nDocs planted twins")
     spark.catalog.clearCache()
+  }
+
+  test("E6: a bucket idle past the horizon ages out via the event-time timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def ts(hours: Long): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0).plusHours(hours))
+    val sigA = (1L to 16L).toSeq
+    val sigB = (17L to 32L).toSeq
+    val source = MemoryStream[Streams.BandPost]
+    val q = Streams.nearDedupTyped(
+      source.toDS().withWatermark("ts", "1 hour"),
+      horizon = java.time.Duration.ofHours(24))
+      .writeStream.format("memory").queryName("e6_age_out")
+      .outputMode("append").start()
+    // batch 1: doc 1 opens bucket (0, 42); its timeout arms at t0+24h
+    source.addData(Streams.BandPost(0, 42L, 1L, sigA, ts(0)))
+    q.processAllAvailable()
+    // batch 2: unrelated bucket advances the watermark to t0+29h
+    source.addData(Streams.BandPost(0, 99L, 50L, sigB, ts(30)))
+    q.processAllAvailable()
+    // batch 3: watermark (t0+29h) has passed bucket 42's timeout and it
+    // gets no data this trigger → its state is REMOVED. Bucket 99 gets
+    // a pair-mate within the horizon as the control.
+    source.addData(Streams.BandPost(0, 99L, 51L, sigB, ts(31)))
+    q.processAllAvailable()
+    // batch 4: doc 2 would have paired with doc 1 — but the bucket aged
+    source.addData(Streams.BandPost(0, 42L, 2L, sigA, ts(31)))
+    q.processAllAvailable()
+    q.stop()
+    val out = s.table("e6_age_out")
+    assert(out.filter(col("id1") === 50L && col("id2") === 51L).count() == 1,
+      "control pair within the horizon must surface")
+    assert(out.filter(col("id1") === 1L && col("id2") === 2L).count() == 0,
+      "aged bucket must not match across the horizon")
   }
 
   test("E2 stream_sessionize: streaming stateful result equals batch analogue") {

@@ -220,7 +220,11 @@ object Govern {
     * scan with a 20-row build side. Rates (√, ÷ of exact integer
     * counts) are identically-rounded IEEE doubles in both engines, and
     * the uniform is an exact multiple of 2⁻³², so membership can't
-    * flip between engines. */
+    * flip between engines. The reported rate is an integer MICRO-rate
+    * (⌊kr·10⁶⌋): ×, ⌊⌋ are single identically-rounded IEEE ops in both
+    * engines, where decimal round(x, 6) is engine-specific (Spark
+    * BigDecimal HALF_UP on the exact binary value vs DuckDB's scaled
+    * multiply) and could split the gate on a tie. */
   def mixtureSample(spark: SparkSession, dir: String, k: Double = 5.0): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select($"doc_id", $"lang")
@@ -231,13 +235,13 @@ object Govern {
       .cast(LongType).cast("double") / lit(4294967296.0)
     docs.join(broadcast(rates), Seq("lang"))
       .filter(u < $"keep_rate")
-      .select($"doc_id", $"lang", round($"keep_rate", 6).as("keep_rate"))
+      .select($"doc_id", $"lang", floor($"keep_rate" * 1e6).as("keep_rate_micros"))
   }
 
   def mixtureSampleSql(k: Double = 5.0): String =
     s"""WITH n AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1),
        |r AS (SELECT lang, LEAST(1.0, $k / sqrt(CAST(n_lang AS DOUBLE))) AS kr FROM n)
-       |SELECT d.doc_id, d.lang, round(r.kr, 6) AS keep_rate
+       |SELECT d.doc_id, d.lang, CAST(floor(r.kr * 1e6) AS BIGINT) AS keep_rate_micros
        |FROM documents d JOIN r USING (lang)
        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 8)) AS BIGINT)
        |      / 4294967296.0 < r.kr""".stripMargin

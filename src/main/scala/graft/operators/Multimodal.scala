@@ -213,6 +213,10 @@ object Multimodal {
       .withColumn("height_px", leInt(23, 4))
       .withColumn("bpp", leInt(29, 2))
       .withColumn("data_off", leInt(11, 4))
+      // same quarantine as the typed decodeBmp: only 24bpp, padding-free
+      // (row stride a multiple of 4), bottom-up (h > 0) images decode —
+      // anything else would silently read the wrong stride/row order
+      .filter($"bpp" === 24 && ($"width_px" * 3) % 4 === 0 && $"height_px" > 0)
       .withColumn("n_bytes", length($"payload"))
       .withColumn("npix", expr("(n_bytes - data_off) div 3"))
       // byte_at: graft's codegen'd bounds-checked byte read (registered
@@ -244,7 +248,12 @@ object Multimodal {
       .filter(hex(substring($"payload", 1, 2)) === "424D")
       .withColumn("w", leInt(19, 4))
       .withColumn("h", leInt(23, 4))
+      .withColumn("bpp", leInt(29, 2))
       .withColumn("data_off", leInt(11, 4))
+      // same quarantine as the typed decodeBmp (magic alone is not
+      // validity): 24bpp, padding-free stride, bottom-up only — a
+      // non-generator BMP must drop, not resize with the wrong stride
+      .filter($"bpp" === 24 && ($"w" * 3) % 4 === 0 && $"h" > 0)
       .withColumn("out_w", expr("cast(w div 2 as int)"))
       .withColumn("out_h", expr("cast(h div 2 as int)"))
       .withColumn("means", expr(

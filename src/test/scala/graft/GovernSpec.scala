@@ -32,7 +32,8 @@ class GovernSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val kept = operators.Govern.mixtureSample(spark, sf).groupBy(col("lang"))
-      .agg(count(lit(1)).as("k"), first(col("keep_rate")).as("r")).collect()
+      .agg(count(lit(1)).as("k"),
+        (first(col("keep_rate_micros")) / 1e6).as("r")).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     // rates follow min(1, 5/sqrt(n)): strictly smaller for bigger languages
     val rates = kept.view.mapValues(_._2).toMap

@@ -97,6 +97,14 @@ object Multimodal {
           |                 + ((i % (w * 3)) div 3) * 13
           |                 + (i % 3) * 101) % 256), 2, '0')))""".stripMargin))
       .select($"doc_id", unhex(concat($"header_hex", $"pixel_hex")).as("payload"))
+      // eager: in production these bytes sit in parquet/lance and every
+      // header predicate reads them for free; here the payload is a
+      // per-pixel hex assembly in the plan, and predicate pushdown
+      // would substitute that whole assembly into each scan-side filter
+      // (decoder quarantine + magic check), re-encoding every image
+      // once per predicate. Materializing models the bytes-on-disk
+      // reality the decoders are written for.
+      .localCheckpoint()
   }
 
   /** Little-endian int decoded from `bytes` bytes of the binary

@@ -74,7 +74,7 @@ object Multimodal {
     * independently — the decoder is verified against the format, not
     * against itself. At production scale this table is a parquet/lance
     * directory of scraped media; the decode path below is identical. */
-  def bmpTable(spark: SparkSession, dir: String): DataFrame = {
+  private def bmpTableRaw(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // little-endian hex of the low `bytes` bytes of an int column
     def le(x: Column, bytes: Int): Column =
@@ -97,15 +97,22 @@ object Multimodal {
           |                 + ((i % (w * 3)) div 3) * 13
           |                 + (i % 3) * 101) % 256), 2, '0')))""".stripMargin))
       .select($"doc_id", unhex(concat($"header_hex", $"pixel_hex")).as("payload"))
-      // eager: in production these bytes sit in parquet/lance and every
-      // header predicate reads them for free; here the payload is a
-      // per-pixel hex assembly in the plan, and predicate pushdown
-      // would substitute that whole assembly into each scan-side filter
-      // (decoder quarantine + magic check), re-encoding every image
-      // once per predicate. Materializing models the bytes-on-disk
-      // reality the decoders are written for.
-      .localCheckpoint()
   }
+
+  /** [[bmpTableRaw]], materialized once per (session, dir): in
+    * production these bytes sit in parquet/lance and every header
+    * predicate reads them for free; here the payload is a per-pixel
+    * hex assembly in the plan, and predicate pushdown would substitute
+    * that whole assembly into each scan-side filter (decoder
+    * quarantine + magic check), re-encoding every image once per
+    * predicate. Memoized because three consumers (both D2 decode paths
+    * and D4) would otherwise each run their own materialization job;
+    * the checkpointed blocks are a few hundred KB and die with the
+    * session. */
+  private val bmpCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  def bmpTable(spark: SparkSession, dir: String): DataFrame =
+    bmpCache.getOrElseUpdate((spark, dir), bmpTableRaw(spark, dir).localCheckpoint())
 
   /** Little-endian int decoded from `bytes` bytes of the binary
     * `payload` column at 1-based offset `off` — shared by every
@@ -144,18 +151,23 @@ object Multimodal {
         // The stride-3 fold below assumes 24bpp padding-free bottom-up
         // rows: BMP rows are 4-byte aligned, so only (w*3) % 4 == 0
         // images qualify; top-down (h < 0) files would invert row
-        // order, and any other bit depth would misstride. Anything
-        // else goes to the corrupt-input quarantine rather than
-        // decoding silently wrong.
-        if (bpp != 24 || (w * 3) % 4 != 0 || h <= 0) None
+        // order, any other bit depth would misstride, and a data
+        // offset whose declared w×h lattice doesn't fit the payload
+        // would read garbage. Anything else goes to the corrupt-input
+        // quarantine rather than decoding silently wrong. (Long
+        // arithmetic: crafted headers must quarantine, not overflow.)
+        if (bpp != 24 || w <= 0 || h <= 0 || (w * 3L) % 4 != 0 ||
+            off < 54 || p.length < off + 3L * w * h) None
         else {
+          // decode exactly the declared lattice (trailing bytes ignored)
+          val npix = w.toLong * h
           val sums = new Array[Long](3)
           var i = off
-          while (i + 2 < p.length) {
-            sums(0) += u8(i); sums(1) += u8(i + 1); sums(2) += u8(i + 2)
+          val end = off + 3 * npix
+          while (i < end) {
+            sums(0) += u8(i.toInt); sums(1) += u8(i.toInt + 1); sums(2) += u8(i.toInt + 2)
             i += 3
           }
-          val npix = (p.length - off) / 3
           Some(MmFeatures(it.doc_id, w, h, bpp, p.length,
             sums(0).toDouble / npix, sums(1).toDouble / npix, sums(2).toDouble / npix))
         }
@@ -221,12 +233,19 @@ object Multimodal {
       .withColumn("height_px", leInt(23, 4))
       .withColumn("bpp", leInt(29, 2))
       .withColumn("data_off", leInt(11, 4))
-      // same quarantine as the typed decodeBmp: only 24bpp, padding-free
-      // (row stride a multiple of 4), bottom-up (h > 0) images decode —
-      // anything else would silently read the wrong stride/row order
-      .filter($"bpp" === 24 && ($"width_px" * 3) % 4 === 0 && $"height_px" > 0)
       .withColumn("n_bytes", length($"payload"))
-      .withColumn("npix", expr("(n_bytes - data_off) div 3"))
+      // same quarantine as the typed decodeBmp: only 24bpp, padding-free
+      // (row stride a multiple of 4), bottom-up (w, h > 0) images whose
+      // declared pixel lattice actually fits inside the payload decode —
+      // anything else (wrong depth/stride/orientation, or a data offset
+      // pointing past the bytes) would decode silently wrong, not drop.
+      // Long arithmetic: crafted headers must quarantine, not overflow.
+      .filter($"bpp" === 24 && $"width_px" > 0 && $"height_px" > 0 &&
+        ($"width_px" * 3) % 4 === 0 && $"data_off" >= 54 &&
+        $"n_bytes".cast("long") >=
+          $"data_off".cast("long") + lit(3L) * $"width_px" * $"height_px")
+      // decode exactly the declared lattice (trailing bytes ignored)
+      .withColumn("npix", $"width_px".cast("long") * $"height_px")
       // byte_at: graft's codegen'd bounds-checked byte read (registered
       // via GraftExtensions) — one array access per pixel byte, no
       // hex/conv string churn inside the fold
@@ -259,9 +278,13 @@ object Multimodal {
       .withColumn("bpp", leInt(29, 2))
       .withColumn("data_off", leInt(11, 4))
       // same quarantine as the typed decodeBmp (magic alone is not
-      // validity): 24bpp, padding-free stride, bottom-up only — a
-      // non-generator BMP must drop, not resize with the wrong stride
-      .filter($"bpp" === 24 && ($"w" * 3) % 4 === 0 && $"h" > 0)
+      // validity): 24bpp, padding-free stride, bottom-up, declared
+      // lattice inside the payload — a non-generator BMP must drop,
+      // not resize with the wrong stride or read past the pixel block
+      .filter($"bpp" === 24 && $"w" > 0 && $"h" > 0 && ($"w" * 3) % 4 === 0 &&
+        $"data_off" >= 54 &&
+        length($"payload").cast("long") >=
+          $"data_off".cast("long") + lit(3L) * $"w" * $"h")
       .withColumn("out_w", expr("cast(w div 2 as int)"))
       .withColumn("out_h", expr("cast(h div 2 as int)"))
       .withColumn("means", expr(

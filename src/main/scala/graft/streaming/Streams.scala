@@ -255,6 +255,10 @@ object Streams {
                      horizon: java.time.Duration = java.time.Duration.ofHours(24)): Dataset[CandPair] = {
     import posts.sparkSession.implicits._
     val horizonMs = horizon.toMillis
+    // captured by the state function: the watermark clamp below may
+    // only read getCurrentWatermarkMs when one exists (streaming
+    // requires it for EventTimeTimeout; batch has none and would throw)
+    val isStreaming = posts.isStreaming
     posts
       .groupByKey(p => (p.band_idx, p.band_sig))
       .flatMapGroupsWithState[BucketState, CandPair](
@@ -299,9 +303,18 @@ object Streams {
             // re-arm the idle timeout on EVERY invocation (Spark clears
             // an un-reset timeout): hot buckets stay alive, idle ones
             // expire once the watermark passes. No-op in batch (no
-            // watermark ever advances).
-            if (state.exists && maxTsMs != Long.MinValue)
-              state.setTimeoutTimestamp(maxTsMs + horizonMs)
+            // watermark ever advances). Anchored at max(post ts,
+            // watermark): the watermark clamp keeps a backfill that
+            // jumps the watermark past (ts + horizon) in one batch from
+            // arming a timestamp Spark rejects as already-expired
+            // (IllegalArgumentException → dead query), and it is also
+            // the arm point when every post's ts is null — skipping the
+            // re-arm there would CLEAR the timeout and leak the bucket
+            // forever.
+            if (state.exists) {
+              val wmMs = if (isStreaming) state.getCurrentWatermarkMs() else 0L
+              state.setTimeoutTimestamp(math.max(maxTsMs, wmMs) + horizonMs)
+            }
             out.iterator
           }
       }

@@ -17,7 +17,7 @@ class DeterminismSpec extends AnyFunSuite {
     "ngram_jaccard_dedup", // pair counting across shuffles
     "topk_per_group_agg",  // custom k-heap aggregate with tie-breaks
     "sample_split",        // per-row hash (trivially invariant; guards regressions)
-    "vocab_build",         // global window over aggregated vocab
+    "vocab_build",         // banded rank + broadcast offsets over aggregated vocab
     "resample_fill",       // window fill over generated grid
     "centroid_per_label",  // rounded double means over float partial sums
     "capped_per_group",    // hash-ordered window sampling

@@ -147,6 +147,38 @@ class StreamingSpec extends AnyFunSuite {
       "aged bucket must not match across the horizon")
   }
 
+  test("E6: a backfill that jumps the watermark past ts + horizon does not kill the query") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def ts(hours: Long): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0).plusHours(hours))
+    val sig = (1L to 16L).toSeq
+    val source = MemoryStream[Streams.BandPost]
+    val q = Streams.nearDedupTyped(
+      source.toDS().withWatermark("ts", "1 hour"),
+      horizon = java.time.Duration.ofHours(24))
+      .writeStream.format("memory").queryName("e6_backfill_out")
+      .outputMode("append").start()
+    // batch 1 mixes a 30-day-old post with a current one: the watermark
+    // jumps to ~now-1h in one step
+    source.addData(
+      Streams.BandPost(0, 7L, 1L, sig, ts(0)),
+      Streams.BandPost(0, 8L, 50L, sig, ts(24 * 30)))
+    q.processAllAvailable()
+    // batch 2: a 20-day-old post whose ts + horizon is far below the
+    // current watermark. GroupStateImpl.setTimeoutTimestamp throws
+    // IllegalArgumentException for timestamps under the watermark, so
+    // the re-arm must clamp. (Smoke test: Spark's no-data micro-batches
+    // usually promote the late-event filter watermark between data
+    // batches and drop this row first — the clamp is the guarantee for
+    // the back-to-back-batch schedule where it does reach the function.)
+    source.addData(Streams.BandPost(0, 9L, 60L, sig, ts(24 * 10)))
+    q.processAllAvailable()
+    assert(q.exception.isEmpty, s"query died: ${q.exception}")
+    q.stop()
+  }
+
   test("E2 stream_sessionize: streaming stateful result equals batch analogue") {
     val s = spark
     import s.implicits._

@@ -120,8 +120,13 @@ object Multimodal {
     * lives in one place. */
   private def leInt(off: Int, bytes: Int): Column = {
     val h = hex(substring(col("payload"), off, bytes))
-    conv(concat((bytes - 1 to 0 by -1).map(k => substring(h, 2 * k + 1, 2)): _*),
-      16, 10).cast("int")
+    val u = conv(concat((bytes - 1 to 0 by -1).map(k => substring(h, 2 * k + 1, 2)): _*),
+      16, 10).cast("long")
+    // reinterpret the unsigned conv() value as SIGNED 32-bit: BMP
+    // height is signed (negative = top-down), and a direct int cast of
+    // 0xFFFFFFFE under ANSI throws instead of letting the quarantine
+    // filter the row
+    ((u + lit(2147483648L)) % lit(4294967296L) - lit(2147483648L)).cast("int")
   }
 
   /** One encoded media item (input to the typed decode stage). */
@@ -179,8 +184,13 @@ object Multimodal {
     * [[mmFeatureExtract]]. */
   def mmFeatures(spark: SparkSession, dir: String, batchSize: Int = 64): Dataset[MmFeatures] = {
     import spark.implicits._
-    val items: Dataset[MmItem] =
-      bmpTable(spark, dir).select($"doc_id", $"payload").as[MmItem]
+    mmFeaturesTyped(bmpTable(spark, dir).select($"doc_id", $"payload").as[MmItem], batchSize)
+  }
+
+  /** Item-based core of the typed decode path — lets the quarantine be
+    * pinned on crafted payloads, not just the generator corpus. */
+  def mmFeaturesTyped(items: Dataset[MmItem], batchSize: Int = 64): Dataset[MmFeatures] = {
+    import items.sparkSession.implicits._
     items.mapPartitions { it =>
       it.grouped(batchSize).flatMap(decodeBmp)
     }
@@ -225,9 +235,15 @@ object Multimodal {
     * recomputes every decoded value from the image generator's closed
     * form, so a decoder that misreads any header field or pixel stride
     * mismatches immediately. */
-  def mmFeatureExtract(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    bmpTable(spark, dir)
+  def mmFeatureExtract(spark: SparkSession, dir: String): DataFrame =
+    mmFeatureExtractFrame(bmpTable(spark, dir))
+
+  /** Frame-based core of D2's columnar path (bmp = (doc_id, payload))
+    * — lets the quarantine be pinned on crafted payloads, not just the
+    * generator corpus. */
+  def mmFeatureExtractFrame(bmp: DataFrame): DataFrame = {
+    import bmp.sparkSession.implicits._
+    bmp
       .filter(hex(substring($"payload", 1, 2)) === "424D") // magic
       .withColumn("width_px", leInt(19, 4))
       .withColumn("height_px", leInt(23, 4))
@@ -269,9 +285,13 @@ object Multimodal {
     * the oracle recomputes the downsampled lattice means from the
     * generator's closed form, so a resize that samples the wrong
     * source pixel (stride/offset bug) diverges immediately. */
-  def mmResize(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    bmpTable(spark, dir)
+  def mmResize(spark: SparkSession, dir: String): DataFrame =
+    mmResizeFrame(bmpTable(spark, dir))
+
+  /** Frame-based core of D4 (bmp = (doc_id, payload)). */
+  def mmResizeFrame(bmp: DataFrame): DataFrame = {
+    import bmp.sparkSession.implicits._
+    bmp
       .filter(hex(substring($"payload", 1, 2)) === "424D")
       .withColumn("w", leInt(19, 4))
       .withColumn("h", leInt(23, 4))
@@ -287,6 +307,9 @@ object Multimodal {
           $"data_off".cast("long") + lit(3L) * $"w" * $"h")
       .withColumn("out_w", expr("cast(w div 2 as int)"))
       .withColumn("out_h", expr("cast(h div 2 as int)"))
+      // a 2x downsample of a 1-pixel-wide/high image is empty, not a
+      // zero-length fold (sequence(0,-1) would count DOWN)
+      .filter($"out_w" > 0 && $"out_h" > 0)
       .withColumn("means", expr(
         """transform(sequence(0, 2), ch ->
           |  round(aggregate(sequence(0, out_w * out_h - 1), 0L,

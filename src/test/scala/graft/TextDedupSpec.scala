@@ -255,6 +255,45 @@ class TextDedupSpec extends AnyFunSuite {
       col("width_px") * col("height_px") * 3 + 54).count() == 0)
   }
 
+  test("crafted invalid BMPs quarantine in BOTH decode paths; a valid one decodes") {
+    import spark.implicits._
+    // hand-assembled BMP: header fields little-endian, solid pixel value
+    def bmp(w: Int, h: Int, bpp: Int = 24, dataOff: Int = 54,
+            pixelBytes: Int = -1, px: Byte = 9): Array[Byte] = {
+      val body = if (pixelBytes >= 0) pixelBytes else 3 * math.max(w, 0) * math.max(h, 0)
+      val p = new Array[Byte](54 + math.max(body, 0))
+      def le32(off: Int, v: Int): Unit = (0 until 4).foreach(k => p(off + k) = ((v >> (8 * k)) & 0xff).toByte)
+      p(0) = 'B'.toByte; p(1) = 'M'.toByte
+      le32(2, p.length); le32(10, dataOff); le32(14, 40)
+      le32(18, w); le32(22, h)
+      p(26) = 1; p(28) = (bpp & 0xff).toByte; p(29) = ((bpp >> 8) & 0xff).toByte
+      (54 until p.length).foreach(p(_) = px)
+      p
+    }
+    val items = Seq(
+      operators.Multimodal.MmItem(1L, bmp(4, 2)),                    // valid
+      operators.Multimodal.MmItem(2L, bmp(4, 2, bpp = 32)),          // wrong depth
+      operators.Multimodal.MmItem(3L, bmp(5, 2)),                    // padded stride (15 % 4 != 0)
+      operators.Multimodal.MmItem(4L, bmp(4, -2, pixelBytes = 24)),  // top-down
+      operators.Multimodal.MmItem(5L, bmp(4, 2, dataOff = 78)),      // lattice past payload
+      operators.Multimodal.MmItem(6L, bmp(4, 2, dataOff = 10)),      // data_off inside header
+      operators.Multimodal.MmItem(7L, bmp(4, 2, pixelBytes = 20)),   // truncated pixel block
+      operators.Multimodal.MmItem(8L, bmp(100000, 100000, pixelBytes = 24)), // giant header
+      operators.Multimodal.MmItem(9L, Array[Byte]('B', 'M', 1, 2)))  // runt file
+    val typed = operators.Multimodal.mmFeaturesTyped(items.toDS()).collect()
+    assert(typed.map(_.doc_id).toSeq == Seq(1L), s"typed kept ${typed.map(_.doc_id).mkString(",")}")
+    assert(typed.head.mean_b == 9.0 && typed.head.mean_r == 9.0)
+    val colDf = operators.Multimodal.mmFeatureExtractFrame(
+      items.toDF("doc_id", "payload")).collect()
+    assert(colDf.map(_.getLong(0)).toSeq == Seq(1L),
+      s"columnar kept ${colDf.map(_.getLong(0)).mkString(",")}")
+    assert(colDf.head.getAs[Double]("mean_g") == 9.0)
+    val resized = operators.Multimodal.mmResizeFrame(
+      items.toDF("doc_id", "payload")).collect()
+    assert(resized.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(resized.head.getAs[Int]("out_w") == 2 && resized.head.getAs[Int]("out_h") == 1)
+  }
+
   test("bmp payloads are valid BMP files (magic, declared size == byte length)") {
     val rows = operators.Multimodal.bmpTable(spark, sf).collect()
     assert(rows.nonEmpty)

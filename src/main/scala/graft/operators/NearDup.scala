@@ -435,6 +435,63 @@ object NearDup {
        |       n = MIN(m) AS is_keeper
        |FROM reach GROUP BY n""".stripMargin
 
+  /** Extension `dedup_keep_best` — the decision step a dedup pipeline
+    * actually ships: ONE representative per near-dup cluster, chosen by
+    * quality ([[TextAnalysis.qualityOf]], C9's scorer), not by
+    * lowest-id. Cluster membership comes from [[dedupCluster]] over the
+    * same doubled corpus; documents outside every cluster (no near-dup)
+    * form their own singleton cluster and keep themselves. Keeper =
+    * the max-quality member, ties broken by min doc_id — deterministic,
+    * and since both planted copies score identically, the tiebreak is
+    * what picks the original over its re-crawl twin.
+    *
+    * Scale: the argmax is a struct-max HASH AGGREGATE
+    * (max(struct(quality, -doc_id)) per cluster — partial agg map-side,
+    * no per-cluster sort, a million-member degenerate cluster costs one
+    * row per map task), then one join of the per-cluster best (1 row
+    * per cluster, AQE-broadcastable) back to the members. A window
+    * rank here would sort whole partitions for a single bit. */
+  def dedupKeepBest(spark: SparkSession, dir: String,
+                    threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val q = TextAnalysis.qualityOf(spark, corpus(spark, dir))
+      .select($"doc_id", $"quality")
+    val clusters = dedupCluster(spark, dir, threshold)
+      .select($"doc_id", $"cluster_id")
+    val lab = q.join(clusters, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"cluster_id", $"doc_id").as("cluster_id"), $"quality")
+    val best = lab.groupBy($"cluster_id")
+      .agg(max(struct($"quality", (-$"doc_id").as("nd"))).as("b"))
+    lab.join(best, Seq("cluster_id"))
+      .withColumn("keep",
+        ($"quality" === $"b.quality" && $"doc_id" === -$"b.nd").cast("boolean"))
+      .select($"doc_id", $"cluster_id", $"quality", $"keep")
+  }
+
+  def dedupKeepBestSql(threshold: Double = 0.5): String =
+    s"""WITH RECURSIVE pairs AS (${ngramJaccardDedupSql(threshold)}),
+       |bi AS (SELECT id1 AS n, id2 AS nbr FROM pairs
+       |       UNION SELECT id2, id1 FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT DISTINCT n, n FROM bi
+       |  UNION
+       |  SELECT r.n, b.nbr FROM reach r JOIN bi b ON r.m = b.n),
+       |clusters AS (SELECT n AS doc_id, MIN(m) AS cluster_id
+       |             FROM reach GROUP BY n),
+       |corpus2 AS (SELECT doc_id, text FROM documents
+       |            UNION ALL SELECT doc_id + $BigOffset, text FROM documents),
+       |q AS (SELECT doc_id, quality
+       |      FROM (${TextAnalysis.qualityScoreSqlFrom("corpus2")})),
+       |lab AS (SELECT q.doc_id,
+       |               COALESCE(c.cluster_id, q.doc_id) AS cluster_id,
+       |               q.quality
+       |        FROM q LEFT JOIN clusters c ON c.doc_id = q.doc_id)
+       |SELECT doc_id, cluster_id, quality,
+       |       (row_number() OVER (PARTITION BY cluster_id
+       |                           ORDER BY quality DESC, doc_id)) = 1 AS keep
+       |FROM lab""".stripMargin
+
   /** C11 `doc_fingerprint` — winnowing (rolling-hash) fingerprints:
     * hash every char 8-gram, keep the minimum of each sliding window of
     * 4 hashes, distinct. Guarantees any shared substring ≥ 11 chars

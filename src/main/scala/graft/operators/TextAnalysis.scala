@@ -92,10 +92,16 @@ object TextAnalysis {
     * length/stopword/diversity ratios (the usual pre-training filters).
     * All ratios are single divisions of integers → bit-identical across
     * engines; per-row, codegen'd, no shuffle. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityOf(spark, Tables.documents(spark, dir))
+
+  /** [[qualityScore]]'s scorer over an arbitrary (doc_id, text) frame —
+    * shared with `dedup_keep_best`, which scores the doubled near-dup
+    * corpus rather than `documents` directly. */
+  private[operators] def qualityOf(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val t = toks($"text")
-    Tables.documents(spark, dir)
+    docs
       .select($"doc_id",
         length($"text").as("n_chars_m"),
         size(t).as("n_tokens"),
@@ -108,16 +114,21 @@ object TextAnalysis {
         ($"len_score" * lit(0.4)) + ($"diversity" * lit(0.4)) + ($"stop_ratio" * lit(0.2)))
   }
 
-  val qualityScoreSql: String =
-    """WITH base AS (
+  val qualityScoreSql: String = qualityScoreSqlFrom("documents")
+
+  /** [[qualityScoreSql]] parameterized on its source relation (a table
+    * or CTE name with doc_id + text) — the oracle-side twin of
+    * [[qualityOf]]. */
+  private[operators] def qualityScoreSqlFrom(src: String): String =
+    s"""WITH base AS (
       |  SELECT doc_id,
       |    CAST(length(text) AS INT) AS n_chars_m,
       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS n_tokens,
+      |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) AS n_tokens,
       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-      |         ELSE len(list_distinct(string_split_regex(trim(text), '\s+'))) END AS INT) AS n_distinct,
-      |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|is|in)\b')) AS INT) AS n_stop
-      |  FROM documents)
+      |         ELSE len(list_distinct(string_split_regex(trim(text), '\\s+'))) END AS INT) AS n_distinct,
+      |    CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|to|and|is|in)\\b')) AS INT) AS n_stop
+      |  FROM $src)
       |SELECT *,
       |  least(1.0, CAST(n_chars_m AS DOUBLE) / 500.0) AS len_score,
       |  CAST(n_distinct AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS diversity,

@@ -181,6 +181,36 @@ class TextDedupSpec extends AnyFunSuite {
       "star contraction and label propagation disagree on cluster labels")
   }
 
+  test("dedup_keep_best: one keeper per cluster, argmax quality, full corpus coverage") {
+    val kb = operators.NearDup.dedupKeepBest(spark, sf).cache()
+    // every doc of the doubled corpus appears exactly once
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(kb.count() == 2 * nDocs)
+    assert(kb.select("doc_id").distinct().count() == 2 * nDocs)
+    // exactly one keeper per cluster
+    val perCluster = kb.groupBy("cluster_id")
+      .agg(sum(col("keep").cast("long")).as("n_keep"))
+    assert(perCluster.filter(col("n_keep") =!= 1L).count() == 0,
+      "every cluster must keep exactly one representative")
+    // the keeper carries the cluster's max quality, min doc_id on ties
+    val best = kb.groupBy("cluster_id").agg(
+      max(struct(col("quality"), (-col("doc_id")).as("nd"))).as("b"))
+    val kept = kb.filter(col("keep")).join(best, "cluster_id")
+    assert(kept.filter(col("quality") =!= col("b.quality") ||
+      col("doc_id") =!= -col("b.nd")).count() == 0,
+      "keeper is not the (max quality, min doc_id) member")
+    // planted twins score identically, so whenever a copy shares its
+    // cluster with the original, the tiebreak keeps the ORIGINAL
+    // (lower id) — a kept copy is only legal as its own singleton
+    // (docs with <3 tokens or fully df-capped shingles never pair)
+    val keptCopies = kb.filter(col("keep") && col("doc_id") >= 1000000L)
+      .select((col("doc_id") - 1000000L).as("doc_id"), col("cluster_id").as("copy_cl"))
+    assert(keptCopies.join(kb, "doc_id")
+      .filter(col("cluster_id") === col("copy_cl")).count() == 0,
+      "a re-crawl copy was kept over its original in the same cluster")
+    kb.unpersist()
+  }
+
   test("embedding_dedup_lsh: pair set equals the exact blocked all-pairs join") {
     val corpus = operators.Similarity.twinCorpus(spark, sf)
     val exact = operators.Similarity.blockedAllPairs(corpus, 8)

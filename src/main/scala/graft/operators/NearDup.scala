@@ -445,12 +445,16 @@ object NearDup {
     * and since both planted copies score identically, the tiebreak is
     * what picks the original over its re-crawl twin.
     *
-    * Scale: the argmax is a struct-max HASH AGGREGATE
-    * (max(struct(quality, -doc_id)) per cluster — partial agg map-side,
-    * no per-cluster sort, a million-member degenerate cluster costs one
-    * row per map task), then one join of the per-cluster best (1 row
-    * per cluster, AQE-broadcastable) back to the members. A window
-    * rank here would sort whole partitions for a single bit. */
+    * Scale: the argmax is TWO PRIMITIVE HASH AGGREGATES — max(quality)
+    * per cluster, then min(doc_id) over the max-quality members — both
+    * HashAggregateExec with map-side partial agg, so a million-member
+    * degenerate cluster costs one row per map task and nothing ever
+    * sorts. (The tempting one-pass forms both degrade silently:
+    * max(struct(quality, -doc_id)) AND max_by(doc_id, struct(...))
+    * plan as SortAggregate, because struct aggregation buffers aren't
+    * hash-aggregable — PlanAuditSpec pins the hash-only shape.) The
+    * per-cluster best tables are 1 row per cluster, unhinted — AQE
+    * broadcasts them when small, shuffles when not. */
   def dedupKeepBest(spark: SparkSession, dir: String,
                     threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
@@ -458,14 +462,22 @@ object NearDup {
       .select($"doc_id", $"quality")
     val clusters = dedupCluster(spark, dir, threshold)
       .select($"doc_id", $"cluster_id")
+    // eager (materialization contract, see header): lab feeds the
+    // max-quality agg AND both join probes — lazy, each consumer
+    // re-runs the regex-heavy quality projection over the corpus
     val lab = q.join(clusters, Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"cluster_id", $"doc_id").as("cluster_id"), $"quality")
-    val best = lab.groupBy($"cluster_id")
-      .agg(max(struct($"quality", (-$"doc_id").as("nd"))).as("b"))
-    lab.join(best, Seq("cluster_id"))
-      .withColumn("keep",
-        ($"quality" === $"b.quality" && $"doc_id" === -$"b.nd").cast("boolean"))
+      .localCheckpoint()
+    // argmax = max quality, ties → min doc_id; doc_id is unique within
+    // a cluster, so the keeper is deterministic. quality values come
+    // from one shared computation, so float equality is exact here.
+    val bq = lab.groupBy($"cluster_id").agg(max($"quality").as("bq"))
+    val bestId = lab.join(bq, Seq("cluster_id"))
+      .filter($"quality" === $"bq")
+      .groupBy($"cluster_id").agg(min($"doc_id").as("best_id"))
+    lab.join(bestId, Seq("cluster_id"))
+      .withColumn("keep", ($"doc_id" === $"best_id").cast("boolean"))
       .select($"doc_id", $"cluster_id", $"quality", $"keep")
   }
 

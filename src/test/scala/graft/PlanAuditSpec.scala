@@ -125,6 +125,25 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(w.partitionSpec.nonEmpty, s"single-partition group limit:\n$plan"))
   }
 
+  test("dedup_keep_best argmax is a hash aggregate — no window, no sort-based agg") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{ObjectHashAggregateExec, SortAggregateExec}
+    val df = operators.NearDup.dedupKeepBest(spark, sf)
+    val plan = executedPlan(df)
+    val nodes = collectAll(plan)
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      s"keeper selection must be hash aggregates, not a window rank:\n$plan")
+    // the two-step argmax must stay in HashAggregateExec; the one-pass
+    // max(struct(...)) / max_by(_, struct(...)) forms silently degrade
+    // to SortAggregate (struct buffers aren't hash-aggregable) and
+    // re-sort every partition
+    assert(!nodes.exists(_.isInstanceOf[SortAggregateExec]),
+      s"argmax must not be a sort-based aggregate:\n$plan")
+    assert(!nodes.exists(_.isInstanceOf[ObjectHashAggregateExec]),
+      s"argmax should be plain HashAggregate:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("tfidf_terms df join carries no broadcast hint (AQE decides; only the 1-row corpus-size agg is hinted)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val df = operators.TextAnalysis.tfidfTerms(spark, sf)

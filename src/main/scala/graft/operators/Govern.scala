@@ -353,6 +353,61 @@ object Govern {
        |  FROM documents)
        |WHERE rk <= $cap""".stripMargin
 
+  /** Extension `corpus_shard` — deterministic shuffle-and-shard of the
+    * corpus for training ingestion: every doc gets a pseudo-random
+    * 48-bit key (md5-derived, engine-portable like F4/F5), a shard =
+    * key mod N, and a POSITION within its shard in key order — the
+    * "globally shuffle, then split into N ordered shards" step a
+    * training pipeline runs last. Deterministic and
+    * reprocessing-stable: same corpus → same shard files, any
+    * partitioning, any day.
+    *
+    * Scale: the within-shard position is NOT one window per shard
+    * (N partitions would make each shard's rank a single task sorting
+    * corpus/N rows — the vocab_build trap). Same banded two-pass rank
+    * idiom as [[TextAnalysis.vocabBuild]]: band = key's top 8 bits
+    * (monotone in key, uniform under md5), a ≤ N·256-row per-(shard,
+    * band) count aggregate yields rank offsets through a broadcast
+    * inequality self-join, and row_number runs per (shard, band) —
+    * parallel across 256·N windows, each ~corpus/(256·N) rows. Global
+    * pos = band offset + in-band rank, exact because bands partition
+    * the (key, doc_id) order. The keyed scan is consumed by the tiny
+    * count aggregate and the ranked main path; it is a one-column
+    * parquet scan + md5 projection, recomputed rather than
+    * materialized (checkpointing a corpus-sized frame to save a
+    * column scan is the wrong trade at 100 TB). */
+  def corpusShard(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    import spark.implicits._
+    val keyed = Tables.fanout(Tables.documents(spark, dir).select($"doc_id"))
+      .withColumn("skey",
+        conv(substring(md5(concat($"doc_id".cast("string"), lit(":shard"))), 1, 12), 16, 10)
+          .cast(LongType))
+      .withColumn("shard", ($"skey" % nShards).cast("int"))
+      .withColumn("band", shiftright($"skey", 40).cast("int"))
+    // ≤ N·256 rows regardless of corpus size
+    val bandCnt = keyed.groupBy($"shard", $"band").agg(count(lit(1)).as("cnt"))
+    val lower = bandCnt.select($"shard".as("ls"), $"band".as("lb"), $"cnt".as("lc"))
+    val off = bandCnt.join(broadcast(lower),
+        $"ls" === $"shard" && $"lb" < $"band", "left")
+      .groupBy($"shard", $"band")
+      .agg(coalesce(sum($"lc"), lit(0L)).as("off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard", $"band").orderBy($"skey", $"doc_id")
+    keyed.join(broadcast(off), Seq("shard", "band"))
+      .withColumn("pos", ($"off" + row_number().over(w)).cast("int"))
+      .select($"doc_id", $"shard", $"pos")
+  }
+
+  def corpusShardSql(nShards: Int = 8): String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 12)) AS BIGINT) AS skey
+       |  FROM documents)
+       |SELECT doc_id, CAST(skey % $nShards AS INT) AS shard,
+       |       CAST(row_number() OVER (
+       |         PARTITION BY skey % $nShards ORDER BY skey, doc_id) AS INT) AS pos
+       |FROM keyed""".stripMargin
+
   /** F7 `csv_ingest` — CSV round-trip with schema enforcement
     * (`to_csv` → `from_csv`), the delimited-text sibling of A13's
     * jsonl ingest: schema enforced at parse, the aggregate proves the

@@ -232,6 +232,26 @@ class GovernSpec extends AnyFunSuite {
     assert(run1 == run2)
   }
 
+  test("corpus_shard: positions contiguous per shard, full coverage, banded rank exact") {
+    val n = 8
+    val df = operators.Govern.corpusShard(spark, sf, n).cache()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(df.count() == nDocs)
+    assert(df.select("doc_id").distinct().count() == nDocs)
+    assert(df.filter(col("shard") < 0 || col("shard") >= n).count() == 0)
+    // per shard: positions are exactly 1..count (contiguous, no dup) —
+    // this fails if the band-offset arithmetic is off by one anywhere
+    val per = df.groupBy("shard").agg(
+      count(lit(1)).as("c"), min("pos").as("mn"), max("pos").as("mx"),
+      countDistinct("pos").as("d"))
+    assert(per.filter(col("mn") =!= 1 || col("mx") =!= col("c") ||
+      col("d") =!= col("c")).count() == 0,
+      "within-shard positions must be a contiguous 1..n_shard sequence")
+    // md5 keys spread shards roughly uniformly (no empty shard at sf)
+    assert(per.count() == n)
+    df.unpersist()
+  }
+
   test("equidepth_histogram: four buckets per type, roughly balanced") {
     val df = operators.Analytics.equidepthHistogram(spark, sf).cache()
     val types = df.select("event_type").distinct().count()

@@ -144,6 +144,17 @@ class PlanAuditSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("corpus_shard has no single-partition ordered window (banded rank)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = operators.Govern.corpusShard(spark, sf)
+    val plan = executedPlan(df)
+    val windows = collectAll(plan).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"expected the per-(shard, band) window:\n$plan")
+    windows.foreach(w =>
+      assert(w.partitionSpec.size == 2,
+        s"rank window must partition by (shard, band), not by shard alone:\n$plan"))
+  }
+
   test("tfidf_terms df join carries no broadcast hint (AQE decides; only the 1-row corpus-size agg is hinted)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val df = operators.TextAnalysis.tfidfTerms(spark, sf)

@@ -376,9 +376,17 @@ object Govern {
     * parquet scan + md5 projection, recomputed rather than
     * materialized (checkpointing a corpus-sized frame to save a
     * column scan is the wrong trade at 100 TB). */
-  def corpusShard(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
-    import spark.implicits._
-    val keyed = Tables.fanout(Tables.documents(spark, dir).select($"doc_id"))
+  def corpusShard(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame =
+    shardBy(Tables.fanout(Tables.documents(spark, dir).select(col("doc_id"))), nShards)
+
+  /** [[corpusShard]]'s core over an arbitrary frame with a `doc_id`
+    * column (extra columns ride along) — shared with
+    * `pipeline_training_manifest`, which shards the curated survivor
+    * set rather than the raw corpus. */
+  private[operators] def shardBy(docs: DataFrame, nShards: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val inCols = docs.columns.map(col).toSeq
+    val keyed = docs
       .withColumn("skey",
         conv(substring(md5(concat($"doc_id".cast("string"), lit(":shard"))), 1, 12), 16, 10)
           .cast(LongType))
@@ -395,7 +403,7 @@ object Govern {
       .partitionBy($"shard", $"band").orderBy($"skey", $"doc_id")
     keyed.join(broadcast(off), Seq("shard", "band"))
       .withColumn("pos", ($"off" + row_number().over(w)).cast("int"))
-      .select($"doc_id", $"shard", $"pos")
+      .select(inCols ++ Seq($"shard", $"pos"): _*)
   }
 
   def corpusShardSql(nShards: Int = 8): String =
@@ -404,6 +412,61 @@ object Govern {
        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 12)) AS BIGINT) AS skey
        |  FROM documents)
        |SELECT doc_id, CAST(skey % $nShards AS INT) AS shard,
+       |       CAST(row_number() OVER (
+       |         PARTITION BY skey % $nShards ORDER BY skey, doc_id) AS INT) AS pos
+       |FROM keyed""".stripMargin
+
+  /** Extension `pipeline_training_manifest` — the END-TO-END curation
+    * chain a pre-training data pipeline ships, as ONE declarative
+    * plan: near-dup clusters keep their best-quality representative
+    * (`dedup_keep_best`), benchmark-contaminated docs and the
+    * benchmark members themselves drop (`decontaminate`), the mix is
+    * temperature-rebalanced per language (`mixture_sample`), and the
+    * surviving corpus is deterministically shuffled into N ordered
+    * training shards ([[shardBy]], the banded rank — no
+    * single-partition window). Output: (doc_id, lang, shard, pos) —
+    * the manifest a training job reads shard-by-shard.
+    *
+    * Scale: each stage keeps its own audited shape (the heavy text
+    * scans happen once per stage, never per pair of stages), and the
+    * stages compose through id-only semi/anti joins — after a stage's
+    * own scan, only doc_id sets move between stages. Catalyst plans
+    * the whole chain as one DAG, so scan pruning/pushdown still apply
+    * stage-locally. */
+  def trainingManifest(spark: SparkSession, dir: String,
+                       nShards: Int = 8): DataFrame = {
+    import spark.implicits._
+    // dedup decision over the doubled corpus; manifest universe is the
+    // real documents, so a doc survives iff its ORIGINAL id is kept
+    // (copies lose to their original on the quality tiebreak)
+    val keepers = NearDup.dedupKeepBest(spark, dir)
+      .filter($"keep" && $"doc_id" < NearDup.BigOffset)
+      .select($"doc_id")
+    val contaminated = decontaminate(spark, dir).select($"doc_id")
+    val mixed = mixtureSample(spark, dir).select($"doc_id", $"lang")
+    val survivors = mixed
+      .filter($"doc_id" % 17 =!= 0) // benchmark members never train
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    shardBy(survivors, nShards)
+  }
+
+  def trainingManifestSql(nShards: Int = 8): String =
+    s"""WITH keepers AS (
+       |  SELECT doc_id FROM (${NearDup.dedupKeepBestSql()})
+       |  WHERE keep AND doc_id < ${NearDup.BigOffset}),
+       |contaminated AS (SELECT doc_id FROM (${decontaminateSql()})),
+       |mixed AS (SELECT doc_id, lang FROM (${mixtureSampleSql()})),
+       |survivors AS (
+       |  SELECT m.doc_id, m.lang FROM mixed m
+       |  JOIN keepers k ON k.doc_id = m.doc_id
+       |  LEFT JOIN contaminated c ON c.doc_id = m.doc_id
+       |  WHERE c.doc_id IS NULL AND m.doc_id % 17 <> 0),
+       |keyed AS (
+       |  SELECT doc_id, lang,
+       |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 12)) AS BIGINT) AS skey
+       |  FROM survivors)
+       |SELECT doc_id, lang, CAST(skey % $nShards AS INT) AS shard,
        |       CAST(row_number() OVER (
        |         PARTITION BY skey % $nShards ORDER BY skey, doc_id) AS INT) AS pos
        |FROM keyed""".stripMargin

@@ -252,6 +252,30 @@ class GovernSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("pipeline_training_manifest: survivors respect every upstream gate; shard positions contiguous") {
+    val mf = operators.Govern.trainingManifest(spark, sf).cache()
+    // no benchmark member, no planted-twin id, every doc at most once
+    assert(mf.filter(col("doc_id") % 17 === 0).count() == 0)
+    assert(mf.filter(col("doc_id") >= 1000000L).count() == 0)
+    assert(mf.select("doc_id").distinct().count() == mf.count())
+    // survivors ⊆ mixture accepts, ⊆ dedup keepers, ∩ contaminated = ∅
+    val mixed = operators.Govern.mixtureSample(spark, sf).select("doc_id")
+    assert(mf.select("doc_id").exceptAll(mixed).count() == 0)
+    val keepers = operators.NearDup.dedupKeepBest(spark, sf)
+      .filter(col("keep")).select("doc_id")
+    assert(mf.select("doc_id").exceptAll(keepers).count() == 0)
+    val contaminated = operators.Govern.decontaminate(spark, sf).select("doc_id")
+    assert(mf.select("doc_id").join(contaminated, "doc_id").count() == 0)
+    // shard positions are a contiguous 1..n_shard sequence
+    val per = mf.groupBy("shard").agg(
+      count(lit(1)).as("c"), min("pos").as("mn"), max("pos").as("mx"),
+      countDistinct("pos").as("d"))
+    assert(per.filter(col("mn") =!= 1 || col("mx") =!= col("c") ||
+      col("d") =!= col("c")).count() == 0)
+    mf.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("equidepth_histogram: four buckets per type, roughly balanced") {
     val df = operators.Analytics.equidepthHistogram(spark, sf).cache()
     val types = df.select("event_type").distinct().count()

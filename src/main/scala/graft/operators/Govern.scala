@@ -376,8 +376,11 @@ object Govern {
     * parquet scan + md5 projection, recomputed rather than
     * materialized (checkpointing a corpus-sized frame to save a
     * column scan is the wrong trade at 100 TB). */
+  // no fanout(): the rank window's own (shard, band) shuffle is what
+  // distributes the work — a forced full-corpus repartition before it
+  // would be a second corpus-wide exchange for nothing
   def corpusShard(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame =
-    shardBy(Tables.fanout(Tables.documents(spark, dir).select(col("doc_id"))), nShards)
+    shardBy(Tables.documents(spark, dir).select(col("doc_id")), nShards)
 
   /** [[corpusShard]]'s core over an arbitrary frame with a `doc_id`
     * column (extra columns ride along) — shared with

@@ -25,6 +25,11 @@ object Govern {
   private val UrlRe = "https?://[^\\s]+"
   private val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
 
+  /** Benchmark-set membership stand-in (doc_id % BenchMod == 0) —
+    * shared by `decontaminate` and `pipeline_training_manifest`, engine
+    * and oracle sides, so the two gates can't drift. */
+  private val BenchMod = 17
+
   /** documents with deterministically planted PII: every 7th doc gains
     * an email, every 11th a URL, every 13th a phone number (mod doc_id,
     * so the plant is reproducible in SQL too). */
@@ -140,8 +145,8 @@ object Govern {
       .select($"doc_id", explode(expr(
         s"array_distinct(transform(sequence(0, size(toks)-$n), i -> xxhash64(concat_ws(' ', slice(toks, i+1, $n)))))"))
         .as("gh"))
-    val benchGrams = grams.filter($"doc_id" % 17 === 0).select($"gh").distinct()
-    grams.filter($"doc_id" % 17 =!= 0)
+    val benchGrams = grams.filter($"doc_id" % BenchMod === 0).select($"gh").distinct()
+    grams.filter($"doc_id" % BenchMod =!= 0)
       .join(broadcast(benchGrams), Seq("gh"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shared_grams"))
@@ -154,10 +159,10 @@ object Govern {
        |      i -> array_to_string(l[i+1:i+$n], ' ')))) AS gram
        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents)
        |  WHERE len(l) >= $n),
-       |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 17 = 0)
+       |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % $BenchMod = 0)
        |SELECT doc_id, COUNT(*) AS n_shared_grams
        |FROM grams JOIN bench USING (gram)
-       |WHERE doc_id % 17 <> 0
+       |WHERE doc_id % $BenchMod <> 0
        |GROUP BY doc_id""".stripMargin
 
   /** Deterministic uniform [0,100) bucket from a key: first 8 hex chars
@@ -448,7 +453,7 @@ object Govern {
     val contaminated = decontaminate(spark, dir).select($"doc_id")
     val mixed = mixtureSample(spark, dir).select($"doc_id", $"lang")
     val survivors = mixed
-      .filter($"doc_id" % 17 =!= 0) // benchmark members never train
+      .filter($"doc_id" % BenchMod =!= 0) // benchmark members never train
       .join(keepers, Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")
     shardBy(survivors, nShards)
@@ -464,7 +469,7 @@ object Govern {
        |  SELECT m.doc_id, m.lang FROM mixed m
        |  JOIN keepers k ON k.doc_id = m.doc_id
        |  LEFT JOIN contaminated c ON c.doc_id = m.doc_id
-       |  WHERE c.doc_id IS NULL AND m.doc_id % 17 <> 0),
+       |  WHERE c.doc_id IS NULL AND m.doc_id % $BenchMod <> 0),
        |keyed AS (
        |  SELECT doc_id, lang,
        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 12)) AS BIGINT) AS skey

@@ -179,6 +179,38 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("E6: at the cap a bucket truncates to the first cap doc_ids (pairs only among admitted)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def ts(h: Long): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0).plusHours(h))
+    val sig = (1L to 16L).toSeq
+    // one bucket, five posts, cap 2: the two SMALLEST doc_ids of the
+    // first batch are admitted (sorted admission), everything after is
+    // drained without pairing — C2 would DROP the whole bucket; the
+    // stream truncates instead (the documented semantic fork)
+    val source = MemoryStream[Streams.BandPost]
+    val q = Streams.nearDedupTyped(
+      source.toDS().withWatermark("ts", "1 hour"), bucketCap = 2)
+      .writeStream.format("memory").queryName("e6_cap_out")
+      .outputMode("append").start()
+    source.addData(
+      Streams.BandPost(0, 5L, 30L, sig, ts(0)),
+      Streams.BandPost(0, 5L, 10L, sig, ts(0)),
+      Streams.BandPost(0, 5L, 20L, sig, ts(0)))
+    q.processAllAvailable()
+    // second batch: bucket is full — O(1) drain path, zero new pairs
+    source.addData(Streams.BandPost(0, 5L, 5L, sig, ts(1)),
+      Streams.BandPost(0, 5L, 40L, sig, ts(1)))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = s.table("e6_cap_out").select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 20L)),
+      s"cap must admit the first 2 doc_ids (10, 20) and pair only those, got $pairs")
+  }
+
   test("E2 stream_sessionize: streaming stateful result equals batch analogue") {
     val s = spark
     import s.implicits._

@@ -42,6 +42,33 @@ class CrossCheckSpec extends AnyFunSuite {
     assert(m.getOrElse("unchanged", 0L) == common - updatesExpected)
   }
 
+  test("corpus_shard banded rank equals the naive one-window-per-shard formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val got = operators.Govern.corpusShard(spark, sf)
+    val naiveW = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    val naive = Tables.documents(spark, sf).select(col("doc_id"))
+      .withColumn("skey",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":shard"))), 1, 12), 16, 10)
+          .cast("long"))
+      .withColumn("shard", (col("skey") % 8).cast("int"))
+      .withColumn("pos", row_number().over(naiveW))
+      .select(col("doc_id"), col("shard"), col("pos"))
+    assert(got.exceptAll(naive).count() == 0 && naive.exceptAll(got).count() == 0,
+      "band offset + in-band rank must equal the definitional global rank per shard")
+  }
+
+  test("dedup_keep_best keep bit equals the window-rank formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val kb = operators.NearDup.dedupKeepBest(spark, sf)
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val naive = kb.select(col("doc_id"), col("cluster_id"), col("quality"))
+      .withColumn("keep", (row_number().over(w) === 1).cast("boolean"))
+    assert(kb.exceptAll(naive).count() == 0 && naive.exceptAll(kb).count() == 0,
+      "two-step hash argmax must equal rank-1-per-cluster")
+    spark.catalog.clearCache()
+  }
+
   test("date_derive counts cover all orders exactly once") {
     val dd = operators.Clean.dateDerive(spark, sf)
     assert(dd.agg(sum("n_orders")).head.getLong(0) == Tables.orders(spark, sf).count())

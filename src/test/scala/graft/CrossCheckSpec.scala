@@ -71,7 +71,7 @@ class CrossCheckSpec extends AnyFunSuite {
 
   test("date_derive counts cover all orders exactly once") {
     val dd = operators.Clean.dateDerive(spark, sf)
-    assert(dd.agg(sum("n_orders")).head.getLong(0) == Tables.orders(spark, sf).count())
+    assert(dd.agg(sum("n_orders")).head().getLong(0) == Tables.orders(spark, sf).count())
   }
 
   test("q5 equals the same query phrased in SQL on temp views") {
@@ -100,7 +100,7 @@ class CrossCheckSpec extends AnyFunSuite {
     val total = pw.select(
       (col("n_click") + col("n_error") + col("n_purchase") + col("n_signup") + col("n_view"))
         .as("s"))
-      .agg(sum("s")).head.getLong(0)
+      .agg(sum("s")).head().getLong(0)
     assert(total == Tables.events(spark, sf).count())
   }
 

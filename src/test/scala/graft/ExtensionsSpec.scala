@@ -38,7 +38,7 @@ class ExtensionsSpec extends AnyFunSuite {
   test("byte_at SQL function is session-registered and reads payload bytes") {
     val r = spark.sql(
       "SELECT byte_at(cast('AB' as binary), 0) AS b0, byte_at(cast('AB' as binary), 5) AS oob")
-      .head
+      .head()
     assert(r.getInt(0) == 'A'.toInt && r.isNullAt(1))
   }
 

@@ -87,7 +87,7 @@ class GovernSpec extends AnyFunSuite {
       .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("c"))
       .groupBy($"doc_id")
       .agg(sum($"c").as("n"), count(lit(1)).as("d"))
-      .select(($"n" - $"d").cast("double") / $"n".cast("double")).head.getDouble(0)
+      .select(($"n" - $"d").cast("double") / $"n".cast("double")).head().getDouble(0)
     assert(planted > 0.95)
     df.unpersist()
   }
@@ -145,7 +145,7 @@ class GovernSpec extends AnyFunSuite {
   test("pack_sequences: doc-count preserved, ranges ordered, offsets sane") {
     val df = operators.Govern.packSequences(spark, sf).cache()
     val totalDocs = Tables.documents(spark, sf).count()
-    assert(df.agg(sum(col("n_docs"))).head.getLong(0) == totalDocs)
+    assert(df.agg(sum(col("n_docs"))).head().getLong(0) == totalDocs)
     assert(df.filter(col("first_doc") > col("last_doc")).count() == 0)
     assert(df.filter(col("seq_idx") < 0 || col("n_docs") < 1).count() == 0)
     // greedy packing: docs are never split, so a sequence overshoots the
@@ -154,7 +154,7 @@ class GovernSpec extends AnyFunSuite {
       .select(col("doc_id"),
         when(length(trim(col("text"))) === 0, 0)
           .otherwise(size(split(trim(col("text")), "\\s+"))).cast("long").as("n_tokens"))
-    val maxDoc = docToks.agg(max(col("n_tokens"))).head.getLong(0)
+    val maxDoc = docToks.agg(max(col("n_tokens"))).head().getLong(0)
     assert(df.filter(col("sum_tokens") >= lit(2048L) + maxDoc).count() == 0)
     df.unpersist()
   }
@@ -184,7 +184,7 @@ class GovernSpec extends AnyFunSuite {
     assert(df.count() == nLabels * 64)
     assert(df.filter(col("c_mean") < -1 || col("c_mean") > 1).count() == 0)
     val totalVecs = Tables.embeddings(spark, sf).count()
-    assert(df.agg(sum(col("n_vecs"))).head.getLong(0) == totalVecs * 64)
+    assert(df.agg(sum(col("n_vecs"))).head().getLong(0) == totalVecs * 64)
     df.unpersist()
   }
 
@@ -201,13 +201,13 @@ class GovernSpec extends AnyFunSuite {
   test("vocab_build: ranks contiguous, coverage monotone to 1.0") {
     val df = operators.TextAnalysis.vocabBuild(spark, sf).cache()
     val n = df.count()
-    assert(df.agg(max(col("rank"))).head.getInt(0).toLong == n)
-    assert(df.agg(min(col("rank"))).head.getInt(0) == 1)
+    assert(df.agg(max(col("rank"))).head().getInt(0).toLong == n)
+    assert(df.agg(min(col("rank"))).head().getInt(0) == 1)
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("rank"))
     assert(df.withColumn("prev", lag(col("cum_cov"), 1).over(w))
       .filter(col("prev").isNotNull && col("cum_cov") < col("prev")).count() == 0)
     // the synthetic vocab is far under topN, so coverage must close at 1.0
-    assert(math.abs(df.agg(max(col("cum_cov"))).head.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(df.agg(max(col("cum_cov"))).head().getDouble(0) - 1.0) < 1e-9)
     df.unpersist()
   }
 
@@ -325,7 +325,7 @@ class GovernSpec extends AnyFunSuite {
     assert(df.filter(col("n_copies") < 2 || col("n_copies") % 2 =!= 0).count() == 0)
     assert(df.filter(col("keeper_id") >= 1000000L).count() == 0)
     val totalDocs = Tables.documents(spark, sf).count()
-    assert(df.agg(sum(col("n_copies"))).head.getLong(0) == 2 * totalDocs)
+    assert(df.agg(sum(col("n_copies"))).head().getLong(0) == 2 * totalDocs)
     df.unpersist()
   }
 

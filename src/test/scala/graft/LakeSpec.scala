@@ -48,7 +48,7 @@ class LakeSpec extends AnyFunSuite {
     val (clean, bad) = Lake.quarantine(Lake.readJsonl(spark, dir, schema))
     assert(clean.count() == 2)
     assert(bad.count() == 2)
-    assert(clean.agg(sum("n_chars")).head.getLong(0) == 30)
+    assert(clean.agg(sum("n_chars")).head().getLong(0) == 30)
   }
 
   test("partitioned sink: partition filters prune at plan time") {

@@ -40,7 +40,7 @@ class OperatorsSpec extends AnyFunSuite {
     val total = Tables.events(spark, sf).count()
     assert(df.count() ==
       Tables.events(spark, sf).select("user_id", "event_type").distinct().count())
-    assert(df.agg(org.apache.spark.sql.functions.sum("n_dups")).head.getLong(0) == total)
+    assert(df.agg(org.apache.spark.sql.functions.sum("n_dups")).head().getLong(0) == total)
   }
 
   test("incremental_dedup: result disjoint from seen window") {
@@ -72,7 +72,7 @@ class OperatorsSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val df = operators.Ingest.batchAssign(spark, sf, batchSize = 100)
     assert(df.filter(col("record_count") > 100).count() == 0)
-    assert(df.agg(sum("record_count")).head.getLong(0) ==
+    assert(df.agg(sum("record_count")).head().getLong(0) ==
       Tables.documents(spark, sf).count())
   }
 
@@ -94,7 +94,7 @@ class OperatorsSpec extends AnyFunSuite {
   test("status_claim: claims are the globally earliest pending items") {
     import org.apache.spark.sql.functions._
     val claimed = operators.Status.statusClaim(spark, sf, n = 10)
-    val maxClaimed = claimed.agg(max("ts")).head.getAs[java.time.LocalDateTime](0)
+    val maxClaimed = claimed.agg(max("ts")).head().getAs[java.time.LocalDateTime](0)
     val skipped = Tables.events(spark, sf)
       .filter(col("event_type") === "error" && col("ts") < lit(maxClaimed))
       .count()

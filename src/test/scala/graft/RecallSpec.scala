@@ -25,7 +25,7 @@ class RecallSpec extends AnyFunSuite {
     val n = both.count()
     assert(n > 0, "estimator and exact operator must overlap on this corpus")
     // 16 minhash slots -> est stddev <= sqrt(.25/16) = 0.125; |err| <= 0.25 is 2 sigma
-    val maxErr = both.agg(max(abs(col("est_jaccard") - col("jaccard")))).head.getDouble(0)
+    val maxErr = both.agg(max(abs(col("est_jaccard") - col("jaccard")))).head().getDouble(0)
     assert(maxErr <= 0.25, s"max |est - exact| = $maxErr over $n shared pairs")
     // and every exact-jaccard-1.0 pair is estimated at exactly 1.0
     // (identical shingle sets -> identical signatures, no variance)
@@ -59,13 +59,13 @@ class RecallSpec extends AnyFunSuite {
       .select(($"doc_id" - 1000).as("doc_id"), $"simhash".as("h2"))
     val mutHam = o.join(m, "doc_id")
       .select(bit_count($"h1".bitwiseXOR($"h2")).as("h"))
-    val mutMean = mutHam.agg(avg($"h")).head.getDouble(0)
-    val mutMax = mutHam.agg(max($"h")).head.getInt(0)
+    val mutMean = mutHam.agg(avg($"h")).head().getDouble(0)
+    val mutMax = mutHam.agg(max($"h")).head().getInt(0)
     // unrelated pairs: orig i vs mutant of i+1 (cyclic)
     val unrel = o.withColumn("doc_id", ($"doc_id" + 1) % 40).join(m, "doc_id")
       .select(bit_count($"h1".bitwiseXOR($"h2")).as("h"))
-    val unrelMean = unrel.agg(avg($"h")).head.getDouble(0)
-    val unrelMin = unrel.agg(min($"h")).head.getInt(0)
+    val unrelMean = unrel.agg(avg($"h")).head().getDouble(0)
+    val unrelMin = unrel.agg(min($"h")).head().getInt(0)
     // 1-of-30-token edits sit near hamming 0; unrelated docs near 32
     assert(mutMean <= 8, s"mutation mean hamming $mutMean")
     assert(unrelMean >= 20, s"unrelated mean hamming $unrelMean")
@@ -89,8 +89,8 @@ class RecallSpec extends AnyFunSuite {
       .distinct()
     val joined = exact.join(lshPairs, Seq("id1", "id2"), "left_semi")
     // mean cosine of collided pairs must sit clearly above the global mean
-    val allMean = exact.agg(avg("cosine")).head.getDouble(0)
-    val lshMean = joined.agg(avg("cosine")).head.getDouble(0)
+    val allMean = exact.agg(avg("cosine")).head().getDouble(0)
+    val lshMean = joined.agg(avg("cosine")).head().getDouble(0)
     assert(lshMean >= allMean + 0.05,
       s"LSH collided-pair mean cosine $lshMean vs global $allMean")
     // collision rate in the top cosine quartile >= 2x the bottom quartile

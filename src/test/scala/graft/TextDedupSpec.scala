@@ -16,7 +16,7 @@ class TextDedupSpec extends AnyFunSuite {
     val df = operators.TextAnalysis.textExactDedup(spark, sf)
     assert(df.filter(col("n_copies") < 2).count() == 0)
     assert(df.filter(col("keeper_id") >= 1000000L).count() == 0)
-    assert(df.agg(sum("n_copies")).head.getLong(0) == 2 * nDocs)
+    assert(df.agg(sum("n_copies")).head().getLong(0) == 2 * nDocs)
   }
 
   test("minhash_lsh_dedup: all planted twins surface with est_jaccard 1.0") {
@@ -242,7 +242,7 @@ class TextDedupSpec extends AnyFunSuite {
         (0 until 64).map(p => col(s"p$p").as(s"q$p")): _*)
     val hamming = a.join(b, "vec_id")
       .select((0 until 64).map(p => abs(col(s"p$p") - col(s"q$p"))).reduce(_ + _).as("h"))
-    val maxH = hamming.agg(max(col("h"))).head.getInt(0)
+    val maxH = hamming.agg(max(col("h"))).head().getInt(0)
     assert(maxH <= 4, s"twin signature hamming reached $maxH (recall guarantee holds to 7)")
     spark.catalog.clearCache()
   }

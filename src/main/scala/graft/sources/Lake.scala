@@ -66,4 +66,23 @@ object Lake {
     * become `PushedFilters` (row-group pruning). */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** ORC sink — the other columnar lake format Spark reads/writes
+    * natively (a reference deployment landing into a Hive/Trino
+    * estate would use it). Same layout posture as the parquet sink:
+    * hive-partitioned directories for planning-time pruning, capped
+    * file sizes so a skewed partition still splits, and data-column
+    * predicates push into ORC stripe/row-group indexes on read. */
+  def writeOrc(df: DataFrame, path: String,
+               partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", 5000000)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .orc(path)
+  }
+
+  /** Read an ORC table back (partition pruning + predicate pushdown,
+    * same contract as [[readPartitioned]]). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

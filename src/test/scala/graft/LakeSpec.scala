@@ -66,6 +66,30 @@ class LakeSpec extends AnyFunSuite {
     assert(dirs.exists(_.startsWith("o_year=")))
   }
 
+  test("orc sink: round trip exact, partition pruning + data-predicate pushdown visible") {
+    val dir = tmp("orc")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    Lake.writeOrc(docs, dir, Seq("lang"))
+    val files = new java.io.File(dir).listFiles.filter(_.isDirectory).map(_.getName)
+    assert(files.exists(_.startsWith("lang=")), "hive partition dirs expected")
+    val back = Lake.readOrc(spark, dir)
+    // exact round trip (modulo column order; lang comes back as a
+    // partition column)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id", "lang", "source", "n_chars")
+      .exceptAll(docs).count() == 0)
+    // partition filter prunes at plan time; data filter pushes into ORC
+    val pruned = back.filter(col("lang") === "en" && col("n_chars") > 100)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"partition pruning missing:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("n_chars"),
+      s"ORC predicate pushdown missing:\n$plan")
+    assert(pruned.count() ==
+      docs.filter(col("lang") === "en" && col("n_chars") > 100).count())
+  }
+
   test("schema evolution across ingest batches: mergeSchema unions columns, old rows null-fill") {
     val s = spark
     import s.implicits._

@@ -391,7 +391,7 @@ object Govern {
     * column (extra columns ride along) — shared with
     * `pipeline_training_manifest`, which shards the curated survivor
     * set rather than the raw corpus. */
-  private[operators] def shardBy(docs: DataFrame, nShards: Int): DataFrame = {
+  private[graft] def shardBy(docs: DataFrame, nShards: Int): DataFrame = {
     import docs.sparkSession.implicits._
     val inCols = docs.columns.map(col).toSeq
     val keyed = docs

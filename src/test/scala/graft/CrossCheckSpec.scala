@@ -57,6 +57,28 @@ class CrossCheckSpec extends AnyFunSuite {
       "band offset + in-band rank must equal the definitional global rank per shard")
   }
 
+  test("shardBy equals the naive rank on seeded random id sets (sparse, dense, huge ids)") {
+    import org.apache.spark.sql.expressions.Window
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(777)
+    for ((n, maxId) <- Seq((50, 1000L), (400, 1L << 40), (300, 64L))) {
+      val ids = Seq.fill(n)(math.abs(rnd.nextLong()) % maxId).distinct
+      val df = ids.toDF("doc_id")
+      val got = operators.Govern.shardBy(df, 8)
+      val naive = df
+        .withColumn("skey",
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit(":shard"))), 1, 12), 16, 10)
+            .cast("long"))
+        .withColumn("shard", (col("skey") % 8).cast("int"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))))
+        .select(col("doc_id"), col("shard"), col("pos"))
+      assert(got.exceptAll(naive).count() == 0 && naive.exceptAll(got).count() == 0,
+        s"banded rank diverges on n=$n maxId=$maxId")
+    }
+  }
+
   test("dedup_keep_best keep bit equals the window-rank formulation") {
     import org.apache.spark.sql.expressions.Window
     val kb = operators.NearDup.dedupKeepBest(spark, sf)

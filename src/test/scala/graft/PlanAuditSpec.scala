@@ -40,6 +40,32 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("per-row text ops run entirely inside whole-stage codegen (no interpreted project/filter)") {
+    import org.apache.spark.sql.execution.{FilterExec, ProjectExec, WholeStageCodegenExec}
+    // the scan-speed block: any ProjectExec/FilterExec OUTSIDE a
+    // WholeStageCodegen span means an expression fell out of codegen
+    // (a non-codegen Expression, a fallback) and the op pays the
+    // interpreted-row path at 100 TB scan scale
+    def bare(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = p match {
+      case _: WholeStageCodegenExec => Nil
+      case x @ (_: ProjectExec | _: FilterExec) =>
+        x.getClass.getSimpleName +: x.children.flatMap(bare)
+      case other => other.children.flatMap(bare)
+    }
+    Seq(
+      operators.TextAnalysis.qualityScore(spark, sf),
+      operators.TextAnalysis.tokenCount(spark, sf),
+      operators.TextAnalysis.langId(spark, sf),
+      operators.Govern.piiRedact(spark, sf)
+    ).foreach { df =>
+      val plan = executedPlan(df)
+      assert(collectAll(plan).exists(_.isInstanceOf[WholeStageCodegenExec]),
+        s"no codegen span at all:\n$plan")
+      assert(bare(plan).isEmpty,
+        s"interpreted ${bare(plan).mkString(",")} outside codegen:\n$plan")
+    }
+  }
+
   test("doc_chunk, mm_resize, mm_frame_sample are exchange-free per-row pipelines") {
     Seq(
       operators.TextAnalysis.docChunk(spark, sf),

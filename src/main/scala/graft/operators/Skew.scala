@@ -47,4 +47,46 @@ object Skew {
       |       CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
       |       MIN("value") AS min_value, MAX("value") AS max_value
       |FROM events GROUP BY event_type""".stripMargin
+
+  /** `null_skew_join` — the null-hot-key join pattern: in a shuffled
+    * LEFT join, every null-keyed row hashes to ONE reducer, so a fact
+    * table where a third of the keys are null (unresolved users,
+    * unparseable ids — routine crawl reality) funnels a third of
+    * 100 TB through a single task. Null keys can never match, so the
+    * fix is structural, not statistical: split the nulls off BEFORE
+    * the shuffle, join only the non-null rows, and union the null rows
+    * back with null-filled dimension columns. Result is row-identical
+    * to the plain LEFT join — which is how it is gated (plain LEFT
+    * JOIN oracle over the same nullified key).
+    *
+    * (AQE's skew-join split handles oversized partitions generically,
+    * but it still shuffles the null rows and rewrites them into
+    * several tasks; the structural split never shuffles them at all —
+    * they stay a scan-local branch of the union.) */
+  def nullSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // plant the null skew deterministically: every 3rd event loses its
+    // user id (same expression in the oracle)
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"event_type",
+        when($"user_id" % 3 === 0, lit(null)).otherwise($"user_id").as("uid"))
+    val dim = Tables.customer(spark, dir)
+      .select($"c_custkey".as("uid"), $"c_mktsegment".as("segment"),
+        $"c_nationkey".as("nation_key"))
+    val matched = ev.filter($"uid".isNotNull).join(dim, Seq("uid"), "left")
+    val nulls = ev.filter($"uid".isNull)
+      .withColumn("segment", lit(null).cast("string"))
+      .withColumn("nation_key", lit(null).cast("long"))
+    matched.unionByName(nulls)
+      .select($"event_id", $"event_type", $"uid", $"segment", $"nation_key")
+  }
+
+  val nullSkewJoinSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type,
+      |         CASE WHEN user_id % 3 = 0 THEN NULL ELSE user_id END AS uid
+      |  FROM events)
+      |SELECT e.event_id, e.event_type, e.uid,
+      |       c.c_mktsegment AS segment, c.c_nationkey AS nation_key
+      |FROM ev e LEFT JOIN customer c ON e.uid = c.c_custkey""".stripMargin
 }

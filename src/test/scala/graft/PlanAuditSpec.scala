@@ -89,6 +89,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(countBroadcasts(df) == 1, s"plan:\n${executedPlan(df)}")
   }
 
+  test("null_skew_join: null keys split off structurally — scan-local branch, nulls never reach the join") {
+    import org.apache.spark.sql.execution.UnionExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val df = operators.Skew.nullSkewJoin(spark, sf)
+    val plan = executedPlan(df)
+    val union = collectAll(plan).collectFirst { case u: UnionExec => u }
+    assert(union.nonEmpty, s"expected the matched ∪ nulls union:\n$plan")
+    def hasJoin(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      collectAll(p).exists(_.isInstanceOf[BaseJoinExec])
+    val (joinSide, nullSide) = union.get.children.partition(hasJoin)
+    assert(joinSide.size == 1 && nullSide.size == 1, s"plan:\n$plan")
+    // the null branch is a scan-local filter — no exchange, no join
+    assert(!collectAll(nullSide.head).exists(_.isInstanceOf[ShuffleExchangeLike]),
+      s"null branch must never shuffle:\n$plan")
+    // the join's probe side drops nulls before any exchange
+    assert(joinSide.head.toString.contains("isnotnull"),
+      s"join input must filter null keys:\n$plan")
+  }
+
   test("q5 star join is all-broadcast: the fact table only shuffles for the final agg") {
     val df = operators.Analytics.q5LocalSupplier(spark, sf)
     assert(countBroadcasts(df) >= 4, s"plan:\n${executedPlan(df)}")

@@ -199,6 +199,54 @@ object Streams {
       |       c.c_mktsegment AS segment, c.c_nationkey AS nation_key
       |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin
 
+  /** SCD2-style validity intervals over the per-user signup state
+    * stream (valid_from = state ts, valid_to = next state ts) — the
+    * pre-built dimension [[asofEnrich]] probes. The window runs over
+    * the STATE table (dimension-sized, per-user partitions), never the
+    * event stream. */
+  private[graft] def stateIntervals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val state = Tables.events(spark, dir)
+      .filter($"event_type" === "signup")
+      // one state row per (user, ts): max keeps ties deterministic —
+      // the same collapse B12's asof_join applies
+      .groupBy($"user_id".as("s_user_id"), $"ts".as("valid_from"))
+      .agg(max($"value").as("state_value"))
+    state.withColumn("valid_to",
+      lead($"valid_from", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"s_user_id").orderBy($"valid_from")))
+  }
+
+  /** E7 `stream_asof_enrich` — POINT-IN-TIME-correct stream
+    * enrichment: each arriving event joins the dimension version valid
+    * AT ITS EVENT TIME (valid_from ≤ ts < valid_to), never a later
+    * one — the feature-pipeline hygiene that prevents time-travel
+    * leakage at ingest. Where B12 computes as-of semantics with a
+    * custom sort-merge plan (right for batch fact-fact), the streaming
+    * form probes a PRE-BUILT interval table: a stream-static join is
+    * STATELESS in Structured Streaming (no watermark, no state store;
+    * the static side re-plans per micro-batch, picking up dimension
+    * changes), and each event matches exactly one interval. Inner
+    * join — events before any state have no as-of row, exactly B12's
+    * semantics — and the batch entry gates on THE SAME DuckDB native
+    * ASOF JOIN oracle as B12: two independent formulations, one
+    * oracle. */
+  def asofEnrich(events: DataFrame, intervals: DataFrame): DataFrame =
+    events.join(broadcast(intervals),
+        events("user_id") === intervals("s_user_id") &&
+        events("ts") >= intervals("valid_from") &&
+        (intervals("valid_to").isNull || events("ts") < intervals("valid_to")))
+      .select(events("event_id"), events("user_id"), events("ts"),
+        intervals("valid_from").as("state_ts"), intervals("state_value"))
+
+  /** Driver-gate batch entry for E7 (oracle: [[graft.operators.AsOf
+    * .asofStateJoinSql]] — DuckDB's native ASOF JOIN). */
+  def streamAsofEnrich(spark: SparkSession, dir: String): DataFrame =
+    asofEnrich(
+      Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("ts")),
+      stateIntervals(spark, dir))
+
   /** One LSH band posting of a document's MinHash signature.
     * `ts` is the post's event time (ingest time of the document) —
     * it drives the bucket-aging watermark timeout and never appears in

@@ -75,6 +75,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.filter(col("user_id") === 4 && col("segment").isNull).count() > 0)
   }
 
+  test("E7 stream_asof_enrich: streaming point-in-time enrichment equals batch; never a later version") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def ts(m: Long) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0).plusMinutes(m))
+    // two users, two state versions each; events straddle the versions
+    val intervals = Seq(
+      (0L, ts(0), 1.0, ts(60)), (0L, ts(60), 2.0, null),
+      (1L, ts(30), 5.0, null)
+    ).map { case (u, f, v, t) => (u, f, v, t.asInstanceOf[java.sql.Timestamp]) }
+      .toDF("s_user_id", "valid_from", "state_value", "valid_to")
+    val data = evs(40) // user_id ∈ 0..4, ts = i*7 minutes
+    val source = MemoryStream[Streams.Ev]
+    source.addData(data: _*)
+    val q = Streams.asofEnrich(source.toDF(), intervals)
+      .writeStream.format("memory").queryName("e7_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("e7_out")
+    val batch = Streams.asofEnrich(data.toDF(), intervals)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // point-in-time correctness: the joined version is valid AT the
+    // event time — state_ts ≤ ts, and never a later version's window
+    assert(streamed.filter(col("state_ts") > col("ts")).count() == 0)
+    assert(streamed.filter(col("user_id") === 0L && col("ts") >= ts(60).toString
+      && col("state_value") =!= 2.0).count() == 0,
+      "an event after the version flip must see the NEW state")
+    assert(streamed.filter(col("user_id") === 0L && col("ts") < ts(60).toString
+      && col("state_value") =!= 1.0).count() == 0,
+      "an event before the version flip must see the OLD state")
+  }
+
   test("E6 stream_near_dedup: batch pair set equals C2's bucket join; stream finds twins") {
     val s = spark
     import s.implicits._

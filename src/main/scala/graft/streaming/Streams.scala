@@ -231,7 +231,15 @@ object Streams {
     * join — events before any state have no as-of row, exactly B12's
     * semantics — and the batch entry gates on THE SAME DuckDB native
     * ASOF JOIN oracle as B12: two independent formulations, one
-    * oracle. */
+    * oracle.
+    *
+    * The broadcast hint is deliberate and bounded: the interval table
+    * is entity-keyed (one row per state CHANGE per user — the same
+    * size class as E5's customer-dimension broadcast), not
+    * corpus-keyed. If the dimension outgrows executor memory, drop
+    * the hint: the join degrades to a per-micro-batch shuffle join —
+    * more expensive, still stateless and correct — or switch to B12's
+    * sort-merge as-of plan in batch. */
   def asofEnrich(events: DataFrame, intervals: DataFrame): DataFrame =
     events.join(broadcast(intervals),
         events("user_id") === intervals("s_user_id") &&

@@ -446,10 +446,11 @@ object Govern {
     import spark.implicits._
     // dedup decision over the doubled corpus; manifest universe is the
     // real documents, so a doc survives iff its ORIGINAL id is kept
-    // (copies lose to their original on the quality tiebreak)
-    val keepers = NearDup.dedupKeepBest(spark, dir)
-      .filter($"keep" && $"doc_id" < NearDup.BigOffset)
-      .select($"doc_id")
+    // (copies lose to their original on the quality tiebreak). Only
+    // the keeper ID SET is needed here — keepBestIds skips the
+    // full keep_best member join-back.
+    val keepers = NearDup.keepBestIds(spark, dir)
+      .filter($"doc_id" < NearDup.BigOffset)
     val contaminated = decontaminate(spark, dir).select($"doc_id")
     val mixed = mixtureSample(spark, dir).select($"doc_id", $"lang")
     val survivors = mixed

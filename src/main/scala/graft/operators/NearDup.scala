@@ -455,8 +455,12 @@ object NearDup {
     * hash-aggregable — PlanAuditSpec pins the hash-only shape.) The
     * per-cluster best tables are 1 row per cluster, unhinted — AQE
     * broadcasts them when small, shuffles when not. */
-  def dedupKeepBest(spark: SparkSession, dir: String,
-                    threshold: Double = 0.5): DataFrame = {
+  /** (members, per-cluster argmax) of the keep-best decision — the
+    * shared core of [[dedupKeepBest]] (which joins the keeper bit back
+    * onto every member) and [[keepBestIds]] (which only needs the
+    * keeper id set and skips that final join). */
+  private def keepBestParts(spark: SparkSession, dir: String,
+                            threshold: Double): (DataFrame, DataFrame) = {
     import spark.implicits._
     val q = TextAnalysis.qualityOf(spark, corpus(spark, dir))
       .select($"doc_id", $"quality")
@@ -476,9 +480,25 @@ object NearDup {
     val bestId = lab.join(bq, Seq("cluster_id"))
       .filter($"quality" === $"bq")
       .groupBy($"cluster_id").agg(min($"doc_id").as("best_id"))
+    (lab, bestId)
+  }
+
+  def dedupKeepBest(spark: SparkSession, dir: String,
+                    threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val (lab, bestId) = keepBestParts(spark, dir, threshold)
     lab.join(bestId, Seq("cluster_id"))
       .withColumn("keep", ($"doc_id" === $"best_id").cast("boolean"))
       .select($"doc_id", $"cluster_id", $"quality", $"keep")
+  }
+
+  /** Just the keeper id set (one row per cluster) — what a downstream
+    * curation filter actually consumes; skips [[dedupKeepBest]]'s
+    * member join-back entirely. */
+  private[operators] def keepBestIds(spark: SparkSession, dir: String,
+                                     threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    keepBestParts(spark, dir, threshold)._2.select($"best_id".as("doc_id"))
   }
 
   def dedupKeepBestSql(threshold: Double = 0.5): String =

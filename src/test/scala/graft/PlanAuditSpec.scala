@@ -212,6 +212,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(countBroadcasts(df) >= 1, s"plan:\n${executedPlan(df)}")
   }
 
+  test("registry-wide plan lint: crosses, sort-aggs and single-partition shuffles only where declared") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.aggregate.SortAggregateExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // 1-row-scalar / bounded-query-side crosses (broadcast the tiny
+    // side by design): ann query sides, centroid tables, the n_docs /
+    // total_occ scalars
+    val crossOk = Set("ann_bruteforce", "ann_lsh", "ann_ivf", "knn_classify",
+      "centroid_per_label", "tfidf_terms", "vocab_build", "embedding_dedup_lsh")
+    // k-bounded-group max_by assigns: the sort is by grouping key with
+    // map-side partial agg — benign, unlike cluster-sized groups
+    val sortAggOk = Set("ann_ivf", "ann_lsh", "knn_classify",
+      "resample_fill", "stream_dedup", "asof_join")
+    // 1-row global scalar aggregates (tfidf's n_docs, vocab's
+    // total_occ) legitimately collapse to one partition for the final
+    // combine — the shuffled payload is one row per map task
+    val singleOk = Set("tfidf_terms", "vocab_build")
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val nodes = collectAll(executedPlan(fn(spark, sf)))
+      spark.catalog.clearCache()
+      val viol = Seq.newBuilder[String]
+      if (!crossOk(name) && nodes.exists(n => n.isInstanceOf[CartesianProductExec]
+        || n.isInstanceOf[BroadcastNestedLoopJoinExec]))
+        viol += s"$name: undeclared cross/nested-loop join"
+      if (!sortAggOk(name) && nodes.exists(_.isInstanceOf[SortAggregateExec]))
+        viol += s"$name: undeclared sort-based aggregate"
+      if (!singleOk(name) && nodes.exists {
+        case e: ShuffleExchangeLike => e.outputPartitioning == SinglePartition
+        case _ => false })
+        viol += s"$name: undeclared single-partition shuffle"
+      viol.result()
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   test("bloom_prejoin: might_contain below the shuffle, no false negatives, real pruning, equals plain join") {
     import org.apache.spark.sql.functions._
     val pre = operators.BloomJoin.bloomPrefilteredFact(spark, sf)

@@ -219,12 +219,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row-scalar / bounded-query-side crosses (broadcast the tiny
     // side by design): ann query sides, centroid tables, the n_docs /
     // total_occ scalars
-    val crossOk = Set("ann_bruteforce", "ann_lsh", "ann_ivf", "knn_classify",
-      "centroid_per_label", "tfidf_terms", "vocab_build", "embedding_dedup_lsh")
+    val crossOk = Set("ann_bruteforce", "ann_ivf", "knn_classify",
+      "tfidf_terms", "vocab_build")
     // k-bounded-group max_by assigns: the sort is by grouping key with
     // map-side partial agg — benign, unlike cluster-sized groups
-    val sortAggOk = Set("ann_ivf", "ann_lsh", "knn_classify",
-      "resample_fill", "stream_dedup", "asof_join")
+    val sortAggOk = Set("ann_ivf", "resample_fill", "stream_dedup")
     // 1-row global scalar aggregates (tfidf's n_docs, vocab's
     // total_occ) legitimately collapse to one partition for the final
     // combine — the shuffled payload is one row per map task

@@ -28,8 +28,41 @@ import org.apache.spark.sql.functions._
   * returned plan is GC'd; on a multi-executor cluster swap
   * localCheckpoint for a reliable checkpoint (blocks die with an
   * executor) — same shape, durable storage.
+  *
+  * CROSS-QUERY SHARING: four registry queries (`dedup_cluster`,
+  * `dedup_cluster_star`, `dedup_keep_best`,
+  * `pipeline_training_manifest`) all stand on the SAME ngram pair
+  * edges — and the last two on the same label-propagation closure and
+  * keeper argmax. Run standalone each builds its own; run in one
+  * process (Verify, Bench, the test suite — the registry sweep) the
+  * shared intermediates are memoized per (session, shuffle-partition
+  * setting, dir, params) in [[Shared]], so the edge pipeline is built
+  * and checkpointed ONCE and every consumer reads the materialized
+  * table — the "write the signature table once, feed every downstream
+  * decision from it" posture a production dedup pipeline ships
+  * (SURVEY §5). The shuffle-partition setting is part of the key so a
+  * partition-invariance sweep (DetSweep) still rebuilds from scratch
+  * per setting.
   */
 object NearDup {
+
+  /** Process-level memo of the shared dedup intermediates. Keyed on
+    * the session identity (reference equality — a stopped session's
+    * entries are evicted on the next access) plus the session's
+    * shuffle-partition setting plus the builder tag; values are
+    * immutable plans over localCheckpoint'd blocks, safe to share
+    * across any number of consumer queries. `synchronized` (not
+    * ConcurrentHashMap.computeIfAbsent) because builds NEST — the
+    * keeper memo builds the closure memo builds the pair memo — and
+    * the JVM monitor is reentrant where computeIfAbsent is not. */
+  private object Shared {
+    private val cache = scala.collection.mutable.HashMap[(SparkSession, String, String), AnyRef]()
+    def memo[T <: AnyRef](spark: SparkSession, tag: String)(build: => T): T = synchronized {
+      cache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
+      val key = (spark, spark.conf.get("spark.sql.shuffle.partitions", ""), tag)
+      cache.getOrElseUpdate(key, build).asInstanceOf[T]
+    }
+  }
 
   /** Planted-twin id offset, shared by every operator that unions a
     * synthetic re-crawl/re-ingest of the corpus (NearDup, TextAnalysis,
@@ -233,9 +266,17 @@ object NearDup {
       .select($"id1", $"id2", $"n_inter", $"jaccard")
   }
 
+  /** The memoized, MATERIALIZED pair-edge table every closure/decision
+    * query consumes — built once per (session, dir, threshold, dfCap)
+    * and checkpointed, so `dedup_cluster`, `dedup_cluster_star`,
+    * `dedup_keep_best` and `pipeline_training_manifest` share one edge
+    * build instead of four (the r6 bench showed the un-shared rebuild
+    * was 43% of a full registry run). */
   def ngramJaccardDedup(spark: SparkSession, dir: String,
                         threshold: Double = 0.5, dfCap: Int = 100): DataFrame =
-    ngramJaccardPairs(corpus(spark, dir), threshold, dfCap)
+    Shared.memo(spark, s"pairs:$dir:$threshold:$dfCap") {
+      ngramJaccardPairs(corpus(spark, dir), threshold, dfCap).localCheckpoint()
+    }
 
   def ngramJaccardDedupSql(threshold: Double = 0.5, dfCap: Int = 100): String =
     s"""WITH corpus AS (
@@ -278,8 +319,15 @@ object NearDup {
     * convergence count per round; labels never leave the cluster.
     * Oracle: recursive CTE over the identical edge set. */
   def dedupCluster(spark: SparkSession, dir: String, threshold: Double = 0.5,
-                   maxIters: Int = 10): DataFrame = {
-    import spark.implicits._
+                   maxIters: Int = 10): DataFrame =
+    Shared.memo(spark, s"lp:$dir:$threshold:$maxIters") {
+      labelPropagate(ngramJaccardDedup(spark, dir, threshold), maxIters)
+    }
+
+  /** Frame-based label-propagation core of [[dedupCluster]]
+    * (pairs = (id1, id2, …) near-dup edges). */
+  private[operators] def labelPropagate(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    import pairs.sparkSession.implicits._
     // Iterative lineage management: each generation is localCheckpoint'd
     // (eager) — the blocks are materialized and the LINEAGE IS CUT, so
     // superseded generations can be released with no dependent-cache
@@ -293,7 +341,7 @@ object NearDup {
     // explode to (n,nbr)+(nbr,n) in ONE pass — a unionAll of two selects
     // would scan the edge pipeline twice, concurrently, before any
     // cache is populated (measured: doubles the cold pipeline cost)
-    val bi = ngramJaccardDedup(spark, dir, threshold)
+    val bi = pairs
       .select(explode(array(
         struct($"id1".as("n"), $"id2".as("nbr")),
         struct($"id2".as("n"), $"id1".as("nbr")))).as("e"))
@@ -460,7 +508,13 @@ object NearDup {
     * onto every member) and [[keepBestIds]] (which only needs the
     * keeper id set and skips that final join). */
   private def keepBestParts(spark: SparkSession, dir: String,
-                            threshold: Double): (DataFrame, DataFrame) = {
+                            threshold: Double): (DataFrame, DataFrame) =
+    Shared.memo(spark, s"keepbest:$dir:$threshold") {
+      keepBestPartsUncached(spark, dir, threshold)
+    }
+
+  private def keepBestPartsUncached(spark: SparkSession, dir: String,
+                                    threshold: Double): (DataFrame, DataFrame) = {
     import spark.implicits._
     val q = TextAnalysis.qualityOf(spark, corpus(spark, dir))
       .select($"doc_id", $"quality")

@@ -1,5 +1,8 @@
 package graft
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,12 +20,45 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Self-adjudicating artifact: wall-clock alone can't distinguish a
+    // plan regression from ambient machine load (three rounds of
+    // "was it load?"), so record per-query executor CPU and in-task GC
+    // from the task metrics. Reading: wall up with cpu flat ⇒ the
+    // executors were starved (load); cpu up ⇒ the query really does
+    // more work; gc up ⇒ memory pressure. jvmGCTime counts GC DURING
+    // tasks only, so the untimed System.gc() between queries never
+    // pollutes the next query's number.
+    val cpuNs = new AtomicLong(0L)
+    val gcMs = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) { cpuNs.addAndGet(m.executorCpuTime); gcMs.addAndGet(m.jvmGCTime) }
+      }
+    })
+    // task-end events arrive on the async listener bus; poll until the
+    // counters stop moving (untimed — runs after the wall snapshot)
+    def settle(): Unit = {
+      var last = (cpuNs.get, gcMs.get)
+      var stable = 0
+      var spins = 0
+      while (stable < 5 && spins < 200) { // 5×20ms quiet, 4s cap
+        Thread.sleep(20)
+        val now = (cpuNs.get, gcMs.get)
+        if (now == last) stable += 1 else { stable = 0; last = now }
+        spins += 1
+      }
+    }
     // absorb session/JIT/codegen warmup so the timed queries aren't
     // charged for it: run the WHOLE registry once at the smallest SF —
     // generated code is keyed on plan shape, which is identical across
     // SFs, so this warms every operator's codegen/JIT for pennies
     // (sf0.001 is ~100x smaller than the timed SF). Steady-state
-    // numbers, standard benchmark practice.
+    // numbers, standard benchmark practice. The warmup's total wall is
+    // recorded as a LOAD CANARY: it runs identical work every round, so
+    // a warmup 2× its usual ~30s brands the whole artifact as measured
+    // under load.
+    val warmT0 = System.nanoTime()
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       SparkEntry.queries.foreach { case (_, fn) =>
@@ -35,8 +71,11 @@ object Bench {
       try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    val warmupSec = (System.nanoTime() - warmT0) / 1e9
     // deterministic (sorted) order so per-round numbers are comparable
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      settle()
+      val (cpu0, gc0) = (cpuNs.get, gcMs.get)
       val t0 = System.nanoTime()
       // noop sink: forces every output column to materialize (a bare
       // count() would let Catalyst prune the projections under test).
@@ -57,12 +96,18 @@ object Bench {
       // late heavy ones (observed: same query 3s alone, 70s late in
       // the sequence; totals swung 58-273s run to run).
       System.gc()
-      name -> sec
+      settle()
+      val cpuSec = (cpuNs.get - cpu0) / 1e9
+      val gcSec = (gcMs.get - gc0) / 1e3
+      (name, sec, cpuSec, gcSec)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(f: ((String, Double, Double, Double)) => Double): String =
+      results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = jmap(_._2)
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""cpu_sec":${jmap(_._3)},"gc_sec":${jmap(_._4)},""" +
+      s""""warmup_sec":$warmupSec,"sf":"$sfDir"}"""
     println(json)
     // also land the JSON in a file: stdout rides through sbt and the
     // driver's tail-capture, either of which can clip a long line

@@ -67,10 +67,13 @@ object Multimodal {
   /** The image table for D2: REAL BMP files (24-bit uncompressed,
     * BITMAPINFOHEADER) assembled byte-for-byte in the plan from each
     * image-kind document's id — 'BM' magic, little-endian size/offset
-    * fields, 40-byte DIB header, BGR pixel rows (widths are multiples
-    * of 4 so rows need no padding). Pixel (r, c) channel ch carries
-    * (doc_id·7 + r·31 + c·13 + ch·101) mod 256, so every decoded
-    * statistic has a closed form the DuckDB oracle recomputes
+    * fields, 40-byte DIB header, BGR pixel rows padded to the 4-byte
+    * row stride the format requires (widths 3..10, so the corpus
+    * plants BOTH padded and stride-aligned rows; padding bytes are
+    * 0xAB, not zero, so a decoder that misstrides pulls them into a
+    * channel sum and diverges at the gate). Pixel (r, c) channel ch
+    * carries (doc_id·7 + r·31 + c·13 + ch·101) mod 256, so every
+    * decoded statistic has a closed form the DuckDB oracle recomputes
     * independently — the decoder is verified against the format, not
     * against itself. At production scale this table is a parquet/lance
     * directory of scraped media; the decode path below is identical. */
@@ -83,19 +86,21 @@ object Multimodal {
     Tables.documents(spark, dir)
       .filter($"doc_id" % 3 === 0) // the mm "image" kind
       .select($"doc_id",
-        (lit(4) + ($"doc_id" % 8) * 4).cast("int").as("w"),
+        (lit(3) + $"doc_id" % 8).cast("int").as("w"),
         (lit(2) + $"doc_id" % 6).cast("int").as("h"))
-      .withColumn("npix", ($"w" * $"h").cast("int"))
+      .withColumn("stride", expr("cast(((w * 3 + 3) div 4) * 4 as int)"))
       .withColumn("header_hex", concat(
-        lit("424D"), le(lit(54) + $"npix" * 3, 4), lit("00000000"),
+        lit("424D"), le(lit(54) + $"stride" * $"h", 4), lit("00000000"),
         le(lit(54), 4), le(lit(40), 4), le($"w", 4), le($"h", 4),
-        lit("0100"), lit("1800"), lit("00000000"), le($"npix" * 3, 4),
+        lit("0100"), lit("1800"), lit("00000000"), le($"stride" * $"h", 4),
         le(lit(2835), 4), le(lit(2835), 4), lit("00000000"), lit("00000000")))
       .withColumn("pixel_hex", expr(
-        """concat_ws('', transform(sequence(0, npix * 3 - 1),
-          |  i -> lpad(hex((doc_id * 7 + (i div (w * 3)) * 31
-          |                 + ((i % (w * 3)) div 3) * 13
-          |                 + (i % 3) * 101) % 256), 2, '0')))""".stripMargin))
+        """concat_ws('', transform(sequence(0, h * stride - 1),
+          |  i -> lpad(hex(if(i % stride < w * 3,
+          |                   (doc_id * 7 + (i div stride) * 31
+          |                    + ((i % stride) div 3) * 13
+          |                    + ((i % stride) % 3) * 101) % 256,
+          |                   171)), 2, '0')))""".stripMargin))
       .select($"doc_id", unhex(concat($"header_hex", $"pixel_hex")).as("payload"))
   }
 
@@ -153,25 +158,30 @@ object Multimodal {
         val w = le32(18); val h = le32(22)
         val bpp = u8(28) | (u8(29) << 8)
         val off = le32(10)
-        // The stride-3 fold below assumes 24bpp padding-free bottom-up
-        // rows: BMP rows are 4-byte aligned, so only (w*3) % 4 == 0
-        // images qualify; top-down (h < 0) files would invert row
-        // order, any other bit depth would misstride, and a data
-        // offset whose declared w×h lattice doesn't fit the payload
-        // would read garbage. Anything else goes to the corrupt-input
-        // quarantine rather than decoding silently wrong. (Long
-        // arithmetic: crafted headers must quarantine, not overflow.)
-        if (bpp != 24 || w <= 0 || h <= 0 || (w * 3L) % 4 != 0 ||
-            off < 54 || p.length < off + 3L * w * h) None
+        // BMP rows are 4-byte aligned: row stride = ceil(w*3/4)*4, and
+        // the fold walks w*3 pixel bytes per row then skips the
+        // padding. Quarantine (decode-silently-wrong is never an
+        // option): only 24bpp bottom-up (h > 0; top-down files would
+        // invert row order) images whose declared h padded rows
+        // actually fit inside the payload. (Long arithmetic: crafted
+        // headers must quarantine, not overflow.)
+        val stride = ((w * 3L + 3) / 4) * 4
+        if (bpp != 24 || w <= 0 || h <= 0 ||
+            off < 54 || p.length < off + stride * h) None
         else {
-          // decode exactly the declared lattice (trailing bytes ignored)
+          // decode exactly the declared lattice (padding + trailing
+          // bytes ignored)
           val npix = w.toLong * h
           val sums = new Array[Long](3)
-          var i = off
-          val end = off + 3 * npix
-          while (i < end) {
-            sums(0) += u8(i.toInt); sums(1) += u8(i.toInt + 1); sums(2) += u8(i.toInt + 2)
-            i += 3
+          var r = 0
+          while (r < h) {
+            var i = off + r * stride.toInt
+            val end = i + 3 * w
+            while (i < end) {
+              sums(0) += u8(i); sums(1) += u8(i + 1); sums(2) += u8(i + 2)
+              i += 3
+            }
+            r += 1
           }
           Some(MmFeatures(it.doc_id, w, h, bpp, p.length,
             sums(0).toDouble / npix, sums(1).toDouble / npix, sums(2).toDouble / npix))
@@ -250,17 +260,21 @@ object Multimodal {
       .withColumn("bpp", leInt(29, 2))
       .withColumn("data_off", leInt(11, 4))
       .withColumn("n_bytes", length($"payload"))
-      // same quarantine as the typed decodeBmp: only 24bpp, padding-free
-      // (row stride a multiple of 4), bottom-up (w, h > 0) images whose
-      // declared pixel lattice actually fits inside the payload decode —
-      // anything else (wrong depth/stride/orientation, or a data offset
-      // pointing past the bytes) would decode silently wrong, not drop.
-      // Long arithmetic: crafted headers must quarantine, not overflow.
+      // same quarantine as the typed decodeBmp: only 24bpp, bottom-up
+      // (w, h > 0) images whose declared h 4-byte-aligned rows actually
+      // fit inside the payload decode — anything else (wrong
+      // depth/orientation, or a data offset pointing past the bytes)
+      // would decode silently wrong, not drop. Long arithmetic:
+      // crafted headers must quarantine, not overflow.
+      .withColumn("stride",
+        expr("((cast(width_px as bigint) * 3 + 3) div 4) * 4"))
       .filter($"bpp" === 24 && $"width_px" > 0 && $"height_px" > 0 &&
-        ($"width_px" * 3) % 4 === 0 && $"data_off" >= 54 &&
+        $"data_off" >= 54 &&
         $"n_bytes".cast("long") >=
-          $"data_off".cast("long") + lit(3L) * $"width_px" * $"height_px")
-      // decode exactly the declared lattice (trailing bytes ignored)
+          $"data_off".cast("long") + $"stride" * $"height_px")
+      // decode exactly the declared lattice (padding + trailing bytes
+      // ignored): pixel p = (p div w, p % w) reads its 3 bytes at
+      // data_off + row·stride + col·3
       .withColumn("npix", $"width_px".cast("long") * $"height_px")
       // byte_at: graft's codegen'd bounds-checked byte read (registered
       // via GraftExtensions) — one array access per pixel byte, no
@@ -268,7 +282,9 @@ object Multimodal {
       .withColumn("means", expr(
         """transform(sequence(0, 2), ch ->
           |  round(aggregate(sequence(0, cast(npix as int) - 1),
-          |                  0L, (acc, p) -> acc + cast(byte_at(payload, data_off + p * 3 + ch) as bigint))
+          |                  0L, (acc, p) -> acc + cast(byte_at(payload,
+          |                    data_off + (p div width_px) * cast(stride as int)
+          |                    + (p % width_px) * 3 + ch) as bigint))
           |        / cast(npix as double), 6))""".stripMargin))
       .select($"doc_id", $"width_px", $"height_px", $"bpp", $"n_bytes",
         $"means".getItem(0).as("mean_b"), $"means".getItem(1).as("mean_g"),
@@ -298,23 +314,27 @@ object Multimodal {
       .withColumn("bpp", leInt(29, 2))
       .withColumn("data_off", leInt(11, 4))
       // same quarantine as the typed decodeBmp (magic alone is not
-      // validity): 24bpp, padding-free stride, bottom-up, declared
-      // lattice inside the payload — a non-generator BMP must drop,
-      // not resize with the wrong stride or read past the pixel block
-      .filter($"bpp" === 24 && $"w" > 0 && $"h" > 0 && ($"w" * 3) % 4 === 0 &&
+      // validity): 24bpp, bottom-up, declared 4-byte-aligned rows
+      // inside the payload — a non-generator BMP must drop, not
+      // resize with the wrong stride or read past the pixel block
+      .withColumn("stride", expr("((cast(w as bigint) * 3 + 3) div 4) * 4"))
+      .filter($"bpp" === 24 && $"w" > 0 && $"h" > 0 &&
         $"data_off" >= 54 &&
         length($"payload").cast("long") >=
-          $"data_off".cast("long") + lit(3L) * $"w" * $"h")
+          $"data_off".cast("long") + $"stride" * $"h")
       .withColumn("out_w", expr("cast(w div 2 as int)"))
       .withColumn("out_h", expr("cast(h div 2 as int)"))
       // a 2x downsample of a 1-pixel-wide/high image is empty, not a
       // zero-length fold (sequence(0,-1) would count DOWN)
       .filter($"out_w" > 0 && $"out_h" > 0)
+      // source pixel (2·(p div out_w), 2·(p % out_w)) read at
+      // data_off + row·stride + col·3 — stride-aware like the decode
       .withColumn("means", expr(
         """transform(sequence(0, 2), ch ->
           |  round(aggregate(sequence(0, out_w * out_h - 1), 0L,
           |    (acc, p) -> acc + cast(byte_at(payload,
-          |      data_off + ((p div out_w) * 2 * w + (p % out_w) * 2) * 3 + ch) as bigint))
+          |      data_off + (p div out_w) * 2 * cast(stride as int)
+          |      + (p % out_w) * 2 * 3 + ch) as bigint))
           |  / cast(out_w * out_h as double), 6))""".stripMargin))
       .select($"doc_id", $"out_w", $"out_h",
         $"means".getItem(0).as("mean_b"), $"means".getItem(1).as("mean_g"),
@@ -326,7 +346,7 @@ object Multimodal {
   val mmResizeSql: String =
     """WITH img AS (
       |  SELECT doc_id,
-      |         CAST(4 + (doc_id % 8) * 4 AS INT) AS w,
+      |         CAST(3 + doc_id % 8 AS INT) AS w,
       |         CAST(2 + doc_id % 6 AS INT) AS h
       |  FROM documents WHERE doc_id % 3 = 0),
       |px AS (
@@ -383,14 +403,14 @@ object Multimodal {
   val mmFeatureExtractSql: String =
     """WITH img AS (
       |  SELECT doc_id,
-      |         CAST(4 + (doc_id % 8) * 4 AS INT) AS w,
+      |         CAST(3 + doc_id % 8 AS INT) AS w,
       |         CAST(2 + doc_id % 6 AS INT) AS h
       |  FROM documents WHERE doc_id % 3 = 0),
       |px AS (
       |  SELECT doc_id, w, h, t.p AS p
       |  FROM img, unnest(generate_series(0, w * h - 1)) AS t(p))
       |SELECT doc_id, w AS width_px, h AS height_px, CAST(24 AS INT) AS bpp,
-      |       CAST(54 + w * h * 3 AS INT) AS n_bytes,
+      |       CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS INT) AS n_bytes,
       |       round(SUM((doc_id * 7 + (p // w) * 31 + (p % w) * 13 + 0 * 101) % 256)
       |             / CAST(w * h AS DOUBLE), 6) AS mean_b,
       |       round(SUM((doc_id * 7 + (p // w) * 31 + (p % w) * 13 + 1 * 101) % 256)

@@ -253,7 +253,7 @@ class TextDedupSpec extends AnyFunSuite {
     val small = operators.Multimodal.mmResize(spark, sf)
     val joined = full.join(small, "doc_id")
     assert(joined.count() == full.count())
-    assert(joined.filter(col("out_w") =!= col("width_px") / 2 ||
+    assert(joined.filter(col("out_w") =!= expr("cast(width_px div 2 as int)") ||
       col("out_h") =!= expr("cast(height_px div 2 as int)")).count() == 0)
     assert(small.filter(col("mean_b") < 0 || col("mean_b") > 255 ||
       col("mean_g") < 0 || col("mean_g") > 255 ||
@@ -279,49 +279,65 @@ class TextDedupSpec extends AnyFunSuite {
         round(col("mean_g"), 6).as("mean_g"), round(col("mean_r"), 6).as("mean_r"))
     assert(sql.count() == Tables.documents(spark, sf).filter(col("doc_id") % 3 === 0).count())
     assert(sql.exceptAll(typed).count() == 0 && typed.exceptAll(sql).count() == 0)
-    // decoded header fields carry real BMP semantics
+    // decoded header fields carry real BMP semantics (4-byte row stride)
     assert(sql.filter(col("bpp") =!= 24).count() == 0)
     assert(sql.filter(col("n_bytes") =!=
-      col("width_px") * col("height_px") * 3 + 54).count() == 0)
+      expr("((width_px * 3 + 3) div 4) * 4") * col("height_px") + 54).count() == 0)
   }
 
-  test("crafted invalid BMPs quarantine in BOTH decode paths; a valid one decodes") {
+  test("crafted invalid BMPs quarantine in BOTH decode paths; valid ones (incl. row-padded) decode") {
     import spark.implicits._
-    // hand-assembled BMP: header fields little-endian, solid pixel value
+    // hand-assembled BMP: header fields little-endian, rows padded to
+    // the 4-byte stride. Pixel bytes carry `px`; padding bytes carry a
+    // DIFFERENT value, so a decoder that misstrides shifts the means
+    // off px and fails the exact-value asserts below.
     def bmp(w: Int, h: Int, bpp: Int = 24, dataOff: Int = 54,
-            pixelBytes: Int = -1, px: Byte = 9): Array[Byte] = {
-      val body = if (pixelBytes >= 0) pixelBytes else 3 * math.max(w, 0) * math.max(h, 0)
+            pixelBytes: Int = -1, px: Byte = 9, pad: Byte = 85): Array[Byte] = {
+      val stride = if (w > 0) ((w * 3 + 3) / 4) * 4 else 0
+      val body = if (pixelBytes >= 0) pixelBytes else stride * math.max(h, 0)
       val p = new Array[Byte](54 + math.max(body, 0))
       def le32(off: Int, v: Int): Unit = (0 until 4).foreach(k => p(off + k) = ((v >> (8 * k)) & 0xff).toByte)
       p(0) = 'B'.toByte; p(1) = 'M'.toByte
       le32(2, p.length); le32(10, dataOff); le32(14, 40)
       le32(18, w); le32(22, h)
       p(26) = 1; p(28) = (bpp & 0xff).toByte; p(29) = ((bpp >> 8) & 0xff).toByte
-      (54 until p.length).foreach(p(_) = px)
+      (54 until p.length).foreach(p(_) = pad)
+      if (w > 0 && h > 0)
+        for (r <- 0 until h; c <- 0 until w * 3) {
+          val i = dataOff + r * stride + c
+          if (i >= 54 && i < p.length) p(i) = px
+        }
       p
     }
     val items = Seq(
-      operators.Multimodal.MmItem(1L, bmp(4, 2)),                    // valid
+      operators.Multimodal.MmItem(1L, bmp(4, 2)),                    // valid, stride == w*3
       operators.Multimodal.MmItem(2L, bmp(4, 2, bpp = 32)),          // wrong depth
-      operators.Multimodal.MmItem(3L, bmp(5, 2)),                    // padded stride (15 % 4 != 0)
+      operators.Multimodal.MmItem(3L, bmp(5, 2)),                    // valid, PADDED rows (15 → stride 16)
       operators.Multimodal.MmItem(4L, bmp(4, -2, pixelBytes = 24)),  // top-down
       operators.Multimodal.MmItem(5L, bmp(4, 2, dataOff = 78)),      // lattice past payload
       operators.Multimodal.MmItem(6L, bmp(4, 2, dataOff = 10)),      // data_off inside header
       operators.Multimodal.MmItem(7L, bmp(4, 2, pixelBytes = 20)),   // truncated pixel block
       operators.Multimodal.MmItem(8L, bmp(100000, 100000, pixelBytes = 24)), // giant header
-      operators.Multimodal.MmItem(9L, Array[Byte]('B', 'M', 1, 2)))  // runt file
+      operators.Multimodal.MmItem(9L, Array[Byte]('B', 'M', 1, 2)),  // runt file
+      operators.Multimodal.MmItem(10L, bmp(5, 2, pixelBytes = 30)))  // raw pixels fit, padded rows don't
     val typed = operators.Multimodal.mmFeaturesTyped(items.toDS()).collect()
-    assert(typed.map(_.doc_id).toSeq == Seq(1L), s"typed kept ${typed.map(_.doc_id).mkString(",")}")
-    assert(typed.head.mean_b == 9.0 && typed.head.mean_r == 9.0)
+    assert(typed.map(_.doc_id).sorted.toSeq == Seq(1L, 3L),
+      s"typed kept ${typed.map(_.doc_id).mkString(",")}")
+    // exact means == px: the padded image's padding bytes stayed out
+    typed.foreach(f => assert(f.mean_b == 9.0 && f.mean_g == 9.0 && f.mean_r == 9.0))
     val colDf = operators.Multimodal.mmFeatureExtractFrame(
       items.toDF("doc_id", "payload")).collect()
-    assert(colDf.map(_.getLong(0)).toSeq == Seq(1L),
+    assert(colDf.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L),
       s"columnar kept ${colDf.map(_.getLong(0)).mkString(",")}")
-    assert(colDf.head.getAs[Double]("mean_g") == 9.0)
+    colDf.foreach(r => assert(r.getAs[Double]("mean_b") == 9.0 &&
+      r.getAs[Double]("mean_g") == 9.0 && r.getAs[Double]("mean_r") == 9.0))
     val resized = operators.Multimodal.mmResizeFrame(
       items.toDF("doc_id", "payload")).collect()
-    assert(resized.map(_.getLong(0)).toSeq == Seq(1L))
-    assert(resized.head.getAs[Int]("out_w") == 2 && resized.head.getAs[Int]("out_h") == 1)
+    assert(resized.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    resized.foreach { r =>
+      assert(r.getAs[Int]("out_w") == 2 && r.getAs[Int]("out_h") == 1)
+      assert(r.getAs[Double]("mean_b") == 9.0 && r.getAs[Double]("mean_r") == 9.0)
+    }
   }
 
   test("bmp payloads are valid BMP files (magic, declared size == byte length)") {
@@ -335,7 +351,14 @@ class TextDedupSpec extends AnyFunSuite {
       assert(le32(2) == p.length, "declared file size must equal actual")
       assert(le32(10) == 54 && le32(14) == 40)
       val (w, h) = (le32(18), le32(22))
-      assert(p.length == 54 + 3 * w * h)
+      val stride = ((w * 3 + 3) / 4) * 4
+      assert(p.length == 54 + stride * h)
+      // padding bytes are present and are NOT pixel values (0xAB)
+      if (stride != w * 3)
+        (0 until h).foreach { r =>
+          (54 + r * stride + w * 3 until 54 + (r + 1) * stride).foreach(i =>
+            assert((p(i) & 0xff) == 171, s"padding byte at $i"))
+        }
     }
   }
 }

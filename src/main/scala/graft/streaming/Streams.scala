@@ -53,51 +53,107 @@ object Streams {
   final case class SessionOut(user_id: Long, session_idx: Long, n_events: Long,
                               session_start: java.time.LocalDateTime,
                               session_end: java.time.LocalDateTime)
-  /** Buffered state for an in-flight session (streaming mode). */
-  final case class SessionState(events: List[(Long, Long)], lastEpochSec: Long, idx: Long)
+  /** Open-session state (streaming mode): O(1) per key — only the open
+    * session's bounds/count (micros) and the per-user emitted-session
+    * counter survive between micro-batches, never the events. */
+  final case class SessionState(startUs: Long, lastUs: Long, n: Long, idx: Long)
 
   /** E2 `stream_sessionize` — stateful sessionization with
     * flatMapGroupsWithState: events group by user; a gap > `gapMinutes`
-    * closes the current session and emits it. In batch mode Spark feeds
-    * each key's whole group once with fresh state — the same function
-    * doubles as the batch analogue (sort-in-memory per user; per-key
-    * memory is bounded by that user's events in the window, which a
-    * production stream bounds via watermark + ProcessingTimeTimeout).
-    * Scale: state per key is O(current session), keys shard across
-    * executors on the groupBy hash. */
+    * closes the current session and emits it; the OPEN session is held
+    * in O(1) state and flushed by `GroupStateTimeout.EventTimeTimeout`
+    * once the stream's watermark passes its gap horizon (last event +
+    * gap) — an abandoned session cannot leak state forever, the same
+    * aging posture as E6. The re-arm is watermark-clamped like E6's, so
+    * a backfill that jumps the watermark past the horizon in one batch
+    * can't arm an already-expired timestamp. After a timeout flush the
+    * key's state (including its session counter) is removed — a user
+    * returning later starts again at session_idx 1, the unavoidable
+    * cost of actually freeing the state.
+    *
+    * In batch mode Spark feeds each key's whole group once with fresh
+    * state and timeouts never fire, so the trailing session is emitted
+    * at end-of-group — the identical session set as the declarative B8
+    * window formulation, which is E2's oracle. Streaming callers must
+    * watermark the input ([[sessionizeStream]] wires it); scale: state
+    * per key is O(1), keys shard across executors on the groupBy hash. */
   def sessionizeTyped(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     // gap measured in MICROS to match the batch analogue (Analytics
     // .sessionize casts ts to micros) — second-resolution truncation
     // would split/merge sessions whose boundary events differ by <1s.
     val gapMicros = gapMinutes * 60000000L
+    val isStreaming = events.isStreaming
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (userId, evs, state: GroupState[SessionState]) =>
           def micros(e: Ev): Long =
             e.ts.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + e.ts.getNano / 1000L
-          val sorted = evs.toSeq.sortBy(e => (micros(e), e.event_id))
-          val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
-          var cur = List.empty[Ev]
-          var idx = 0L
-          def flush(): Unit = if (cur.nonEmpty) {
-            idx += 1
-            out += SessionOut(userId, idx, cur.size.toLong, cur.head.ts, cur.last.ts)
-          }
-          var lastUs = Long.MinValue
-          sorted.foreach { e =>
-            val us = micros(e)
-            if (lastUs != Long.MinValue && us - lastUs > gapMicros) {
-              flush(); cur = Nil
+          def ldt(us: Long): java.time.LocalDateTime =
+            java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+              (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+          if (state.hasTimedOut) {
+            // watermark passed last event + gap: the open session is
+            // definitively closed (anything older would be late-dropped)
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, st.idx + 1, st.n, ldt(st.startUs), ldt(st.lastUs)))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (micros(e), e.event_id))
+            val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+            var idx = state.getOption.map(_.idx).getOrElse(0L)
+            var open = state.getOption.map(s => (s.startUs, s.lastUs, s.n))
+            sorted.foreach { e =>
+              val us = micros(e)
+              open match {
+                case Some((s0, l0, n0)) if us - l0 > gapMicros =>
+                  idx += 1
+                  out += SessionOut(userId, idx, n0, ldt(s0), ldt(l0))
+                  open = Some((us, us, 1L))
+                case Some((s0, l0, n0)) =>
+                  open = Some((math.min(s0, us), math.max(l0, us), n0 + 1))
+                case None =>
+                  open = Some((us, us, 1L))
+              }
             }
-            cur = cur :+ e
-            lastUs = us
+            if (isStreaming) {
+              open.foreach { case (s0, l0, n0) =>
+                state.update(SessionState(s0, l0, n0, idx))
+                // flush-by-timeout when the watermark passes the gap
+                // horizon; clamped so a watermark jump can't arm an
+                // expired timestamp (same rationale as E6's re-arm)
+                val wmMs = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(
+                  math.max(l0 / 1000L, wmMs) + gapMinutes * 60000L)
+              }
+            } else {
+              // batch: timeouts never fire — emit the trailing session
+              open.foreach { case (s0, l0, n0) =>
+                idx += 1
+                out += SessionOut(userId, idx, n0, ldt(s0), ldt(l0))
+              }
+            }
+            out.iterator
           }
-          flush()
-          out.iterator
       }
+  }
+
+  /** Streaming wiring for E2: watermark the (NTZ) event time — cast to
+    * an instant-typed column the engine can watermark, session TZ is
+    * pinned UTC — then run [[sessionizeTyped]]; open sessions age out
+    * via its event-time timeout once the watermark passes their gap
+    * horizon. */
+  def sessionizeStream(events: Dataset[Ev], gapMinutes: Int = 30,
+                       delayThreshold: String = "1 hour"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    sessionizeTyped(
+      events.toDF()
+        .withColumn("event_time", col("ts").cast("timestamp"))
+        .withWatermark("event_time", delayThreshold)
+        .as[Ev],
+      gapMinutes)
   }
 
   /** E3 `stream_dedup` — the reference's exact dedup on the primary id

@@ -247,11 +247,11 @@ class StreamingSpec extends AnyFunSuite {
       s"cap must admit the first 2 doc_ids (10, 20) and pair only those, got $pairs")
   }
 
-  test("E2 stream_sessionize: streaming stateful result equals batch analogue") {
+  test("E2 stream_sessionize: closed sessions stream out; abandoned sessions flush by event-time timeout") {
     val s = spark
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    // 7-minute spacing with a 30-min gap: inject explicit gaps
+    // 5-minute spacing with a 30-min gap: inject explicit gaps
     val t0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
     val data = (0 until 60).map { i =>
       // every 10th event jumps 2 hours → session break
@@ -259,17 +259,30 @@ class StreamingSpec extends AnyFunSuite {
       Ev(i.toLong, ts, i % 3L, "click", 1.0)
     }
     val source = MemoryStream[Ev]
-    source.addData(data: _*)
-    val q = Streams.sessionizeTyped(source.toDS())
+    val q = Streams.sessionizeStream(source.toDS())
       .writeStream.format("memory").queryName("e2_out")
       .outputMode("append").start()
+    source.addData(data: _*)
+    q.processAllAvailable()
+    // each user's trailing session is still OPEN: held in state, not
+    // emitted, until the watermark passes its gap horizon
+    val closedSoFar = s.table("e2_out").count()
+    // a far-future tick advances the watermark past every horizon; the
+    // three abandoned sessions flush via the event-time timeout
+    source.addData(Ev(9001L, t0.plusDays(10), 99L, "click", 0.0))
+    q.processAllAvailable()
+    source.addData(Ev(9002L, t0.plusDays(10).plusMinutes(1), 99L, "click", 0.0))
     q.processAllAvailable()
     q.stop()
 
-    val streamed = s.table("e2_out")
+    val streamed = s.table("e2_out").filter(col("user_id") =!= 99L)
     val batch = Streams.sessionizeTyped(data.toDS()).toDF()
-    assert(streamed.count() == batch.count())
+    assert(closedSoFar == batch.count() - 3,
+      s"open sessions must be withheld until timeout (got $closedSoFar of ${batch.count()})")
+    assert(streamed.count() == batch.count(),
+      "timeout must flush the abandoned sessions")
     assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
   }
 
   test("E3 stream_dedup: duplicates across micro-batches are dropped by the state store") {

@@ -56,8 +56,34 @@ def main():
             print(f"  [{status}] {name}: {len(got)} rows")
             if len(got) == 0:
                 n_fail += 1
-            else:
-                n_pass += 1
+                continue
+            # cross-engine recall for the IVF ANN: centroid geometry is
+            # engine-specific (rows-only), but the ANSWER is gradeable —
+            # grade Spark's probed-cell top-k against DuckDB's exact
+            # brute-force top-k, independently recomputed. Registry
+            # defaults: k=5, nQueries=50. Floor matches RecallSpec's
+            # break-glass bound (random probing of 2/16 cells ~ 0.125).
+            if name == "ann_ivf":
+                exact = con.execute("""
+                    SELECT query_id, neighbor_id FROM (
+                      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                             row_number() OVER (PARTITION BY a.vec_id
+                               ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                                        b.vec_id) AS rn
+                      FROM embeddings a, embeddings b
+                      WHERE a.vec_id < 50 AND a.vec_id <> b.vec_id)
+                    WHERE rn <= 5""").df()
+                truth = set(zip(exact.query_id, exact.neighbor_id))
+                found = set(zip(got.query_id, got.neighbor_id))
+                recall = len(truth & found) / max(len(truth), 1)
+                ok = recall >= 0.25
+                print(f"  [{'RECALL' if ok else 'RECALL-FAIL'}] ann_ivf: "
+                      f"cross-engine recall@5 = {recall:.3f} "
+                      f"({len(truth & found)}/{len(truth)} vs DuckDB brute force)")
+                if not ok:
+                    n_fail += 1
+                    n_pass -= 1
+            n_pass += 1
             continue
         try:
             exp = con.execute(oracle[name]).df()

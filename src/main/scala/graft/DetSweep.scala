@@ -23,6 +23,11 @@ object DetSweep {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // AQE's partition coalescing would converge the 32- and
+      // 7-partition runs to near-identical physical partitioning at
+      // small scale, weakening the invariance probe — keep the two
+      // settings genuinely different
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -41,13 +41,20 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("per-row text ops run entirely inside whole-stage codegen (no interpreted project/filter)") {
-    import org.apache.spark.sql.execution.{FilterExec, ProjectExec, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.{FilterExec, InputAdapter, ProjectExec, WholeStageCodegenExec}
     // the scan-speed block: any ProjectExec/FilterExec OUTSIDE a
     // WholeStageCodegen span means an expression fell out of codegen
     // (a non-codegen Expression, a fallback) and the op pays the
-    // interpreted-row path at 100 TB scan scale
+    // interpreted-row path at 100 TB scan scale. Nodes directly inside
+    // a codegen span are compiled; an InputAdapter ENDS the span, so
+    // the lint resumes below it — lower stages are linted too, not
+    // skipped with the whole subtree.
+    def inSpan(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = p match {
+      case i: InputAdapter => bare(i.child)
+      case other => other.children.flatMap(inSpan)
+    }
     def bare(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = p match {
-      case _: WholeStageCodegenExec => Nil
+      case w: WholeStageCodegenExec => w.children.flatMap(inSpan)
       case x @ (_: ProjectExec | _: FilterExec) =>
         x.getClass.getSimpleName +: x.children.flatMap(bare)
       case other => other.children.flatMap(bare)
@@ -244,6 +251,47 @@ class PlanAuditSpec extends AnyFunSuite {
       viol.result()
     }
     assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  test("whitelisted crosses carry a provably bounded build side (runtime rows <= 64)") {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // the registry lint whitelists these by NAME; this check pins the
+    // PROPERTY the whitelist stands on — every cross's build side is a
+    // 1-row scalar aggregate or a bounded query/centroid set — so a
+    // future edit can't silently grow a whitelisted cross into an
+    // n×m explosion. Runtime numOutputRows is the cardinality itself.
+    val crossOk = Seq("ann_bruteforce", "ann_ivf", "knn_classify",
+      "tfidf_terms", "vocab_build")
+    def rowsOf(p: org.apache.spark.sql.execution.SparkPlan): Option[Long] = p match {
+      case q: QueryStageExec => rowsOf(q.plan)
+      case e: BroadcastExchangeLike => Some(e.metrics("numOutputRows").value)
+      case other => other.metrics.get("numOutputRows").map(_.value)
+        .orElse(other.children.headOption.flatMap(rowsOf))
+    }
+    crossOk.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect() // populate the plan's runtime metrics
+      val plan = executedPlan(df)
+      collectAll(plan).foreach {
+        case b: BroadcastNestedLoopJoinExec =>
+          val build = b.buildSide match {
+            case BuildLeft => b.left
+            case BuildRight => b.right
+          }
+          val n = rowsOf(build)
+          assert(n.exists(_ <= 64),
+            s"$name: cross build side has ${n.getOrElse("?")} rows (> 64):\n$plan")
+        case c: CartesianProductExec =>
+          val n = c.children.flatMap(rowsOf(_))
+          assert(n.nonEmpty && n.min <= 64,
+            s"$name: cartesian's smaller side has ${if (n.isEmpty) "?" else n.min} rows (> 64):\n$plan")
+        case _ => ()
+      }
+      spark.catalog.clearCache()
+    }
   }
 
   test("bloom_prejoin: might_contain below the shuffle, no false negatives, real pruning, equals plain join") {

@@ -303,6 +303,99 @@ object NearDup {
        |JOIN sizes s2 ON s2.doc_id = id2
        |WHERE CAST(n_inter AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - n_inter AS DOUBLE) >= $threshold""".stripMargin
 
+  /** Extension `cross_dedup` — INCREMENTAL near-dup: score a newly
+    * ingested snapshot against a reference corpus, emitting only
+    * new×ref pairs — the nightly re-crawl shape, where re-scoring the
+    * whole corpus (C4) would redo V² work for a batch of size B. Same
+    * inverted-index pair counting as C4, asymmetric: the reference
+    * postings are the INDEX (in production: materialized once,
+    * bucketed by shingle hash), the new batch's postings probe it.
+    *
+    * Scale: shuffle = Σ_sh df_new(sh)·df_ref(sh) pair rows — with the
+    * df cap this is ≤ dfCap·|new postings|, LINEAR IN THE NEW BATCH
+    * and independent of reference size beyond the (pre-computable)
+    * posting scan; no ref×ref and no new×new pair is ever generated.
+    * The cap is decided by the REFERENCE's document frequencies (the
+    * index already knows its boilerplate; a batch too small to reveal
+    * df can't) and applied to both sides symmetrically, oracle
+    * included. Jaccard is over each side's capped shingle set, so
+    * novel content in the new doc dilutes similarity exactly as in
+    * C4. */
+  def crossDedup(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                 dfCap: Int = 100): DataFrame = {
+    import spark.implicits._
+    // planted snapshot: the re-crawl (ids + BigOffset) of the corpus —
+    // every new doc must surface its original at jaccard 1.0. In
+    // production the new side is the ingest batch.
+    val ref = Tables.fanout(Tables.documents(spark, dir).select($"doc_id", $"text"))
+    val neu = ref.select(($"doc_id" + BigOffset).as("doc_id"), $"text")
+    crossDedupPairs(neu, ref, threshold, dfCap)
+  }
+
+  /** Frame-based core of `cross_dedup` (both frames = (doc_id, text)). */
+  def crossDedupPairs(newDocs: DataFrame, refDocs: DataFrame,
+                      threshold: Double = 0.5, dfCap: Int = 100): DataFrame = {
+    import refDocs.sparkSession.implicits._
+    def postings(docs: DataFrame): DataFrame = docs
+      .withColumn("toks", split(trim($"text"), "\\s+"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(expr(
+        """array_distinct(transform(sequence(0, size(toks)-3),
+          |  i -> xxhash64(toks[i], toks[i+1], toks[i+2])))""".stripMargin)).as("sh"))
+    // eager (materialization contract): ref postings feed the df-cap
+    // aggregate, the size aggregate AND the pair-join build; new
+    // postings feed sizes + probe
+    val pr = postings(refDocs).localCheckpoint()
+    val pn = postings(newDocs).localCheckpoint()
+    // hot list from the REFERENCE index, broadcast-anti-joined into
+    // both sides (same skew-safe posture as C4's cap)
+    val hot = pr.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" > dfCap).select($"sh")
+    val r = pr.join(broadcast(hot), Seq("sh"), "left_anti")
+    val n = pn.join(broadcast(hot), Seq("sh"), "left_anti")
+    val sizesR = r.groupBy($"doc_id").agg(count(lit(1)).as("n_ref"))
+    val sizesN = n.groupBy($"doc_id").agg(count(lit(1)).as("n_new"))
+    n.select($"doc_id".as("new_id"), $"sh")
+      .join(r.select($"doc_id".as("ref_id"), $"sh"), Seq("sh"))
+      .groupBy($"new_id", $"ref_id")
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizesN.select($"doc_id".as("new_id"), $"n_new"), Seq("new_id"))
+      .join(sizesR.select($"doc_id".as("ref_id"), $"n_ref"), Seq("ref_id"))
+      .withColumn("jaccard",
+        $"n_inter".cast("double") / ($"n_new" + $"n_ref" - $"n_inter").cast("double"))
+      .filter($"jaccard" >= threshold)
+      .select($"new_id", $"ref_id", $"n_inter", $"jaccard")
+  }
+
+  def crossDedupSql(threshold: Double = 0.5, dfCap: Int = 100): String =
+    s"""WITH reft AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents),
+       |newt AS (
+       |  SELECT doc_id + $BigOffset AS doc_id, string_split_regex(trim(text), '\\s+') AS l
+       |  FROM documents),
+       |pr AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(len(l) - 2), i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS sh
+       |  FROM reft WHERE len(l) >= 3),
+       |pn AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(len(l) - 2), i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS sh
+       |  FROM newt WHERE len(l) >= 3),
+       |hot AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM pr GROUP BY 1) WHERE df > $dfCap),
+       |r AS (SELECT * FROM pr ANTI JOIN hot USING (sh)),
+       |n AS (SELECT * FROM pn ANTI JOIN hot USING (sh)),
+       |sr AS (SELECT doc_id, COUNT(*) AS n_ref FROM r GROUP BY 1),
+       |sn AS (SELECT doc_id, COUNT(*) AS n_new FROM n GROUP BY 1),
+       |inter AS (
+       |  SELECT n.doc_id AS new_id, r.doc_id AS ref_id, COUNT(*) AS n_inter
+       |  FROM n JOIN r USING (sh) GROUP BY 1, 2)
+       |SELECT new_id, ref_id, n_inter,
+       |       CAST(n_inter AS DOUBLE) / CAST(sn.n_new + sr.n_ref - n_inter AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sn ON sn.doc_id = new_id
+       |JOIN sr ON sr.doc_id = ref_id
+       |WHERE CAST(n_inter AS DOUBLE) / CAST(sn.n_new + sr.n_ref - n_inter AS DOUBLE) >= $threshold""".stripMargin
+
   /** C14 `dedup_cluster` — transitive closure of near-dup pairs into
     * clusters with one keeper per cluster: the step that turns pairwise
     * detections into an actual dedup decision (pairs A~B, B~C must keep

@@ -399,6 +399,63 @@ object TextAnalysis {
        |  FROM weighted)
        |WHERE rk <= $k""".stripMargin
 
+  /** Extension `perplexity_score` — unigram-LM perplexity per document,
+    * the quality-filtering signal corpus pipelines rank and threshold
+    * on (CCNet scores crawl text with a wiki-trained LM; Gopher
+    * thresholds on similar fluency signals). The LM here is trained on
+    * the corpus itself (the self-scored form; swapping in an external
+    * reference corpus changes only the `counts` input): Laplace
+    * p(t) = (c(t)+1)/(N+V), per-doc cross-entropy
+    * bits_per_token = −mean log2 p(tᵢ), ppl = 2^bits. High ppl = rare
+    * vocabulary = boilerplate/garbled/off-language text.
+    *
+    * Scale: one token-count hash aggregate (map-side partial), then the
+    * (token → count) table joins back UNHINTED like C19's df join — AQE
+    * broadcasts a small vocabulary, falls back to a (token)-keyed
+    * shuffle join when it outgrows memory — and (N, V) ride along as a
+    * broadcast 1-row aggregate. Nothing wider than (doc, token) ever
+    * shuffles. Rounding: bits quantize to 6dp AFTER the per-doc mean
+    * (tfidf's libm-ulp posture); ppl derives from the already-rounded
+    * bits so the pow() amplification never sees unrounded noise. */
+  def perplexityScore(spark: SparkSession, dir: String): DataFrame =
+    perplexityOf(Tables.fanout(Tables.documents(spark, dir).select(col("doc_id"), col("text"))))
+
+  /** Frame-based core of `perplexity_score` (docs = (doc_id, text)) —
+    * lets the spec pin the fluency ordering on crafted documents. */
+  def perplexityOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tok = docs.select($"doc_id", explode(toks($"text")).as("token"))
+    // eager (materialization contract): tok feeds the LM count
+    // aggregate AND the scoring join probe — lazy, both consumers
+    // re-run the tokenization concurrently
+    val tokCk = tok.localCheckpoint()
+    val counts = tokCk.groupBy($"token").agg(count(lit(1)).as("c"))
+    val scal = counts.agg(sum($"c").as("n_tok"), count(lit(1)).as("v_size"))
+    tokCk.join(counts, Seq("token"))
+      .crossJoin(broadcast(scal))
+      .withColumn("logp", log2(($"c" + 1.0) / ($"n_tok" + $"v_size").cast("double")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(-sum($"logp") / count(lit(1)), 6).as("bits_per_token"))
+      .withColumn("ppl", round(pow(lit(2.0), $"bits_per_token"), 4))
+  }
+
+  val perplexityScoreSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |c AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+      |s AS (SELECT SUM(c) AS n_tok, COUNT(*) AS v_size FROM c),
+      |scored AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |         round(-SUM(log2((c.c + 1.0) / CAST(s.n_tok + s.v_size AS DOUBLE)))
+      |               / COUNT(*), 6) AS bits_per_token
+      |  FROM tok JOIN c USING (token), s
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, bits_per_token,
+      |       round(pow(2.0, bits_per_token), 4) AS ppl
+      |FROM scored""".stripMargin
+
   /** C20 `doc_chunk` — sliding-window token chunking: every document
     * becomes ⌈n/stride⌉ chunks of up to `chunkSize` tokens starting
     * every `stride` tokens (consecutive full chunks overlap by

@@ -35,6 +35,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("perplexity_score: rare-vocabulary docs score strictly higher; ppl = 2^bits") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the the the"), // all common tokens → fluent, low bits
+      (2L, "qq zz yy xx"),     // all unique tokens → high surprise
+      (3L, "the the qq the")   // mostly common + one rare → between
+    ).toDF("doc_id", "text")
+    val out = operators.TextAnalysis.perplexityOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("bits_per_token"), r.getAs[Double]("ppl")))).toMap
+    assert(out(2L)._1 > out(3L)._1 && out(3L)._1 > out(1L)._1,
+      s"fluency ordering violated: $out")
+    out.values.foreach { case (bits, ppl) =>
+      assert(math.abs(ppl - math.pow(2, bits)) <= 1e-4,
+        s"ppl must be 2^bits (4dp): bits=$bits ppl=$ppl")
+    }
+  }
+
   test("exact_dedup_key: one row per (user_id, event_type), dups sum to input size") {
     val df = operators.Dedup.exactDedupKey(spark, sf)
     val total = Tables.events(spark, sf).count()

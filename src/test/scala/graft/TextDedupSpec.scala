@@ -247,6 +247,37 @@ class TextDedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("cross_dedup: every new doc recovers its original at jaccard 1.0; only new×ref pairs") {
+    val out = operators.NearDup.crossDedup(spark, sf).cache()
+    val eligible = Tables.documents(spark, sf)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 3).count()
+    val twins = out.filter(col("new_id") === col("ref_id") + 1000000L &&
+      col("jaccard") === 1.0).count()
+    assert(twins == eligible, s"recovered $twins of $eligible planted twins")
+    // asymmetry is structural: no ref×ref, no new×new pair can exist
+    assert(out.filter(col("ref_id") >= 1000000L || col("new_id") < 1000000L).count() == 0)
+    out.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("cross_dedup cap: reference boilerplate creates no pairs; below the cap it scores normally") {
+    import spark.implicits._
+    // 5 ref docs share one boilerplate shingle ('common header line');
+    // the new doc consists ONLY of that shingle
+    val ref = (1 to 5).map(i => (i.toLong, s"common header line w$i x$i y$i"))
+      .toDF("doc_id", "text")
+    val neu = Seq((100L, "common header line")).toDF("doc_id", "text")
+    // cap 3 < df 5: the index's boilerplate is excluded from the
+    // shingle universe — the new doc has nothing left to match on
+    assert(operators.NearDup.crossDedupPairs(neu, ref, threshold = 0.1, dfCap = 3)
+      .count() == 0)
+    // cap 10 > df 5: the same shingle scores normally — 5 pairs at
+    // jaccard 1/(1 + 4 − 1) = 0.25
+    val scored = operators.NearDup.crossDedupPairs(neu, ref, threshold = 0.1, dfCap = 10)
+      .collect()
+    assert(scored.length == 5 && scored.forall(_.getAs[Double]("jaccard") == 0.25))
+  }
+
   test("mm_resize halves decoded dimensions; mm_frame_sample keeps every 2nd frame") {
     val full = operators.Multimodal.mmFeatureExtract(spark, sf)
       .select(col("doc_id"), col("width_px"), col("height_px"))

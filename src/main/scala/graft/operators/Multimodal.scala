@@ -71,33 +71,44 @@ object Multimodal {
     * row stride the format requires (widths 3..10, so the corpus
     * plants BOTH padded and stride-aligned rows; padding bytes are
     * 0xAB, not zero, so a decoder that misstrides pulls them into a
-    * channel sum and diverges at the gate). Pixel (r, c) channel ch
-    * carries (doc_id·7 + r·31 + c·13 + ch·101) mod 256, so every
-    * decoded statistic has a closed form the DuckDB oracle recomputes
-    * independently — the decoder is verified against the format, not
-    * against itself. At production scale this table is a parquet/lance
-    * directory of scraped media; the decode path below is identical. */
+    * channel sum and diverges at the gate). Both row ORIENTATIONS are
+    * planted too: odd ids store negative biHeight (top-down, image
+    * rows in stored order), even ids the standard bottom-up layout
+    * (stored row s carries IMAGE row h−1−s). IMAGE pixel (r, c)
+    * channel ch carries (doc_id·7 + r·31 + c·13 + ch·101) mod 256 in
+    * either layout, so every decoded statistic has one closed form
+    * the DuckDB oracle recomputes independently of orientation — a
+    * decoder that samples stored instead of image rows diverges on
+    * every even-id resize. At production scale this table is a
+    * parquet/lance directory of scraped media; the decode path below
+    * is identical. */
   private def bmpTableRaw(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // little-endian hex of the low `bytes` bytes of an int column
+    // little-endian hex of the low `bytes` bytes of a long column
     def le(x: Column, bytes: Int): Column =
       concat((0 until bytes).map(k =>
-        lpad(hex(shiftright(x, 8 * k).bitwiseAND(lit(255))), 2, "0")): _*)
+        lpad(hex(shiftright(x, 8 * k).bitwiseAND(lit(255L))), 2, "0")): _*)
     Tables.documents(spark, dir)
       .filter($"doc_id" % 3 === 0) // the mm "image" kind
       .select($"doc_id",
         (lit(3) + $"doc_id" % 8).cast("int").as("w"),
-        (lit(2) + $"doc_id" % 6).cast("int").as("h"))
+        (lit(2) + $"doc_id" % 6).cast("int").as("h"),
+        ($"doc_id" % 2 === 1).as("td")) // top-down: negative biHeight
       .withColumn("stride", expr("cast(((w * 3 + 3) div 4) * 4 as int)"))
+      // biHeight field: two's-complement −h for the top-down layout
+      .withColumn("hfield",
+        when($"td", lit(4294967296L) - $"h").otherwise($"h".cast("long")))
       .withColumn("header_hex", concat(
-        lit("424D"), le(lit(54) + $"stride" * $"h", 4), lit("00000000"),
-        le(lit(54), 4), le(lit(40), 4), le($"w", 4), le($"h", 4),
-        lit("0100"), lit("1800"), lit("00000000"), le($"stride" * $"h", 4),
-        le(lit(2835), 4), le(lit(2835), 4), lit("00000000"), lit("00000000")))
+        lit("424D"), le(lit(54L) + ($"stride" * $"h").cast("long"), 4), lit("00000000"),
+        le(lit(54L), 4), le(lit(40L), 4), le($"w".cast("long"), 4), le($"hfield", 4),
+        lit("0100"), lit("1800"), lit("00000000"), le(($"stride" * $"h").cast("long"), 4),
+        le(lit(2835L), 4), le(lit(2835L), 4), lit("00000000"), lit("00000000")))
+      // stored row s holds image row s (top-down) or h−1−s (bottom-up)
       .withColumn("pixel_hex", expr(
         """concat_ws('', transform(sequence(0, h * stride - 1),
           |  i -> lpad(hex(if(i % stride < w * 3,
-          |                   (doc_id * 7 + (i div stride) * 31
+          |                   (doc_id * 7
+          |                    + (if(td, i div stride, h - 1 - i div stride)) * 31
           |                    + ((i % stride) div 3) * 13
           |                    + ((i % stride) % 3) * 101) % 256,
           |                   171)), 2, '0')))""".stripMargin))
@@ -155,16 +166,21 @@ object Multimodal {
         u8(off) | (u8(off + 1) << 8) | (u8(off + 2) << 16) | (u8(off + 3) << 24)
       if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) None
       else {
-        val w = le32(18); val h = le32(22)
+        val w = le32(18); val hRaw = le32(22)
         val bpp = u8(28) | (u8(29) << 8)
         val off = le32(10)
-        // BMP rows are 4-byte aligned: row stride = ceil(w*3/4)*4, and
-        // the fold walks w*3 pixel bytes per row then skips the
-        // padding. Quarantine (decode-silently-wrong is never an
-        // option): only 24bpp bottom-up (h > 0; top-down files would
-        // invert row order) images whose declared h padded rows
-        // actually fit inside the payload. (Long arithmetic: crafted
-        // headers must quarantine, not overflow.)
+        // biHeight is SIGNED: negative = top-down row order (legal for
+        // uncompressed BMPs); the lattice height is |h|. Whole-image
+        // channel means are row-order independent, so both
+        // orientations share this fold. BMP rows are 4-byte aligned:
+        // row stride = ceil(w*3/4)*4, and the fold walks w*3 pixel
+        // bytes per row then skips the padding. Quarantine
+        // (decode-silently-wrong is never an option): only 24bpp
+        // images whose declared |h| padded rows actually fit inside
+        // the payload. (Long arithmetic: crafted headers must
+        // quarantine, not overflow; |Int.MinValue| stays negative and
+        // quarantines.)
+        val h = math.abs(hRaw)
         val stride = ((w * 3L + 3) / 4) * 4
         if (bpp != 24 || w <= 0 || h <= 0 ||
             off < 54 || p.length < off + stride * h) None
@@ -256,22 +272,29 @@ object Multimodal {
     bmp
       .filter(hex(substring($"payload", 1, 2)) === "424D") // magic
       .withColumn("width_px", leInt(19, 4))
-      .withColumn("height_px", leInt(23, 4))
+      .withColumn("h_raw", leInt(23, 4)) // SIGNED: negative = top-down
       .withColumn("bpp", leInt(29, 2))
       .withColumn("data_off", leInt(11, 4))
       .withColumn("n_bytes", length($"payload"))
-      // same quarantine as the typed decodeBmp: only 24bpp, bottom-up
-      // (w, h > 0) images whose declared h 4-byte-aligned rows actually
-      // fit inside the payload decode — anything else (wrong
-      // depth/orientation, or a data offset pointing past the bytes)
-      // would decode silently wrong, not drop. Long arithmetic:
-      // crafted headers must quarantine, not overflow.
+      // lattice height is |h| in either orientation; abs on the LONG
+      // (an ANSI abs(Int.MinValue) would throw instead of letting the
+      // quarantine drop the row). Whole-image channel means are
+      // row-order independent, so the fold below serves both layouts.
+      .withColumn("habs", abs($"h_raw".cast("long")))
+      // same quarantine as the typed decodeBmp: only 24bpp images
+      // whose declared |h| 4-byte-aligned rows actually fit inside the
+      // payload decode — anything else (wrong depth, or a data offset
+      // pointing past the bytes) would decode silently wrong, not
+      // drop. Long arithmetic: crafted headers must quarantine, not
+      // overflow.
       .withColumn("stride",
         expr("((cast(width_px as bigint) * 3 + 3) div 4) * 4"))
-      .filter($"bpp" === 24 && $"width_px" > 0 && $"height_px" > 0 &&
+      .filter($"bpp" === 24 && $"width_px" > 0 && $"habs" > 0 &&
         $"data_off" >= 54 &&
         $"n_bytes".cast("long") >=
-          $"data_off".cast("long") + $"stride" * $"height_px")
+          $"data_off".cast("long") + $"stride" * $"habs")
+      // surviving rows have stride·|h| ≤ n_bytes < 2³¹ → int-safe
+      .withColumn("height_px", $"habs".cast("int"))
       // decode exactly the declared lattice (padding + trailing bytes
       // ignored): pixel p = (p div w, p % w) reads its 3 bytes at
       // data_off + row·stride + col·3
@@ -310,30 +333,36 @@ object Multimodal {
     bmp
       .filter(hex(substring($"payload", 1, 2)) === "424D")
       .withColumn("w", leInt(19, 4))
-      .withColumn("h", leInt(23, 4))
+      .withColumn("h_raw", leInt(23, 4)) // SIGNED: negative = top-down
       .withColumn("bpp", leInt(29, 2))
       .withColumn("data_off", leInt(11, 4))
+      .withColumn("habs", abs($"h_raw".cast("long")))
       // same quarantine as the typed decodeBmp (magic alone is not
-      // validity): 24bpp, bottom-up, declared 4-byte-aligned rows
-      // inside the payload — a non-generator BMP must drop, not
-      // resize with the wrong stride or read past the pixel block
+      // validity): 24bpp, declared |h| 4-byte-aligned rows inside the
+      // payload — a non-generator BMP must drop, not resize with the
+      // wrong stride or read past the pixel block
       .withColumn("stride", expr("((cast(w as bigint) * 3 + 3) div 4) * 4"))
-      .filter($"bpp" === 24 && $"w" > 0 && $"h" > 0 &&
+      .filter($"bpp" === 24 && $"w" > 0 && $"habs" > 0 &&
         $"data_off" >= 54 &&
         length($"payload").cast("long") >=
-          $"data_off".cast("long") + $"stride" * $"h")
+          $"data_off".cast("long") + $"stride" * $"habs")
+      .withColumn("h", $"habs".cast("int")) // int-safe post-filter
       .withColumn("out_w", expr("cast(w div 2 as int)"))
       .withColumn("out_h", expr("cast(h div 2 as int)"))
       // a 2x downsample of a 1-pixel-wide/high image is empty, not a
       // zero-length fold (sequence(0,-1) would count DOWN)
       .filter($"out_w" > 0 && $"out_h" > 0)
-      // source pixel (2·(p div out_w), 2·(p % out_w)) read at
-      // data_off + row·stride + col·3 — stride-aware like the decode
+      // source pixel = IMAGE (2·(p div out_w), 2·(p % out_w)); image
+      // row rᵢ lives at stored row rᵢ when top-down (h_raw < 0) and at
+      // h−1−rᵢ in the standard bottom-up layout — a resize that reads
+      // stored rows directly would sample the bottom of a bottom-up
+      // image and diverge from the closed-form oracle
       .withColumn("means", expr(
         """transform(sequence(0, 2), ch ->
           |  round(aggregate(sequence(0, out_w * out_h - 1), 0L,
           |    (acc, p) -> acc + cast(byte_at(payload,
-          |      data_off + (p div out_w) * 2 * cast(stride as int)
+          |      data_off + (if(h_raw < 0, (p div out_w) * 2,
+          |                     h - 1 - (p div out_w) * 2)) * cast(stride as int)
           |      + (p % out_w) * 2 * 3 + ch) as bigint))
           |  / cast(out_w * out_h as double), 6))""".stripMargin))
       .select($"doc_id", $"out_w", $"out_h",

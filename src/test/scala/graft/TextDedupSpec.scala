@@ -260,6 +260,22 @@ class TextDedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("cross_dedup equals C4's symmetric pair set restricted to new×ref when the cap never binds") {
+    // with an unbinding df cap the two formulations share one shingle
+    // universe, so the incremental path must produce EXACTLY the
+    // symmetric path's pairs in the (new ≥ 1e6, ref < 1e6) orientation
+    val big = 1000000
+    val cross = operators.NearDup.crossDedup(spark, sf, threshold = 0.5, dfCap = big)
+    val sym = operators.NearDup
+      .ngramJaccardPairs(operators.NearDup.corpus(spark, sf), 0.5, dfCap = big)
+      .filter(col("id1") < 1000000L && col("id2") >= 1000000L)
+      .select(col("id2").as("new_id"), col("id1").as("ref_id"),
+        col("n_inter"), col("jaccard"))
+    assert(cross.exceptAll(sym).count() == 0 && sym.exceptAll(cross).count() == 0,
+      "incremental and symmetric near-dup disagree on the new×ref pairs")
+    spark.catalog.clearCache()
+  }
+
   test("cross_dedup cap: reference boilerplate creates no pairs; below the cap it scores normally") {
     import spark.implicits._
     // 5 ref docs share one boilerplate shingle ('common header line');
@@ -324,8 +340,9 @@ class TextDedupSpec extends AnyFunSuite {
     // off px and fails the exact-value asserts below.
     def bmp(w: Int, h: Int, bpp: Int = 24, dataOff: Int = 54,
             pixelBytes: Int = -1, px: Byte = 9, pad: Byte = 85): Array[Byte] = {
+      val hh = math.abs(h) // negative h = top-down; lattice height |h|
       val stride = if (w > 0) ((w * 3 + 3) / 4) * 4 else 0
-      val body = if (pixelBytes >= 0) pixelBytes else stride * math.max(h, 0)
+      val body = if (pixelBytes >= 0) pixelBytes else stride * hh
       val p = new Array[Byte](54 + math.max(body, 0))
       def le32(off: Int, v: Int): Unit = (0 until 4).foreach(k => p(off + k) = ((v >> (8 * k)) & 0xff).toByte)
       p(0) = 'B'.toByte; p(1) = 'M'.toByte
@@ -333,8 +350,8 @@ class TextDedupSpec extends AnyFunSuite {
       le32(18, w); le32(22, h)
       p(26) = 1; p(28) = (bpp & 0xff).toByte; p(29) = ((bpp >> 8) & 0xff).toByte
       (54 until p.length).foreach(p(_) = pad)
-      if (w > 0 && h > 0)
-        for (r <- 0 until h; c <- 0 until w * 3) {
+      if (w > 0 && hh > 0)
+        for (r <- 0 until hh; c <- 0 until w * 3) {
           val i = dataOff + r * stride + c
           if (i >= 54 && i < p.length) p(i) = px
         }
@@ -344,7 +361,7 @@ class TextDedupSpec extends AnyFunSuite {
       operators.Multimodal.MmItem(1L, bmp(4, 2)),                    // valid, stride == w*3
       operators.Multimodal.MmItem(2L, bmp(4, 2, bpp = 32)),          // wrong depth
       operators.Multimodal.MmItem(3L, bmp(5, 2)),                    // valid, PADDED rows (15 → stride 16)
-      operators.Multimodal.MmItem(4L, bmp(4, -2, pixelBytes = 24)),  // top-down
+      operators.Multimodal.MmItem(4L, bmp(4, -2)),                   // valid, TOP-DOWN (negative height)
       operators.Multimodal.MmItem(5L, bmp(4, 2, dataOff = 78)),      // lattice past payload
       operators.Multimodal.MmItem(6L, bmp(4, 2, dataOff = 10)),      // data_off inside header
       operators.Multimodal.MmItem(7L, bmp(4, 2, pixelBytes = 20)),   // truncated pixel block
@@ -352,19 +369,20 @@ class TextDedupSpec extends AnyFunSuite {
       operators.Multimodal.MmItem(9L, Array[Byte]('B', 'M', 1, 2)),  // runt file
       operators.Multimodal.MmItem(10L, bmp(5, 2, pixelBytes = 30)))  // raw pixels fit, padded rows don't
     val typed = operators.Multimodal.mmFeaturesTyped(items.toDS()).collect()
-    assert(typed.map(_.doc_id).sorted.toSeq == Seq(1L, 3L),
+    assert(typed.map(_.doc_id).sorted.toSeq == Seq(1L, 3L, 4L),
       s"typed kept ${typed.map(_.doc_id).mkString(",")}")
-    // exact means == px: the padded image's padding bytes stayed out
+    // exact means == px: padding bytes stayed out in every layout
     typed.foreach(f => assert(f.mean_b == 9.0 && f.mean_g == 9.0 && f.mean_r == 9.0))
+    assert(typed.find(_.doc_id == 4L).get.height_px == 2, "top-down height is |h|")
     val colDf = operators.Multimodal.mmFeatureExtractFrame(
       items.toDF("doc_id", "payload")).collect()
-    assert(colDf.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L),
+    assert(colDf.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 4L),
       s"columnar kept ${colDf.map(_.getLong(0)).mkString(",")}")
     colDf.foreach(r => assert(r.getAs[Double]("mean_b") == 9.0 &&
       r.getAs[Double]("mean_g") == 9.0 && r.getAs[Double]("mean_r") == 9.0))
     val resized = operators.Multimodal.mmResizeFrame(
       items.toDF("doc_id", "payload")).collect()
-    assert(resized.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    assert(resized.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 4L))
     resized.foreach { r =>
       assert(r.getAs[Int]("out_w") == 2 && r.getAs[Int]("out_h") == 1)
       assert(r.getAs[Double]("mean_b") == 9.0 && r.getAs[Double]("mean_r") == 9.0)
@@ -381,7 +399,8 @@ class TextDedupSpec extends AnyFunSuite {
         ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
       assert(le32(2) == p.length, "declared file size must equal actual")
       assert(le32(10) == 54 && le32(14) == 40)
-      val (w, h) = (le32(18), le32(22))
+      val (w, hRaw) = (le32(18), le32(22))
+      val h = math.abs(hRaw) // negative biHeight = planted top-down
       val stride = ((w * 3 + 3) / 4) * 4
       assert(p.length == 54 + stride * h)
       // padding bytes are present and are NOT pixel values (0xAB)

@@ -25,7 +25,9 @@ class DeterminismSpec extends AnyFunSuite {
     "doc_chunk",           // per-row chunk explosion
     "dedup_cluster_star",  // iterative contraction w/ rewrite-count stop
     "corpus_shard",        // banded within-shard rank over md5 keys
-    "pipeline_training_manifest" // composed closure + gates + shard
+    "pipeline_training_manifest", // composed closure + gates + shard
+    "perplexity_score",    // rounded float mean of per-token log-probs
+    "cross_dedup"          // asymmetric pair counting across shuffles
   )
 
   /** Collect to the driver and normalize — NO cache()/exceptAll here:

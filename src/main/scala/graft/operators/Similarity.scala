@@ -363,6 +363,47 @@ object Similarity {
        |        PARTITION BY query_id ORDER BY votes DESC, label) AS vr FROM votes)
        |WHERE vr = 1""".stripMargin
 
+  /** Extension `embedding_quantize` — int8 scalar quantization of the
+    * embedding column: per-vector scale = 127/max|xᵢ|, qᵢ =
+    * ⌊xᵢ·scale + ½⌋ — the storage/ANN-memory step a large vector
+    * pipeline runs before indexing (4× smaller than float32, SIMD
+    * int8 dot products downstream). PURE per-row compute: the scale
+    * is an in-row array fold, no aggregate, no shuffle — at 100 TB
+    * this is a scan. Output is flat (vec_id, pos, q) + the scale, so
+    * the gate hash-compares every quantized cell; a companion spec
+    * bounds the dequantization error (cosine(dequant, orig) ≥ 0.999).
+    *
+    * Rounding is ⌊x + ½⌋ (half toward +∞), NOT round(): both engines
+    * evaluate floor on identical doubles bit-exactly, while round()'s
+    * tie semantics are engine-specific — the same engine-portability
+    * posture as F10's integer micro-rates. Zero vectors quantize to
+    * scale 0 / all-zero rather than dividing by zero. */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .withColumn("maxabs", expr(
+        "cast(array_max(transform(embedding, x -> abs(x))) as double)"))
+      .withColumn("scale",
+        when($"maxabs" > 0d, lit(127.0) / $"maxabs").otherwise(lit(0.0)))
+      .select($"vec_id", $"scale", posexplode($"embedding"))
+      .select($"vec_id", $"pos",
+        floor($"col".cast("double") * $"scale" + 0.5).cast("int").as("q"),
+        $"scale")
+  }
+
+  val embeddingQuantizeSql: String =
+    """WITH scaled AS (
+      |  SELECT vec_id,
+      |         CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS scale,
+      |         embedding
+      |  FROM (SELECT vec_id, embedding,
+      |               CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS m
+      |        FROM embeddings))
+      |SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+      |       CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * scale + 0.5) AS INT) AS q,
+      |       scale
+      |FROM scaled, unnest(generate_series(1, len(embedding))) AS t(i)""".stripMargin
+
   /** C7 `ann_lsh` — random-hyperplane LSH approximate neighbors: 6
     * sign-bits from deterministic pseudo-random hyperplanes (weights
     * derived from xxhash64 — reproducible on any cluster with no

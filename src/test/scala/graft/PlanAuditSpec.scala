@@ -73,11 +73,12 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("doc_chunk, mm_resize, mm_frame_sample are exchange-free per-row pipelines") {
+  test("doc_chunk, mm_resize, mm_frame_sample, embedding_quantize are exchange-free per-row pipelines") {
     Seq(
       operators.TextAnalysis.docChunk(spark, sf),
       operators.Multimodal.mmResize(spark, sf),
-      operators.Multimodal.mmFrameSample(spark, sf)
+      operators.Multimodal.mmFrameSample(spark, sf),
+      operators.Similarity.embeddingQuantize(spark, sf)
     ).foreach { df =>
       assert(countShuffles(df) == 0, s"expected shuffle-free plan:\n${executedPlan(df)}")
       assert(countBroadcasts(df) == 0)

@@ -16,6 +16,28 @@ import org.scalatest.funsuite.AnyFunSuite
 class RecallSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("embedding_quantize: dequantized vectors keep cosine >= 0.999 with the originals") {
+    val q = operators.Similarity.embeddingQuantize(spark, sf)
+      .filter(col("scale") > 0)
+      .withColumn("dq", col("q").cast("double") / col("scale"))
+    val orig = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"), col("col").cast("double").as("x"))
+    val cos = q.join(orig, Seq("vec_id", "pos"))
+      .groupBy(col("vec_id"))
+      .agg((sum(col("dq") * col("x")) /
+        (sqrt(sum(col("dq") * col("dq"))) * sqrt(sum(col("x") * col("x"))))).as("cos"))
+    val worst = cos.agg(min(col("cos"))).head().getDouble(0)
+    // int8 with a per-vector scale: worst-case per-cell error 0.5/scale;
+    // on 64-dim unit-ish vectors the cosine floor is comfortably 3 nines
+    assert(worst >= 0.999, s"worst dequantized cosine = $worst")
+    // and the quantized domain really is int8
+    val range = operators.Similarity.embeddingQuantize(spark, sf)
+      .agg(min(col("q")), max(col("q"))).head()
+    assert(range.getInt(0) >= -128 && range.getInt(1) <= 127, s"q out of int8 range: $range")
+    spark.catalog.clearCache()
+  }
+
   test("C2 minhash est_jaccard tracks C4 exact jaccard within the binomial band") {
     val est = operators.NearDup.minhashLshDedup(spark, sf)
       .select(col("id1"), col("id2"), col("est_jaccard"))

@@ -57,13 +57,16 @@ def main():
             if len(got) == 0:
                 n_fail += 1
                 continue
-            # cross-engine recall for the IVF ANN: centroid geometry is
-            # engine-specific (rows-only), but the ANSWER is gradeable —
-            # grade Spark's probed-cell top-k against DuckDB's exact
-            # brute-force top-k, independently recomputed. Registry
-            # defaults: k=5, nQueries=50. Floor matches RecallSpec's
-            # break-glass bound (random probing of 2/16 cells ~ 0.125).
+            # The rows-only set is hash-ungateable (seeded hashes /
+            # sketches / centroid geometry) but NOT unquantifiable:
+            # each gets a cross-engine quantitative check here, so the
+            # local gate grades the ANSWERS against DuckDB-computed
+            # ground truth even where the values can't hash-match.
+            ok, note = True, None
             if name == "ann_ivf":
+                # grade Spark's probed-cell top-k against DuckDB's
+                # exact brute-force top-k (registry defaults k=5,
+                # nQueries=50); floor = RecallSpec's break-glass bound
                 exact = con.execute("""
                     SELECT query_id, neighbor_id FROM (
                       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -77,13 +80,93 @@ def main():
                 found = set(zip(got.query_id, got.neighbor_id))
                 recall = len(truth & found) / max(len(truth), 1)
                 ok = recall >= 0.25
-                print(f"  [{'RECALL' if ok else 'RECALL-FAIL'}] ann_ivf: "
-                      f"cross-engine recall@5 = {recall:.3f} "
-                      f"({len(truth & found)}/{len(truth)} vs DuckDB brute force)")
-                if not ok:
-                    n_fail += 1
-                    n_pass -= 1
-            n_pass += 1
+                note = (f"cross-engine recall@5 = {recall:.3f} "
+                        f"({len(truth & found)}/{len(truth)} vs DuckDB brute force)")
+            elif name == "minhash_lsh_dedup":
+                # est_jaccard graded against DuckDB-exact jaccard on
+                # the emitted pairs (16 slots: 4-sigma-ish band), plus
+                # planted-twin completeness at est = 1.0
+                con.register("mh_out", got)
+                r = con.execute("""
+                    WITH corpus AS (SELECT doc_id, text FROM documents
+                                    UNION ALL SELECT doc_id + 1000000, text FROM documents),
+                    toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM corpus),
+                    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(l)-2),
+                             i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS s
+                           FROM toks WHERE len(l) >= 3),
+                    sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+                    inter AS (SELECT a.doc_id id1, b.doc_id id2, COUNT(*) ni
+                              FROM sh a JOIN sh b USING (s)
+                              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+                    SELECT max(abs(m.est_jaccard -
+                             COALESCE(CAST(ni AS DOUBLE)/(s1.n + s2.n - ni), 0))) AS max_err
+                    FROM mh_out m
+                    LEFT JOIN inter ON inter.id1 = m.id1 AND inter.id2 = m.id2
+                    JOIN sizes s1 ON s1.doc_id = m.id1
+                    JOIN sizes s2 ON s2.doc_id = m.id2""").fetchone()
+                max_err = r[0]
+                eligible = con.execute(
+                    "SELECT COUNT(*) FROM documents "
+                    "WHERE len(string_split_regex(trim(text), '\\s+')) >= 3").fetchone()[0]
+                twins = len(got[(got.id2 == got.id1 + 1000000) & (got.est_jaccard == 1.0)])
+                ok = max_err <= 0.3 and twins == eligible
+                note = (f"max |est - DuckDB-exact jaccard| = {max_err:.3f} (<= 0.3), "
+                        f"twins {twins}/{eligible}")
+            elif name == "simhash_dedup":
+                eligible = con.execute(
+                    "SELECT COUNT(*) FROM documents "
+                    "WHERE len(string_split_regex(trim(text), '\\s+')) >= 1").fetchone()[0]
+                twins = len(got[(got.id2 == got.id1 + 1000000) & (got.hamming == 0)])
+                ok = twins == eligible
+                note = f"planted twins at hamming 0: {twins}/{eligible}"
+            elif name == "stream_near_dedup":
+                eligible = con.execute(
+                    "SELECT COUNT(*) FROM documents "
+                    "WHERE len(string_split_regex(trim(text), '\\s+')) >= 3").fetchone()[0]
+                twins = len(got[(got.id2 == got.id1 + 1000000) & (got.est_jaccard == 1.0)])
+                ok = twins == eligible
+                note = f"planted twins at est 1.0: {twins}/{eligible}"
+            elif name == "approx_distinct":
+                # HLL estimates graded against DuckDB's exact distinct
+                # counts per group (Spark default rsd = 5%; 15% is 3x)
+                con.register("ad_out", got)
+                r = con.execute("""
+                    WITH exact AS (
+                      SELECT event_type, COUNT(DISTINCT user_id) AS du,
+                             COUNT(*) AS ne
+                      FROM events GROUP BY 1)
+                    SELECT max(abs(a.approx_users - e.du) / CAST(e.du AS DOUBLE)),
+                           max(CASE WHEN a.n_events <> e.ne THEN 1 ELSE 0 END)
+                    FROM ad_out a JOIN exact e USING (event_type)""").fetchone()
+                ok = r[0] <= 0.15 and r[1] == 0
+                note = (f"max HLL relative error vs DuckDB exact = {r[0]:.4f} "
+                        f"(<= 0.15); exact columns match: {r[1] == 0}")
+            elif name == "ann_lsh":
+                # random 64-dim data has no cluster structure, so
+                # absolute LSH recall is meaningless here; the
+                # cross-engine signal is collision QUALITY — emitted
+                # pairs' DuckDB-computed cosine must sit clearly above
+                # the random-pair baseline (RecallSpec's margin)
+                con.register("lsh_out", got[["query_id", "neighbor_id"]])
+                em = con.execute("""
+                    SELECT avg(list_cosine_similarity(a.embedding, b.embedding))
+                    FROM lsh_out p
+                    JOIN embeddings a ON a.vec_id = p.query_id
+                    JOIN embeddings b ON b.vec_id = p.neighbor_id""").fetchone()[0]
+                gm = con.execute("""
+                    SELECT avg(list_cosine_similarity(a.embedding, b.embedding))
+                    FROM embeddings a, embeddings b
+                    WHERE a.vec_id % 7 = 0 AND b.vec_id % 5 = 0
+                      AND a.vec_id <> b.vec_id""").fetchone()[0]
+                ok = em >= gm + 0.05
+                note = (f"emitted-pair mean cosine {em:.3f} vs random-pair "
+                        f"baseline {gm:.3f} (margin 0.05)")
+            if note is not None:
+                print(f"  [{'RECALL' if ok else 'RECALL-FAIL'}] {name}: {note}")
+            if not ok:
+                n_fail += 1
+            else:
+                n_pass += 1
             continue
         try:
             exp = con.execute(oracle[name]).df()

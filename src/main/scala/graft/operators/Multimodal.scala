@@ -182,8 +182,10 @@ object Multimodal {
         // quarantines.)
         val h = math.abs(hRaw)
         val stride = ((w * 3L + 3) / 4) * 4
+        // division form: `p.length < off + stride * h` would OVERFLOW
+        // Long for w ≈ h ≈ 2³¹ crafted headers and wrap past the check
         if (bpp != 24 || w <= 0 || h <= 0 ||
-            off < 54 || p.length < off + stride * h) None
+            off < 54 || off > p.length || h > (p.length - off) / stride) None
         else {
           // decode exactly the declared lattice (padding + trailing
           // bytes ignored)
@@ -289,10 +291,13 @@ object Multimodal {
       // overflow.
       .withColumn("stride",
         expr("((cast(width_px as bigint) * 3 + 3) div 4) * 4"))
+      // division form: `stride * habs` would overflow (ANSI: throw;
+      // legacy: wrap past the check) for w ≈ h ≈ 2³¹ crafted headers —
+      // a negative numerator (data_off past the payload) quarantines
+      // via the <= comparison against a negative quotient
       .filter($"bpp" === 24 && $"width_px" > 0 && $"habs" > 0 &&
         $"data_off" >= 54 &&
-        $"n_bytes".cast("long") >=
-          $"data_off".cast("long") + $"stride" * $"habs")
+        $"habs" <= expr("(cast(n_bytes as bigint) - data_off) div stride"))
       // surviving rows have stride·|h| ≤ n_bytes < 2³¹ → int-safe
       .withColumn("height_px", $"habs".cast("int"))
       // decode exactly the declared lattice (padding + trailing bytes
@@ -342,10 +347,10 @@ object Multimodal {
       // payload — a non-generator BMP must drop, not resize with the
       // wrong stride or read past the pixel block
       .withColumn("stride", expr("((cast(w as bigint) * 3 + 3) div 4) * 4"))
+      // division form — same overflow-proof check as the decode path
       .filter($"bpp" === 24 && $"w" > 0 && $"habs" > 0 &&
         $"data_off" >= 54 &&
-        length($"payload").cast("long") >=
-          $"data_off".cast("long") + $"stride" * $"habs")
+        $"habs" <= expr("(cast(length(payload) as bigint) - data_off) div stride"))
       .withColumn("h", $"habs".cast("int")) // int-safe post-filter
       .withColumn("out_w", expr("cast(w div 2 as int)"))
       .withColumn("out_h", expr("cast(h div 2 as int)"))

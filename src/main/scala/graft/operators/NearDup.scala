@@ -54,7 +54,12 @@ object NearDup {
     * across any number of consumer queries. `synchronized` (not
     * ConcurrentHashMap.computeIfAbsent) because builds NEST — the
     * keeper memo builds the closure memo builds the pair memo — and
-    * the JVM monitor is reentrant where computeIfAbsent is not. */
+    * the JVM monitor is reentrant where computeIfAbsent is not.
+    * Retention is deliberate and small: the pinned frames are DECISION
+    * tables (pair edges, cluster labels, keeper rows — KBs at the
+    * bench SF), never corpus-sized intermediates (postings die with
+    * their enclosing build), so holding them for the session is the
+    * point, not a leak. */
   private object Shared {
     private val cache = scala.collection.mutable.HashMap[(SparkSession, String, String), AnyRef]()
     def memo[T <: AnyRef](spark: SparkSession, tag: String)(build: => T): T = synchronized {
@@ -213,6 +218,20 @@ object NearDup {
     * cut postings by 1-τ but forces per-pair set verification — the
     * wrong trade while df capping holds. 64-bit shingle-hash collisions
     * are ~n²·2⁻⁶⁴, immaterial even at 10⁹ shingles. */
+  /** doc_id → distinct 64-bit shingle hashes (word-3-gram, xxhash64)
+    * — the posting rows of the inverted index; ONE definition shared
+    * by the symmetric (C4) and incremental (`cross_dedup`) paths so
+    * their shingle universes can never drift apart. */
+  private def shinglePostings(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("toks", split(trim($"text"), "\\s+"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(expr(
+        """array_distinct(transform(sequence(0, size(toks)-3),
+          |  i -> xxhash64(toks[i], toks[i+1], toks[i+2])))""".stripMargin)).as("sh"))
+  }
+
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
                         dfCap: Int = 100): DataFrame = {
     import docs.sparkSession.implicits._
@@ -230,13 +249,7 @@ object NearDup {
     // the cold run). Materializing once up front is the "write the
     // signature table" step of any production dedup; on a multi-executor
     // cluster make it a reliable checkpoint / parquet stage instead.
-    val postings = docs
-      .withColumn("toks", split(trim($"text"), "\\s+"))
-      .filter(size($"toks") >= 3)
-      .select($"doc_id", explode(expr(
-        """array_distinct(transform(sequence(0, size(toks)-3),
-          |  i -> xxhash64(toks[i], toks[i+1], toks[i+2])))""".stripMargin)).as("sh"))
-      .localCheckpoint()
+    val postings = shinglePostings(docs).localCheckpoint()
     // the cap, skew-safe: the DROPPED side is what's broadcast. Hot
     // shingles (df > dfCap) are by construction few — boilerplate
     // headers, stopword runs — so the df aggregate reduces them
@@ -336,17 +349,11 @@ object NearDup {
   def crossDedupPairs(newDocs: DataFrame, refDocs: DataFrame,
                       threshold: Double = 0.5, dfCap: Int = 100): DataFrame = {
     import refDocs.sparkSession.implicits._
-    def postings(docs: DataFrame): DataFrame = docs
-      .withColumn("toks", split(trim($"text"), "\\s+"))
-      .filter(size($"toks") >= 3)
-      .select($"doc_id", explode(expr(
-        """array_distinct(transform(sequence(0, size(toks)-3),
-          |  i -> xxhash64(toks[i], toks[i+1], toks[i+2])))""".stripMargin)).as("sh"))
     // eager (materialization contract): ref postings feed the df-cap
     // aggregate, the size aggregate AND the pair-join build; new
     // postings feed sizes + probe
-    val pr = postings(refDocs).localCheckpoint()
-    val pn = postings(newDocs).localCheckpoint()
+    val pr = shinglePostings(refDocs).localCheckpoint()
+    val pn = shinglePostings(newDocs).localCheckpoint()
     // hot list from the REFERENCE index, broadcast-anti-joined into
     // both sides (same skew-safe posture as C4's cap)
     val hot = pr.groupBy($"sh").agg(count(lit(1)).as("df"))

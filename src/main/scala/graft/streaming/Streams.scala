@@ -140,17 +140,29 @@ object Streams {
       }
   }
 
-  /** Streaming wiring for E2: watermark the (NTZ) event time — cast to
-    * an instant-typed column the engine can watermark, session TZ is
-    * pinned UTC — then run [[sessionizeTyped]]; open sessions age out
-    * via its event-time timeout once the watermark passes their gap
-    * horizon. */
+  /** Streaming wiring for E2: watermark the (NTZ) event time, then run
+    * [[sessionizeTyped]]; open sessions age out via its event-time
+    * timeout once the watermark passes their gap horizon.
+    *
+    * The timeout timestamps inside the state function interpret the
+    * NTZ wall time AS UTC (LocalDateTime.toEpochSecond(UTC)), so the
+    * watermark must live on the SAME epoch: a bare
+    * `cast(ts as timestamp)` would interpret the wall time in the
+    * session zone and shift the watermark by the zone offset —
+    * flushing sessions hours early or retaining state hours late on
+    * any non-UTC session. `from_utc_timestamp(cast(..), sessionTZ)`
+    * cancels the session-zone interpretation exactly (up to the
+    * offset-at-instant vs offset-at-wall subtlety within a DST
+    * transition hour; pin the session to UTC — as every main in this
+    * repo does — to remove even that). */
   def sessionizeStream(events: Dataset[Ev], gapMinutes: Int = 30,
                        delayThreshold: String = "1 hour"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
     sessionizeTyped(
       events.toDF()
-        .withColumn("event_time", col("ts").cast("timestamp"))
+        .withColumn("event_time",
+          from_utc_timestamp(col("ts").cast("timestamp"), tz))
         .withWatermark("event_time", delayThreshold)
         .as[Ev],
       gapMinutes)

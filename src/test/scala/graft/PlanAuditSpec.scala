@@ -254,6 +254,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.mkString("\n"))
   }
 
+  test("ngram pair-join core (pre-memo) keeps its audited shape: no cross, no sort-agg, no single-partition shuffle") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.aggregate.SortAggregateExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // the registry's ngram_jaccard_dedup (and everything downstream of
+    // it) now returns a memoized CHECKPOINT scan, which the registry
+    // lint sees as an opaque RDD — so the edge pipeline's own shape is
+    // pinned here on the UNCACHED core, where a regression (say a
+    // single-partition window sneaking into the df cap) stays visible
+    val df = operators.NearDup.ngramJaccardPairs(operators.NearDup.corpus(spark, sf))
+    val nodes = collectAll(executedPlan(df))
+    assert(!nodes.exists(n => n.isInstanceOf[CartesianProductExec]
+      || n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      s"cross join in the pair core:\n${executedPlan(df)}")
+    assert(!nodes.exists(_.isInstanceOf[SortAggregateExec]),
+      s"sort-based aggregate in the pair core:\n${executedPlan(df)}")
+    assert(!nodes.exists {
+      case e: ShuffleExchangeLike => e.outputPartitioning == SinglePartition
+      case _ => false
+    }, s"single-partition shuffle in the pair core:\n${executedPlan(df)}")
+    spark.catalog.clearCache()
+  }
+
   test("whitelisted crosses carry a provably bounded build side (runtime rows <= 64)") {
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
     import org.apache.spark.sql.execution.adaptive.QueryStageExec

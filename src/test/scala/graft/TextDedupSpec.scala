@@ -341,8 +341,8 @@ class TextDedupSpec extends AnyFunSuite {
     def bmp(w: Int, h: Int, bpp: Int = 24, dataOff: Int = 54,
             pixelBytes: Int = -1, px: Byte = 9, pad: Byte = 85): Array[Byte] = {
       val hh = math.abs(h) // negative h = top-down; lattice height |h|
-      val stride = if (w > 0) ((w * 3 + 3) / 4) * 4 else 0
-      val body = if (pixelBytes >= 0) pixelBytes else stride * hh
+      val stride = if (w > 0) ((w.toLong * 3 + 3) / 4) * 4 else 0L
+      val body = if (pixelBytes >= 0) pixelBytes else (stride * hh).toInt
       val p = new Array[Byte](54 + math.max(body, 0))
       def le32(off: Int, v: Int): Unit = (0 until 4).foreach(k => p(off + k) = ((v >> (8 * k)) & 0xff).toByte)
       p(0) = 'B'.toByte; p(1) = 'M'.toByte
@@ -350,11 +350,16 @@ class TextDedupSpec extends AnyFunSuite {
       le32(18, w); le32(22, h)
       p(26) = 1; p(28) = (bpp & 0xff).toByte; p(29) = ((bpp >> 8) & 0xff).toByte
       (54 until p.length).foreach(p(_) = pad)
-      if (w > 0 && hh > 0)
-        for (r <- 0 until hh; c <- 0 until w * 3) {
-          val i = dataOff + r * stride + c
+      // fill only rows/columns that can intersect the payload — giant
+      // crafted dims must not iterate (or overflow) here
+      if (w > 0 && hh > 0 && stride > 0) {
+        val maxR = math.max(0L, math.min(hh.toLong, (p.length.toLong - dataOff) / stride + 1)).toInt
+        val maxC = math.min(w.toLong * 3, p.length.toLong).toInt
+        for (r <- 0 until maxR; c <- 0 until maxC) {
+          val i = (dataOff + r * stride + c).toInt
           if (i >= 54 && i < p.length) p(i) = px
         }
+      }
       p
     }
     val items = Seq(
@@ -367,7 +372,10 @@ class TextDedupSpec extends AnyFunSuite {
       operators.Multimodal.MmItem(7L, bmp(4, 2, pixelBytes = 20)),   // truncated pixel block
       operators.Multimodal.MmItem(8L, bmp(100000, 100000, pixelBytes = 24)), // giant header
       operators.Multimodal.MmItem(9L, Array[Byte]('B', 'M', 1, 2)),  // runt file
-      operators.Multimodal.MmItem(10L, bmp(5, 2, pixelBytes = 30)))  // raw pixels fit, padded rows don't
+      operators.Multimodal.MmItem(10L, bmp(5, 2, pixelBytes = 30)),  // raw pixels fit, padded rows don't
+      // stride*h overflows Long (≈1.4e19): the division-form check must
+      // quarantine, not wrap past the bound or throw under ANSI
+      operators.Multimodal.MmItem(11L, bmp(Int.MaxValue, Int.MaxValue, pixelBytes = 24)))
     val typed = operators.Multimodal.mmFeaturesTyped(items.toDS()).collect()
     assert(typed.map(_.doc_id).sorted.toSeq == Seq(1L, 3L, 4L),
       s"typed kept ${typed.map(_.doc_id).mkString(",")}")

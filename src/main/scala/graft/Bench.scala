@@ -105,13 +105,14 @@ object Bench {
       results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val qs = jmap(_._2)
     val total = results.map(_._2).sum
+    // stdout keeps the COMPACT contract line — it rides through sbt
+    // and the driver's tail-capture, either of which can clip a long
+    // line (BENCH_r02 lost the total + 4 queries that way), so the
+    // cpu/gc diagnostic maps go only to the file artifact
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""cpu_sec":${jmap(_._3)},"gc_sec":${jmap(_._4)},""" +
       s""""warmup_sec":$warmupSec,"sf":"$sfDir"}"""
-    println(json)
-    // also land the JSON in a file: stdout rides through sbt and the
-    // driver's tail-capture, either of which can clip a long line
-    // (BENCH_r02 lost the total + 4 queries that way)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
     spark.stop()
   }

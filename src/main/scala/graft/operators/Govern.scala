@@ -502,4 +502,98 @@ object Govern {
   val csvRoundtripSql: String =
     """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang""".stripMargin
+
+  /** 16-bit → even-bit spread (x₁₅…x₀ → 0x₁₅0x₁₄…0x₀), the Morton
+    * building block: four shift-or-mask rounds, pure codegen'd long
+    * arithmetic. Interleave = spread(x) | spread(y) << 1. */
+  private def spreadBits(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val a = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val d = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+    d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** F13 `zorder_layout` — Z-order (Morton-curve) file-layout manifest:
+    * the multi-dimensional data-skipping layout a 100 TB lake runs as
+    * maintenance (Delta `OPTIMIZE ZORDER BY`, Iceberg sort orders).
+    * Sorting by ONE column prunes files on that column only; sorting by
+    * the interleaved bits of TWO columns gives every file a small
+    * rectangle in (x, y) space, so min/max file stats prune scans
+    * filtering on EITHER dimension. Here: lineitem laid out by
+    * (l_partkey, l_suppkey) → (row key, zval, file_id), the manifest a
+    * rewrite job would apply.
+    *
+    * Shape: each dim is min-max scaled to 16 bits (the scalar bounds
+    * row is a 1-row aggregate, broadcast via the declared scalar-cross
+    * pattern — at scale the bounds come free from table stats), the
+    * Morton code is four shift-or-mask rounds per dim (codegen'd long
+    * arithmetic, no UDF), and the file assignment is rank-by-zval
+    * chunked into `rowsPerFile` — computed with the C18/F11 banded
+    * two-pass rank (band = zval's top 8 bits, monotone in zval):
+    * a ≤256-row per-band count aggregate, offsets via a cumulative
+    * window OVER THAT AGGREGATE (≤256 tiny rows through the
+    * single-partition exchange — same bounded class as the scalar
+    * combine), then row_number per band. No global sort, no
+    * single-partition pass over data-sized input, any SF. */
+  def zorderLayout(spark: SparkSession, dir: String,
+                   rowsPerFile: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+    val bounds = li.agg(
+      min($"l_partkey").as("minx"), max($"l_partkey").as("maxx"),
+      min($"l_suppkey").as("miny"), max($"l_suppkey").as("maxy"))
+    val z = li.crossJoin(broadcast(bounds))
+      .withColumn("zx", expr("((l_partkey - minx) * 65535) div greatest(1L, maxx - minx)"))
+      .withColumn("zy", expr("((l_suppkey - miny) * 65535) div greatest(1L, maxy - miny)"))
+      .withColumn("zval", spreadBits($"zx").bitwiseOR(shiftleft(spreadBits($"zy"), 1)))
+      .withColumn("band", shiftright($"zval", 24).cast("int"))
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+        $"zval", $"band")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"band").rowsBetween(Long.MinValue, -1)
+    val off = z.groupBy($"band").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum($"cnt").over(w), lit(0L)))
+      .select($"band", $"off")
+    // rank order is TOTAL over the output columns (the synthetic
+    // lineitem has duplicate (orderkey, linenumber) pairs): rows still
+    // tied after all five are identical in every emitted column, so
+    // whichever side of a file boundary each lands on, the output
+    // MULTISET — what the gate hashes — is engine-independent
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy($"band").orderBy($"zval", $"l_orderkey", $"l_linenumber",
+        $"l_partkey", $"l_suppkey")
+    z.join(broadcast(off), Seq("band"))
+      .withColumn("pos", $"off" + row_number().over(rw))
+      .withColumn("file_id", expr(s"cast((pos - 1) div $rowsPerFile as int)"))
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+        $"zval", $"file_id")
+  }
+
+  def zorderLayoutSql(rowsPerFile: Int = 4096): String =
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |         CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y
+       |  FROM lineitem),
+       |b AS (SELECT min(x) AS minx, max(x) AS maxx,
+       |             min(y) AS miny, max(y) AS maxy FROM li),
+       |s0 AS (
+       |  SELECT l_orderkey, l_linenumber, x, y,
+       |         ((x - minx) * 65535) // greatest(1, maxx - minx) AS sx,
+       |         ((y - miny) * 65535) // greatest(1, maxy - miny) AS sy
+       |  FROM li, b),
+       |s1 AS (SELECT l_orderkey, l_linenumber, x, y,
+       |         (sx | (sx << 8)) & 16711935 AS sx, (sy | (sy << 8)) & 16711935 AS sy FROM s0),
+       |s2 AS (SELECT l_orderkey, l_linenumber, x, y,
+       |         (sx | (sx << 4)) & 252645135 AS sx, (sy | (sy << 4)) & 252645135 AS sy FROM s1),
+       |s3 AS (SELECT l_orderkey, l_linenumber, x, y,
+       |         (sx | (sx << 2)) & 858993459 AS sx, (sy | (sy << 2)) & 858993459 AS sy FROM s2),
+       |s4 AS (SELECT l_orderkey, l_linenumber, x, y,
+       |         (sx | (sx << 1)) & 1431655765 AS sx, (sy | (sy << 1)) & 1431655765 AS sy FROM s3),
+       |z AS (SELECT l_orderkey, l_linenumber, x, y, sx | (sy << 1) AS zval FROM s4)
+       |SELECT l_orderkey, l_linenumber, x AS l_partkey, y AS l_suppkey,
+       |       CAST(zval AS BIGINT) AS zval,
+       |       CAST((row_number() OVER (ORDER BY zval, l_orderkey, l_linenumber, x, y) - 1)
+       |            // $rowsPerFile AS INT) AS file_id
+       |FROM z""".stripMargin
 }

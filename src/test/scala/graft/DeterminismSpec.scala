@@ -27,7 +27,8 @@ class DeterminismSpec extends AnyFunSuite {
     "corpus_shard",        // banded within-shard rank over md5 keys
     "pipeline_training_manifest", // composed closure + gates + shard
     "perplexity_score",    // rounded float mean of per-token log-probs
-    "cross_dedup"          // asymmetric pair counting across shuffles
+    "cross_dedup",         // asymmetric pair counting across shuffles
+    "zorder_layout"        // banded rank over Morton codes + file chunking
   )
 
   /** Collect to the driver and normalize — NO cache()/exceptAll here:

@@ -252,6 +252,67 @@ class GovernSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("zorder_layout: exact Morton codes (dual-path), full file chunks, and real data-skipping locality") {
+    import org.apache.spark.sql.expressions.Window
+    // 256 rows/file → ~23 files at the test SF: enough files for the
+    // locality claim to be measurable (the registry default of 4096
+    // yields only 2 files on 6k rows, where any layout's bbox is huge)
+    val rowsPerFile = 256
+    val df = operators.Govern.zorderLayout(spark, sf, rowsPerFile).cache()
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    val n = li.count()
+    assert(df.count() == n)
+    // dual-path Morton check: recompute zval with an INDEPENDENT
+    // formulation (per-bit transform/aggregate instead of the
+    // shift-or-mask rounds) over the same min-max scaling. Multiset
+    // compare — the synthetic lineitem has duplicate (orderkey,
+    // linenumber) pairs, so a key join would cross-match dup rows.
+    val b = li.agg(min("l_partkey").as("minx"), max("l_partkey").as("maxx"),
+      min("l_suppkey").as("miny"), max("l_suppkey").as("maxy"))
+    val ref = li.crossJoin(broadcast(b))
+      .withColumn("zx", expr("((l_partkey - minx) * 65535) div greatest(1L, maxx - minx)"))
+      .withColumn("zy", expr("((l_suppkey - miny) * 65535) div greatest(1L, maxy - miny)"))
+      .withColumn("zval", expr(
+        """aggregate(sequence(0, 15), 0L, (acc, i) ->
+          |  acc + shiftleft((zx >> i) & 1L, 2*i) + shiftleft((zy >> i) & 1L, 2*i+1))"""
+          .stripMargin))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("zval"))
+    assert(df.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "zval")
+      .exceptAll(ref).count() == 0,
+      "shift-or-mask interleave must equal the per-bit formulation")
+    // file chunks: ids contiguous from 0, every file full except the last
+    val files = df.groupBy("file_id").agg(count(lit(1)).as("c"),
+      min("zval").as("mnz"), max("zval").as("mxz")).cache()
+    val nFiles = files.count()
+    assert(files.agg(min("file_id"), max("file_id")).first()
+      == org.apache.spark.sql.Row(0, nFiles.toInt - 1))
+    assert(files.filter(col("file_id") < nFiles - 1 && col("c") =!= rowsPerFile)
+      .count() == 0, "every non-final file must hold exactly rowsPerFile rows")
+    // z-ordering: file boundaries respect zval order (ties may span)
+    val wb = Window.orderBy(col("file_id"))
+    assert(files.withColumn("nxt", lead(col("mnz"), 1).over(wb))
+      .filter(col("nxt").isNotNull && col("mxz") > col("nxt")).count() == 0)
+    // THE point of the layout — data skipping: mean per-file bounding
+    // rectangle in (partkey, suppkey) space must beat a key-ordered
+    // layout of the same file size by 2x+ (min/max file stats prune
+    // either dimension's filters only if the rectangles are small)
+    def meanArea(assigned: org.apache.spark.sql.DataFrame): Double =
+      assigned.groupBy("fid").agg(
+          ((max("l_partkey") - min("l_partkey") + 1) *
+           (max("l_suppkey") - min("l_suppkey") + 1)).as("area"))
+        .agg(avg("area")).first().getDouble(0)
+    val zArea = meanArea(df.withColumnRenamed("file_id", "fid"))
+    val naive = li.withColumn("rn",
+        row_number().over(Window.orderBy(col("l_orderkey"), col("l_linenumber"))))
+      .withColumn("fid", expr(s"cast((rn - 1) div $rowsPerFile as int)"))
+    val nArea = meanArea(naive)
+    assert(zArea < nArea * 0.5,
+      s"z-order mean file bbox area $zArea not < half of key-ordered $nArea")
+    files.unpersist(); df.unpersist()
+  }
+
   test("pipeline_training_manifest: survivors respect every upstream gate; shard positions contiguous") {
     val mf = operators.Govern.trainingManifest(spark, sf).cache()
     // no benchmark member, no planted-twin id, every doc at most once

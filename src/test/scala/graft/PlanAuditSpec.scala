@@ -228,14 +228,18 @@ class PlanAuditSpec extends AnyFunSuite {
     // side by design): ann query sides, centroid tables, the n_docs /
     // total_occ scalars
     val crossOk = Set("ann_bruteforce", "ann_ivf", "knn_classify",
-      "tfidf_terms", "vocab_build", "perplexity_score")
+      "tfidf_terms", "vocab_build", "perplexity_score", "zorder_layout")
     // k-bounded-group max_by assigns: the sort is by grouping key with
     // map-side partial agg — benign, unlike cluster-sized groups
     val sortAggOk = Set("ann_ivf", "resample_fill", "stream_dedup")
     // 1-row global scalar aggregates (tfidf's n_docs, vocab's
     // total_occ) legitimately collapse to one partition for the final
     // combine — the shuffled payload is one row per map task
-    val singleOk = Set("tfidf_terms", "vocab_build", "perplexity_score")
+    // zorder_layout adds a second bounded single-partition case: the
+    // band-offset cumulative window runs over the ≤256-row per-band
+    // count AGGREGATE, never over data-sized input
+    val singleOk = Set("tfidf_terms", "vocab_build", "perplexity_score",
+      "zorder_layout")
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val nodes = collectAll(executedPlan(fn(spark, sf)))
       spark.catalog.clearCache()
@@ -288,7 +292,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // future edit can't silently grow a whitelisted cross into an
     // n×m explosion. Runtime numOutputRows is the cardinality itself.
     val crossOk = Seq("ann_bruteforce", "ann_ivf", "knn_classify",
-      "tfidf_terms", "vocab_build", "perplexity_score")
+      "tfidf_terms", "vocab_build", "perplexity_score", "zorder_layout")
     def rowsOf(p: org.apache.spark.sql.execution.SparkPlan): Option[Long] = p match {
       case q: QueryStageExec => rowsOf(q.plan)
       case e: BroadcastExchangeLike => Some(e.metrics("numOutputRows").value)

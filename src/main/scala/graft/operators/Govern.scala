@@ -546,7 +546,15 @@ object Govern {
     val z = li.crossJoin(broadcast(bounds))
       .withColumn("zx", expr("((l_partkey - minx) * 65535) div greatest(1L, maxx - minx)"))
       .withColumn("zy", expr("((l_suppkey - miny) * 65535) div greatest(1L, maxy - miny)"))
-      .withColumn("zval", spreadBits($"zx").bitwiseOR(shiftleft(spreadBits($"zy"), 1)))
+      // coalesce can never fire (the divisor is clamped ≥1) but flips
+      // zval's NULLABILITY off, which matters enormously: the inner
+      // join on band otherwise infers isnotnull(band), and pushdown
+      // inlines the WHOLE Morton expression — un-CSE'd, interpreted —
+      // into the nested-loop join's condition (measured 14x on the
+      // scan stage: 7.2 s vs 0.5 s). Non-nullable zval lets the
+      // optimizer fold the inferred filter to true instead.
+      .withColumn("zval", coalesce(
+        spreadBits($"zx").bitwiseOR(shiftleft(spreadBits($"zy"), 1)), lit(0L)))
       .withColumn("band", shiftright($"zval", 24).cast("int"))
       .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
         $"zval", $"band")

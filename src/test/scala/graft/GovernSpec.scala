@@ -313,6 +313,28 @@ class GovernSpec extends AnyFunSuite {
     files.unpersist(); df.unpersist()
   }
 
+  test("zorder_layout: the scalar-bounds cross carries NO join condition (nullability pin)") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    // the inner join on band infers isnotnull(band); if zval were
+    // nullable, pushdown would inline the whole Morton expression —
+    // un-CSE'd, interpreted — into this join's condition (measured
+    // 14x on the scan stage). coalesce pins zval non-nullable so the
+    // inferred filter folds away; this asserts it stays folded.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = operators.Govern.zorderLayout(spark, sf).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def all(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(all)
+    val bnljs = all(plan).collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnljs.nonEmpty, "expected the scalar-bounds cross to plan as BNLJ")
+    bnljs.foreach { j =>
+      assert(j.condition.isEmpty,
+        s"zorder_layout cross must stay condition-free, got: ${j.condition}")
+    }
+  }
+
   test("pipeline_training_manifest: survivors respect every upstream gate; shard positions contiguous") {
     val mf = operators.Govern.trainingManifest(spark, sf).cache()
     // no benchmark member, no planted-twin id, every doc at most once

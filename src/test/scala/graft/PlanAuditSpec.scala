@@ -253,6 +253,20 @@ class PlanAuditSpec extends AnyFunSuite {
         case e: ShuffleExchangeLike => e.outputPartitioning == SinglePartition
         case _ => false })
         viol += s"$name: undeclared single-partition shuffle"
+      // BNLJ conditions evaluate INTERPRETED per streamed row: a fat
+      // condition means pushdown inlined a whole projection expression
+      // (un-CSE'd) into the join — zorder_layout's inferred
+      // isnotnull(band) cost 14x this way until its zval was pinned
+      // non-nullable. Declared semantic conditions (ann's self-pair
+      // exclusion, vocab's band inequality) are all tiny.
+      nodes.foreach {
+        case j: BroadcastNestedLoopJoinExec =>
+          val len = j.condition.map(_.toString.length).getOrElse(0)
+          if (len > 200)
+            viol += s"$name: BNLJ condition of $len chars — an inlined " +
+              s"expression is evaluating interpreted per row"
+        case _ => ()
+      }
       viol.result()
     }
     assert(bad.isEmpty, bad.mkString("\n"))

@@ -578,6 +578,58 @@ object Govern {
         $"zval", $"file_id")
   }
 
+  /** F14 `compaction_plan` — small-file bin packing: the OTHER half of
+    * lake maintenance next to F13's layout. Input is a file inventory
+    * (here: documents as the stand-in — id + byte size); every file
+    * gets its exclusive running byte offset in id order, and
+    * bin = start_off div target — files whose start offset falls in
+    * [k·target, (k+1)·target) compact into output file k. Every bin's
+    * payload lands within one max-file-size of the target (the spec
+    * asserts it), which is exactly the sequential coalescing an
+    * OPTIMIZE/compaction job plans — deterministic, reproducible,
+    * no driver-side loop over the listing.
+    *
+    * Scale: the running offset is the C18/F11 banded two-pass pattern
+    * applied to a SUM instead of a rank — band = id div 1000, per-band
+    * byte totals (inventory/1000 rows) cumsum'd via a window over that
+    * aggregate, then an in-band exclusive running sum per band. The
+    * inventory is metadata (~10⁶ rows per 10⁹ data rows), so the
+    * band aggregate through the single-partition window is thousands
+    * of rows, the same bounded class as the scalar combines. No
+    * scalar cross at all — the only join is the broadcast band-offset
+    * equi-join. */
+  def compactionPlan(spark: SparkSession, dir: String,
+                     targetBytes: Long = 16384L): DataFrame = {
+    import spark.implicits._
+    val f = Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars".cast("long").as("size"))
+      .withColumn("band", expr("doc_id div 1000"))
+    val bandTot = f.groupBy($"band").agg(sum($"size").as("btot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"band").rowsBetween(Long.MinValue, -1)
+    val off = bandTot
+      .withColumn("boff", coalesce(sum($"btot").over(w), lit(0L)))
+      .select($"band", $"boff")
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy($"band").orderBy($"doc_id").rowsBetween(Long.MinValue, -1)
+    f.join(broadcast(off), Seq("band"))
+      .withColumn("start_off", $"boff" + coalesce(sum($"size").over(rw), lit(0L)))
+      .withColumn("bin_id", expr(s"cast(start_off div $targetBytes as int)"))
+      .select($"doc_id", $"size", $"start_off", $"bin_id")
+  }
+
+  def compactionPlanSql(targetBytes: Long = 16384L): String =
+    s"""WITH f AS (
+       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS size FROM documents),
+       |c AS (
+       |  SELECT doc_id, size,
+       |         COALESCE(SUM(size) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+       |  FROM f)
+       |SELECT doc_id, size, start_off,
+       |       CAST(start_off // $targetBytes AS INT) AS bin_id
+       |FROM c""".stripMargin
+
   def zorderLayoutSql(rowsPerFile: Int = 4096): String =
     s"""WITH li AS (
        |  SELECT l_orderkey, l_linenumber,

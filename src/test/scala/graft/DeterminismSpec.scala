@@ -28,7 +28,8 @@ class DeterminismSpec extends AnyFunSuite {
     "pipeline_training_manifest", // composed closure + gates + shard
     "perplexity_score",    // rounded float mean of per-token log-probs
     "cross_dedup",         // asymmetric pair counting across shuffles
-    "zorder_layout"        // banded rank over Morton codes + file chunking
+    "zorder_layout",       // banded rank over Morton codes + file chunking
+    "compaction_plan"      // banded exclusive cumsum + offset binning
   )
 
   /** Collect to the driver and normalize — NO cache()/exceptAll here:

@@ -313,6 +313,41 @@ class GovernSpec extends AnyFunSuite {
     files.unpersist(); df.unpersist()
   }
 
+  test("compaction_plan: exact exclusive offsets, contiguous bins, payload within max-file of target") {
+    import org.apache.spark.sql.expressions.Window
+    val target = 16384L
+    val df = operators.Govern.compactionPlan(spark, sf, target).cache()
+    val docs = Tables.documents(spark, sf)
+    assert(df.count() == docs.count())
+    // bin consistency: bin_id is exactly start_off div target
+    assert(df.filter(expr(s"bin_id != cast(start_off div $target as int)")).count() == 0)
+    // dual-path offsets: one global exclusive-cumsum window (test-only
+    // single partition) must reproduce the banded two-pass offsets
+    val ref = docs.select(col("doc_id"), col("n_chars").cast("long").as("size"))
+      .withColumn("start_off", coalesce(sum("size").over(
+        Window.orderBy("doc_id").rowsBetween(Long.MinValue, -1)), lit(0L)))
+    assert(df.select("doc_id", "size", "start_off")
+      .exceptAll(ref.select("doc_id", "size", "start_off")).count() == 0,
+      "banded two-pass offsets must equal the global cumsum")
+    // packing quality: every bin's payload is within one max file size
+    // of the target (the sequential-coalescing guarantee), except the
+    // final partial bin which may be arbitrarily small
+    val maxSize = ref.agg(max("size")).first().getLong(0)
+    val lastBin = df.agg(max("bin_id")).first().getInt(0)
+    val bins = df.groupBy("bin_id").agg(sum("size").as("payload"))
+    assert(bins.filter(col("bin_id") =!= lastBin &&
+      (col("payload") < target - maxSize || col("payload") > target + maxSize))
+      .count() == 0,
+      s"non-final bins must pack to target ± max file size ($target ± $maxSize)")
+    // bins partition the id order contiguously: max doc offset of bin k
+    // never exceeds min of bin k+1 (monotone assignment)
+    val wb = Window.orderBy(col("bin_id"))
+    val rng = df.groupBy("bin_id").agg(min("start_off").as("mn"), max("start_off").as("mx"))
+    assert(rng.withColumn("nxt", lead(col("mn"), 1).over(wb))
+      .filter(col("nxt").isNotNull && col("mx") > col("nxt")).count() == 0)
+    df.unpersist()
+  }
+
   test("zorder_layout: the scalar-bounds cross carries NO join condition (nullability pin)") {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     // the inner join on band infers isnotnull(band); if zval were

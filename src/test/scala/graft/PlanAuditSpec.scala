@@ -238,8 +238,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // zorder_layout adds a second bounded single-partition case: the
     // band-offset cumulative window runs over the ≤256-row per-band
     // count AGGREGATE, never over data-sized input
+    // compaction_plan's case is the same: its band-offset cumsum runs
+    // over the per-band total AGGREGATE (inventory/1000 rows)
     val singleOk = Set("tfidf_terms", "vocab_build", "perplexity_score",
-      "zorder_layout")
+      "zorder_layout", "compaction_plan")
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val nodes = collectAll(executedPlan(fn(spark, sf)))
       spark.catalog.clearCache()

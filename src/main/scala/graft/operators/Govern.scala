@@ -623,8 +623,8 @@ object Govern {
        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS size FROM documents),
        |c AS (
        |  SELECT doc_id, size,
-       |         COALESCE(SUM(size) OVER (ORDER BY doc_id
-       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+       |         CAST(COALESCE(SUM(size) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
        |  FROM f)
        |SELECT doc_id, size, start_off,
        |       CAST(start_off // $targetBytes AS INT) AS bin_id

@@ -294,10 +294,16 @@ object Multimodal {
       // division form: `stride * habs` would overflow (ANSI: throw;
       // legacy: wrap past the check) for w ≈ h ≈ 2³¹ crafted headers —
       // a negative numerator (data_off past the payload) quarantines
-      // via the <= comparison against a negative quotient
+      // via the <= comparison against a negative quotient. The divisor
+      // is greatest(stride, 4): total even if Catalyst splits/reorders
+      // the pushed-down conjuncts and evaluates it before width_px > 0
+      // (a zero-width crafted header would otherwise throw
+      // DIVIDE_BY_ZERO under ANSI instead of quarantining); for any
+      // surviving row width_px ≥ 1 ⇒ stride ≥ 4, so the guard never
+      // changes the decoded set
       .filter($"bpp" === 24 && $"width_px" > 0 && $"habs" > 0 &&
         $"data_off" >= 54 &&
-        $"habs" <= expr("(cast(n_bytes as bigint) - data_off) div stride"))
+        $"habs" <= expr("(cast(n_bytes as bigint) - data_off) div greatest(stride, 4L)"))
       // surviving rows have stride·|h| ≤ n_bytes < 2³¹ → int-safe
       .withColumn("height_px", $"habs".cast("int"))
       // decode exactly the declared lattice (padding + trailing bytes

@@ -67,9 +67,12 @@ object Streams {
     * aging posture as E6. The re-arm is watermark-clamped like E6's, so
     * a backfill that jumps the watermark past the horizon in one batch
     * can't arm an already-expired timestamp. After a timeout flush the
-    * key's state (including its session counter) is removed — a user
-    * returning later starts again at session_idx 1, the unavoidable
-    * cost of actually freeing the state.
+    * key keeps an idx-only TOMBSTONE (n = 0, no timeout armed): a user
+    * returning later continues at session_idx + 1, so
+    * (user_id, session_idx) stays unique over the stream's lifetime
+    * and matches the batch/B8 numbering — at 4 longs per ever-seen
+    * user this is the cheap end of the state/correctness trade
+    * (removing the counter would silently collide downstream keys).
     *
     * In batch mode Spark feeds each key's whole group once with fresh
     * state and timeouts never fire, so the trailing session is emitted
@@ -96,15 +99,19 @@ object Streams {
               (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
           if (state.hasTimedOut) {
             // watermark passed last event + gap: the open session is
-            // definitively closed (anything older would be late-dropped)
+            // definitively closed (anything older would be late-dropped).
+            // Keep an idx-only tombstone (n = 0, no timeout re-armed) so
+            // a returning user continues the numbering instead of
+            // colliding on (user_id, session_idx = 1).
             val st = state.get
-            state.remove()
+            state.update(SessionState(0L, 0L, 0L, st.idx + 1))
             Iterator.single(SessionOut(userId, st.idx + 1, st.n, ldt(st.startUs), ldt(st.lastUs)))
           } else {
             val sorted = evs.toSeq.sortBy(e => (micros(e), e.event_id))
             val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
             var idx = state.getOption.map(_.idx).getOrElse(0L)
-            var open = state.getOption.map(s => (s.startUs, s.lastUs, s.n))
+            // a tombstone (n = 0) carries only the counter — no open session
+            var open = state.getOption.filter(_.n > 0L).map(s => (s.startUs, s.lastUs, s.n))
             sorted.foreach { e =>
               val us = micros(e)
               open match {
@@ -122,11 +129,14 @@ object Streams {
               open.foreach { case (s0, l0, n0) =>
                 state.update(SessionState(s0, l0, n0, idx))
                 // flush-by-timeout when the watermark passes the gap
-                // horizon; clamped so a watermark jump can't arm an
-                // expired timestamp (same rationale as E6's re-arm)
+                // horizon (last event + gap); if the watermark has
+                // ALREADY passed that horizon (backfill jump), arm at
+                // wm + 1 so the expired session fires on the very next
+                // watermark advance instead of waiting a further full
+                // gap of event-time progress
                 val wmMs = state.getCurrentWatermarkMs()
                 state.setTimeoutTimestamp(
-                  math.max(l0 / 1000L, wmMs) + gapMinutes * 60000L)
+                  math.max(l0 / 1000L + gapMinutes * 60000L, wmMs + 1L))
               }
             } else {
               // batch: timeouts never fire — emit the trailing session

@@ -285,6 +285,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("E2 stream_sessionize: a user returning after a timeout flush continues session numbering") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val t0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    val source = MemoryStream[Ev]
+    val q = Streams.sessionizeStream(source.toDS())
+      .writeStream.format("memory").queryName("e2_tomb_out")
+      .outputMode("append").start()
+    // user 7 opens a session, then goes idle
+    source.addData(Ev(1L, t0, 7L, "click", 1.0),
+      Ev(2L, t0.plusMinutes(5), 7L, "click", 1.0))
+    q.processAllAvailable()
+    // watermark ticks (other user) flush user 7's session by timeout
+    source.addData(Ev(9001L, t0.plusDays(1), 99L, "click", 0.0))
+    q.processAllAvailable()
+    source.addData(Ev(9002L, t0.plusDays(1).plusMinutes(1), 99L, "click", 0.0))
+    q.processAllAvailable()
+    // user 7 RETURNS above the watermark; close the new session inline
+    // via an in-batch gap jump so it emits without further ticks
+    source.addData(Ev(3L, t0.plusDays(2), 7L, "click", 1.0),
+      Ev(4L, t0.plusDays(2).plusHours(2), 7L, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val idxs = s.table("e2_tomb_out").filter(col("user_id") === 7L)
+      .select("session_idx").collect().map(_.getLong(0)).sorted.toSeq
+    assert(idxs == Seq(1L, 2L),
+      s"tombstone must continue numbering after a timeout flush, got $idxs")
+  }
+
   test("E3 stream_dedup: duplicates across micro-batches are dropped by the state store") {
     val s = spark
     import s.implicits._

@@ -404,35 +404,66 @@ object Similarity {
       |       scale
       |FROM scaled, unnest(generate_series(1, len(embedding))) AS t(i)""".stripMargin
 
-  /** C7 `ann_lsh` — random-hyperplane LSH approximate neighbors: 6
-    * sign-bits from deterministic pseudo-random hyperplanes (weights
-    * derived from xxhash64 — reproducible on any cluster with no
-    * broadcast of plane matrices) → 64 buckets; candidates only within
-    * a bucket. Output: per candidate pair in the same bucket, ranked by
-    * cosine per query.
+  /** C7 `ann_lsh` — random-hyperplane LSH approximate neighbors,
+    * banded like its siblings: 64 sign bits per vector (deterministic
+    * hash-derived hyperplanes — reproducible on any cluster with no
+    * broadcast of plane matrices) split into 4 bands × 16 bits; the
+    * build side posts each band value, the probe side posts each band
+    * value plus its 16 single-bit flips (multiprobe, as
+    * [[embeddingDedupLsh]]); candidates are the (band, value) join,
+    * then EXACT cosine verifies and ranks top-k per query. Emits each
+    * query's best k candidates (queries whose signature collides with
+    * nothing emit nothing — the approximate contract).
     *
-    * Scale: this is the ANN shape for 100 TB — bucket id is the shuffle
-    * key; recall tunes with planes/probes, compute ∝ bucket sizes.
-    * Rows-only oracle (hash-specific); spec checks bucket partitioning
-    * invariants + self-recall of planted twins. */
-  def annLsh(spark: SparkSession, dir: String, planes: Int = 6, k: Int = 5): DataFrame = {
+    * Scale: band value is the shuffle key and postings carry ids only
+    * (vectors ride ONLY the two verify hash-joins); candidate volume is
+    * ∝ collisions in a 2¹⁶-value space per band, NOT n²/buckets of the
+    * old fixed-64-bucket form, and `bucketCap` drops degenerate buckets
+    * (identical-content floods) exactly like C2/C3 — the plan survives
+    * a 100× corpus where quadratic-within-64-buckets does not. Recall
+    * tunes with bands/bits/probes. Rows-only oracle (hash-specific);
+    * check.py grades emitted-pair mean cosine cross-engine and the
+    * specs assert collision quality rises with cosine. */
+  def annLsh(spark: SparkSession, dir: String, k: Int = 5,
+             bucketCap: Int = 2000): DataFrame = {
     import spark.implicits._
     val dims = 64
-    // plane weights are deterministic (hash-derived) and computed once
-    // driver-side — they ride into the plan as literals, so bucket
-    // assignment is `planes` codegen'd dot products per row.
-    val bucketCol = (0 until planes).map { p =>
-      when(dotF(col("embedding"), typedLit(hyperplane(p, dims))) > 0d, 1L << p).otherwise(0L)
-    }.reduce(_ + _)
-    val e = withNorm(spark, dir).withColumn("bucket", bucketCol)
-    val a = e.select($"bucket", $"vec_id".as("query_id"), $"embedding".as("vq"), $"norm".as("nq"))
-    val b = e.select($"bucket", $"vec_id".as("neighbor_id"), $"embedding".as("vc"), $"norm".as("nc"))
-    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
-    a.join(b, Seq("bucket"))
+    val bandBits = 16
+    val nBands = 4
+    // eager: e feeds the signature build AND both verify joins
+    val e = withNorm(spark, dir).localCheckpoint()
+    def bandVal(b: Int): Column =
+      (b * bandBits until (b + 1) * bandBits).map { p =>
+        when(dotF($"embedding", typedLit(hyperplane(p, dims))) > 0d,
+          lit(1L << (p - b * bandBits))).otherwise(lit(0L))
+      }.reduce(_ + _)
+    // eager: the signature table feeds the build postings, the bucket
+    // sizing AND the probe postings, which launch concurrently
+    val sig = e.select($"vec_id" +: (0 until nBands).map(b => bandVal(b).as(s"b$b")): _*)
+      .localCheckpoint()
+    val build0 = sig.select($"vec_id",
+      posexplode(array((0 until nBands).map(b => col(s"b$b")): _*)))
+      .select($"vec_id".as("neighbor_id"), $"pos".as("band"), $"col".as("bval"))
+    val saneBuckets = build0.groupBy($"band", $"bval")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter($"bucket_n" <= bucketCap)
+      .select($"band", $"bval")
+    val build = build0.join(saneBuckets, Seq("band", "bval"))
+    val probe = sig.select($"vec_id",
+      posexplode(array((0 until nBands).map(b => col(s"b$b")): _*)))
+      .select($"vec_id".as("query_id"), $"pos".as("band"),
+        explode(expr(s"transform(sequence(-1, ${bandBits - 1})," +
+          " j -> if(j < 0, col, col ^ shiftleft(1L, j)))")).as("bval"))
+    val cands = probe.join(build, Seq("band", "bval"))
       .filter($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id").distinct()
+    val a = e.select($"vec_id".as("query_id"), $"embedding".as("vq"), $"norm".as("nq"))
+    val b = e.select($"vec_id".as("neighbor_id"), $"embedding".as("vc"), $"norm".as("nc"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    cands.join(a, Seq("query_id")).join(b, Seq("neighbor_id"))
       .withColumn("cosine", dot("vq", "vc") / ($"nq" * $"nc"))
       .withColumn("rank_nn", row_number().over(w))
       .filter($"rank_nn" <= k)
-      .select($"query_id", $"neighbor_id", $"bucket", $"rank_nn", $"cosine")
+      .select($"query_id", $"neighbor_id", $"rank_nn", $"cosine")
   }
 }

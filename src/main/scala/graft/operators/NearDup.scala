@@ -60,7 +60,7 @@ object NearDup {
     * bench SF), never corpus-sized intermediates (postings die with
     * their enclosing build), so holding them for the session is the
     * point, not a leak. */
-  private object Shared {
+  private[operators] object Shared {
     private val cache = scala.collection.mutable.HashMap[(SparkSession, String, String), AnyRef]()
     def memo[T <: AnyRef](spark: SparkSession, tag: String)(build: => T): T = synchronized {
       cache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }

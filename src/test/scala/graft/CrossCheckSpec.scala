@@ -131,4 +131,19 @@ class CrossCheckSpec extends AnyFunSuite {
     assert(qs.filter(col("quality") < 0.0 || col("quality") > 1.0).count() == 0)
     assert(qs.filter(col("diversity") > 1.0 || col("stop_ratio") > 1.0).count() == 0)
   }
+
+  test("knn_classify_ivf at nprobe = nlist equals brute-force knn_classify; index memo is shared") {
+    // two consumers, one build: the memo must hand back the SAME frames
+    val idx1 = operators.Similarity.ivfIndex(spark, sf, 16)
+    val idx2 = operators.Similarity.ivfIndex(spark, sf, 16)
+    assert(idx1._1 eq idx2._1, "centroids rebuilt — ivfIndex memo missed")
+    assert(idx1._2 eq idx2._2, "inverted lists rebuilt — ivfIndex memo missed")
+    // full-probe IVF = exact: the equi-join-on-cell plan must reproduce
+    // the broadcast-crossJoin brute force bit-for-bit
+    val ivf = operators.Similarity.knnClassifyIvf(spark, sf)
+    val bf = operators.Similarity.knnClassify(spark, sf)
+    assert(ivf.exceptAll(bf).count() == 0 && bf.exceptAll(ivf).count() == 0,
+      "nprobe = nlist probe must equal brute-force votes exactly")
+    spark.catalog.clearCache()
+  }
 }

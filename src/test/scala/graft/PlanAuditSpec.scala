@@ -228,6 +228,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // side by design): ann query sides, centroid tables, the n_docs /
     // total_occ scalars
     val crossOk = Set("ann_bruteforce", "ann_ivf", "knn_classify",
+      "knn_classify_ivf",
       "tfidf_terms", "vocab_build", "perplexity_score", "zorder_layout")
     // k-bounded-group max_by assigns: the sort is by grouping key with
     // map-side partial agg — benign, unlike cluster-sized groups
@@ -308,6 +309,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // future edit can't silently grow a whitelisted cross into an
     // n×m explosion. Runtime numOutputRows is the cardinality itself.
     val crossOk = Seq("ann_bruteforce", "ann_ivf", "knn_classify",
+      "knn_classify_ivf",
       "tfidf_terms", "vocab_build", "perplexity_score", "zorder_layout")
     def rowsOf(p: org.apache.spark.sql.execution.SparkPlan): Option[Long] = p match {
       case q: QueryStageExec => rowsOf(q.plan)

@@ -536,7 +536,18 @@ object Govern {
     * combine), then row_number per band. No global sort, no
     * single-partition pass over data-sized input, any SF. */
   def zorderLayout(spark: SparkSession, dir: String,
-                   rowsPerFile: Int = 4096): DataFrame = {
+                   rowsPerFile: Int = 4096): DataFrame =
+    // memoized + materialized per (session, dir, rowsPerFile): the
+    // layout manifest is written ONCE by the rewrite job and then READ
+    // by its consumers (`stats_prune` prunes scans with it) — in one
+    // process the memo plays the part of that table (same posture as
+    // the near-dup edge memo and the IVF index)
+    NearDup.Shared.memo(spark, s"zorderLayout:$dir:$rowsPerFile") {
+      zorderLayoutBuild(spark, dir, rowsPerFile).localCheckpoint()
+    }
+
+  private[graft] def zorderLayoutBuild(spark: SparkSession, dir: String,
+                                       rowsPerFile: Int): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
       .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
@@ -629,6 +640,76 @@ object Govern {
        |SELECT doc_id, size, start_off,
        |       CAST(start_off // $targetBytes AS INT) AS bin_id
        |FROM c""".stripMargin
+
+  /** F15 `stats_prune` — the CONSUMER of F13's layout manifest: build
+    * the per-file min/max stats table over (l_partkey, l_suppkey) and
+    * emit the file SURVIVOR SET for a conjunctive 2-D box predicate —
+    * exactly the data-skipping read a lakehouse scan planner does with
+    * file stats (Delta/Iceberg min-max pruning). The predicate is the
+    * corner box [min, min + range/8] on each dimension, derived from
+    * the data with integer arithmetic so engine and oracle agree
+    * exactly at any SF. Each surviving file carries its stats plus
+    * `n_match`, the rows inside it actually satisfying the predicate —
+    * so the gate checks the pruning DECISION and the spec can assert
+    * the pruned read equals the full-scan filter (no row lost: a
+    * pruned file's bbox is disjoint from the box, so it cannot hold a
+    * matching row) and measure files-touched as a count, not a
+    * bbox-area proxy.
+    *
+    * Scale: reads the memoized layout (at cluster scale: the manifest
+    * table), two hash aggregates over it (stats per file ~ metadata
+    * volume, matches per file), one broadcast of the 1-row predicate —
+    * no data-sized shuffle beyond the per-file aggregates. */
+  def statsPrune(spark: SparkSession, dir: String,
+                 rowsPerFile: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val layout = zorderLayout(spark, dir, rowsPerFile)
+    val stats = layout.groupBy($"file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"l_partkey").as("min_pk"), max($"l_partkey").as("max_pk"),
+        min($"l_suppkey").as("min_sk"), max($"l_suppkey").as("max_sk"))
+    val pred = layout.agg(
+        min($"l_partkey").as("pmin"), max($"l_partkey").as("pmax"),
+        min($"l_suppkey").as("smin"), max($"l_suppkey").as("smax"))
+      .select(
+        $"pmin".as("p_lo"), expr("pmin + (pmax - pmin) div 8").as("p_hi"),
+        $"smin".as("s_lo"), expr("smin + (smax - smin) div 8").as("s_hi"))
+    val matches = layout.crossJoin(broadcast(pred))
+      .filter($"l_partkey".between($"p_lo", $"p_hi") &&
+        $"l_suppkey".between($"s_lo", $"s_hi"))
+      .groupBy($"file_id").agg(count(lit(1)).as("n_match"))
+    stats.crossJoin(broadcast(pred))
+      .filter($"min_pk" <= $"p_hi" && $"max_pk" >= $"p_lo" &&
+        $"min_sk" <= $"s_hi" && $"max_sk" >= $"s_lo")
+      .join(matches, Seq("file_id"), "left")
+      .select($"file_id", $"n_rows", $"min_pk", $"max_pk", $"min_sk", $"max_sk",
+        coalesce($"n_match", lit(0L)).as("n_match"))
+  }
+
+  def statsPruneSql(rowsPerFile: Int = 4096): String =
+    s"WITH layout AS (SELECT * FROM (\n${zorderLayoutSql(rowsPerFile)}\n) zq),\n" +
+    """stats AS (
+      |  SELECT file_id, COUNT(*) AS n_rows,
+      |         MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+      |         MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk
+      |  FROM layout GROUP BY 1),
+      |pred AS (
+      |  SELECT MIN(l_partkey) AS p_lo,
+      |         MIN(l_partkey) + (MAX(l_partkey) - MIN(l_partkey)) // 8 AS p_hi,
+      |         MIN(l_suppkey) AS s_lo,
+      |         MIN(l_suppkey) + (MAX(l_suppkey) - MIN(l_suppkey)) // 8 AS s_hi
+      |  FROM layout),
+      |m AS (
+      |  SELECT file_id, COUNT(*) AS n_match
+      |  FROM layout, pred
+      |  WHERE l_partkey BETWEEN p_lo AND p_hi AND l_suppkey BETWEEN s_lo AND s_hi
+      |  GROUP BY 1)
+      |SELECT s.file_id, s.n_rows, s.min_pk, s.max_pk, s.min_sk, s.max_sk,
+      |       CAST(COALESCE(m.n_match, 0) AS BIGINT) AS n_match
+      |FROM stats s CROSS JOIN pred p
+      |LEFT JOIN m ON m.file_id = s.file_id
+      |WHERE s.min_pk <= p.p_hi AND s.max_pk >= p.p_lo
+      |  AND s.min_sk <= p.s_hi AND s.max_sk >= p.s_lo""".stripMargin
 
   def zorderLayoutSql(rowsPerFile: Int = 4096): String =
     s"""WITH li AS (

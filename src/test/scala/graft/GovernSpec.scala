@@ -348,6 +348,40 @@ class GovernSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("stats_prune: pruned read equals the full-scan filter; files touched shrink") {
+    // 256 rows/file, same as the zorder spec: ~23 files at the test SF
+    val rowsPerFile = 256
+    val pruned = operators.Govern.statsPrune(spark, sf, rowsPerFile).cache()
+    val layout = operators.Govern.zorderLayout(spark, sf, rowsPerFile)
+    // recompute the corner-box predicate independently
+    val r = layout.agg(min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey")).first()
+    def lv(i: Int): Long = r.getAs[Number](i).longValue()
+    val (pmin, pmax, smin, smax) = (lv(0), lv(1), lv(2), lv(3))
+    val (pHi, sHi) = (pmin + (pmax - pmin) / 8, smin + (smax - smin) / 8)
+    val matchRows = layout.filter(col("l_partkey").between(pmin, pHi) &&
+      col("l_suppkey").between(smin, sHi))
+    // no row lost: reading ONLY the surviving files and filtering gives
+    // exactly the full-scan filter result
+    val prunedRead = layout
+      .join(pruned.select("file_id"), Seq("file_id"), "left_semi")
+      .filter(col("l_partkey").between(pmin, pHi) &&
+        col("l_suppkey").between(smin, sHi))
+    assert(matchRows.count() == prunedRead.count() &&
+      matchRows.drop("file_id").exceptAll(prunedRead.drop("file_id")).count() == 0,
+      "pruned read must return the identical row multiset")
+    // n_match accounting ties the survivor set to real row counts
+    assert(pruned.agg(sum("n_match")).first().getLong(0) == matchRows.count())
+    // the measured payoff: the 1/8 x 1/8 corner box on a z-ordered
+    // layout touches a small fraction of the files
+    val nFiles = layout.select("file_id").distinct().count()
+    val touched = pruned.count()
+    assert(touched * 2 <= nFiles,
+      s"pruning must skip at least half the files (touched $touched of $nFiles)")
+    pruned.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("zorder_layout: the scalar-bounds cross carries NO join condition (nullability pin)") {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     // the inner join on band infers isnotnull(band); if zval were
@@ -357,7 +391,11 @@ class GovernSpec extends AnyFunSuite {
     // inferred filter folds away; this asserts it stays folded.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    val plan = operators.Govern.zorderLayout(spark, sf).queryExecution.executedPlan match {
+    // the registry query now returns the memoized CHECKPOINT scan (an
+    // opaque RDD, same as the ngram memo) — pin the shape on the
+    // UNCACHED build core where the cross stays visible
+    val plan = operators.Govern.zorderLayoutBuild(spark, sf, 4096)
+      .queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }

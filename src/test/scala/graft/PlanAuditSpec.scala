@@ -228,7 +228,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // side by design): ann query sides, centroid tables, the n_docs /
     // total_occ scalars
     val crossOk = Set("ann_bruteforce", "ann_ivf", "knn_classify",
-      "knn_classify_ivf",
+      "knn_classify_ivf", "stats_prune",
       "tfidf_terms", "vocab_build", "perplexity_score", "zorder_layout")
     // k-bounded-group max_by assigns: the sort is by grouping key with
     // map-side partial agg — benign, unlike cluster-sized groups
@@ -241,8 +241,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // count AGGREGATE, never over data-sized input
     // compaction_plan's case is the same: its band-offset cumsum runs
     // over the per-band total AGGREGATE (inventory/1000 rows)
+    // stats_prune: the 1-row predicate-bounds aggregate over the
+    // metadata-sized layout — same bounded scalar-combine class
     val singleOk = Set("tfidf_terms", "vocab_build", "perplexity_score",
-      "zorder_layout", "compaction_plan")
+      "zorder_layout", "compaction_plan", "stats_prune")
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val nodes = collectAll(executedPlan(fn(spark, sf)))
       spark.catalog.clearCache()
@@ -309,7 +311,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // future edit can't silently grow a whitelisted cross into an
     // n×m explosion. Runtime numOutputRows is the cardinality itself.
     val crossOk = Seq("ann_bruteforce", "ann_ivf", "knn_classify",
-      "knn_classify_ivf",
+      "knn_classify_ivf", "stats_prune",
       "tfidf_terms", "vocab_build", "perplexity_score", "zorder_layout")
     def rowsOf(p: org.apache.spark.sql.execution.SparkPlan): Option[Long] = p match {
       case q: QueryStageExec => rowsOf(q.plan)

@@ -22,10 +22,12 @@ import org.apache.spark.sql.types._
   * `DotProductFloat` carries real `doGenCode` — it sits inside the
   * pair-scoring loop of brute-force similarity (the single hottest
   * expression in the library) and fuses into whole-stage codegen.
-  * The hash-signature expressions (`SimHash64`, `MinHashSig`) evaluate
-  * once per DOCUMENT (not per pair), so a tight `eval` with
-  * CodegenFallback already removes >99% of their interpreted cost;
-  * fallback there costs one boxed call per row.
+  * The hash-signature expression (`SimHash64`) evaluates once per
+  * DOCUMENT (not per pair), so a tight `eval` with CodegenFallback
+  * already removes >99% of its interpreted cost; fallback there costs
+  * one boxed call per row. (C2's MinHash signature is built from
+  * md5 + higher-order functions instead — the md5-derived family is
+  * what makes the query oracle-gateable; see NearDup.bandTable.)
   */
 object VectorExpressions {
 
@@ -122,41 +124,6 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
-  /** k-slot MinHash signature of an array<string> shingle column.
-    * Slot s holds min over shingles of xxhash64(shingle, s) with
-    * Spark's multi-arg chaining (bytes hashed at seed 42, then the slot
-    * index folded in) — bit-identical to the
-    * `transform(sequence(...), s -> aggregate(...))` formulation it
-    * replaces, but hashing each shingle's bytes once instead of k
-    * times. */
-  case class MinHashSig(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def prettyName: String = "minhash_sig"
-
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val mins = Array.fill(k)(Long.MaxValue)
-      var i = 0
-      while (i < n) {
-        val s = arr.getUTF8String(i)
-        val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-        var j = 0
-        while (j < k) {
-          val h = XXH64.hashInt(j, h0)
-          if (h < mins(j)) mins(j) = h
-          j += 1
-        }
-        i += 1
-      }
-      new GenericArrayData(mins)
-    }
-
-    override protected def withNewChildInternal(newChild: Expression): Expression =
-      copy(child = newChild)
-  }
-
   /** `byte_at(bin, i)` — unsigned value of byte `i` (0-based) of a
     * binary column; null out of range. Replaces the
     * `conv(hex(substring(bin, i+1, 1)), 16, 10)` idiom (three string
@@ -222,9 +189,6 @@ object VectorExpressions {
 
   def simhash64(tokens: Column): Column =
     GraftShim.column(SimHash64(GraftShim.expression(tokens)))
-
-  def minhashSig(shingles: Column, k: Int): Column =
-    GraftShim.column(MinHashSig(GraftShim.expression(shingles), k))
 
   /** Deterministic random-hyperplane weights for LSH (same pseudo-random
     * stream as `pmod(xxhash64(p*1024 + j), 1000)/1000 - 0.5` computed

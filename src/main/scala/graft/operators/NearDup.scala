@@ -99,27 +99,42 @@ object NearDup {
     shingledFrames(corpus(spark, dir))
 
   /** C2 `minhash_lsh_dedup` — MinHash signatures + LSH banding.
-    * k=16 minhashes (xxhash64 seeded per slot, min over shingles),
-    * 4 bands × 4 rows; docs sharing any band-signature bucket become
-    * candidate pairs; est_jaccard = matching signature fraction.
+    * k=16 minhashes, 4 bands × 4 rows; docs sharing any band-signature
+    * bucket become candidate pairs; est_jaccard = matching signature
+    * fraction.
+    *
+    * The slot family is md5-derived double hashing (Kirsch–Mitzenmacher):
+    * per shingle, h1/h2 = the two 14-hex-char (56-bit) halves of
+    * md5(shingle); slot i = min over shingles of h1 + i·h2 (≤ 2^60, no
+    * 64-bit overflow). Both engines compute md5 bit-identically, which
+    * upgrades C2 from a rows-only check to a HASH-GATED query — same
+    * move as C11's fingerprints. The LSH guarantees are hash-agnostic,
+    * so a throughput-critical deployment swaps a seeded-xxhash64 kernel
+    * back in (one line here) without changing any other semantics.
     *
     * Scale: signature compute is per-row (higher-order fns, no UDF);
     * the only shuffle is the band-bucket self-join, proportional to
     * collisions. Buckets larger than `bucketCap` are dropped (degenerate
     * boilerplate would otherwise go quadratic) — exactly what
-    * production LSH dedup does. Rows-only oracle (no portable SQL for
-    * seeded xxhash64); the planted twins must all surface, which the
-    * spec asserts. */
+    * production LSH dedup does. */
   def minhashLshDedup(spark: SparkSession, dir: String, bucketCap: Int = 1000): DataFrame =
     minhashLshPairs(corpus(spark, dir), bucketCap)
 
   /** MinHash signatures + LSH band hashes of a (doc_id, text) frame —
     * the shared signature pipeline of batch C2 and streaming E6 (one
-    * definition, so their band buckets can never drift apart). */
+    * definition, so their band buckets can never drift apart). The
+    * band_sig hash is an internal JOIN KEY only (never emitted), so it
+    * may stay engine-native xxhash64: the oracles group on the 4-slot
+    * band tuple itself, which is the same partition of docs. */
   private[graft] def bandTable(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     shingledFrames(docs)
-      .withColumn("sig", graft.functions.VectorExpressions.minhashSig($"shingles", 16))
+      .withColumn("hs", expr(
+        """transform(transform(shingles, s -> md5(s)), m -> named_struct(
+          |  'h1', cast(conv(substring(m, 1, 14), 16, 10) as bigint),
+          |  'h2', cast(conv(substring(m, 17, 14), 16, 10) as bigint)))""".stripMargin))
+      .withColumn("sig", expr(
+        "transform(sequence(0, 15), i -> array_min(transform(hs, h -> h.h1 + i * h.h2)))"))
       .select($"doc_id", $"sig", posexplode(expr(
         """transform(sequence(0, 3),
           |  b -> xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3], b))""".stripMargin)))
@@ -150,6 +165,67 @@ object NearDup {
           .as("est_jaccard"))
       .distinct()
   }
+
+  /** Shared CTE prefix of the C2/E6 oracles: corpus → word-3-gram
+    * shingles → md5 double-hash 16-slot signatures → 4 band rows per
+    * doc (band key = the 4-slot tuple rendered as a string — same doc
+    * partition as the engine's band hash). Mirrors [[bandTable]]
+    * construct-for-construct. */
+  private def minhashBandsCte: String =
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + $BigOffset, text FROM documents),
+       |tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM corpus),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(0, len(toks) - 2),
+       |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingles
+       |  FROM tok WHERE len(toks) >= 3),
+       |hs AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS ms FROM sh),
+       |sig AS (
+       |  SELECT doc_id, list_transform(range(0, 16),
+       |           i -> list_min(list_transform(ms,
+       |                  m -> CAST(('0x' || substr(m, 1, 14)) AS BIGINT)
+       |                       + i * CAST(('0x' || substr(m, 17, 14)) AS BIGINT)))) AS sig
+       |  FROM hs),
+       |bands AS (
+       |  SELECT doc_id, sig, b AS band_idx,
+       |         array_to_string(sig[4*b+1:4*b+4], ',') AS band
+       |  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b))""".stripMargin
+
+  /** C2 oracle: drop-bucket cap semantics (a bucket larger than
+    * `bucketCap` contributes NO pairs). */
+  def minhashLshDedupSql(bucketCap: Int = 1000): String =
+    s"""WITH $minhashBandsCte,
+       |ok AS (
+       |  SELECT band_idx, band FROM bands GROUP BY 1, 2
+       |  HAVING COUNT(*) > 1 AND COUNT(*) <= $bucketCap),
+       |cand AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sig AS sig1, b.sig AS sig2
+       |  FROM bands a JOIN ok USING (band_idx, band) JOIN bands b USING (band_idx, band)
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT DISTINCT id1, id2,
+       |       len(list_filter(range(1, 17), i -> sig1[i] = sig2[i])) / 16.0 AS est_jaccard
+       |FROM cand""".stripMargin
+
+  /** E6 oracle: truncation cap semantics (each bucket admits its
+    * `bucketCap` smallest doc_ids; pairs form among the admitted) —
+    * exactly what the streaming detector, which cannot know a bucket's
+    * final size, computes. At any SF where no bucket exceeds the cap
+    * this coincides with [[minhashLshDedupSql]]. */
+  def minhashTruncatedSql(bucketCap: Int = 1000): String =
+    s"""WITH $minhashBandsCte,
+       |adm AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, sig, band_idx, band,
+       |           row_number() OVER (PARTITION BY band_idx, band ORDER BY doc_id) AS rn
+       |    FROM bands) WHERE rn <= $bucketCap),
+       |cand AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sig AS sig1, b.sig AS sig2
+       |  FROM adm a JOIN adm b USING (band_idx, band)
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT DISTINCT id1, id2,
+       |       len(list_filter(range(1, 17), i -> sig1[i] = sig2[i])) / 16.0 AS est_jaccard
+       |FROM cand""".stripMargin
 
   /** C3 `simhash_dedup` — 64-bit SimHash fingerprints + hamming-band
     * candidate join. Each bit is the sign of the token-weight sum on

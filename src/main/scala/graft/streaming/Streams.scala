@@ -455,14 +455,22 @@ object Streams {
   }
 
   /** Driver-gate batch entry for E6: the C2 corpus (documents ∪ planted
-    * twins) through the streaming detector in batch mode. Rows-only
-    * oracle (seeded xxhash64 signatures); the spec pins the pair set
-    * equal to C2's bucket join at an uncapped bucket size (cap
-    * semantics intentionally differ — see [[nearDedupTyped]]). */
+    * twins) through the streaming detector in batch mode. HASH-GATED on
+    * [[streamNearDedupSql]] since the signature family went md5-derived
+    * (the oracle states the detector's own truncation-cap semantics —
+    * see [[nearDedupTyped]] for how they intentionally differ from C2's
+    * drop-bucket cap); the spec additionally pins the pair set equal to
+    * C2's bucket join at an uncapped bucket size. */
   def streamNearDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     nearDedupTyped(bandPosts(spark, dir)).toDF().distinct()
   }
+
+  /** E6's oracle: the md5-minhash band pipeline with rank-truncation
+    * cap semantics (delegates to the shared C2 oracle builder so the
+    * signature definitions can never drift). */
+  def streamNearDedupSql(bucketCap: Int = 1000): String =
+    graft.operators.NearDup.minhashTruncatedSql(bucketCap)
 
   /** The C2 corpus + signature/band pipeline
     * ([[graft.operators.NearDup.corpus]]/[[graft.operators.NearDup

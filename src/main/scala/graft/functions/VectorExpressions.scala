@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.GraftShim
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -86,11 +86,26 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Per-thread MD5 instance for [[SimHash64]] — MessageDigest is
+    * stateful and not thread-safe, and expression instances may be
+    * shared across tasks. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** 64-bit SimHash of an array<string> token column. Bit b of the
     * result is set iff the majority-weighted sum of token-hash bit b is
-    * ≥ 0 — identical semantics (and identical bits, seed 42 xxhash) to
-    * the higher-order-function formulation it replaces, in one pass
-    * over the tokens instead of 64. */
+    * ≥ 0, over the token MULTISET (each occurrence votes).
+    *
+    * The per-token hash family is md5-derived: bits 0–31 come from the
+    * big-endian uint32 of md5 bytes 0–3 (hex chars 1–8), bits 32–63
+    * from bytes 4–7 (hex chars 9–16) — both engines compute md5
+    * bit-identically, which makes C3 a HASH-GATED query (same move as
+    * C2/C11). The simhash properties are hash-family-agnostic, so a
+    * throughput-critical deployment swaps an xxhash64 kernel back in
+    * here without changing any other semantics. One pass over the
+    * tokens, one MD5 per token (not per bit). */
   case class SimHash64(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
@@ -100,13 +115,19 @@ object VectorExpressions {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
       val counts = new Array[Int](64)
+      val md = md5Local.get()
       var i = 0
       while (i < n) {
-        val s = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
         var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        while (b < 32) {
+          if (((h1 >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          if (((h2 >>> b) & 1L) == 1L) counts(b + 32) += 1 else counts(b + 32) -= 1
           b += 1
         }
         i += 1
@@ -190,14 +211,24 @@ object VectorExpressions {
   def simhash64(tokens: Column): Column =
     GraftShim.column(SimHash64(GraftShim.expression(tokens)))
 
-  /** Deterministic random-hyperplane weights for LSH (same pseudo-random
-    * stream as `pmod(xxhash64(p*1024 + j), 1000)/1000 - 0.5` computed
+  /** Deterministic random-hyperplane weights for LSH, computed
     * driver-side once — the plan embeds the planes as literals, no
-    * per-row hashing, reproducible on any cluster). */
-  def hyperplane(p: Int, dims: Int): Array[Float] =
+    * per-row hashing, reproducible on any cluster.
+    *
+    * Weight (p, j) = (BE32(md5("p:j")[0..3]) % 1000) / 1000 − 0.5 as
+    * float32 — md5-derived like the C2/C3/C11 hash families, so an
+    * oracle can rebuild the identical planes in SQL
+    * (`CAST(('0x' || substr(md5(p || ':' || j), 1, 8)) AS BIGINT)`),
+    * which is what upgrades C7 to a hash-gated query. Sign-LSH theory
+    * only needs symmetric iid-ish weights; the family is swappable. */
+  def hyperplane(p: Int, dims: Int): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(dims) { j =>
-      val h = XXH64.hashLong(p.toLong * 1024L + j.toLong, 42L)
-      val m = ((h % 1000L) + 1000L) % 1000L
-      (m.toDouble / 1000.0 - 0.5).toFloat
+      md.reset()
+      val d = md.digest(s"$p:$j".getBytes("UTF-8"))
+      val m = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      ((m % 1000L).toDouble / 1000.0 - 0.5).toFloat
     }
+  }
 }

@@ -82,7 +82,14 @@ object Multimodal {
     * every even-id resize. At production scale this table is a
     * parquet/lance directory of scraped media; the decode path below
     * is identical. */
-  private def bmpTableRaw(spark: SparkSession, dir: String): DataFrame = {
+  /** `noisy = true` emits the PERCEPTUAL-TWIN variant of every image:
+    * +3 (clamped at 255) on every even-parity pixel (image row + col
+    * even) of every channel — a small, deterministic image-space
+    * perturbation that leaves the aHash grid ordering nearly intact.
+    * The noise is applied in IMAGE coordinates before row storage, so
+    * both BMP orientations perturb the same pixels. */
+  private def bmpTableRaw(spark: SparkSession, dir: String,
+                          noisy: Boolean = false): DataFrame = {
     import spark.implicits._
     // little-endian hex of the low `bytes` bytes of a long column
     def le(x: Column, bytes: Int): Column =
@@ -104,14 +111,15 @@ object Multimodal {
         lit("0100"), lit("1800"), lit("00000000"), le(($"stride" * $"h").cast("long"), 4),
         le(lit(2835L), 4), le(lit(2835L), 4), lit("00000000"), lit("00000000")))
       // stored row s holds image row s (top-down) or h−1−s (bottom-up)
-      .withColumn("pixel_hex", expr(
-        """concat_ws('', transform(sequence(0, h * stride - 1),
-          |  i -> lpad(hex(if(i % stride < w * 3,
-          |                   (doc_id * 7
-          |                    + (if(td, i div stride, h - 1 - i div stride)) * 31
-          |                    + ((i % stride) div 3) * 13
-          |                    + ((i % stride) % 3) * 101) % 256,
-          |                   171)), 2, '0')))""".stripMargin))
+      .withColumn("pixel_hex", {
+        val rImg = "(if(td, i div stride, h - 1 - i div stride))"
+        val col = "((i % stride) div 3)"
+        val v = s"(doc_id * 7 + $rImg * 31 + $col * 13 + ((i % stride) % 3) * 101) % 256"
+        val value = if (noisy) s"least($v + 3 * (($rImg + $col + 1) % 2), 255)" else v
+        expr(
+          s"""concat_ws('', transform(sequence(0, h * stride - 1),
+             |  i -> lpad(hex(if(i % stride < w * 3, $value, 171)), 2, '0')))""".stripMargin)
+      })
       .select($"doc_id", unhex(concat($"header_hex", $"pixel_hex")).as("payload"))
   }
 
@@ -126,9 +134,23 @@ object Multimodal {
     * the checkpointed blocks are a few hundred KB and die with the
     * session. */
   private val bmpCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Boolean), DataFrame]
   def bmpTable(spark: SparkSession, dir: String): DataFrame =
-    bmpCache.getOrElseUpdate((spark, dir), bmpTableRaw(spark, dir).localCheckpoint())
+    bmpCache.getOrElseUpdate((spark, dir, false),
+      bmpTableRaw(spark, dir).localCheckpoint())
+
+  /** The perceptual-twin corpus member of D6: every image re-encoded
+    * with the small even-parity perturbation, under `doc_id +
+    * BigOffset` — the planted noisy near-duplicates that a perceptual
+    * hash must still pair with their originals (an EXACT content hash
+    * like D3's provably cannot: every twin payload differs). */
+  def bmpTwinTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bmpCache.getOrElseUpdate((spark, dir, true),
+      bmpTableRaw(spark, dir, noisy = true)
+        .select(($"doc_id" + NearDup.BigOffset).as("doc_id"), $"payload")
+        .localCheckpoint())
+  }
 
   /** Little-endian int decoded from `bytes` bytes of the binary
     * `payload` column at 1-based offset `off` — shared by every
@@ -266,10 +288,13 @@ object Multimodal {
   def mmFeatureExtract(spark: SparkSession, dir: String): DataFrame =
     mmFeatureExtractFrame(bmpTable(spark, dir))
 
-  /** Frame-based core of D2's columnar path (bmp = (doc_id, payload))
-    * — lets the quarantine be pinned on crafted payloads, not just the
-    * generator corpus. */
-  def mmFeatureExtractFrame(bmp: DataFrame): DataFrame = {
+  /** Shared columnar BMP header decode + corrupt-input quarantine of
+    * D2/D6 (bmp = (doc_id, payload)): parses magic/width/height/bpp/
+    * data-offset out of little-endian byte slices and keeps only rows
+    * whose declared pixel lattice provably fits the payload. Emits the
+    * input columns plus width_px, h_raw (SIGNED — negative = top-down),
+    * height_px, bpp, data_off, n_bytes, stride. */
+  private[graft] def decodedHeader(bmp: DataFrame): DataFrame = {
     import bmp.sparkSession.implicits._
     bmp
       .filter(hex(substring($"payload", 1, 2)) === "424D") // magic
@@ -280,8 +305,7 @@ object Multimodal {
       .withColumn("n_bytes", length($"payload"))
       // lattice height is |h| in either orientation; abs on the LONG
       // (an ANSI abs(Int.MinValue) would throw instead of letting the
-      // quarantine drop the row). Whole-image channel means are
-      // row-order independent, so the fold below serves both layouts.
+      // quarantine drop the row).
       .withColumn("habs", abs($"h_raw".cast("long")))
       // same quarantine as the typed decodeBmp: only 24bpp images
       // whose declared |h| 4-byte-aligned rows actually fit inside the
@@ -306,6 +330,16 @@ object Multimodal {
         $"habs" <= expr("(cast(n_bytes as bigint) - data_off) div greatest(stride, 4L)"))
       // surviving rows have stride·|h| ≤ n_bytes < 2³¹ → int-safe
       .withColumn("height_px", $"habs".cast("int"))
+      .drop("habs")
+  }
+
+  /** Frame-based core of D2's columnar path (bmp = (doc_id, payload))
+    * — lets the quarantine be pinned on crafted payloads, not just the
+    * generator corpus. Whole-image channel means are row-order
+    * independent, so both BMP orientations share one fold. */
+  def mmFeatureExtractFrame(bmp: DataFrame): DataFrame = {
+    import bmp.sparkSession.implicits._
+    decodedHeader(bmp)
       // decode exactly the declared lattice (padding + trailing bytes
       // ignored): pixel p = (p div w, p % w) reads its 3 bytes at
       // data_off + row·stride + col·3
@@ -436,6 +470,157 @@ object Multimodal {
        |SELECT doc_id, n_frames, CAST(frame_idx AS INT) AS frame_idx,
        |       md5(substring(text, frame_idx * $frameBytes + 1, $frameBytes)) AS frame_md5
        |FROM fr""".stripMargin
+
+  /** D6 `mm_phash` — perceptual image hash (aHash): the decoded image
+    * is nearest-neighbor-resampled onto a fixed 8×8 grid, each cell's
+    * integer gray value (B+G+R) is thresholded against the grid total
+    * (64·cell > total — integer-only, engine-exact; no /64 mean), and
+    * the 64 bits pack into 4 × 16-bit bands. Resolution-independent
+    * (any w×h maps onto the same grid) and robust to small pixel
+    * noise — the property D3's exact content hash provably lacks.
+    * Pure scan-side compute on the payload bytes, no shuffle; 8 bytes
+    * per image downstream, which is what makes perceptual dedup
+    * band-joinable at media scale instead of pairwise. Hash-gated
+    * against the generator's closed form like D2/D4. */
+  def mmPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    phashFrame(bmpTable(spark, dir))
+      .select($"doc_id", $"bands".getItem(0).as("b0"), $"bands".getItem(1).as("b1"),
+        $"bands".getItem(2).as("b2"), $"bands".getItem(3).as("b3"))
+  }
+
+  /** aHash core of D6 (bmp = (doc_id, payload)) — decoded header →
+    * 8×8 grid cells → threshold bits → 4 × 16-bit bands. Grid cell
+    * k = (i, j) = (k div 8, k mod 8) samples source pixel
+    * (⌊i·h/8⌋, ⌊j·w/8⌋); the STORED row is the image row (top-down)
+    * or h−1−row (bottom-up), so both orientations hash identically.
+    *
+    * The cell array and its total are bound as LAMBDA VARIABLES
+    * (`transform(array(x), v -> …)[0]` — evaluated once per row, O(1)
+    * per reference) instead of chained columns: a column reference
+    * inside a higher-order lambda re-evaluates its whole defining
+    * expression per element after projection collapse, which nests
+    * multiplicatively (bands → bits → cells ≈ 64 × 64 × cell-cost per
+    * ROW) and turns any downstream filter over the hash into minutes
+    * of interpreted eval — the same expression-inlining trap as F13's
+    * BNLJ pushdown, one level down. */
+  private[graft] def phashFrame(bmp: DataFrame): DataFrame = {
+    import bmp.sparkSession.implicits._
+    decodedHeader(bmp)
+      .withColumn("td", $"h_raw" < 0)
+      .withColumn("bands", expr(
+        """transform(array(transform(sequence(0, 63), k ->
+          |    aggregate(sequence(0, 2), 0L, (acc, ch) -> acc + byte_at(payload,
+          |      data_off
+          |      + (if(td, ((k div 8) * height_px) div 8,
+          |            height_px - 1 - ((k div 8) * height_px) div 8)) * cast(stride as int)
+          |      + (((k % 8) * width_px) div 8) * 3 + ch)))), cs ->
+          |  transform(array(aggregate(cs, 0L, (x, y) -> x + y)), tot ->
+          |    transform(sequence(0, 3), b -> cast(
+          |      aggregate(sequence(0, 15), 0,
+          |        (a, k) -> a + if(64 * cs[16 * b + k] > tot, 1, 0) * shiftleft(1, k))
+          |      as int)))[0])[0]""".stripMargin))
+      .select($"doc_id", $"bands")
+  }
+
+  /** D6b `mm_phash_dedup` — perceptual near-dup pairs: images ∪ their
+    * planted noisy twins ([[bmpTwinTable]]) hash through [[phashFrame]],
+    * band buckets (4 × 16-bit slices — any pair within hamming 3 MUST
+    * collide on a band, pigeonhole) with C2's drop-bucket cap produce
+    * candidates, and surviving pairs within `maxHamming` emit. Same
+    * bucket-join scale shape as C2/C3: the shuffle carries (band, id,
+    * 4 ints), never payload bytes, and is proportional to collisions. */
+  def mmPhashDedup(spark: SparkSession, dir: String, maxHamming: Int = 6,
+                   bucketCap: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val corpus = bmpTable(spark, dir).select($"doc_id", $"payload")
+      .unionAll(bmpTwinTable(spark, dir))
+    val hashed = phashFrame(corpus).localCheckpoint()
+    val bands = hashed.select($"doc_id", $"bands", posexplode($"bands"))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    val smallBuckets = bands
+      .groupBy($"band_idx", $"band_val")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter($"bucket_n" > 1 && $"bucket_n" <= bucketCap)
+      .select($"band_idx", $"band_val")
+    val bucketed = bands.join(smallBuckets, Seq("band_idx", "band_val"))
+    val a = bucketed.select($"band_idx", $"band_val", $"doc_id".as("id1"), $"bands".as("s1"))
+    val b = bucketed.select($"band_idx", $"band_val", $"doc_id".as("id2"), $"bands".as("s2"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter($"id1" < $"id2")
+      .select($"id1", $"id2", expr(
+        "cast(aggregate(sequence(0, 3), 0, (a, i) -> a + bit_count(s1[i] ^ s2[i])) as int)")
+        .as("hamming"))
+      .distinct()
+      .filter($"hamming" <= maxHamming)
+  }
+
+  /** Shared CTE prefix of the D6 oracles: the generator's closed-form
+    * pixel values (base + noisy-twin variants) → 8×8 grid gray cells →
+    * threshold bits → 16-bit bands. Mirrors [[phashFrame]] /
+    * [[bmpTableRaw]]'s noise construct-for-construct (DuckDB lists are
+    * 1-based, hence the +1 indexing). */
+  private def phashCte: String =
+    s"""img AS (
+       |  SELECT doc_id, CAST(3 + doc_id % 8 AS INT) AS w,
+       |         CAST(2 + doc_id % 6 AS INT) AS h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |var AS (
+       |  SELECT doc_id AS id, doc_id AS orig, w, h, 0 AS noisy FROM img
+       |  UNION ALL
+       |  SELECT doc_id + ${NearDup.BigOffset}, doc_id, w, h, 1 FROM img),
+       |cell AS (
+       |  SELECT id, noisy, list_transform(range(0, 64), k ->
+       |    list_sum(list_transform(range(0, 3), ch ->
+       |      CASE WHEN noisy = 1
+       |                AND ((((k // 8) * h) // 8) + (((k % 8) * w) // 8)) % 2 = 0
+       |        THEN least((orig * 7 + (((k // 8) * h) // 8) * 31
+       |                    + (((k % 8) * w) // 8) * 13 + ch * 101) % 256 + 3, 255)
+       |        ELSE (orig * 7 + (((k // 8) * h) // 8) * 31
+       |              + (((k % 8) * w) // 8) * 13 + ch * 101) % 256
+       |      END))) AS cells
+       |  FROM var),
+       |hb AS (
+       |  SELECT id, noisy, cells, list_sum(cells) AS total FROM cell),
+       |bits AS (
+       |  SELECT id, noisy, list_transform(range(0, 64),
+       |           k -> CASE WHEN 64 * cells[k + 1] > total THEN 1 ELSE 0 END) AS bits
+       |  FROM hb)""".stripMargin
+
+  /** D6 oracle: per-image band values of the BASE corpus. */
+  val mmPhashSql: String =
+    s"""WITH $phashCte
+       |SELECT id AS doc_id,
+       |  CAST(list_sum(list_transform(range(0, 16), k -> bits[k + 1] * (1 << k))) AS INT) AS b0,
+       |  CAST(list_sum(list_transform(range(0, 16), k -> bits[k + 17] * (1 << k))) AS INT) AS b1,
+       |  CAST(list_sum(list_transform(range(0, 16), k -> bits[k + 33] * (1 << k))) AS INT) AS b2,
+       |  CAST(list_sum(list_transform(range(0, 16), k -> bits[k + 49] * (1 << k))) AS INT) AS b3
+       |FROM bits WHERE noisy = 0""".stripMargin
+
+  /** D6b oracle: band-bucket candidates (drop-bucket cap) + hamming
+    * filter over base ∪ twins. */
+  def mmPhashDedupSql(maxHamming: Int = 6, bucketCap: Int = 1000): String =
+    s"""WITH $phashCte,
+       |bands AS (
+       |  SELECT id, bits, b.b AS band_idx,
+       |         CAST(list_sum(list_transform(range(0, 16),
+       |                k -> bits[16 * b.b + k + 1] * (1 << k))) AS INT) AS band_val
+       |  FROM bits CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) b),
+       |ok AS (
+       |  SELECT band_idx, band_val FROM bands GROUP BY 1, 2
+       |  HAVING COUNT(*) > 1 AND COUNT(*) <= $bucketCap),
+       |cand AS (
+       |  SELECT a.id AS id1, b.id AS id2, a.bits AS bits1, b.bits AS bits2
+       |  FROM bands a JOIN ok USING (band_idx, band_val)
+       |       JOIN bands b USING (band_idx, band_val)
+       |  WHERE a.id < b.id)
+       |SELECT * FROM (
+       |  SELECT DISTINCT id1, id2,
+       |         CAST(len(list_filter(range(0, 64),
+       |                k -> bits1[k + 1] <> bits2[k + 1])) AS INT) AS hamming
+       |  FROM cand)
+       |WHERE hamming <= $maxHamming""".stripMargin
 
   /** Oracle: the generator's closed form — header fields from the
     * doc_id formulas, channel means as exact integer sums over the

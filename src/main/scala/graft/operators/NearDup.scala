@@ -232,11 +232,53 @@ object NearDup {
     * that bit position; near-identical docs differ in few bits. Bands:
     * 4 × 16-bit slices — a pair within hamming distance 3 of each other
     * is guaranteed to collide on at least one band slice (pigeonhole).
-    * Same bucket-join scale shape as C2; rows-only oracle, spec asserts
-    * the planted twins surface at hamming 0. */
+    * Same bucket-join scale shape as C2. The per-token hash family is
+    * md5-derived (see [[graft.functions.VectorExpressions.SimHash64]]),
+    * so the full pipeline is HASH-GATED against [[simhashDedupSql]];
+    * the spec additionally asserts the planted twins surface at
+    * hamming 0. */
   def simhashDedup(spark: SparkSession, dir: String, maxHamming: Int = 8,
                    bucketCap: Int = 1000): DataFrame =
     simhashPairs(corpus(spark, dir), maxHamming, bucketCap)
+
+  /** C3 oracle: the md5-derived simhash recomputed bit-for-bit in SQL —
+    * per-token bit votes (multiset), 4 × 16-bit band buckets with the
+    * drop cap, hamming over the full 64 bits. Mirrors [[simhashPairs]]
+    * construct-for-construct (DuckDB lists are 1-based). */
+  def simhashDedupSql(maxHamming: Int = 8, bucketCap: Int = 1000): String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + $BigOffset, text FROM documents),
+       |tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM corpus),
+       |hs AS (SELECT doc_id, list_transform(toks, t -> {
+       |         'h1': CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT),
+       |         'h2': CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT)}) AS hs
+       |       FROM tok WHERE len(toks) >= 1),
+       |bits AS (
+       |  SELECT doc_id, list_transform(range(0, 64), b ->
+       |           CASE WHEN list_sum(list_transform(hs, h ->
+       |             CASE WHEN ((CASE WHEN b < 32 THEN h.h1 ELSE h.h2 END) >> (b % 32)) & 1 = 1
+       |               THEN 1 ELSE -1 END)) >= 0 THEN 1 ELSE 0 END) AS bits
+       |  FROM hs),
+       |bands AS (
+       |  SELECT doc_id, bits, b.b AS band_idx,
+       |         CAST(list_sum(list_transform(range(0, 16),
+       |                k -> bits[16 * b.b + k + 1] * (1 << k))) AS INT) AS band_val
+       |  FROM bits CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) b),
+       |ok AS (
+       |  SELECT band_idx, band_val FROM bands GROUP BY 1, 2
+       |  HAVING COUNT(*) > 1 AND COUNT(*) <= $bucketCap),
+       |cand AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.bits AS bits1, b.bits AS bits2
+       |  FROM bands a JOIN ok USING (band_idx, band_val)
+       |       JOIN bands b USING (band_idx, band_val)
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT * FROM (
+       |  SELECT DISTINCT id1, id2,
+       |         CAST(len(list_filter(range(0, 64),
+       |                k -> bits1[k + 1] <> bits2[k + 1])) AS INT) AS hamming
+       |  FROM cand)
+       |WHERE hamming <= $maxHamming""".stripMargin
 
   /** Frame-based core of C3 (docs = (doc_id, text)). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 8,

@@ -492,9 +492,16 @@ object Similarity {
     * old fixed-64-bucket form, and `bucketCap` drops degenerate buckets
     * (identical-content floods) exactly like C2/C3 — the plan survives
     * a 100× corpus where quadratic-within-64-buckets does not. Recall
-    * tunes with bands/bits/probes. Rows-only oracle (hash-specific);
-    * check.py grades emitted-pair mean cosine cross-engine and the
-    * specs assert collision quality rises with cosine. */
+    * tunes with bands/bits/probes.
+    *
+    * HASH-GATED: the planes are md5-derived
+    * ([[graft.functions.VectorExpressions.hyperplane]]), so
+    * [[annLshSql]] rebuilds the identical signatures — sign bits agree
+    * bit-exactly because both engines accumulate the plane dot in
+    * sequential double arithmetic (verified: 0 mismatches in 32k dots).
+    * Output carries ranks, not cosines (the C6 posture: float values
+    * order the result but never hit the hash). The specs additionally
+    * assert collision quality rises with cosine. */
   def annLsh(spark: SparkSession, dir: String, k: Int = 5,
              bucketCap: Int = 2000): DataFrame = {
     import spark.implicits._
@@ -535,6 +542,49 @@ object Similarity {
       .withColumn("cosine", dot("vq", "vc") / ($"nq" * $"nc"))
       .withColumn("rank_nn", row_number().over(w))
       .filter($"rank_nn" <= k)
-      .select($"query_id", $"neighbor_id", $"rank_nn", $"cosine")
+      .select($"query_id", $"neighbor_id", $"rank_nn")
   }
+
+  /** C7 oracle: the md5-derived plane family, sign bits, 16-bit bands,
+    * single-bit multiprobe, bucket cap and exact-cosine rank rebuilt in
+    * SQL — mirrors [[annLsh]] construct-for-construct. */
+  def annLshSql(k: Int = 5, bucketCap: Int = 2000): String =
+    s"""WITH planes AS (
+       |  SELECT p.p AS p,
+       |         list(CAST(CAST(('0x' || substr(md5(p.p || ':' || i.i), 1, 8)) AS BIGINT)
+       |                   % 1000 / 1000.0 - 0.5 AS FLOAT) ORDER BY i.i) AS w
+       |  FROM range(0, 64) p(p), range(0, 64) i(i) GROUP BY 1),
+       |sbits AS (
+       |  SELECT e.vec_id, p.p,
+       |         CASE WHEN list_sum(list_transform(range(1, 65),
+       |                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.w[i] AS DOUBLE))) > 0
+       |           THEN 1 ELSE 0 END AS s
+       |  FROM embeddings e CROSS JOIN planes p),
+       |bands AS (
+       |  SELECT vec_id, p // 16 AS band,
+       |         CAST(SUM(s * (CAST(1 AS BIGINT) << (p % 16))) AS BIGINT) AS bval
+       |  FROM sbits GROUP BY 1, 2),
+       |sane AS (
+       |  SELECT band, bval FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= $bucketCap),
+       |build AS (
+       |  SELECT b.vec_id AS neighbor_id, b.band, b.bval
+       |  FROM bands b JOIN sane USING (band, bval)),
+       |probe AS (
+       |  SELECT vec_id AS query_id, band, bval FROM bands
+       |  UNION ALL
+       |  SELECT vec_id, band, xor(bval, CAST(1 AS BIGINT) << j.j)
+       |  FROM bands, range(0, 16) j(j)),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, b.neighbor_id
+       |  FROM probe p JOIN build b ON p.band = b.band AND p.bval = b.bval
+       |  WHERE p.query_id <> b.neighbor_id)
+       |SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank_nn
+       |FROM (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         row_number() OVER (PARTITION BY c.query_id
+       |           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+       |                    c.neighbor_id) AS rn
+       |  FROM cand c JOIN embeddings a ON a.vec_id = c.query_id
+       |              JOIN embeddings b ON b.vec_id = c.neighbor_id)
+       |WHERE rn <= $k""".stripMargin
 }

@@ -397,6 +397,84 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_phash: brightness-shift invariant; quarantines crafted invalids like D2") {
+    import spark.implicits._
+    val ph = operators.Multimodal.mmPhash(spark, sf).collect()
+    val nImgs = Tables.documents(spark, sf).filter(col("doc_id") % 3 === 0).count()
+    assert(ph.length == nImgs)
+    ph.foreach(r => (1 to 4).foreach { i =>
+      val b = r.getInt(i); assert(b >= 0 && b <= 65535, s"band $i out of range: $b")
+    })
+
+    // 4x2 gradient image; shift = uniform brightness offset on every
+    // pixel byte (no mod wrap: values stay < 256). aHash thresholds
+    // each cell against the grid total, so a uniform shift moves both
+    // sides equally → identical hash.
+    def grad(shift: Int): Array[Byte] = {
+      val (w, h) = (4, 2); val stride = ((w * 3 + 3) / 4) * 4
+      val p = new Array[Byte](54 + stride * h)
+      def le32(off: Int, v: Int): Unit =
+        (0 until 4).foreach(k => p(off + k) = ((v >> (8 * k)) & 0xff).toByte)
+      p(0) = 'B'.toByte; p(1) = 'M'.toByte
+      le32(2, p.length); le32(10, 54); le32(14, 40); le32(18, w); le32(22, h)
+      p(26) = 1; p(28) = 24
+      for (r <- 0 until h; c <- 0 until w; ch <- 0 until 3)
+        p(54 + r * stride + c * 3 + ch) = (((r * 31 + c * 13 + ch * 7) % 100) + shift).toByte
+      p
+    }
+    val hs = operators.Multimodal.phashFrame(
+        Seq((1L, grad(0)), (2L, grad(40))).toDF("doc_id", "payload"))
+      .orderBy("doc_id").collect()
+    assert(hs.length == 2)
+    assert(hs(0).getAs[scala.collection.Seq[Int]]("bands").toList ==
+      hs(1).getAs[scala.collection.Seq[Int]]("bands").toList,
+      "uniform brightness shift must not change the aHash")
+
+    // the shared header decode quarantines exactly like D2: wrong
+    // depth and truncated pixel blocks drop, valid images hash
+    val crafted = Seq(
+      (10L, grad(0)),
+      (11L, { val b = grad(0); b(28) = 32; b }),          // 32bpp
+      (12L, grad(0).take(54 + 7)))                        // truncated
+      .toDF("doc_id", "payload")
+    assert(operators.Multimodal.phashFrame(crafted).collect()
+      .map(_.getLong(0)).toSeq == Seq(10L))
+  }
+
+  test("mm_phash_dedup: planted noisy twins pair perceptually where the exact content hash cannot") {
+    import spark.implicits._
+    val pairs = operators.Multimodal.mmPhashDedup(spark, sf)
+    val nImgs = Tables.documents(spark, sf).filter(col("doc_id") % 3 === 0).count()
+    // emitted pairs respect the declared threshold
+    assert(pairs.filter(col("hamming") > 6 || col("hamming") < 0).count() == 0)
+
+    // ground truth: full-hash hamming between every base image and its
+    // twin; every twin within the threshold must be recovered (the
+    // 4 × 16-bit bands GUARANTEE collision for hamming ≤ 3, and the
+    // remainder must not be lost to banding either — exactness of the
+    // emitted set is what the DuckDB gate hashes)
+    val base = operators.Multimodal.phashFrame(
+      operators.Multimodal.bmpTable(spark, sf)).select(col("doc_id"), col("bands").as("ba"))
+    val twin = operators.Multimodal.phashFrame(
+      operators.Multimodal.bmpTwinTable(spark, sf))
+      .select((col("doc_id") - 1000000L).as("doc_id"), col("bands").as("bt"))
+    val ham = base.join(twin, "doc_id").select(col("doc_id"), expr(
+      "aggregate(sequence(0, 3), 0, (a, i) -> a + bit_count(ba[i] ^ bt[i]))").as("ham"))
+    val within = ham.filter(col("ham") <= 6).count()
+    val found = pairs.filter(col("id2") === col("id1") + 1000000L).count()
+    assert(found == within, s"twin pairs emitted $found != twins within threshold $within")
+    // the perturbation is genuinely small: most twins stay near-dups
+    assert(within >= (0.8 * nImgs).toLong, s"only $within of $nImgs twins within threshold")
+
+    // an exact content hash pairs NONE of them: every twin payload
+    // differs from its original (the D3-vs-D6 contrast)
+    val md5Base = operators.Multimodal.bmpTable(spark, sf)
+      .select(col("doc_id"), md5(col("payload")).as("m1"))
+    val md5Twin = operators.Multimodal.bmpTwinTable(spark, sf)
+      .select((col("doc_id") - 1000000L).as("doc_id"), md5(col("payload")).as("m2"))
+    assert(md5Base.join(md5Twin, "doc_id").filter(col("m1") === col("m2")).count() == 0)
+  }
+
   test("bmp payloads are valid BMP files (magic, declared size == byte length)") {
     val rows = operators.Multimodal.bmpTable(spark, sf).collect()
     assert(rows.nonEmpty)

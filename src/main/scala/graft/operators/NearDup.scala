@@ -796,6 +796,94 @@ object NearDup {
        |                           ORDER BY quality DESC, doc_id)) = 1 AS keep
        |FROM lab""".stripMargin
 
+  /** Extension `pagerank_pairs` — PageRank centrality over the
+    * near-dup pair graph (C4's edges, undirected): the
+    * graph-importance signal a curation pipeline reads alongside
+    * [[dedupKeepBest]]'s quality argmax — a doc tied into many
+    * near-dup neighborhoods is boilerplate-heavy, and centrality
+    * ranks exemplars inside large clusters.
+    *
+    * INTEGER arithmetic end-to-end: ranks live in micro-units
+    * (r₀ = 1 000 000) and each iteration computes
+    * r' = 150 000 + (850 · Σ_{u~v} (r_u div deg_u)) div 1000 —
+    * damping 0.85 as exact integer scaling with floor division in
+    * both engines, so the five iterations are bit-reproducible
+    * cross-engine and the query HASH-GATES against five unrolled CTE
+    * iterations in DuckDB ([[pagerankPairsSql]]). Isolated/dangling
+    * docs keep the teleport floor 150 000; leaked dangling mass is
+    * intentionally not redistributed (the standard simplification,
+    * mirrored in the oracle). Rank sums stay far inside Long: cin ≤
+    * Σr ≤ n·10⁶ micro-units, ×850 ≈ 10¹⁶ even at 10⁷ docs.
+    *
+    * Scale: edges come from the memoized [[ngramJaccardDedup]] table
+    * (built once per registry run); each iteration is one
+    * shuffle-join (edges ⨝ ranks on src) + one hash-agg (Σ per dst)
+    * + a left join back to the node set — the Pregel-as-join-agg
+    * shape, cost = iters × |edges| with no driver-side state beyond
+    * loop control. Per-iteration localCheckpoint truncates lineage
+    * exactly like [[labelPropagate]]. */
+  def pagerankPairs(spark: SparkSession, dir: String, iters: Int = 5,
+                    threshold: Double = 0.5, dfCap: Int = 100): DataFrame =
+    Shared.memo(spark, s"pagerank:$dir:$threshold:$dfCap:$iters") {
+      import spark.implicits._
+      pagerankGraph(corpus(spark, dir).select($"doc_id"),
+        ngramJaccardDedup(spark, dir, threshold, dfCap), iters).localCheckpoint()
+    }
+
+  /** Graph core of `pagerank_pairs`: nodes = (doc_id), edges =
+    * (id1, id2) read undirected — exposed frame-based so the spec can
+    * pin crafted graphs against a driver-side reference. */
+  private[graft] def pagerankGraph(nodes: DataFrame, edges: DataFrame,
+                                   iters: Int): DataFrame = {
+    import nodes.sparkSession.implicits._
+    val und = edges.select($"id1".as("src"), $"id2".as("dst"))
+      .unionAll(edges.select($"id2".as("src"), $"id1".as("dst")))
+      .localCheckpoint()
+    val deg = und.groupBy($"src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    var r = nodes.select($"doc_id", lit(1000000L).as("r"))
+    (1 to iters).foreach { _ =>
+      val contrib = und.join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select($"dst".as("doc_id"), expr("r div deg").as("c"))
+        .groupBy($"doc_id").agg(sum($"c").as("cin"))
+      r = nodes.join(contrib, Seq("doc_id"), "left")
+        .select($"doc_id",
+          (lit(150000L) + expr("(850 * coalesce(cin, 0L)) div 1000")).as("r"))
+        .localCheckpoint()
+    }
+    r.select($"doc_id", $"r".as("rank_units"))
+  }
+
+  /** Oracle for `pagerank_pairs`: the C4 pair CTE + `iters` unrolled
+    * integer iterations — floor division and damping scaling exactly
+    * as the engine computes them. */
+  def pagerankPairsSql(iters: Int = 5, threshold: Double = 0.5,
+                       dfCap: Int = 100): String = {
+    val its = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT u.dst AS doc_id, SUM(r.r // d.deg) AS cin
+         |  FROM und u JOIN r${i - 1} r ON u.src = r.doc_id
+         |       JOIN deg d ON d.src = u.src
+         |  GROUP BY 1),
+         |r$i AS (
+         |  SELECT n.doc_id,
+         |         CAST(150000 + (850 * COALESCE(c.cin, 0)) // 1000 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN c$i c USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT id1, id2 FROM (
+       |${ngramJaccardDedupSql(threshold, dfCap)}
+       |) pq),
+       |nodes AS (
+       |  SELECT doc_id FROM documents
+       |  UNION ALL SELECT doc_id + $BigOffset FROM documents),
+       |und AS (SELECT id1 AS src, id2 AS dst FROM pairs
+       |        UNION ALL SELECT id2, id1 FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM und GROUP BY 1),
+       |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$its
+       |SELECT doc_id, r AS rank_units FROM r$iters""".stripMargin
+  }
+
   /** C11 `doc_fingerprint` — winnowing (rolling-hash) fingerprints:
     * hash every char 8-gram, keep the minimum of each sliding window of
     * 4 hashes, distinct. Guarantees any shared substring ≥ 11 chars

@@ -397,6 +397,44 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank_pairs: exact integer equality with a driver reference; twins symmetric; isolated at the teleport floor") {
+    import spark.implicits._
+    // crafted graph: path 1-2-3-4 plus isolated node 5 — exact
+    // micro-unit equality against a driver-side reference of the same
+    // integer recurrence
+    val nodes = (1L to 5L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id1", "id2")
+    val got = operators.NearDup.pagerankGraph(nodes, edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val und = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L).flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = und.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var ref = (1L to 5L).map(_ -> 1000000L).toMap
+    (1 to 5).foreach { _ =>
+      val cin = und.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => ref(src) / deg(src) }.sum
+      }
+      ref = ref.keys.map(n => n -> (150000L + 850L * cin.getOrElse(n, 0L) / 1000L)).toMap
+    }
+    assert(got == ref, s"engine $got vs reference $ref")
+    assert(got(5L) == 150000L, "isolated node sits at the teleport floor")
+    // symmetric path positions get identical ranks
+    assert(got(1L) == got(4L) && got(2L) == got(3L))
+
+    // corpus run: every doc present once; a doc and its planted twin
+    // have identical neighborhoods (same text → same shingles), so
+    // identical ranks
+    val pr = operators.NearDup.pagerankPairs(spark, sf)
+    assert(pr.count() == 2 * nDocs)
+    val orig = pr.filter(col("doc_id") < 1000000L)
+      .select(col("doc_id"), col("rank_units").as("r1"))
+    val twin = pr.filter(col("doc_id") >= 1000000L)
+      .select((col("doc_id") - 1000000L).as("doc_id"), col("rank_units").as("r2"))
+    assert(orig.join(twin, "doc_id").filter(col("r1") =!= col("r2")).count() == 0)
+    // connected docs (the twin edge guarantees deg >= 1 for every
+    // >= 3-token doc) rise above the floor
+    assert(pr.filter(col("rank_units") < 150000L).count() == 0)
+  }
+
   test("mm_phash: brightness-shift invariant; quarantines crafted invalids like D2") {
     import spark.implicits._
     val ph = operators.Multimodal.mmPhash(spark, sf).collect()

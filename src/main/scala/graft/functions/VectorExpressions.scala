@@ -22,12 +22,13 @@ import org.apache.spark.sql.types._
   * `DotProductFloat` carries real `doGenCode` — it sits inside the
   * pair-scoring loop of brute-force similarity (the single hottest
   * expression in the library) and fuses into whole-stage codegen.
-  * The hash-signature expression (`SimHash64`) evaluates once per
-  * DOCUMENT (not per pair), so a tight `eval` with CodegenFallback
-  * already removes >99% of its interpreted cost; fallback there costs
-  * one boxed call per row. (C2's MinHash signature is built from
-  * md5 + higher-order functions instead — the md5-derived family is
-  * what makes the query oracle-gateable; see NearDup.bandTable.)
+  * The hash-signature expressions (`SimHash64`, `MinHashMd5Sig`)
+  * evaluate once per DOCUMENT (not per pair), so a tight `eval` with
+  * CodegenFallback already removes >99% of their interpreted cost;
+  * fallback there costs one boxed call per row. Both derive their hash
+  * families from md5 — bit-identical to a `conv(substring(md5(…)))`
+  * SQL formulation — which is what lets C2/C3/E6 hash-gate against
+  * DuckDB while keeping the per-row compute in one JVM kernel.
   */
 object VectorExpressions {
 
@@ -145,6 +146,53 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** k-slot MinHash signature of an array<string> shingle column,
+    * md5-derived double hashing (Kirsch–Mitzenmacher): per shingle,
+    * h1/h2 = the big-endian 56-bit values of md5 bytes 0–6 and 8–14
+    * (= the two 14-hex-char halves the SQL formulation parses via
+    * `conv(substring(md5(s), …), 16, 10)`); slot i = min over shingles
+    * of h1 + i·h2. BIT-IDENTICAL to that higher-order-function
+    * formulation — same oracle — but one MessageDigest call per
+    * shingle instead of an md5-hex string parse per (shingle, half),
+    * and one flat JVM loop instead of 16 interpreted array_min passes.
+    * C2/E6's hot per-document kernel. */
+  case class MinHashMd5Sig(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_md5_sig"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val mins = Array.fill(k)(Long.MaxValue)
+      val md = md5Local.get()
+      var i = 0
+      while (i < n) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        var h1 = 0L; var h2 = 0L
+        var j = 0
+        while (j < 7) {
+          h1 = (h1 << 8) | (d(j) & 0xffL)
+          h2 = (h2 << 8) | (d(j + 8) & 0xffL)
+          j += 1
+        }
+        var s = 0
+        var h = h1
+        while (s < k) {
+          if (h < mins(s)) mins(s) = h
+          h += h2
+          s += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** `byte_at(bin, i)` — unsigned value of byte `i` (0-based) of a
     * binary column; null out of range. Replaces the
     * `conv(hex(substring(bin, i+1, 1)), 16, 10)` idiom (three string
@@ -210,6 +258,9 @@ object VectorExpressions {
 
   def simhash64(tokens: Column): Column =
     GraftShim.column(SimHash64(GraftShim.expression(tokens)))
+
+  def minhashMd5Sig(shingles: Column, k: Int): Column =
+    GraftShim.column(MinHashMd5Sig(GraftShim.expression(shingles), k))
 
   /** Deterministic random-hyperplane weights for LSH, computed
     * driver-side once — the plan embeds the planes as literals, no

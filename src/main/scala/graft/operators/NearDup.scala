@@ -129,12 +129,8 @@ object NearDup {
   private[graft] def bandTable(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     shingledFrames(docs)
-      .withColumn("hs", expr(
-        """transform(transform(shingles, s -> md5(s)), m -> named_struct(
-          |  'h1', cast(conv(substring(m, 1, 14), 16, 10) as bigint),
-          |  'h2', cast(conv(substring(m, 17, 14), 16, 10) as bigint)))""".stripMargin))
-      .withColumn("sig", expr(
-        "transform(sequence(0, 15), i -> array_min(transform(hs, h -> h.h1 + i * h.h2)))"))
+      .withColumn("sig",
+        graft.functions.VectorExpressions.minhashMd5Sig($"shingles", 16))
       .select($"doc_id", $"sig", posexplode(expr(
         """transform(sequence(0, 3),
           |  b -> xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3], b))""".stripMargin)))
@@ -820,8 +816,10 @@ object NearDup {
     * shuffle-join (edges ⨝ ranks on src) + one hash-agg (Σ per dst)
     * + a left join back to the node set — the Pregel-as-join-agg
     * shape, cost = iters × |edges| with no driver-side state beyond
-    * loop control. Per-iteration localCheckpoint truncates lineage
-    * exactly like [[labelPropagate]]. */
+    * loop control. Unlike [[labelPropagate]] (unbounded rounds → must
+    * checkpoint), the FIXED five iterations chain as one declarative
+    * plan — und/deg materialize once and Catalyst schedules the five
+    * join-aggs without per-iteration materialization barriers. */
   def pagerankPairs(spark: SparkSession, dir: String, iters: Int = 5,
                     threshold: Double = 0.5, dfCap: Int = 100): DataFrame =
     Shared.memo(spark, s"pagerank:$dir:$threshold:$dfCap:$iters") {
@@ -849,7 +847,6 @@ object NearDup {
       r = nodes.join(contrib, Seq("doc_id"), "left")
         .select($"doc_id",
           (lit(150000L) + expr("(850 * coalesce(cin, 0L)) div 1000")).as("r"))
-        .localCheckpoint()
     }
     r.select($"doc_id", $"r".as("rank_units"))
   }

@@ -42,6 +42,55 @@ object Streams {
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame =
     windowAgg(Tables.events(spark, dir))
 
+  /** E8 `stream_window_topk` — per-window heavy hitters: the top-k
+    * users by decimal-exact summed value inside each (1-hour window,
+    * event_type) — the trending-users/items staple. Two chained
+    * aggregations: per-user window sums, then the bounded-memory
+    * [[graft.functions.TopKAgg]] k-heap per window. On a stream both
+    * are stateful under one watermark (Spark's multiple-stateful-
+    * operator support for event-time windows, append mode); in batch
+    * the identical plan is two hash aggregations. State = open
+    * windows × types × (active users + k) — independent of
+    * throughput; after the first agg the shuffle moves partial
+    * k-heaps, never event rows. Hash-gated on a window + row_number
+    * oracle: ordering is (decimal-exact sum cast double) DESC, ties
+    * to the lowest user_id — exactly the heap's admission order. */
+  def windowTopk(events: DataFrame, k: Int = 3,
+                 withWatermark: Boolean = false): DataFrame = {
+    import events.sparkSession.implicits._
+    val in = if (withWatermark)
+      events.withColumn("ts", col("ts").cast("timestamp")).withWatermark("ts", "2 hours")
+    else events
+    val per = in
+      .groupBy(window($"ts", "1 hour").as("win"), $"event_type", $"user_id")
+      .agg(sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast("double").as("user_value"))
+    per.groupBy($"win", $"event_type")
+      .agg(graft.functions.TopKAgg.topk($"user_value", $"user_id", k).as("top"))
+      .select($"win.start".as("window_start"), $"event_type", posexplode($"top"))
+      .select($"window_start", $"event_type",
+        ($"pos" + 1).cast("int").as("rank_in_window"),
+        $"col.id".as("user_id"), $"col.value".as("user_value"))
+  }
+
+  def streamWindowTopk(spark: SparkSession, dir: String): DataFrame =
+    windowTopk(Tables.events(spark, dir))
+
+  def streamWindowTopkSql(k: Int = 3): String =
+    s"""WITH per AS (
+       |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       |         user_id,
+       |         CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS user_value
+       |  FROM events GROUP BY 1, 2, 3)
+       |SELECT window_start, event_type, CAST(rn AS INT) AS rank_in_window,
+       |       user_id, user_value
+       |FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY window_start, event_type
+       |    ORDER BY user_value DESC, user_id) AS rn
+       |  FROM per)
+       |WHERE rn <= $k""".stripMargin
+
   val streamWindowAggSql: String =
     """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
       |       COUNT(*) AS n_events,

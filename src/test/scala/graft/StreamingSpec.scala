@@ -50,6 +50,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("E8 stream_window_topk: chained stateful aggs equal batch on finalized windows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val data = evs(200)
+
+    val source = MemoryStream[Ev]
+    source.addData(data: _*)
+    val q = Streams.windowTopk(source.toDF(), withWatermark = true)
+      .writeStream.format("memory").queryName("e8_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // a far-future sentinel pushes the watermark past every data
+    // window so the chained stateful aggregations finalize them all
+    source.addData(Ev(9999L,
+      java.time.LocalDateTime.of(2025, 6, 1, 0, 0, 0), 0L, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val cutoff = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    val streamed = s.table("e8_out").filter(col("window_start") < cutoff)
+    val batch = Streams.windowTopk(data.toDF())
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // heavy-hitter contract: at most k rows per (window, type), ranks
+    // contiguous from 1, values non-increasing within a window
+    val bad = s.table("e8_out")
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("rank_in_window")).as("maxr"))
+      .filter(col("n") > 3 || col("maxr") =!= col("n"))
+    assert(bad.count() == 0)
+  }
+
   test("E5 stream_enrich: stream-static broadcast join equals batch, keeps unmatched facts") {
     val s = spark
     import s.implicits._

@@ -399,6 +399,101 @@ object TextAnalysis {
        |  FROM weighted)
        |WHERE rk <= $k""".stripMargin
 
+  /** Extension `sparse_tfidf_pairs` (C19b) — SPARSE lexical retrieval:
+    * pairwise tf·idf cosine over the corpus via an inverted-index
+    * posting join — the lexical (BM25-family) counterpart of the
+    * dense C5/C6 embedding similarity, and the "mine near-pairs by
+    * words" step of a curation pipeline.
+    *
+    * Engine-exact by construction: weights are INTEGER
+    * w = min(tf, 100) · min((N·100) div df, 100000) — floor division
+    * and caps (capped tf is standard lexical practice; the idf cap
+    * keeps granularity for common terms while bounding the weight),
+    * sized so every Σw² and pair dot stays ≤ ~10¹⁷, inside Long.
+    * Pair dots and norms² are exact integer hash aggregates; the one
+    * float operation — cosine ≥ t ⇔ dot ≥ t·√n1²·√n2² — evaluates
+    * once per candidate on identical doubles in both engines. Emitted
+    * (id1, id2, dot): fully hash-gated, no float in the output.
+    *
+    * The term space is word 3-grams (C4's feature space, WITHOUT the
+    * distinct so tf is real): the generator vocabulary is ~31 words,
+    * so unigram df ≈ corpus size and no unigram discriminates — the
+    * same reason production sparse retrieval over boilerplate-heavy
+    * corpora moves to shingled/phrase features. Σ df² stays bounded by
+    * the cap exactly as in C4.
+    *
+    * Scale: exactly C4's inverted-index shape — df-capped postings
+    * (boilerplate terms contribute no pairs; Σ df² ≤ dfCap·|postings|,
+    * linear in the corpus), map-side partial agg on (id1, id2), the
+    * shuffle carries ids and weights only. */
+  def sparseTfidfPairs(spark: SparkSession, dir: String,
+                       threshold: Double = 0.5, dfCap: Int = 100): DataFrame = {
+    import spark.implicits._
+    val docs = graft.operators.NearDup.corpus(spark, dir)
+    val n = docs.agg(count(lit(1)).as("n_corpus"))
+    // eager (materialization contract): tf feeds the df aggregate AND
+    // the weight build
+    val tf = docs
+      .withColumn("t", toks($"text"))
+      .filter(size($"t") >= 3)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, size(t) - 3),
+          |  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))""".stripMargin)).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+      .filter($"df" <= dfCap)
+    // eager: the weight table feeds the norms aggregate AND both
+    // posting join sides
+    val wtab = tf.join(df, Seq("token")).crossJoin(broadcast(n))
+      .select($"doc_id", $"token",
+        (least($"tf", lit(100L)) *
+          least(expr("(n_corpus * 100) div df"), lit(100000L))).as("w"))
+      .localCheckpoint()
+    val norms = wtab.groupBy($"doc_id").agg(sum($"w" * $"w").as("n2"))
+    val a = wtab.select($"token", $"doc_id".as("id1"), $"w".as("w1"))
+    val b = wtab.select($"token", $"doc_id".as("id2"), $"w".as("w2"))
+    val dots = a.join(b, Seq("token")).filter($"id1" < $"id2")
+      .groupBy($"id1", $"id2").agg(sum($"w1" * $"w2").as("dot"))
+    dots
+      .join(norms.select($"doc_id".as("id1"), $"n2".as("n21")), Seq("id1"))
+      .join(norms.select($"doc_id".as("id2"), $"n2".as("n22")), Seq("id2"))
+      .filter($"dot".cast("double") >=
+        lit(threshold) * sqrt($"n21".cast("double")) * sqrt($"n22".cast("double")))
+      .select($"id1", $"id2", $"dot")
+  }
+
+  def sparseTfidfPairsSql(threshold: Double = 0.5, dfCap: Int = 100): String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+       |tok AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM corpus
+       |  WHERE length(trim(text)) > 0),
+       |tf AS (
+       |  SELECT doc_id, token, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, unnest(list_transform(range(0, len(l) - 2),
+       |             i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])) AS token
+       |    FROM tok WHERE len(l) >= 3)
+       |  GROUP BY 1, 2),
+       |dfc AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1 HAVING COUNT(*) <= $dfCap),
+       |n AS (SELECT COUNT(*) AS n_corpus FROM corpus),
+       |wt AS (
+       |  SELECT tf.doc_id, tf.token,
+       |         LEAST(tf.tf, 100) * LEAST((n.n_corpus * 100) // dfc.df, 100000) AS w
+       |  FROM tf JOIN dfc USING (token), n),
+       |norms AS (SELECT doc_id, SUM(w * w) AS n2 FROM wt GROUP BY 1),
+       |dots AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, SUM(a.w * b.w) AS dot
+       |  FROM wt a JOIN wt b USING (token)
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT id1, id2, CAST(dot AS BIGINT) AS dot
+       |FROM dots
+       |JOIN (SELECT doc_id AS id1, n2 AS n21 FROM norms) USING (id1)
+       |JOIN (SELECT doc_id AS id2, n2 AS n22 FROM norms) USING (id2)
+       |WHERE CAST(dot AS DOUBLE) >=
+       |      $threshold * sqrt(CAST(n21 AS DOUBLE)) * sqrt(CAST(n22 AS DOUBLE))""".stripMargin
+
   /** Extension `perplexity_score` — unigram-LM perplexity per document,
     * the quality-filtering signal corpus pipelines rank and threshold
     * on (CCNet scores crawl text with a wiki-trained LM; Gopher

@@ -397,6 +397,23 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("sparse_tfidf_pairs: twins pair at cosine 1; the df cap silences a fully-duplicated corpus") {
+    val pairs = operators.TextAnalysis.sparseTfidfPairs(spark, sf)
+    assert(pairs.filter(col("id1") >= col("id2")).count() == 0)
+    assert(pairs.filter(col("dot") <= 0L).count() == 0)
+    // identical twin docs have identical integer weight vectors over
+    // the surviving term space → cosine exactly 1 → above any
+    // threshold < 1; every ≥3-token doc must recover its twin
+    val twins = pairs.filter(col("id2") === col("id1") + 1000000L)
+    val eligible = Tables.documents(spark, sf)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 3).count()
+    assert(twins.count() == eligible,
+      s"${twins.count()} twin pairs vs $eligible eligible docs")
+    // planted twins double every term's df, so dfCap = 1 caps EVERY
+    // term out of the posting index — no pairs can form
+    assert(operators.TextAnalysis.sparseTfidfPairs(spark, sf, dfCap = 1).count() == 0)
+  }
+
   test("pagerank_pairs: exact integer equality with a driver reference; twins symmetric; isolated at the teleport floor") {
     import spark.implicits._
     // crafted graph: path 1-2-3-4 plus isolated node 5 — exact

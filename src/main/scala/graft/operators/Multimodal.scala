@@ -556,6 +556,36 @@ object Multimodal {
       .filter($"hamming" <= maxHamming)
   }
 
+  /** D6c `mm_phash_cluster` — the perceptual dedup DECISION: connected
+    * components of the D6b pair graph via large/small-star contraction
+    * ([[NearDup.starContract]], O(log²) rounds on any graph shape),
+    * one keeper (minimum id) per component — detect-pairs → cluster →
+    * keeper is the full chain a media pipeline runs before dropping
+    * perceptual duplicates. Nodes appear iff they participate in a
+    * pair (C14b's convention); the oracle is recursive-CTE
+    * reachability over the same pair set. */
+  def mmPhashCluster(spark: SparkSession, dir: String, maxHamming: Int = 6,
+                     bucketCap: Int = 1000): DataFrame = {
+    import spark.implicits._
+    NearDup.starContract(
+      mmPhashDedup(spark, dir, maxHamming, bucketCap).select($"id1", $"id2"))
+  }
+
+  def mmPhashClusterSql(maxHamming: Int = 6, bucketCap: Int = 1000): String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT id1, id2 FROM (
+       |${mmPhashDedupSql(maxHamming, bucketCap)}
+       |) pq),
+       |bi AS (SELECT id1 AS n, id2 AS nbr FROM pairs
+       |       UNION SELECT id2, id1 FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT DISTINCT n, n FROM bi
+       |  UNION
+       |  SELECT r.n, b.nbr FROM reach r JOIN bi b ON r.m = b.n)
+       |SELECT n AS doc_id, MIN(m) AS cluster_id,
+       |       n = MIN(m) AS is_keeper
+       |FROM reach GROUP BY n""".stripMargin
+
   /** Shared CTE prefix of the D6 oracles: the generator's closed-form
     * pixel values (base + noisy-twin variants) → 8×8 grid gray cells →
     * threshold bits → 16-bit bands. Mirrors [[phashFrame]] /

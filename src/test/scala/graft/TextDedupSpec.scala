@@ -528,6 +528,22 @@ class TextDedupSpec extends AnyFunSuite {
     val md5Twin = operators.Multimodal.bmpTwinTable(spark, sf)
       .select((col("doc_id") - 1000000L).as("doc_id"), md5(col("payload")).as("m2"))
     assert(md5Base.join(md5Twin, "doc_id").filter(col("m1") === col("m2")).count() == 0)
+
+    // D6c: one keeper (= min id) per perceptual component, and every
+    // twin that D6b paired DIRECTLY with its original shares its
+    // component (a twin beyond the hamming threshold may legitimately
+    // cluster with other similar images instead)
+    val cl = operators.Multimodal.mmPhashCluster(spark, sf)
+    val keepers = cl.filter(col("is_keeper"))
+    assert(keepers.count() == cl.select("cluster_id").distinct().count())
+    assert(keepers.filter(col("doc_id") =!= col("cluster_id")).count() == 0)
+    val pairedTwins = pairs.filter(col("id2") === col("id1") + 1000000L)
+      .select(col("id1").as("doc_id"))
+    val cOrig = cl.select(col("doc_id"), col("cluster_id").as("c1"))
+    val cTwin = cl.filter(col("doc_id") >= 1000000L)
+      .select((col("doc_id") - 1000000L).as("doc_id"), col("cluster_id").as("c2"))
+    assert(cOrig.join(cTwin, "doc_id").join(pairedTwins, "doc_id")
+      .filter(col("c1") =!= col("c2")).count() == 0)
   }
 
   test("bmp payloads are valid BMP files (magic, declared size == byte length)") {

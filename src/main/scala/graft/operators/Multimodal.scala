@@ -652,6 +652,35 @@ object Multimodal {
        |  FROM cand)
        |WHERE hamming <= $maxHamming""".stripMargin
 
+  /** E9 oracle: the D6 band pipeline with RANK-TRUNCATION cap
+    * semantics (each bucket admits its `bucketCap` smallest doc_ids —
+    * what the streaming detector, which cannot know a bucket's final
+    * size, computes; E6's [[graft.operators.NearDup.minhashTruncatedSql]]
+    * precedent). At any SF where no bucket exceeds the cap this
+    * coincides with [[mmPhashDedupSql]]'s drop-bucket form. */
+  def mmPhashTruncatedSql(maxHamming: Int = 6, bucketCap: Int = 1000): String =
+    s"""WITH $phashCte,
+       |bands AS (
+       |  SELECT id, bits, b.b AS band_idx,
+       |         CAST(list_sum(list_transform(range(0, 16),
+       |                k -> bits[16 * b.b + k + 1] * (1 << k))) AS INT) AS band_val
+       |  FROM bits CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) b),
+       |adm AS (
+       |  SELECT * FROM (
+       |    SELECT id, bits, band_idx, band_val,
+       |           row_number() OVER (PARTITION BY band_idx, band_val ORDER BY id) AS rn
+       |    FROM bands) WHERE rn <= $bucketCap),
+       |cand AS (
+       |  SELECT a.id AS id1, b.id AS id2, a.bits AS bits1, b.bits AS bits2
+       |  FROM adm a JOIN adm b USING (band_idx, band_val)
+       |  WHERE a.id < b.id)
+       |SELECT * FROM (
+       |  SELECT DISTINCT id1, id2,
+       |         CAST(len(list_filter(range(0, 64),
+       |                k -> bits1[k + 1] <> bits2[k + 1])) AS INT) AS hamming
+       |  FROM cand)
+       |WHERE hamming <= $maxHamming""".stripMargin
+
   /** Oracle: the generator's closed form — header fields from the
     * doc_id formulas, channel means as exact integer sums over the
     * pixel lattice. Anything the decoder misparses diverges. */

@@ -434,8 +434,21 @@ object Streams {
     * (the hot-key case the cap exists for). */
   final case class BucketState(n: Int, seen: List[(Long, Seq[Long])])
 
+  /** Default pair score: matching-slot fraction of two equal-length
+    * signatures (C2's est_jaccard). Static so the state closure
+    * serializes without capture. */
+  private def matchFraction(a: Seq[Long], b: Seq[Long]): Double =
+    a.iterator.zip(b.iterator).count { case (x, y) => x == y }.toDouble / a.length
+
+  /** Pair score for D6 signatures: total hamming distance over the
+    * banded 64-bit perceptual hash (Σ popcount(a XOR b)). */
+  private[graft] def bandHamming(a: Seq[Long], b: Seq[Long]): Double =
+    a.iterator.zip(b.iterator).map { case (x, y) =>
+      java.lang.Long.bitCount(x ^ y) }.sum.toDouble
+
   def nearDedupTyped(posts: Dataset[BandPost], bucketCap: Int = 1000,
-                     horizon: java.time.Duration = java.time.Duration.ofHours(24)): Dataset[CandPair] = {
+                     horizon: java.time.Duration = java.time.Duration.ofHours(24),
+                     score: (Seq[Long], Seq[Long]) => Double = matchFraction): Dataset[CandPair] = {
     import posts.sparkSession.implicits._
     val horizonMs = horizon.toMillis
     // captured by the state function: the watermark clamp below may
@@ -474,9 +487,8 @@ object Streams {
             val admitted: Seq[BandPost] = heap.dequeueAll
             admitted.reverseIterator.foreach { p => // ascending doc_id
               seen.foreach { case (id, sig) =>
-                val matches = sig.iterator.zip(p.sig.iterator).count { case (a, b) => a == b }
                 out += CandPair(math.min(id, p.doc_id), math.max(id, p.doc_id),
-                  matches.toDouble / sig.length)
+                  score(sig, p.sig))
               }
               seen = (p.doc_id, p.sig) :: seen
               n += 1
@@ -531,6 +543,47 @@ object Streams {
     import spark.implicits._
     graft.operators.NearDup.bandTable(graft.operators.NearDup.corpus(spark, dir))
       .select($"band_idx".cast("int").as("band_idx"), $"band_sig", $"doc_id", $"sig",
+        timestamp_seconds(lit(1704067200L) + $"doc_id").as("ts"))
+      .as[BandPost]
+  }
+
+  /** E9 `stream_mm_dedup` — STREAMING perceptual image dedup: every
+    * arriving image's aHash band values post into the SAME stateful
+    * band buckets as E6 (one detector, two signature families — the
+    * `score` hook turns slot-match fraction into banded hamming), so
+    * a media ingest stream flags perceptual duplicates against
+    * everything seen inside the state horizon. Capped-state
+    * truncation semantics, event-time aging, and the batch-mode gate
+    * all inherit from [[nearDedupTyped]]; the oracle states the
+    * rank-truncation cap over the D6 closed-form hashes. */
+  def streamMmDedup(spark: SparkSession, dir: String, maxHamming: Int = 6,
+                    bucketCap: Int = 1000): DataFrame = {
+    import spark.implicits._
+    nearDedupTyped(phashPosts(spark, dir), bucketCap, score = bandHamming)
+      .toDF()
+      .distinct()
+      .filter($"est_jaccard" <= maxHamming)
+      .select($"id1", $"id2", $"est_jaccard".cast("int").as("hamming"))
+  }
+
+  def streamMmDedupSql(maxHamming: Int = 6, bucketCap: Int = 1000): String =
+    graft.operators.Multimodal.mmPhashTruncatedSql(maxHamming, bucketCap)
+
+  /** The D6 corpus (images ∪ noisy twins) hashed by
+    * [[graft.operators.Multimodal.phashFrame]] — one definition for
+    * batch and stream — emitted as typed band posts. Event time is
+    * synthesized deterministically from doc_id (as [[bandPosts]]); a
+    * production stream supplies the real ingest time. */
+  private[graft] def phashPosts(spark: SparkSession, dir: String): Dataset[BandPost] = {
+    import spark.implicits._
+    val corpus = graft.operators.Multimodal.bmpTable(spark, dir)
+      .select($"doc_id", $"payload")
+      .unionAll(graft.operators.Multimodal.bmpTwinTable(spark, dir))
+    graft.operators.Multimodal.phashFrame(corpus)
+      .select($"doc_id", $"bands", posexplode($"bands"))
+      .select($"pos".cast("int").as("band_idx"),
+        $"col".cast("long").as("band_sig"), $"doc_id",
+        expr("transform(bands, b -> cast(b as bigint))").as("sig"),
         timestamp_seconds(lit(1704067200L) + $"doc_id").as("ts"))
       .as[BandPost]
   }

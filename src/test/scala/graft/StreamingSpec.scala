@@ -181,6 +181,38 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("E9 stream_mm_dedup: batch equals D6b at uncapped size; stream surfaces noisy twins") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // batch parity at an uncapped bucket size (cap semantics for
+    // oversized buckets intentionally differ: D6b drops, E9 truncates)
+    val big = Int.MaxValue
+    val d6b = operators.Multimodal.mmPhashDedup(s, sf, bucketCap = big)
+    val e9 = Streams.streamMmDedup(s, sf, bucketCap = big)
+    assert(e9.exceptAll(d6b).count() == 0 && d6b.exceptAll(e9).count() == 0,
+      "streaming perceptual detector (batch mode) diverges from D6b's bucket join")
+
+    // true streaming: image band posts arrive via MemoryStream; every
+    // twin D6b pairs directly must surface within the threshold
+    val posts = Streams.phashPosts(s, sf).collect().toSeq
+    val source = MemoryStream[Streams.BandPost]
+    source.addData(posts: _*)
+    val q = Streams.nearDedupTyped(source.toDS().withWatermark("ts", "1 hour"),
+        bucketCap = big, score = Streams.bandHamming)
+      .writeStream.format("memory").queryName("e9_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamedTwins = s.table("e9_out")
+      .filter(col("est_jaccard") <= 6.0 && col("id2") === col("id1") + 1000000L)
+      .select(col("id1"), col("id2")).distinct().count()
+    val batchTwins = d6b.filter(col("id2") === col("id1") + 1000000L).count()
+    assert(streamedTwins == batchTwins,
+      s"stream surfaced $streamedTwins twin pairs vs $batchTwins in batch")
+    spark.catalog.clearCache()
+  }
+
   test("E6: a bucket idle past the horizon ages out via the event-time timeout") {
     val s = spark
     import s.implicits._

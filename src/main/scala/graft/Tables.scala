@@ -22,16 +22,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * outright. Read it as a raw long (legacy conf) and truncate ns→µs
-    * with integer division (`div` — the values exceed double's 2^53
-    * mantissa, so `/ 1000` would corrupt them), matching how µs-native
-    * engines (e.g. DuckDB) truncate the same column. */
+  /** `events.ts` normalized to TIMESTAMP_NTZ regardless of the
+    * generator's physical layout. Earlier testdata rounds wrote parquet
+    * TIMESTAMP(NANOS), which Spark 4 rejects outright — those are read
+    * as a raw long (legacy conf) and truncated ns→µs with integer
+    * division (`div`: the values exceed double's 2^53 mantissa, so
+    * `/ 1000` would corrupt them), matching how µs-native engines
+    * (e.g. DuckDB) truncate the same column. Current testdata writes
+    * TIMESTAMP(MICROS), which both engines read natively. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")).cast("timestamp_ntz"))
+    val df = table(spark, dir, "events")
+    val ts = df.schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case _        => col("ts")
+    }
+    df.withColumn("ts", ts.cast("timestamp_ntz"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
 

@@ -157,7 +157,10 @@ object NearDup {
     a.join(b, Seq("band_idx", "band_sig"))
       .filter($"id1" < $"id2")
       .select($"id1", $"id2",
-        expr("aggregate(zip_with(sig1, sig2, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v) / 16.0")
+        // cast BEFORE the division: int / DECIMAL(3,1) literal stays
+        // decimal in Spark, and the driver's gate hashes TYPES too —
+        // the oracle's len(...)/16.0 is a DuckDB DOUBLE.
+        expr("cast(aggregate(zip_with(sig1, sig2, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v) as double) / 16.0d")
           .as("est_jaccard"))
       .distinct()
   }

@@ -76,7 +76,11 @@ object Skew {
     val matched = ev.filter($"uid".isNotNull).join(dim, Seq("uid"), "left")
     val nulls = ev.filter($"uid".isNull)
       .withColumn("segment", lit(null).cast("string"))
-      .withColumn("nation_key", lit(null).cast("long"))
+      // take the null branch's type FROM the dim schema — a hardcoded
+      // cast silently widens the union (and the emitted type) when the
+      // generator changes the key's physical type, as it did in r9
+      // (c_nationkey int64 → int32)
+      .withColumn("nation_key", lit(null).cast(dim.schema("nation_key").dataType))
     matched.unionByName(nulls)
       .select($"event_id", $"event_type", $"uid", $"segment", $"nation_key")
   }

@@ -178,6 +178,28 @@ def main():
             print(f"  [ORACLE-ERR] {name}: {e}")
             n_fail += 1
             continue
+        # TYPE gate: the driver's hash is type-sensitive (r7
+        # compaction_plan HUGEINT, r8 minhash est_jaccard DECIMAL both
+        # failed on type with identical values — pandas value-compare
+        # below cannot see it). Compare DuckDB's canonical type of each
+        # column on both sides: the Verify parquet re-read through
+        # read_parquet vs DESCRIBE of the oracle SQL.
+        try:
+            st = dict(r[:2] for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{d}/*.parquet')").fetchall())
+            ot = dict(r[:2] for r in con.execute(
+                f"DESCRIBE {oracle[name]}").fetchall())
+            tbad = [(c, st.get(c), ot.get(c)) for c in sorted(set(st) | set(ot))
+                    if st.get(c) != ot.get(c)]
+            if tbad:
+                for c, a, b in tbad:
+                    print(f"  [TYPE] {name}.{c}: spark={a} oracle={b}")
+                n_fail += 1
+                continue
+        except Exception as ex:
+            print(f"  [TYPE-ERR] {name}: {ex}")
+            n_fail += 1
+            continue
         g, e = norm(got), norm(exp)
         if sorted(g.columns) != sorted(e.columns):
             print(f"  [SCHEMA] {name}: spark={sorted(g.columns)} oracle={sorted(e.columns)}")

@@ -494,6 +494,109 @@ object TextAnalysis {
        |WHERE CAST(dot AS DOUBLE) >=
        |      $threshold * sqrt(CAST(n21 AS DOUBLE)) * sqrt(CAST(n22 AS DOUBLE))""".stripMargin
 
+  /** Extension `bm25_retrieve` (C23) — BM25 top-k retrieval over the
+    * corpus: a deterministic query panel (every `qMod`-th document,
+    * query terms = its word 3-grams) ranks all documents by summed
+    * BM25 term impacts — the retrieval surface behind the reference's
+    * promised "related notes" recommendation (README.md:52-57,
+    * create_table.sql keywords/topic columns) and the lexical-search
+    * half of a curation stack (C19b mines pairs; this answers
+    * queries).
+    *
+    * ENGINE-EXACT BM25 (rank- AND score-gateable): k1 = 6/5 and
+    * b = 3/4 as exact rationals, the average doc length folded into
+    * one integer `am = (1000·Σdl) div N` (avgdl in token-millis), and
+    * the per-term impact evaluated wholly in Long floor arithmetic:
+    *
+    *   impact = idf · (44·am·tf) div (20·am·tf + 6·am + 18000·dl)
+    *
+    * which is floor( idf · (k1+1)·tf / (tf + k1·(1−b+b·dl/(am/1000)))
+    * ) exactly — multiply the classic form through by 20·am. idf is
+    * C19b's capped integer family least((N·100) div df, 100000)
+    * (log-idf is float; the capped rational keeps the same ordering on
+    * this corpus and gates exactly). Every magnitude is bounded by am
+    * (≈ 1000·avgdl, corpus-size-INDEPENDENT — a 100 TB corpus changes
+    * N and T but not their ratio): idf ≤ 10⁵, ratio < 2.2·am·tf, so
+    * impacts stay ≤ ~10¹³ and per-query sums well inside Long.
+    *
+    * Scale: postings build = two hash aggs over (doc, token) (C19b's
+    * inverted-index shape, df-capped so boilerplate terms drop out);
+    * the query panel is tiny relative to the corpus and BROADCASTS to
+    * the postings scan — per-query partial sums combine map-side, and
+    * the final top-k window partitions by query_id (parallel across
+    * queries; candidates per query are bounded by the df cap ×
+    * |query terms|). Nothing corpus-sized ever shuffles wider than
+    * (doc_id, token, impact). */
+  def bm25Retrieve(spark: SparkSession, dir: String, k: Int = 10,
+                   dfCap: Int = 100, qMod: Int = 20): DataFrame =
+    bm25Of(Tables.fanout(Tables.documents(spark, dir).select(col("doc_id"), col("text"))),
+      k, dfCap, qMod)
+
+  /** Frame-based core of `bm25_retrieve` (docs = (doc_id, text)) —
+    * lets the spec pin ranking behavior on crafted corpora. */
+  def bm25Of(docs: DataFrame, k: Int = 10, dfCap: Int = 100, qMod: Int = 20): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tok = docs.withColumn("t", toks($"text")).filter(size($"t") >= 3)
+    // eager (materialization contract): tf feeds the df aggregate, the
+    // postings build, AND the query-panel side
+    val tf = tok
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, size(t) - 3),
+          |  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))""".stripMargin)).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dl = tok.select($"doc_id", (size($"t") - 2).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("t_tok"))
+      .select($"n_docs", expr("(1000 * t_tok) div n_docs").as("am"))
+    val dfc = tf.groupBy($"token").agg(count(lit(1)).as("df")).filter($"df" <= dfCap)
+    val post = tf.join(dfc, Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select($"doc_id", $"token", expr(
+        """(least((n_docs * 100) div df, 100000) * (44 * am * tf))
+          |  div (20 * am * tf + 6 * am + 18000 * dl)""".stripMargin).as("impact"))
+    // query panel: terms of every qMod-th doc, weight 1 per distinct
+    // term (short-query convention); capped terms drop out via the
+    // posting join itself (post only carries df ≤ dfCap tokens)
+    val q = tf.filter($"doc_id" % qMod === 0)
+      .select($"doc_id".as("query_id"), $"token")
+    val scores = post.join(broadcast(q), Seq("token"))
+      .groupBy($"query_id", $"doc_id").agg(sum($"impact").as("score"))
+    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id")
+    scores.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"query_id", $"doc_id", $"rk", $"score")
+  }
+
+  def bm25RetrieveSql(k: Int = 10, dfCap: Int = 100, qMod: Int = 20): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+       |  WHERE length(trim(text)) > 0),
+       |tf AS (
+       |  SELECT doc_id, token, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, unnest(list_transform(range(0, len(l) - 2),
+       |             i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])) AS token
+       |    FROM tok WHERE len(l) >= 3)
+       |  GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(len(l) - 2 AS BIGINT) AS dl FROM tok WHERE len(l) >= 3),
+       |stats AS (SELECT COUNT(*) AS n_docs,
+       |                 (1000 * CAST(SUM(dl) AS BIGINT)) // COUNT(*) AS am FROM dl),
+       |dfc AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1 HAVING COUNT(*) <= $dfCap),
+       |post AS (
+       |  SELECT tf.doc_id, tf.token,
+       |         (LEAST((s.n_docs * 100) // dfc.df, 100000) * (44 * s.am * tf.tf))
+       |           // (20 * s.am * tf.tf + 6 * s.am + 18000 * d.dl) AS impact
+       |  FROM tf JOIN dfc USING (token) JOIN dl d ON d.doc_id = tf.doc_id, stats s),
+       |q AS (SELECT doc_id AS query_id, token FROM tf WHERE doc_id % $qMod = 0),
+       |scores AS (
+       |  SELECT q.query_id, p.doc_id, SUM(p.impact) AS score
+       |  FROM post p JOIN q USING (token) GROUP BY 1, 2)
+       |SELECT query_id, doc_id, CAST(rk AS INT) AS rk, CAST(score AS BIGINT) AS score
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+       |      FROM scores)
+       |WHERE rk <= $k""".stripMargin
+
   /** Extension `perplexity_score` — unigram-LM perplexity per document,
     * the quality-filtering signal corpus pipelines rank and threshold
     * on (CCNet scores crawl text with a wiki-trained LM; Gopher

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** C23 `bm25_retrieve` — ranking-behavior pins on crafted corpora
+  * (the DuckDB hash gate is the cross-engine equivalence check; these
+  * pin that the integer-exact scoring still BEHAVES like BM25:
+  * self-retrieval, overlap ordering, length normalization, tf
+  * saturation — the retrieval qualities the reference's "related
+  * notes" recommendation promises). */
+class Bm25Spec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def run(docs: Seq[(Long, String)], k: Int = 10) =
+    operators.TextAnalysis.bm25Of(docs.toDF("doc_id", "text"), k = k, qMod = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("rk"), r.getAs[Long]("score")))
+
+  test("bm25: self first, then more-overlap before less-overlap; zero-overlap absent") {
+    val out = run(Seq(
+      0L -> "alpha beta gamma delta epsilon", // the query of interest
+      1L -> "alpha beta gamma delta",         // shares 2 of its 3 shingles
+      2L -> "alpha beta gamma zeta",          // shares 1
+      3L -> "zeta eta theta iota"))           // shares 0
+    val q0 = out.filter(_._1 == 0L).sortBy(_._3)
+    assert(q0.map(_._2).toSeq == Seq(0L, 1L, 2L),
+      s"expected self, 2-shingle, 1-shingle order; got $q0")
+    // ranks are dense from 1 and scores non-increasing
+    assert(q0.map(_._3).toSeq == Seq(1, 2, 3))
+    assert(q0.map(_._4).toSeq == q0.map(_._4).toSeq.sorted.reverse)
+  }
+
+  test("bm25: length normalization — same term once, shorter doc ranks higher") {
+    val out = run(Seq(
+      0L -> "k1 k2 k3 q1 q2",                 // query: one shared shingle + own tail
+      1L -> "k1 k2 k3",                        // short match (dl = 1)
+      2L -> "k1 k2 k3 f1 f2 f3 f4 f5 f6"))     // long match (dl = 7), same tf
+    val q0 = out.filter(t => t._1 == 0L && t._2 != 0L).sortBy(_._3)
+    assert(q0.map(_._2).toSeq == Seq(1L, 2L),
+      s"short doc must outrank long doc at equal tf: $q0")
+    assert(q0(0)._4 > q0(1)._4)
+  }
+
+  test("bm25: tf saturation — 4x the tf scores far less than 4x, at equal length") {
+    // both candidates dl = 10; doc 1 carries the query shingle once,
+    // doc 2 four times (k1 k2 k3 repeated: the shingle recurs at
+    // stride 3) — BM25's saturating tf must keep the ratio under
+    // (k1+1)/1 = 2.2, far below linear
+    val out = run(Seq(
+      0L -> "k1 k2 k3 q1 q2",
+      1L -> "k1 k2 k3 u1 u2 u3 u4 u5 u6 u7 u8 u9",
+      2L -> "k1 k2 k3 k1 k2 k3 k1 k2 k3 k1 k2 k3"))
+    val sc = out.filter(t => t._1 == 0L).map(t => t._2 -> t._4).toMap
+    // doc 2 also matches cross-shingles ("k2 k3 k1", "k3 k1 k2") only
+    // with itself, not the query, so only "k1 k2 k3" scores for q0
+    assert(sc(2L) > sc(1L), s"higher tf must still score higher: $sc")
+    assert(sc(2L).toDouble < 2.3 * sc(1L).toDouble,
+      s"tf=4 must saturate below (k1+1)x the tf=1 score: $sc")
+  }
+
+  test("bm25: the df cap drops corpus-wide boilerplate terms from scoring") {
+    // 'b1 b2 b3' is in every doc; with dfCap = 2 it contributes no
+    // postings, so doc 3 (boilerplate-only overlap) is not retrieved
+    val docs = Seq(
+      0L -> "b1 b2 b3 alpha beta gamma",
+      1L -> "b1 b2 b3 alpha beta delta",
+      2L -> "b1 b2 b3 zeta eta theta",
+      3L -> "b1 b2 b3")
+    val out = operators.TextAnalysis.bm25Of(docs.toDF("doc_id", "text"),
+        k = 10, dfCap = 2, qMod = 1)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")))
+    val q0 = out.filter(_._1 == 0L).map(_._2).toSet
+    assert(q0.contains(1L), "shingle-sharing doc must be retrieved")
+    assert(!q0.contains(3L), s"boilerplate-only doc must be df-capped out: $q0")
+  }
+}

@@ -229,7 +229,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // total_occ scalars
     val crossOk = Set("ann_bruteforce", "ann_ivf", "knn_classify",
       "knn_classify_ivf", "stats_prune",
-      "tfidf_terms", "vocab_build", "perplexity_score", "zorder_layout")
+      "tfidf_terms", "vocab_build", "perplexity_score", "zorder_layout",
+      "bm25_retrieve")
     // k-bounded-group max_by assigns: the sort is by grouping key with
     // map-side partial agg — benign, unlike cluster-sized groups
     val sortAggOk = Set("ann_ivf", "resample_fill", "stream_dedup")
@@ -243,8 +244,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // over the per-band total AGGREGATE (inventory/1000 rows)
     // stats_prune: the 1-row predicate-bounds aggregate over the
     // metadata-sized layout — same bounded scalar-combine class
+    // bm25_retrieve: same class — the (n_docs, am) scalar aggregate is
+    // its only single-partition combine and its only cross (broadcast)
     val singleOk = Set("tfidf_terms", "vocab_build", "perplexity_score",
-      "zorder_layout", "compaction_plan", "stats_prune")
+      "zorder_layout", "compaction_plan", "stats_prune", "bm25_retrieve")
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val nodes = collectAll(executedPlan(fn(spark, sf)))
       spark.catalog.clearCache()
@@ -312,7 +315,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // n×m explosion. Runtime numOutputRows is the cardinality itself.
     val crossOk = Seq("ann_bruteforce", "ann_ivf", "knn_classify",
       "knn_classify_ivf", "stats_prune",
-      "tfidf_terms", "vocab_build", "perplexity_score", "zorder_layout")
+      "tfidf_terms", "vocab_build", "perplexity_score", "zorder_layout",
+      "bm25_retrieve")
     def rowsOf(p: org.apache.spark.sql.execution.SparkPlan): Option[Long] = p match {
       case q: QueryStageExec => rowsOf(q.plan)
       case e: BroadcastExchangeLike => Some(e.metrics("numOutputRows").value)

@@ -84,6 +84,28 @@ object NearDup {
       docs.select(($"doc_id" + BigOffset).as("doc_id"), $"text")))
   }
 
+  /** documents ∪ a NOISY re-crawl (ids + [[BigOffset]]): twin text =
+    * the original with k evenly-spaced tokens replaced by a
+    * twin-unique marker — the D6b noisy-image trick carried into token
+    * space, deterministic and in-plan (the Bresenham-style condition
+    * ⌊i·k/n⌋ ≠ ⌊(i+1)·k/n⌋ marks exactly min(k, n) spread-out
+    * positions). The twins are NEAR-duplicates, not copies: every
+    * marker embeds the doc_id, so an exact-hash detector provably
+    * cannot pair them, while the sketch detectors (C2 minhash bands,
+    * C3 simhash bands) must recover them through real signature noise
+    * — the recall surface RecallSpec grades. */
+  private[graft] def noisyCorpus(spark: SparkSession, dir: String, k: Int = 2): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val noisy = docs
+      .withColumn("t", split(trim($"text"), "\\s+"))
+      .select(($"doc_id" + BigOffset).as("doc_id"), concat_ws(" ", expr(
+        s"""transform(t, (x, i) ->
+           |  if((i * $k) div size(t) != ((i + 1) * $k) div size(t),
+           |     concat('zznoise', doc_id, 'x', i), x))""".stripMargin)).as("text"))
+    Tables.fanout(docs.unionAll(noisy))
+  }
+
   /** doc_id + distinct word-3-gram shingles (docs with ≥3 tokens). */
   private def shingledFrames(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._

@@ -101,6 +101,45 @@ class RecallSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("C2/C3 recover NOISY planted twins that the exact detector provably cannot") {
+    import spark.implicits._
+    // twins = each document with k=2 evenly-spaced tokens replaced by a
+    // twin-unique marker (NearDup.noisyCorpus — in-plan, deterministic):
+    // near-duplicates through real signature noise, not exact copies
+    val docs = operators.NearDup.noisyCorpus(spark, sf, k = 2).cache()
+    val eligible = docs.filter($"doc_id" < 1000000L)
+      .filter(size(split(trim($"text"), "\\s+")) >= 3).count()
+    assert(eligible > 0)
+    // the exact detector CANNOT pair them: every marker embeds doc_id
+    val exactHits = docs
+      .select($"doc_id", md5(lower(trim(regexp_replace($"text", "\\s+", " ")))).as("h"))
+      .groupBy($"h").agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+      .filter($"hi" === $"lo" + 1000000L).count()
+    assert(exactHits == 0, s"noisy twins must NOT be exact duplicates ($exactHits were)")
+    // C2: minhash LSH bands. A 2-of-n token edit rewrites <= 6 of ~n
+    // shingles (j ~ 0.8 at the corpus's ~50-token docs); 4x4 banding
+    // collides such pairs w.p. 1-(1-j^4)^4 ~ 0.85 — floor 0.6 leaves
+    // ~3 sigma of binomial slack at this corpus size
+    val mhPairs = operators.NearDup.minhashLshPairs(docs)
+    val mhTwins = mhPairs.filter($"id2" === $"id1" + 1000000L)
+    val mhRecall = mhTwins.count().toDouble / eligible
+    assert(mhRecall >= 0.6, s"C2 noisy-twin recall = $mhRecall ($eligible eligible)")
+    // ...and recovered through real noise: the estimates sit BELOW 1
+    val mhEstMax = mhTwins.agg(max($"est_jaccard")).head().getDouble(0)
+    val mhEstAvg = mhTwins.agg(avg($"est_jaccard")).head().getDouble(0)
+    assert(mhEstAvg < 1.0, s"twin est_jaccard avg $mhEstAvg — noise not visible?")
+    // C3: simhash bands. 2 edited tokens of ~50 flip only near-tie
+    // bits, but unigram votes on this ~31-word vocabulary are heavily
+    // shared, so a marker token can swing several ties at once:
+    // measured recall 0.78 at maxHamming 8 — floor 0.7
+    val shRecall = operators.NearDup.simhashPairs(docs)
+      .filter($"id2" === $"id1" + 1000000L).count().toDouble / eligible
+    assert(shRecall >= 0.7, s"C3 noisy-twin recall = $shRecall ($eligible eligible)")
+    info(f"noisy-twin recall: C2 minhash $mhRecall%.3f (est avg $mhEstAvg%.3f, max $mhEstMax%.3f), C3 simhash $shRecall%.3f over $eligible docs")
+    docs.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("C7 ann_lsh buckets concentrate similar pairs: collision rate rises with cosine") {
     val exact = operators.Similarity.blockedAllPairs(
       operators.Similarity.twinCorpus(spark, sf)

@@ -711,6 +711,28 @@ object Govern {
       |WHERE s.min_pk <= p.p_hi AND s.max_pk >= p.p_lo
       |  AND s.min_sk <= p.s_hi AND s.max_sk >= p.s_lo""".stripMargin
 
+  /** Materialize F13's layout manifest as an ACTUAL partition-per-file
+    * parquet lake at `path` (`file_id` = partition directory; the
+    * pre-write repartition on the partition value makes each directory
+    * exactly one parquet file) — the rewrite job that turns the
+    * manifest into physical layout. */
+  def zorderWrite(spark: SparkSession, dir: String, path: String,
+                  rowsPerFile: Int = 4096): Unit =
+    zorderLayout(spark, dir, rowsPerFile)
+      .repartition(col("file_id"))
+      .write.partitionBy("file_id").mode("overwrite").parquet(path)
+
+  /** The data-skipping READ over a [[zorderWrite]] lake: scan only the
+    * survivor `file_id`s from F15's pruning decision. `file_id` is a
+    * PARTITION column, so Catalyst prunes the skipped directories at
+    * planning time — their files are never opened; the scan's
+    * `numFiles` metric equals the survivor count (GovernSpec measures
+    * it). The survivor list is driver-side metadata BY DESIGN: planning
+    * a scan from file stats is what a lakehouse driver does with its
+    * manifest (Delta/Iceberg); its size is O(files), never O(rows). */
+  def prunedScan(spark: SparkSession, path: String, survivors: Seq[Int]): DataFrame =
+    spark.read.parquet(path).filter(col("file_id").isin(survivors: _*))
+
   def zorderLayoutSql(rowsPerFile: Int = 4096): String =
     s"""WITH li AS (
        |  SELECT l_orderkey, l_linenumber,

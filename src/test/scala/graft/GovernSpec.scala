@@ -382,6 +382,57 @@ class GovernSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("stats_prune drives a REAL partition-pruned parquet read: same rows, fewer files opened") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // the sibling spec checks the pruning DECISION on the layout frame;
+    // this one makes it physical: write the layout as a partition-per-
+    // file parquet lake, scan back only the survivor files, and measure
+    // files-opened from the scan's own numFiles metric
+    val rowsPerFile = 256
+    val lake = java.nio.file.Files.createTempDirectory("graft_zlake").toFile
+    lake.deleteOnExit()
+    operators.Govern.zorderWrite(spark, sf, lake.getAbsolutePath, rowsPerFile)
+    val survivors = operators.Govern.statsPrune(spark, sf, rowsPerFile)
+      .select("file_id").collect().map(_.getInt(0)).toSeq
+    // the corner-box predicate, recomputed as in the sibling spec
+    val layout = operators.Govern.zorderLayout(spark, sf, rowsPerFile)
+    val r = layout.agg(min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey")).first()
+    def lv(i: Int): Long = r.getAs[Number](i).longValue()
+    val (pHi, sHi) = (lv(0) + (lv(1) - lv(0)) / 8, lv(2) + (lv(3) - lv(2)) / 8)
+    def box(df: DataFrame): DataFrame = df.filter(
+      col("l_partkey").between(lv(0), pHi) && col("l_suppkey").between(lv(2), sHi))
+    def filesOpened(df: DataFrame): Long = {
+      df.collect() // populate runtime metrics
+      def all(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+        case q: QueryStageExec => all(q.plan)
+        case _ => p +: p.children.flatMap(all)
+      }
+      all(df.queryExecution.executedPlan)
+        .collect { case f: FileSourceScanExec => f.metrics("numFiles").value }.sum
+    }
+    val fullScan = box(spark.read.parquet(lake.getAbsolutePath))
+    val prunedRead = box(operators.Govern.prunedScan(
+      spark, lake.getAbsolutePath, survivors))
+    // no row lost: the pruned physical read returns the identical
+    // multiset (a skipped file's bbox is disjoint from the box)
+    assert(fullScan.count() == prunedRead.count() &&
+      fullScan.exceptAll(prunedRead).count() == 0,
+      "pruned physical read must equal the full-scan filter")
+    // the measured payoff: directory pruning actually happened — the
+    // pruned scan opened exactly the survivor files, at most half of
+    // the lake (same bar as the decision-level spec)
+    val (nFull, nPruned) = (filesOpened(fullScan), filesOpened(prunedRead))
+    assert(nPruned == survivors.length,
+      s"pruned scan opened $nPruned files, expected ${survivors.length} survivors")
+    assert(nPruned * 2 <= nFull,
+      s"pruning must skip at least half the physical files ($nPruned of $nFull)")
+    spark.catalog.clearCache()
+  }
+
   test("zorder_layout: the scalar-bounds cross carries NO join condition (nullability pin)") {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     // the inner join on band infers isnotnull(band); if zval were

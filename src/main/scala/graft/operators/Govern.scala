@@ -733,6 +733,28 @@ object Govern {
   def prunedScan(spark: SparkSession, path: String, survivors: Seq[Int]): DataFrame =
     spark.read.parquet(path).filter(col("file_id").isin(survivors: _*))
 
+  /** Build and register the per-file min/max stats of a [[zorderWrite]]
+    * lake with [[graft.plans.StatsPruneRegistry]], so
+    * [[graft.plans.StatsPruneRule]] auto-prunes any filtered scan of
+    * `path` — the reader keeps writing plain
+    * `spark.read.parquet(path).filter(...)` and never mentions
+    * `file_id`. One metadata-sized aggregate scan per registration (the
+    * "collect file stats into the manifest" half of a lakehouse write
+    * job; at cluster scale the writer emits these stats inline). */
+  def registerLakeStats(spark: SparkSession, path: String,
+                        cols: Seq[String]): Unit = {
+    val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+    val rows = spark.read.parquet(path)
+      .groupBy(col("file_id")).agg(aggs.head, aggs.tail: _*).collect()
+    val stats = rows.map { r =>
+      graft.plans.StatsPruneRegistry.FileStats(
+        r.getAs[Number]("file_id").intValue(),
+        cols.map(c => c -> (r.getAs[Number](s"mn_$c").longValue(),
+          r.getAs[Number](s"mx_$c").longValue())).toMap)
+    }.toSeq
+    graft.plans.StatsPruneRegistry.register(path, stats)
+  }
+
   def zorderLayoutSql(rowsPerFile: Int = 4096): String =
     s"""WITH li AS (
        |  SELECT l_orderkey, l_linenumber,

@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ByteAt].getName, "byte_at"),
       (args: Seq[Expression]) => ByteAt(args(0), args(1))))
     ext.injectOptimizerRule(_ => FuseVectorKernels)
+    ext.injectOptimizerRule(_ => StatsPruneRule)
     ext.injectPlannerStrategy(_ => AsOfStrategy)
   }
 }

@@ -42,6 +42,59 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(0) == 'A'.toInt && r.isNullAt(1))
   }
 
+  test("StatsPruneRule: a plain filtered read of a registered lake is auto-pruned, same rows") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // the GovernSpec physical-pruning test drives prunedScan EXPLICITLY
+    // (the reader names survivor file_ids); this one proves the
+    // Catalyst rule injects the same decision for a reader who never
+    // mentions file_id at all
+    val rowsPerFile = 256
+    val lake = java.nio.file.Files.createTempDirectory("graft_rulelake").toFile
+    lake.deleteOnExit()
+    operators.Govern.zorderWrite(spark, sf, lake.getAbsolutePath, rowsPerFile)
+    def filesOpened(df: DataFrame): Long = {
+      df.collect()
+      def all(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+        case q: QueryStageExec => all(q.plan)
+        case _ => p +: p.children.flatMap(all)
+      }
+      all(df.queryExecution.executedPlan)
+        .collect { case f: FileSourceScanExec => f.metrics("numFiles").value }.sum
+    }
+    val r = spark.read.parquet(lake.getAbsolutePath)
+      .agg(min("l_partkey"), max("l_partkey")).first()
+    val pHi = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 8
+    def readBox(): DataFrame = spark.read.parquet(lake.getAbsolutePath)
+      .filter(col("l_partkey") >= r.getLong(0) && col("l_partkey") <= pHi)
+    // before registration: the rule is a no-op, every file is opened
+    val before = readBox()
+    val (rowsBefore, filesBefore) = (before.count(), filesOpened(before))
+    try {
+      operators.Govern.registerLakeStats(spark, lake.getAbsolutePath,
+        Seq("l_partkey", "l_suppkey"))
+      val after = readBox()
+      assert(after.count() == rowsBefore &&
+        readBox().exceptAll(before).count() == 0,
+        "rule-pruned read must return the identical row multiset")
+      val filesAfter = filesOpened(after)
+      assert(filesAfter * 2 <= filesBefore,
+        s"rule must skip at least half the files ($filesAfter of $filesBefore)")
+      // soundness guard: a predicate the rule can't parse prunes nothing
+      val opaque = spark.read.parquet(lake.getAbsolutePath)
+        .filter((col("l_partkey") + col("l_suppkey")) % 2 === 0)
+      assert(filesOpened(opaque) == filesBefore,
+        "unparseable predicates must not prune")
+      // and an explicit file_id predicate is left alone (prunedScan path)
+      val explicit = spark.read.parquet(lake.getAbsolutePath)
+        .filter(col("file_id") === 0)
+      assert(filesOpened(explicit) == 1L)
+    } finally graft.plans.StatsPruneRegistry.unregister(lake.getAbsolutePath)
+    spark.catalog.clearCache()
+  }
+
   test("kernel agrees with a driver-side fold on real embeddings") {
     // NOTE: with GraftExtensions active session-wide, the HOF form
     // would itself plan as the kernel — comparing the two would be

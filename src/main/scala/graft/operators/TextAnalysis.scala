@@ -539,18 +539,23 @@ object TextAnalysis {
     val tok = docs.withColumn("t", toks($"text")).filter(size($"t") >= 3)
     // eager (materialization contract): tf feeds the df aggregate, the
     // postings build, AND the query-panel side
+    // dl rides THROUGH the tf aggregate as a functionally-dependent
+    // grouping column (constant per doc_id — zero extra shuffle
+    // volume), so the postings build needs NO per-doc length join and
+    // nothing downstream re-runs the tokenize pipeline (re-deriving dl
+    // from the scan cost 2x the query's task time in re-tokenization;
+    // a separate groupBy-sum cost an extra shuffled agg + join)
     val tf = tok
-      .select($"doc_id", explode(expr(
+      .select($"doc_id", (size($"t") - 2).cast("long").as("dl"), explode(expr(
         """transform(sequence(0, size(t) - 3),
           |  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))""".stripMargin)).as("token"))
-      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      .groupBy($"doc_id", $"dl", $"token").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    val dl = tok.select($"doc_id", (size($"t") - 2).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("t_tok"))
+    val stats = tf.groupBy($"doc_id").agg(first($"dl").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum($"dl").as("t_tok"))
       .select($"n_docs", expr("(1000 * t_tok) div n_docs").as("am"))
     val dfc = tf.groupBy($"token").agg(count(lit(1)).as("df")).filter($"df" <= dfCap)
     val post = tf.join(dfc, Seq("token"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .select($"doc_id", $"token", expr(
         """(least((n_docs * 100) div df, 100000) * (44 * am * tf))

@@ -933,6 +933,94 @@ object NearDup {
         expr("aggregate(fingerprints, 0L, (acc, x) -> acc ^ x)").as("fp_xor"))
   }
 
+  /** C24 `substring_dedup` — EXACT SUBSTRING duplication audit: the
+    * character-level dedup signal (verbatim spans re-used across
+    * documents — quotations, boilerplate, partial re-crawls) that
+    * doc-level (C1) and token-shingle (C2-C4) methods miss. Corpus =
+    * documents ∪ a planted PARTIAL re-crawl (first 3/5 of each doc's
+    * normalized chars + a twin-unique tail), so the operator provably
+    * reports high dup_pct on overlaps an exact-hash dedup cannot see.
+    *
+    * Window selection is CONTENT-DEFINED (the winnowing/CDC anchor
+    * trick, rsync-style): position i is an anchor iff 16 md5 bits of
+    * its 8-char prefix ≡ 0 (mod `anchorMod`), and each anchor hashes
+    * its k-char window. Fixed-stride windows only match when two
+    * occurrences agree on offset mod stride; content-defined anchors
+    * select the SAME windows inside a shared span at ANY offset —
+    * the property SubstringSpec pins. Expected window density 1/mod.
+    *
+    * Scale: per-row window extraction (HOFs, no UDF), one (doc, hash)
+    * aggregate, the ≥2-distinct-docs hash set joined back on hash —
+    * C4's posting shape, linear in total selected windows. md5 both
+    * sides ⇒ fully hash-gated (C11's posture). */
+  def substringDedup(spark: SparkSession, dir: String, k: Int = 64,
+                     anchorMod: Int = 8): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir).select($"doc_id",
+      lower(trim(regexp_replace($"text", "\\s+", " "))).as("norm"))
+    val twins = base.select(($"doc_id" + BigOffset).as("doc_id"),
+      concat(expr("substring(norm, 1, (length(norm) * 3) div 5)"),
+        lit(" zztail"), ($"doc_id" + BigOffset).cast("string")).as("norm"))
+    substringAudit(Tables.fanout(base.unionAll(twins)), k, anchorMod)
+  }
+
+  /** Frame-based core of C24 (docs = (doc_id, norm), pre-normalized) —
+    * lets SubstringSpec pin the offset-robustness of the
+    * content-defined anchors on crafted documents. */
+  private[graft] def substringAudit(docs: DataFrame, k: Int,
+                                    anchorMod: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val wins = docs
+      .filter(length($"norm") >= k)
+      .select($"doc_id", explode(expr(
+        s"""filter(transform(sequence(1, length(norm) - $k + 1),
+           |  i -> if(cast(conv(substring(md5(substring(norm, i, 8)), 1, 4), 16, 10) as bigint)
+           |            % $anchorMod = 0,
+           |          md5(substring(norm, i, $k)), null)),
+           |  x -> x is not null)""".stripMargin)).as("h"))
+    // eager: the per-(doc, window) table feeds the shared-hash set AND
+    // both per-doc rollups (materialization contract)
+    val pd = wins.groupBy($"doc_id", $"h").agg(count(lit(1)).as("m"))
+      .localCheckpoint()
+    val shared = pd.groupBy($"h").agg(count(lit(1)).as("ndocs"))
+      .filter($"ndocs" >= 2).select($"h")
+    val nWin = pd.groupBy($"doc_id").agg(sum($"m").as("n_win"))
+    val nDup = pd.join(shared, Seq("h"))
+      .groupBy($"doc_id").agg(sum($"m").as("n_dup"))
+    nWin.join(nDup, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_win",
+        coalesce($"n_dup", lit(0L)).as("n_dup"),
+        expr("(100 * coalesce(n_dup, 0L)) div n_win").as("dup_pct"))
+  }
+
+  def substringDedupSql(k: Int = 64, anchorMod: Int = 8): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+       |  FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, norm FROM base
+       |  UNION ALL
+       |  SELECT doc_id + $BigOffset,
+       |         substr(norm, 1, (length(norm) * 3) // 5) || ' zztail' ||
+       |           CAST(doc_id + $BigOffset AS VARCHAR)
+       |  FROM base),
+       |w AS (
+       |  SELECT doc_id, unnest(list_filter(list_transform(range(1, length(norm) - $k + 2),
+       |           i -> CASE WHEN CAST(('0x' || substr(md5(substr(norm, i, 8)), 1, 4)) AS BIGINT)
+       |                          % $anchorMod = 0
+       |                     THEN md5(substr(norm, i, $k)) END),
+       |         x -> x IS NOT NULL)) AS h
+       |  FROM corpus WHERE length(norm) >= $k),
+       |pd AS (SELECT doc_id, h, COUNT(*) AS m FROM w GROUP BY 1, 2),
+       |sh AS (SELECT h FROM pd GROUP BY h HAVING COUNT(*) >= 2),
+       |nw AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_win FROM pd GROUP BY 1),
+       |nd AS (SELECT pd.doc_id, CAST(SUM(pd.m) AS BIGINT) AS n_dup
+       |       FROM pd JOIN sh USING (h) GROUP BY 1)
+       |SELECT nw.doc_id, nw.n_win,
+       |       CAST(COALESCE(nd.n_dup, 0) AS BIGINT) AS n_dup,
+       |       CAST((100 * COALESCE(nd.n_dup, 0)) // nw.n_win AS BIGINT) AS dup_pct
+       |FROM nw LEFT JOIN nd ON nd.doc_id = nw.doc_id""".stripMargin
+
   def docFingerprintSql: String =
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** C24 `substring_dedup` — pins the property the operator exists for:
+  * CONTENT-DEFINED anchors find a shared span at ANY pair of offsets,
+  * where fixed-stride windows only match offsets agreeing mod stride.
+  * (The DuckDB hash gate is the cross-engine equivalence check.) */
+class SubstringSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // deterministic "unrelated" filler and a shared span, alphabetic so
+  // normalization is a no-op
+  private def block(seed: Int, n: Int): String =
+    (0 until n).map(i => ('a' + ((i * 31 + seed * 17 + i * i * 7) % 26)).toChar).mkString
+
+  private val X = block(99, 240) // the shared span, ~240 chars
+
+  test("substring_dedup: shared span found at misaligned offsets; unrelated doc clean") {
+    // D1 carries X after a 123-char prefix, D2 after a 38-char prefix:
+    // offsets differ by 85, coprime to any power-of-two stride — a
+    // fixed-stride scheme would select DIFFERENT windows inside X on
+    // each side and report zero duplication
+    val docs = Seq(
+      (1L, block(1, 123) + X + block(2, 40)),
+      (2L, block(3, 38) + X + block(4, 90)),
+      (3L, block(5, 400))).toDF("doc_id", "norm")
+    val out = operators.NearDup.substringAudit(docs, k = 64, anchorMod = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_win"), r.getAs[Long]("n_dup"), r.getAs[Long]("dup_pct")))).toMap
+    assert(out(1L)._2 > 0 && out(2L)._2 > 0,
+      s"shared span at misaligned offsets must be detected: $out")
+    assert(out(3L)._2 == 0, s"unrelated doc must audit clean: $out")
+    // both carriers see the SAME number of duplicated windows — the
+    // anchors inside X are selected identically regardless of offset
+    assert(out(1L)._2 == out(2L)._2,
+      s"content-defined selection must pick identical windows in X: $out")
+    out.foreach { case (_, (nw, nd, pct)) => assert(pct == 100 * nd / nw) }
+  }
+
+  test("substring_dedup registry corpus: planted partial re-crawls audit dirty, dup_pct sane") {
+    val out = operators.NearDup.substringDedup(spark, sf).cache()
+    // every emitted row's accounting is internally consistent
+    assert(out.filter(col("n_dup") > col("n_win")).count() == 0)
+    assert(out.filter(col("dup_pct") =!= expr("(100 * n_dup) div n_win")).count() == 0)
+    // twins share their first 3/5 with the original: most twins that
+    // carry windows at all should see duplication, and their originals
+    // must see it symmetrically
+    val twins = out.filter(col("doc_id") >= 1000000L)
+    val dirtyTwins = twins.filter(col("n_dup") > 0).count()
+    assert(dirtyTwins > 0, "no planted partial re-crawl detected at all")
+    val origsDirty = out.filter(col("doc_id") < 1000000L && col("n_dup") > 0).count()
+    assert(origsDirty >= dirtyTwins,
+      "each dirty twin's shared windows must also flag its original")
+    out.unpersist()
+    spark.catalog.clearCache()
+  }
+}

@@ -29,7 +29,9 @@ class DeterminismSpec extends AnyFunSuite {
     "perplexity_score",    // rounded float mean of per-token log-probs
     "cross_dedup",         // asymmetric pair counting across shuffles
     "zorder_layout",       // banded rank over Morton codes + file chunking
-    "compaction_plan"      // banded exclusive cumsum + offset binning
+    "compaction_plan",     // banded exclusive cumsum + offset binning
+    "bm25_retrieve",       // integer impacts + (score, doc_id) rank tie-breaks
+    "substring_dedup"      // content-defined window posting counts
   )
 
   /** Collect to the driver and normalize — NO cache()/exceptAll here:

@@ -303,8 +303,17 @@ object Similarity {
     * cross-engine against DuckDB brute force. */
   def annIvf(spark: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 2,
              k: Int = 5, nQueries: Int = 50): DataFrame = {
-    import spark.implicits._
     val (centroids, lists) = ivfIndex(spark, dir, nlist)
+    ivfProbe(centroids, lists, nprobe, k, nQueries)
+  }
+
+  /** The probe plan shared by the memo-served [[annIvf]] and the
+    * table-served [[annIvfServe]]: route each query to its `nprobe`
+    * nearest centroids, scan only those cells' lists, exact-cosine
+    * rank within the candidates. */
+  private def ivfProbe(centroids: DataFrame, lists: DataFrame,
+                       nprobe: Int, k: Int, nQueries: Int): DataFrame = {
+    import centroids.sparkSession.implicits._
     val queries = lists.filter($"neighbor_id" < nQueries)
       .select($"neighbor_id".as("vec_id"), $"vc".as("embedding"), $"nc".as("norm"))
     val probes = nearestCell(queries, centroids, "p", nprobe)
@@ -317,6 +326,35 @@ object Similarity {
       .withColumn("rank_nn", row_number().over(w))
       .filter($"rank_nn" <= k)
       .select($"query_id", $"neighbor_id", $"cell", $"rank_nn", $"cosine")
+  }
+
+  /** Persist the [[ivfIndex]] as on-disk index TABLES at `path` — the
+    * serving layout the memo's Scaladoc promises: `centroids/` (one
+    * broadcast-sized file) and `lists/` PARTITIONED BY cell, so a
+    * probe run reads only its probed cells' directories. Build once,
+    * serve any number of probe runs/processes. */
+  def ivfWrite(spark: SparkSession, dir: String, path: String,
+               nlist: Int = 16): Unit = {
+    val (centroids, lists) = ivfIndex(spark, dir, nlist)
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    lists.repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/lists")
+  }
+
+  /** [[annIvf]] served from a persisted [[ivfWrite]] index: the
+    * identical probe plan over the index tables instead of the
+    * in-process memo (SimilaritySpec pins result equality). `cell` is
+    * the lists' partition column, so each probed cell is a directory
+    * read — the billion-vector layout where a probe touches
+    * nprobe/nlist of the index and never the raw corpus. */
+  def annIvfServe(spark: SparkSession, path: String, nprobe: Int = 2,
+                  k: Int = 5, nQueries: Int = 50): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val lists = spark.read.parquet(s"$path/lists")
+      .select($"cell", $"neighbor_id",
+        $"vc".cast("array<float>").as("vc"), $"nc", $"label")
+    ivfProbe(centroids, lists, nprobe, k, nQueries)
   }
 
   /** C16 `centroid_per_label` — mean embedding per label, emitted one

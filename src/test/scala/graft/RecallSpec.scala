@@ -168,6 +168,26 @@ class RecallSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("C7b persisted IVF index serves identical results to the in-process memo") {
+    // build-once-serve-many: write the index tables (centroids +
+    // cell-partitioned lists), then run the SAME probe plan from disk —
+    // every row must match the memo-served operator exactly (float
+    // vectors round-trip parquet bit-exactly)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toFile
+    idx.deleteOnExit()
+    operators.Similarity.ivfWrite(spark, sf, idx.getAbsolutePath)
+    val memo = operators.Similarity.annIvf(spark, sf)
+    val served = operators.Similarity.annIvfServe(spark, idx.getAbsolutePath)
+    assert(memo.count() == served.count() &&
+      memo.exceptAll(served).count() == 0,
+      "table-served IVF probe must equal the memo-served operator")
+    // the on-disk layout is the probe-prunable shape: one directory per cell
+    val cells = new java.io.File(idx, "lists").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cells > 1, s"lists must be partitioned by cell (found $cells dirs)")
+    spark.catalog.clearCache()
+  }
+
   test("C7b ann_ivf recall@5 against C6 exact top-5") {
     val exact = operators.Similarity.annBruteforce(spark, sf, k = 5, nQueries = 20)
       .select(col("query_id"), col("neighbor_id"))

@@ -954,14 +954,36 @@ object NearDup {
     * C4's posting shape, linear in total selected windows. md5 both
     * sides ⇒ fully hash-gated (C11's posture). */
   def substringDedup(spark: SparkSession, dir: String, k: Int = 64,
-                     anchorMod: Int = 8): DataFrame = {
+                     anchorMod: Int = 8): DataFrame =
+    substringAudit(substringCorpus(spark, dir), k, anchorMod)
+
+  /** C24's corpus: normalized documents ∪ the planted PARTIAL re-crawl
+    * (first 3/5 of the chars + a twin-unique tail) — shared by batch
+    * C24 and streaming E10 so their inputs cannot drift. */
+  private[graft] def substringCorpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = Tables.documents(spark, dir).select($"doc_id",
       lower(trim(regexp_replace($"text", "\\s+", " "))).as("norm"))
     val twins = base.select(($"doc_id" + BigOffset).as("doc_id"),
       concat(expr("substring(norm, 1, (length(norm) * 3) div 5)"),
         lit(" zztail"), ($"doc_id" + BigOffset).cast("string")).as("norm"))
-    substringAudit(Tables.fanout(base.unionAll(twins)), k, anchorMod)
+    Tables.fanout(base.unionAll(twins))
+  }
+
+  /** Content-defined window extraction of a (doc_id, norm) frame —
+    * the shared signature pipeline of batch C24 and streaming E10
+    * (one definition; mirrors [[substringWindowsCte]]). */
+  private[graft] def substringWindows(docs: DataFrame, k: Int,
+                                      anchorMod: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .filter(length($"norm") >= k)
+      .select($"doc_id", explode(expr(
+        s"""filter(transform(sequence(1, length(norm) - $k + 1),
+           |  i -> if(cast(conv(substring(md5(substring(norm, i, 8)), 1, 4), 16, 10) as bigint)
+           |            % $anchorMod = 0,
+           |          md5(substring(norm, i, $k)), null)),
+           |  x -> x is not null)""".stripMargin)).as("h"))
   }
 
   /** Frame-based core of C24 (docs = (doc_id, norm), pre-normalized) —
@@ -970,14 +992,7 @@ object NearDup {
   private[graft] def substringAudit(docs: DataFrame, k: Int,
                                     anchorMod: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    val wins = docs
-      .filter(length($"norm") >= k)
-      .select($"doc_id", explode(expr(
-        s"""filter(transform(sequence(1, length(norm) - $k + 1),
-           |  i -> if(cast(conv(substring(md5(substring(norm, i, 8)), 1, 4), 16, 10) as bigint)
-           |            % $anchorMod = 0,
-           |          md5(substring(norm, i, $k)), null)),
-           |  x -> x is not null)""".stripMargin)).as("h"))
+    val wins = substringWindows(docs, k, anchorMod)
     // eager: the per-(doc, window) table feeds the shared-hash set AND
     // both per-doc rollups (materialization contract)
     val pd = wins.groupBy($"doc_id", $"h").agg(count(lit(1)).as("m"))
@@ -993,8 +1008,12 @@ object NearDup {
         expr("(100 * coalesce(n_dup, 0L)) div n_win").as("dup_pct"))
   }
 
-  def substringDedupSql(k: Int = 64, anchorMod: Int = 8): String =
-    s"""WITH base AS (
+  /** Shared CTE prefix of the C24/E10 oracles: normalized corpus with
+    * partial-re-crawl twins → content-defined k-char window hashes.
+    * Mirrors [[substringCorpus]]+[[substringWindows]]
+    * construct-for-construct. */
+  private def substringWindowsCte(k: Int, anchorMod: Int): String =
+    s"""base AS (
        |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
        |  FROM documents),
        |corpus AS (
@@ -1010,8 +1029,33 @@ object NearDup {
        |                          % $anchorMod = 0
        |                     THEN md5(substr(norm, i, $k)) END),
        |         x -> x IS NOT NULL)) AS h
-       |  FROM corpus WHERE length(norm) >= $k),
-       |pd AS (SELECT doc_id, h, COUNT(*) AS m FROM w GROUP BY 1, 2),
+       |  FROM corpus WHERE length(norm) >= $k)""".stripMargin
+
+  /** E10's oracle: window posts bucketed by the 56-bit md5-prefix key,
+    * rank-truncation cap per bucket (the stream's admission
+    * semantics), pairs scored by matching-half fraction — the same
+    * formula the typed detector computes. */
+  def substringTruncatedSql(bucketCap: Int = 1000, k: Int = 64,
+                            anchorMod: Int = 8): String =
+    s"WITH ${substringWindowsCte(k, anchorMod)},\n" +
+    s"""p AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(h, 1, 14)) AS BIGINT) AS h1,
+       |         MIN(CAST(('0x' || substr(h, 15, 14)) AS BIGINT)) AS h2
+       |  FROM w GROUP BY 1, 2),
+       |adm AS (
+       |  SELECT * FROM (
+       |    SELECT p.*, row_number() OVER (PARTITION BY h1 ORDER BY doc_id) AS rk
+       |    FROM p)
+       |  WHERE rk <= $bucketCap)
+       |SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+       |       CAST(1 + CASE WHEN x.h2 = y.h2 THEN 1 ELSE 0 END AS DOUBLE) / 2
+       |         AS est_jaccard
+       |FROM adm x JOIN adm y ON x.h1 = y.h1 AND x.doc_id < y.doc_id""".stripMargin
+
+  def substringDedupSql(k: Int = 64, anchorMod: Int = 8): String =
+    s"WITH ${substringWindowsCte(k, anchorMod)},\n" +
+    s"""pd AS (SELECT doc_id, h, COUNT(*) AS m FROM w GROUP BY 1, 2),
        |sh AS (SELECT h FROM pd GROUP BY h HAVING COUNT(*) >= 2),
        |nw AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_win FROM pd GROUP BY 1),
        |nd AS (SELECT pd.doc_id, CAST(SUM(pd.m) AS BIGINT) AS n_dup

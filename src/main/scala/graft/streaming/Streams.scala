@@ -588,6 +588,46 @@ object Streams {
       .as[BandPost]
   }
 
+  /** E10 `stream_substring_dedup` — STREAMING exact-substring dedup:
+    * every arriving document's content-defined window hashes (C24's
+    * family) post into the SAME stateful buckets as E6/E9 — one
+    * detector, THREE signature families — so an ingest stream flags
+    * verbatim-span reuse against everything seen inside the state
+    * horizon. Bucket key = the window hash's first 56 md5 bits; the
+    * carried signature is both 56-bit halves, so the slot-match score
+    * is 1.0 for a true window match and 0.5 for a (astronomically
+    * rare, but oracle-mirrored) prefix-only collision. Capped-state
+    * truncation, event-time aging, and the batch-mode gate inherit
+    * from [[nearDedupTyped]]. */
+  def streamSubstringDedup(spark: SparkSession, dir: String,
+                           bucketCap: Int = 1000): DataFrame = {
+    import spark.implicits._
+    nearDedupTyped(substringPosts(spark, dir), bucketCap).toDF().distinct()
+  }
+
+  def streamSubstringDedupSql(bucketCap: Int = 1000): String =
+    graft.operators.NearDup.substringTruncatedSql(bucketCap)
+
+  /** The C24 corpus + window pipeline
+    * ([[graft.operators.NearDup.substringCorpus]]/[[graft.operators
+    * .NearDup.substringWindows]] — one definition for batch and
+    * stream) as typed posts: one post per (doc, 56-bit window-hash
+    * prefix), h2 min-deduped so bucket admission order (doc_id) is
+    * total. Event time synthesized from doc_id as [[bandPosts]]. */
+  private[graft] def substringPosts(spark: SparkSession, dir: String): Dataset[BandPost] = {
+    import spark.implicits._
+    graft.operators.NearDup.substringWindows(
+        graft.operators.NearDup.substringCorpus(spark, dir), 64, 8)
+      .select($"doc_id",
+        expr("cast(conv(substring(h, 1, 14), 16, 10) as bigint)").as("h1"),
+        expr("cast(conv(substring(h, 15, 14), 16, 10) as bigint)").as("h2"))
+      .groupBy($"doc_id", $"h1").agg(min($"h2").as("h2"))
+      .select(lit(0).as("band_idx"), $"h1".as("band_sig"), $"doc_id",
+        array($"h1", $"h2").as("sig"),
+        timestamp_seconds(lit(1704067200L) + $"doc_id").as("ts"))
+      .as[BandPost]
+  }
+
   /** Driver-gate batch entry for E2 — hash-gated on B8's window
     * oracle via [[streamSessionizeSql]] (the two formulations compute
     * identical sessions). */

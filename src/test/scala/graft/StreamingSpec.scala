@@ -181,6 +181,49 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("E10 stream_substring_dedup: batch equals the declarative bucket join; stream flags partial re-crawls") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val big = Int.MaxValue
+    // declarative reference: posts self-joined on the bucket key, the
+    // detector's own score formula stated as a column expression
+    val p = Streams.substringPosts(s, sf).toDF()
+      .select(col("band_sig").as("h1"), col("doc_id"), col("sig")(1).as("h2"))
+    val ref = p.as("x").join(p.as("y"), col("x.h1") === col("y.h1") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+        ((lit(1) + when(col("x.h2") === col("y.h2"), 1).otherwise(0))
+          .cast("double") / 2).as("est_jaccard"))
+      .distinct()
+    val e10 = Streams.nearDedupTyped(Streams.substringPosts(s, sf), bucketCap = big)
+      .toDF().distinct()
+    assert(e10.exceptAll(ref).count() == 0 && ref.exceptAll(e10).count() == 0,
+      "streaming detector (batch mode) diverges from the declarative bucket join")
+
+    // true streaming: partial re-crawl twins share anchored windows in
+    // their common 3/5 prefix — most must surface as window-match pairs
+    val posts = Streams.substringPosts(s, sf).collect().toSeq
+    val source = MemoryStream[Streams.BandPost]
+    source.addData(posts: _*)
+    val q = Streams.nearDedupTyped(source.toDS().withWatermark("ts", "1 hour"),
+        bucketCap = big)
+      .writeStream.format("memory").queryName("e10_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("e10_out")
+    // twins eligible = originals whose twin posts at least one window
+    val eligible = p.filter(col("doc_id") >= 1000000L)
+      .select(col("doc_id")).distinct().count()
+    val found = streamed
+      .filter(col("id2") === col("id1") + 1000000L && col("est_jaccard") === 1.0)
+      .select("id1", "id2").distinct().count()
+    assert(eligible > 0 && found * 10 >= eligible * 5,
+      s"stream flagged only $found of $eligible twin-posting docs")
+    spark.catalog.clearCache()
+  }
+
   test("E9 stream_mm_dedup: batch equals D6b at uncapped size; stream surfaces noisy twins") {
     val s = spark
     import s.implicits._

@@ -32,12 +32,20 @@ object Tables {
     * TIMESTAMP(MICROS), which both engines read natively. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(spark, dir, "events")
     val ts = df.schema("ts").dataType match {
       case LongType => timestamp_micros(expr("ts div 1000"))
-      case _        => col("ts")
+      case TimestampType =>
+        // an LTZ→NTZ cast goes through the SESSION timezone; the
+        // cross-engine contract (DuckDB reads the same parquet
+        // naively) requires UTC wall clock, so pin the session rather
+        // than silently shift by the caller's zone. Every repo entry
+        // point already sets UTC; this makes the loader self-reliant.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        col("ts")
+      case _ => col("ts") // TIMESTAMP_NTZ reads timezone-free
     }
     df.withColumn("ts", ts.cast("timestamp_ntz"))
   }

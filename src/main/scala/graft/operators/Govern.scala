@@ -749,8 +749,16 @@ object Govern {
     val stats = rows.map { r =>
       graft.plans.StatsPruneRegistry.FileStats(
         r.getAs[Number]("file_id").intValue(),
-        cols.map(c => c -> (r.getAs[Number](s"mn_$c").longValue(),
-          r.getAs[Number](s"mx_$c").longValue())).toMap)
+        // a column whose min/max is NULL for this file (all-null
+        // values) or non-numeric contributes no bound — the rule
+        // treats a missing bound as "cannot prune on this column",
+        // which is the sound default
+        cols.flatMap { c =>
+          (r.getAs[Any](s"mn_$c"), r.getAs[Any](s"mx_$c")) match {
+            case (mn: Number, mx: Number) => Some(c -> (mn.longValue(), mx.longValue()))
+            case _ => None
+          }
+        }.toMap)
     }.toSeq
     graft.plans.StatsPruneRegistry.register(path, stats)
   }

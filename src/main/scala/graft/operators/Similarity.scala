@@ -303,19 +303,20 @@ object Similarity {
     * cross-engine against DuckDB brute force. */
   def annIvf(spark: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 2,
              k: Int = 5, nQueries: Int = 50): DataFrame = {
+    import spark.implicits._
     val (centroids, lists) = ivfIndex(spark, dir, nlist)
-    ivfProbe(centroids, lists, nprobe, k, nQueries)
+    val queries = lists.filter($"neighbor_id" < nQueries)
+      .select($"neighbor_id".as("vec_id"), $"vc".as("embedding"), $"nc".as("norm"))
+    ivfProbe(centroids, lists, nprobe, k, queries)
   }
 
   /** The probe plan shared by the memo-served [[annIvf]] and the
-    * table-served [[annIvfServe]]: route each query to its `nprobe`
-    * nearest centroids, scan only those cells' lists, exact-cosine
-    * rank within the candidates. */
+    * table-served [[annIvfServe]]: route each query (vec_id,
+    * embedding, norm) to its `nprobe` nearest centroids, scan only
+    * those cells' lists, exact-cosine rank within the candidates. */
   private def ivfProbe(centroids: DataFrame, lists: DataFrame,
-                       nprobe: Int, k: Int, nQueries: Int): DataFrame = {
+                       nprobe: Int, k: Int, queries: DataFrame): DataFrame = {
     import centroids.sparkSession.implicits._
-    val queries = lists.filter($"neighbor_id" < nQueries)
-      .select($"neighbor_id".as("vec_id"), $"vc".as("embedding"), $"nc".as("norm"))
     val probes = nearestCell(queries, centroids, "p", nprobe)
       .select($"pcid".as("cell"), $"vec_id".as("query_id"),
         $"embedding".as("vq"), $"norm".as("nq"))
@@ -343,18 +344,28 @@ object Similarity {
 
   /** [[annIvf]] served from a persisted [[ivfWrite]] index: the
     * identical probe plan over the index tables instead of the
-    * in-process memo (SimilaritySpec pins result equality). `cell` is
-    * the lists' partition column, so each probed cell is a directory
-    * read — the billion-vector layout where a probe touches
-    * nprobe/nlist of the index and never the raw corpus. */
+    * in-process memo (RecallSpec pins result equality). `cell` is the
+    * lists' partition column, so the probe join touches nprobe/nlist
+    * of the index and never the raw corpus. Pass `queries` (vec_id,
+    * embedding) for real serving — an external query batch routes via
+    * the broadcast-sized centroids alone; when omitted, the
+    * self-query panel (vec_id < nQueries) is derived FROM the lists
+    * table, which necessarily scans it once — the self-test mode,
+    * not the serving path. */
   def annIvfServe(spark: SparkSession, path: String, nprobe: Int = 2,
-                  k: Int = 5, nQueries: Int = 50): DataFrame = {
+                  k: Int = 5, nQueries: Int = 50,
+                  queries: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val centroids = spark.read.parquet(s"$path/centroids")
     val lists = spark.read.parquet(s"$path/lists")
       .select($"cell", $"neighbor_id",
         $"vc".cast("array<float>").as("vc"), $"nc", $"label")
-    ivfProbe(centroids, lists, nprobe, k, nQueries)
+    val panel = queries.map(q => q
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+        .withColumn("norm", sqrt(dotF($"embedding", $"embedding"))))
+      .getOrElse(lists.filter($"neighbor_id" < nQueries)
+        .select($"neighbor_id".as("vec_id"), $"vc".as("embedding"), $"nc".as("norm")))
+    ivfProbe(centroids, lists, nprobe, k, panel)
   }
 
   /** C16 `centroid_per_label` — mean embedding per label, emitted one

@@ -18,9 +18,16 @@ object StatsPruneRegistry {
 
   private val reg = scala.collection.concurrent.TrieMap[String, Seq[FileStats]]()
 
+  /** Canonical key: URI authority + path (via hadoop Path, the same
+    * parser the FileIndex uses), so "/tmp/lake", "file:/tmp/lake" and
+    * "file:///tmp/lake" all key identically while distinct
+    * filesystems ("hdfs://nn:8020/lake" vs "s3a://bucket/lake") stay
+    * distinct. A naive scheme-strip left "///tmp/lake" unmatched —
+    * a silent no-prune no-op. */
   private[graft] def normalize(path: String): String = {
-    val p = if (path.startsWith("file:")) path.stripPrefix("file:") else path
-    p.replaceAll("/+$", "")
+    val uri = new org.apache.hadoop.fs.Path(path).toUri
+    Option(uri.getAuthority).getOrElse("") +
+      Option(uri.getPath).getOrElse("").replaceAll("/+$", "")
   }
 
   def register(path: String, stats: Seq[FileStats]): Unit =
@@ -97,7 +104,7 @@ object StatsPruneRule extends Rule[LogicalPlan] {
     case f @ Filter(cond, lr: LogicalRelation) =>
       val statsOpt = lr.relation match {
         case fs: HadoopFsRelation =>
-          StatsPruneRegistry.lookup(fs.location.rootPaths.map(_.toUri.getPath))
+          StatsPruneRegistry.lookup(fs.location.rootPaths.map(_.toString))
         case _ => None
       }
       val fileIdAttr = lr.output.find(_.name == "file_id")

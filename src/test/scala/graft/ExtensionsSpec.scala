@@ -54,16 +54,6 @@ class ExtensionsSpec extends AnyFunSuite {
     val lake = java.nio.file.Files.createTempDirectory("graft_rulelake").toFile
     lake.deleteOnExit()
     operators.Govern.zorderWrite(spark, sf, lake.getAbsolutePath, rowsPerFile)
-    def filesOpened(df: DataFrame): Long = {
-      df.collect()
-      def all(p: SparkPlan): Seq[SparkPlan] = p match {
-        case a: AdaptiveSparkPlanExec => all(a.executedPlan)
-        case q: QueryStageExec => all(q.plan)
-        case _ => p +: p.children.flatMap(all)
-      }
-      all(df.queryExecution.executedPlan)
-        .collect { case f: FileSourceScanExec => f.metrics("numFiles").value }.sum
-    }
     val r = spark.read.parquet(lake.getAbsolutePath)
       .agg(min("l_partkey"), max("l_partkey")).first()
     val pHi = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 8

@@ -404,16 +404,6 @@ class GovernSpec extends AnyFunSuite {
     val (pHi, sHi) = (lv(0) + (lv(1) - lv(0)) / 8, lv(2) + (lv(3) - lv(2)) / 8)
     def box(df: DataFrame): DataFrame = df.filter(
       col("l_partkey").between(lv(0), pHi) && col("l_suppkey").between(lv(2), sHi))
-    def filesOpened(df: DataFrame): Long = {
-      df.collect() // populate runtime metrics
-      def all(p: SparkPlan): Seq[SparkPlan] = p match {
-        case a: AdaptiveSparkPlanExec => all(a.executedPlan)
-        case q: QueryStageExec => all(q.plan)
-        case _ => p +: p.children.flatMap(all)
-      }
-      all(df.queryExecution.executedPlan)
-        .collect { case f: FileSourceScanExec => f.metrics("numFiles").value }.sum
-    }
     val fullScan = box(spark.read.parquet(lake.getAbsolutePath))
     val prunedRead = box(operators.Govern.prunedScan(
       spark, lake.getAbsolutePath, survivors))

@@ -20,6 +20,22 @@ object TestSpark {
     s
   }
   val sf = "/root/testdata/sf0.001"
+
+  /** Files opened by a query, from the scan's own runtime metric
+    * (collects to populate metrics; unwraps AQE + query stages).
+    * Shared by the physical-pruning specs (GovernSpec, ExtensionsSpec). */
+  def filesOpened(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    df.collect()
+    def all(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+      case q: QueryStageExec => all(q.plan)
+      case _ => p +: p.children.flatMap(all)
+    }
+    all(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f.metrics("numFiles").value }.sum
+  }
 }
 
 /** Invariant checks per operator (the DuckDB hash gate is the strong

@@ -189,8 +189,11 @@ def main():
                 f"DESCRIBE SELECT * FROM read_parquet('{d}/*.parquet')").fetchall())
             ot = dict(r[:2] for r in con.execute(
                 f"DESCRIBE {oracle[name]}").fetchall())
-            tbad = [(c, st.get(c), ot.get(c)) for c in sorted(set(st) | set(ot))
-                    if st.get(c) != ot.get(c)]
+            # intersect the column sets: a column present on only one
+            # side is a SCHEMA problem — let the dedicated check below
+            # print both full lists instead of a confusing 'spark=None'
+            tbad = [(c, st[c], ot[c]) for c in sorted(set(st) & set(ot))
+                    if st[c] != ot[c]]
             if tbad:
                 for c, a, b in tbad:
                     print(f"  [TYPE] {name}.{c}: spark={a} oracle={b}")

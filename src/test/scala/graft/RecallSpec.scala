@@ -185,6 +185,15 @@ class RecallSpec extends AnyFunSuite {
     val cells = new java.io.File(idx, "lists").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("cell="))
     assert(cells > 1, s"lists must be partitioned by cell (found $cells dirs)")
+    // the SERVING path: an external query batch (never touching the
+    // index for the panel) must route to the same neighbors
+    val external = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 50).select(col("vec_id"), col("embedding"))
+    val servedExt = operators.Similarity.annIvfServe(
+      spark, idx.getAbsolutePath, queries = Some(external))
+    assert(servedExt.count() == memo.count() &&
+      memo.exceptAll(servedExt).count() == 0,
+      "externally-supplied queries must match the self-panel probe")
     spark.catalog.clearCache()
   }
 

@@ -302,13 +302,23 @@ object TextAnalysis {
     * Ties rank deterministically by token. */
   def vocabBuild(spark: SparkSession, dir: String, topN: Int = 500): DataFrame = {
     import spark.implicits._
+    val counted = Tables.fanout(Tables.documents(spark, dir).select($"text"))
+      .select(explode(toks($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("n_occ"))
+    rankedVocab(counted, topN)
+  }
+
+  /** The banded rank/coverage core shared by C18 and C25: takes any
+    * (token, n_occ) frequency table and emits the top-N with exact
+    * global rank and cumulative coverage, without a global ordered
+    * window (see [[vocabBuild]]'s Scaladoc for the banding argument). */
+  private def rankedVocab(counted: DataFrame, topN: Int): DataFrame = {
+    import counted.sparkSession.implicits._
     // eager (materialization contract): counts feeds the band aggregate
     // AND the ranked main path — lazy, both consumers re-run the corpus
     // tokenization+agg. At cluster scale this is the "materialize the
     // vocabulary" step; ≪ corpus.
-    val counts = Tables.fanout(Tables.documents(spark, dir).select($"text"))
-      .select(explode(toks($"text")).as("token"))
-      .groupBy($"token").agg(count(lit(1)).as("n_occ"))
+    val counts = counted
       .withColumn("band", (length(bin($"n_occ")) - 1).cast("int"))
       .localCheckpoint()
     // ≤64 rows no matter the vocabulary size; eager because three tiny
@@ -341,6 +351,42 @@ object TextAnalysis {
       .filter($"rank" <= topN)
       .select($"token", $"n_occ", $"rank", $"cum_cov")
   }
+
+  /** Extension `bpe_pair_counts` (C25) — the merge-candidate table BPE
+    * tokenizer training starts from: corpus-wide adjacent character
+    * pairs WITHIN words (the iteration-0 pair statistics whose argmax
+    * is the first merge), ranked with cumulative coverage through the
+    * same banded core as C18 — a second vocabulary-scale ranking that
+    * never globally sorts. Together with C18 (word vocabulary) and C10
+    * (token counting) this covers the tokenizer-side data work a
+    * training pipeline runs; full iterative BPE mutates the token
+    * stream per merge and belongs in a driver loop over this table. */
+  def bpePairCounts(spark: SparkSession, dir: String, topN: Int = 200): DataFrame = {
+    import spark.implicits._
+    val counted = Tables.fanout(Tables.documents(spark, dir).select($"text"))
+      .select(explode(toks($"text")).as("w"))
+      .filter(length($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("n_occ"))
+    rankedVocab(counted, topN).withColumnRenamed("token", "pair")
+  }
+
+  def bpePairCountsSql(topN: Int = 200): String =
+    s"""WITH words AS (
+       |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |pairs AS (
+       |  SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+       |  FROM words WHERE length(w) >= 2),
+       |vocab AS (SELECT pair, COUNT(*) AS n_occ FROM pairs GROUP BY 1)
+       |SELECT pair, n_occ,
+       |       CAST(row_number() OVER (ORDER BY n_occ DESC, pair) AS INT) AS rank,
+       |       round(CAST(SUM(n_occ) OVER (ORDER BY n_occ DESC, pair
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |             / CAST(SUM(n_occ) OVER () AS DOUBLE), 8) AS cum_cov
+       |FROM vocab
+       |QUALIFY rank <= $topN""".stripMargin
 
   /** C19 `tfidf_terms` — top-k TF-IDF terms per document: tf from a
     * per-(doc, token) count, df from a per-token distinct-doc count

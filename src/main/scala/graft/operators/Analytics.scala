@@ -236,6 +236,31 @@ object Analytics {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** B7b `approx_quantiles` — B7's promised 100 TB path made real: the
+    * MERGEABLE quantile sketch (`percentile_approx`, Spark's
+    * Greenwald-Khanna-family summary) replaces the within-group sort —
+    * sketches combine map-side and merge associatively, so the
+    * aggregation is one two-phase hash agg at any scale. Sketch
+    * internals are engine-specific, so this is a rows-only gate with a
+    * QUANTITATIVE grade in tools/check.py: every estimate must lie
+    * inside DuckDB's exact rank band [quantile(q−ε), quantile(q+ε)]
+    * — the ε-rank guarantee the sketch contracts (ε = 1/accuracy,
+    * checked at 2ε for cross-implementation slack). */
+  def approxQuantiles(spark: SparkSession, dir: String,
+                      accuracy: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        percentile_approx($"value", array(qs.map(lit): _*), lit(accuracy)).as("est"),
+        count(lit(1)).as("n"))
+      .select($"event_type", $"n", posexplode($"est"))
+      .select($"event_type",
+        element_at(array(qs.map(lit): _*), $"pos" + 1).as("q"),
+        $"col".as("est"), $"n")
+  }
+
   /** B8 `sessionize` — gap-based sessionization (30-min inactivity
     * splits a session). Classic two-window form: flag session starts
     * with lag, prefix-sum the flags into session ordinals, then

@@ -145,6 +145,23 @@ def main():
                 ok = r[0] <= 0.15 and r[1] == 0
                 note = (f"max HLL relative error vs DuckDB exact = {r[0]:.4f} "
                         f"(<= 0.15); exact columns match: {r[1] == 0}")
+            elif name == "approx_quantiles":
+                # GK-sketch estimates graded against DuckDB's exact
+                # rank bands: est must lie inside
+                # [quantile_disc(q-2eps), quantile_disc(q+2eps)],
+                # eps = 1/accuracy (registry accuracy 1000)
+                bad = []
+                for et, q, est, n in got[["event_type", "q", "est", "n"]
+                                         ].itertuples(index=False):
+                    lo, hi, ne = con.execute(
+                        "SELECT quantile_disc(value, ?), quantile_disc(value, ?),"
+                        " COUNT(*) FROM events WHERE event_type = ?",
+                        [max(0.0, q - 0.002), min(1.0, q + 0.002), et]).fetchone()
+                    if not (lo <= est <= hi) or n != ne:
+                        bad.append((et, q, est, lo, hi, n, ne))
+                ok = not bad
+                note = (f"all {len(got)} estimates inside exact ±0.002-rank bands"
+                        if ok else f"outside band: {bad[:3]}")
             elif name == "ann_lsh":
                 # random 64-dim data has no cluster structure, so
                 # absolute LSH recall is meaningless here; the

@@ -93,6 +93,23 @@ object StatsPruneRule extends Rule[LogicalPlan] {
       case GreaterThan(l, a: AttributeReference)        => litLong(l).map(v => a.name -> (Long.MinValue, v - 1))
       case LessThan(l, a: AttributeReference)           => litLong(l).map(v => a.name -> (v + 1, Long.MaxValue))
       case EqualTo(l, a: AttributeReference)            => litLong(l).map(v => a.name -> (v, v))
+      // IN-lists prune on their value ENVELOPE [min, max] — a sound
+      // superset of the exact membership test (both In and its
+      // post-OptimizeIn InSet form can appear in this batch)
+      case In(a: AttributeReference, list) if list.nonEmpty =>
+        val vs = list.map(litLong)
+        if (vs.forall(_.isDefined)) Some(a.name -> (vs.flatten.min, vs.flatten.max))
+        else None
+      case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
+        val vs = hset.toSeq.map {
+          case v: Int => Some(v.toLong)
+          case v: Long => Some(v)
+          case v: Short => Some(v.toLong)
+          case v: Byte => Some(v.toLong)
+          case _ => None
+        }
+        if (vs.forall(_.isDefined)) Some(a.name -> (vs.flatten.min, vs.flatten.max))
+        else None
       case _ => None
     }
     ranges.groupBy(_._1).map { case (c, rs) =>

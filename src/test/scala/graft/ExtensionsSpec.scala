@@ -81,6 +81,20 @@ class ExtensionsSpec extends AnyFunSuite {
       val explicit = spark.read.parquet(lake.getAbsolutePath)
         .filter(col("file_id") === 0)
       assert(filesOpened(explicit) == 1L)
+      // IN-lists prune on their value envelope: three nearby keys from
+      // the box corner reach only the files whose bbox overlaps them
+      val inRead = spark.read.parquet(lake.getAbsolutePath)
+        .filter(col("l_partkey").isin(r.getLong(0), r.getLong(0) + 1, r.getLong(0) + 2))
+      val inFull = inRead.count()
+      val inFiles = filesOpened(inRead)
+      assert(inFiles * 2 <= filesBefore,
+        s"IN-list envelope must prune ($inFiles of $filesBefore)")
+      graft.plans.StatsPruneRegistry.unregister(lake.getAbsolutePath)
+      val inNoReg = spark.read.parquet(lake.getAbsolutePath)
+        .filter(col("l_partkey").isin(r.getLong(0), r.getLong(0) + 1, r.getLong(0) + 2))
+      assert(inNoReg.count() == inFull, "IN pruning must preserve rows")
+      operators.Govern.registerLakeStats(spark, lake.getAbsolutePath,
+        Seq("l_partkey", "l_suppkey"))
     } finally graft.plans.StatsPruneRegistry.unregister(lake.getAbsolutePath)
     spark.catalog.clearCache()
   }

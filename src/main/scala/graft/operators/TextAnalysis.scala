@@ -372,6 +372,67 @@ object TextAnalysis {
     rankedVocab(counted, topN).withColumnRenamed("token", "pair")
   }
 
+  /** Extension `bpe_train_merges` (C25b) — ACTUAL BPE training, the
+    * first `rounds` merges: per round, argmax the adjacent-pair counts
+    * (ties by pair string), then rewrite the word stream with the
+    * merged symbol (a sentinel char below the corpus alphabet) and
+    * recount. `replace` is non-overlapping left-to-right in both
+    * engines, so the rewritten streams — and therefore every
+    * subsequent count — agree exactly; output is the merge TABLE
+    * (round, merged pair, count), the artifact a tokenizer trainer
+    * persists. Fully hash-gated against `rounds` unrolled CTEs.
+    *
+    * Scale: each round is one two-phase hash agg over the (rewritten)
+    * word stream + a TakeOrdered(1) argmax (per-partition top-1, tiny
+    * merge) + a broadcast of the 1-row merge into a per-row rewrite —
+    * the loop is driver-side but BOUNDED (like C14d's five pagerank
+    * rounds); no round materializes anything corpus-sized. */
+  def bpeTrainMerges(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    bpeMergesOf(Tables.fanout(Tables.documents(spark, dir).select($"text"))
+      .select(explode(toks($"text")).as("w")), rounds)
+  }
+
+  /** Frame-based core of C25b (words = one column `w`) — lets the spec
+    * pin the merge sequence on a crafted corpus. */
+  private[graft] def bpeMergesOf(wordsIn: DataFrame, rounds: Int): DataFrame = {
+    import wordsIn.sparkSession.implicits._
+    var words = wordsIn
+    val out = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val counts = words.filter(length($"w") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("n_occ"))
+      val best = counts.orderBy($"n_occ".desc, $"pair").limit(1)
+      out += best.select(lit(r).as("round"), $"pair".as("merged"), $"n_occ")
+      words = words.crossJoin(broadcast(best.select($"pair".as("m"))))
+        .select(expr(s"replace(w, m, chr($r))").as("w"))
+    }
+    out.result().reduce(_ unionAll _)
+  }
+
+  def bpeTrainMergesSql(rounds: Int = 3): String = {
+    val w0 =
+      """w0 AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE length(trim(text)) > 0)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""c$r AS (
+         |  SELECT pair, COUNT(*) AS n_occ FROM (
+         |    SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+         |    FROM w${r - 1} WHERE length(w) >= 2)
+         |  GROUP BY 1),
+         |m$r AS (SELECT pair, n_occ FROM c$r ORDER BY n_occ DESC, pair LIMIT 1),
+         |w$r AS (SELECT replace(w, (SELECT pair FROM m$r), chr($r)) AS w FROM w${r - 1})"""
+        .stripMargin
+    }
+    val sel = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS INT) AS round, pair AS merged, CAST(n_occ AS BIGINT) AS n_occ FROM m$r")
+      .mkString("\nUNION ALL\n")
+    s"WITH $w0,\n${steps.mkString(",\n")}\n$sel"
+  }
+
   def bpePairCountsSql(topN: Int = 200): String =
     s"""WITH words AS (
        |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w

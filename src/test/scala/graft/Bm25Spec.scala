@@ -60,6 +60,21 @@ class Bm25Spec extends AnyFunSuite {
       s"tf=4 must saturate below (k1+1)x the tf=1 score: $sc")
   }
 
+  test("bpe_train_merges: the merge sequence is the greedy argmax with rewrite") {
+    // corpus: "abc" x3, "abd", "xy" x2 — round 1 must merge "ab" (4
+    // occurrences beat "xy"'s 2 and the singletons); after the rewrite
+    // ab -> chr(1), round 2's top pair is chr(1)+"c" (3 beats "xy"'s
+    // 2); after chr(1)c -> chr(2), round 3 merges "xy" (2)
+    val words = (Seq.fill(3)("abc") ++ Seq("abd") ++ Seq.fill(2)("xy"))
+      .toDF("w")
+    val out = operators.TextAnalysis.bpeMergesOf(words, rounds = 3)
+      .collect().map(r => (r.getAs[Int]("round"),
+        r.getAs[String]("merged"), r.getAs[Long]("n_occ"))).sortBy(_._1)
+    assert(out(0) == ((1, "ab", 4L)), s"round 1: ${out(0)}")
+    assert(out(1) == ((2, "\u0001c", 3L)), s"round 2: ${out(1)}")
+    assert(out(2) == ((3, "xy", 2L)), s"round 3: ${out(2)}")
+  }
+
   test("bm25: the df cap drops corpus-wide boilerplate terms from scoring") {
     // 'b1 b2 b3' is in every doc; with dfCap = 2 it contributes no
     // postings, so doc 3 (boilerplate-only overlap) is not retrieved

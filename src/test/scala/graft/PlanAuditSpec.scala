@@ -230,7 +230,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val crossOk = Set("ann_bruteforce", "ann_ivf", "knn_classify",
       "knn_classify_ivf", "stats_prune",
       "tfidf_terms", "vocab_build", "perplexity_score", "zorder_layout",
-      "bm25_retrieve", "bpe_pair_counts")
+      "bm25_retrieve", "bpe_pair_counts", "bpe_train_merges")
     // k-bounded-group max_by assigns: the sort is by grouping key with
     // map-side partial agg — benign, unlike cluster-sized groups
     val sortAggOk = Set("ann_ivf", "resample_fill", "stream_dedup")
@@ -249,7 +249,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // bpe_pair_counts shares vocab_build's banded core and whitelist basis
     val singleOk = Set("tfidf_terms", "vocab_build", "perplexity_score",
       "zorder_layout", "compaction_plan", "stats_prune", "bm25_retrieve",
-      "bpe_pair_counts")
+      "bpe_pair_counts", "bpe_train_merges")
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val nodes = collectAll(executedPlan(fn(spark, sf)))
       spark.catalog.clearCache()
@@ -318,7 +318,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val crossOk = Seq("ann_bruteforce", "ann_ivf", "knn_classify",
       "knn_classify_ivf", "stats_prune",
       "tfidf_terms", "vocab_build", "perplexity_score", "zorder_layout",
-      "bm25_retrieve", "bpe_pair_counts")
+      "bm25_retrieve", "bpe_pair_counts", "bpe_train_merges")
     def rowsOf(p: org.apache.spark.sql.execution.SparkPlan): Option[Long] = p match {
       case q: QueryStageExec => rowsOf(q.plan)
       case e: BroadcastExchangeLike => Some(e.metrics("numOutputRows").value)

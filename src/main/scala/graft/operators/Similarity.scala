@@ -312,14 +312,25 @@ object Similarity {
 
   /** The probe plan shared by the memo-served [[annIvf]] and the
     * table-served [[annIvfServe]]: route each query (vec_id,
-    * embedding, norm) to its `nprobe` nearest centroids, scan only
-    * those cells' lists, exact-cosine rank within the candidates. */
+    * embedding, norm) to its `nprobe` nearest centroids
+    * ([[ivfRoute]]), scan only those cells' lists, exact-cosine rank
+    * within the candidates ([[ivfScore]]). */
   private def ivfProbe(centroids: DataFrame, lists: DataFrame,
-                       nprobe: Int, k: Int, queries: DataFrame): DataFrame = {
+                       nprobe: Int, k: Int, queries: DataFrame): DataFrame =
+    ivfScore(ivfRoute(centroids, queries, nprobe), lists, k)
+
+  /** Query routing: (cell, query_id, vq, nq) per probed cell. */
+  private def ivfRoute(centroids: DataFrame, queries: DataFrame,
+                       nprobe: Int): DataFrame = {
     import centroids.sparkSession.implicits._
-    val probes = nearestCell(queries, centroids, "p", nprobe)
+    nearestCell(queries, centroids, "p", nprobe)
       .select($"pcid".as("cell"), $"vec_id".as("query_id"),
         $"embedding".as("vq"), $"norm".as("nq"))
+  }
+
+  /** Candidate scoring within the probed cells. */
+  private def ivfScore(probes: DataFrame, lists: DataFrame, k: Int): DataFrame = {
+    import probes.sparkSession.implicits._
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
     probes.join(lists.drop("label"), Seq("cell"))
       .filter($"query_id" =!= $"neighbor_id")
@@ -365,7 +376,17 @@ object Similarity {
         .withColumn("norm", sqrt(dotF($"embedding", $"embedding"))))
       .getOrElse(lists.filter($"neighbor_id" < nQueries)
         .select($"neighbor_id".as("vec_id"), $"vc".as("embedding"), $"nc".as("norm")))
-    ivfProbe(centroids, lists, nprobe, k, panel)
+    // route FIRST, then statically prune the lists read to the probed
+    // cell directories: DPP does not fire on this join shape (measured
+    // — all 16 dirs opened), so the serving path does what an ANN
+    // server does: the routing result (O(queries·nprobe) ints — a
+    // serving batch is small by definition) decides which partitions
+    // the candidate scan touches. RecallSpec pins files-opened ==
+    // probed cells.
+    val routed = ivfRoute(centroids, panel, nprobe).localCheckpoint()
+    val probedCells = routed.select($"cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    ivfScore(routed, lists.filter($"cell".isin(probedCells: _*)), k)
   }
 
   /** C16 `centroid_per_label` — mean embedding per label, emitted one

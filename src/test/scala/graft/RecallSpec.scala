@@ -194,6 +194,18 @@ class RecallSpec extends AnyFunSuite {
     assert(servedExt.count() == memo.count() &&
       memo.exceptAll(servedExt).count() == 0,
       "externally-supplied queries must match the self-panel probe")
+    // ...and the candidate scan touches ONLY the probed cells: the
+    // routed query set decides the partitions (static pruning — DPP
+    // does not fire on this join shape); with 3 queries x nprobe 2,
+    // at most 6 of the 16 cell dirs open (the routing itself is
+    // checkpointed, so the executed plan's only file scan is lists)
+    val threeQ = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 3).select(col("vec_id"), col("embedding"))
+    val small = operators.Similarity.annIvfServe(
+      spark, idx.getAbsolutePath, queries = Some(threeQ))
+    val opened = filesOpened(small)
+    assert(opened <= 6 && opened < cells,
+      s"probed-cells scan must open <= 6 of $cells dirs, opened $opened")
     spark.catalog.clearCache()
   }
 

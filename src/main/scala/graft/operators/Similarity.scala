@@ -328,12 +328,18 @@ object Similarity {
         $"embedding".as("vq"), $"norm".as("nq"))
   }
 
-  /** Candidate scoring within the probed cells. */
-  private def ivfScore(probes: DataFrame, lists: DataFrame, k: Int): DataFrame = {
+  /** Candidate scoring within the probed cells. `excludeSelf` applies
+    * the query_id ≠ neighbor_id filter — correct ONLY when the query
+    * ids live in the corpus id namespace (the self-panel modes); an
+    * EXTERNAL query batch numbers its own namespace, where excluding
+    * the same-numbered corpus vector would silently drop a legitimate
+    * (possibly nearest) neighbor. */
+  private def ivfScore(probes: DataFrame, lists: DataFrame, k: Int,
+                       excludeSelf: Boolean = true): DataFrame = {
     import probes.sparkSession.implicits._
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
     probes.join(lists.drop("label"), Seq("cell"))
-      .filter($"query_id" =!= $"neighbor_id")
+      .filter(if (excludeSelf) $"query_id" =!= $"neighbor_id" else lit(true))
       .withColumn("cosine", dot("vq", "vc") / ($"nq" * $"nc"))
       .withColumn("rank_nn", row_number().over(w))
       .filter($"rank_nn" <= k)
@@ -386,7 +392,11 @@ object Similarity {
     val routed = ivfRoute(centroids, panel, nprobe).localCheckpoint()
     val probedCells = routed.select($"cell").distinct()
       .collect().map(_.getInt(0)).toSeq
-    ivfScore(routed, lists.filter($"cell".isin(probedCells: _*)), k)
+    // external queries number their OWN id namespace: a batch vector
+    // that happens to share a corpus id must not lose that corpus
+    // neighbor. Self-exclusion only applies to the self-panel mode.
+    ivfScore(routed, lists.filter($"cell".isin(probedCells: _*)), k,
+      excludeSelf = queries.isEmpty)
   }
 
   /** C16 `centroid_per_label` — mean embedding per label, emitted one

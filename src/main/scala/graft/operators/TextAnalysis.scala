@@ -397,6 +397,12 @@ object TextAnalysis {
     * pin the merge sequence on a crafted corpus. */
   private[graft] def bpeMergesOf(wordsIn: DataFrame, rounds: Int): DataFrame = {
     import wordsIn.sparkSession.implicits._
+    // sentinels are the C0 control range, guaranteed absent from
+    // whitespace-tokenized text; past 31 they would collide with
+    // printable characters (and chr() wraps differently across
+    // engines past 255), silently corrupting merges — refuse.
+    require(rounds >= 1 && rounds <= 31,
+      s"rounds must be in [1, 31] (control-char sentinels), got $rounds")
     var words = wordsIn
     val out = Seq.newBuilder[DataFrame]
     for (r <- 1 to rounds) {
@@ -404,7 +410,11 @@ object TextAnalysis {
         .select(explode(expr(
           "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
         .groupBy($"pair").agg(count(lit(1)).as("n_occ"))
-      val best = counts.orderBy($"n_occ".desc, $"pair").limit(1)
+      // eager: the 1-row argmax feeds BOTH the output union and every
+      // later round's rewrite — lazy, each union branch would re-run
+      // all prior rounds' corpus aggregations (O(rounds²) recompute;
+      // the materialization contract at 1-row scale)
+      val best = counts.orderBy($"n_occ".desc, $"pair").limit(1).localCheckpoint()
       out += best.select(lit(r).as("round"), $"pair".as("merged"), $"n_occ")
       words = words.crossJoin(broadcast(best.select($"pair".as("m"))))
         .select(expr(s"replace(w, m, chr($r))").as("w"))

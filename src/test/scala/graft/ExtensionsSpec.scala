@@ -93,8 +93,6 @@ class ExtensionsSpec extends AnyFunSuite {
       val inNoReg = spark.read.parquet(lake.getAbsolutePath)
         .filter(col("l_partkey").isin(r.getLong(0), r.getLong(0) + 1, r.getLong(0) + 2))
       assert(inNoReg.count() == inFull, "IN pruning must preserve rows")
-      operators.Govern.registerLakeStats(spark, lake.getAbsolutePath,
-        Seq("l_partkey", "l_suppkey"))
     } finally graft.plans.StatsPruneRegistry.unregister(lake.getAbsolutePath)
     spark.catalog.clearCache()
   }

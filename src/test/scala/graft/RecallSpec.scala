@@ -185,15 +185,26 @@ class RecallSpec extends AnyFunSuite {
     val cells = new java.io.File(idx, "lists").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("cell="))
     assert(cells > 1, s"lists must be partitioned by cell (found $cells dirs)")
-    // the SERVING path: an external query batch (never touching the
-    // index for the panel) must route to the same neighbors
-    val external = Tables.embeddings(spark, sf)
-      .filter(col("vec_id") < 50).select(col("vec_id"), col("embedding"))
+    // the SERVING path: an external query batch numbers its OWN id
+    // namespace (ids shifted out of the corpus range), so no corpus
+    // neighbor is self-excluded — each query's rank 1 must be its own
+    // corpus twin at cosine ~1, and ranks 2..k must equal the
+    // memo-served ranks 1..k-1
+    val external = Tables.embeddings(spark, sf).filter(col("vec_id") < 50)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
     val servedExt = operators.Similarity.annIvfServe(
-      spark, idx.getAbsolutePath, queries = Some(external))
-    assert(servedExt.count() == memo.count() &&
-      memo.exceptAll(servedExt).count() == 0,
-      "externally-supplied queries must match the self-panel probe")
+      spark, idx.getAbsolutePath, queries = Some(external)).cache()
+    assert(servedExt.filter(col("rank_nn") === 1 &&
+      col("neighbor_id") === col("query_id") - 10000L &&
+      col("cosine") > 0.9999).count() == 50,
+      "each external query must recover its own corpus vector first")
+    val shifted = servedExt.filter(col("rank_nn") > 1)
+      .select((col("query_id") - 10000L).as("query_id"),
+        (col("rank_nn") - 1).as("rank_nn"), col("neighbor_id").as("ext_n"))
+    val mism = shifted.join(memo, Seq("query_id", "rank_nn"))
+      .filter(col("ext_n") =!= col("neighbor_id")).count()
+    assert(mism == 0, s"external ranks 2..k must equal memo ranks 1..k-1 ($mism differ)")
+    servedExt.unpersist()
     // ...and the candidate scan touches ONLY the probed cells: the
     // routed query set decides the partitions (static pruning — DPP
     // does not fire on this join shape); with 3 queries x nprobe 2,

@@ -153,10 +153,15 @@ def main():
                 bad = []
                 for et, q, est, n in got[["event_type", "q", "est", "n"]
                                          ].itertuples(index=False):
+                    # widen the band to at least ~1.5 rank positions so
+                    # small groups (n*0.004 < 1 row) don't degenerate to
+                    # an exact-value compare across the two engines'
+                    # discrete-rank conventions
+                    d = max(0.002, 1.5 / max(n, 1))
                     lo, hi, ne = con.execute(
                         "SELECT quantile_disc(value, ?), quantile_disc(value, ?),"
                         " COUNT(*) FROM events WHERE event_type = ?",
-                        [max(0.0, q - 0.002), min(1.0, q + 0.002), et]).fetchone()
+                        [max(0.0, q - d), min(1.0, q + d), et]).fetchone()
                     if not (lo <= est <= hi) or n != ne:
                         bad.append((et, q, est, lo, hi, n, ne))
                 ok = not bad

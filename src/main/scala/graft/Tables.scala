@@ -40,11 +40,18 @@ object Tables {
       case TimestampType =>
         // an LTZ→NTZ cast goes through the SESSION timezone; the
         // cross-engine contract (DuckDB reads the same parquet
-        // naively) requires UTC wall clock, so pin the session rather
-        // than silently shift by the caller's zone. Every repo entry
-        // point already sets UTC; this makes the loader self-reliant.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        col("ts")
+        // naively) requires UTC wall clock. Cancel the session-zone
+        // interpretation IN the expression (to_utc_timestamp shifts
+        // the wall time back by the session offset before the NTZ
+        // cast re-applies it) instead of mutating the session conf —
+        // a table read must not silently rewrite the caller's
+        // timezone for every later query. Every repo entry point
+        // pins UTC anyway, where this is the identity; the
+        // offset-at-instant vs offset-at-wall divergence inside a
+        // DST transition hour is the only residue on non-UTC
+        // sessions (same caveat as sessionizeStream's watermark).
+        to_utc_timestamp(col("ts"),
+          spark.conf.get("spark.sql.session.timeZone"))
       case _ => col("ts") // TIMESTAMP_NTZ reads timezone-free
     }
     df.withColumn("ts", ts.cast("timestamp_ntz"))

@@ -374,8 +374,12 @@ object Similarity {
                   queries: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val centroids = spark.read.parquet(s"$path/centroids")
+    // `cell` is the lists' PARTITION column: its read-back type depends
+    // on spark.sql.sources.partitionColumnTypeInference (string when
+    // disabled). Cast explicitly so the routing filter below and the
+    // probe equi-join never depend on session conf.
     val lists = spark.read.parquet(s"$path/lists")
-      .select($"cell", $"neighbor_id",
+      .select($"cell".cast("int").as("cell"), $"neighbor_id",
         $"vc".cast("array<float>").as("vc"), $"nc", $"label")
     val panel = queries.map(q => q
         .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
@@ -391,7 +395,7 @@ object Similarity {
     // probed cells.
     val routed = ivfRoute(centroids, panel, nprobe).localCheckpoint()
     val probedCells = routed.select($"cell").distinct()
-      .collect().map(_.getInt(0)).toSeq
+      .collect().map(_.getAs[Number](0).intValue()).toSeq
     // external queries number their OWN id namespace: a batch vector
     // that happens to share a corpus id must not lose that corpus
     // neighbor. Self-exclusion only applies to the self-panel mode.

@@ -386,7 +386,15 @@ object TextAnalysis {
     * word stream + a TakeOrdered(1) argmax (per-partition top-1, tiny
     * merge) + a broadcast of the 1-row merge into a per-row rewrite —
     * the loop is driver-side but BOUNDED (like C14d's five pagerank
-    * rounds); no round materializes anything corpus-sized. */
+    * rounds); no round materializes anything corpus-sized.
+    *
+    * Production posture: this gated 3-round loop is the MECHANISM demo
+    * (argmax → broadcast rewrite → recount). A production tokenizer
+    * (30k merges) runs the same loop off a SAMPLED sub-corpus — pair
+    * statistics converge at millions of words, so training never
+    * streams the full 100 TB corpus per merge; only the final APPLY of
+    * the learned merge table is a full-corpus pass (and that is a
+    * stateless per-row map). */
   def bpeTrainMerges(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
     import spark.implicits._
     bpeMergesOf(Tables.fanout(Tables.documents(spark, dir).select($"text"))
@@ -405,7 +413,8 @@ object TextAnalysis {
       s"rounds must be in [1, 31] (control-char sentinels), got $rounds")
     var words = wordsIn
     val out = Seq.newBuilder[DataFrame]
-    for (r <- 1 to rounds) {
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
       val counts = words.filter(length($"w") >= 2)
         .select(explode(expr(
           "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
@@ -415,11 +424,28 @@ object TextAnalysis {
       // all prior rounds' corpus aggregations (O(rounds²) recompute;
       // the materialization contract at 1-row scale)
       val best = counts.orderBy($"n_occ".desc, $"pair").limit(1).localCheckpoint()
-      out += best.select(lit(r).as("round"), $"pair".as("merged"), $"n_occ")
-      words = words.crossJoin(broadcast(best.select($"pair".as("m"))))
-        .select(expr(s"replace(w, m, chr($r))").as("w"))
+      // no mergeable pair left (no word of length >= 2 remains): an
+      // empty `best` crossJoined into the word stream would EMPTY it,
+      // silently zeroing every later round — stop training instead
+      // and emit only the rounds that actually merged. The argmax is
+      // 1 row by construction, so this driver check reads one row.
+      if (best.isEmpty) exhausted = true
+      else {
+        out += best.select(lit(r).as("round"), $"pair".as("merged"), $"n_occ")
+        words = words.crossJoin(broadcast(best.select($"pair".as("m"))))
+          .select(expr(s"replace(w, m, chr($r))").as("w"))
+      }
     }
-    out.result().reduce(_ unionAll _)
+    val parts = out.result()
+    if (parts.isEmpty) {
+      // degenerate corpus with nothing mergeable at all: empty merge
+      // table with the contract schema
+      import org.apache.spark.sql.types._
+      wordsIn.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("round", IntegerType, nullable = false),
+          StructField("merged", StringType), StructField("n_occ", LongType))))
+    } else parts.reduce(_ unionAll _)
   }
 
   def bpeTrainMergesSql(rounds: Int = 3): String = {

@@ -162,7 +162,14 @@ def main():
                         "SELECT quantile_disc(value, ?), quantile_disc(value, ?),"
                         " COUNT(*) FROM events WHERE event_type = ?",
                         [max(0.0, q - d), min(1.0, q + d), et]).fetchone()
-                    if not (lo <= est <= hi) or n != ne:
+                    # all-NULL value group: both engines yield NULL/None
+                    # estimates — band compare would TypeError and crash
+                    # the whole gate; None==None bounds pass, any mixed
+                    # None is a bad entry
+                    if lo is None or hi is None or est is None:
+                        if not (lo is None and hi is None and est is None) or n != ne:
+                            bad.append((et, q, est, lo, hi, n, ne))
+                    elif not (lo <= est <= hi) or n != ne:
                         bad.append((et, q, est, lo, hi, n, ne))
                 ok = not bad
                 note = (f"all {len(got)} estimates inside exact ±0.002-rank bands"

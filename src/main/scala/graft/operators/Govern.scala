@@ -750,12 +750,18 @@ object Govern {
       graft.plans.StatsPruneRegistry.FileStats(
         r.getAs[Number]("file_id").intValue(),
         // a column whose min/max is NULL for this file (all-null
-        // values) or non-numeric contributes no bound — the rule
-        // treats a missing bound as "cannot prune on this column",
-        // which is the sound default
+        // values) or of an unsupported type contributes no bound —
+        // the rule treats a missing bound as "cannot prune on this
+        // column", which is the sound default. Integral and STRING
+        // bounds both register (string predicates are the dominant
+        // lakehouse shape: category/lang/status filters).
         cols.flatMap { c =>
           (r.getAs[Any](s"mn_$c"), r.getAs[Any](s"mx_$c")) match {
-            case (mn: Number, mx: Number) => Some(c -> (mn.longValue(), mx.longValue()))
+            case (mn: Number, mx: Number) =>
+              Some(c -> graft.plans.StatsPruneRegistry.LongBounds(
+                mn.longValue(), mx.longValue()))
+            case (mn: String, mx: String) =>
+              Some(c -> graft.plans.StatsPruneRegistry.StrBounds(mn, mx))
             case _ => None
           }
         }.toMap)

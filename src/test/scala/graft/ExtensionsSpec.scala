@@ -97,6 +97,64 @@ class ExtensionsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("StatsPruneRule: string bounds, OR-of-boxes, and unknown-file safety") {
+    import org.apache.spark.sql.{DataFrame, SaveMode}
+    // a 10-file lake whose string column `cat` is constant per file
+    // (catNN) and whose long column `id` ranges [100*f, 100*f+99] —
+    // the categorical-lake shape (per-category directories) whose
+    // dominant predicates are string equality and disjunctions
+    val lake = java.nio.file.Files.createTempDirectory("graft_strlake").toFile
+    lake.deleteOnExit()
+    val df = spark.range(0, 1000).selectExpr(
+      "id", "cast(id div 100 as int) as file_id",
+      "concat('cat', lpad(cast(id div 100 as string), 2, '0')) as cat")
+    df.repartition(col("file_id"))
+      .write.partitionBy("file_id").mode(SaveMode.Overwrite)
+      .parquet(lake.getAbsolutePath)
+    def read(): DataFrame = spark.read.parquet(lake.getAbsolutePath)
+    try {
+      operators.Govern.registerLakeStats(spark, lake.getAbsolutePath, Seq("cat", "id"))
+      // string equality: one file
+      val eq = read().filter(col("cat") === "cat03")
+      assert(eq.count() == 100 && filesOpened(eq) == 1,
+        s"string-equality must prune to 1 file (opened ${filesOpened(eq)})")
+      // string range: cat05..cat07 inclusive = 3 files
+      val rng = read().filter(col("cat") >= "cat05" && col("cat") <= "cat07")
+      assert(rng.count() == 300 && filesOpened(rng) == 3)
+      // OR-of-boxes ACROSS columns: two disjuncts, disjoint file sets
+      val or = read().filter(col("cat") === "cat03" || col("id") >= 850)
+      assert(or.count() == 100 + 150 && filesOpened(or) == 3,
+        s"disjunction must prune on the union of the boxes (opened ${filesOpened(or)})")
+      // string IN-list prunes as exact point boxes (not an envelope:
+      // cat01..cat08 envelope would be 8 files, points are 2)
+      val in = read().filter(col("cat").isin("cat01", "cat08"))
+      assert(in.count() == 200 && filesOpened(in) == 2,
+        s"IN must prune per point box (opened ${filesOpened(in)})")
+      // an unparseable DISJUNCT poisons its disjunction: nothing prunes
+      val poisoned = read().filter(col("cat") === "cat03" || length(col("cat")) === 99)
+      assert(filesOpened(poisoned) == 10, "unparseable disjunct must stop pruning")
+      // ...but an unparseable CONJUNCT only widens: the parseable
+      // conjunct still prunes to its own file
+      val conj = read().filter(col("cat") === "cat03" && length(col("cat")) === 5)
+      assert(filesOpened(conj) == 1, "unparseable conjunct must not stop pruning")
+      // UNKNOWN-FILE SAFETY (exclusion injection): append a file the
+      // registry has never seen; its matching rows must survive a
+      // pruned read even though no stats cover it
+      spark.range(0, 10).selectExpr(
+          "id + 5000 as id", "cast(99 as int) as file_id", "'cat03' as cat")
+        .repartition(col("file_id"))
+        .write.partitionBy("file_id").mode(SaveMode.Append)
+        .parquet(lake.getAbsolutePath)
+      val afterAppend = read().filter(col("cat") === "cat03")
+      assert(afterAppend.count() == 110,
+        "rows in a file appended after registration must never be pruned")
+      val appendOpened = filesOpened(read().filter(col("cat") === "cat03"))
+      assert(appendOpened == 2,
+        s"stale registration still prunes the 9 known disjoint files (opened $appendOpened)")
+    } finally graft.plans.StatsPruneRegistry.unregister(lake.getAbsolutePath)
+    spark.catalog.clearCache()
+  }
+
   test("kernel agrees with a driver-side fold on real embeddings") {
     // NOTE: with GraftExtensions active session-wide, the HOF form
     // would itself plan as the kernel — comparing the two would be

@@ -145,11 +145,17 @@ object Scd {
     *
     * Scale: one shuffle on the entity key, one window per key ordered
     * by time — the same shape as sessionization; no self-joins. */
-  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame =
+    intervalsOf(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts")))
+
+  /** Frame-based core of A15 (events = (user_id, event_id, event_type,
+    * ts)) — shared with the incremental [[scd2Apply]], whose output
+    * must equal this recomputed from scratch. */
+  private[graft] def intervalsOf(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    Tables.events(spark, dir)
-      .select($"user_id", $"event_id", $"event_type", $"ts")
+    events
       // monotone per-key version ordinal (the reference's history
       // `version BIGINT`, create_table.sql:88) — same window as the
       // lead(), so one sort, one Window node computes both.
@@ -158,6 +164,81 @@ object Scd {
       .withColumn("valid_to", lead($"ts", 1).over(w))
       .withColumn("is_current", $"valid_to".isNull)
       .drop("ts")
+  }
+
+  /** Extension `scd2_apply` (A15b) — INCREMENTAL SCD2 merge: apply a
+    * strictly-later change batch to an existing interval table in one
+    * plan — close each affected key's open interval at its first new
+    * event, continue that key's version numbering through the new
+    * events, and append their intervals — the nightly `MERGE INTO`
+    * a cluster runs against the reference's append-only history table
+    * (create_table.sql:85-107, arxiv_etl.py:84-111) instead of
+    * recomputing A15 from all history. The gated entry splits `events`
+    * at a derived 75% event-time boundary (integer micros arithmetic,
+    * engine-exact), builds the base interval table from the prefix,
+    * applies the suffix as the change batch, and must HASH-EQUAL the
+    * from-scratch A15 over all events ([[scd2IntervalsSql]] is the
+    * oracle — the strongest possible gate for an incremental
+    * operator: full-recompute parity through an independent engine).
+    *
+    * Scale: this is the incremental posture A6-A8/A15 lack — work is
+    * one pass-through of the base table (broadcast-joined against the
+    * per-affected-key first-new-event row, which is change-batch
+    * sized) plus one (key)-shuffled window over the CHANGE BATCH
+    * only. Closed history rows are immutable (the batch is strictly
+    * later), so nothing base-sized ever shuffles or sorts; on a
+    * lakehouse sink the pass-through becomes the MERGE's
+    * copy-unmodified-files path and only the open-row files rewrite.
+    *
+    * Correctness of the split form: per key, base events all precede
+    * change events in (ts, event_id) order (the boundary is strict),
+    * so concatenating the base windows with the change windows
+    * reproduces the full-history window exactly: versions continue at
+    * the open row's version, the open row's valid_to becomes the
+    * key's first change ts, and keys absent from either side pass
+    * through / number from 1. */
+  def scd2Apply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      // epoch micros of the NTZ wall clock (session pinned UTC):
+      // integer split arithmetic both engines compute identically
+      .withColumn("us", unix_micros($"ts".cast("timestamp")))
+    val bnd = ev.agg(min($"us").as("mn"), max($"us").as("mx"))
+      .select(expr("mn + ((mx - mn) * 3) div 4").as("t_split"))
+    val tagged = ev.crossJoin(broadcast(bnd))
+    val base = intervalsOf(
+      tagged.filter($"us" < $"t_split").drop("us", "t_split"))
+    val changes = tagged.filter($"us" >= $"t_split").drop("us", "t_split")
+    scd2ApplyOf(base, changes)
+  }
+
+  /** The one-plan MERGE core: `base` = an A15-shaped interval table,
+    * `changes` = (user_id, event_id, event_type, ts) all strictly
+    * later than every base event of their key. */
+  def scd2ApplyOf(base: DataFrame, changes: DataFrame): DataFrame = {
+    import base.sparkSession.implicits._
+    // change-batch-sized per-key metadata: when the key's open
+    // interval closes (its first new event)
+    val firstNew = changes.groupBy($"user_id").agg(min($"ts").as("first_new_ts"))
+    // pass through the base table once: only affected keys' open rows
+    // change (close at first_new_ts); closed history is immutable
+    val baseAdj = base.join(firstNew, Seq("user_id"), "left")
+      .select($"user_id", $"event_id", $"event_type", $"version",
+        $"valid_from",
+        when($"is_current" && $"first_new_ts".isNotNull, $"first_new_ts")
+          .otherwise($"valid_to").as("valid_to"),
+        ($"is_current" && $"first_new_ts".isNull).as("is_current"))
+    // version continuation: the open row carries its key's max version
+    val offs = base.filter($"is_current").select($"user_id", $"version".as("base_v"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val changesV = changes.join(offs, Seq("user_id"), "left")
+      .select($"user_id", $"event_id", $"event_type",
+        (coalesce($"base_v", lit(0L)) + row_number().over(w)).as("version"),
+        $"ts".as("valid_from"),
+        lead($"ts", 1).over(w).as("valid_to"),
+        lead($"ts", 1).over(w).isNull.as("is_current"))
+    baseAdj.unionAll(changesV)
   }
 
   val scd2IntervalsSql: String =

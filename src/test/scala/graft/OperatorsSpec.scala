@@ -125,6 +125,49 @@ class OperatorsSpec extends AnyFunSuite {
       .exceptAll(agg).count() == 0)
   }
 
+  test("scd2_apply: incremental merge equals the from-scratch interval table") {
+    val applied = operators.Scd.scd2Apply(spark, sf)
+    val scratch = operators.Scd.scd2Intervals(spark, sf)
+    assert(applied.count() == scratch.count() &&
+      applied.exceptAll(scratch).count() == 0 &&
+      scratch.exceptAll(applied).count() == 0,
+      "incremental SCD2 apply must reproduce the full recompute row-for-row")
+  }
+
+  test("scd2_apply: new keys, untouched keys, and multi-event batches merge correctly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = java.time.LocalDateTime.parse(s)
+    // base: key 1 has two events, key 2 has one (stays untouched)
+    val baseEv = Seq(
+      (1L, 10L, "signup", ts("2024-01-01T00:00:00")),
+      (1L, 11L, "update", ts("2024-01-02T00:00:00")),
+      (2L, 20L, "signup", ts("2024-01-01T12:00:00"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+      .withColumn("ts", $"ts".cast("timestamp_ntz"))
+    // changes: key 1 gets TWO later events; key 3 is brand new
+    val chgEv = Seq(
+      (1L, 12L, "update", ts("2024-02-01T00:00:00")),
+      (1L, 13L, "close",  ts("2024-02-02T00:00:00")),
+      (3L, 30L, "signup", ts("2024-02-01T06:00:00"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+      .withColumn("ts", $"ts".cast("timestamp_ntz"))
+    val applied = operators.Scd.scd2ApplyOf(operators.Scd.intervalsOf(baseEv), chgEv)
+    val scratch = operators.Scd.intervalsOf(baseEv.unionAll(chgEv))
+    assert(applied.count() == 6 && applied.exceptAll(scratch).count() == 0 &&
+      scratch.exceptAll(applied).count() == 0,
+      "crafted merge must equal full recompute")
+    val rows = applied.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      ((r.getLong(3), r.isNullAt(5), r.getBoolean(6)))).toMap
+    // key 1: versions continue 1,2 -> 3,4; only event 13 stays open
+    assert(rows((1L, 11L)) == ((2L, false, false)), "old open row must close")
+    assert(rows((1L, 12L)) == ((3L, false, false)))
+    assert(rows((1L, 13L)) == ((4L, true, true)))
+    // untouched key 2 passes through open; new key 3 numbers from 1
+    assert(rows((2L, 20L)) == ((1L, true, true)))
+    assert(rows((3L, 30L)) == ((1L, true, true)))
+  }
+
   test("status_claim: claims are the globally earliest pending items") {
     import org.apache.spark.sql.functions._
     val claimed = operators.Status.statusClaim(spark, sf, n = 10)

@@ -679,35 +679,54 @@ object TextAnalysis {
     * lets the spec pin ranking behavior on crafted corpora. */
   def bm25Of(docs: DataFrame, k: Int = 10, dfCap: Int = 100, qMod: Int = 20): DataFrame = {
     import docs.sparkSession.implicits._
-    val tok = docs.withColumn("t", toks($"text")).filter(size($"t") >= 3)
     // eager (materialization contract): tf feeds the df aggregate, the
     // postings build, AND the query-panel side
-    // dl rides THROUGH the tf aggregate as a functionally-dependent
-    // grouping column (constant per doc_id — zero extra shuffle
-    // volume), so the postings build needs NO per-doc length join and
-    // nothing downstream re-runs the tokenize pipeline (re-deriving dl
-    // from the scan cost 2x the query's task time in re-tokenization;
-    // a separate groupBy-sum cost an extra shuffled agg + join)
-    val tf = tok
-      .select($"doc_id", (size($"t") - 2).cast("long").as("dl"), explode(expr(
-        """transform(sequence(0, size(t) - 3),
-          |  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))""".stripMargin)).as("token"))
-      .groupBy($"doc_id", $"dl", $"token").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    val tf = bm25TfTable(docs).localCheckpoint()
     val stats = tf.groupBy($"doc_id").agg(first($"dl").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum($"dl").as("t_tok"))
       .select($"n_docs", expr("(1000 * t_tok) div n_docs").as("am"))
     val dfc = tf.groupBy($"token").agg(count(lit(1)).as("df")).filter($"df" <= dfCap)
     val post = tf.join(dfc, Seq("token"))
       .crossJoin(broadcast(stats))
-      .select($"doc_id", $"token", expr(
-        """(least((n_docs * 100) div df, 100000) * (44 * am * tf))
-          |  div (20 * am * tf + 6 * am + 18000 * dl)""".stripMargin).as("impact"))
+      .select($"doc_id", $"token", expr(bm25ImpactExpr).as("impact"))
     // query panel: terms of every qMod-th doc, weight 1 per distinct
     // term (short-query convention); capped terms drop out via the
     // posting join itself (post only carries df ≤ dfCap tokens)
     val q = tf.filter($"doc_id" % qMod === 0)
       .select($"doc_id".as("query_id"), $"token")
+    bm25TopK(post, q, k)
+  }
+
+  /** The (doc_id, dl, token, tf) table BM25 builds on. `dl` rides
+    * THROUGH the tf aggregate as a functionally-dependent grouping
+    * column (constant per doc_id — zero extra shuffle volume), so the
+    * postings build needs NO per-doc length join and nothing
+    * downstream re-runs the tokenize pipeline (re-deriving dl from
+    * the scan cost 2x the query's task time in re-tokenization; a
+    * separate groupBy-sum cost an extra shuffled agg + join). Shared
+    * with the streaming postings maintainer (E11) so the term space
+    * cannot drift between batch and stream. */
+  private[graft] def bm25TfTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.withColumn("t", toks($"text")).filter(size($"t") >= 3)
+      .select($"doc_id", (size($"t") - 2).cast("long").as("dl"), explode(expr(
+        """transform(sequence(0, size(t) - 3),
+          |  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))""".stripMargin)).as("token"))
+      .groupBy($"doc_id", $"dl", $"token").agg(count(lit(1)).as("tf"))
+  }
+
+  /** C23's integer impact formula (see [[bm25Retrieve]]'s Scaladoc for
+    * the exact-rational derivation) — ONE definition consumed by the
+    * batch plan and the streaming serve path. Expects columns
+    * n_docs, df, am, tf, dl in scope. */
+  private[graft] val bm25ImpactExpr: String =
+    """(least((n_docs * 100) div df, 100000) * (44 * am * tf))
+      |  div (20 * am * tf + 6 * am + 18000 * dl)""".stripMargin
+
+  /** Shared scoring tail: per-query partial sums over the posting ×
+    * broadcast-panel join, then the per-query top-k window. */
+  private[graft] def bm25TopK(post: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    import post.sparkSession.implicits._
     val scores = post.join(broadcast(q), Seq("token"))
       .groupBy($"query_id", $"doc_id").agg(sum($"impact").as("score"))
     val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id")

@@ -628,6 +628,131 @@ object Streams {
       .as[BandPost]
   }
 
+  /** One (token, doc) observation for the streaming BM25 index: tf of
+    * `token` in `doc_id`, with the doc's length `dl` riding along
+    * (C23's no-length-join posture carried into the stream). The
+    * reserved empty token is the CORPUS-STATS channel — one post per
+    * document maintains (N, Σdl) in O(1) state, the index "header" a
+    * real engine keeps beside its postings. */
+  final case class TermPost(token: String, doc_id: Long, dl: Long, tf: Long)
+  final case class PostingItem(doc_id: Long, dl: Long, tf: Long)
+  /** One refreshed index entry, emitted whenever a batch touches the
+    * token; `version` increases per refresh so a snapshot is
+    * "latest version per token". Over-df-cap terms and the stats
+    * channel carry empty postings. */
+  final case class PostingEntry(token: String, version: Long, df: Long,
+                                sum_dl: Long, postings: Seq[PostingItem])
+  final case class PostingsState(version: Long, df: Long, sumDl: Long,
+                                 items: List[PostingItem])
+
+  /** E11 `stream_bm25` core — INCREMENTAL inverted-index maintenance:
+    * posts group by token; each micro-batch folds its arrivals into
+    * the token's posting-list state and emits the refreshed entry
+    * (UPDATE semantics — an upsert into the serving index table).
+    * This is the stream side of C23's retrieval surface: the
+    * reference ingests batches forever (arxiv_collector per-category
+    * pages) and its promised recommendation feature would serve from
+    * an index maintained per batch, not rebuilt per query.
+    *
+    * The per-doc tf input is STATELESS to produce (a document's
+    * trigram counts need only that document — one row in, its
+    * TermPosts out), so the only stateful layer is this index
+    * maintenance. State per token is bounded by `dfCap` items: once a
+    * term's df exceeds the cap it becomes a (version, df) TOMBSTONE —
+    * boilerplate terms stop accumulating state AND stop serving,
+    * exactly C23's df-cap drop semantics — so total state is
+    * O(vocabulary × dfCap), the index itself, not the stream. No
+    * event-time timeout: a retrieval index must not forget documents
+    * (contrast E6's aging buckets); production compacts snapshots to
+    * persisted index tables the way [[graft.operators.Similarity
+    * .ivfWrite]] does for IVF lists.
+    *
+    * In batch mode each token's whole history arrives as one group
+    * with fresh state, so the emitted entries ARE the C23 postings
+    * build — [[streamBm25]] serves them and hash-gates against
+    * `bm25_retrieve`'s own oracle (finalized-batch parity, the E6/E9
+    * pattern); the StreamingSpec drives MemoryStream arrivals and
+    * pins snapshot-serve ≡ batch BM25 over the delivered prefix after
+    * EVERY batch. */
+  def bm25Postings(posts: Dataset[TermPost], dfCap: Int = 100): Dataset[PostingEntry] = {
+    import posts.sparkSession.implicits._
+    posts.groupByKey(_.token)
+      .flatMapGroupsWithState[PostingsState, PostingEntry](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (token, it, state: GroupState[PostingsState]) =>
+          val st0 = state.getOption.getOrElse(PostingsState(0L, 0L, 0L, Nil))
+          // admission in doc_id order keeps batch-mode output (and any
+          // replayed batch) deterministic
+          val arrivals = it.toSeq.sortBy(_.doc_id)
+          if (arrivals.isEmpty) Iterator.empty
+          else {
+            val df1 = st0.df + arrivals.size
+            val sumDl1 = st0.sumDl + arrivals.iterator.map(_.dl).sum
+            val items1 =
+              if (token.isEmpty || df1 > dfCap) Nil // stats channel / tombstone
+              else st0.items ::: arrivals.map(p => PostingItem(p.doc_id, p.dl, p.tf)).toList
+            val st1 = PostingsState(st0.version + 1, df1, sumDl1, items1)
+            state.update(st1)
+            Iterator.single(PostingEntry(token, st1.version, df1, sumDl1, items1))
+          }
+      }
+  }
+
+  /** Serve BM25 top-k from an accumulated [[PostingEntry]] table (the
+    * memory-sink / upserted index): reduce to the latest version per
+    * token, read (N, am) off the stats-channel entry, reconstruct the
+    * (doc_id, dl, token, tf) postings, and run C23's OWN impact
+    * formula and scoring tail ([[graft.operators.TextAnalysis
+    * .bm25ImpactExpr]]/[[graft.operators.TextAnalysis.bm25TopK]] —
+    * one definition, zero drift). The query panel derives from the
+    * served postings like C23's (every `qMod`-th doc); capped terms
+    * are absent here rather than dropped by the join — same surviving
+    * (query, token) keys, identical scores. */
+  def bm25Serve(entries: DataFrame, k: Int = 10, dfCap: Int = 100,
+                qMod: Int = 20): DataFrame = {
+    import entries.sparkSession.implicits._
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy($"token").orderBy($"version".desc)
+    val latest = entries.withColumn("rn", row_number().over(wv)).filter($"rn" === 1)
+      .localCheckpoint()
+    val stats = latest.filter($"token" === "")
+      .select($"df".as("n_docs"), expr("(1000 * sum_dl) div df").as("am"))
+    val tfd = latest.filter($"token" =!= "" && $"df" <= dfCap)
+      .select($"token", $"df", explode($"postings").as("p"))
+      .select($"token", $"df", $"p.doc_id".as("doc_id"),
+        $"p.dl".as("dl"), $"p.tf".as("tf"))
+    val post = tfd.crossJoin(broadcast(stats))
+      .select($"doc_id", $"token",
+        expr(graft.operators.TextAnalysis.bm25ImpactExpr).as("impact"))
+    val q = tfd.filter($"doc_id" % qMod === 0).select($"doc_id".as("query_id"), $"token")
+    graft.operators.TextAnalysis.bm25TopK(post, q, k)
+  }
+
+  /** The stateless post producer: C23's tf table fanned out as term
+    * posts plus the one-per-doc stats-channel post. Shared by the
+    * batch gate and the spec's MemoryStream driver so the term space
+    * cannot drift. */
+  private[graft] def termPosts(tf: DataFrame): Dataset[TermPost] = {
+    import tf.sparkSession.implicits._
+    tf.select($"token", $"doc_id", $"dl", $"tf")
+      .unionAll(tf.groupBy($"doc_id").agg(first($"dl").as("dl"))
+        .select(lit("").as("token"), $"doc_id", $"dl", lit(1L).as("tf")))
+      .as[TermPost]
+  }
+
+  /** Driver-gate batch entry for E11: the full corpus through the
+    * stateful index maintainer in batch mode, then served — must
+    * hash-equal `bm25_retrieve` (same oracle). */
+  def streamBm25(spark: SparkSession, dir: String, k: Int = 10,
+                 dfCap: Int = 100, qMod: Int = 20): DataFrame = {
+    import spark.implicits._
+    // eager: the tf table feeds the term-post AND stats-post branches
+    val tf = graft.operators.TextAnalysis.bm25TfTable(
+        Tables.fanout(Tables.documents(spark, dir).select($"doc_id", $"text")))
+      .localCheckpoint()
+    bm25Serve(bm25Postings(termPosts(tf), dfCap).toDF(), k, dfCap, qMod)
+  }
+
   /** Driver-gate batch entry for E2 — hash-gated on B8's window
     * oracle via [[streamSessionizeSql]] (the two formulations compute
     * identical sessions). */

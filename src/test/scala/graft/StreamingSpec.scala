@@ -181,6 +181,47 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("E11 stream_bm25: the incremental index serves the batch BM25 answer after every batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = Tables.documents(s, sf).select(col("doc_id"), col("text"))
+    def postsOf(part: org.apache.spark.sql.DataFrame): Seq[Streams.TermPost] =
+      Streams.termPosts(operators.TextAnalysis.bm25TfTable(part)).collect().toSeq
+    val half1 = docs.filter(col("doc_id") < 250)
+    val source = MemoryStream[Streams.TermPost]
+    val q = Streams.bm25Postings(source.toDS())
+      .toDF().writeStream.format("memory").queryName("bm25_idx")
+      .outputMode("update").start()
+    // batch 1: first half of the corpus → the snapshot must serve
+    // EXACTLY the batch BM25 answer over that prefix
+    source.addData(postsOf(half1): _*)
+    q.processAllAvailable()
+    val served1 = Streams.bm25Serve(s.table("bm25_idx"))
+    val batch1 = operators.TextAnalysis.bm25Of(half1)
+    assert(served1.exceptAll(batch1).count() == 0 &&
+      batch1.exceptAll(served1).count() == 0,
+      "snapshot after batch 1 must serve the prefix-corpus BM25 answer")
+    // batch 2: the rest → stats (N, avgdl), dfs, and postings all
+    // shift; the refreshed snapshot must serve the full-corpus answer
+    source.addData(postsOf(docs.filter(col("doc_id") >= 250)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val served2 = Streams.bm25Serve(s.table("bm25_idx"))
+    val batch2 = operators.TextAnalysis.bm25Of(docs)
+    val n2 = batch2.count()
+    assert(n2 > 0 && served2.count() == n2 &&
+      served2.exceptAll(batch2).count() == 0 &&
+      batch2.exceptAll(served2).count() == 0,
+      "snapshot after batch 2 must serve the full-corpus BM25 answer")
+    // and it really was maintained incrementally: cross-batch tokens
+    // carry version 2 (refreshed state), not a rebuilt version 1
+    val refreshed = s.table("bm25_idx").groupBy(col("token"))
+      .agg(max(col("version")).as("v")).filter(col("v") >= 2).count()
+    assert(refreshed > 0, "no token refreshed across batches — index not incremental")
+    spark.catalog.clearCache()
+  }
+
   test("E10 stream_substring_dedup: batch equals the declarative bucket join; stream flags partial re-crawls") {
     val s = spark
     import s.implicits._

@@ -246,6 +246,66 @@ object Similarity {
     }
   }
 
+  /** int8 scalar quantization of the list vectors (the
+    * [[embeddingQuantize]] code, riding the index): `q8` is the
+    * per-vector-scaled tinyint code, `qn` its L2 norm. Cosine against a
+    * code is SCALE-FREE (q8 ∝ the dequantized vector), so the cheap
+    * first-pass score needs neither the scale nor the float vector —
+    * at 100 TB the code columns are the 4×-smaller projection the wide
+    * probe scans; floats are fetched only for the shortlist. */
+  private def withQ8(assigned: DataFrame): DataFrame = {
+    import assigned.sparkSession.implicits._
+    assigned
+      .withColumn("maxabs", expr("cast(array_max(transform(vc, x -> abs(x))) as double)"))
+      .withColumn("q8", expr(
+        "transform(vc, x -> cast(floor(cast(x as double)" +
+          " * (if(maxabs > 0d, 127.0d / maxabs, 0d)) + 0.5d) as tinyint))"))
+      .withColumn("qn", sqrt(dotF(expr("transform(q8, x -> cast(x as float))"),
+        expr("transform(q8, x -> cast(x as float))"))))
+      .drop("maxabs")
+  }
+
+  /** The list-row shape shared by the from-scratch build and
+    * [[ivfAppend]]: (cell, neighbor_id, vc, nc, label, q8, qn) — the
+    * payload attributes AND the int8 codes ride the index so probes
+    * never rejoin the corpus and the cheap pass never touches floats. */
+  private def listRows(assigned: DataFrame, labels: DataFrame): DataFrame = {
+    import assigned.sparkSession.implicits._
+    withQ8(assigned
+      .join(labels, Seq("vec_id"))
+      .select($"lcid".as("cell"), $"vec_id".as("neighbor_id"),
+        $"embedding".as("vc"), $"norm".as("nc"), $"label"))
+  }
+
+  /** IVF build core over an explicit (vec_id, embedding, label) frame —
+    * deterministic seed centroids (vec_id < nlist) → one Lloyd
+    * refinement (assign via max_by hash-agg, per-cell dimension means)
+    * → assign every vector to its refined cell. */
+  private[graft] def ivfIndexFrom(vecs: DataFrame, nlist: Int): (DataFrame, DataFrame) = {
+    import vecs.sparkSession.implicits._
+    // eager: e feeds seed selection, the Lloyd assign and the list
+    // build — concurrent consumers would each race the unfilled cache
+    val e = Tables.fanout(vecs)
+      .select($"vec_id", $"embedding", sqrt(dotF($"embedding", $"embedding")).as("norm"))
+      .localCheckpoint()
+    val seeds = e.filter($"vec_id" < nlist)
+      .select($"vec_id".cast("int").as("cid"), $"embedding".as("cvec"), $"norm".as("cnorm"))
+    val assigned0 = nearestCell(e, seeds, "a", 1)
+    val centroids = assigned0
+      .select($"acid".as("cid"), posexplode($"embedding"))
+      .groupBy($"cid", $"pos")
+      .agg(avg($"col".cast("double")).as("m"))
+      .groupBy($"cid")
+      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select($"cid", expr("transform(pm, x -> cast(x.m as float))").as("cvec"))
+      .withColumn("cnorm", sqrt(dotF(col("cvec"), col("cvec"))))
+      .localCheckpoint()
+    val lists = listRows(nearestCell(e, centroids, "l", 1),
+        vecs.select($"vec_id", $"label"))
+      .localCheckpoint()
+    (centroids, lists)
+  }
+
   /** Memoized IVF index — (refined centroids, inverted lists) per
     * (session, shuffle setting, dir, nlist), built ONCE per process via
     * the [[NearDup.Shared]] memo and read by every consumer (`ann_ivf`,
@@ -254,38 +314,11 @@ object Similarity {
     * materialized eagerly (localCheckpoint — see NearDup's
     * materialization contract); at cluster scale they are written as
     * index TABLES (centroids broadcast-sized, lists partitioned by
-    * cell) and this memo becomes a table read.
-    *
-    * Build: deterministic seed centroids (vec_id < nlist) → one Lloyd
-    * refinement (assign via max_by hash-agg, per-cell dimension means)
-    * → assign every vector to its refined cell. Lists carry
-    * (cell, vec_id, vector, norm, label) — the payload attributes ride
-    * the index so probes never rejoin the corpus. */
+    * cell) and this memo becomes a table read. */
   private[graft] def ivfIndex(spark: SparkSession, dir: String,
                               nlist: Int): (DataFrame, DataFrame) =
     NearDup.Shared.memo(spark, s"ivfIndex:$dir:$nlist") {
-      import spark.implicits._
-      // eager: e feeds seed selection, the Lloyd assign and the list
-      // build — concurrent consumers would each race the unfilled cache
-      val e = withNorm(spark, dir).localCheckpoint()
-      val seeds = e.filter($"vec_id" < nlist)
-        .select($"vec_id".cast("int").as("cid"), $"embedding".as("cvec"), $"norm".as("cnorm"))
-      val assigned0 = nearestCell(e, seeds, "a", 1)
-      val centroids = assigned0
-        .select($"acid".as("cid"), posexplode($"embedding"))
-        .groupBy($"cid", $"pos")
-        .agg(avg($"col".cast("double")).as("m"))
-        .groupBy($"cid")
-        .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
-        .select($"cid", expr("transform(pm, x -> cast(x.m as float))").as("cvec"))
-        .withColumn("cnorm", sqrt(dotF(col("cvec"), col("cvec"))))
-        .localCheckpoint()
-      val lists = nearestCell(e, centroids, "l", 1)
-        .join(Tables.embeddings(spark, dir).select($"vec_id", $"label"), Seq("vec_id"))
-        .select($"lcid".as("cell"), $"vec_id".as("neighbor_id"),
-          $"embedding".as("vc"), $"norm".as("nc"), $"label")
-        .localCheckpoint()
-      (centroids, lists)
+      ivfIndexFrom(Tables.embeddings(spark, dir), nlist)
     }
 
   /** C7b `ann_ivf` — IVF (inverted-file) coarse-quantizer ANN: the
@@ -338,12 +371,73 @@ object Similarity {
                        excludeSelf: Boolean = true): DataFrame = {
     import probes.sparkSession.implicits._
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
-    probes.join(lists.drop("label"), Seq("cell"))
+    probes.join(lists.select($"cell", $"neighbor_id", $"vc", $"nc"), Seq("cell"))
       .filter(if (excludeSelf) $"query_id" =!= $"neighbor_id" else lit(true))
       .withColumn("cosine", dot("vq", "vc") / ($"nq" * $"nc"))
       .withColumn("rank_nn", row_number().over(w))
       .filter($"rank_nn" <= k)
       .select($"query_id", $"neighbor_id", $"cell", $"rank_nn", $"cosine")
+  }
+
+  /** Two-stage probe scoring — the IVF+rerank serving shape:
+    *
+    *  1. CHEAP PASS: candidates from the probed cells score by cosine
+    *     against the int8 CODES only (`q8`/`qn` — scale-free, so no
+    *     dequantization; the float vectors are never touched). Per
+    *     query the top-`shortlist` by code cosine survive.
+    *  2. RERANK: the bounded shortlist (queries × shortlist rows, a
+    *     serving batch is small by definition) hash-joins the float
+    *     vectors by id and EXACT cosine decides the final top-k.
+    *
+    * This decouples the two costs single-stage IVF couples: how many
+    * cells you must PROBE for recall (wide is fine — the wide scan
+    * reads 4×-smaller codes, and under a columnar store only the code
+    * columns) from how many FLOAT vectors you must fetch (bounded by
+    * shortlist, independent of nprobe). int8 cosine error (≤1e-3,
+    * RecallSpec's dequantization bound) only threatens candidates
+    * within noise of the shortlist boundary, and shortlist ≫ k makes
+    * losing a true top-k that way essentially impossible — recall is
+    * governed by cell routing alone. */
+  private def ivfScoreRerank(probes: DataFrame, codes: DataFrame, vectors: DataFrame,
+                             shortlist: Int, k: Int,
+                             excludeSelf: Boolean = true): DataFrame = {
+    import probes.sparkSession.implicits._
+    val wS = Window.partitionBy($"query_id").orderBy($"qcos".desc, $"neighbor_id")
+    val short = probes.join(codes, Seq("cell"))
+      .filter(if (excludeSelf) $"query_id" =!= $"neighbor_id" else lit(true))
+      .withColumn("qcos",
+        when($"qn" > 0d,
+          dotF($"vq", expr("transform(q8, x -> cast(x as float))")) / ($"nq" * $"qn"))
+          .otherwise(lit(-2d)))
+      .withColumn("srank", row_number().over(wS))
+      .filter($"srank" <= shortlist)
+      .select($"query_id", $"neighbor_id", $"cell", $"vq", $"nq")
+    val wK = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    short.join(vectors, Seq("neighbor_id"))
+      .withColumn("cosine", dot("vq", "vc") / ($"nq" * $"nc"))
+      .withColumn("rank_nn", row_number().over(wK))
+      .filter($"rank_nn" <= k)
+      .select($"query_id", $"neighbor_id", $"cell", $"rank_nn", $"cosine")
+  }
+
+  /** C7c `ann_ivf_rerank` — [[annIvf]] upgraded to the two-stage
+    * serving shape ([[ivfScoreRerank]]): probe WIDE (nprobe=10 of 16 —
+    * on this clusterless random corpus recall is a pure function of
+    * cells probed; real clustered embeddings reach the same recall at
+    * far smaller nprobe/nlist), score candidates on int8 codes, exact
+    * rerank only the top-`shortlist`. Measured recall@5 ≈ 0.90-0.95
+    * vs brute force (single-stage nprobe=2 sits at ~0.55); check.py
+    * grades the cross-engine floor at 0.8. Rows-only like its parent
+    * (centroid geometry is implementation-specific). */
+  def annIvfRerank(spark: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 10,
+                   shortlist: Int = 32, k: Int = 5, nQueries: Int = 50): DataFrame = {
+    import spark.implicits._
+    val (centroids, lists) = ivfIndex(spark, dir, nlist)
+    val queries = lists.filter($"neighbor_id" < nQueries)
+      .select($"neighbor_id".as("vec_id"), $"vc".as("embedding"), $"nc".as("norm"))
+    ivfScoreRerank(ivfRoute(centroids, queries, nprobe),
+      lists.select($"cell", $"neighbor_id", $"q8", $"qn"),
+      lists.select($"neighbor_id", $"vc", $"nc"), shortlist, k)
   }
 
   /** Persist the [[ivfIndex]] as on-disk index TABLES at `path` — the
@@ -352,11 +446,39 @@ object Similarity {
     * probe run reads only its probed cells' directories. Build once,
     * serve any number of probe runs/processes. */
   def ivfWrite(spark: SparkSession, dir: String, path: String,
-               nlist: Int = 16): Unit = {
-    val (centroids, lists) = ivfIndex(spark, dir, nlist)
+               nlist: Int = 16): Unit =
+    writeIndex(ivfIndex(spark, dir, nlist), path)
+
+  /** [[ivfWrite]] over an explicit (vec_id, embedding, label) frame —
+    * the build entry point when the corpus is not a registered table
+    * (a snapshot prefix, a filtered corpus, a test fixture). */
+  def ivfWriteFrom(vecs: DataFrame, path: String, nlist: Int = 16): Unit =
+    writeIndex(ivfIndexFrom(vecs, nlist), path)
+
+  private def writeIndex(idx: (DataFrame, DataFrame), path: String): Unit = {
+    val (centroids, lists) = idx
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     lists.repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/lists")
+  }
+
+  /** Incremental index maintenance — assign a NEW embedding batch to
+    * the index's existing (frozen) centroids and APPEND only the
+    * touched cell partitions; untouched cell directories are not
+    * rewritten, so maintenance cost is O(batch), not O(index). This is
+    * the standard IVF append posture: centroids stay fixed between
+    * periodic retrains (assignment is nearest-centroid either way, so
+    * append ≡ one-shot assign-all under the same centroids —
+    * RecallSpec pins that equivalence exactly), and a probe served
+    * after the append sees the union corpus with no rebuild. */
+  def ivfAppend(spark: SparkSession, path: String, newVecs: DataFrame): Unit = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val e = Tables.fanout(newVecs)
+      .select($"vec_id", $"embedding", sqrt(dotF($"embedding", $"embedding")).as("norm"))
+    listRows(nearestCell(e, centroids, "l", 1), newVecs.select($"vec_id", $"label"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("append").parquet(s"$path/lists")
   }
 
   /** [[annIvf]] served from a persisted [[ivfWrite]] index: the
@@ -371,7 +493,8 @@ object Similarity {
     * not the serving path. */
   def annIvfServe(spark: SparkSession, path: String, nprobe: Int = 2,
                   k: Int = 5, nQueries: Int = 50,
-                  queries: Option[DataFrame] = None): DataFrame = {
+                  queries: Option[DataFrame] = None,
+                  shortlist: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val centroids = spark.read.parquet(s"$path/centroids")
     // `cell` is the lists' PARTITION column: its read-back type depends
@@ -380,7 +503,7 @@ object Similarity {
     // probe equi-join never depend on session conf.
     val lists = spark.read.parquet(s"$path/lists")
       .select($"cell".cast("int").as("cell"), $"neighbor_id",
-        $"vc".cast("array<float>").as("vc"), $"nc", $"label")
+        $"vc".cast("array<float>").as("vc"), $"nc", $"label", $"q8", $"qn")
     val panel = queries.map(q => q
         .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
         .withColumn("norm", sqrt(dotF($"embedding", $"embedding"))))
@@ -396,11 +519,54 @@ object Similarity {
     val routed = ivfRoute(centroids, panel, nprobe).localCheckpoint()
     val probedCells = routed.select($"cell").distinct()
       .collect().map(_.getAs[Number](0).intValue()).toSeq
+    val probed = lists.filter($"cell".isin(probedCells: _*))
     // external queries number their OWN id namespace: a batch vector
     // that happens to share a corpus id must not lose that corpus
     // neighbor. Self-exclusion only applies to the self-panel mode.
-    ivfScore(routed, lists.filter($"cell".isin(probedCells: _*)), k,
-      excludeSelf = queries.isEmpty)
+    shortlist match {
+      case Some(sl) =>
+        // two-stage serve: the wide pass reads ONLY the code columns
+        // (parquet column pruning — the float vectors never enter the
+        // wide scan), the rerank fetch reads floats for candidates in
+        // the probed cells alone.
+        ivfScoreRerank(routed,
+          probed.select($"cell", $"neighbor_id", $"q8", $"qn"),
+          probed.select($"neighbor_id", $"vc", $"nc"), sl, k,
+          excludeSelf = queries.isEmpty)
+      case None =>
+        ivfScore(routed, probed, k, excludeSelf = queries.isEmpty)
+    }
+  }
+
+  /** C7d `ann_ivf_append` — the incremental-maintenance path under the
+    * gate: build the index from a 70%-by-id corpus prefix
+    * ([[ivfWriteFrom]]), [[ivfAppend]] the remaining 30% as an
+    * arriving batch (frozen centroids, only touched cell partitions
+    * written), then serve the full query panel two-stage from the
+    * appended index. check.py grades recall@5 against DuckDB brute
+    * force over the WHOLE corpus — the appended vectors are only
+    * findable if the append actually landed in the right cells.
+    * Rows-only (centroid geometry); RecallSpec additionally pins
+    * append ≡ one-shot assign-all under the same centroids, exactly. */
+  def annIvfAppendServe(spark: SparkSession, dir: String, nlist: Int = 16,
+                        nprobe: Int = 10, shortlist: Int = 32, k: Int = 5,
+                        nQueries: Int = 50): DataFrame = {
+    import spark.implicits._
+    val all = Tables.embeddings(spark, dir)
+    // deterministic 70% id split (bounded driver metadata: one max);
+    // an empty corpus has no index to build — serve the empty result
+    // rather than writing a schemaless parquet dir
+    val maxRow = all.agg(max($"vec_id")).head()
+    if (maxRow.isNullAt(0))
+      return Seq.empty[(Long, Long, Int, Int, Double)]
+        .toDF("query_id", "neighbor_id", "cell", "rank_nn", "cosine")
+    val cut = maxRow.getLong(0) * 7 / 10
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_append").toFile
+    tmp.deleteOnExit()
+    ivfWriteFrom(all.filter($"vec_id" <= cut), tmp.getAbsolutePath, nlist)
+    ivfAppend(spark, tmp.getAbsolutePath, all.filter($"vec_id" > cut))
+    annIvfServe(spark, tmp.getAbsolutePath, nprobe = nprobe, k = k,
+      nQueries = nQueries, shortlist = Some(shortlist))
   }
 
   /** C16 `centroid_per_label` — mean embedding per label, emitted one

@@ -227,10 +227,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row-scalar / bounded-query-side crosses (broadcast the tiny
     // side by design): ann query sides, centroid tables, the n_docs /
     // total_occ scalars
-    val crossOk = Set("ann_bruteforce", "ann_ivf", "knn_classify",
-      "knn_classify_ivf", "stats_prune",
+    // scd2_apply's cross is the 1-row (min,max) boundary scalar;
+    // stream_bm25's is bm25's 1-row (n_docs, am) stats scalar;
+    // ann_ivf_rerank's is the 16-row centroid routing table
+    val crossOk = Set("ann_bruteforce", "ann_ivf", "ann_ivf_rerank",
+      "knn_classify", "knn_classify_ivf", "stats_prune",
       "tfidf_terms", "vocab_build", "perplexity_score", "zorder_layout",
-      "bm25_retrieve", "bpe_pair_counts", "bpe_train_merges")
+      "bm25_retrieve", "bpe_pair_counts", "bpe_train_merges",
+      "scd2_apply", "stream_bm25")
     // k-bounded-group max_by assigns: the sort is by grouping key with
     // map-side partial agg — benign, unlike cluster-sized groups
     val sortAggOk = Set("ann_ivf", "resample_fill", "stream_dedup")
@@ -247,9 +251,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // bm25_retrieve: same class — the (n_docs, am) scalar aggregate is
     // its only single-partition combine and its only cross (broadcast)
     // bpe_pair_counts shares vocab_build's banded core and whitelist basis
+    // scd2_apply: the 1-row (min,max) event-time boundary aggregate —
+    // the same bounded scalar-combine class
     val singleOk = Set("tfidf_terms", "vocab_build", "perplexity_score",
       "zorder_layout", "compaction_plan", "stats_prune", "bm25_retrieve",
-      "bpe_pair_counts", "bpe_train_merges")
+      "bpe_pair_counts", "bpe_train_merges", "scd2_apply")
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val nodes = collectAll(executedPlan(fn(spark, sf)))
       spark.catalog.clearCache()
@@ -315,10 +321,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row scalar aggregate or a bounded query/centroid set — so a
     // future edit can't silently grow a whitelisted cross into an
     // n×m explosion. Runtime numOutputRows is the cardinality itself.
-    val crossOk = Seq("ann_bruteforce", "ann_ivf", "knn_classify",
-      "knn_classify_ivf", "stats_prune",
+    val crossOk = Seq("ann_bruteforce", "ann_ivf", "ann_ivf_rerank",
+      "knn_classify", "knn_classify_ivf", "stats_prune",
       "tfidf_terms", "vocab_build", "perplexity_score", "zorder_layout",
-      "bm25_retrieve", "bpe_pair_counts", "bpe_train_merges")
+      "bm25_retrieve", "bpe_pair_counts", "bpe_train_merges",
+      "scd2_apply", "stream_bm25")
     def rowsOf(p: org.apache.spark.sql.execution.SparkPlan): Option[Long] = p match {
       case q: QueryStageExec => rowsOf(q.plan)
       case e: BroadcastExchangeLike => Some(e.metrics("numOutputRows").value)

@@ -217,21 +217,105 @@ class RecallSpec extends AnyFunSuite {
     val opened = filesOpened(small)
     assert(opened <= 6 && opened < cells,
       s"probed-cells scan must open <= 6 of $cells dirs, opened $opened")
+    // two-stage serve parity: the disk-served rerank path must equal
+    // the memo-served rerank operator row-for-row
+    val memoRr = operators.Similarity.annIvfRerank(spark, sf)
+    val servedRr = operators.Similarity.annIvfServe(
+      spark, idx.getAbsolutePath, nprobe = 10, shortlist = Some(32))
+    assert(memoRr.count() == servedRr.count() &&
+      memoRr.exceptAll(servedRr).count() == 0,
+      "table-served two-stage probe must equal the memo-served rerank operator")
+    // ...and its file bound: code scan + float fetch are two scans,
+    // each statically pruned to the probed cells -> <= 2 x 6 dirs
+    val smallRr = operators.Similarity.annIvfServe(
+      spark, idx.getAbsolutePath, queries = Some(threeQ), shortlist = Some(8))
+    val openedRr = filesOpened(smallRr)
+    assert(openedRr <= 12,
+      s"two-stage probed-cells scans must open <= 12 dirs, opened $openedRr")
     spark.catalog.clearCache()
   }
 
-  test("C7b ann_ivf recall@5 against C6 exact top-5") {
+  test("C7b/C7c IVF recall@5 curve: monotone in nprobe; rerank config >= 0.8") {
     val exact = operators.Similarity.annBruteforce(spark, sf, k = 5, nQueries = 20)
-      .select(col("query_id"), col("neighbor_id"))
-    val ivf = operators.Similarity.annIvf(spark, sf, nQueries = 20)
-      .select(col("query_id"), col("neighbor_id"))
-    val hits = exact.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
+      .select(col("query_id"), col("neighbor_id")).cache()
     val total = exact.count()
-    val recall = hits.toDouble / total
-    // nprobe=2 of nlist=16 cells: measured recall ~= 0.5-0.7 on this
-    // data; 0.25 is the break-glass floor (random probing would land
-    // ~2/16 = 0.125)
-    assert(recall >= 0.25, s"IVF recall@5 = $recall ($hits/$total)")
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      exact.join(df.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi").count().toDouble / total
+    // recall is EXACTLY monotone in nprobe: the probed cell set at
+    // nprobe n is a subset of n+1's, candidates only grow, and a true
+    // top-5 neighbor cannot be displaced by >4 higher-cosine
+    // candidates (those would themselves be truth ranks 1-4)
+    val curve = Seq(1, 2, 4, 8, 10).map(np =>
+      np -> recallOf(operators.Similarity.annIvf(spark, sf, nprobe = np, nQueries = 20)))
+    info("recall@5 vs nprobe: " +
+      curve.map { case (np, r) => f"$np%d->$r%.3f" }.mkString(", "))
+    curve.sliding(2).foreach { case Seq((n1, r1), (n2, r2)) =>
+      assert(r2 >= r1, s"recall not monotone: nprobe=$n1 -> $r1, nprobe=$n2 -> $r2")
+    }
+    // probing must actually buy recall (a broken router would flatline)
+    assert(curve.last._2 >= curve.head._2 + 0.2,
+      s"curve flat: ${curve.head} .. ${curve.last}")
+    // the single-stage registry config (nprobe=2): measured 0.5-0.7
+    assert(curve.find(_._1 == 2).get._2 >= 0.4,
+      s"single-stage recall@5 = ${curve.find(_._1 == 2).get._2}")
+    // the two-stage registry config (nprobe=10, int8 shortlist, exact
+    // rerank): measured 0.90-0.95 — check.py grades the same floor
+    // cross-engine at sf0.01
+    val rr = recallOf(operators.Similarity.annIvfRerank(spark, sf, nQueries = 20))
+    assert(rr >= 0.8, s"rerank recall@5 = $rr")
+    // the int8 cheap pass must not cost recall vs exact scoring of the
+    // same probed cells (shortlist >> k absorbs quantization noise)
+    val singleWide = curve.find(_._1 == 10).get._2
+    assert(rr >= singleWide - 0.02,
+      s"rerank recall $rr fell below single-stage nprobe=10 $singleWide")
+    exact.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("C7d ivfAppend: append == one-shot assign-all under the same centroids; no rewrite of existing files") {
+    import java.nio.file.{Files, Paths}
+    val all = Tables.embeddings(spark, sf)
+    val cut = all.agg(max(col("vec_id"))).head().getLong(0) * 7 / 10
+    val idxA = Files.createTempDirectory("graft_ivf_a").toFile
+    val idxB = Files.createTempDirectory("graft_ivf_b").toFile
+    idxA.deleteOnExit(); idxB.deleteOnExit()
+    // A: build on the 70% prefix, then append the 30% suffix batch
+    operators.Similarity.ivfWriteFrom(all.filter(col("vec_id") <= cut), idxA.getAbsolutePath)
+    val preFiles = Files.walk(Paths.get(idxA.getAbsolutePath, "lists")).iterator()
+      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val before = {
+      val b = scala.collection.mutable.Map[String, Long]()
+      preFiles.forEachRemaining(p =>
+        if (p.toString.endsWith(".parquet")) b(p.toString) = Files.size(p))
+      b.toMap
+    }
+    operators.Similarity.ivfAppend(spark, idxA.getAbsolutePath,
+      all.filter(col("vec_id") > cut))
+    // O(batch) maintenance: every pre-append list file survives
+    // untouched (append adds files to touched cells, rewrites nothing)
+    before.foreach { case (p, sz) =>
+      val path = Paths.get(p)
+      assert(Files.exists(path) && Files.size(path) == sz,
+        s"append rewrote or removed existing list file $p")
+    }
+    // B: the SAME centroids (bit-exact parquet copy), all vectors
+    // assigned in one shot — append must be indistinguishable from it
+    spark.read.parquet(s"${idxA.getAbsolutePath}/centroids")
+      .coalesce(1).write.parquet(s"${idxB.getAbsolutePath}/centroids")
+    operators.Similarity.ivfAppend(spark, idxB.getAbsolutePath, all)
+    val servedA = operators.Similarity.annIvfServe(spark, idxA.getAbsolutePath,
+      nprobe = 10, shortlist = Some(32))
+    val servedB = operators.Similarity.annIvfServe(spark, idxB.getAbsolutePath,
+      nprobe = 10, shortlist = Some(32))
+    assert(servedA.count() == servedB.count() &&
+      servedA.exceptAll(servedB).count() == 0,
+      "serve-after-append must equal one-shot assign-all under the same centroids")
+    // ...and the appended vectors are actually served: some neighbor
+    // beyond the cut must appear (the suffix is 30% of the corpus —
+    // its vectors are their own twins' nearest neighbors)
+    assert(servedA.filter(col("neighbor_id") > cut).count() > 0,
+      "no appended vector ever surfaced as a neighbor")
     spark.catalog.clearCache()
   }
 }

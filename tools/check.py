@@ -63,10 +63,19 @@ def main():
             # local gate grades the ANSWERS against DuckDB-computed
             # ground truth even where the values can't hash-match.
             ok, note = True, None
-            if name == "ann_ivf":
+            if name in ("ann_ivf", "ann_ivf_rerank", "ann_ivf_append"):
                 # grade Spark's probed-cell top-k against DuckDB's
                 # exact brute-force top-k (registry defaults k=5,
-                # nQueries=50); floor = RecallSpec's break-glass bound
+                # nQueries=50). Floors: single-stage ann_ivf probes
+                # 2/16 cells (measured recall ~0.52-0.62; floor 0.4,
+                # ~2 sigma slack; a centroid-blind prober lands at
+                # ~0.125); the two-stage rerank paths probe 10/16 on
+                # int8 codes then exact-rerank the shortlist
+                # (measured ~0.90-0.95; floor 0.8). ann_ivf_append
+                # serves the SAME panel from an index built on a 70%
+                # prefix + appended 30% batch, so appended vectors
+                # are only findable if the append landed in the right
+                # cells.
                 exact = con.execute("""
                     SELECT query_id, neighbor_id FROM (
                       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -79,13 +88,11 @@ def main():
                 truth = set(zip(exact.query_id, exact.neighbor_id))
                 found = set(zip(got.query_id, got.neighbor_id))
                 recall = len(truth & found) / max(len(truth), 1)
-                ok = recall >= 0.25
-                # registry defaults probe 2/16 cells, so a centroid-blind
-                # prober would land at recall ~0.125 — print that baseline
-                # so the absolute number reads as the signal it is
+                floor = 0.4 if name == "ann_ivf" else 0.8
+                ok = recall >= floor
                 note = (f"cross-engine recall@5 = {recall:.3f} "
                         f"({len(truth & found)}/{len(truth)} vs DuckDB brute force; "
-                        f"random 2-of-16-cell probing ~ 0.125)")
+                        f"floor {floor})")
             elif name == "minhash_lsh_dedup":
                 # est_jaccard graded against DuckDB-exact jaccard on
                 # the emitted pairs (16 slots: 4-sigma-ish band), plus

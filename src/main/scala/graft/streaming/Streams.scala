@@ -634,6 +634,9 @@ object Streams {
     * reserved empty token is the CORPUS-STATS channel — one post per
     * document maintains (N, Σdl) in O(1) state, the index "header" a
     * real engine keeps beside its postings. */
+  /** Arriving embedding row for the E12 foreachBatch appender. */
+  final case class EmbRow(vec_id: Long, embedding: Seq[Float], label: Int)
+
   final case class TermPost(token: String, doc_id: Long, dl: Long, tf: Long)
   final case class PostingItem(doc_id: Long, dl: Long, tf: Long)
   /** One refreshed index entry, emitted whenever a batch touches the
@@ -751,6 +754,48 @@ object Streams {
         Tables.fanout(Tables.documents(spark, dir).select($"doc_id", $"text")))
       .localCheckpoint()
     bm25Serve(bm25Postings(termPosts(tf), dfCap).toDF(), k, dfCap, qMod)
+  }
+
+  /** E12 `stream_ivf_append` — incremental IVF index maintenance from
+    * an arriving embedding stream: each micro-batch is one
+    * [[graft.operators.Similarity.ivfAppend]] into the persisted index
+    * (frozen centroids, touched-cell-partitions-only writes — the
+    * idempotent batch-append Structured Streaming's foreachBatch sink
+    * contract is built around). The vector side's counterpart to E11:
+    * BM25 postings fold into token state, IVF vectors fold into cell
+    * partitions; both indexes stay serveable between batches and
+    * neither ever rebuilds.
+    *
+    * Driver-gate batch entry: the 30% id-suffix arrives as `nBatches`
+    * deterministic micro-batches (vec_id mod) appended sequentially
+    * into the 70%-prefix-built index, then the full panel is served
+    * two-stage — graded by check.py like C7d (recall@5 vs brute force,
+    * floor 0.8; appended vectors are only findable if every batch
+    * landed in the right cells). Append order cannot matter: assignment
+    * is per-vector against frozen centroids, so N appends ≡ one append
+    * of the union — the StreamingSpec drives REAL MemoryStream arrivals
+    * through foreachBatch into the same appender and pins that parity
+    * exactly, plus serve-between-batches growth. */
+  def streamIvfAppend(spark: SparkSession, dir: String, nBatches: Int = 3,
+                      nlist: Int = 16, nprobe: Int = 10, shortlist: Int = 32,
+                      k: Int = 5, nQueries: Int = 50): DataFrame = {
+    import spark.implicits._
+    val all = Tables.embeddings(spark, dir)
+    val maxRow = all.agg(max($"vec_id")).head()
+    if (maxRow.isNullAt(0))
+      return Seq.empty[(Long, Long, Int, Int, Double)]
+        .toDF("query_id", "neighbor_id", "cell", "rank_nn", "cosine")
+    val cut = maxRow.getLong(0) * 7 / 10
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_stream").toFile
+    tmp.deleteOnExit()
+    graft.operators.Similarity.ivfWriteFrom(
+      all.filter($"vec_id" <= cut), tmp.getAbsolutePath, nlist)
+    (0 until nBatches).foreach { b =>
+      graft.operators.Similarity.ivfAppend(spark, tmp.getAbsolutePath,
+        all.filter($"vec_id" > cut && pmod($"vec_id", lit(nBatches)) === b))
+    }
+    graft.operators.Similarity.annIvfServe(spark, tmp.getAbsolutePath,
+      nprobe = nprobe, k = k, nQueries = nQueries, shortlist = Some(shortlist))
   }
 
   /** Driver-gate batch entry for E2 — hash-gated on B8's window

@@ -222,6 +222,56 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("E12 stream_ivf_append: MemoryStream batches through foreachBatch == one-shot append; serveable between batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import java.nio.file.Files
+    val all = Tables.embeddings(s, sf)
+    val cut = all.agg(max(col("vec_id"))).head().getLong(0) * 7 / 10
+    val idxS = Files.createTempDirectory("graft_ivf_stream_s").toFile
+    val idxO = Files.createTempDirectory("graft_ivf_stream_o").toFile
+    idxS.deleteOnExit(); idxO.deleteOnExit()
+    operators.Similarity.ivfWriteFrom(all.filter(col("vec_id") <= cut), idxS.getAbsolutePath)
+    // the one-shot reference rides bit-identical centroids
+    s.read.parquet(s"${idxS.getAbsolutePath}/centroids")
+      .coalesce(1).write.parquet(s"${idxO.getAbsolutePath}/centroids")
+    val suffix = all.filter(col("vec_id") > cut)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[Streams.EmbRow].collect().toSeq
+    assert(suffix.nonEmpty)
+    val (b1, b2) = suffix.partition(_.vec_id % 2 == 0)
+    val source = MemoryStream[Streams.EmbRow]
+    val appender: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => operators.Similarity.ivfAppend(s, idxS.getAbsolutePath, batch.toDF())
+    val q = source.toDF().writeStream.foreachBatch(appender)
+      .outputMode("append").start()
+    source.addData(b1: _*)
+    q.processAllAvailable()
+    // the index stays serveable mid-stream: batch-1 vectors findable
+    val mid = operators.Similarity.annIvfServe(s, idxS.getAbsolutePath,
+      nprobe = 10, shortlist = Some(32)).cache()
+    assert(mid.count() > 0)
+    assert(mid.filter(col("neighbor_id").isin(b1.map(r => r.vec_id): _*)).count() > 0,
+      "no batch-1 vector surfaced after the first micro-batch append")
+    mid.unpersist()
+    source.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // N streamed appends == ONE append of the whole corpus under the
+    // same frozen centroids (assignment is per-vector — batch
+    // composition provably cannot matter, and this pins it)
+    operators.Similarity.ivfAppend(s, idxO.getAbsolutePath, all)
+    val servedS = operators.Similarity.annIvfServe(s, idxS.getAbsolutePath,
+      nprobe = 10, shortlist = Some(32))
+    val servedO = operators.Similarity.annIvfServe(s, idxO.getAbsolutePath,
+      nprobe = 10, shortlist = Some(32))
+    assert(servedS.count() == servedO.count() &&
+      servedS.exceptAll(servedO).count() == 0,
+      "streamed micro-batch appends must serve exactly the one-shot-append answer")
+    spark.catalog.clearCache()
+  }
+
   test("E10 stream_substring_dedup: batch equals the declarative bucket join; stream flags partial re-crawls") {
     val s = spark
     import s.implicits._

@@ -798,6 +798,44 @@ object Streams {
       nprobe = nprobe, k = k, nQueries = nQueries, shortlist = Some(shortlist))
   }
 
+  /** E13 `stream_scd2_apply` — the reference's history table grows
+    * row-by-row forever (create_table.sql:85-107, arxiv_etl.py:84-111);
+    * this is that growth as a STREAM of change batches folded into a
+    * maintained SCD2 interval table: each micro-batch runs A16's
+    * one-plan MERGE core ([[graft.operators.Scd.scd2ApplyOf]] — close
+    * affected keys' open intervals, continue version numbering, append)
+    * against the table state the previous batch left, exactly the
+    * foreachBatch MERGE loop a lakehouse runs continuously. The base is
+    * checkpointed between folds (the persisted-table read each real
+    * batch starts from), so every batch's work is one base pass-through
+    * + a change-batch-sized shuffle — never a recompute.
+    *
+    * Driver-gate batch entry: events split into `nBatches` global
+    * event-time windows (strict integer-micros boundaries, so each
+    * batch is provably later than every earlier event of its keys —
+    * scd2ApplyOf's contract), window 0 builds the base, the rest fold
+    * in sequence. HASH-GATED on A15's from-scratch oracle: N folded
+    * merges must reproduce the full-history interval table exactly,
+    * through an independent engine. The StreamingSpec drives the same
+    * fold through real MemoryStream micro-batches. */
+  def streamScd2Apply(spark: SparkSession, dir: String, nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .withColumn("us", unix_micros($"ts".cast("timestamp")))
+    val bnd = ev.agg(min($"us").as("mn"), max($"us").as("mx"))
+    val tagged = ev.crossJoin(broadcast(bnd))
+      .withColumn("win", least(lit(nBatches - 1),
+        expr(s"((us - mn) * $nBatches) div (mx - mn + 1)")).cast("int"))
+      .select($"user_id", $"event_id", $"event_type", $"ts", $"win")
+    def batch(b: Int): DataFrame = tagged.filter($"win" === b).drop("win")
+    var base = graft.operators.Scd.intervalsOf(batch(0))
+    (1 until nBatches).foreach { b =>
+      base = graft.operators.Scd.scd2ApplyOf(base.localCheckpoint(), batch(b))
+    }
+    base
+  }
+
   /** Driver-gate batch entry for E2 — hash-gated on B8's window
     * oracle via [[streamSessionizeSql]] (the two formulations compute
     * identical sessions). */

@@ -272,6 +272,42 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("E13 stream_scd2_apply: MemoryStream change batches fold to the from-scratch interval table") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val all = Tables.events(s, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect().toSeq
+    def us(e: Ev): Long = e.ts.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000 +
+      e.ts.getNano / 1000 % 1000
+    val (mn, mx) = (all.map(us).min, all.map(us).max)
+    // strict global time windows: every batch is provably later than
+    // all earlier events of its keys — scd2ApplyOf's contract
+    val batches = all.groupBy(e => math.min(2, ((us(e) - mn) * 3) / (mx - mn + 1)))
+      .toSeq.sortBy(_._1).map(_._2)
+    assert(batches.size == 3 && batches.forall(_.nonEmpty))
+    var base: org.apache.spark.sql.DataFrame = null
+    val folder: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val ev = batch.select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        base = if (base == null) operators.Scd.intervalsOf(ev).localCheckpoint()
+               else operators.Scd.scd2ApplyOf(base, ev).localCheckpoint()
+      }
+    val source = MemoryStream[Ev]
+    val q = source.toDF().writeStream.foreachBatch(folder)
+      .outputMode("append").start()
+    batches.foreach { b => source.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val scratch = operators.Scd.intervalsOf(
+      Tables.events(s, sf).select(col("user_id"), col("event_id"), col("event_type"), col("ts")))
+    assert(base.count() == scratch.count() &&
+      base.exceptAll(scratch).count() == 0 &&
+      scratch.exceptAll(base).count() == 0,
+      "streamed SCD2 folds must reproduce the from-scratch interval table exactly")
+    spark.catalog.clearCache()
+  }
+
   test("E10 stream_substring_dedup: batch equals the declarative bucket join; stream flags partial re-crawls") {
     val s = spark
     import s.implicits._

@@ -481,6 +481,37 @@ object Similarity {
       .write.partitionBy("cell").mode("append").parquet(s"$path/lists")
   }
 
+  /** Index maintenance step 2 — COMPACT the fragmentation
+    * [[ivfAppend]] accumulates: every append adds a file per touched
+    * cell, and a long-running maintenance loop (E12) would otherwise
+    * degrade probes into many-small-file reads (the same pathology
+    * F14 `compaction_plan` plans around for the lake at large).
+    * Rewrites ONLY cells exceeding `maxFilesPerCell`, each into one
+    * file, via dynamic partition overwrite — a writer-local option,
+    * never a session-conf mutation — so untouched cell partitions
+    * keep their files byte-for-byte. Fragmentation is read off the
+    * directory listing: O(cells) driver metadata, exactly what a
+    * lakehouse table format holds in its manifest. */
+  def ivfCompact(spark: SparkSession, path: String, maxFilesPerCell: Int = 1): Unit = {
+    import spark.implicits._
+    val cellDirs = Option(new java.io.File(s"$path/lists").listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("cell="))
+    val fragmented = cellDirs
+      .filter(_.listFiles().count(_.getName.endsWith(".parquet")) > maxFilesPerCell)
+      .map(_.getName.stripPrefix("cell=").toInt).toSeq
+    if (fragmented.isEmpty) return
+    // eager: the rewrite reads the very files it replaces — material-
+    // ize the fragmented cells off the file source before overwriting
+    val frag = spark.read.parquet(s"$path/lists")
+      .filter($"cell".cast("int").isin(fragmented: _*))
+      .withColumn("cell", $"cell".cast("int"))
+      .localCheckpoint()
+    frag.repartition(col("cell")) // one task owns each cell -> one file
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(s"$path/lists")
+  }
+
   /** [[annIvf]] served from a persisted [[ivfWrite]] index: the
     * identical probe plan over the index tables instead of the
     * in-process memo (RecallSpec pins result equality). `cell` is the

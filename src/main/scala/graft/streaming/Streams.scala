@@ -794,6 +794,10 @@ object Streams {
       graft.operators.Similarity.ivfAppend(spark, tmp.getAbsolutePath,
         all.filter($"vec_id" > cut && pmod($"vec_id", lit(nBatches)) === b))
     }
+    // the maintenance loop's last step: compact the per-append file
+    // fragmentation before serving (RecallSpec pins serve parity and
+    // that untouched cells keep their files byte-for-byte)
+    graft.operators.Similarity.ivfCompact(spark, tmp.getAbsolutePath)
     graft.operators.Similarity.annIvfServe(spark, tmp.getAbsolutePath,
       nprobe = nprobe, k = k, nQueries = nQueries, shortlist = Some(shortlist))
   }

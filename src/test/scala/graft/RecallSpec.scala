@@ -318,4 +318,47 @@ class RecallSpec extends AnyFunSuite {
       "no appended vector ever surfaced as a neighbor")
     spark.catalog.clearCache()
   }
+
+  test("C7d ivfCompact: fragmented cells rewrite to one file, untouched cells keep theirs, serve unchanged") {
+    import java.nio.file.{Files, Paths}
+    val all = Tables.embeddings(spark, sf)
+    val cut = all.agg(max(col("vec_id"))).head().getLong(0) * 7 / 10
+    val idx = Files.createTempDirectory("graft_ivf_compact").toFile
+    idx.deleteOnExit()
+    operators.Similarity.ivfWriteFrom(all.filter(col("vec_id") <= cut), idx.getAbsolutePath)
+    operators.Similarity.ivfAppend(spark, idx.getAbsolutePath, all.filter(col("vec_id") > cut))
+    def filesPerCell(): Map[String, Seq[(String, Long)]] =
+      new java.io.File(idx, "lists").listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length())).toSeq.sorted).toMap
+    val before = filesPerCell()
+    val fragCells = before.filter(_._2.size > 1).keySet
+    val quietCells = before.keySet -- fragCells
+    assert(fragCells.nonEmpty, "append must have fragmented at least one cell")
+    val pre = operators.Similarity.annIvfServe(spark, idx.getAbsolutePath,
+      nprobe = 10, shortlist = Some(32)).cache()
+    pre.count()
+    operators.Similarity.ivfCompact(spark, idx.getAbsolutePath)
+    val after = filesPerCell()
+    // every fragmented cell is now exactly one file
+    fragCells.foreach { c =>
+      assert(after(c).size == 1, s"$c still has ${after(c).size} files after compaction")
+    }
+    // untouched cells keep their exact files (name + size)
+    quietCells.foreach { c =>
+      assert(after(c) == before(c), s"compaction touched quiet cell $c")
+    }
+    // and the served answer is unchanged by the physical rewrite
+    val post = operators.Similarity.annIvfServe(spark, idx.getAbsolutePath,
+      nprobe = 10, shortlist = Some(32))
+    assert(pre.count() == post.count() && pre.exceptAll(post).count() == 0,
+      "compaction must not change the served result")
+    pre.unpersist()
+    // idempotence: a second compact is a no-op (nothing fragmented)
+    val snap = filesPerCell()
+    operators.Similarity.ivfCompact(spark, idx.getAbsolutePath)
+    assert(filesPerCell() == snap, "second compact must be a no-op")
+    spark.catalog.clearCache()
+  }
 }

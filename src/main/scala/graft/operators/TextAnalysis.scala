@@ -401,6 +401,75 @@ object TextAnalysis {
       .select(explode(toks($"text")).as("w")), rounds)
   }
 
+  /** Extension `bpe_encode` (C25c) — APPLY the trained merge table:
+    * the full-corpus pass C25b's Scaladoc promises. Training collects
+    * the ≤`rounds`-row merge table to the driver (bounded index
+    * metadata, like the IVF router); encoding is then a STATELESS
+    * per-row map — each word rewritten through the merges in round
+    * order (`replace` is non-overlapping left-to-right in both
+    * engines), exploded into symbols, counted. This is the shape that
+    * scales: the 100 TB corpus sees one scan + one symbol hash-agg,
+    * with zero joins (the merge table is baked into the expression as
+    * literals, the codegen'd form of a broadcast).
+    *
+    * Output is the post-merge symbol VOCABULARY (sym_code, token,
+    * n_occ): sentinel symbols expand back to their merged string via
+    * reverse-round substitution (chr(3)→m₃ … chr(1)→m₁ — later merges
+    * may contain earlier sentinels, so the reverse order fully
+    * expands); `sym_code` keys the row uniquely even if two distinct
+    * merge paths expanded to equal text. Fully hash-gated: the oracle
+    * unrolls the same training CTEs as C25b and re-applies them. */
+  def bpeEncode(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    bpeEncodeOf(Tables.fanout(Tables.documents(spark, dir).select($"text"))
+      .select(explode(toks($"text")).as("w")), rounds)
+  }
+
+  /** Frame-based core of C25c (words = one column `w`). */
+  private[graft] def bpeEncodeOf(words: DataFrame, rounds: Int): DataFrame = {
+    import words.sparkSession.implicits._
+    val mseq = bpeMergesOf(words, rounds)
+      .orderBy($"round").collect().map(r => (r.getInt(0), r.getString(1)))
+    val encoded = mseq.foldLeft($"w": Column) { case (c, (r, m)) =>
+      replace(c, lit(m), lit(r.toChar.toString))
+    }
+    val expanded = mseq.sortBy(-_._1).foldLeft($"sym": Column) { case (c, (r, m)) =>
+      replace(c, lit(r.toChar.toString), lit(m))
+    }
+    words.select(explode(split(encoded, "")).as("sym"))
+      .filter(length($"sym") > 0)
+      .groupBy($"sym").agg(count(lit(1)).as("n_occ"))
+      .select(ascii($"sym").as("sym_code"), expanded.as("token"), $"n_occ")
+  }
+
+  def bpeEncodeSql(rounds: Int = 3): String = {
+    val w0 =
+      """w0 AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE length(trim(text)) > 0)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""c$r AS (
+         |  SELECT pair, COUNT(*) AS n_occ FROM (
+         |    SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+         |    FROM w${r - 1} WHERE length(w) >= 2)
+         |  GROUP BY 1),
+         |m$r AS (SELECT pair, n_occ FROM c$r ORDER BY n_occ DESC, pair LIMIT 1),
+         |w$r AS (SELECT replace(w, (SELECT pair FROM m$r), chr($r)) AS w FROM w${r - 1})"""
+        .stripMargin
+    }
+    val expand = (1 to rounds).reverse.foldLeft("sym") { (acc, r) =>
+      s"replace($acc, chr($r), (SELECT pair FROM m$r))"
+    }
+    s"""WITH $w0,
+       |${steps.mkString(",\n")},
+       |syms AS (
+       |  SELECT unnest(list_transform(range(1, length(w) + 1), i -> substr(w, i, 1))) AS sym
+       |  FROM w$rounds),
+       |counts AS (SELECT sym, COUNT(*) AS n_occ FROM syms GROUP BY 1)
+       |SELECT CAST(ascii(sym) AS INT) AS sym_code, $expand AS token, n_occ
+       |FROM counts""".stripMargin
+  }
+
   /** Frame-based core of C25b (words = one column `w`) — lets the spec
     * pin the merge sequence on a crafted corpus. */
   private[graft] def bpeMergesOf(wordsIn: DataFrame, rounds: Int): DataFrame = {

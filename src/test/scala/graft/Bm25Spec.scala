@@ -75,6 +75,23 @@ class Bm25Spec extends AnyFunSuite {
     assert(out(2) == ((3, "xy", 2L)), s"round 3: ${out(2)}")
   }
 
+  test("bpe_encode: the merge table applies as a per-row map; sentinels expand back") {
+    // same corpus as the training spec: merges are (1:"ab", 2:chr1+"c",
+    // 3:"xy"), so "abc" encodes to the single symbol chr(2), "abd" to
+    // chr(1)+"d", "xy" to chr(3) — and the vocabulary expands each
+    // sentinel back through the reverse-round substitution
+    val words = (Seq.fill(3)("abc") ++ Seq("abd") ++ Seq.fill(2)("xy"))
+      .toDF("w")
+    val vocab = operators.TextAnalysis.bpeEncodeOf(words, rounds = 3)
+      .collect().map(r => (r.getAs[Int]("sym_code"),
+        r.getAs[String]("token"), r.getAs[Long]("n_occ"))).sortBy(_._1).toSeq
+    assert(vocab == Seq(
+      (1, "ab", 1L),    // the chr(1) left in "abd"
+      (2, "abc", 3L),   // chr(2) = chr(1)+"c" expands through chr(1) = "ab"
+      (3, "xy", 2L),
+      ('d'.toInt, "d", 1L)), s"vocab was $vocab")
+  }
+
   test("bm25: the df cap drops corpus-wide boilerplate terms from scoring") {
     // 'b1 b2 b3' is in every doc; with dfCap = 2 it contributes no
     // postings, so doc 3 (boilerplate-only overlap) is not retrieved

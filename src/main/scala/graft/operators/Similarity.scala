@@ -591,13 +591,28 @@ object Similarity {
     if (maxRow.isNullAt(0))
       return Seq.empty[(Long, Long, Int, Int, Double)]
         .toDF("query_id", "neighbor_id", "cell", "rank_nn", "cosine")
-    val cut = maxRow.getLong(0) * 7 / 10
     val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_append").toFile
     tmp.deleteOnExit()
-    ivfWriteFrom(all.filter($"vec_id" <= cut), tmp.getAbsolutePath, nlist)
+    val cut = prefixIvfWrite(spark, dir, tmp.getAbsolutePath, nlist, maxRow.getLong(0))
     ivfAppend(spark, tmp.getAbsolutePath, all.filter($"vec_id" > cut))
     annIvfServe(spark, tmp.getAbsolutePath, nprobe = nprobe, k = k,
       nQueries = nQueries, shortlist = Some(shortlist))
+  }
+
+  /** The 70%-prefix index build shared by C7d and E12 (both registry
+    * entries exercise "append into a prefix-built index" on the same
+    * corpus split): the BUILD computation memoizes per (dir, nlist) —
+    * one Lloyd pass per registry run — while each caller still writes
+    * its own on-disk copy to mutate. Returns the id cut. */
+  private[graft] def prefixIvfWrite(spark: SparkSession, dir: String, path: String,
+                                    nlist: Int, maxId: Long): Long = {
+    import spark.implicits._
+    val cut = maxId * 7 / 10
+    val idx = NearDup.Shared.memo(spark, s"ivfPrefix:$dir:$nlist") {
+      ivfIndexFrom(Tables.embeddings(spark, dir).filter($"vec_id" <= cut), nlist)
+    }
+    writeIndex(idx, path)
+    cut
   }
 
   /** C16 `centroid_per_label` — mean embedding per label, emitted one

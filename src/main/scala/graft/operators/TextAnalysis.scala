@@ -766,6 +766,85 @@ object TextAnalysis {
     bm25TopK(post, q, k)
   }
 
+  /** Persist the BM25 index as on-disk tables at `path` — the text
+    * retrieval counterpart of [[graft.operators.Similarity.ivfWrite]]:
+    * `stats/` (one row: n_docs, am, n_buckets) and `postings/`
+    * PARTITIONED BY token-hash bucket. Impacts are precomputed at
+    * build time ([[bm25ImpactExpr]] over the df-capped postings — the
+    * impact-ordered-postings layout real text engines ship), so a
+    * serve run is join + sum + top-k with no corpus-level statistics
+    * to recompute. Build once, serve many. */
+  def bm25Write(spark: SparkSession, dir: String, path: String,
+                nBuckets: Int = 16, dfCap: Int = 100): Unit = {
+    import spark.implicits._
+    // eager: tf feeds the stats aggregate, the df aggregate AND the
+    // postings build (materialization contract)
+    val tf = bm25TfTable(Tables.fanout(
+      Tables.documents(spark, dir).select($"doc_id", $"text"))).localCheckpoint()
+    val stats = tf.groupBy($"doc_id").agg(first($"dl").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum($"dl").as("t_tok"))
+      .select($"n_docs", expr("(1000 * t_tok) div n_docs").as("am"),
+        lit(nBuckets).as("n_buckets"))
+    val dfc = tf.groupBy($"token").agg(count(lit(1)).as("df")).filter($"df" <= dfCap)
+    val post = tf.join(dfc, Seq("token"))
+      .crossJoin(broadcast(stats.select($"n_docs", $"am")))
+      .select(pmod(xxhash64($"token"), lit(nBuckets)).cast("int").as("bucket"),
+        $"token", $"doc_id", expr(bm25ImpactExpr).as("impact"))
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    post.repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/postings")
+  }
+
+  /** BM25 served from a persisted [[bm25Write]] index. An EXTERNAL
+    * query batch (query_id, token) routes first: its tokens' hash
+    * buckets — O(query terms) driver ints, what a search frontend's
+    * shard router holds — statically prune the postings read to those
+    * bucket directories, so a short query touches a handful of the
+    * index partitions and never the corpus (the annIvfServe posture
+    * applied to text). Without `queries`, the self-test panel (every
+    * `qMod`-th doc's terms) derives FROM the postings, which
+    * necessarily scans them once — that mode hash-gates serve ≡
+    * `bm25_retrieve` exactly. */
+  def bm25ServeFrom(spark: SparkSession, path: String, k: Int = 10,
+                    qMod: Int = 20, queries: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val post0 = spark.read.parquet(s"$path/postings")
+      .select($"bucket".cast("int").as("bucket"), $"token", $"doc_id", $"impact")
+    queries match {
+      case Some(q0) =>
+        val nBuckets = spark.read.parquet(s"$path/stats")
+          .head().getAs[Int]("n_buckets")
+        val q = q0.select($"query_id", $"token").localCheckpoint()
+        val buckets = q
+          .select(pmod(xxhash64($"token"), lit(nBuckets)).cast("int").as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        bm25TopK(post0.filter($"bucket".isin(buckets: _*)).drop("bucket"), q, k)
+      case None =>
+        val q = post0.filter($"doc_id" % qMod === 0)
+          .select($"doc_id".as("query_id"), $"token")
+        bm25TopK(post0.drop("bucket"), q, k)
+    }
+  }
+
+  /** C23b `bm25_serve` — the build-once-serve-many path under the
+    * gate: [[bm25Write]] the index, self-panel [[bm25ServeFrom]] it;
+    * hash-equal to `bm25_retrieve` on C23's own oracle (precomputed
+    * integer impacts round-trip parquet exactly). */
+  def bm25IndexServe(spark: SparkSession, dir: String, k: Int = 10,
+                     dfCap: Int = 100, qMod: Int = 20): DataFrame = {
+    import spark.implicits._
+    // a corpus with no indexable terms (empty, or all docs under the
+    // 3-token shingle floor) writes no postings partitions and a
+    // schemaless dir is unreadable — serve the empty result instead
+    if (bm25TfTable(Tables.documents(spark, dir).select($"doc_id", $"text")).isEmpty)
+      return Seq.empty[(Long, Long, Int, Long)]
+        .toDF("query_id", "doc_id", "rk", "score")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toFile
+    tmp.deleteOnExit()
+    bm25Write(spark, dir, tmp.getAbsolutePath, dfCap = dfCap)
+    bm25ServeFrom(spark, tmp.getAbsolutePath, k, qMod)
+  }
+
   /** The (doc_id, dl, token, tf) table BM25 builds on. `dl` rides
     * THROUGH the tf aggregate as a functionally-dependent grouping
     * column (constant per doc_id — zero extra shuffle volume), so the

@@ -785,11 +785,10 @@ object Streams {
     if (maxRow.isNullAt(0))
       return Seq.empty[(Long, Long, Int, Int, Double)]
         .toDF("query_id", "neighbor_id", "cell", "rank_nn", "cosine")
-    val cut = maxRow.getLong(0) * 7 / 10
     val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_stream").toFile
     tmp.deleteOnExit()
-    graft.operators.Similarity.ivfWriteFrom(
-      all.filter($"vec_id" <= cut), tmp.getAbsolutePath, nlist)
+    val cut = graft.operators.Similarity.prefixIvfWrite(
+      spark, dir, tmp.getAbsolutePath, nlist, maxRow.getLong(0))
     (0 until nBatches).foreach { b =>
       graft.operators.Similarity.ivfAppend(spark, tmp.getAbsolutePath,
         all.filter($"vec_id" > cut && pmod($"vec_id", lit(nBatches)) === b))

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** C23 `bm25_retrieve` — ranking-behavior pins on crafted corpora
@@ -90,6 +91,43 @@ class Bm25Spec extends AnyFunSuite {
       (2, "abc", 3L),   // chr(2) = chr(1)+"c" expands through chr(1) = "ab"
       (3, "xy", 2L),
       ('d'.toInt, "d", 1L)), s"vocab was $vocab")
+  }
+
+  test("bm25_serve: a short external query prunes the postings read to its token buckets") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_spec").toFile
+    idx.deleteOnExit()
+    operators.TextAnalysis.bm25Write(spark, sf, idx.getAbsolutePath)
+    // disk-served self-panel must equal the one-shot retrieval exactly
+    val oneShot = operators.TextAnalysis.bm25Retrieve(spark, sf)
+    val served = operators.TextAnalysis.bm25ServeFrom(spark, idx.getAbsolutePath)
+    assert(oneShot.count() == served.count() &&
+      oneShot.exceptAll(served).count() == 0,
+      "index-served BM25 must equal the one-shot retrieval")
+    // a SHORT external query (two shingles of doc 0) routes to at most
+    // two of the 16 bucket dirs — the static pruning a search
+    // frontend's shard router does; and it still retrieves doc 0
+    val tf0 = operators.TextAnalysis.bm25TfTable(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+    val dfTab = tf0.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // doc 0's two RAREST shingles: near-unique terms, so doc 0 wins
+    // rank 1 by construction (common terms could let a shorter doc
+    // outscore the source)
+    val qTokens = tf0.filter(col("doc_id") === 0).join(dfTab, "token")
+      .orderBy(col("df"), col("token")).limit(2)
+      .select(lit(777L).as("query_id"), col("token"))
+    val ext = operators.TextAnalysis.bm25ServeFrom(spark, idx.getAbsolutePath,
+      k = 50, queries = Some(qTokens))
+    val opened = filesOpened(ext)
+    val bucketDirs = new java.io.File(idx, "postings").listFiles()
+      .count(d => d.isDirectory && d.getName.startsWith("bucket="))
+    assert(opened <= 2 && opened < bucketDirs,
+      s"2-token query must open <= 2 of $bucketDirs bucket dirs, opened $opened")
+    // the source doc is retrieved through the pruned read (a planted
+    // near-duplicate may legitimately outscore it on length, so pin
+    // membership, not rank 1)
+    assert(ext.filter(col("query_id") === 777L && col("doc_id") === 0L).count() == 1,
+      "the query's own source doc must be retrieved")
+    spark.catalog.clearCache()
   }
 
   test("bm25: the df cap drops corpus-wide boilerplate terms from scoring") {

@@ -766,6 +766,138 @@ object TextAnalysis {
     bm25TopK(post, q, k)
   }
 
+  /** C26 `doc_embed` — feature-hashing document vectors (the hashing
+    * trick, Weinberger et al. 2009): each unigram token hashes to one
+    * of `dim` slots with a hash-derived ±1 sign, and the slot weight
+    * is the signed tf sum. This is the deterministic text→vector
+    * bridge a pipeline without a neural encoder runs (candidate
+    * generation for dedup/decontamination, cheap clustering,
+    * hybrid retrieval) — and unlike float embeddings it is
+    * ENGINE-EXACT: weights are integer sums over md5-derived
+    * (slot, sign), so the table hash-gates cell-for-cell. Sparse
+    * output (doc_id, slot, w), zero-sum slots dropped; downstream
+    * cosine needs only integer dots + one final float divide.
+    * Scale: tokenize-scan → two hash aggregates; nothing wider than
+    * (doc, token) shuffles, no joins, no driver state. */
+  def docEmbed(spark: SparkSession, dir: String, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    docEmbedOf(Tables.fanout(Tables.documents(spark, dir)
+      .select($"doc_id", $"text")), dim)
+  }
+
+  /** Frame-based core of C26 (docs = (doc_id, text)). */
+  private[graft] def docEmbedOf(docs: DataFrame, dim: Int = 64): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", explode(toks($"text")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      .withColumn("slot",
+        (conv(substring(md5($"token"), 1, 8), 16, 10).cast("long") % dim).cast("int"))
+      .withColumn("sign",
+        when(conv(substring(md5($"token"), 9, 1), 16, 10).cast("long") % 2 === 0,
+          lit(1L)).otherwise(lit(-1L)))
+      .groupBy($"doc_id", $"slot").agg(sum($"sign" * $"tf").as("w"))
+      .filter($"w" =!= 0)
+  }
+
+  def docEmbedSql(dim: Int = 64): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |tf0 AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |sw AS (
+       |  SELECT doc_id,
+       |         CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % $dim AS INT) AS slot,
+       |         (CASE WHEN CAST(('0x' || substr(md5(token), 9, 1)) AS BIGINT) % 2 = 0
+       |               THEN 1 ELSE -1 END) * tf AS st
+       |  FROM tf0)
+       |SELECT doc_id, slot, CAST(SUM(st) AS BIGINT) AS w
+       |FROM sw GROUP BY 1, 2 HAVING SUM(st) <> 0"""
+      .stripMargin
+
+  /** C27 `hybrid_retrieve` — reciprocal-rank fusion (Cormack et al.
+    * 2009) of the two retrieval surfaces: BM25's lexical top-k (C23)
+    * and [[docEmbed]] cosine top-k, fused per (query, doc) as
+    * Σ 10⁶ div (60 + rank) — INTEGER RRF impacts, so the fused scores
+    * hash-gate exactly. This is how a curation pipeline actually
+    * retrieves (decontamination and near-dup candidate generation
+    * want lexical AND semantic recall; RRF needs no score
+    * calibration between the two).
+    *
+    * The embedding side ranks by cosine over integer dots
+    * (sparse slot-posting join against the broadcast query panel —
+    * candidates ∝ slot collisions, never n²), quantized to 6dp
+    * before ranking (the C19 posture: both engines rank the same
+    * rounded value). The lexical side IS C23's plan. Fusion is a
+    * full-outer join of two k-bounded rank lists — queries × ≤2k
+    * rows — then one windowed top-k. */
+  def hybridRetrieve(spark: SparkSession, dir: String, k: Int = 10,
+                     dfCap: Int = 100, qMod: Int = 20, kRrf: Int = 60): DataFrame = {
+    import spark.implicits._
+    // eager: the embedding table feeds the norms, the panel AND the
+    // posting side (materialization contract)
+    val emb = docEmbed(spark, dir).localCheckpoint()
+    val nsq = emb.groupBy($"doc_id").agg(sum($"w" * $"w").as("nsq"))
+    val q = emb.filter($"doc_id" % qMod === 0)
+      .select($"doc_id".as("query_id"), $"slot", $"w".as("wq"))
+    val dots = broadcast(q).join(emb, Seq("slot"))
+      .filter($"query_id" =!= $"doc_id")
+      .groupBy($"query_id", $"doc_id").agg(sum($"wq" * $"w").as("dot"))
+    val cosr = dots
+      .join(nsq.select($"doc_id".as("query_id"), $"nsq".as("nq")), Seq("query_id"))
+      .join(nsq, Seq("doc_id"))
+      .withColumn("cos6", round($"dot".cast("double") /
+        sqrt($"nq".cast("double") * $"nsq".cast("double")), 6))
+    val wE = Window.partitionBy($"query_id").orderBy($"cos6".desc, $"doc_id")
+    val embTop = cosr.withColumn("rank_e", row_number().over(wE))
+      .filter($"rank_e" <= k).select($"query_id", $"doc_id", $"rank_e")
+    val bmTop = bm25Of(Tables.fanout(
+        Tables.documents(spark, dir).select($"doc_id", $"text")), k, dfCap, qMod)
+      .select($"query_id", $"doc_id", $"rk".as("rank_b"))
+    val fused = embTop.join(bmTop, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr(s"cast(1000000 as bigint) div ($kRrf + cast(rank_e as bigint))"), lit(0L)) +
+        coalesce(expr(s"cast(1000000 as bigint) div ($kRrf + cast(rank_b as bigint))"), lit(0L)))
+    val wH = Window.partitionBy($"query_id").orderBy($"rrf".desc, $"doc_id")
+    fused.withColumn("rank_h", row_number().over(wH)).filter($"rank_h" <= k)
+      .select($"query_id", $"doc_id", $"rrf", $"rank_h")
+  }
+
+  def hybridRetrieveSql(k: Int = 10, dfCap: Int = 100, qMod: Int = 20,
+                        kRrf: Int = 60, dim: Int = 64): String =
+    s"""WITH emb AS (${docEmbedSql(dim)}),
+       |nsq AS (SELECT doc_id, SUM(w * w) AS nsq FROM emb GROUP BY 1),
+       |qp AS (SELECT doc_id AS query_id, slot, w AS wq FROM emb WHERE doc_id % $qMod = 0),
+       |dots AS (
+       |  SELECT qp.query_id, e.doc_id, SUM(qp.wq * e.w) AS dot
+       |  FROM qp JOIN emb e USING (slot)
+       |  WHERE qp.query_id <> e.doc_id GROUP BY 1, 2),
+       |cosr AS (
+       |  SELECT d.query_id, d.doc_id,
+       |         round(CAST(d.dot AS DOUBLE)
+       |               / sqrt(CAST(nq.nsq AS DOUBLE) * CAST(nd.nsq AS DOUBLE)), 6) AS cos6
+       |  FROM dots d
+       |  JOIN nsq nq ON nq.doc_id = d.query_id
+       |  JOIN nsq nd ON nd.doc_id = d.doc_id),
+       |etop AS (
+       |  SELECT query_id, doc_id, rank_e FROM (
+       |    SELECT query_id, doc_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, doc_id) AS rank_e
+       |    FROM cosr) WHERE rank_e <= $k),
+       |btop AS (
+       |  SELECT query_id, doc_id, rk AS rank_b
+       |  FROM (${bm25RetrieveSql(k, dfCap, qMod)})),
+       |fused AS (
+       |  SELECT COALESCE(e.query_id, b.query_id) AS query_id,
+       |         COALESCE(e.doc_id, b.doc_id) AS doc_id,
+       |         COALESCE(CAST(1000000 AS BIGINT) // ($kRrf + CAST(e.rank_e AS BIGINT)), 0)
+       |         + COALESCE(CAST(1000000 AS BIGINT) // ($kRrf + CAST(b.rank_b AS BIGINT)), 0) AS rrf
+       |  FROM etop e FULL OUTER JOIN btop b
+       |    ON e.query_id = b.query_id AND e.doc_id = b.doc_id)
+       |SELECT query_id, doc_id, rrf, CAST(rank_h AS INT) AS rank_h FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank_h
+       |  FROM fused)
+       |WHERE rank_h <= $k""".stripMargin
+
   /** Persist the BM25 index as on-disk tables at `path` — the text
     * retrieval counterpart of [[graft.operators.Similarity.ivfWrite]]:
     * `stats/` (one row: n_docs, am, n_buckets) and `postings/`

@@ -130,6 +130,48 @@ class Bm25Spec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("doc_embed: bag-of-words semantics — permutation-invariant, identical docs identical vectors") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "beta alpha alpha gamma"), // permutation of doc 1
+      (3L, "alpha beta gamma alpha"), // identical to doc 1
+      (4L, "delta epsilon zeta")      // disjoint vocabulary
+    ).toDF("doc_id", "text")
+    val emb = operators.TextAnalysis.docEmbedOf(docs).cache()
+    def vec(id: Long) = emb.filter(col("doc_id") === id)
+      .select(col("slot"), col("w"))
+    // the hashing trick is bag-of-words: token order cannot matter
+    assert(vec(1L).exceptAll(vec(2L)).count() == 0 &&
+      vec(2L).exceptAll(vec(1L)).count() == 0, "permutation changed the vector")
+    assert(vec(1L).exceptAll(vec(3L)).count() == 0, "identical docs must embed identically")
+    // weights are signed tf sums: total mass bounded by token count
+    val mass = emb.filter(col("doc_id") === 1L).agg(sum(abs(col("w")))).head().getLong(0)
+    assert(mass >= 1 && mass <= 4, s"doc 1 |w| mass $mass out of [1, 4]")
+    // disjoint vocabularies share no slots unless hashes collide into
+    // opposite... (collision possible but not for these 7 tokens at
+    // dim 64 — pinned so a hashing change that degenerates slots trips)
+    val overlap = vec(1L).join(vec(4L), "slot").count()
+    assert(overlap == 0, s"disjoint docs shared $overlap slots")
+    emb.unpersist()
+  }
+
+  test("hybrid_retrieve: dense per-query ranks; rrf bounded by the two-surface maximum") {
+    val out = operators.TextAnalysis.hybridRetrieve(spark, sf).cache()
+    assert(out.count() > 0)
+    // rank_h is a dense 1..n sequence per query
+    val bad = out.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n"), max(col("rank_h")).as("mx"), min(col("rank_h")).as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1).count()
+    assert(bad == 0, "rank_h must be dense 1..n per query")
+    // the integer RRF impact is bounded by a doc topping BOTH lists
+    val maxRrf = out.agg(max(col("rrf"))).head().getLong(0)
+    assert(maxRrf <= 2 * (1000000L / 61) && maxRrf > 0, s"rrf out of range: $maxRrf")
+    out.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("bm25: the df cap drops corpus-wide boilerplate terms from scoring") {
     // 'b1 b2 b3' is in every doc; with dfCap = 2 it contributes no
     // postings, so doc 3 (boilerplate-only overlap) is not retrieved

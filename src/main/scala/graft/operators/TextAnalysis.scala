@@ -741,16 +741,32 @@ object TextAnalysis {
     * (doc_id, token, impact). */
   def bm25Retrieve(spark: SparkSession, dir: String, k: Int = 10,
                    dfCap: Int = 100, qMod: Int = 20): DataFrame =
-    bm25Of(Tables.fanout(Tables.documents(spark, dir).select(col("doc_id"), col("text"))),
-      k, dfCap, qMod)
+    bm25OfTf(tfTableFor(spark, dir), k, dfCap, qMod)
+
+  /** The corpus tf table, memoized per (session, shuffle setting,
+    * dir) — four registry entries consume it (C23 retrieval, C23b
+    * index build, E11 stream posts, C27's lexical side); one
+    * tokenize pass per process instead of four. Already
+    * checkpointed, so every consumer starts from the materialized
+    * rows (the NearDup.Shared contract). */
+  private[graft] def tfTableFor(spark: SparkSession, dir: String): DataFrame =
+    NearDup.Shared.memo(spark, s"bm25Tf:$dir") {
+      bm25TfTable(Tables.fanout(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text"))))
+        .localCheckpoint()
+    }
 
   /** Frame-based core of `bm25_retrieve` (docs = (doc_id, text)) —
     * lets the spec pin ranking behavior on crafted corpora. */
-  def bm25Of(docs: DataFrame, k: Int = 10, dfCap: Int = 100, qMod: Int = 20): DataFrame = {
-    import docs.sparkSession.implicits._
+  def bm25Of(docs: DataFrame, k: Int = 10, dfCap: Int = 100, qMod: Int = 20): DataFrame =
+    bm25OfTf(bm25TfTable(docs).localCheckpoint(), k, dfCap, qMod)
+
+  /** tf-table-based core: the plan below the (memoizable) tokenize. */
+  private def bm25OfTf(tf: DataFrame, k: Int, dfCap: Int, qMod: Int): DataFrame = {
+    import tf.sparkSession.implicits._
     // eager (materialization contract): tf feeds the df aggregate, the
-    // postings build, AND the query-panel side
-    val tf = bm25TfTable(docs).localCheckpoint()
+    // postings build, AND the query-panel side — callers pass it
+    // checkpointed
     val stats = tf.groupBy($"doc_id").agg(first($"dl").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum($"dl").as("t_tok"))
       .select($"n_docs", expr("(1000 * t_tok) div n_docs").as("am"))
@@ -850,8 +866,7 @@ object TextAnalysis {
     val wE = Window.partitionBy($"query_id").orderBy($"cos6".desc, $"doc_id")
     val embTop = cosr.withColumn("rank_e", row_number().over(wE))
       .filter($"rank_e" <= k).select($"query_id", $"doc_id", $"rank_e")
-    val bmTop = bm25Of(Tables.fanout(
-        Tables.documents(spark, dir).select($"doc_id", $"text")), k, dfCap, qMod)
+    val bmTop = bm25OfTf(tfTableFor(spark, dir), k, dfCap, qMod)
       .select($"query_id", $"doc_id", $"rk".as("rank_b"))
     val fused = embTop.join(bmTop, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf",
@@ -909,10 +924,8 @@ object TextAnalysis {
   def bm25Write(spark: SparkSession, dir: String, path: String,
                 nBuckets: Int = 16, dfCap: Int = 100): Unit = {
     import spark.implicits._
-    // eager: tf feeds the stats aggregate, the df aggregate AND the
-    // postings build (materialization contract)
-    val tf = bm25TfTable(Tables.fanout(
-      Tables.documents(spark, dir).select($"doc_id", $"text"))).localCheckpoint()
+    // tf memoized per (session, dir) — shared with C23/E11/C27
+    val tf = tfTableFor(spark, dir)
     val stats = tf.groupBy($"doc_id").agg(first($"dl").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum($"dl").as("t_tok"))
       .select($"n_docs", expr("(1000 * t_tok) div n_docs").as("am"),
@@ -968,7 +981,7 @@ object TextAnalysis {
     // a corpus with no indexable terms (empty, or all docs under the
     // 3-token shingle floor) writes no postings partitions and a
     // schemaless dir is unreadable — serve the empty result instead
-    if (bm25TfTable(Tables.documents(spark, dir).select($"doc_id", $"text")).isEmpty)
+    if (tfTableFor(spark, dir).isEmpty)
       return Seq.empty[(Long, Long, Int, Long)]
         .toDF("query_id", "doc_id", "rk", "score")
     val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toFile

@@ -748,11 +748,9 @@ object Streams {
     * hash-equal `bm25_retrieve` (same oracle). */
   def streamBm25(spark: SparkSession, dir: String, k: Int = 10,
                  dfCap: Int = 100, qMod: Int = 20): DataFrame = {
-    import spark.implicits._
-    // eager: the tf table feeds the term-post AND stats-post branches
-    val tf = graft.operators.TextAnalysis.bm25TfTable(
-        Tables.fanout(Tables.documents(spark, dir).select($"doc_id", $"text")))
-      .localCheckpoint()
+    // the (memoized, checkpointed) corpus tf table feeds the
+    // term-post AND stats-post branches — shared with C23/C23b/C27
+    val tf = graft.operators.TextAnalysis.tfTableFor(spark, dir)
     bm25Serve(bm25Postings(termPosts(tf), dfCap).toDF(), k, dfCap, qMod)
   }
 

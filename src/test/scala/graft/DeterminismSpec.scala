@@ -31,7 +31,13 @@ class DeterminismSpec extends AnyFunSuite {
     "zorder_layout",       // banded rank over Morton codes + file chunking
     "compaction_plan",     // banded exclusive cumsum + offset binning
     "bm25_retrieve",       // integer impacts + (score, doc_id) rank tie-breaks
-    "substring_dedup"      // content-defined window posting counts
+    "substring_dedup",     // content-defined window posting counts
+    "doc_embed",           // signed-int tf sums over md5 slots
+    "hybrid_retrieve",     // fused integer RRF over two rank lists
+    "scd2_apply",          // incremental MERGE vs derived boundary
+    "stream_scd2_apply",   // three folded MERGEs, checkpointed between
+    "bpe_encode",          // driver-collected merges baked as literals
+    "bm25_serve"           // persisted postings round-trip + serve
   )
 
   /** Collect to the driver and normalize — NO cache()/exceptAll here:

@@ -370,8 +370,11 @@ object Similarity {
   private def ivfScore(probes: DataFrame, lists: DataFrame, k: Int,
                        excludeSelf: Boolean = true): DataFrame = {
     import probes.sparkSession.implicits._
+    // the probe set is O(queries × nprobe) — a serving batch, small by
+    // contract — so broadcast it: the lists (the big side) are scanned
+    // in place, never shuffled on the 16-ary cell key
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
-    probes.join(lists.select($"cell", $"neighbor_id", $"vc", $"nc"), Seq("cell"))
+    broadcast(probes).join(lists.select($"cell", $"neighbor_id", $"vc", $"nc"), Seq("cell"))
       .filter(if (excludeSelf) $"query_id" =!= $"neighbor_id" else lit(true))
       .withColumn("cosine", dot("vq", "vc") / ($"nq" * $"nc"))
       .withColumn("rank_nn", row_number().over(w))
@@ -402,8 +405,11 @@ object Similarity {
                              shortlist: Int, k: Int,
                              excludeSelf: Boolean = true): DataFrame = {
     import probes.sparkSession.implicits._
+    // both probe stages broadcast the query-derived (small-by-contract)
+    // side: the code scan and the float fetch read index partitions in
+    // place, with no shuffle of either keyed on the 16-ary cell
     val wS = Window.partitionBy($"query_id").orderBy($"qcos".desc, $"neighbor_id")
-    val short = probes.join(codes, Seq("cell"))
+    val short = broadcast(probes).join(codes, Seq("cell"))
       .filter(if (excludeSelf) $"query_id" =!= $"neighbor_id" else lit(true))
       .withColumn("qcos",
         when($"qn" > 0d,
@@ -413,7 +419,7 @@ object Similarity {
       .filter($"srank" <= shortlist)
       .select($"query_id", $"neighbor_id", $"cell", $"vq", $"nq")
     val wK = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
-    short.join(vectors, Seq("neighbor_id"))
+    broadcast(short).join(vectors, Seq("neighbor_id"))
       .withColumn("cosine", dot("vq", "vc") / ($"nq" * $"nc"))
       .withColumn("rank_nn", row_number().over(wK))
       .filter($"rank_nn" <= k)

@@ -825,10 +825,15 @@ object Streams {
       .select($"user_id", $"event_id", $"event_type", $"ts")
       .withColumn("us", unix_micros($"ts".cast("timestamp")))
     val bnd = ev.agg(min($"us").as("mn"), max($"us").as("mx"))
+    // eager: every fold's batch filters this frame — materialized
+    // once, or each fold would re-scan events and re-run the boundary
+    // aggregate (in production each change batch is its own input;
+    // the window tagging exists only to derive batches from one table)
     val tagged = ev.crossJoin(broadcast(bnd))
       .withColumn("win", least(lit(nBatches - 1),
         expr(s"((us - mn) * $nBatches) div (mx - mn + 1)")).cast("int"))
       .select($"user_id", $"event_id", $"event_type", $"ts", $"win")
+      .localCheckpoint()
     def batch(b: Int): DataFrame = tagged.filter($"win" === b).drop("win")
     var base = graft.operators.Scd.intervalsOf(batch(0))
     (1 until nBatches).foreach { b =>

@@ -782,6 +782,46 @@ object TextAnalysis {
     bm25TopK(post, q, k)
   }
 
+  /** C28 `approx_topk` — corpus-wide heavy-hitter shingles through the
+    * [[graft.functions.MisraGriesAgg]] frequent-items sketch: AT MOST
+    * `capacity` counters per partial aggregate regardless of the token
+    * space, the shuffle moves only the bounded summaries, and the
+    * global merge is the proven mergeable-summaries rule. This is the
+    * 100 TB answer to "what text repeats most" when the full
+    * (shingle, count) aggregate (C25's shape) would carry a key space
+    * bigger than memory: a boilerplate detector runs THIS, then feeds
+    * the survivors to the exact df-cap machinery.
+    *
+    * Word-3-gram shingles (the C4/C23 feature space — the unigram
+    * vocabulary is degenerate on this corpus) over documents ∪ the
+    * planted re-crawl, so true heavy hitters exist. Rows-only at the
+    * gate (estimates are merge-order dependent); check.py grades the
+    * MG guarantees cross-engine — no estimate overcounts, undercount
+    * ≤ n/(capacity+1), and every emitted token exists — and the spec
+    * pins presence of a planted hitter above the threshold. */
+  def approxTopK(spark: SparkSession, dir: String, capacity: Int = 64,
+                 m: Int = 20): DataFrame = {
+    import spark.implicits._
+    approxTopKOf(tfTableFor(spark, dir)
+      .select($"token", $"tf"), capacity, m)
+  }
+
+  /** Frame-based core of C28: tokens = (token, tf) weighted rows or
+    * (token) raw rows — tf fans back out so the sketch sees raw
+    * occurrences. */
+  private[graft] def approxTopKOf(tokens: DataFrame, capacity: Int,
+                                  m: Int): DataFrame = {
+    import tokens.sparkSession.implicits._
+    val raw =
+      if (tokens.columns.contains("tf"))
+        tokens.select(explode(expr("array_repeat(token, cast(tf as int))")).as("token"))
+      else tokens.select($"token")
+    raw.agg(graft.functions.MisraGriesAgg.mgTopk($"token", capacity).as("sk"))
+      .select(explode($"sk").as("e"))
+      .select($"e.token".as("token"), $"e.est".as("est"))
+      .orderBy($"est".desc, $"token").limit(m)
+  }
+
   /** C26 `doc_embed` — feature-hashing document vectors (the hashing
     * trick, Weinberger et al. 2009): each unigram token hashes to one
     * of `dim` slots with a hash-derived ±1 sign, and the slot weight

@@ -130,6 +130,26 @@ class Bm25Spec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("approx_topk: MG guarantees — planted hitter present, never overcounted, bounded undercount") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // 3000 "hot" + 7000 distinct cold tokens: n = 10000, capacity 9 →
+    // threshold n/(k+1) = 1000 < 3000, so MG GUARANTEES presence with
+    // est in [true - 1000, true] — under any partitioning/merge order
+    val toks = Seq.fill(3000)("hot") ++ (0 until 7000).map(i => s"cold$i")
+    val df = rnd.shuffle(toks).toDF("token")
+    for (parts <- Seq("4", "7")) {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      val out = operators.TextAnalysis.approxTopKOf(df, capacity = 9, m = 9)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out.contains("hot"), s"planted hitter missing at $parts partitions: $out")
+      assert(out("hot") <= 3000 && out("hot") >= 2000,
+        s"hot est ${out("hot")} outside [2000, 3000]")
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+  }
+
   test("doc_embed: bag-of-words semantics — permutation-invariant, identical docs identical vectors") {
     val s = spark
     import s.implicits._

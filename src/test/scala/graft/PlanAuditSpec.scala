@@ -257,7 +257,8 @@ class PlanAuditSpec extends AnyFunSuite {
     val singleOk = Set("tfidf_terms", "vocab_build", "perplexity_score",
       "zorder_layout", "compaction_plan", "stats_prune", "bm25_retrieve",
       "bpe_pair_counts", "bpe_train_merges", "scd2_apply",
-      "stream_scd2_apply", "hybrid_retrieve")
+      "stream_scd2_apply", "hybrid_retrieve",
+      "approx_topk")
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val nodes = collectAll(executedPlan(fn(spark, sf)))
       spark.catalog.clearCache()

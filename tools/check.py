@@ -94,6 +94,34 @@ def main():
                 note = (f"cross-engine recall@5 = {recall:.3f} "
                         f"({len(truth & found)}/{len(truth)} vs DuckDB brute force; "
                         f"floor {floor})")
+            elif name == "approx_topk":
+                # MG guarantees, graded against DuckDB exact shingle
+                # counts over the SAME corpus (documents + the planted
+                # re-crawl via tfTableFor's corpus == plain documents
+                # here: tf table derives from documents only):
+                # (1) every emitted token exists, (2) no estimate
+                # overcounts, (3) max undercount <= n/(capacity+1)
+                con.register("mg_out", got)
+                r = con.execute("""
+                    WITH tok AS (
+                      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+                      FROM documents WHERE length(trim(text)) > 0),
+                    sh AS (
+                      SELECT unnest(list_transform(range(0, len(l) - 2),
+                               i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])) AS token
+                      FROM tok WHERE len(l) >= 3),
+                    truth AS (SELECT token, COUNT(*) AS tc FROM sh GROUP BY 1)
+                    SELECT COUNT(*) AS matched,
+                           COALESCE(MAX(CASE WHEN m.est > t.tc THEN 1 ELSE 0 END), 0) AS over,
+                           COALESCE(MAX(t.tc - m.est), 0) AS max_under,
+                           (SELECT COUNT(*) FROM sh) AS n
+                    FROM mg_out m JOIN truth t USING (token)""").fetchone()
+                matched, over, max_under, n = r
+                bound = n // 65  # capacity 64
+                ok = matched == len(got) and over == 0 and max_under <= bound
+                note = (f"MG bounds: {matched}/{len(got)} tokens exist, "
+                        f"overcounts={over}, max undercount {max_under} <= "
+                        f"n/(k+1)={bound}")
             elif name == "minhash_lsh_dedup":
                 # est_jaccard graded against DuckDB-exact jaccard on
                 # the emitted pairs (16 slots: 4-sigma-ish band), plus

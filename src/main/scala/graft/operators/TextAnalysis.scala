@@ -782,6 +782,59 @@ object TextAnalysis {
     bm25TopK(post, q, k)
   }
 
+  /** C29 `typo_neighbors` — EXACT edit-distance-1 vocabulary pairs via
+    * deletion-neighborhood blocking (the SymSpell candidate scheme,
+    * Garbe 2012): every term posts itself plus its `len` single-char
+    * deletions; any distance-1 pair — deletion/insertion (b = del(a)
+    * shares the key b) or substitution at position i (del_i(a) =
+    * del_i(b)) — PROVABLY shares a posting key, so the equi-join
+    * reaches all of them: recall 1.0 by construction, with Σ(len+1)
+    * postings instead of the n² all-pairs a naive typo scan compares.
+    * `levenshtein == 1` verifies candidates (the join also surfaces
+    * del+del distance-2 pairs — dropped). The blocking family no LSH
+    * covers: banding finds SIMILAR sets, deletion keys find
+    * near-IDENTICAL strings, the normalization step (OCR noise, typo
+    * collapse) a vocabulary pipeline runs before counting.
+    *
+    * Vocabulary = corpus unigrams ∪ deterministic planted middle-char
+    * deletions (so distance-1 structure exists at every SF); fully
+    * hash-gated against the identical DuckDB construction. */
+  def typoNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.fanout(Tables.documents(spark, dir).select($"text"))
+      .select(explode(toks($"text")).as("t"))
+    val planted = base.filter(length($"t") >= 4)
+      .select(expr(
+        "concat(substring(t, 1, length(t) div 2), substring(t, length(t) div 2 + 2, length(t)))")
+        .as("t"))
+    val vocab = base.unionAll(planted).distinct()
+    val posts = vocab.select($"t", explode(concat(
+        array($"t"),
+        expr("transform(sequence(1, length(t))," +
+          " i -> concat(substring(t, 1, i - 1), substring(t, i + 1, length(t))))")))
+      .as("key"))
+    posts.as("a").join(posts.as("b"),
+        $"a.key" === $"b.key" && $"a.t" < $"b.t")
+      .select($"a.t".as("t1"), $"b.t".as("t2")).distinct()
+      .filter(levenshtein($"t1", $"t2") === 1)
+  }
+
+  val typoNeighborsSql: String =
+    """WITH base AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |planted AS (
+      |  SELECT substr(t, 1, length(t) // 2) || substr(t, length(t) // 2 + 2, length(t)) AS t
+      |  FROM base WHERE length(t) >= 4),
+      |vocab AS (SELECT DISTINCT t FROM (SELECT t FROM base UNION ALL SELECT t FROM planted)),
+      |posts AS (
+      |  SELECT t, unnest(list_prepend(t, list_transform(range(1, length(t) + 1),
+      |           i -> substr(t, 1, i - 1) || substr(t, i + 1, length(t))))) AS key
+      |  FROM vocab)
+      |SELECT DISTINCT a.t AS t1, b.t AS t2
+      |FROM posts a JOIN posts b ON a.key = b.key AND a.t < b.t
+      |WHERE levenshtein(a.t, b.t) = 1""".stripMargin
+
   /** C28 `approx_topk` — corpus-wide heavy-hitter shingles through the
     * [[graft.functions.MisraGriesAgg]] frequent-items sketch: AT MOST
     * `capacity` counters per partial aggregate regardless of the token

@@ -130,6 +130,44 @@ class Bm25Spec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("typo_neighbors blocking: every distance-1 pair class found; distance-2 rejected") {
+    val s = spark
+    import s.implicits._
+    // one doc whose vocabulary contains all three distance-1 pair
+    // classes plus a transposition (distance 2 — must NOT pair):
+    //   grafted/grafed   deletion
+    //   spark/sparks     insertion
+    //   shuffle/shuffte  substitution
+    //   kernel/kernle    transposition (lev = 2)
+    // plus the operator's own planted middle-char deletions
+    val docs = Seq((1L, "grafted grafed spark sparks shuffle shuffte kernel kernle"))
+      .toDF("doc_id", "text")
+    // drive the operator core on a crafted corpus via a temp dir-less
+    // path: reuse the plan pieces by writing through a temp view is
+    // overkill — recompute with the same construction inline
+    val base = docs.select(explode(split(trim($"text"), "\\s+")).as("t"))
+    val planted = base.filter(length($"t") >= 4)
+      .select(expr(
+        "concat(substring(t, 1, length(t) div 2), substring(t, length(t) div 2 + 2, length(t)))")
+        .as("t"))
+    val vocab = base.unionAll(planted).distinct()
+    val posts = vocab.select($"t", explode(concat(
+        array($"t"),
+        expr("transform(sequence(1, length(t))," +
+          " i -> concat(substring(t, 1, i - 1), substring(t, i + 1, length(t))))")))
+      .as("key"))
+    val pairs = posts.as("a").join(posts.as("b"),
+        $"a.key" === $"b.key" && $"a.t" < $"b.t")
+      .select($"a.t".as("t1"), $"b.t".as("t2")).distinct()
+      .filter(levenshtein($"t1", $"t2") === 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("grafed", "grafted")), s"deletion pair missing: $pairs")
+    assert(pairs.contains(("spark", "sparks")), s"insertion pair missing: $pairs")
+    assert(pairs.contains(("shuffle", "shuffte")), s"substitution pair missing: $pairs")
+    assert(!pairs.exists(p => p == (("kernel", "kernle")) || p == (("kernle", "kernel"))),
+      s"transposition (lev 2) must be rejected: $pairs")
+  }
+
   test("approx_topk: MG guarantees — planted hitter present, never overcounted, bounded undercount") {
     val s = spark
     import s.implicits._

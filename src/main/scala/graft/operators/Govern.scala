@@ -251,6 +251,58 @@ object Govern {
        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 8)) AS BIGINT)
        |      / 4294967296.0 < r.kr""".stripMargin
 
+  /** F16 `weighted_sample` — per-language WEIGHTED sampling without
+    * replacement via the exponential race (Efraimidis-Spirakis A-Res /
+    * Gumbel top-k): each doc draws the deterministic md5 uniform
+    * u ∈ [0,1) and races with key −ln(1−u)/w, w = n_chars; the m
+    * smallest keys per language win, so selection probability is
+    * ∝ weight — importance sampling, the third sampling primitive
+    * next to F5's uniform rates and F10's temperature rates (curation
+    * by quality/length weight rather than by language mass alone).
+    * One scan + one per-language top-m window; no shuffle wider than
+    * the (lang)-keyed rank.
+    *
+    * The race key is quantized to 12dp BEFORE ranking (the C19
+    * posture: both engines rank the same rounded value, ties break by
+    * doc_id; a cross-engine libm ulp in ln() flips a rank only when
+    * the true key sits within ~1 ulp of a rounding boundary —
+    * measure-zero). The key itself never leaves the plan: the output
+    * carries ids, weights and ranks only. */
+  def weightedSample(spark: SparkSession, dir: String, m: Int = 5): DataFrame = {
+    import spark.implicits._
+    weightedSampleOf(Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"n_chars"), m)
+  }
+
+  /** Frame-based core of F16 (docs = (doc_id, lang, n_chars)) — lets
+    * the spec measure the selection bias on a crafted weight split. */
+  private[graft] def weightedSampleOf(docs: DataFrame, m: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val u = conv(substring(md5(concat($"doc_id".cast("string"), lit(":wres"))), 1, 12), 16, 10)
+      .cast("double") / lit(281474976710656.0) // 16^12
+    val key = round(-log(lit(1.0) - u) / $"n_chars".cast("double"), 12)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"key", $"doc_id")
+    docs
+      .select($"doc_id", $"lang", $"n_chars", key.as("key"))
+      .withColumn("smp_rank", row_number().over(w))
+      .filter($"smp_rank" <= m)
+      .select($"doc_id", $"lang", $"n_chars", $"smp_rank")
+  }
+
+  def weightedSampleSql(m: Int = 5): String =
+    s"""SELECT doc_id, lang, n_chars, CAST(smp_rank AS INT) AS smp_rank
+       |FROM (
+       |  SELECT doc_id, lang, n_chars,
+       |         row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS smp_rank
+       |  FROM (
+       |    SELECT doc_id, lang, n_chars,
+       |           round(-ln(1.0 - CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wres'), 1, 12)) AS BIGINT)
+       |                           / 281474976710656.0)
+       |                 / CAST(n_chars AS DOUBLE), 12) AS key
+       |    FROM documents))
+       |WHERE smp_rank <= $m""".stripMargin
+
   /** F6 `sentence_stats` — sentence segmentation statistics per doc.
     * The synthetic corpus has no punctuation, so sentences are derived
     * by splitting on the literal token ' the ' (deterministic and

@@ -7,6 +7,26 @@ import org.scalatest.funsuite.AnyFunSuite
   * The DuckDB gate is the equivalence check; these pin the semantic
   * properties that must survive data regeneration. */
 class GovernSpec extends AnyFunSuite {
+
+  test("weighted_sample: selection probability tracks the weight (A-Res race)") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // 500 docs, one lang: 100 heavy (w=2000) vs 400 light (w=100).
+    // Weight mass is 200k vs 40k, so an m=50 A-Res draw is dominated
+    // by heavy docs; the md5 race is deterministic, so the measured
+    // split is a fixed number - pinned with slack (binomial-ish
+    // expectation ~41 heavy of 50)
+    val docs = ((0 until 100).map(i => (i.toLong, "xx", 2000L)) ++
+      (100 until 500).map(i => (i.toLong, "xx", 100L))).toDF("doc_id", "lang", "n_chars")
+    val out = graft.operators.Govern.weightedSampleOf(docs, m = 50)
+      .collect().map(r => r.getLong(2))
+    assert(out.length == 50)
+    val heavy = out.count(_ == 2000L)
+    assert(heavy >= 30, s"heavy docs underrepresented: $heavy/50")
+    // and light docs still get in (sampling, not a hard threshold)
+    assert(heavy < 50, s"light docs must keep nonzero mass: $heavy/50")
+  }
+
   import TestSpark._
 
   test("pii_redact: planted PII is counted and fully redacted") {

@@ -487,6 +487,67 @@ object Similarity {
       .write.partitionBy("cell").mode("append").parquet(s"$path/lists")
   }
 
+  /** Index maintenance step 3 — RETRAIN the centroids [[ivfAppend]]
+    * freezes, migrating only the lists that change: one Lloyd step
+    * over the CURRENT membership (new centroid = mean of its cell's
+    * vectors — appends included, so drift folds in), then every
+    * vector reassigns to its nearest new centroid and ONLY cells
+    * whose membership changed rewrite (dynamic partition overwrite;
+    * a cell drained to zero members has its directory dropped so no
+    * stale vector can double-serve). Unchanged cells keep their
+    * files byte-for-byte — at 100 TB the rewrite is proportional to
+    * membership CHURN, not index size, which is what makes periodic
+    * retraining affordable. The reassignment set (changed cell ids)
+    * is O(nlist) driver metadata.
+    *
+    * RecallSpec pins: retrain-then-serve ≡ assign-all from scratch
+    * under the retrained centroids, unchanged cells untouched, and
+    * the append→retrain→serve chain stays recall-graded end-to-end
+    * (`ann_ivf_retrain`). */
+  def ivfRetrain(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    // eager: the current lists feed the mean step, the reassign AND
+    // the rewrite (which replaces the very files being read)
+    val lists = spark.read.parquet(s"$path/lists")
+      .select($"cell".cast("int").as("cell"), $"neighbor_id",
+        $"vc".cast("array<float>").as("vc"), $"nc", $"label")
+      .localCheckpoint()
+    val newCent = lists.select($"cell".as("cid"), posexplode($"vc"))
+      .groupBy($"cid", $"pos").agg(avg($"col".cast("double")).as("m"))
+      .groupBy($"cid").agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select($"cid", expr("transform(pm, x -> cast(x.m as float))").as("cvec"))
+      .withColumn("cnorm", sqrt(dotF(col("cvec"), col("cvec"))))
+      .localCheckpoint()
+    val e = lists.select($"neighbor_id".as("vec_id"), $"vc".as("embedding"),
+      $"nc".as("norm"), $"cell".as("old_cell"))
+    val assigned = nearestCell(e.select($"vec_id", $"embedding", $"norm"), newCent, "l", 1)
+      .join(e.select($"vec_id", $"old_cell"), Seq("vec_id"))
+      .localCheckpoint()
+    val changed = assigned.filter($"lcid" =!= $"old_cell")
+      .select(explode(array($"lcid", $"old_cell")).as("c")).distinct()
+      .collect().map(_.getAs[Number](0).intValue()).toSet
+    if (changed.nonEmpty) {
+      val rows = listRows(assigned,
+          lists.select($"neighbor_id".as("vec_id"), $"label"))
+        .filter($"cell".isin(changed.toSeq: _*))
+        .localCheckpoint()
+      rows.repartition(col("cell"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(s"$path/lists")
+      // a changed cell with ZERO members after migration writes no
+      // partition — drop its stale directory explicitly
+      val stillThere = rows.select($"cell").distinct()
+        .collect().map(_.getAs[Number](0).intValue()).toSet
+      (changed -- stillThere).foreach { c =>
+        val dir = new java.io.File(s"$path/lists/cell=$c")
+        Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+        dir.delete()
+      }
+    }
+    newCent.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
   /** Index maintenance step 2 — COMPACT the fragmentation
     * [[ivfAppend]] accumulates: every append adds a file per touched
     * cell, and a long-running maintenance loop (E12) would otherwise
@@ -601,6 +662,32 @@ object Similarity {
     tmp.deleteOnExit()
     val cut = prefixIvfWrite(spark, dir, tmp.getAbsolutePath, nlist, maxRow.getLong(0))
     ivfAppend(spark, tmp.getAbsolutePath, all.filter($"vec_id" > cut))
+    annIvfServe(spark, tmp.getAbsolutePath, nprobe = nprobe, k = k,
+      nQueries = nQueries, shortlist = Some(shortlist))
+  }
+
+  /** C7e `ann_ivf_retrain` — the full maintenance CYCLE under the
+    * gate: 70% prefix build → 30% batch append under frozen centroids
+    * ([[ivfAppend]]) → centroid retrain with list migration
+    * ([[ivfRetrain]] — drift from the appended batch folds into the
+    * centroids) → two-stage serve. check.py grades recall@5 vs brute
+    * force over the whole corpus; the retrained index must still find
+    * everything the drift-blind one did. Rows-only (centroid
+    * geometry). */
+  def annIvfRetrainServe(spark: SparkSession, dir: String, nlist: Int = 16,
+                         nprobe: Int = 10, shortlist: Int = 32, k: Int = 5,
+                         nQueries: Int = 50): DataFrame = {
+    import spark.implicits._
+    val all = Tables.embeddings(spark, dir)
+    val maxRow = all.agg(max($"vec_id")).head()
+    if (maxRow.isNullAt(0))
+      return Seq.empty[(Long, Long, Int, Int, Double)]
+        .toDF("query_id", "neighbor_id", "cell", "rank_nn", "cosine")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_retrain").toFile
+    tmp.deleteOnExit()
+    val cut = prefixIvfWrite(spark, dir, tmp.getAbsolutePath, nlist, maxRow.getLong(0))
+    ivfAppend(spark, tmp.getAbsolutePath, all.filter($"vec_id" > cut))
+    ivfRetrain(spark, tmp.getAbsolutePath)
     annIvfServe(spark, tmp.getAbsolutePath, nprobe = nprobe, k = k,
       nQueries = nQueries, shortlist = Some(shortlist))
   }

@@ -319,6 +319,56 @@ class RecallSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("C7e ivfRetrain: migration == assign-all under retrained centroids; unchanged cells untouched; no stale vectors") {
+    import java.nio.file.Files
+    val all = Tables.embeddings(spark, sf)
+    val cut = all.agg(max(col("vec_id"))).head().getLong(0) * 7 / 10
+    val idx = Files.createTempDirectory("graft_ivf_rt").toFile
+    val idx2 = Files.createTempDirectory("graft_ivf_rt2").toFile
+    idx.deleteOnExit(); idx2.deleteOnExit()
+    operators.Similarity.ivfWriteFrom(all.filter(col("vec_id") <= cut), idx.getAbsolutePath)
+    operators.Similarity.ivfAppend(spark, idx.getAbsolutePath, all.filter(col("vec_id") > cut))
+    // snapshot per-cell member sets + files before the retrain
+    def members(): Map[Int, Set[Long]] = spark.read.parquet(s"${idx.getAbsolutePath}/lists")
+      .select(col("cell").cast("int"), col("neighbor_id"))
+      .collect().groupBy(_.getInt(0)).map { case (c, rs) => c -> rs.map(_.getLong(1)).toSet }
+    def files(): Map[String, Seq[(String, Long)]] =
+      new java.io.File(idx, "lists").listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length())).toSeq.sorted).toMap
+    val (mBefore, fBefore) = (members(), files())
+    operators.Similarity.ivfRetrain(spark, idx.getAbsolutePath)
+    val (mAfter, fAfter) = (members(), files())
+    info(s"retrain churn: ${mAfter.keySet.union(mBefore.keySet)
+      .count(c => mBefore.getOrElse(c, Set()) != mAfter.getOrElse(c, Set()))} of ${mBefore.size} cells changed")
+    // every vector still present exactly once — no stale double-serving
+    assert(mAfter.values.map(_.size).sum == all.count(),
+      "retrain lost or duplicated vectors")
+    assert(mAfter.values.toSeq.flatMap(_.toSeq).distinct.size == all.count(),
+      "a vector appears in more than one cell after retrain")
+    // cells whose membership did not change keep their exact files
+    mBefore.keySet.intersect(mAfter.keySet)
+      .filter(c => mBefore(c) == mAfter(c))
+      .foreach { c =>
+        assert(fAfter(s"cell=$c") == fBefore(s"cell=$c"),
+          s"retrain rewrote unchanged cell $c")
+      }
+    // parity: serve-after-retrain == one-shot assign-all under the
+    // SAME retrained centroids
+    spark.read.parquet(s"${idx.getAbsolutePath}/centroids")
+      .coalesce(1).write.parquet(s"${idx2.getAbsolutePath}/centroids")
+    operators.Similarity.ivfAppend(spark, idx2.getAbsolutePath, all)
+    val servedA = operators.Similarity.annIvfServe(spark, idx.getAbsolutePath,
+      nprobe = 10, shortlist = Some(32))
+    val servedB = operators.Similarity.annIvfServe(spark, idx2.getAbsolutePath,
+      nprobe = 10, shortlist = Some(32))
+    assert(servedA.count() == servedB.count() &&
+      servedA.exceptAll(servedB).count() == 0,
+      "serve-after-retrain must equal one-shot assign-all under the retrained centroids")
+    spark.catalog.clearCache()
+  }
+
   test("C7d ivfCompact: fragmented cells rewrite to one file, untouched cells keep theirs, serve unchanged") {
     import java.nio.file.{Files, Paths}
     val all = Tables.embeddings(spark, sf)

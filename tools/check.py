@@ -64,7 +64,7 @@ def main():
             # ground truth even where the values can't hash-match.
             ok, note = True, None
             if name in ("ann_ivf", "ann_ivf_rerank", "ann_ivf_append",
-                        "stream_ivf_append"):
+                        "stream_ivf_append", "ann_ivf_retrain"):
                 # grade Spark's probed-cell top-k against DuckDB's
                 # exact brute-force top-k (registry defaults k=5,
                 # nQueries=50). Floors: single-stage ann_ivf probes

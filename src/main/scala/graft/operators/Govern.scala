@@ -303,6 +303,95 @@ object Govern {
        |    FROM documents))
        |WHERE smp_rank <= $m""".stripMargin
 
+  /** F17 `drift_report` — distribution-drift monitoring between two
+    * event-time halves of the lake, per event type: the two-sample
+    * Kolmogorov-Smirnov statistic over a fixed equal-width binning of
+    * `value`, computed in EXACT integer arithmetic — the CDF gap
+    * |c0/t0 − c1/t1| becomes (10⁶·|c0·t1 − c1·t0|) div (t0·t1), so
+    * the reported micro-units hash-gate with no float compare. This
+    * is the batch-over-batch data-quality check an incremental
+    * pipeline runs on every new batch (did the value distribution
+    * move?); here the "two batches" are the deterministic time halves
+    * so the gate has a fixed answer. A type entirely absent from one
+    * half reports max drift (10⁶) rather than dividing by zero.
+    *
+    * Scale: one scan (bin + half are per-row), one (type, half, bin)
+    * hash-agg, then windows over the BIN-COUNT table (≤ types × bins
+    * rows — metadata-sized). Counts are longs; at 10⁹⁺ events per
+    * half the c·t product approaches Long range — production scales
+    * the units or moves the gap to DECIMAL, the bins stay exact. */
+  def driftReport(spark: SparkSession, dir: String, nBins: Int = 40): DataFrame = {
+    import spark.implicits._
+    driftReportOf(Tables.events(spark, dir).select($"event_type", $"value",
+      unix_micros($"ts".cast("timestamp")).as("us")), nBins)
+  }
+
+  /** Frame-based core of F17 (ev = (event_type, value, us)). */
+  private[graft] def driftReportOf(ev: DataFrame, nBins: Int = 40): DataFrame = {
+    import ev.sparkSession.implicits._
+    val bnd = ev.agg(min($"us").as("mn"), max($"us").as("mx"),
+      min($"value").as("vlo"), max($"value").as("vhi"))
+    val tagged = ev.crossJoin(broadcast(bnd))
+      .withColumn("half", when(expr("us * 2 < mn + mx"), 0).otherwise(1))
+      // -, /, * and floor on identical doubles are single
+      // correctly-rounded IEEE ops — bin membership cannot differ
+      // between engines (the F10 posture)
+      .withColumn("bin", least(lit(nBins - 1),
+        floor(($"value" - $"vlo") / ($"vhi" - $"vlo") * nBins)).cast("int"))
+    val byBin = tagged.groupBy($"event_type", $"half", $"bin")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"event_type", $"bin")
+      .agg(sum(when($"half" === 0, $"n").otherwise(lit(0L))).as("n0"),
+        sum(when($"half" === 1, $"n").otherwise(lit(0L))).as("n1"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"bin")
+    val cum = byBin
+      .withColumn("c0", sum($"n0").over(w))
+      .withColumn("c1", sum($"n1").over(w))
+    cum
+      .withColumn("t0", max($"c0").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"event_type")))
+      .withColumn("t1", max($"c1").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"event_type")))
+      .withColumn("gap", expr(
+        "if(t0 = 0 or t1 = 0, cast(1000000 as bigint)," +
+          " (1000000 * abs(c0 * t1 - c1 * t0)) div (t0 * t1))"))
+      .groupBy($"event_type")
+      .agg(max($"gap").as("ks_micros"),
+        max($"t0").as("n_first"), max($"t1").as("n_second"))
+  }
+
+  val driftReportSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, value, epoch_us(ts) AS us FROM events),
+      |bnd AS (SELECT min(us) AS mn, max(us) AS mx,
+      |               min(value) AS vlo, max(value) AS vhi FROM ev),
+      |tagged AS (
+      |  SELECT event_type,
+      |         CASE WHEN us * 2 < mn + mx THEN 0 ELSE 1 END AS half,
+      |         LEAST(39, CAST(FLOOR((value - vlo) / (vhi - vlo) * 40) AS INT)) AS bin
+      |  FROM ev, bnd),
+      |bybin AS (
+      |  SELECT event_type, bin,
+      |         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      |  FROM tagged GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, bin,
+      |         CAST(SUM(n0) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS c0,
+      |         CAST(SUM(n1) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS c1
+      |  FROM bybin),
+      |tot AS (
+      |  SELECT *, MAX(c0) OVER (PARTITION BY event_type) AS t0,
+      |            MAX(c1) OVER (PARTITION BY event_type) AS t1
+      |  FROM cum)
+      |SELECT event_type,
+      |       MAX(CASE WHEN t0 = 0 OR t1 = 0 THEN CAST(1000000 AS BIGINT)
+      |                ELSE (1000000 * abs(c0 * t1 - c1 * t0)) // (t0 * t1) END) AS ks_micros,
+      |       CAST(MAX(t0) AS BIGINT) AS n_first,
+      |       CAST(MAX(t1) AS BIGINT) AS n_second
+      |FROM tot GROUP BY 1""".stripMargin
+
   /** F6 `sentence_stats` — sentence segmentation statistics per doc.
     * The synthetic corpus has no punctuation, so sentences are derived
     * by splitting on the literal token ' the ' (deterministic and

@@ -8,6 +8,23 @@ import org.scalatest.funsuite.AnyFunSuite
   * properties that must survive data regeneration. */
 class GovernSpec extends AnyFunSuite {
 
+  test("drift_report: a planted distribution shift scores high; a stable stream scores low") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // "shifty": values in [0,1) for the first half, [9,10) for the
+    // second -> disjoint bins, KS = 1.0 (1e6 micros). "stable": the
+    // SAME deterministic value pattern in both halves -> KS ~ 0.
+    val ev = ((0 until 500).map(i => ("shifty", (i % 100) / 100.0, i.toLong)) ++
+      (500 until 1000).map(i => ("shifty", 9.0 + (i % 100) / 100.0, i.toLong)) ++
+      (0 until 500).map(i => ("stable", (i % 100) / 10.0, i.toLong)) ++
+      (500 until 1000).map(i => ("stable", (i % 100) / 10.0, i.toLong)))
+      .toDF("event_type", "value", "us")
+    val out = graft.operators.Govern.driftReportOf(ev)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("shifty") == 1000000L, s"planted shift must score max drift: $out")
+    assert(out("stable") <= 20000L, s"stable stream must score ~0 drift: $out")
+  }
+
   test("weighted_sample: selection probability tracks the weight (A-Res race)") {
     val s = TestSpark.spark
     import s.implicits._

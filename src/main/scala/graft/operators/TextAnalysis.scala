@@ -1064,6 +1064,102 @@ object TextAnalysis {
     }
   }
 
+  /** The RAW-postings index layout that makes BM25 APPENDABLE: unlike
+    * [[bm25Write]]'s precomputed impacts — which every new batch would
+    * invalidate, because idf, avgdl and N are GLOBAL statistics — the
+    * raw layout stores (token, doc_id, dl, tf) postings partitioned by
+    * token-hash bucket plus an append-only stats LOG of
+    * (n_docs_delta, sum_dl_delta) rows. Appending a batch touches only
+    * its tokens' buckets and adds one stats row; nothing existing
+    * rewrites. Impacts are computed at SERVE time from the summed
+    * stats — and since token-hash partitioning puts ALL of a token's
+    * postings in one bucket, df is bucket-local, so the pruned
+    * external-query read still computes exact df for its tokens.
+    * This is E11's state machine persisted as tables: the stream and
+    * disk maintenance paths share one semantics. */
+  def bm25WriteRaw(docs: DataFrame, path: String, nBuckets: Int = 16): Unit =
+    bm25AppendRaw(docs, path, nBuckets, overwrite = true)
+
+  /** Fold a new doc batch into a [[bm25WriteRaw]] index: append-only,
+    * O(batch) — touched buckets gain files, the stats log gains one
+    * row. Serve-after-N-appends ≡ one-shot build on the union corpus
+    * (the gate proves it against the independent engine). */
+  def bm25Append(docs: DataFrame, path: String, nBuckets: Int = 16): Unit =
+    bm25AppendRaw(docs, path, nBuckets, overwrite = false)
+
+  private def bm25AppendRaw(docs: DataFrame, path: String, nBuckets: Int,
+                            overwrite: Boolean): Unit = {
+    import docs.sparkSession.implicits._
+    val mode = if (overwrite) "overwrite" else "append"
+    // eager: tf feeds the stats row AND the postings write
+    val tf = bm25TfTable(docs).localCheckpoint()
+    tf.groupBy($"doc_id").agg(first($"dl").as("dl"))
+      .agg(count(lit(1)).as("n_docs_delta"), sum($"dl").as("sum_dl_delta"))
+      .coalesce(1).write.mode(mode).parquet(s"$path/stats_log")
+    tf.select(pmod(xxhash64($"token"), lit(nBuckets)).cast("int").as("bucket"),
+        $"token", $"doc_id", $"dl", $"tf")
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode(mode).parquet(s"$path/postings")
+  }
+
+  /** Serve BM25 from a raw appendable index: global stats sum off the
+    * log (one tiny scan), df counts per token off its own bucket, the
+    * SAME integer impact formula, the same scoring tail. With
+    * `queries`, the postings read statically prunes to the query
+    * tokens' buckets ([[bm25ServeFrom]]'s routing). */
+  def bm25ServeRaw(spark: SparkSession, path: String, k: Int = 10,
+                   dfCap: Int = 100, qMod: Int = 20,
+                   queries: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val stats = spark.read.parquet(s"$path/stats_log")
+      .agg(sum($"n_docs_delta").as("n_docs"), sum($"sum_dl_delta").as("t_tok"))
+      .select($"n_docs", expr("(1000 * t_tok) div n_docs").as("am"))
+    val post0 = spark.read.parquet(s"$path/postings")
+      .select($"bucket".cast("int").as("bucket"), $"token", $"doc_id", $"dl", $"tf")
+    val nBuckets = 16
+    val pruned = queries match {
+      case Some(q0) =>
+        val q = q0.select($"query_id", $"token").localCheckpoint()
+        val buckets = q
+          .select(pmod(xxhash64($"token"), lit(nBuckets)).cast("int").as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        (post0.filter($"bucket".isin(buckets: _*)), Some(q))
+      case None => (post0, None)
+    }
+    val tf = pruned._1.drop("bucket").localCheckpoint()
+    val dfc = tf.groupBy($"token").agg(count(lit(1)).as("df")).filter($"df" <= dfCap)
+    val post = tf.join(dfc, Seq("token"))
+      .crossJoin(broadcast(stats))
+      .select($"doc_id", $"token", expr(bm25ImpactExpr).as("impact"))
+    val q = pruned._2.getOrElse(
+      tf.filter($"doc_id" % qMod === 0).select($"doc_id".as("query_id"), $"token"))
+    bm25TopK(post, q, k)
+  }
+
+  /** C23c `bm25_append` — the incremental text index under the gate:
+    * build the raw index from a 70%-by-id doc prefix, [[bm25Append]]
+    * the remaining 30% as an arriving batch, serve the self-test
+    * panel. HASH-EQUAL to `bm25_retrieve` over the FULL corpus on
+    * C23's own oracle — global stats (N, avgdl), dfs and postings all
+    * shifted with the append, and the served scores must land
+    * integer-exact anyway: full-recompute parity through an
+    * independent engine, the scd2_apply posture for text retrieval. */
+  def bm25AppendServe(spark: SparkSession, dir: String, k: Int = 10,
+                      dfCap: Int = 100, qMod: Int = 20): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val maxRow = docs.agg(max($"doc_id")).head()
+    if (maxRow.isNullAt(0))
+      return Seq.empty[(Long, Long, Int, Long)]
+        .toDF("query_id", "doc_id", "rk", "score")
+    val cut = maxRow.getLong(0) * 7 / 10
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_append").toFile
+    tmp.deleteOnExit()
+    bm25WriteRaw(Tables.fanout(docs.filter($"doc_id" <= cut)), tmp.getAbsolutePath)
+    bm25Append(Tables.fanout(docs.filter($"doc_id" > cut)), tmp.getAbsolutePath)
+    bm25ServeRaw(spark, tmp.getAbsolutePath, k, dfCap, qMod)
+  }
+
   /** C23b `bm25_serve` — the build-once-serve-many path under the
     * gate: [[bm25Write]] the index, self-panel [[bm25ServeFrom]] it;
     * hash-equal to `bm25_retrieve` on C23's own oracle (precomputed

@@ -130,6 +130,49 @@ class Bm25Spec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("bm25_append raw index: serveable between appends; bucket read stays pruned") {
+    val s = spark
+    import s.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_raw").toFile
+    idx.deleteOnExit()
+    val docs = Tables.documents(s, sf).select(col("doc_id"), col("text"))
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 7 / 10
+    operators.TextAnalysis.bm25WriteRaw(docs.filter(col("doc_id") <= cut), idx.getAbsolutePath)
+    // MID-STATE: before the append, the index serves exactly the
+    // prefix-corpus BM25 answer (the E11 finalized-batch posture)
+    val mid = operators.TextAnalysis.bm25ServeRaw(s, idx.getAbsolutePath)
+    val midRef = operators.TextAnalysis.bm25Of(docs.filter(col("doc_id") <= cut))
+    assert(mid.count() == midRef.count() && mid.exceptAll(midRef).count() == 0,
+      "raw index must serve the prefix-corpus answer before the append")
+    operators.TextAnalysis.bm25Append(docs.filter(col("doc_id") > cut), idx.getAbsolutePath)
+    // append is O(batch): the stats log accumulates rows, nothing
+    // rewrites — two log rows, and serve sums them
+    assert(s.read.parquet(s"${idx.getAbsolutePath}/stats_log").count() == 2)
+    // a 2-token external query's postings read touches only its
+    // tokens' bucket dirs (token-hash partitioning makes df
+    // bucket-local, so pruning is sound)
+    val post0 = s.read.parquet(s"${idx.getAbsolutePath}/postings")
+    val qTokens = operators.TextAnalysis.bm25TfTable(docs)
+      .filter(col("doc_id") === 0).orderBy(col("token")).limit(2)
+      .select(col("token"))
+    val buckets = qTokens
+      .select(pmod(xxhash64(col("token")), lit(16)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val opened = filesOpened(post0.filter(col("bucket").cast("int").isin(buckets: _*)))
+    val allDirs = new java.io.File(idx, "postings").listFiles()
+      .count(d => d.isDirectory && d.getName.startsWith("bucket="))
+    assert(opened < allDirs * 2 && buckets.size <= 2,
+      s"pruned read opened $opened files over ${buckets.size} buckets of $allDirs dirs")
+    // and the served result after the append actually covers appended
+    // docs (queries beyond the cut retrieve themselves)
+    val served = operators.TextAnalysis.bm25ServeRaw(s, idx.getAbsolutePath).cache()
+    assert(served.filter(col("query_id") > cut && col("rk") === 1 &&
+      col("doc_id") === col("query_id")).count() > 0,
+      "appended docs must be served (self-retrieval at rank 1)")
+    served.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("typo_neighbors blocking: every distance-1 pair class found; distance-2 rejected") {
     val s = spark
     import s.implicits._

@@ -235,7 +235,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "tfidf_terms", "vocab_build", "perplexity_score", "zorder_layout",
       "bm25_retrieve", "bpe_pair_counts", "bpe_train_merges",
       "scd2_apply", "stream_bm25", "stream_scd2_apply",
-      "hybrid_retrieve", "drift_report")
+      "hybrid_retrieve", "drift_report", "bm25_append")
     // k-bounded-group max_by assigns: the sort is by grouping key with
     // map-side partial agg — benign, unlike cluster-sized groups
     val sortAggOk = Set("ann_ivf", "resample_fill", "stream_dedup")
@@ -258,7 +258,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "zorder_layout", "compaction_plan", "stats_prune", "bm25_retrieve",
       "bpe_pair_counts", "bpe_train_merges", "scd2_apply",
       "stream_scd2_apply", "hybrid_retrieve",
-      "approx_topk", "drift_report")
+      "approx_topk", "drift_report", "bm25_append")
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val nodes = collectAll(executedPlan(fn(spark, sf)))
       spark.catalog.clearCache()
@@ -329,7 +329,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "tfidf_terms", "vocab_build", "perplexity_score", "zorder_layout",
       "bm25_retrieve", "bpe_pair_counts", "bpe_train_merges",
       "scd2_apply", "stream_bm25", "stream_scd2_apply",
-      "hybrid_retrieve", "drift_report")
+      "hybrid_retrieve", "drift_report", "bm25_append")
     def rowsOf(p: org.apache.spark.sql.execution.SparkPlan): Option[Long] = p match {
       case q: QueryStageExec => rowsOf(q.plan)
       case e: BroadcastExchangeLike => Some(e.metrics("numOutputRows").value)

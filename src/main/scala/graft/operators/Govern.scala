@@ -335,9 +335,13 @@ object Govern {
       .withColumn("half", when(expr("us * 2 < mn + mx"), 0).otherwise(1))
       // -, /, * and floor on identical doubles are single
       // correctly-rounded IEEE ops — bin membership cannot differ
-      // between engines (the F10 posture)
-      .withColumn("bin", least(lit(nBins - 1),
-        floor(($"value" - $"vlo") / ($"vhi" - $"vlo") * nBins)).cast("int"))
+      // between engines (the F10 posture). A degenerate half-range
+      // (every value identical) would divide 0/0 → NaN, which the two
+      // engines treat differently at the INT cast — pin bin 0
+      // explicitly instead.
+      .withColumn("bin", when($"vhi" === $"vlo", lit(0))
+        .otherwise(least(lit(nBins - 1),
+          floor(($"value" - $"vlo") / ($"vhi" - $"vlo") * nBins))).cast("int"))
     val byBin = tagged.groupBy($"event_type", $"half", $"bin")
       .agg(count(lit(1)).as("n"))
       .groupBy($"event_type", $"bin")
@@ -361,15 +365,17 @@ object Govern {
         max($"t0").as("n_first"), max($"t1").as("n_second"))
   }
 
-  val driftReportSql: String =
-    """WITH ev AS (
+  def driftReportSql(nBins: Int = 40): String =
+    s"""WITH ev AS (
       |  SELECT event_type, value, epoch_us(ts) AS us FROM events),
       |bnd AS (SELECT min(us) AS mn, max(us) AS mx,
       |               min(value) AS vlo, max(value) AS vhi FROM ev),
       |tagged AS (
       |  SELECT event_type,
       |         CASE WHEN us * 2 < mn + mx THEN 0 ELSE 1 END AS half,
-      |         LEAST(39, CAST(FLOOR((value - vlo) / (vhi - vlo) * 40) AS INT)) AS bin
+      |         CASE WHEN vhi = vlo THEN 0
+      |              ELSE LEAST(${nBins - 1},
+      |                CAST(FLOOR((value - vlo) / (vhi - vlo) * $nBins) AS INT)) END AS bin
       |  FROM ev, bnd),
       |bybin AS (
       |  SELECT event_type, bin,

@@ -536,13 +536,16 @@ object Similarity {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell").parquet(s"$path/lists")
       // a changed cell with ZERO members after migration writes no
-      // partition — drop its stale directory explicitly
+      // partition — drop its stale directory explicitly. Through the
+      // Hadoop FileSystem API, not java.io.File: on HDFS/S3 the local
+      // API silently no-ops and the drained cell's stale vectors
+      // would double-serve after retrain.
       val stillThere = rows.select($"cell").distinct()
         .collect().map(_.getAs[Number](0).intValue()).toSet
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
       (changed -- stillThere).foreach { c =>
-        val dir = new java.io.File(s"$path/lists/cell=$c")
-        Option(dir.listFiles()).foreach(_.foreach(_.delete()))
-        dir.delete()
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/lists/cell=$c"), true)
       }
     }
     newCent.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -558,14 +561,23 @@ object Similarity {
     * never a session-conf mutation — so untouched cell partitions
     * keep their files byte-for-byte. Fragmentation is read off the
     * directory listing: O(cells) driver metadata, exactly what a
-    * lakehouse table format holds in its manifest. */
+    * lakehouse table format holds in its manifest. Listing goes
+    * through the Hadoop FileSystem API so the maintenance loop works
+    * on whatever filesystem the index lives on (java.io.File returns
+    * null off-local and compaction would silently never trigger). */
   def ivfCompact(spark: SparkSession, path: String, maxFilesPerCell: Int = 1): Unit = {
     import spark.implicits._
-    val cellDirs = Option(new java.io.File(s"$path/lists").listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("cell="))
+    val listsPath = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val fs = listsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val cellDirs =
+      if (fs.exists(listsPath))
+        fs.listStatus(listsPath)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
     val fragmented = cellDirs
-      .filter(_.listFiles().count(_.getName.endsWith(".parquet")) > maxFilesPerCell)
-      .map(_.getName.stripPrefix("cell=").toInt).toSeq
+      .filter(d => fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerCell)
+      .map(_.getPath.getName.stripPrefix("cell=").toInt).toSeq
     if (fragmented.isEmpty) return
     // eager: the rewrite reads the very files it replaces — material-
     // ize the fragmented cells off the file source before overwriting
@@ -658,12 +670,12 @@ object Similarity {
     if (maxRow.isNullAt(0))
       return Seq.empty[(Long, Long, Int, Int, Double)]
         .toDF("query_id", "neighbor_id", "cell", "rank_nn", "cosine")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_append").toFile
-    tmp.deleteOnExit()
-    val cut = prefixIvfWrite(spark, dir, tmp.getAbsolutePath, nlist, maxRow.getLong(0))
-    ivfAppend(spark, tmp.getAbsolutePath, all.filter($"vec_id" > cut))
-    annIvfServe(spark, tmp.getAbsolutePath, nprobe = nprobe, k = k,
-      nQueries = nQueries, shortlist = Some(shortlist))
+    graft.sources.Lake.withScratchIndex(spark, "graft_ivf_append") { tmp =>
+      val cut = prefixIvfWrite(spark, dir, tmp, nlist, maxRow.getLong(0))
+      ivfAppend(spark, tmp, all.filter($"vec_id" > cut))
+      annIvfServe(spark, tmp, nprobe = nprobe, k = k,
+        nQueries = nQueries, shortlist = Some(shortlist))
+    }
   }
 
   /** C7e `ann_ivf_retrain` — the full maintenance CYCLE under the
@@ -683,13 +695,13 @@ object Similarity {
     if (maxRow.isNullAt(0))
       return Seq.empty[(Long, Long, Int, Int, Double)]
         .toDF("query_id", "neighbor_id", "cell", "rank_nn", "cosine")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_retrain").toFile
-    tmp.deleteOnExit()
-    val cut = prefixIvfWrite(spark, dir, tmp.getAbsolutePath, nlist, maxRow.getLong(0))
-    ivfAppend(spark, tmp.getAbsolutePath, all.filter($"vec_id" > cut))
-    ivfRetrain(spark, tmp.getAbsolutePath)
-    annIvfServe(spark, tmp.getAbsolutePath, nprobe = nprobe, k = k,
-      nQueries = nQueries, shortlist = Some(shortlist))
+    graft.sources.Lake.withScratchIndex(spark, "graft_ivf_retrain") { tmp =>
+      val cut = prefixIvfWrite(spark, dir, tmp, nlist, maxRow.getLong(0))
+      ivfAppend(spark, tmp, all.filter($"vec_id" > cut))
+      ivfRetrain(spark, tmp)
+      annIvfServe(spark, tmp, nprobe = nprobe, k = k,
+        nQueries = nQueries, shortlist = Some(shortlist))
+    }
   }
 
   /** The 70%-prefix index build shared by C7d and E12 (both registry

@@ -425,8 +425,16 @@ object TextAnalysis {
       .select(explode(toks($"text")).as("w")), rounds)
   }
 
-  /** Frame-based core of C25c (words = one column `w`). */
+  /** Frame-based core of C25c (words = one column `w`).
+    *
+    * `rounds` is capped at 8: merge sentinel r is chr(r), and from
+    * chr(9) on the sentinels collide with tab/newline/space — which
+    * the whitespace tokenizer (and the oracle's `string_split_regex`)
+    * would mangle, corrupting the encode/expand round-trip. */
   private[graft] def bpeEncodeOf(words: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8,
+      s"bpe_encode rounds must be in [1, 8] (chr(rounds) sentinels must stay " +
+        s"below the whitespace code points); got $rounds")
     import words.sparkSession.implicits._
     val mseq = bpeMergesOf(words, rounds)
       .orderBy($"round").collect().map(r => (r.getInt(0), r.getString(1)))
@@ -443,6 +451,8 @@ object TextAnalysis {
   }
 
   def bpeEncodeSql(rounds: Int = 3): String = {
+    require(rounds >= 1 && rounds <= 8,
+      s"bpe_encode rounds must be in [1, 8] (same sentinel bound as bpeEncodeOf); got $rounds")
     val w0 =
       """w0 AS (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
@@ -1078,45 +1088,205 @@ object TextAnalysis {
     * This is E11's state machine persisted as tables: the stream and
     * disk maintenance paths share one semantics. */
   def bm25WriteRaw(docs: DataFrame, path: String, nBuckets: Int = 16): Unit =
-    bm25AppendRaw(docs, path, nBuckets, overwrite = true)
+    bm25AppendRaw(docs, path, Some(nBuckets), overwrite = true)
 
   /** Fold a new doc batch into a [[bm25WriteRaw]] index: append-only,
     * O(batch) — touched buckets gain files, the stats log gains one
-    * row. Serve-after-N-appends ≡ one-shot build on the union corpus
-    * (the gate proves it against the independent engine). */
-  def bm25Append(docs: DataFrame, path: String, nBuckets: Int = 16): Unit =
-    bm25AppendRaw(docs, path, nBuckets, overwrite = false)
+    * row. The bucket count is READ FROM THE INDEX (the stats log
+    * persists it), never trusted from the caller — an append routed
+    * with the wrong modulus would scatter a token across buckets and
+    * silently break bucket-local df. Serve-after-N-appends ≡ one-shot
+    * build on the union corpus (the gate proves it against the
+    * independent engine).
+    *
+    * CRASH SAFETY — the write order is the commit protocol: postings
+    * and doclens first (tagged with a fresh batch_id), the stats-log
+    * row LAST. The stats row is the commit record: [[bm25ServeRaw]]
+    * only reads postings whose batch_id appears in the stats log, so
+    * a failure between the writes leaves orphan rows that are never
+    * served and never counted — serve sees exactly the pre-append
+    * state, and re-driving the append (fresh batch_id) lands the
+    * batch once. This is the reference's re-drivable idempotent-batch
+    * posture (pg_engine.py:104-125, arxiv_etl.py:42-58) expressed as
+    * a lake-native commit marker; [[bm25Vacuum]] reclaims orphans. */
+  def bm25Append(docs: DataFrame, path: String): Unit =
+    bm25AppendRaw(docs, path, None, overwrite = false)
 
-  private def bm25AppendRaw(docs: DataFrame, path: String, nBuckets: Int,
-                            overwrite: Boolean): Unit = {
+  private[graft] def bm25AppendRaw(docs: DataFrame, path: String,
+                                   nBucketsOpt: Option[Int], overwrite: Boolean,
+                                   commit: Boolean = true): Unit = {
     import docs.sparkSession.implicits._
+    val spark = docs.sparkSession
     val mode = if (overwrite) "overwrite" else "append"
-    // eager: tf feeds the stats row AND the postings write
+    val nBuckets = nBucketsOpt.getOrElse(rawIndexMeta(spark, path)._2)
+    require(nBuckets > 0, s"n_buckets must be positive, got $nBuckets")
+    // batch_id is unique PER ATTEMPT, so a re-driven append after a
+    // mid-write crash cannot collide with its orphaned first attempt
+    val batchId = java.util.UUID.randomUUID.toString
+    // eager: tf feeds the postings, doclens AND the stats row
     val tf = bm25TfTable(docs).localCheckpoint()
-    tf.groupBy($"doc_id").agg(first($"dl").as("dl"))
-      .agg(count(lit(1)).as("n_docs_delta"), sum($"dl").as("sum_dl_delta"))
-      .coalesce(1).write.mode(mode).parquet(s"$path/stats_log")
+    if (overwrite) {
+      // a fresh build resets the whole index — including tombstones
+      // from a previous index at the same path
+      val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
+      del.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(del, true)
+    }
+    // 1. postings (invisible until the stats row commits)
     tf.select(pmod(xxhash64($"token"), lit(nBuckets)).cast("int").as("bucket"),
-        $"token", $"doc_id", $"dl", $"tf")
+        $"token", $"doc_id", $"dl", $"tf", lit(batchId).as("batch_id"))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode(mode).parquet(s"$path/postings")
+    // 2. the per-doc length sidecar — one row per doc, the exact-
+    // integer source for bm25Delete's negative stats delta
+    tf.groupBy($"doc_id").agg(first($"dl").as("dl"))
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1).write.mode(mode).parquet(s"$path/doclens")
+    // 3. the stats row LAST — this single-file write is the commit
+    if (commit)
+      tf.groupBy($"doc_id").agg(first($"dl").as("dl"))
+        .agg(count(lit(1)).as("n_docs_delta"),
+          coalesce(sum($"dl"), lit(0L)).as("sum_dl_delta"))
+        .select(lit(batchId).as("batch_id"), $"n_docs_delta", $"sum_dl_delta",
+          lit(nBuckets).as("n_buckets"))
+        .coalesce(1).write.mode(mode).parquet(s"$path/stats_log")
+  }
+
+  /** The raw index's self-description, read off the stats log:
+    * (committed batch ids, bucket count). O(appends + deletes) driver
+    * rows — maintenance-cycle metadata, what a table format keeps in
+    * its manifest. The bucket count is pinned at build time and
+    * consistency-checked on every read, so an index can never be
+    * served or appended under the wrong modulus. */
+  private[graft] def rawIndexMeta(spark: SparkSession, path: String): (Seq[String], Int) = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/stats_log")
+      .select($"batch_id", $"n_buckets").collect()
+    val nb = rows.map(_.getInt(1)).distinct
+    require(nb.length == 1,
+      s"inconsistent n_buckets in $path/stats_log: ${nb.mkString(",")}")
+    (rows.map(_.getString(0)).toSeq, nb.head)
+  }
+
+  /** Committed tombstones (doc_id) of a raw index — empty if none
+    * were ever written. Like postings, a tombstone batch is invisible
+    * until its stats-log row commits. */
+  private[graft] def rawIndexDeletes(spark: SparkSession, path: String,
+                                     committed: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    if (del.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(del))
+      spark.read.parquet(s"$path/deletes")
+        .filter($"batch_id".isin(committed: _*)).select($"doc_id")
+    else spark.emptyDataset[Long].toDF("doc_id")
+  }
+
+  /** DELETE docs from a raw index — the forget path a curation
+    * pipeline needs (GDPR erasure, dedup-loser removal): tombstones,
+    * not rewrites. Writes the victims' ids to `deletes/` and a
+    * NEGATIVE stats-log row (computed exactly from the doclens
+    * sidecar — N and Σdl shrink by precisely the victims'
+    * contribution), so a from-scratch build on the surviving corpus
+    * and the tombstoned index serve identical scores: idf, avgdl and
+    * df all shift exactly (the gate proves it). Untouched postings
+    * buckets keep their files byte-for-byte; [[bm25Vacuum]] reclaims
+    * the dead rows physically. Same commit protocol as [[bm25Append]]
+    * (tombstones first, stats row last) and idempotent by
+    * construction: already-deleted and never-indexed ids contribute
+    * nothing to the delta, so re-driving a delete is harmless. */
+  def bm25Delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    import spark.implicits._
+    val (committed, nBuckets) = rawIndexMeta(spark, path)
+    val batchId = java.util.UUID.randomUUID.toString
+    val doclens = spark.read.parquet(s"$path/doclens")
+      .filter($"batch_id".isin(committed: _*))
+    // eager: victims feed the tombstone write AND the stats delta
+    val victims = doclens.join(ids.select($"doc_id").distinct(), Seq("doc_id"))
+      .join(rawIndexDeletes(spark, path, committed), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"dl").localCheckpoint()
+    // 1. tombstones (invisible until the stats row commits)
+    victims.select($"doc_id", lit(batchId).as("batch_id"))
+      .coalesce(1).write.mode("append").parquet(s"$path/deletes")
+    // 2. the negative stats row LAST — the commit
+    victims.agg(count(lit(1)).as("n"), coalesce(sum($"dl"), lit(0L)).as("s"))
+      .select(lit(batchId).as("batch_id"), (-$"n").as("n_docs_delta"),
+        (-$"s").as("sum_dl_delta"), lit(nBuckets).as("n_buckets"))
+      .coalesce(1).write.mode("append").parquet(s"$path/stats_log")
+  }
+
+  /** VACUUM a raw index: physically drop orphaned (uncommitted) and
+    * tombstoned postings, and defragment buckets whose file count
+    * exceeded `maxFilesPerBucket` (every append adds a file per
+    * touched bucket — the ivfCompact pathology for text). Rewrites
+    * ONLY dirty buckets via dynamic partition overwrite; clean
+    * buckets keep their files byte-for-byte. stats_log, doclens and
+    * deletes/ are retained — the log rows stay the exact record of
+    * N/Σdl (tombstone removal does not change them) and retained
+    * tombstones keep re-deletes idempotent; both are
+    * metadata-sized. A bucket drained to zero live rows has its
+    * directory dropped through the Hadoop FileSystem API. */
+  def bm25Vacuum(spark: SparkSession, path: String,
+                 maxFilesPerBucket: Int = 1): Unit = {
+    import spark.implicits._
+    val (committed, _) = rawIndexMeta(spark, path)
+    val post = spark.read.parquet(s"$path/postings")
+      .withColumn("bucket", $"bucket".cast("int"))
+    val del = rawIndexDeletes(spark, path, committed)
+    // dirty = has orphan or tombstoned rows (one scan that reads only
+    // bucket/batch_id/doc_id — parquet prunes the rest) ∪ fragmented
+    // (driver listing, O(buckets) metadata like a format manifest)
+    val dirty = post.join(del, Seq("doc_id"), "left_semi").select($"bucket")
+      .unionAll(post.filter(!$"batch_id".isin(committed: _*)).select($"bucket"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val postingsPath = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = postingsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val fragmented = fs.listStatus(postingsPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .filter(d => fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket)
+      .map(_.getPath.getName.stripPrefix("bucket=").toInt).toSet
+    val targets = dirty ++ fragmented
+    if (targets.isEmpty) return
+    // eager: the rewrite replaces the very files being read
+    val clean = post.filter($"bucket".isin(targets.toSeq: _*))
+      .filter($"batch_id".isin(committed: _*))
+      .join(del, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    clean.repartition(col("bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(s"$path/postings")
+    // a target bucket with zero surviving rows writes no partition —
+    // drop its stale directory explicitly
+    val stillThere = clean.select($"bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    (targets -- stillThere).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/postings/bucket=$b"), true)
+    }
   }
 
   /** Serve BM25 from a raw appendable index: global stats sum off the
     * log (one tiny scan), df counts per token off its own bucket, the
-    * SAME integer impact formula, the same scoring tail. With
-    * `queries`, the postings read statically prunes to the query
-    * tokens' buckets ([[bm25ServeFrom]]'s routing). */
+    * SAME integer impact formula, the same scoring tail. Only
+    * COMMITTED batches are visible (batch_id ∈ stats_log — the
+    * [[bm25Append]] crash-safety contract) and committed tombstones
+    * are anti-joined out, so serve always reflects a prefix of
+    * successful appends/deletes, never a torn one. The bucket count
+    * comes from the index's own stats log — an index built with any
+    * nBuckets routes external queries correctly. With `queries`, the
+    * postings read statically prunes to the query tokens' buckets
+    * ([[bm25ServeFrom]]'s routing). */
   def bm25ServeRaw(spark: SparkSession, path: String, k: Int = 10,
                    dfCap: Int = 100, qMod: Int = 20,
                    queries: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
+    val (committed, nBuckets) = rawIndexMeta(spark, path)
     val stats = spark.read.parquet(s"$path/stats_log")
       .agg(sum($"n_docs_delta").as("n_docs"), sum($"sum_dl_delta").as("t_tok"))
       .select($"n_docs", expr("(1000 * t_tok) div n_docs").as("am"))
+    val dead = rawIndexDeletes(spark, path, committed)
     val post0 = spark.read.parquet(s"$path/postings")
-      .select($"bucket".cast("int").as("bucket"), $"token", $"doc_id", $"dl", $"tf")
-    val nBuckets = 16
+      .select($"bucket".cast("int").as("bucket"), $"token", $"doc_id", $"dl",
+        $"tf", $"batch_id")
     val pruned = queries match {
       case Some(q0) =>
         val q = q0.select($"query_id", $"token").localCheckpoint()
@@ -1126,7 +1296,12 @@ object TextAnalysis {
         (post0.filter($"bucket".isin(buckets: _*)), Some(q))
       case None => (post0, None)
     }
-    val tf = pruned._1.drop("bucket").localCheckpoint()
+    // committed-batch filter + tombstone anti-join AFTER the bucket
+    // prune: both run over the pruned read. Tombstones are bounded
+    // curation metadata — broadcast the anti-join side.
+    val tf = pruned._1.filter($"batch_id".isin(committed: _*))
+      .join(broadcast(dead), Seq("doc_id"), "left_anti")
+      .drop("bucket", "batch_id").localCheckpoint()
     val dfc = tf.groupBy($"token").agg(count(lit(1)).as("df")).filter($"df" <= dfCap)
     val post = tf.join(dfc, Seq("token"))
       .crossJoin(broadcast(stats))
@@ -1153,11 +1328,39 @@ object TextAnalysis {
       return Seq.empty[(Long, Long, Int, Long)]
         .toDF("query_id", "doc_id", "rk", "score")
     val cut = maxRow.getLong(0) * 7 / 10
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_append").toFile
-    tmp.deleteOnExit()
-    bm25WriteRaw(Tables.fanout(docs.filter($"doc_id" <= cut)), tmp.getAbsolutePath)
-    bm25Append(Tables.fanout(docs.filter($"doc_id" > cut)), tmp.getAbsolutePath)
-    bm25ServeRaw(spark, tmp.getAbsolutePath, k, dfCap, qMod)
+    graft.sources.Lake.withScratchIndex(spark, "graft_bm25_append") { tmp =>
+      bm25WriteRaw(Tables.fanout(docs.filter($"doc_id" <= cut)), tmp)
+      bm25Append(Tables.fanout(docs.filter($"doc_id" > cut)), tmp)
+      bm25ServeRaw(spark, tmp, k, dfCap, qMod)
+    }
+  }
+
+  /** C23d `bm25_delete` — the raw index's FORGET path under the gate,
+    * run as the full lifecycle: prefix build → batch append →
+    * tombstone delete of every third doc ([[bm25Delete]]) → vacuum
+    * (physical reclaim of tombstoned + orphaned rows,
+    * [[bm25Vacuum]]) → serve. HASH-EQUAL to `bm25_retrieve`
+    * recomputed FROM SCRATCH on the surviving corpus through the
+    * independent engine: N, avgdl, df and every posting must shrink
+    * by exactly the victims' contribution, and the self-test panel
+    * must lose its deleted queries — the scd2_apply parity posture
+    * applied to erasure. */
+  def bm25DeleteServe(spark: SparkSession, dir: String, k: Int = 10,
+                      dfCap: Int = 100, qMod: Int = 20): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val maxRow = docs.agg(max($"doc_id")).head()
+    if (maxRow.isNullAt(0))
+      return Seq.empty[(Long, Long, Int, Long)]
+        .toDF("query_id", "doc_id", "rk", "score")
+    val cut = maxRow.getLong(0) * 7 / 10
+    graft.sources.Lake.withScratchIndex(spark, "graft_bm25_delete") { tmp =>
+      bm25WriteRaw(Tables.fanout(docs.filter($"doc_id" <= cut)), tmp)
+      bm25Append(Tables.fanout(docs.filter($"doc_id" > cut)), tmp)
+      bm25Delete(spark, tmp, docs.filter($"doc_id" % 3 === 0).select($"doc_id"))
+      bm25Vacuum(spark, tmp)
+      bm25ServeRaw(spark, tmp, k, dfCap, qMod)
+    }
   }
 
   /** C23b `bm25_serve` — the build-once-serve-many path under the
@@ -1173,10 +1376,10 @@ object TextAnalysis {
     if (tfTableFor(spark, dir).isEmpty)
       return Seq.empty[(Long, Long, Int, Long)]
         .toDF("query_id", "doc_id", "rk", "score")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toFile
-    tmp.deleteOnExit()
-    bm25Write(spark, dir, tmp.getAbsolutePath, dfCap = dfCap)
-    bm25ServeFrom(spark, tmp.getAbsolutePath, k, qMod)
+    graft.sources.Lake.withScratchIndex(spark, "graft_bm25_idx") { tmp =>
+      bm25Write(spark, dir, tmp, dfCap = dfCap)
+      bm25ServeFrom(spark, tmp, k, qMod)
+    }
   }
 
   /** The (doc_id, dl, token, tf) table BM25 builds on. `dl` rides
@@ -1217,10 +1420,14 @@ object TextAnalysis {
       .select($"query_id", $"doc_id", $"rk", $"score")
   }
 
-  def bm25RetrieveSql(k: Int = 10, dfCap: Int = 100, qMod: Int = 20): String =
+  /** `pred` restricts the oracle corpus (SQL over `documents`
+    * columns) — the from-scratch recompute the delete gate compares
+    * the tombstoned index against. */
+  def bm25RetrieveSql(k: Int = 10, dfCap: Int = 100, qMod: Int = 20,
+                      pred: String = "TRUE"): String =
     s"""WITH tok AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
-       |  WHERE length(trim(text)) > 0),
+       |  WHERE ($pred) AND length(trim(text)) > 0),
        |tf AS (
        |  SELECT doc_id, token, COUNT(*) AS tf FROM (
        |    SELECT doc_id, unnest(list_transform(range(0, len(l) - 2),

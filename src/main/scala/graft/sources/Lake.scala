@@ -17,6 +17,24 @@ object Lake {
 
   val CorruptCol = "_corrupt_record"
 
+  /** Run `build` against a scratch on-disk index directory, eagerly
+    * materialize its result (`localCheckpoint` — the returned frame
+    * reads Spark blocks, not the scratch files), then recursively
+    * delete the directory. `File.deleteOnExit` cannot remove
+    * non-empty directories, so without this every registry run leaked
+    * a full index copy on disk. Deletion goes through the Hadoop
+    * FileSystem API — the same code path works wherever a deployment
+    * scratches its indexes. */
+  def withScratchIndex(spark: SparkSession, prefix: String)
+                      (build: String => DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
+    try build(tmp).localCheckpoint()
+    finally {
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   /** Write a DataFrame as gzip'd JSON-lines (the reference's batch
     * format). One file per partition — at scale, files-per-batch is
     * the upstream parallelism, exactly like the reference's per-batch

@@ -783,20 +783,20 @@ object Streams {
     if (maxRow.isNullAt(0))
       return Seq.empty[(Long, Long, Int, Int, Double)]
         .toDF("query_id", "neighbor_id", "cell", "rank_nn", "cosine")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_stream").toFile
-    tmp.deleteOnExit()
-    val cut = graft.operators.Similarity.prefixIvfWrite(
-      spark, dir, tmp.getAbsolutePath, nlist, maxRow.getLong(0))
-    (0 until nBatches).foreach { b =>
-      graft.operators.Similarity.ivfAppend(spark, tmp.getAbsolutePath,
-        all.filter($"vec_id" > cut && pmod($"vec_id", lit(nBatches)) === b))
+    graft.sources.Lake.withScratchIndex(spark, "graft_ivf_stream") { tmp =>
+      val cut = graft.operators.Similarity.prefixIvfWrite(
+        spark, dir, tmp, nlist, maxRow.getLong(0))
+      (0 until nBatches).foreach { b =>
+        graft.operators.Similarity.ivfAppend(spark, tmp,
+          all.filter($"vec_id" > cut && pmod($"vec_id", lit(nBatches)) === b))
+      }
+      // the maintenance loop's last step: compact the per-append file
+      // fragmentation before serving (RecallSpec pins serve parity and
+      // that untouched cells keep their files byte-for-byte)
+      graft.operators.Similarity.ivfCompact(spark, tmp)
+      graft.operators.Similarity.annIvfServe(spark, tmp,
+        nprobe = nprobe, k = k, nQueries = nQueries, shortlist = Some(shortlist))
     }
-    // the maintenance loop's last step: compact the per-append file
-    // fragmentation before serving (RecallSpec pins serve parity and
-    // that untouched cells keep their files byte-for-byte)
-    graft.operators.Similarity.ivfCompact(spark, tmp.getAbsolutePath)
-    graft.operators.Similarity.annIvfServe(spark, tmp.getAbsolutePath,
-      nprobe = nprobe, k = k, nQueries = nQueries, shortlist = Some(shortlist))
   }
 
   /** E13 `stream_scd2_apply` — the reference's history table grows

@@ -288,4 +288,124 @@ class Bm25Spec extends AnyFunSuite {
     assert(q0.contains(1L), "shingle-sharing doc must be retrieved")
     assert(!q0.contains(3L), s"boilerplate-only doc must be df-capped out: $q0")
   }
+
+  // ---- raw-index lifecycle: self-description, crash safety, erasure ----
+
+  /** Overlapping synthetic corpus: every doc shares shingles with its
+    * neighbors, so retrieval lists are non-trivial. */
+  private def mkDocs(n: Int) = (0 until n).map { i =>
+    (i.toLong, s"w$i w${i + 1} w${i + 2} w${i + 3} c${i % 5} c${i % 5 + 1} c${i % 5 + 2}")
+  }
+
+  private def sameResult(a: org.apache.spark.sql.DataFrame,
+                         b: org.apache.spark.sql.DataFrame): Boolean =
+    a.count() == b.count() && a.exceptAll(b).count() == 0
+
+  private def postingFiles(idx: java.io.File): Map[String, Long] =
+    new java.io.File(idx, "postings").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+      .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => s"${d.getName}/${f.getName}" -> f.length()))
+      .toMap
+
+  test("raw index is self-describing: an nBuckets=8 build serves external queries correctly") {
+    val s = spark
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_nb8").toFile
+    val docs = mkDocs(40).toDF("doc_id", "text")
+    // r10's serve hardcoded nBuckets=16: an 8-bucket index routed
+    // external queries to the wrong dirs and silently dropped postings
+    operators.TextAnalysis.bm25WriteRaw(docs, idx.getAbsolutePath, nBuckets = 8)
+    val meta = operators.TextAnalysis.rawIndexMeta(s, idx.getAbsolutePath)
+    assert(meta._2 == 8, s"stats log must persist the bucket count, got ${meta._2}")
+    val q = operators.TextAnalysis.bm25TfTable(docs)
+      .filter(col("doc_id") === 7).select(lit(901L).as("query_id"), col("token"))
+    val ext = operators.TextAnalysis.bm25ServeRaw(s, idx.getAbsolutePath,
+      k = 40, queries = Some(q))
+    // the routed read must retrieve the source doc — and the full
+    // external answer must match the unpruned self-describing serve
+    assert(ext.filter(col("query_id") === 901L && col("doc_id") === 7L).count() == 1,
+      "external query on an 8-bucket index must retrieve its source doc")
+    val full = operators.TextAnalysis.bm25ServeRaw(s, idx.getAbsolutePath, k = 40, qMod = 1)
+      .filter(col("query_id") === 7L).withColumn("query_id", lit(901L))
+    assert(sameResult(ext, full),
+      "pruned external serve must equal the unpruned answer for the same query")
+    org.apache.commons.io.FileUtils.deleteDirectory(idx)
+    spark.catalog.clearCache()
+  }
+
+  test("append crash between postings and stats commit: invisible, re-drivable, vacuumable") {
+    val s = spark
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_crash").toFile
+    val docs = mkDocs(40).toDF("doc_id", "text")
+    val prefix = docs.filter(col("doc_id") < 28)
+    val batch = docs.filter(col("doc_id") >= 28)
+    operators.TextAnalysis.bm25WriteRaw(prefix, idx.getAbsolutePath)
+    val pre = operators.TextAnalysis.bm25ServeRaw(s, idx.getAbsolutePath, qMod = 1).cache()
+    // simulated crash: postings + doclens land, the stats commit row
+    // does NOT (the write-order contract makes this the only torn
+    // state a single-writer maintenance loop can leave)
+    operators.TextAnalysis.bm25AppendRaw(batch, idx.getAbsolutePath,
+      None, overwrite = false, commit = false)
+    val torn = operators.TextAnalysis.bm25ServeRaw(s, idx.getAbsolutePath, qMod = 1)
+    assert(sameResult(torn, pre),
+      "serve after a torn append must return exactly the pre-append state")
+    // re-drive the append (fresh batch_id) — the batch lands ONCE:
+    // serve equals the one-shot build on the union corpus
+    operators.TextAnalysis.bm25Append(batch, idx.getAbsolutePath)
+    val served = operators.TextAnalysis.bm25ServeRaw(s, idx.getAbsolutePath, qMod = 1)
+    val ref = operators.TextAnalysis.bm25Of(docs, qMod = 1)
+    assert(sameResult(served, ref),
+      "re-driven append must serve the union corpus exactly (no double-landing)")
+    // vacuum physically reclaims the orphaned attempt's rows
+    val rowsBefore = s.read.parquet(s"${idx.getAbsolutePath}/postings").count()
+    operators.TextAnalysis.bm25Vacuum(s, idx.getAbsolutePath, maxFilesPerBucket = 1000)
+    val rowsAfter = s.read.parquet(s"${idx.getAbsolutePath}/postings").count()
+    assert(rowsAfter < rowsBefore, "vacuum must drop the orphaned postings")
+    val postVac = operators.TextAnalysis.bm25ServeRaw(s, idx.getAbsolutePath, qMod = 1)
+    assert(sameResult(postVac, ref), "vacuum must not change the served answer")
+    pre.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(idx)
+    spark.catalog.clearCache()
+  }
+
+  test("delete: exact erasure, untouched buckets byte-identical, idempotent, vacuum purges") {
+    val s = spark
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_del").toFile
+    val docs = mkDocs(40).toDF("doc_id", "text")
+    operators.TextAnalysis.bm25WriteRaw(docs, idx.getAbsolutePath)
+    val before = postingFiles(idx)
+    val victims = docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"))
+    operators.TextAnalysis.bm25Delete(s, idx.getAbsolutePath, victims)
+    // tombstones, not rewrites: every postings file untouched
+    assert(postingFiles(idx) == before,
+      "delete must not rewrite any postings file")
+    // serve parity with a from-scratch build on the surviving corpus:
+    // N, avgdl, df and the panel all shrink exactly
+    val survivors = docs.filter(col("doc_id") % 3 =!= 0)
+    val ref = operators.TextAnalysis.bm25Of(survivors, qMod = 1)
+    val served = operators.TextAnalysis.bm25ServeRaw(s, idx.getAbsolutePath, qMod = 1).cache()
+    assert(sameResult(served, ref),
+      "tombstoned serve must equal the from-scratch build on survivors")
+    assert(served.filter(col("doc_id") % 3 === 0).count() == 0 &&
+      served.filter(col("query_id") % 3 === 0).count() == 0,
+      "a deleted id must never be served, as neighbor or query")
+    // idempotent: re-deleting the same ids changes nothing (the
+    // doclens ⋈ ¬deleted victim set is empty → zero delta)
+    val statsBefore = s.read.parquet(s"${idx.getAbsolutePath}/stats_log")
+      .agg(sum(col("n_docs_delta")), sum(col("sum_dl_delta"))).head()
+    operators.TextAnalysis.bm25Delete(s, idx.getAbsolutePath, victims)
+    val statsAfter = s.read.parquet(s"${idx.getAbsolutePath}/stats_log")
+      .agg(sum(col("n_docs_delta")), sum(col("sum_dl_delta"))).head()
+    assert(statsBefore == statsAfter, "re-delete must be a no-op on the stats")
+    // vacuum physically drops the tombstoned rows; the answer holds
+    operators.TextAnalysis.bm25Vacuum(s, idx.getAbsolutePath, maxFilesPerBucket = 1000)
+    assert(s.read.parquet(s"${idx.getAbsolutePath}/postings")
+      .filter(col("doc_id") % 3 === 0).count() == 0,
+      "vacuum must physically remove deleted docs' postings")
+    val postVac = operators.TextAnalysis.bm25ServeRaw(s, idx.getAbsolutePath, qMod = 1)
+    assert(sameResult(postVac, ref), "vacuum must not change the served answer")
+    served.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(idx)
+    spark.catalog.clearCache()
+  }
 }

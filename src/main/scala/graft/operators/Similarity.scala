@@ -463,9 +463,85 @@ object Similarity {
 
   private def writeIndex(idx: (DataFrame, DataFrame), path: String): Unit = {
     val (centroids, lists) = idx
+    val spark = lists.sparkSession
+    val batchId = java.util.UUID.randomUUID.toString
+    // a fresh build resets the whole index at this path — including
+    // tombstones and the commit log of any previous index
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/deletes"), true)
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    lists.repartition(col("cell"))
+    lists.withColumn("batch_id", lit(batchId)).repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/lists")
+    ivfCommit(spark, path, batchId, overwrite = true)
+  }
+
+  /** The on-disk IVF index's commit log — same contract as the raw
+    * BM25 stats log: list rows are tagged with a per-attempt batch_id
+    * and become visible only once their id lands in `commits/`
+    * (written LAST). A crash between the lists write and the commit
+    * leaves orphan rows no reader ever serves, and re-driving the
+    * append (fresh batch_id) lands the batch once; [[ivfCompact]]
+    * reclaims orphans physically. */
+  private def ivfCommit(spark: SparkSession, path: String, batchId: String,
+                        overwrite: Boolean): Unit = {
+    import spark.implicits._
+    Seq(batchId).toDF("batch_id").coalesce(1)
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .parquet(s"$path/commits")
+  }
+
+  /** Committed batch ids — O(appends + deletes) driver metadata, the
+    * manifest read every index consumer starts from. */
+  private[graft] def ivfCommitted(spark: SparkSession, path: String): Seq[String] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/commits").as[String].collect().toSeq
+  }
+
+  /** Committed tombstones (neighbor_id) — empty if no delete ever ran. */
+  private[graft] def ivfTombstones(spark: SparkSession, path: String,
+                                   committed: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    if (del.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(del))
+      spark.read.parquet(s"$path/deletes")
+        .filter($"batch_id".isin(committed: _*)).select($"neighbor_id")
+    else spark.emptyDataset[Long].toDF("neighbor_id")
+  }
+
+  /** The LIVE view of the on-disk lists: committed batches only,
+    * tombstoned vectors anti-joined out (tombstones are bounded
+    * curation metadata — broadcast), partition column pinned to int.
+    * Every reader — serve, retrain, compact — starts here, so a torn
+    * append or a deleted vector can never be probed, averaged into a
+    * retrain centroid, or migrated. */
+  private[graft] def liveLists(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val committed = ivfCommitted(spark, path)
+    spark.read.parquet(s"$path/lists")
+      .withColumn("cell", $"cell".cast("int"))
+      .filter($"batch_id".isin(committed: _*))
+      .join(broadcast(ivfTombstones(spark, path, committed)),
+        Seq("neighbor_id"), "left_anti")
+      .drop("batch_id")
+  }
+
+  /** DELETE vectors from a persisted index — the embedding side of the
+    * forget path ([[graft.operators.TextAnalysis.bm25Delete]]'s
+    * posture): tombstones in `deletes/`, commit row last, zero list
+    * rewrites (untouched cell partitions stay byte-for-byte).
+    * [[liveLists]] filters the victims out of every serve, retrain
+    * and compaction read; [[ivfCompact]] reclaims the dead rows
+    * physically. Idempotent: already-tombstoned ids are skipped. */
+  def ivfDelete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    import spark.implicits._
+    val committed = ivfCommitted(spark, path)
+    val batchId = java.util.UUID.randomUUID.toString
+    ids.select($"vec_id".as("neighbor_id")).distinct()
+      .join(ivfTombstones(spark, path, committed), Seq("neighbor_id"), "left_anti")
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1).write.mode("append").parquet(s"$path/deletes")
+    ivfCommit(spark, path, batchId, overwrite = false)
   }
 
   /** Incremental index maintenance — assign a NEW embedding batch to
@@ -477,14 +553,26 @@ object Similarity {
     * append ≡ one-shot assign-all under the same centroids —
     * RecallSpec pins that equivalence exactly), and a probe served
     * after the append sees the union corpus with no rebuild. */
-  def ivfAppend(spark: SparkSession, path: String, newVecs: DataFrame): Unit = {
+  def ivfAppend(spark: SparkSession, path: String, newVecs: DataFrame): Unit =
+    ivfAppendRaw(spark, path, newVecs, commit = true)
+
+  /** [[ivfAppend]] with the commit step separable (commit = false is
+    * the kill-between-writes state the crash-safety spec drives). */
+  private[graft] def ivfAppendRaw(spark: SparkSession, path: String,
+                                  newVecs: DataFrame, commit: Boolean): Unit = {
     import spark.implicits._
     val centroids = spark.read.parquet(s"$path/centroids")
+    val batchId = java.util.UUID.randomUUID.toString
     val e = Tables.fanout(newVecs)
       .select($"vec_id", $"embedding", sqrt(dotF($"embedding", $"embedding")).as("norm"))
+    // list rows first (invisible until the commit row lands) …
     listRows(nearestCell(e, centroids, "l", 1), newVecs.select($"vec_id", $"label"))
+      .withColumn("batch_id", lit(batchId))
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("append").parquet(s"$path/lists")
+    // … the commit row LAST: a crash in between leaves orphans no
+    // reader serves, and the re-driven append lands the batch once
+    if (commit) ivfCommit(spark, path, batchId, overwrite = false)
   }
 
   /** Index maintenance step 3 — RETRAIN the centroids [[ivfAppend]]
@@ -506,10 +594,12 @@ object Similarity {
     * (`ann_ivf_retrain`). */
   def ivfRetrain(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
-    // eager: the current lists feed the mean step, the reassign AND
-    // the rewrite (which replaces the very files being read)
-    val lists = spark.read.parquet(s"$path/lists")
-      .select($"cell".cast("int").as("cell"), $"neighbor_id",
+    // eager: the current LIVE lists (committed batches, tombstones
+    // filtered — a deleted vector must not be averaged into the new
+    // centroids or migrated back in) feed the mean step, the reassign
+    // AND the rewrite (which replaces the very files being read)
+    val lists = liveLists(spark, path)
+      .select($"cell", $"neighbor_id",
         $"vc".cast("array<float>").as("vc"), $"nc", $"label")
       .localCheckpoint()
     val newCent = lists.select($"cell".as("cid"), posexplode($"vc"))
@@ -531,7 +621,16 @@ object Similarity {
           lists.select($"neighbor_id".as("vec_id"), $"label"))
         .filter($"cell".isin(changed.toSeq: _*))
         .localCheckpoint()
-      rows.repartition(col("cell"))
+      // retrain REPLACES cells in place (rewrite ∝ churn — the whole
+      // point), so unlike append its rows cannot stay invisible until
+      // a trailing commit: the batch id commits FIRST, making every
+      // migrated row live the moment its cell lands. A crash mid-
+      // overwrite leaves a routable, committed index (some cells
+      // migrated, some not); re-driving ivfRetrain converges it.
+      val retrainBatch = java.util.UUID.randomUUID.toString
+      ivfCommit(spark, path, retrainBatch, overwrite = false)
+      rows.withColumn("batch_id", lit(retrainBatch))
+        .repartition(col("cell"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell").parquet(s"$path/lists")
@@ -577,18 +676,37 @@ object Similarity {
     val fragmented = cellDirs
       .filter(d => fs.listStatus(d.getPath)
         .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerCell)
-      .map(_.getPath.getName.stripPrefix("cell=").toInt).toSeq
-    if (fragmented.isEmpty) return
-    // eager: the rewrite reads the very files it replaces — material-
-    // ize the fragmented cells off the file source before overwriting
-    val frag = spark.read.parquet(s"$path/lists")
-      .filter($"cell".cast("int").isin(fragmented: _*))
+      .map(_.getPath.getName.stripPrefix("cell=").toInt).toSet
+    // compaction doubles as the index's VACUUM: cells carrying orphan
+    // (uncommitted) or tombstoned rows rewrite too, dropping the dead
+    // rows physically (one scan that reads only cell/batch_id/
+    // neighbor_id — parquet prunes the payload columns)
+    val committed = ivfCommitted(spark, path)
+    val raw = spark.read.parquet(s"$path/lists")
       .withColumn("cell", $"cell".cast("int"))
+    val dead = ivfTombstones(spark, path, committed)
+    val dirty = raw.join(dead, Seq("neighbor_id"), "left_semi").select($"cell")
+      .unionAll(raw.filter(!$"batch_id".isin(committed: _*)).select($"cell"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val targets = fragmented ++ dirty
+    if (targets.isEmpty) return
+    // eager: the rewrite reads the very files it replaces — material-
+    // ize the target cells' LIVE rows before overwriting
+    val clean = raw.filter($"cell".isin(targets.toSeq: _*))
+      .filter($"batch_id".isin(committed: _*))
+      .join(broadcast(dead), Seq("neighbor_id"), "left_anti")
       .localCheckpoint()
-    frag.repartition(col("cell")) // one task owns each cell -> one file
+    clean.repartition(col("cell")) // one task owns each cell -> one file
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell").parquet(s"$path/lists")
+    // a target cell with zero live rows writes no partition — drop
+    // its stale directory explicitly
+    val stillThere = clean.select($"cell").distinct()
+      .collect().map(_.getAs[Number](0).intValue()).toSet
+    (targets -- stillThere).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/lists/cell=$c"), true)
+    }
   }
 
   /** [[annIvf]] served from a persisted [[ivfWrite]] index: the
@@ -607,12 +725,12 @@ object Similarity {
                   shortlist: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val centroids = spark.read.parquet(s"$path/centroids")
-    // `cell` is the lists' PARTITION column: its read-back type depends
-    // on spark.sql.sources.partitionColumnTypeInference (string when
-    // disabled). Cast explicitly so the routing filter below and the
-    // probe equi-join never depend on session conf.
-    val lists = spark.read.parquet(s"$path/lists")
-      .select($"cell".cast("int").as("cell"), $"neighbor_id",
+    // the LIVE view: committed batches only (torn appends invisible),
+    // tombstoned vectors filtered, partition column pinned to int so
+    // the routing filter and the probe equi-join never depend on
+    // partitionColumnTypeInference session conf.
+    val lists = liveLists(spark, path)
+      .select($"cell", $"neighbor_id",
         $"vc".cast("array<float>").as("vc"), $"nc", $"label", $"q8", $"qn")
     val panel = queries.map(q => q
         .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
@@ -699,6 +817,37 @@ object Similarity {
       val cut = prefixIvfWrite(spark, dir, tmp, nlist, maxRow.getLong(0))
       ivfAppend(spark, tmp, all.filter($"vec_id" > cut))
       ivfRetrain(spark, tmp)
+      annIvfServe(spark, tmp, nprobe = nprobe, k = k,
+        nQueries = nQueries, shortlist = Some(shortlist))
+    }
+  }
+
+  /** C7f `ann_ivf_delete` — the index's FORGET path under the gate,
+    * run as the full lifecycle: prefix build → batch append →
+    * [[ivfDelete]] of every third non-panel vector (tombstones, no
+    * rewrites) → [[ivfCompact]] (physical reclaim) → two-stage serve.
+    * check.py grades recall@5 against DuckDB brute force over the
+    * SURVIVING corpus — a tombstoned vector that still serves, or a
+    * surviving one the compaction dropped, both crater recall.
+    * Rows-only like its family (centroid geometry); RecallSpec
+    * additionally pins exact erasure (deleted ids never served,
+    * untouched cells byte-identical, serve parity with a from-scratch
+    * build on the survivors). */
+  def annIvfDeleteServe(spark: SparkSession, dir: String, nlist: Int = 16,
+                        nprobe: Int = 10, shortlist: Int = 32, k: Int = 5,
+                        nQueries: Int = 50): DataFrame = {
+    import spark.implicits._
+    val all = Tables.embeddings(spark, dir)
+    val maxRow = all.agg(max($"vec_id")).head()
+    if (maxRow.isNullAt(0))
+      return Seq.empty[(Long, Long, Int, Int, Double)]
+        .toDF("query_id", "neighbor_id", "cell", "rank_nn", "cosine")
+    graft.sources.Lake.withScratchIndex(spark, "graft_ivf_delete") { tmp =>
+      val cut = prefixIvfWrite(spark, dir, tmp, nlist, maxRow.getLong(0))
+      ivfAppend(spark, tmp, all.filter($"vec_id" > cut))
+      ivfDelete(spark, tmp,
+        all.filter($"vec_id" % 3 === 0 && $"vec_id" >= nQueries).select($"vec_id"))
+      ivfCompact(spark, tmp)
       annIvfServe(spark, tmp, nprobe = nprobe, k = k,
         nQueries = nQueries, shortlist = Some(shortlist))
     }

@@ -411,4 +411,94 @@ class RecallSpec extends AnyFunSuite {
     assert(filesPerCell() == snap, "second compact must be a no-op")
     spark.catalog.clearCache()
   }
+
+  test("C7f ivfDelete: exact erasure, untouched cells byte-identical, compact purges") {
+    import java.nio.file.Files
+    val all = Tables.embeddings(spark, sf)
+    val idx = Files.createTempDirectory("graft_ivf_del").toFile
+    val idx2 = Files.createTempDirectory("graft_ivf_del2").toFile
+    operators.Similarity.ivfWriteFrom(all, idx.getAbsolutePath)
+    def filesPerCell(d: java.io.File): Map[String, Seq[(String, Long)]] =
+      new java.io.File(d, "lists").listFiles()
+        .filter(x => x.isDirectory && x.getName.startsWith("cell="))
+        .map(x => x.getName -> x.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length())).toSeq.sorted).toMap
+    val before = filesPerCell(idx)
+    val victims = all.filter(col("vec_id") % 3 === 0 && col("vec_id") >= 50)
+      .select(col("vec_id"))
+    operators.Similarity.ivfDelete(spark, idx.getAbsolutePath, victims)
+    // tombstones, not rewrites
+    assert(filesPerCell(idx) == before, "delete must not rewrite any list file")
+    // deleted ids never served — as neighbors (the panel is intact by
+    // construction: victims are >= 50)
+    val served = operators.Similarity.annIvfServe(spark, idx.getAbsolutePath,
+      nprobe = 10, shortlist = Some(32)).cache()
+    assert(served.filter(col("neighbor_id") % 3 === 0 &&
+      col("neighbor_id") >= 50).count() == 0,
+      "a tombstoned vector must never be served")
+    // serve parity with a from-scratch build under the SAME centroids
+    // on the surviving corpus
+    spark.read.parquet(s"${idx.getAbsolutePath}/centroids")
+      .coalesce(1).write.parquet(s"${idx2.getAbsolutePath}/centroids")
+    operators.Similarity.ivfAppend(spark, idx2.getAbsolutePath,
+      all.filter(!(col("vec_id") % 3 === 0 && col("vec_id") >= 50)))
+    val ref = operators.Similarity.annIvfServe(spark, idx2.getAbsolutePath,
+      nprobe = 10, shortlist = Some(32))
+    assert(served.count() == ref.count() && served.exceptAll(ref).count() == 0,
+      "tombstoned serve must equal the from-scratch build on survivors")
+    // compact physically purges the tombstoned rows; serve unchanged
+    operators.Similarity.ivfCompact(spark, idx.getAbsolutePath, maxFilesPerCell = 1000)
+    assert(spark.read.parquet(s"${idx.getAbsolutePath}/lists")
+      .filter(col("neighbor_id") % 3 === 0 && col("neighbor_id") >= 50).count() == 0,
+      "compact must physically remove tombstoned rows")
+    val postCompact = operators.Similarity.annIvfServe(spark, idx.getAbsolutePath,
+      nprobe = 10, shortlist = Some(32))
+    assert(postCompact.count() == ref.count() && postCompact.exceptAll(ref).count() == 0,
+      "compaction must not change the served answer")
+    served.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(idx)
+    org.apache.commons.io.FileUtils.deleteDirectory(idx2)
+    spark.catalog.clearCache()
+  }
+
+  test("C7d append crash between lists and commit: invisible, re-drivable, compact reclaims") {
+    import java.nio.file.Files
+    val all = Tables.embeddings(spark, sf)
+    val cut = all.agg(max(col("vec_id"))).head().getLong(0) * 7 / 10
+    val idx = Files.createTempDirectory("graft_ivf_crash").toFile
+    operators.Similarity.ivfWriteFrom(all.filter(col("vec_id") <= cut), idx.getAbsolutePath)
+    val pre = operators.Similarity.annIvfServe(spark, idx.getAbsolutePath,
+      nprobe = 10, shortlist = Some(32)).cache()
+    pre.count()
+    // simulated crash: list rows land, the commit row does NOT
+    operators.Similarity.ivfAppendRaw(spark, idx.getAbsolutePath,
+      all.filter(col("vec_id") > cut), commit = false)
+    val torn = operators.Similarity.annIvfServe(spark, idx.getAbsolutePath,
+      nprobe = 10, shortlist = Some(32))
+    assert(torn.count() == pre.count() && torn.exceptAll(pre).count() == 0,
+      "serve after a torn append must return exactly the pre-append state")
+    // re-drive — the batch lands once: serve equals one-shot assign-all
+    operators.Similarity.ivfAppend(spark, idx.getAbsolutePath,
+      all.filter(col("vec_id") > cut))
+    val idx2 = Files.createTempDirectory("graft_ivf_crash2").toFile
+    spark.read.parquet(s"${idx.getAbsolutePath}/centroids")
+      .coalesce(1).write.parquet(s"${idx2.getAbsolutePath}/centroids")
+    operators.Similarity.ivfAppend(spark, idx2.getAbsolutePath, all)
+    val served = operators.Similarity.annIvfServe(spark, idx.getAbsolutePath,
+      nprobe = 10, shortlist = Some(32))
+    val ref = operators.Similarity.annIvfServe(spark, idx2.getAbsolutePath,
+      nprobe = 10, shortlist = Some(32))
+    assert(served.count() == ref.count() && served.exceptAll(ref).count() == 0,
+      "re-driven append must serve the union corpus exactly (no double-landing)")
+    // compact reclaims the orphaned attempt's rows physically
+    val rowsBefore = spark.read.parquet(s"${idx.getAbsolutePath}/lists").count()
+    operators.Similarity.ivfCompact(spark, idx.getAbsolutePath, maxFilesPerCell = 1000)
+    val rowsAfter = spark.read.parquet(s"${idx.getAbsolutePath}/lists").count()
+    assert(rowsAfter < rowsBefore, "compact must drop the orphaned list rows")
+    assert(rowsAfter == all.count(), "exactly one live row per vector after reclaim")
+    pre.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(idx)
+    org.apache.commons.io.FileUtils.deleteDirectory(idx2)
+    spark.catalog.clearCache()
+  }
 }

@@ -64,7 +64,8 @@ def main():
             # ground truth even where the values can't hash-match.
             ok, note = True, None
             if name in ("ann_ivf", "ann_ivf_rerank", "ann_ivf_append",
-                        "stream_ivf_append", "ann_ivf_retrain"):
+                        "stream_ivf_append", "ann_ivf_retrain",
+                        "ann_ivf_delete"):
                 # grade Spark's probed-cell top-k against DuckDB's
                 # exact brute-force top-k (registry defaults k=5,
                 # nQueries=50). Floors: single-stage ann_ivf probes
@@ -77,23 +78,36 @@ def main():
                 # prefix + appended 30% batch, so appended vectors
                 # are only findable if the append landed in the right
                 # cells.
-                exact = con.execute("""
+                # ann_ivf_delete tombstones every 3rd non-panel vector:
+                # its ground truth is brute force over the SURVIVORS —
+                # a vector that still serves after deletion, or one the
+                # compaction wrongly dropped, both crater recall
+                surv = ("NOT (b.vec_id % 3 = 0 AND b.vec_id >= 50)"
+                        if name == "ann_ivf_delete" else "TRUE")
+                exact = con.execute(f"""
                     SELECT query_id, neighbor_id FROM (
                       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                              row_number() OVER (PARTITION BY a.vec_id
                                ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
                                         b.vec_id) AS rn
                       FROM embeddings a, embeddings b
-                      WHERE a.vec_id < 50 AND a.vec_id <> b.vec_id)
+                      WHERE a.vec_id < 50 AND a.vec_id <> b.vec_id AND {surv})
                     WHERE rn <= 5""").df()
                 truth = set(zip(exact.query_id, exact.neighbor_id))
                 found = set(zip(got.query_id, got.neighbor_id))
                 recall = len(truth & found) / max(len(truth), 1)
                 floor = 0.4 if name == "ann_ivf" else 0.8
                 ok = recall >= floor
+                if name == "ann_ivf_delete" and len(got) > 0:
+                    deleted_served = sum(1 for (_, n) in found
+                                         if n % 3 == 0 and n >= 50)
+                    ok = ok and deleted_served == 0
+                    note_extra = f"; deleted ids served = {deleted_served} (must be 0)"
+                else:
+                    note_extra = ""
                 note = (f"cross-engine recall@5 = {recall:.3f} "
                         f"({len(truth & found)}/{len(truth)} vs DuckDB brute force; "
-                        f"floor {floor})")
+                        f"floor {floor}){note_extra}")
             elif name == "approx_topk":
                 # MG guarantees, graded against DuckDB exact shingle
                 # counts over the SAME corpus (documents + the planted

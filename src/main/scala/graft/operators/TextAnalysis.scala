@@ -971,14 +971,147 @@ object TextAnalysis {
       .filter($"rank_e" <= k).select($"query_id", $"doc_id", $"rank_e")
     val bmTop = bm25OfTf(tfTableFor(spark, dir), k, dfCap, qMod)
       .select($"query_id", $"doc_id", $"rk".as("rank_b"))
-    val fused = embTop.join(bmTop, Seq("query_id", "doc_id"), "full_outer")
+    weightedRrf(embTop, bmTop, k, kRrf, wSem = 1, wLex = 1)
+  }
+
+  /** WEIGHTED reciprocal-rank fusion of a semantic and a lexical
+    * top-k list — the fusion tail shared by C27 (unit weights) and
+    * C27b `hybrid_serve` (non-unit): rrf = wSem·⌊10⁶/(kRrf+rank_e)⌋ +
+    * wLex·⌊10⁶/(kRrf+rank_b)⌋, all integers, so fused scores
+    * hash-gate exactly. Integer weight RATIOS express surface trust
+    * (upweight lexical for code/IDs, semantic for prose) without
+    * breaking the no-score-calibration property that makes RRF robust.
+    * Both inputs are k-bounded rank lists (queries × ≤k rows), so the
+    * full-outer join and the window are panel-sized — never corpus
+    * work. */
+  private[graft] def weightedRrf(etop: DataFrame, btop: DataFrame, k: Int,
+                                 kRrf: Int, wSem: Int, wLex: Int): DataFrame = {
+    import etop.sparkSession.implicits._
+    val fused = etop.join(btop, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf",
-        coalesce(expr(s"cast(1000000 as bigint) div ($kRrf + cast(rank_e as bigint))"), lit(0L)) +
-        coalesce(expr(s"cast(1000000 as bigint) div ($kRrf + cast(rank_b as bigint))"), lit(0L)))
+        lit(wSem.toLong) * coalesce(
+          expr(s"cast(1000000 as bigint) div ($kRrf + cast(rank_e as bigint))"), lit(0L)) +
+        lit(wLex.toLong) * coalesce(
+          expr(s"cast(1000000 as bigint) div ($kRrf + cast(rank_b as bigint))"), lit(0L)))
     val wH = Window.partitionBy($"query_id").orderBy($"rrf".desc, $"doc_id")
     fused.withColumn("rank_h", row_number().over(wH)).filter($"rank_h" <= k)
       .select($"query_id", $"doc_id", $"rrf", $"rank_h")
   }
+
+  /** C27b `hybrid_serve` — the SERVED, scale-safe form of C27: a
+    * BOUNDED external query panel (doc_id < nQueries — size fixed by
+    * the serving batch, independent of corpus size) against two
+    * PERSISTED indexes, fused with weighted RRF (wLex = 2: lexical
+    * upweighted 2:1).
+    *
+    * C27's self-panel harness broadcasts a corpus-proportional query
+    * panel and joins postings on 64 dense hash slots — Θ(n²/qMod)
+    * candidates, fine for a gate, fatal at 100×. This entry is the
+    * serving shape instead: the semantic side densifies [[docEmbed]]'s
+    * integer feature-hash vectors (exact in float32) into a persisted
+    * IVF index ([[graft.operators.Similarity.ivfWriteFrom]]) and
+    * probes it ([[graft.operators.Similarity.annIvfServe]] — external
+    * queries route via broadcast-sized centroids; the gate probes
+    * nprobe = nlist, the exact configuration, so the answer
+    * hash-gates; production turns nprobe down and trades recall like
+    * C7b/C7c, graded elsewhere). The lexical side serves the
+    * persisted impact index ([[bm25ServeFrom]]) with the panel's
+    * tokens — the postings read statically prunes to the query
+    * tokens' buckets. NO broadcast in the plan grows with the corpus:
+    * panel vectors, panel tokens, centroids, global stats — all
+    * serving-batch- or index-metadata-sized (PlanAuditSpec asserts
+    * it). Fusion is exact-integer weighted RRF over two k-bounded
+    * rank lists.
+    *
+    * Fully hash-gated: integer dots make the semantic cosines
+    * bit-identical across engines (double-accumulated int products,
+    * one sqrt·sqrt divide), BM25 is C23's integer-exact plan, and
+    * the fused scores are integers. */
+  def hybridServe(spark: SparkSession, dir: String, k: Int = 10,
+                  dfCap: Int = 100, nQueries: Int = 50, kRrf: Int = 60,
+                  wLex: Int = 2, wSem: Int = 1, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    if (tfTableFor(spark, dir).isEmpty)
+      return Seq.empty[(Long, Long, Long, Int)]
+        .toDF("query_id", "doc_id", "rrf", "rank_h")
+    graft.sources.Lake.withScratchIndex(spark, "graft_hybrid_serve") { tmp =>
+      hybridServeOn(spark, dir, tmp, k, dfCap, nQueries, kRrf, wLex, wSem, dim)
+    }
+  }
+
+  /** The build+serve core of C27b against an explicit index directory
+    * (un-checkpointed — PlanAuditSpec audits these plans' broadcasts
+    * directly). */
+  private[graft] def hybridServeOn(spark: SparkSession, dir: String, tmp: String,
+                                   k: Int = 10, dfCap: Int = 100,
+                                   nQueries: Int = 50, kRrf: Int = 60,
+                                   wLex: Int = 2, wSem: Int = 1,
+                                   dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val emb = docEmbed(spark, dir, dim).localCheckpoint()
+    // densify the sparse integer slot weights to a float vector: |w|
+    // ≪ 2²⁴ so every weight, product and running sum is exact — the
+    // index-served cosine is the same integer dot the oracle computes.
+    // The map binds ONCE as a lambda variable (the nested-HOF
+    // inlining trap would otherwise rebuild it per slot).
+    val dense = emb.groupBy($"doc_id")
+      .agg(collect_list(struct($"slot", $"w")).as("sw"))
+      .select($"doc_id".as("vec_id"), expr(
+        s"""transform(array(map_from_arrays(transform(sw, x -> x.slot),
+           |                                transform(sw, x -> x.w))),
+           |  m -> transform(sequence(0, ${dim - 1}),
+           |         d -> cast(coalesce(element_at(m, d), 0L) as float)))[0]"""
+          .stripMargin).as("embedding"),
+        lit(0).as("label"))
+    graft.operators.Similarity.ivfWriteFrom(dense, s"$tmp/ivf", nlist = 16)
+    bm25Write(spark, dir, s"$tmp/bm25", dfCap = dfCap)
+    val panelVecs = dense.filter($"vec_id" < nQueries)
+      .select($"vec_id", $"embedding")
+    val etop = graft.operators.Similarity.annIvfServe(spark, s"$tmp/ivf",
+        nprobe = 16, k = k, queries = Some(panelVecs))
+      .select($"query_id", $"neighbor_id".as("doc_id"), $"rank_nn".as("rank_e"))
+    val qTokens = tfTableFor(spark, dir).filter($"doc_id" < nQueries)
+      .select($"doc_id".as("query_id"), $"token")
+    val btop = bm25ServeFrom(spark, s"$tmp/bm25", k = k, queries = Some(qTokens))
+      .select($"query_id", $"doc_id", $"rk".as("rank_b"))
+    weightedRrf(etop, btop, k, kRrf, wSem, wLex)
+  }
+
+  def hybridServeSql(k: Int = 10, dfCap: Int = 100, nQueries: Int = 50,
+                     kRrf: Int = 60, wLex: Int = 2, wSem: Int = 1,
+                     dim: Int = 64): String =
+    s"""WITH emb AS (${docEmbedSql(dim)}),
+       |nsq AS (SELECT doc_id, SUM(w * w) AS nsq FROM emb GROUP BY 1),
+       |qp AS (SELECT doc_id AS query_id, slot, w AS wq FROM emb WHERE doc_id < $nQueries),
+       |dots AS (
+       |  SELECT qp.query_id, e.doc_id, SUM(qp.wq * e.w) AS dot
+       |  FROM qp JOIN emb e USING (slot) GROUP BY 1, 2),
+       |cosr AS (
+       |  SELECT d.query_id, d.doc_id,
+       |         CAST(d.dot AS DOUBLE)
+       |           / (sqrt(CAST(nq.nsq AS DOUBLE)) * sqrt(CAST(nd.nsq AS DOUBLE))) AS cos
+       |  FROM dots d
+       |  JOIN nsq nq ON nq.doc_id = d.query_id
+       |  JOIN nsq nd ON nd.doc_id = d.doc_id),
+       |etop AS (
+       |  SELECT query_id, doc_id, rank_e FROM (
+       |    SELECT query_id, doc_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank_e
+       |    FROM cosr) WHERE rank_e <= $k),
+       |btop AS (
+       |  SELECT query_id, doc_id, rk AS rank_b
+       |  FROM (${bm25RetrieveSql(k, dfCap, qPred = s"doc_id < $nQueries")})),
+       |fused AS (
+       |  SELECT COALESCE(e.query_id, b.query_id) AS query_id,
+       |         COALESCE(e.doc_id, b.doc_id) AS doc_id,
+       |         $wSem * COALESCE(CAST(1000000 AS BIGINT) // ($kRrf + CAST(e.rank_e AS BIGINT)), 0)
+       |         + $wLex * COALESCE(CAST(1000000 AS BIGINT) // ($kRrf + CAST(b.rank_b AS BIGINT)), 0) AS rrf
+       |  FROM etop e FULL OUTER JOIN btop b
+       |    ON e.query_id = b.query_id AND e.doc_id = b.doc_id)
+       |SELECT query_id, doc_id, rrf, CAST(rank_h AS INT) AS rank_h FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank_h
+       |  FROM fused)
+       |WHERE rank_h <= $k""".stripMargin
 
   def hybridRetrieveSql(k: Int = 10, dfCap: Int = 100, qMod: Int = 20,
                         kRrf: Int = 60, dim: Int = 64): String =
@@ -1422,9 +1555,11 @@ object TextAnalysis {
 
   /** `pred` restricts the oracle corpus (SQL over `documents`
     * columns) — the from-scratch recompute the delete gate compares
-    * the tombstoned index against. */
+    * the tombstoned index against. `qPred` overrides the self-test
+    * panel predicate (default: every `qMod`-th doc) — the served
+    * entries pass a bounded panel like `doc_id < 50`. */
   def bm25RetrieveSql(k: Int = 10, dfCap: Int = 100, qMod: Int = 20,
-                      pred: String = "TRUE"): String =
+                      pred: String = "TRUE", qPred: String = ""): String =
     s"""WITH tok AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
        |  WHERE ($pred) AND length(trim(text)) > 0),
@@ -1443,7 +1578,8 @@ object TextAnalysis {
        |         (LEAST((s.n_docs * 100) // dfc.df, 100000) * (44 * s.am * tf.tf))
        |           // (20 * s.am * tf.tf + 6 * s.am + 18000 * d.dl) AS impact
        |  FROM tf JOIN dfc USING (token) JOIN dl d ON d.doc_id = tf.doc_id, stats s),
-       |q AS (SELECT doc_id AS query_id, token FROM tf WHERE doc_id % $qMod = 0),
+       |q AS (SELECT doc_id AS query_id, token FROM tf
+       |      WHERE ${if (qPred.nonEmpty) qPred else s"doc_id % $qMod = 0"}),
        |scores AS (
        |  SELECT q.query_id, p.doc_id, SUM(p.impact) AS score
        |  FROM post p JOIN q USING (token) GROUP BY 1, 2)

@@ -289,6 +289,30 @@ class Bm25Spec extends AnyFunSuite {
     assert(!q0.contains(3L), s"boilerplate-only doc must be df-capped out: $q0")
   }
 
+  test("weighted RRF shifts fused ranks toward the upweighted surface") {
+    // mirrored profiles: doc 10 is lexical-rank-1/semantic-rank-3,
+    // doc 20 the reverse, doc 30 rank 2 on both
+    val etop = Seq((0L, 10L, 3), (0L, 20L, 1), (0L, 30L, 2))
+      .toDF("query_id", "doc_id", "rank_e")
+    val btop = Seq((0L, 10L, 1), (0L, 20L, 3), (0L, 30L, 2))
+      .toDF("query_id", "doc_id", "rank_b")
+    def top(wSem: Int, wLex: Int): Seq[Long] =
+      operators.TextAnalysis.weightedRrf(etop, btop, 3, 60, wSem, wLex)
+        .orderBy(col("rank_h")).collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(top(1, 2) == Seq(10L, 30L, 20L),
+      "lexical-heavy weights must put the lexical-rank-1 doc first")
+    assert(top(2, 1) == Seq(20L, 30L, 10L),
+      "semantic-heavy weights must put the semantic-rank-1 doc first")
+    // unit weights: the mirrored docs tie exactly (and, RRF being
+    // convex, outrank the rank-2-on-both doc: f(1)+f(3) > 2·f(2));
+    // the id tiebreak orders the tied pair
+    val unit = operators.TextAnalysis.weightedRrf(etop, btop, 3, 60, 1, 1)
+      .orderBy(col("rank_h")).collect()
+    assert(unit.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L, 20L, 30L))
+    assert(unit(0).getAs[Long]("rrf") == unit(1).getAs[Long]("rrf"),
+      "mirrored docs must carry equal fused scores at unit weights")
+  }
+
   // ---- raw-index lifecycle: self-description, crash safety, erasure ----
 
   /** Overlapping synthetic corpus: every doc shares shingles with its

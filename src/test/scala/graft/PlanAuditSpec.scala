@@ -359,6 +359,43 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("hybrid_serve: every broadcast is panel- or index-metadata-sized, never corpus-sized") {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.functions.col
+    // drive the un-checkpointed serving core so the audit sees the
+    // real probe/serve plans (the registry entry returns materialized
+    // blocks); then check every broadcast's RUNTIME cardinality
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hybrid_audit").toFile
+    val df = operators.TextAnalysis.hybridServeOn(spark, sf, tmp.getAbsolutePath)
+    df.collect()
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val corpusTokens = operators.TextAnalysis.bm25TfTable(docs).count()
+    val panelTokens = operators.TextAnalysis.bm25TfTable(
+      docs.filter(col("doc_id") < 50)).count()
+    // the C27 harness this entry replaces broadcast a corpus-derived
+    // panel; here the bound is serving-batch-sized: the panel's own
+    // tokens/vectors, the nQueries×nprobe routing set, centroids,
+    // the 1-row stats scalar — all independent of corpus growth
+    val bound = 2 * panelTokens + 16 * 50 + 64
+    assert(bound < corpusTokens,
+      s"audit vacuous: bound $bound not below corpus scale $corpusTokens")
+    def all(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+      case q: QueryStageExec => q +: all(q.plan)
+      case r: ReusedExchangeExec => r +: all(r.child)
+      case _ => p +: p.children.flatMap(all)
+    }
+    val bcRows = all(df.queryExecution.executedPlan).collect {
+      case e: BroadcastExchangeLike => e.metrics("numOutputRows").value
+    }
+    assert(bcRows.nonEmpty, "expected broadcast exchanges in the serve plans")
+    assert(bcRows.forall(_ <= bound),
+      s"a broadcast carries corpus-scale rows: $bcRows (bound $bound)")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    spark.catalog.clearCache()
+  }
+
   test("bloom_prejoin: might_contain below the shuffle, no false negatives, real pruning, equals plain join") {
     import org.apache.spark.sql.functions._
     val pre = operators.BloomJoin.bloomPrefilteredFact(spark, sf)

@@ -842,6 +842,48 @@ object Streams {
     base
   }
 
+  /** E14 `stream_upsert_sink` — A6's first-writer-wins merge as an
+    * external DELIVERY path: the incoming snapshot arrives as
+    * `nBatches` micro-batches, each folded into a parquet-backed
+    * keyed store through [[graft.sources.UpsertSink.writeBatch]] —
+    * idempotent replay (a batch id delivered twice is skipped whole),
+    * ON-CONFLICT-DO-NOTHING key semantics, per-attempt write ids with
+    * a commit-last log row, bounded exponential-backoff retry. This
+    * is the reference's actual endpoint posture (pg_engine.py:104-125
+    * idempotent inserts + retry loop) where A6 is only the merge
+    * QUERY.
+    *
+    * Driver-gate batch entry: base lands as batch 0, the incoming
+    * batches 1..n follow, then one batch REDELIVERS (the foreachBatch
+    * replay case — must be a no-op). HASH-GATED on A6's own oracle:
+    * the store's committed view must equal the one-shot upsert_merge
+    * exactly. StreamingSpec drives the same sink through real
+    * MemoryStream micro-batches with an injected transient failure
+    * between the row write and the log commit. */
+  def streamUpsertSink(spark: SparkSession, dir: String, nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val base = o.filter($"o_orderkey" % 3 =!= 0)
+      .select($"o_orderkey", $"o_totalprice", lit("base").as("src"))
+    val incoming = o.filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", ($"o_totalprice" * lit(1.1)).as("o_totalprice"),
+        lit("incoming").as("src"))
+    graft.sources.Lake.withScratchIndex(spark, "graft_upsert_sink") { tmp =>
+      graft.sources.UpsertSink.writeBatch(base, tmp, 0L, Seq("o_orderkey"))
+      (0 until nBatches).foreach { b =>
+        graft.sources.UpsertSink.writeBatch(
+          incoming.filter(pmod($"o_orderkey", lit(nBatches)) === b),
+          tmp, b + 1L, Seq("o_orderkey"))
+      }
+      // foreachBatch replay: redelivering an applied batch id is a no-op
+      graft.sources.UpsertSink.writeBatch(
+        incoming.filter(pmod($"o_orderkey", lit(nBatches)) === 1),
+        tmp, 2L, Seq("o_orderkey"))
+      graft.sources.UpsertSink.committedRows(spark, tmp)
+        .select($"o_orderkey", $"o_totalprice", $"src")
+    }
+  }
+
   /** Driver-gate batch entry for E2 — hash-gated on B8's window
     * oracle via [[streamSessionizeSql]] (the two formulations compute
     * identical sessions). */

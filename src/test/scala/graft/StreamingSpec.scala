@@ -630,6 +630,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("E14 upsert sink: foreachBatch with dup keys + injected transient failure lands the exact merge") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    // base snapshot lands first (batch 0 outside the stream — the
+    // initial table load)
+    val base = Seq((1L, 10.0, "base"), (2L, 20.0, "base"), (3L, 30.0, "base"))
+      .toDF("k", "v", "src")
+    graft.sources.UpsertSink.writeBatch(base, store, -1L, Seq("k"))
+    // the stream: keys 2,3 collide with base (must NOT overwrite),
+    // keys 4,5,6 are fresh; key 4 arrives in TWO different batches
+    // (cross-batch duplicate — second occurrence must lose)
+    val source = MemoryStream[(Long, Double, String)]
+    // inject ONE transient failure between a row write and its log
+    // commit — the retry must land that batch exactly once
+    val failures = new java.util.concurrent.atomic.AtomicInteger(1)
+    val q = source.toDF().toDF("k", "v", "src").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.sources.UpsertSink.writeBatch(df, store, id, Seq("k"),
+          beforeCommit = () =>
+            if (failures.getAndDecrement() > 0)
+              throw new java.io.IOException("injected transient store failure"))
+      }
+      .start()
+    source.addData((2L, 99.0, "inc"), (4L, 40.0, "inc"))
+    q.processAllAvailable()
+    source.addData((3L, 99.0, "inc"), (4L, 99.0, "inc2"), (5L, 50.0, "inc"))
+    q.processAllAvailable()
+    source.addData((6L, 60.0, "inc"))
+    q.processAllAvailable()
+    q.stop()
+    val got = graft.sources.UpsertSink.committedRows(s, store)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    val want = Set((1L, 10.0, "base"), (2L, 20.0, "base"), (3L, 30.0, "base"),
+      (4L, 40.0, "inc"), (5L, 50.0, "inc"), (6L, 60.0, "inc"))
+    assert(got == want, s"sink state diverged: got $got")
+    assert(failures.get() <= 0, "the injected failure must actually have fired")
+    // the store carries exactly the failed attempt's orphaned row
+    // (key 4 — key 2 was anti-joined before the torn write), invisible
+    // to the committed view above
+    val raw = s.read.parquet(s"$store/rows").count()
+    assert(raw == want.size + 1,
+      s"expected ${want.size} committed + 1 orphaned row from the failed attempt, got $raw")
+    // redelivery of an applied batch id is a no-op (foreachBatch replay)
+    graft.sources.UpsertSink.writeBatch(
+      Seq((7L, 70.0, "replay")).toDF("k", "v", "src"), store, 0L, Seq("k"))
+    assert(graft.sources.UpsertSink.committedRows(s, store).count() == want.size,
+      "redelivered batch id must be skipped whole")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
+  }
+
   test("E2 batch analogue agrees with B8 declarative sessionization on session counts") {
     val typed = Streams.streamSessionize(spark, sf)
     val sql = operators.Analytics.sessionize(spark, sf)

@@ -1,6 +1,4 @@
 package graft
-import java.util.concurrent.atomic.AtomicLong
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 object Bench {
@@ -27,28 +25,10 @@ object Bench {
     // executors were starved (load); cpu up ⇒ the query really does
     // more work; gc up ⇒ memory pressure. jvmGCTime counts GC DURING
     // tasks only, so the untimed System.gc() between queries never
-    // pollutes the next query's number.
-    val cpuNs = new AtomicLong(0L)
-    val gcMs = new AtomicLong(0L)
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-        val m = t.taskMetrics
-        if (m != null) { cpuNs.addAndGet(m.executorCpuTime); gcMs.addAndGet(m.jvmGCTime) }
-      }
-    })
-    // task-end events arrive on the async listener bus; poll until the
-    // counters stop moving (untimed — runs after the wall snapshot)
-    def settle(): Unit = {
-      var last = (cpuNs.get, gcMs.get)
-      var stable = 0
-      var spins = 0
-      while (stable < 5 && spins < 200) { // 5×20ms quiet, 4s cap
-        Thread.sleep(20)
-        val now = (cpuNs.get, gcMs.get)
-        if (now == last) stable += 1 else { stable = 0; last = now }
-        spins += 1
-      }
-    }
+    // pollutes the next query's number. The capture is graft.Metrics —
+    // the same per-operation metrics surface a production monitor
+    // scrapes; Bench is just its first consumer.
+    val metrics = new Metrics(spark)
     // absorb session/JIT/codegen warmup so the timed queries aren't
     // charged for it: run the WHOLE registry once at the smallest SF —
     // generated code is keyed on plan shape, which is identical across
@@ -74,17 +54,16 @@ object Bench {
     val warmupSec = (System.nanoTime() - warmT0) / 1e9
     // deterministic (sorted) order so per-round numbers are comparable
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      settle()
-      val (cpu0, gc0) = (cpuNs.get, gcMs.get)
-      val t0 = System.nanoTime()
       // noop sink: forces every output column to materialize (a bare
       // count() would let Catalyst prune the projections under test).
       // A failure records -1 — a broken query must be visible in the
       // metric line, not look like a fast run.
       val sec =
         try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          metrics.measure(name) {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          }
+          metrics.snapshot.last.wallSec
         } catch {
           case e: Throwable => System.err.println(s"[bench] $name: $e"); -1.0
         }
@@ -96,10 +75,8 @@ object Bench {
       // late heavy ones (observed: same query 3s alone, 70s late in
       // the sequence; totals swung 58-273s run to run).
       System.gc()
-      settle()
-      val cpuSec = (cpuNs.get - cpu0) / 1e9
-      val gcSec = (gcMs.get - gc0) / 1e3
-      (name, sec, cpuSec, gcSec)
+      val op = metrics.snapshot.lastOption.filter(_.name == name)
+      (name, sec, op.map(_.cpuSec).getOrElse(-1.0), op.map(_.gcSec).getOrElse(-1.0))
     }
     def jmap(f: ((String, Double, Double, Double)) => Double): String =
       results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
@@ -114,6 +91,10 @@ object Bench {
       s""""cpu_sec":${jmap(_._3)},"gc_sec":${jmap(_._4)},""" +
       s""""warmup_sec":$warmupSec,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
+    // the full per-query metrics rows (input/output/shuffle/spill) as
+    // JSONL — the scrape-able artifact of the graft.Metrics surface
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_metrics.jsonl"),
+      metrics.asDataFrame.toJSON.collect().mkString("", "\n", "\n"))
     spark.stop()
   }
 }

@@ -1,0 +1,77 @@
+package graft
+
+/** Typed runtime configuration — the reference keeps every tunable in
+  * one config.yaml (lookback months, batch sizes, retry budget:
+  * config.yaml via arxiv_etl.py); this is that surface for the Spark
+  * engine. One flat file feeds the registry entry points (and any
+  * pipeline built on the library), so retuning a df cap or a probe
+  * width is a config edit + rerun, not a redeploy.
+  *
+  * Fields default to the library's built-in values; the checked-in
+  * `graft.conf` mirrors them, so the gate runs identically with or
+  * without the file. The parser is a strict flat `key: value` subset
+  * of YAML (comments `#`, blank lines, `=` also accepted) — no
+  * external dependency, and an unknown or malformed key fails LOUDLY
+  * (a typo that silently falls back to a default is how a production
+  * retune silently doesn't happen).
+  */
+final case class GraftConfig(
+    k: Int = 10,                 // retrieval top-k (BM25 / hybrid)
+    dfCap: Int = 100,            // posting df cap (boilerplate cutoff)
+    qMod: Int = 20,              // self-test panel stride
+    nQueries: Int = 50,          // bounded serving-panel size
+    nBuckets: Int = 16,          // BM25 index token-hash buckets
+    nlist: Int = 16,             // IVF cells
+    nprobe: Int = 2,             // IVF probe width (single-stage)
+    shortlist: Int = 32,         // IVF rerank shortlist
+    gapMinutes: Int = 30,        // sessionization inactivity gap
+    wLex: Int = 2,               // hybrid_serve lexical RRF weight
+    wSem: Int = 1,               // hybrid_serve semantic RRF weight
+    sinkMaxAttempts: Int = 3,    // UpsertSink retry budget
+    sinkInitialDelayMs: Long = 50) // UpsertSink first backoff
+
+object GraftConfig {
+
+  /** Parse config text; unknown keys and unparseable values throw. */
+  def parse(text: String): GraftConfig =
+    text.linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .foldLeft(GraftConfig()) { (c, line) =>
+        val (key, value) = line.takeWhile(_ != '#').split("[:=]", 2) match {
+          case Array(k, v) => (k.trim, v.trim)
+          case _ => throw new IllegalArgumentException(
+            s"graft config: malformed line '$line' (want key: value)")
+        }
+        def i = value.toInt
+        key match {
+          case "k"                  => c.copy(k = i)
+          case "dfCap"              => c.copy(dfCap = i)
+          case "qMod"               => c.copy(qMod = i)
+          case "nQueries"           => c.copy(nQueries = i)
+          case "nBuckets"           => c.copy(nBuckets = i)
+          case "nlist"              => c.copy(nlist = i)
+          case "nprobe"             => c.copy(nprobe = i)
+          case "shortlist"          => c.copy(shortlist = i)
+          case "gapMinutes"         => c.copy(gapMinutes = i)
+          case "wLex"               => c.copy(wLex = i)
+          case "wSem"               => c.copy(wSem = i)
+          case "sinkMaxAttempts"    => c.copy(sinkMaxAttempts = i)
+          case "sinkInitialDelayMs" => c.copy(sinkInitialDelayMs = value.toLong)
+          case other => throw new IllegalArgumentException(
+            s"graft config: unknown key '$other'")
+        }
+      }
+
+  def load(path: String): GraftConfig =
+    parse(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+
+  /** The ambient config the registry entry points read:
+    * $GRAFT_CONF if set, else ./graft.conf if present, else the
+    * built-in defaults. Resolved once per process. */
+  lazy val ambient: GraftConfig =
+    sys.env.get("GRAFT_CONF").map(load).getOrElse {
+      val local = java.nio.file.Paths.get("graft.conf")
+      if (java.nio.file.Files.exists(local)) parse(java.nio.file.Files.readString(local))
+      else GraftConfig()
+    }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The two operational surfaces round 11 added: the typed config
+  * loader (config.yaml's analogue) and the per-operation metrics
+  * capture (the CloudWatch-emission analogue Bench consumes). */
+class ConfigMetricsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("config: defaults, overrides, both separators, strict unknown keys") {
+    assert(GraftConfig.parse("") == GraftConfig())
+    val c = GraftConfig.parse(
+      "# tuned\ndfCap: 7\ngapMinutes = 5\nsinkInitialDelayMs: 10\n\n")
+    assert(c.dfCap == 7 && c.gapMinutes == 5 && c.sinkInitialDelayMs == 10L)
+    assert(c.k == GraftConfig().k, "untouched keys keep their defaults")
+    // a typo'd key must fail loudly, not silently fall back
+    intercept[IllegalArgumentException](GraftConfig.parse("dfcap: 3"))
+    intercept[Exception](GraftConfig.parse("dfCap: seven"))
+    intercept[IllegalArgumentException](GraftConfig.parse("justakey"))
+    // the checked-in file mirrors the library defaults, so the gate
+    // runs identically with or without it (sbt cwd = repo root)
+    assert(GraftConfig.load("graft.conf") == GraftConfig(),
+      "graft.conf drifted from the library defaults")
+  }
+
+  test("config override drives the operator: a tightened dfCap drops boilerplate terms") {
+    val s = spark
+    import s.implicits._
+    val tuned = GraftConfig.parse("dfCap: 2")
+    val docs = Seq(
+      0L -> "b1 b2 b3 alpha beta gamma",
+      1L -> "b1 b2 b3 alpha beta delta",
+      2L -> "b1 b2 b3 zeta eta theta",
+      3L -> "b1 b2 b3").toDF("doc_id", "text")
+    def hits(dfCap: Int): Set[Long] =
+      operators.TextAnalysis.bm25Of(docs, k = 10, dfCap = dfCap, qMod = 1)
+        .filter($"query_id" === 0L).collect().map(_.getAs[Long]("doc_id")).toSet
+    // default config retrieves the boilerplate-only doc; the tuned
+    // cap drops it — same retune path a deployment takes via the file
+    assert(hits(GraftConfig().dfCap).contains(3L))
+    assert(!hits(tuned.dfCap).contains(3L))
+  }
+
+  test("metrics: a measured scope records wall/cpu/rows/shuffle; DataFrame surface") {
+    val s = spark
+    val m = new Metrics(s)
+    val groups = m.measure("probe") {
+      Tables.lineitem(s, sf).groupBy(col("l_returnflag")).count().collect().length
+    }
+    assert(groups > 0)
+    val op = m.snapshot.find(_.name == "probe").get
+    assert(op.tasks > 0, "no tasks attributed to the scope")
+    assert(op.inputRows > 0, "scan rows not captured")
+    assert(op.shuffleWriteBytes > 0, "the groupBy's shuffle not captured")
+    assert(op.wallSec > 0 && op.cpuSec >= 0)
+    val df = m.asDataFrame
+    assert(df.filter(col("name") === "probe").count() == 1,
+      "metrics row must surface through the DataFrame sink path")
+    // scopes accumulate — a second operation appends a second row
+    m.measure("probe2")(Tables.lineitem(s, sf).count())
+    assert(m.asDataFrame.count() == 2)
+    spark.catalog.clearCache()
+  }
+}

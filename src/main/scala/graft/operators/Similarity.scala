@@ -509,15 +509,27 @@ object Similarity {
     else spark.emptyDataset[Long].toDF("neighbor_id")
   }
 
+  /** The index's current committed batch set — pass it back into
+    * [[annIvfServe]] as `snapshot` to pin a probe session to this
+    * exact index state: appends and deletes that commit after the
+    * snapshot stay invisible. Snapshots survive appends/deletes
+    * (append-only on disk); retrain and compaction REWRITE cells in
+    * place and invalidate older snapshots — pin maintenance windows
+    * accordingly (single-writer contract). */
+  def ivfSnapshot(spark: SparkSession, path: String): Seq[String] =
+    ivfCommitted(spark, path)
+
   /** The LIVE view of the on-disk lists: committed batches only,
     * tombstoned vectors anti-joined out (tombstones are bounded
     * curation metadata — broadcast), partition column pinned to int.
     * Every reader — serve, retrain, compact — starts here, so a torn
     * append or a deleted vector can never be probed, averaged into a
-    * retrain centroid, or migrated. */
-  private[graft] def liveLists(spark: SparkSession, path: String): DataFrame = {
+    * retrain centroid, or migrated. `snapshot` pins the view to an
+    * [[ivfSnapshot]] state. */
+  private[graft] def liveLists(spark: SparkSession, path: String,
+                               snapshot: Option[Seq[String]] = None): DataFrame = {
     import spark.implicits._
-    val committed = ivfCommitted(spark, path)
+    val committed = snapshot.getOrElse(ivfCommitted(spark, path))
     spark.read.parquet(s"$path/lists")
       .withColumn("cell", $"cell".cast("int"))
       .filter($"batch_id".isin(committed: _*))
@@ -722,14 +734,17 @@ object Similarity {
   def annIvfServe(spark: SparkSession, path: String, nprobe: Int = 2,
                   k: Int = 5, nQueries: Int = 50,
                   queries: Option[DataFrame] = None,
-                  shortlist: Option[Int] = None): DataFrame = {
+                  shortlist: Option[Int] = None,
+                  snapshot: Option[Seq[String]] = None): DataFrame = {
     import spark.implicits._
     val centroids = spark.read.parquet(s"$path/centroids")
     // the LIVE view: committed batches only (torn appends invisible),
     // tombstoned vectors filtered, partition column pinned to int so
     // the routing filter and the probe equi-join never depend on
-    // partitionColumnTypeInference session conf.
-    val lists = liveLists(spark, path)
+    // partitionColumnTypeInference session conf. An explicit
+    // `snapshot` (ivfSnapshot) pins the view — snapshot isolation
+    // against concurrent appends/deletes.
+    val lists = liveLists(spark, path, snapshot)
       .select($"cell", $"neighbor_id",
         $"vc".cast("array<float>").as("vc"), $"nc", $"label", $"q8", $"qn")
     val panel = queries.map(q => q

@@ -1397,6 +1397,17 @@ object TextAnalysis {
     }
   }
 
+  /** The raw index's current committed batch set — pass it back into
+    * [[bm25ServeRaw]] as `snapshot` to pin a serve (or a whole query
+    * session) to this exact index state: appends and deletes that
+    * commit AFTER the snapshot stay invisible, so a long-running
+    * probe never sees a half-session mix of index versions. O(appends
+    * + deletes) driver strings. Snapshots survive appends/deletes
+    * (both are append-only on disk); [[bm25Vacuum]] physically
+    * reclaims rows and invalidates older snapshots. */
+  def bm25Snapshot(spark: SparkSession, path: String): Seq[String] =
+    rawIndexMeta(spark, path)._1
+
   /** Serve BM25 from a raw appendable index: global stats sum off the
     * log (one tiny scan), df counts per token off its own bucket, the
     * SAME integer impact formula, the same scoring tail. Only
@@ -1407,13 +1418,18 @@ object TextAnalysis {
     * comes from the index's own stats log — an index built with any
     * nBuckets routes external queries correctly. With `queries`, the
     * postings read statically prunes to the query tokens' buckets
-    * ([[bm25ServeFrom]]'s routing). */
+    * ([[bm25ServeFrom]]'s routing). With `snapshot` (a
+    * [[bm25Snapshot]] value), the serve reads exactly that committed
+    * state — snapshot isolation against concurrent maintenance. */
   def bm25ServeRaw(spark: SparkSession, path: String, k: Int = 10,
                    dfCap: Int = 100, qMod: Int = 20,
-                   queries: Option[DataFrame] = None): DataFrame = {
+                   queries: Option[DataFrame] = None,
+                   snapshot: Option[Seq[String]] = None): DataFrame = {
     import spark.implicits._
-    val (committed, nBuckets) = rawIndexMeta(spark, path)
+    val (committedNow, nBuckets) = rawIndexMeta(spark, path)
+    val committed = snapshot.getOrElse(committedNow)
     val stats = spark.read.parquet(s"$path/stats_log")
+      .filter($"batch_id".isin(committed: _*))
       .agg(sum($"n_docs_delta").as("n_docs"), sum($"sum_dl_delta").as("t_tok"))
       .select($"n_docs", expr("(1000 * t_tok) div n_docs").as("am"))
     val dead = rawIndexDeletes(spark, path, committed)

@@ -860,7 +860,8 @@ object Streams {
     * exactly. StreamingSpec drives the same sink through real
     * MemoryStream micro-batches with an injected transient failure
     * between the row write and the log commit. */
-  def streamUpsertSink(spark: SparkSession, dir: String, nBatches: Int = 3): DataFrame = {
+  def streamUpsertSink(spark: SparkSession, dir: String, nBatches: Int = 3,
+                       maxAttempts: Int = 3, initialDelayMs: Long = 50): DataFrame = {
     import spark.implicits._
     val o = Tables.orders(spark, dir)
     val base = o.filter($"o_orderkey" % 3 =!= 0)
@@ -869,16 +870,15 @@ object Streams {
       .select($"o_orderkey", ($"o_totalprice" * lit(1.1)).as("o_totalprice"),
         lit("incoming").as("src"))
     graft.sources.Lake.withScratchIndex(spark, "graft_upsert_sink") { tmp =>
-      graft.sources.UpsertSink.writeBatch(base, tmp, 0L, Seq("o_orderkey"))
+      def land(df: DataFrame, id: Long): Unit =
+        graft.sources.UpsertSink.writeBatch(df, tmp, id, Seq("o_orderkey"),
+          maxAttempts, initialDelayMs)
+      land(base, 0L)
       (0 until nBatches).foreach { b =>
-        graft.sources.UpsertSink.writeBatch(
-          incoming.filter(pmod($"o_orderkey", lit(nBatches)) === b),
-          tmp, b + 1L, Seq("o_orderkey"))
+        land(incoming.filter(pmod($"o_orderkey", lit(nBatches)) === b), b + 1L)
       }
       // foreachBatch replay: redelivering an applied batch id is a no-op
-      graft.sources.UpsertSink.writeBatch(
-        incoming.filter(pmod($"o_orderkey", lit(nBatches)) === 1),
-        tmp, 2L, Seq("o_orderkey"))
+      land(incoming.filter(pmod($"o_orderkey", lit(nBatches)) === 1), 2L)
       graft.sources.UpsertSink.committedRows(spark, tmp)
         .select($"o_orderkey", $"o_totalprice", $"src")
     }

@@ -392,6 +392,34 @@ class Bm25Spec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("snapshot isolation: a pinned serve ignores appends and deletes committed after it") {
+    val s = spark
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_snap").toFile
+    val docs = mkDocs(40).toDF("doc_id", "text")
+    val prefix = docs.filter(col("doc_id") < 28)
+    operators.TextAnalysis.bm25WriteRaw(prefix, idx.getAbsolutePath)
+    val snap = operators.TextAnalysis.bm25Snapshot(s, idx.getAbsolutePath)
+    val pre = operators.TextAnalysis.bm25ServeRaw(s, idx.getAbsolutePath, qMod = 1).cache()
+    pre.count()
+    // maintenance proceeds: an append AND a delete commit after the pin
+    operators.TextAnalysis.bm25Append(docs.filter(col("doc_id") >= 28), idx.getAbsolutePath)
+    operators.TextAnalysis.bm25Delete(s, idx.getAbsolutePath,
+      docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
+    // the pinned serve still answers from the exact pre-maintenance
+    // state — stats, dfs, postings and panel all frozen together
+    val pinned = operators.TextAnalysis.bm25ServeRaw(s, idx.getAbsolutePath,
+      qMod = 1, snapshot = Some(snap))
+    assert(sameResult(pinned, pre),
+      "snapshot serve must equal the state at pin time")
+    // an unpinned serve sees the maintained index
+    val now = operators.TextAnalysis.bm25ServeRaw(s, idx.getAbsolutePath, qMod = 1)
+    val ref = operators.TextAnalysis.bm25Of(docs.filter(col("doc_id") % 5 =!= 0), qMod = 1)
+    assert(sameResult(now, ref), "unpinned serve must see the maintained state")
+    pre.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(idx)
+    spark.catalog.clearCache()
+  }
+
   test("delete: exact erasure, untouched buckets byte-identical, idempotent, vacuum purges") {
     val s = spark
     val idx = java.nio.file.Files.createTempDirectory("graft_bm25_del").toFile

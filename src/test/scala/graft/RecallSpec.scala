@@ -461,6 +461,38 @@ class RecallSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("C7 snapshot isolation: a pinned probe ignores appends and deletes committed after it") {
+    import java.nio.file.Files
+    val all = Tables.embeddings(spark, sf)
+    val cut = all.agg(max(col("vec_id"))).head().getLong(0) * 7 / 10
+    val idx = Files.createTempDirectory("graft_ivf_snap").toFile
+    operators.Similarity.ivfWriteFrom(all.filter(col("vec_id") <= cut), idx.getAbsolutePath)
+    val snap = operators.Similarity.ivfSnapshot(spark, idx.getAbsolutePath)
+    val pre = operators.Similarity.annIvfServe(spark, idx.getAbsolutePath,
+      nprobe = 10, shortlist = Some(32)).cache()
+    pre.count()
+    operators.Similarity.ivfAppend(spark, idx.getAbsolutePath,
+      all.filter(col("vec_id") > cut))
+    operators.Similarity.ivfDelete(spark, idx.getAbsolutePath,
+      all.filter(col("vec_id") % 5 === 0 && col("vec_id") >= 50).select(col("vec_id")))
+    val pinned = operators.Similarity.annIvfServe(spark, idx.getAbsolutePath,
+      nprobe = 10, shortlist = Some(32), snapshot = Some(snap))
+    assert(pinned.count() == pre.count() && pinned.exceptAll(pre).count() == 0,
+      "snapshot probe must equal the state at pin time")
+    // an unpinned probe sees the maintained index: appended vectors
+    // surface, deleted ones never do
+    val now = operators.Similarity.annIvfServe(spark, idx.getAbsolutePath,
+      nprobe = 10, shortlist = Some(32))
+    assert(now.filter(col("neighbor_id") > cut).count() > 0,
+      "unpinned probe must see appended vectors")
+    assert(now.filter(col("neighbor_id") % 5 === 0 &&
+      col("neighbor_id") >= 50).count() == 0,
+      "unpinned probe must not serve deleted vectors")
+    pre.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(idx)
+    spark.catalog.clearCache()
+  }
+
   test("C7d append crash between lists and commit: invisible, re-drivable, compact reclaims") {
     import java.nio.file.Files
     val all = Tables.embeddings(spark, sf)

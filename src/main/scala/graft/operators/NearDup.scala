@@ -487,19 +487,32 @@ object NearDup {
   /** Frame-based core of `cross_dedup` (both frames = (doc_id, text)). */
   def crossDedupPairs(newDocs: DataFrame, refDocs: DataFrame,
                       threshold: Double = 0.5, dfCap: Int = 100): DataFrame = {
-    import refDocs.sparkSession.implicits._
     // eager (materialization contract): ref postings feed the df-cap
     // aggregate, the size aggregate AND the pair-join build; new
     // postings feed sizes + probe
     val pr = shinglePostings(refDocs).localCheckpoint()
     val pn = shinglePostings(newDocs).localCheckpoint()
+    crossPairsFromPostings(pn, pr, pr, threshold, dfCap)
+  }
+
+  /** The asymmetric scoring tail shared by [[crossDedupPairs]] and
+    * [[dedupServe]]: `prAll` feeds the reference's df-cap (hot) list
+    * and per-doc capped sizes; `prProbe` is the (possibly
+    * bucket-pruned) posting set the new batch's shingles actually
+    * join — pruning only drops shingle groups with no new-side match,
+    * so the pair results are identical. */
+  private def crossPairsFromPostings(pn: DataFrame, prAll: DataFrame,
+                                     prProbe: DataFrame, threshold: Double,
+                                     dfCap: Int): DataFrame = {
+    import pn.sparkSession.implicits._
     // hot list from the REFERENCE index, broadcast-anti-joined into
     // both sides (same skew-safe posture as C4's cap)
-    val hot = pr.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val hot = prAll.groupBy($"sh").agg(count(lit(1)).as("df"))
       .filter($"df" > dfCap).select($"sh")
-    val r = pr.join(broadcast(hot), Seq("sh"), "left_anti")
+    val r = prProbe.join(broadcast(hot), Seq("sh"), "left_anti")
     val n = pn.join(broadcast(hot), Seq("sh"), "left_anti")
-    val sizesR = r.groupBy($"doc_id").agg(count(lit(1)).as("n_ref"))
+    val sizesR = prAll.join(broadcast(hot), Seq("sh"), "left_anti")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_ref"))
     val sizesN = n.groupBy($"doc_id").agg(count(lit(1)).as("n_new"))
     n.select($"doc_id".as("new_id"), $"sh")
       .join(r.select($"doc_id".as("ref_id"), $"sh"), Seq("sh"))
@@ -513,9 +526,158 @@ object NearDup {
       .select($"new_id", $"ref_id", $"n_inter", $"jaccard")
   }
 
-  def crossDedupSql(threshold: Double = 0.5, dfCap: Int = 100): String =
+  // ---- C4c: the PERSISTED reference-signature index ----------------
+  //
+  // cross_dedup's Scaladoc promises "in production: materialized
+  // once"; this is that materialization — the dedup surface's
+  // build → append → delete → serve lifecycle, the same posture as
+  // the raw BM25 index (TextAnalysis) and the IVF index (Similarity):
+  //   postings/bucket=*/  (sh, doc_id, batch_id) — shingle-hash
+  //                        bucketed, so a shingle's whole posting
+  //                        list lives in ONE bucket (df bucket-local,
+  //                        probe reads prunable)
+  //   deletes/            doc tombstones (commit-gated)
+  //   commits/            (batch_id, n_buckets) — the commit record,
+  //                        written LAST; only committed batches serve
+  // The index stores the SHINGLING — the part that is expensive to
+  // redo over a 100 TB reference corpus. Serve recomputes df/hot and
+  // capped sizes from the live postings (two-long-per-row columnar
+  // scan; exact under any append/delete history), and the pair join
+  // reads only the new batch's shingle buckets.
+
+  def dedupIndexWrite(docs: DataFrame, path: String, nBuckets: Int = 16): Unit =
+    dedupIndexAppendRaw(docs, path, Some(nBuckets), overwrite = true)
+
+  /** Fold a new reference batch in: O(batch) — touched buckets gain
+    * files, the commit log gains one row, nothing rewrites. The
+    * bucket count is read from the index's own commit log. */
+  def dedupIndexAppend(docs: DataFrame, path: String): Unit =
+    dedupIndexAppendRaw(docs, path, None, overwrite = false)
+
+  private[graft] def dedupIndexAppendRaw(docs: DataFrame, path: String,
+                                         nBucketsOpt: Option[Int],
+                                         overwrite: Boolean,
+                                         commit: Boolean = true): Unit = {
+    import docs.sparkSession.implicits._
+    val spark = docs.sparkSession
+    val mode = if (overwrite) "overwrite" else "append"
+    val nBuckets = nBucketsOpt.getOrElse(dedupIndexMeta(spark, path)._2)
+    val batchId = java.util.UUID.randomUUID.toString
+    if (overwrite) {
+      val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
+      del.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(del, true)
+    }
+    // postings first (invisible until the commit row lands) …
+    shinglePostings(docs)
+      .select(pmod($"sh", lit(nBuckets)).cast("int").as("bucket"), $"sh",
+        $"doc_id", lit(batchId).as("batch_id"))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode(mode).parquet(s"$path/postings")
+    // … the commit row LAST
+    if (commit)
+      Seq((batchId, nBuckets)).toDF("batch_id", "n_buckets")
+        .coalesce(1).write.mode(mode).parquet(s"$path/commits")
+  }
+
+  private[graft] def dedupIndexMeta(spark: SparkSession,
+                                    path: String): (Seq[String], Int) = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/commits")
+      .select($"batch_id", $"n_buckets").collect()
+    val nb = rows.map(_.getInt(1)).distinct
+    require(nb.length == 1,
+      s"inconsistent n_buckets in $path/commits: ${nb.mkString(",")}")
+    (rows.map(_.getString(0)).toSeq, nb.head)
+  }
+
+  private def dedupIndexDeletes(spark: SparkSession, path: String,
+                                committed: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    if (del.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(del))
+      spark.read.parquet(s"$path/deletes")
+        .filter($"batch_id".isin(committed: _*)).select($"doc_id")
+    else spark.emptyDataset[Long].toDF("doc_id")
+  }
+
+  /** Tombstone reference docs out of the index — zero posting
+    * rewrites; serve recomputes df/hot/sizes from the survivors, so
+    * the scores equal a from-scratch index on the surviving reference
+    * (the gate proves it). Idempotent; commit row last. */
+  def dedupIndexDelete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    import spark.implicits._
+    val (committed, nBuckets) = dedupIndexMeta(spark, path)
+    val batchId = java.util.UUID.randomUUID.toString
+    ids.select($"doc_id").distinct()
+      .join(dedupIndexDeletes(spark, path, committed), Seq("doc_id"), "left_anti")
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1).write.mode("append").parquet(s"$path/deletes")
+    Seq((batchId, nBuckets)).toDF("batch_id", "n_buckets")
+      .coalesce(1).write.mode("append").parquet(s"$path/commits")
+  }
+
+  /** Score a new doc batch against the persisted reference index —
+    * [[crossDedupPairs]]'s semantics with the reference side read
+    * from disk: committed batches only, tombstones filtered, and the
+    * pair join statically pruned to the new batch's shingle buckets
+    * (the distinct bucket set is ≤ nBuckets driver ints — a small
+    * nightly batch touches few). `snapshot` pins the serve to a
+    * [[dedupIndexMeta]] committed set, the bm25Snapshot posture. */
+  def dedupServe(spark: SparkSession, path: String, newDocs: DataFrame,
+                 threshold: Double = 0.5, dfCap: Int = 100,
+                 snapshot: Option[Seq[String]] = None): DataFrame = {
+    import spark.implicits._
+    val (committedNow, nBuckets) = dedupIndexMeta(spark, path)
+    val committed = snapshot.getOrElse(committedNow)
+    val dead = dedupIndexDeletes(spark, path, committed)
+    val live = spark.read.parquet(s"$path/postings")
+      .select($"bucket".cast("int").as("bucket"), $"sh", $"doc_id", $"batch_id")
+      .filter($"batch_id".isin(committed: _*))
+      .join(broadcast(dead), Seq("doc_id"), "left_anti")
+    val pn = shinglePostings(newDocs).localCheckpoint()
+    val buckets = pn.select(pmod($"sh", lit(nBuckets)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    // eager: the live view feeds hot, sizes AND the probe
+    val prAll = live.drop("bucket", "batch_id").localCheckpoint()
+    val prProbe = live.filter($"bucket".isin(buckets: _*))
+      .drop("bucket", "batch_id")
+    crossPairsFromPostings(pn, prAll, prProbe, threshold, dfCap)
+  }
+
+  /** C4c `cross_dedup_serve` — the incremental-dedup lifecycle under
+    * the gate: 70%-prefix index build → 30% batch append → tombstone
+    * delete of every 7th reference doc → serve the full re-crawl
+    * snapshot (ids + BigOffset) against the index. HASH-EQUAL to
+    * `cross_dedup`'s oracle recomputed on the surviving reference
+    * through the independent engine — df caps, capped sizes and every
+    * pair shift exactly with the appends and deletes. */
+  def crossDedupServe(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                      dfCap: Int = 100): DataFrame = {
+    import spark.implicits._
+    val ref = Tables.documents(spark, dir).select($"doc_id", $"text")
+    // a corpus with no shingles writes no postings partitions and a
+    // schemaless dir is unreadable — serve the empty result instead
+    if (shinglePostings(ref).isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("new_id", "ref_id", "n_inter", "jaccard")
+    val cut = ref.agg(max($"doc_id")).head().getLong(0) * 7 / 10
+    val neu = ref.select(($"doc_id" + BigOffset).as("doc_id"), $"text")
+    graft.sources.Lake.withScratchIndex(spark, "graft_dedup_idx") { tmp =>
+      dedupIndexWrite(Tables.fanout(ref.filter($"doc_id" <= cut)), tmp)
+      dedupIndexAppend(Tables.fanout(ref.filter($"doc_id" > cut)), tmp)
+      dedupIndexDelete(spark, tmp, ref.filter($"doc_id" % 7 === 0).select($"doc_id"))
+      dedupServe(spark, tmp, Tables.fanout(neu), threshold, dfCap)
+    }
+  }
+
+  /** `refPred` restricts the oracle's reference corpus — the
+    * from-scratch recompute the index-delete gate (C4c) compares
+    * the tombstoned serve against. */
+  def crossDedupSql(threshold: Double = 0.5, dfCap: Int = 100,
+                    refPred: String = "TRUE"): String =
     s"""WITH reft AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents),
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+       |  FROM documents WHERE $refPred),
        |newt AS (
        |  SELECT doc_id + $BigOffset AS doc_id, string_split_regex(trim(text), '\\s+') AS l
        |  FROM documents),

@@ -568,4 +568,50 @@ class TextDedupSpec extends AnyFunSuite {
         }
     }
   }
+
+  test("C4c dedup index lifecycle: serve parity, torn append invisible, delete exact") {
+    val s = spark
+    import s.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_dedup_lc").toFile
+    // overlapping corpus: doc i shares a 3-token run with doc i+1
+    val ref = (0 until 30).map(i =>
+      (i.toLong, s"w$i w${i + 1} w${i + 2} w${i + 3} w${i + 4} z${i % 4}"))
+      .toDF("doc_id", "text")
+    val neu = ref.select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.count() == b.count() && a.exceptAll(b).count() == 0
+    operators.NearDup.dedupIndexWrite(ref.filter(col("doc_id") < 20), idx.getAbsolutePath)
+    // torn append: postings land, commit row does not -> invisible
+    operators.NearDup.dedupIndexAppendRaw(ref.filter(col("doc_id") >= 20),
+      idx.getAbsolutePath, None, overwrite = false, commit = false)
+    val torn = operators.NearDup.dedupServe(s, idx.getAbsolutePath, neu, 0.3)
+    val preRef = operators.NearDup.crossDedupPairs(neu, ref.filter(col("doc_id") < 20), 0.3)
+    assert(same(torn, preRef), "torn append must be invisible to serve")
+    // re-drive: the batch lands once; serve == from-scratch cross pairs
+    operators.NearDup.dedupIndexAppend(ref.filter(col("doc_id") >= 20), idx.getAbsolutePath)
+    val served = operators.NearDup.dedupServe(s, idx.getAbsolutePath, neu, 0.3)
+    assert(same(served, operators.NearDup.crossDedupPairs(neu, ref, 0.3)),
+      "index serve must equal the from-scratch cross pairs on the full reference")
+    // delete every 3rd ref doc: no posting file rewritten, serve ==
+    // from-scratch on survivors, snapshot pinned before still sees all
+    val snap = operators.NearDup.dedupIndexMeta(s, idx.getAbsolutePath)._1
+    def files(): Map[String, Long] =
+      new java.io.File(idx, "postings").listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${d.getName}/${f.getName}" -> f.length())).toMap
+    val before = files()
+    operators.NearDup.dedupIndexDelete(s, idx.getAbsolutePath,
+      ref.filter(col("doc_id") % 3 === 0).select(col("doc_id")))
+    assert(files() == before, "delete must not rewrite any posting file")
+    val afterDel = operators.NearDup.dedupServe(s, idx.getAbsolutePath, neu, 0.3)
+    assert(same(afterDel, operators.NearDup.crossDedupPairs(
+      neu, ref.filter(col("doc_id") % 3 =!= 0), 0.3)),
+      "tombstoned serve must equal the from-scratch pairs on survivors")
+    val pinned = operators.NearDup.dedupServe(s, idx.getAbsolutePath, neu, 0.3,
+      snapshot = Some(snap))
+    assert(same(pinned, served), "snapshot serve must predate the delete")
+    org.apache.commons.io.FileUtils.deleteDirectory(idx)
+    spark.catalog.clearCache()
+  }
 }

@@ -614,4 +614,46 @@ class TextDedupSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(idx)
     spark.catalog.clearCache()
   }
+
+  test("C4c dedup serve prunes the pair probe to the new batch's shingle buckets") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val s = spark
+    import s.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_dedup_prune").toFile
+    val ref = (0 until 200).map(i =>
+      (i.toLong, s"w$i w${i + 1} w${i + 2} w${i + 3} w${i + 4}"))
+      .toDF("doc_id", "text")
+    operators.NearDup.dedupIndexWrite(ref, idx.getAbsolutePath)
+    val bucketDirs = new java.io.File(idx, "postings").listFiles()
+      .count(d => d.isDirectory && d.getName.startsWith("bucket="))
+    assert(bucketDirs >= 12, s"corpus should populate most buckets, got $bucketDirs")
+    // a single-doc nightly batch: its handful of shingles route to a
+    // handful of buckets — the pair probe must read only those dirs
+    // (the full-scan side for df/sizes is served from checkpoint
+    // blocks, so the returned plan's only postings scan IS the probe)
+    val one = Seq((9999L, "w5 w6 w7 w8 w9")).toDF("doc_id", "text")
+    val served = operators.NearDup.dedupServe(s, idx.getAbsolutePath, one, 0.3)
+    served.collect()
+    def all(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+      case q: QueryStageExec => all(q.plan)
+      case _ => p +: p.children.flatMap(all)
+    }
+    val postingScans = all(served.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("postings")) => f
+    }
+    assert(postingScans.nonEmpty, "expected the probe's postings scan in the plan")
+    postingScans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty, "probe scan must carry a bucket partition filter")
+      val opened = f.metrics("numFiles").value
+      assert(opened < bucketDirs,
+        s"probe opened $opened files over $bucketDirs bucket dirs — no pruning")
+    }
+    // and the pruned serve still finds the overlapping neighbors
+    assert(served.count() > 0, "the probe must still retrieve overlapping refs")
+    org.apache.commons.io.FileUtils.deleteDirectory(idx)
+    spark.catalog.clearCache()
+  }
 }

@@ -17,6 +17,33 @@ object Lake {
 
   val CorruptCol = "_corrupt_record"
 
+  private val sharedDirs =
+    scala.collection.mutable.HashMap[(SparkSession, String), String]()
+
+  /** Session-lifetime SHARED serving index: `build` runs once per
+    * (session, key); every later caller reuses the directory — the
+    * literal build-once-serve-many economics inside one process (at
+    * cluster scale this is a long-lived index table, and this memo
+    * becomes a catalog lookup). READ-ONLY by contract: mutating
+    * lifecycles (the append/delete/vacuum gates) must keep private
+    * scratches via [[withScratchIndex]]. The directory is recursively
+    * deleted at JVM exit — a shutdown hook CAN remove non-empty
+    * dirs, unlike File.deleteOnExit. */
+  def sharedIndex(spark: SparkSession, key: String)(build: String => Unit): String =
+    sharedDirs.synchronized {
+      sharedDirs.getOrElseUpdate((spark, key), {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_shared_idx").toString
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          try {
+            val p = new org.apache.hadoop.fs.Path(tmp)
+            p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+          } catch { case _: Throwable => () }
+        }))
+        build(tmp)
+        tmp
+      })
+    }
+
   /** Run `build` against a scratch on-disk index directory, eagerly
     * materialize its result (`localCheckpoint` — the returned frame
     * reads Spark blocks, not the scratch files), then recursively

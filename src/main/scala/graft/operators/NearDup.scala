@@ -72,7 +72,7 @@ object NearDup {
   /** Planted-twin id offset, shared by every operator that unions a
     * synthetic re-crawl/re-ingest of the corpus (NearDup, TextAnalysis,
     * Multimodal — Scala and oracle SQL sides must agree on it). */
-  private[operators] val BigOffset = 1000000L
+  private[graft] val BigOffset = 1000000L
 
   /** documents ∪ exact re-crawl (planted dups, ids + [[BigOffset]]) —
     * shared by batch C-block operators and streaming E6, so their

@@ -799,6 +799,50 @@ object Streams {
     }
   }
 
+  /** E15 `stream_dedup_index` — incremental reference-signature-index
+    * maintenance from an arriving doc stream: each micro-batch is one
+    * [[graft.operators.NearDup.dedupIndexAppend]] into the persisted
+    * index (commit-log batches, touched-bucket-only file appends —
+    * the idempotent foreachBatch sink contract), so the nightly
+    * re-crawl can be deduped against a reference that GROWS
+    * continuously without ever re-shingling it. The dedup surface's
+    * counterpart to E11 (BM25 postings) and E12 (IVF cells): all
+    * three index families now have batch build + append + delete +
+    * STREAM maintenance.
+    *
+    * Driver-gate batch entry: the 30% id-suffix arrives as `nBatches`
+    * deterministic micro-batches appended sequentially into the
+    * 70%-prefix-built index, then the full re-crawl snapshot serves
+    * against it — HASH-EQUAL to `cross_dedup`'s oracle over the full
+    * reference (append order cannot matter: postings are append-only
+    * and serve recomputes df/sizes from the committed union;
+    * StreamingSpec drives REAL MemoryStream arrivals through
+    * foreachBatch into the same appender and pins that parity). */
+  def streamDedupIndex(spark: SparkSession, dir: String, nBatches: Int = 3,
+                       threshold: Double = 0.5, dfCap: Int = 100): DataFrame = {
+    import spark.implicits._
+    val ref = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val neu = ref.select(($"doc_id" + graft.operators.NearDup.BigOffset).as("doc_id"),
+      $"text")
+    // a corpus with no shingle-bearing docs writes no postings
+    // partitions and a schemaless dir is unreadable — serve empty
+    if (ref.filter(size(split(trim($"text"), "\\s+")) >= 3).isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("new_id", "ref_id", "n_inter", "jaccard")
+    val cut = ref.agg(max($"doc_id")).head().getLong(0) * 7 / 10
+    graft.sources.Lake.withScratchIndex(spark, "graft_dedup_stream") { tmp =>
+      graft.operators.NearDup.dedupIndexWrite(
+        Tables.fanout(ref.filter($"doc_id" <= cut)), tmp)
+      (0 until nBatches).foreach { b =>
+        graft.operators.NearDup.dedupIndexAppend(
+          Tables.fanout(ref.filter($"doc_id" > cut &&
+            pmod($"doc_id", lit(nBatches)) === b)), tmp)
+      }
+      graft.operators.NearDup.dedupServe(spark, tmp, Tables.fanout(neu),
+        threshold, dfCap)
+    }
+  }
+
   /** E13 `stream_scd2_apply` — the reference's history table grows
     * row-by-row forever (create_table.sql:85-107, arxiv_etl.py:84-111);
     * this is that growth as a STREAM of change batches folded into a

@@ -630,6 +630,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("E15 dedup index: MemoryStream appends through foreachBatch serve the one-shot answer") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft_dedup_ms").toString
+    val ref = (0 until 30).map(i =>
+      (i.toLong, s"w$i w${i + 1} w${i + 2} w${i + 3} w${i + 4} z${i % 4}"))
+    val refDf = ref.toDF("doc_id", "text")
+    // prefix builds the index; the suffix ARRIVES as a real stream,
+    // each micro-batch folded in by the maintenance sink
+    operators.NearDup.dedupIndexWrite(refDf.filter(col("doc_id") < 20),
+      idx)
+    val source = MemoryStream[(Long, String)]
+    val q = source.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        operators.NearDup.dedupIndexAppend(df, idx)
+      }
+      .start()
+    ref.filter(_._1 >= 20).grouped(4).foreach { batch =>
+      source.addData(batch: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val neu = refDf.select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    val served = operators.NearDup.dedupServe(s, idx, neu, 0.3)
+    val oneShot = operators.NearDup.crossDedupPairs(neu, refDf, 0.3)
+    assert(served.count() == oneShot.count() &&
+      served.exceptAll(oneShot).count() == 0,
+      "streamed appends must serve exactly the one-shot reference answer")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+    spark.catalog.clearCache()
+  }
+
   test("E14 upsert sink: foreachBatch with dup keys + injected transient failure lands the exact merge") {
     val s = spark
     import s.implicits._

@@ -77,6 +77,7 @@ object SparkEntry {
     "bm25_serve"          -> ((s, d) => TextAnalysis.bm25IndexServe(s, d, cfg.k, cfg.dfCap, cfg.qMod)),
     "bm25_append"         -> ((s, d) => TextAnalysis.bm25AppendServe(s, d, cfg.k, cfg.dfCap, cfg.qMod)),
     "bm25_delete"         -> ((s, d) => TextAnalysis.bm25DeleteServe(s, d, cfg.k, cfg.dfCap, cfg.qMod)),
+    "bm25_stale_serve"    -> ((s, d) => TextAnalysis.bm25StaleServe(s, d, cfg.k, cfg.dfCap, cfg.qMod)),
     "doc_embed"           -> ((s, d) => TextAnalysis.docEmbed(s, d)),
     "hybrid_retrieve"     -> ((s, d) => TextAnalysis.hybridRetrieve(s, d)),
     "hybrid_serve"        -> ((s, d) => TextAnalysis.hybridServe(s, d, cfg.k, cfg.dfCap,
@@ -249,6 +250,10 @@ object SparkEntry {
     // on the surviving corpus (delete = exact erasure)
     "bm25_delete"         -> TextAnalysis.bm25RetrieveSql(cfg.k, cfg.dfCap, cfg.qMod,
       pred = "doc_id % 3 <> 0"),
+    // the impact layout's STALENESS-BOUNDED forget: stats stay
+    // global (stale), served postings + panel exclude the tombstoned
+    "bm25_stale_serve"    -> TextAnalysis.bm25RetrieveSql(cfg.k, cfg.dfCap, cfg.qMod,
+      servedPred = "doc_id % 5 <> 3"),
     "doc_embed"           -> TextAnalysis.docEmbedSql(),
     "hybrid_retrieve"     -> TextAnalysis.hybridRetrieveSql(),
     "hybrid_serve"        -> TextAnalysis.hybridServeSql(cfg.k, cfg.dfCap, cfg.nQueries,

@@ -604,7 +604,8 @@ object Similarity {
     * under the retrained centroids, unchanged cells untouched, and
     * the append→retrain→serve chain stays recall-graded end-to-end
     * (`ann_ivf_retrain`). */
-  def ivfRetrain(spark: SparkSession, path: String): Unit = {
+  def ivfRetrain(spark: SparkSession, path: String): Unit =
+      graft.sources.Lake.withWriterLock(spark, path, "ivfRetrain") {
     import spark.implicits._
     // eager: the current LIVE lists (committed batches, tombstones
     // filtered — a deleted vector must not be averaged into the new
@@ -676,7 +677,8 @@ object Similarity {
     * through the Hadoop FileSystem API so the maintenance loop works
     * on whatever filesystem the index lives on (java.io.File returns
     * null off-local and compaction would silently never trigger). */
-  def ivfCompact(spark: SparkSession, path: String, maxFilesPerCell: Int = 1): Unit = {
+  def ivfCompact(spark: SparkSession, path: String, maxFilesPerCell: Int = 1): Unit =
+      graft.sources.Lake.withWriterLock(spark, path, "ivfCompact") {
     import spark.implicits._
     val listsPath = new org.apache.hadoop.fs.Path(s"$path/lists")
     val fs = listsPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -701,23 +703,24 @@ object Similarity {
       .unionAll(raw.filter(!$"batch_id".isin(committed: _*)).select($"cell"))
       .distinct().collect().map(_.getInt(0)).toSet
     val targets = fragmented ++ dirty
-    if (targets.isEmpty) return
-    // eager: the rewrite reads the very files it replaces — material-
-    // ize the target cells' LIVE rows before overwriting
-    val clean = raw.filter($"cell".isin(targets.toSeq: _*))
-      .filter($"batch_id".isin(committed: _*))
-      .join(broadcast(dead), Seq("neighbor_id"), "left_anti")
-      .localCheckpoint()
-    clean.repartition(col("cell")) // one task owns each cell -> one file
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell").parquet(s"$path/lists")
-    // a target cell with zero live rows writes no partition — drop
-    // its stale directory explicitly
-    val stillThere = clean.select($"cell").distinct()
-      .collect().map(_.getAs[Number](0).intValue()).toSet
-    (targets -- stillThere).foreach { c =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/lists/cell=$c"), true)
+    if (targets.nonEmpty) {
+      // eager: the rewrite reads the very files it replaces — material-
+      // ize the target cells' LIVE rows before overwriting
+      val clean = raw.filter($"cell".isin(targets.toSeq: _*))
+        .filter($"batch_id".isin(committed: _*))
+        .join(broadcast(dead), Seq("neighbor_id"), "left_anti")
+        .localCheckpoint()
+      clean.repartition(col("cell")) // one task owns each cell -> one file
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(s"$path/lists")
+      // a target cell with zero live rows writes no partition — drop
+      // its stale directory explicitly
+      val stillThere = clean.select($"cell").distinct()
+        .collect().map(_.getAs[Number](0).intValue()).toSet
+      (targets -- stillThere).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/lists/cell=$c"), true)
+      }
     }
   }
 

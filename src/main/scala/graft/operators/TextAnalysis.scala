@@ -1186,14 +1186,36 @@ object TextAnalysis {
     * serve run is join + sum + top-k with no corpus-level statistics
     * to recompute. Build once, serve many. */
   def bm25Write(spark: SparkSession, dir: String, path: String,
-                nBuckets: Int = 16, dfCap: Int = 100): Unit = {
-    import spark.implicits._
+                nBuckets: Int = 16, dfCap: Int = 100): Unit =
     // tf memoized per (session, dir) — shared with C23/E11/C27
-    val tf = tfTableFor(spark, dir)
+    bm25WriteImpactTf(tfTableFor(spark, dir), path, nBuckets, dfCap)
+
+  /** [[bm25Write]] from a docs FRAME rather than a corpus dir — the
+    * [[bm25RefreshIfStale]] rebuild path needs to build on SURVIVORS,
+    * which is no longer "the corpus at dir". Clears any previous
+    * tombstones at `path`: the fresh impacts already reflect the
+    * surviving corpus, so carrying the old tombstones forward would
+    * delete the victims twice. */
+  def bm25WriteImpactFrom(docs: DataFrame, path: String,
+                          nBuckets: Int = 16, dfCap: Int = 100): Unit = {
+    bm25WriteImpactTf(bm25TfTable(docs).localCheckpoint(), path, nBuckets, dfCap)
+    val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    del.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(del, true)
+  }
+
+  /** The impact-layout build (tf = (doc_id, dl, token, tf)). The
+    * stats row persists EVERY parameter a later maintenance step
+    * needs — n_buckets for routing, df_cap so a refresh rebuilds
+    * under the same boilerplate cutoff — the self-description
+    * principle the raw layout's stats_log established. */
+  private def bm25WriteImpactTf(tf: DataFrame, path: String,
+                                nBuckets: Int, dfCap: Int): Unit = {
+    import tf.sparkSession.implicits._
     val stats = tf.groupBy($"doc_id").agg(first($"dl").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum($"dl").as("t_tok"))
       .select($"n_docs", expr("(1000 * t_tok) div n_docs").as("am"),
-        lit(nBuckets).as("n_buckets"))
+        lit(nBuckets).as("n_buckets"), lit(dfCap).as("df_cap"))
     val dfc = tf.groupBy($"token").agg(count(lit(1)).as("df")).filter($"df" <= dfCap)
     val post = tf.join(dfc, Seq("token"))
       .crossJoin(broadcast(stats.select($"n_docs", $"am")))
@@ -1219,6 +1241,33 @@ object TextAnalysis {
     import spark.implicits._
     val post0 = spark.read.parquet(s"$path/postings")
       .select($"bucket".cast("int").as("bucket"), $"token", $"doc_id", $"impact")
+    bm25ServeRouted(spark, path, post0, k, qMod, queries)
+  }
+
+  /** The STALENESS-BOUNDED serve of the impact layout: committed
+    * tombstones ([[bm25MarkDeleted]]) are anti-joined out of the
+    * postings — a deleted doc is never served and never issues a
+    * self-test query — but surviving docs keep their build-time
+    * impacts, whose baked-in N/avgdl/df still count the victims.
+    * That staleness is the layout's design price (precomputed impacts
+    * CANNOT shift on delete without a rebuild — the raw layout exists
+    * for corpora that mutate); [[bm25RefreshIfStale]] bounds it by
+    * rebuilding once the deleted fraction passes ε. This is the
+    * production middle ground real impact-ordered engines ship:
+    * tombstone masks at serve, periodic segment rebuild. */
+  def bm25ServeFromLive(spark: SparkSession, path: String, k: Int = 10,
+                        qMod: Int = 20, queries: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val post0 = spark.read.parquet(s"$path/postings")
+      .select($"bucket".cast("int").as("bucket"), $"token", $"doc_id", $"impact")
+      .join(impactDeletes(spark, path), Seq("doc_id"), "left_anti")
+    bm25ServeRouted(spark, path, post0, k, qMod, queries)
+  }
+
+  private def bm25ServeRouted(spark: SparkSession, path: String, post0: DataFrame,
+                              k: Int, qMod: Int,
+                              queries: Option[DataFrame]): DataFrame = {
+    import spark.implicits._
     queries match {
       case Some(q0) =>
         val nBuckets = spark.read.parquet(s"$path/stats")
@@ -1232,6 +1281,91 @@ object TextAnalysis {
         val q = post0.filter($"doc_id" % qMod === 0)
           .select($"doc_id".as("query_id"), $"token")
         bm25TopK(post0.drop("bucket"), q, k)
+    }
+  }
+
+  /** Tombstone docs in an impact-layout ([[bm25Write]]) index. The
+    * write is a metadata-sized parquet append; duplicates are legal
+    * (the read side dedups), so re-driving a delete is idempotent.
+    * Served results exclude the victims immediately
+    * ([[bm25ServeFromLive]]); the baked impacts go stale — see
+    * [[bm25RefreshIfStale]] for the bound. */
+  def bm25MarkDeleted(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    ids.select(col("doc_id")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$path/deletes")
+
+  /** Distinct committed tombstones of an impact index — empty if none
+    * were ever marked. */
+  private[graft] def impactDeletes(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    if (del.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(del))
+      spark.read.parquet(s"$path/deletes").select($"doc_id").distinct()
+    else spark.emptyDataset[Long].toDF("doc_id")
+  }
+
+  /** Fraction of the index's docs that are tombstoned — the staleness
+    * measure [[bm25RefreshIfStale]] thresholds on. Tombstones that
+    * never matched an indexed doc don't count (deleting a stranger
+    * makes nothing stale). The semi-join probes only the postings'
+    * doc_id column (parquet prunes the rest) against a
+    * metadata-sized tombstone set. */
+  def bm25DeletedFraction(spark: SparkSession, path: String): Double = {
+    import spark.implicits._
+    val n = spark.read.parquet(s"$path/stats").head().getAs[Long]("n_docs")
+    if (n == 0L) return 0.0
+    val dead = impactDeletes(spark, path)
+      .join(spark.read.parquet(s"$path/postings").select($"doc_id"),
+        Seq("doc_id"), "left_semi")
+      .count()
+    dead.toDouble / n
+  }
+
+  /** Bound the impact layout's delete staleness: when the tombstoned
+    * fraction exceeds `eps`, rebuild the index from the SURVIVING
+    * docs (fresh N/avgdl/df — scores snap back to from-scratch
+    * exactness; the spec pins hash-parity) and clear the tombstones;
+    * below the threshold it is a no-op and [[bm25ServeFromLive]]
+    * keeps masking. Returns whether a rebuild happened. `docs` is
+    * the CURRENT source corpus — the impact layout stores derived
+    * postings only, so its rebuild reads the source of truth, like
+    * any segment-merge in an impact-ordered engine. The rebuild
+    * reuses the index's own persisted n_buckets/df_cap, so a refresh
+    * can never silently retune the index. */
+  def bm25RefreshIfStale(docs: DataFrame, path: String, eps: Double = 0.2): Boolean = {
+    val spark = docs.sparkSession
+    if (bm25DeletedFraction(spark, path) <= eps) false
+    else {
+      val st = spark.read.parquet(s"$path/stats").head()
+      val survivors = docs.join(impactDeletes(spark, path), Seq("doc_id"), "left_anti")
+      bm25WriteImpactFrom(survivors, path,
+        st.getAs[Int]("n_buckets"), st.getAs[Int]("df_cap"))
+      true
+    }
+  }
+
+  /** C23e `bm25_stale_serve` — the impact layout's forget path under
+    * the gate: build → tombstone every doc ≡ 3 (mod 5) (~20% of the
+    * corpus) → refresh check at ε = 0.25 (below threshold — the
+    * STALE branch is the one being graded) → live serve. The oracle
+    * recomputes the same semantics independently: impacts off the
+    * FULL corpus statistics (stale by construction), served postings
+    * and self-test panel restricted to survivors. The refresh branch
+    * (fraction > ε ⇒ rebuild ⇒ fresh-stats parity) is spec-pinned in
+    * Bm25Spec rather than gated — at the gate it would be
+    * indistinguishable from `bm25_retrieve` on the survivors. */
+  def bm25StaleServe(spark: SparkSession, dir: String, k: Int = 10,
+                     dfCap: Int = 100, qMod: Int = 20): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    if (tfTableFor(spark, dir).isEmpty)
+      return Seq.empty[(Long, Long, Int, Long)]
+        .toDF("query_id", "doc_id", "rk", "score")
+    graft.sources.Lake.withScratchIndex(spark, "graft_bm25_stale") { tmp =>
+      bm25WriteImpactFrom(Tables.fanout(docs), tmp, dfCap = dfCap)
+      bm25MarkDeleted(spark, tmp, docs.filter($"doc_id" % 5 === 3))
+      bm25RefreshIfStale(Tables.fanout(docs), tmp, eps = 0.25)
+      bm25ServeFromLive(spark, tmp, k, qMod)
     }
   }
 
@@ -1386,7 +1520,8 @@ object TextAnalysis {
     * metadata-sized. A bucket drained to zero live rows has its
     * directory dropped through the Hadoop FileSystem API. */
   def bm25Vacuum(spark: SparkSession, path: String,
-                 maxFilesPerBucket: Int = 1): Unit = {
+                 maxFilesPerBucket: Int = 1): Unit =
+      graft.sources.Lake.withWriterLock(spark, path, "bm25Vacuum") {
     import spark.implicits._
     val (committed, _) = rawIndexMeta(spark, path)
     val post = spark.read.parquet(s"$path/postings")
@@ -1406,22 +1541,23 @@ object TextAnalysis {
         .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket)
       .map(_.getPath.getName.stripPrefix("bucket=").toInt).toSet
     val targets = dirty ++ fragmented
-    if (targets.isEmpty) return
-    // eager: the rewrite replaces the very files being read
-    val clean = post.filter($"bucket".isin(targets.toSeq: _*))
-      .filter($"batch_id".isin(committed: _*))
-      .join(del, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
-    clean.repartition(col("bucket"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(s"$path/postings")
-    // a target bucket with zero surviving rows writes no partition —
-    // drop its stale directory explicitly
-    val stillThere = clean.select($"bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
-    (targets -- stillThere).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/postings/bucket=$b"), true)
+    if (targets.nonEmpty) {
+      // eager: the rewrite replaces the very files being read
+      val clean = post.filter($"bucket".isin(targets.toSeq: _*))
+        .filter($"batch_id".isin(committed: _*))
+        .join(del, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      clean.repartition(col("bucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(s"$path/postings")
+      // a target bucket with zero surviving rows writes no partition —
+      // drop its stale directory explicitly
+      val stillThere = clean.select($"bucket").distinct()
+        .collect().map(_.getInt(0)).toSet
+      (targets -- stillThere).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/postings/bucket=$b"), true)
+      }
     }
   }
 
@@ -1612,8 +1748,13 @@ object TextAnalysis {
     * the tombstoned index against. `qPred` overrides the self-test
     * panel predicate (default: every `qMod`-th doc) — the served
     * entries pass a bounded panel like `doc_id < 50`. */
+  /** `servedPred` restricts only the SERVED side (postings and panel)
+    * while corpus statistics stay global — the oracle form of
+    * [[bm25ServeFromLive]]'s staleness-bounded semantics: a deleted
+    * doc is invisible, but N/avgdl/df still count it. */
   def bm25RetrieveSql(k: Int = 10, dfCap: Int = 100, qMod: Int = 20,
-                      pred: String = "TRUE", qPred: String = ""): String =
+                      pred: String = "TRUE", qPred: String = "",
+                      servedPred: String = "TRUE"): String =
     s"""WITH tok AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
        |  WHERE ($pred) AND length(trim(text)) > 0),
@@ -1632,11 +1773,13 @@ object TextAnalysis {
        |         (LEAST((s.n_docs * 100) // dfc.df, 100000) * (44 * s.am * tf.tf))
        |           // (20 * s.am * tf.tf + 6 * s.am + 18000 * d.dl) AS impact
        |  FROM tf JOIN dfc USING (token) JOIN dl d ON d.doc_id = tf.doc_id, stats s),
+       |live AS (SELECT * FROM post WHERE ($servedPred)),
        |q AS (SELECT doc_id AS query_id, token FROM tf
-       |      WHERE ${if (qPred.nonEmpty) qPred else s"doc_id % $qMod = 0"}),
+       |      WHERE (${if (qPred.nonEmpty) qPred else s"doc_id % $qMod = 0"})
+       |        AND ($servedPred)),
        |scores AS (
        |  SELECT q.query_id, p.doc_id, SUM(p.impact) AS score
-       |  FROM post p JOIN q USING (token) GROUP BY 1, 2)
+       |  FROM live p JOIN q USING (token) GROUP BY 1, 2)
        |SELECT query_id, doc_id, CAST(rk AS INT) AS rk, CAST(score AS BIGINT) AS score
        |FROM (SELECT *, row_number() OVER (
        |        PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk

@@ -130,4 +130,58 @@ object Lake {
     * same contract as [[readPartitioned]]). */
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** Thrown when a maintenance writer finds another writer's live
+    * lease on the index — the caller backs off and retries later
+    * (the reference's batch machine defers a claimed batch the same
+    * way: status_claim's conditional-update semantics). */
+  final class ConcurrentMaintenanceException(msg: String)
+    extends RuntimeException(msg)
+
+  private val LockName = "_maintenance_lock"
+
+  /** Run `body` under an EXCLUSIVE maintenance lease on an index
+    * directory. The index commit logs make appends/deletes safe
+    * without coordination (append-only files, commit-last, per-attempt
+    * ids — concurrent appends commute), but the REWRITING maintenance
+    * steps (vacuum, retrain, compact) replace files other maintainers
+    * might be mid-rewrite on, so they must be single-writer. The
+    * lease is an atomic lock-file create (`FileSystem.create` with
+    * overwrite=false — atomic on HDFS; object stores would swap in a
+    * conditional PUT here): first writer wins, the loser gets
+    * [[ConcurrentMaintenanceException]] naming the holder and backs
+    * off. A crashed writer's lock goes stale: a lock older than
+    * `leaseMs` is broken and taken over, so one dead maintainer can
+    * never wedge the index forever. The lock releases on every exit
+    * path, including a thrown body. */
+  def withWriterLock[T](spark: SparkSession, indexPath: String,
+                        owner: String = "maintenance",
+                        leaseMs: Long = 15 * 60 * 1000L)(body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(s"$indexPath/$LockName")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def tryTake(): Boolean =
+      try {
+        val out = fs.create(lock, false)
+        try out.write(owner.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryTake()) {
+      // held — break only a STALE lease (holder presumed dead)
+      val stale =
+        try System.currentTimeMillis - fs.getFileStatus(lock).getModificationTime > leaseMs
+        catch { case _: java.io.FileNotFoundException => true } // released just now
+      if (stale) fs.delete(lock, false)
+      if (!tryTake()) {
+        val holder =
+          try {
+            val in = fs.open(lock)
+            try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+            finally in.close()
+          } catch { case _: java.io.IOException => "unknown" }
+        throw new ConcurrentMaintenanceException(
+          s"index at $indexPath is locked by '$holder'; retry after its lease expires")
+      }
+    }
+    try body finally fs.delete(lock, false)
+  }
 }

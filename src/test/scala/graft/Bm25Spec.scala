@@ -460,4 +460,54 @@ class Bm25Spec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(idx)
     spark.catalog.clearCache()
   }
+
+  test("stale serve: tombstones mask now, survivors keep stale impacts; refresh rebuilds past eps") {
+    val s = spark
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_stale_spec").toFile
+    val docs = mkDocs(40).toDF("doc_id", "text")
+    operators.TextAnalysis.bm25WriteImpactFrom(docs, idx.getAbsolutePath)
+    // k >= corpus so retrieval lists are complete — set-level claims below
+    val full = operators.TextAnalysis.bm25ServeFrom(s, idx.getAbsolutePath,
+      k = 100, qMod = 1).localCheckpoint()
+    val victims = docs.filter(col("doc_id") % 4 === 1).select(col("doc_id"))
+    operators.TextAnalysis.bm25MarkDeleted(s, idx.getAbsolutePath, victims)
+    val live = operators.TextAnalysis.bm25ServeFromLive(s, idx.getAbsolutePath,
+      k = 100, qMod = 1).localCheckpoint()
+    assert(live.filter(col("doc_id") % 4 === 1).count() == 0 &&
+      live.filter(col("query_id") % 4 === 1).count() == 0,
+      "a tombstoned id must never be served, as neighbor or query")
+    // THE stale property: surviving (query, doc, score) triples are
+    // byte-equal to the pre-delete serve's — impacts did not shift
+    val fullSurv = full.filter(col("doc_id") % 4 =!= 1 && col("query_id") % 4 =!= 1)
+      .select("query_id", "doc_id", "score")
+    assert(live.select("query_id", "doc_id", "score").exceptAll(fullSurv).count() == 0 &&
+      fullSurv.exceptAll(live.select("query_id", "doc_id", "score")).count() == 0,
+      "surviving scores must keep their (stale) build-time impacts exactly")
+    // the staleness measure: 10 of 40 docs tombstoned; re-mark is a no-op
+    val fr = operators.TextAnalysis.bm25DeletedFraction(s, idx.getAbsolutePath)
+    assert(math.abs(fr - 0.25) < 1e-9, s"expected fraction 0.25, got $fr")
+    operators.TextAnalysis.bm25MarkDeleted(s, idx.getAbsolutePath, victims)
+    assert(operators.TextAnalysis.bm25DeletedFraction(s, idx.getAbsolutePath) == fr,
+      "re-marking the same victims must not change the fraction")
+    // below eps: refresh declines; above: rebuild on survivors with
+    // fresh stats — parity with from-scratch, tombstones cleared
+    assert(!operators.TextAnalysis.bm25RefreshIfStale(docs, idx.getAbsolutePath, eps = 0.30),
+      "refresh must be a no-op while staleness is within eps")
+    assert(operators.TextAnalysis.bm25RefreshIfStale(docs, idx.getAbsolutePath, eps = 0.20),
+      "refresh must rebuild once staleness exceeds eps")
+    val fresh = operators.TextAnalysis.bm25ServeFromLive(s, idx.getAbsolutePath,
+      k = 100, qMod = 1).localCheckpoint()
+    val ref = operators.TextAnalysis.bm25Of(
+      docs.filter(col("doc_id") % 4 =!= 1), k = 100, qMod = 1)
+    assert(sameResult(fresh, ref),
+      "refreshed serve must equal a from-scratch build on the survivors")
+    assert(operators.TextAnalysis.bm25DeletedFraction(s, idx.getAbsolutePath) == 0.0,
+      "refresh must clear the tombstones it absorbed")
+    // and the rebuild genuinely recomputed: fresh stats shift scores
+    assert(fresh.select("query_id", "doc_id", "score")
+      .exceptAll(live.select("query_id", "doc_id", "score")).count() > 0,
+      "fresh N/df must move at least one score off its stale value")
+    org.apache.commons.io.FileUtils.deleteDirectory(idx)
+    spark.catalog.clearCache()
+  }
 }

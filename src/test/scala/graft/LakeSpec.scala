@@ -107,4 +107,44 @@ class LakeSpec extends AnyFunSuite {
     assert(merged.filter($"batch" === 1 && $"n_chars".isNotNull).count() == 0)
     assert(merged.filter($"batch" === 2 && $"n_chars".isNull).count() == 0)
   }
+
+  test("writer lock: exclusive while held, named loser, released on every exit, stale lease broken") {
+    import graft.sources.Lake
+    val idx = java.nio.file.Files.createTempDirectory("graft_lock").toString
+    // exclusion: a second writer inside the first's lease loses, and
+    // the error names the holder
+    val err = intercept[Lake.ConcurrentMaintenanceException] {
+      Lake.withWriterLock(spark, idx, owner = "writer-a") {
+        Lake.withWriterLock(spark, idx, owner = "writer-b")(fail("must not enter"))
+      }
+    }
+    assert(err.getMessage.contains("writer-a"), s"loser must learn the holder: $err")
+    // release on normal exit: the next writer takes the lease freely
+    Lake.withWriterLock(spark, idx, owner = "writer-c")(())
+    // release on THROWING exit too
+    intercept[RuntimeException] {
+      Lake.withWriterLock(spark, idx, owner = "writer-d")(sys.error("body blew up"))
+    }
+    Lake.withWriterLock(spark, idx, owner = "writer-e")(())
+    // a crashed writer's stale lease (older than leaseMs) is broken
+    // and taken over rather than wedging the index forever
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$idx/_maintenance_lock")
+    val out = fs.create(lock, false); out.write("dead-writer".getBytes); out.close()
+    var entered = false
+    Lake.withWriterLock(spark, idx, owner = "writer-f", leaseMs = 0L) { entered = true }
+    assert(entered, "a stale lease must be broken and taken over")
+    assert(!fs.exists(lock), "the takeover's own lease must release on exit")
+    // and the REWRITING maintenance ops refuse to run under a foreign
+    // live lease (the multi-writer hazard they exist to close)
+    val out2 = fs.create(lock, false); out2.write("live-writer".getBytes); out2.close()
+    intercept[Lake.ConcurrentMaintenanceException] {
+      operators.TextAnalysis.bm25Vacuum(spark, idx)
+    }
+    intercept[Lake.ConcurrentMaintenanceException] {
+      operators.Similarity.ivfCompact(spark, idx)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+  }
 }

@@ -27,6 +27,10 @@ final case class GraftConfig(
     gapMinutes: Int = 30,        // sessionization inactivity gap
     wLex: Int = 2,               // hybrid_serve lexical RRF weight
     wSem: Int = 1,               // hybrid_serve semantic RRF weight
+    dedupBucketCap: Int = 1000,  // LSH bucket cap (minhash/simhash blocking)
+    maxHamming: Int = 8,         // simhash near-dup Hamming radius
+    jaccardThreshold: Double = 0.5, // ngram/cross dedup similarity floor
+    dedupDfCap: Int = 100,       // dedup posting df cap (hot-shingle cutoff)
     sinkMaxAttempts: Int = 3,    // UpsertSink retry budget
     sinkInitialDelayMs: Long = 50) // UpsertSink first backoff
 
@@ -55,6 +59,10 @@ object GraftConfig {
           case "gapMinutes"         => c.copy(gapMinutes = i)
           case "wLex"               => c.copy(wLex = i)
           case "wSem"               => c.copy(wSem = i)
+          case "dedupBucketCap"     => c.copy(dedupBucketCap = i)
+          case "maxHamming"         => c.copy(maxHamming = i)
+          case "jaccardThreshold"   => c.copy(jaccardThreshold = value.toDouble)
+          case "dedupDfCap"         => c.copy(dedupDfCap = i)
           case "sinkMaxAttempts"    => c.copy(sinkMaxAttempts = i)
           case "sinkInitialDelayMs" => c.copy(sinkInitialDelayMs = value.toLong)
           case other => throw new IllegalArgumentException(

@@ -92,11 +92,11 @@ object SparkEntry {
     "mm_phash_cluster"    -> ((s, d) => Multimodal.mmPhashCluster(s, d)),
     // block C — LLM-training-data operators
     "text_exact_dedup"    -> (TextAnalysis.textExactDedup _),
-    "minhash_lsh_dedup"   -> ((s, d) => NearDup.minhashLshDedup(s, d)),
-    "simhash_dedup"       -> ((s, d) => NearDup.simhashDedup(s, d)),
-    "ngram_jaccard_dedup" -> ((s, d) => NearDup.ngramJaccardDedup(s, d)),
-    "cross_dedup"         -> ((s, d) => NearDup.crossDedup(s, d)),
-    "cross_dedup_serve"   -> ((s, d) => NearDup.crossDedupServe(s, d)),
+    "minhash_lsh_dedup"   -> ((s, d) => NearDup.minhashLshDedup(s, d, cfg.dedupBucketCap)),
+    "simhash_dedup"       -> ((s, d) => NearDup.simhashDedup(s, d, cfg.maxHamming, cfg.dedupBucketCap)),
+    "ngram_jaccard_dedup" -> ((s, d) => NearDup.ngramJaccardDedup(s, d, cfg.jaccardThreshold, cfg.dedupDfCap)),
+    "cross_dedup"         -> ((s, d) => NearDup.crossDedup(s, d, cfg.jaccardThreshold, cfg.dedupDfCap)),
+    "cross_dedup_serve"   -> ((s, d) => NearDup.crossDedupServe(s, d, cfg.jaccardThreshold, cfg.dedupDfCap)),
     "stream_dedup_index"  -> ((s, d) => graft.streaming.Streams.streamDedupIndex(s, d)),
     "dedup_cluster"       -> ((s, d) => NearDup.dedupCluster(s, d)),
     "dedup_cluster_star"  -> ((s, d) => NearDup.dedupClusterStar(s, d)),
@@ -201,13 +201,14 @@ object SparkEntry {
     // quantitatively cross-engine in tools/check.py)
     "text_exact_dedup"    -> TextAnalysis.textExactDedupSql,
     "doc_fingerprint"     -> NearDup.docFingerprintSql,
-    "minhash_lsh_dedup"   -> NearDup.minhashLshDedupSql(),
-    "simhash_dedup"       -> NearDup.simhashDedupSql(),
-    "ngram_jaccard_dedup" -> NearDup.ngramJaccardDedupSql(),
-    "cross_dedup"         -> NearDup.crossDedupSql(),
+    "minhash_lsh_dedup"   -> NearDup.minhashLshDedupSql(cfg.dedupBucketCap),
+    "simhash_dedup"       -> NearDup.simhashDedupSql(cfg.maxHamming, cfg.dedupBucketCap),
+    "ngram_jaccard_dedup" -> NearDup.ngramJaccardDedupSql(cfg.jaccardThreshold, cfg.dedupDfCap),
+    "cross_dedup"         -> NearDup.crossDedupSql(cfg.jaccardThreshold, cfg.dedupDfCap),
     // the tombstoned index serve must equal a from-scratch recompute
     // on the surviving reference corpus
-    "cross_dedup_serve"   -> NearDup.crossDedupSql(refPred = "doc_id % 7 <> 0"),
+    "cross_dedup_serve"   -> NearDup.crossDedupSql(cfg.jaccardThreshold, cfg.dedupDfCap,
+      refPred = "doc_id % 7 <> 0"),
     // N streamed appends into the prefix-built index must serve the
     // full-reference answer exactly
     "stream_dedup_index"  -> NearDup.crossDedupSql(),

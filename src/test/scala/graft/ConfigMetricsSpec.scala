@@ -12,8 +12,10 @@ class ConfigMetricsSpec extends AnyFunSuite {
   test("config: defaults, overrides, both separators, strict unknown keys") {
     assert(GraftConfig.parse("") == GraftConfig())
     val c = GraftConfig.parse(
-      "# tuned\ndfCap: 7\ngapMinutes = 5\nsinkInitialDelayMs: 10\n\n")
+      "# tuned\ndfCap: 7\ngapMinutes = 5\nsinkInitialDelayMs: 10\n" +
+        "jaccardThreshold: 0.7\nmaxHamming: 4\n\n")
     assert(c.dfCap == 7 && c.gapMinutes == 5 && c.sinkInitialDelayMs == 10L)
+    assert(c.jaccardThreshold == 0.7 && c.maxHamming == 4)
     assert(c.k == GraftConfig().k, "untouched keys keep their defaults")
     // a typo'd key must fail loudly, not silently fall back
     intercept[IllegalArgumentException](GraftConfig.parse("dfcap: 3"))

@@ -1192,39 +1192,56 @@ object TextAnalysis {
 
   /** [[bm25Write]] from a docs FRAME rather than a corpus dir — the
     * [[bm25RefreshIfStale]] rebuild path needs to build on SURVIVORS,
-    * which is no longer "the corpus at dir". Clears any previous
-    * tombstones at `path`: the fresh impacts already reflect the
-    * surviving corpus, so carrying the old tombstones forward would
-    * delete the victims twice. */
+    * which is no longer "the corpus at dir". The new version starts
+    * with no tombstones (the fresh impacts already reflect the
+    * surviving corpus — carrying the old tombstones forward would
+    * delete the victims twice); the version swap makes that automatic,
+    * since tombstones live INSIDE a version directory. */
   def bm25WriteImpactFrom(docs: DataFrame, path: String,
-                          nBuckets: Int = 16, dfCap: Int = 100): Unit = {
+                          nBuckets: Int = 16, dfCap: Int = 100): Unit =
     bm25WriteImpactTf(bm25TfTable(docs).localCheckpoint(), path, nBuckets, dfCap)
-    val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
-    del.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
-      .delete(del, true)
-  }
 
   /** The impact-layout build (tf = (doc_id, dl, token, tf)). The
     * stats row persists EVERY parameter a later maintenance step
     * needs — n_buckets for routing, df_cap so a refresh rebuilds
     * under the same boilerplate cutoff — the self-description
-    * principle the raw layout's stats_log established. */
+    * principle the raw layout's stats_log established.
+    *
+    * ATOMIC VERSION SWAP ([[graft.sources.Lake.publishVersion]]): the
+    * build lands in a fresh `v=N` directory and becomes visible in one
+    * marker-file create. Unlike the raw layout — whose appends are
+    * incremental and therefore commit via stats-log rows — the impact
+    * layout's only mutations are FULL rebuilds, so versioning costs
+    * nothing extra and buys lock-free readers: a serve that resolved
+    * v=N keeps reading v=N untouched while a refresh publishes v=N+1
+    * (one older version is retained as the in-flight grace period),
+    * and a crashed rebuild leaves an unpublished directory no reader
+    * ever resolves. */
   private def bm25WriteImpactTf(tf: DataFrame, path: String,
-                                nBuckets: Int, dfCap: Int): Unit = {
-    import tf.sparkSession.implicits._
-    val stats = tf.groupBy($"doc_id").agg(first($"dl").as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum($"dl").as("t_tok"))
-      .select($"n_docs", expr("(1000 * t_tok) div n_docs").as("am"),
-        lit(nBuckets).as("n_buckets"), lit(dfCap).as("df_cap"))
-    val dfc = tf.groupBy($"token").agg(count(lit(1)).as("df")).filter($"df" <= dfCap)
-    val post = tf.join(dfc, Seq("token"))
-      .crossJoin(broadcast(stats.select($"n_docs", $"am")))
-      .select(pmod(xxhash64($"token"), lit(nBuckets)).cast("int").as("bucket"),
-        $"token", $"doc_id", expr(bm25ImpactExpr).as("impact"))
-    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-    post.repartition(col("bucket"))
-      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/postings")
-  }
+                                nBuckets: Int, dfCap: Int): Unit =
+    graft.sources.Lake.publishVersion(tf.sparkSession, path) { vdir =>
+      import tf.sparkSession.implicits._
+      val stats = tf.groupBy($"doc_id").agg(first($"dl").as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum($"dl").as("t_tok"))
+        .select($"n_docs", expr("(1000 * t_tok) div n_docs").as("am"),
+          lit(nBuckets).as("n_buckets"), lit(dfCap).as("df_cap"))
+      val dfc = tf.groupBy($"token").agg(count(lit(1)).as("df")).filter($"df" <= dfCap)
+      val post = tf.join(dfc, Seq("token"))
+        .crossJoin(broadcast(stats.select($"n_docs", $"am")))
+        .select(pmod(xxhash64($"token"), lit(nBuckets)).cast("int").as("bucket"),
+          $"token", $"doc_id", expr(bm25ImpactExpr).as("impact"))
+      stats.coalesce(1).write.mode("overwrite").parquet(s"$vdir/stats")
+      post.repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(s"$vdir/postings")
+    }
+
+  /** Resolve the impact index's CURRENT committed version directory —
+    * every public read/tombstone operation resolves once, up front,
+    * then touches only that version's files. */
+  private def impactRoot(spark: SparkSession, path: String): String =
+    graft.sources.Lake.currentVersionDir(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"no committed index version at $path — build with bm25Write first"))
 
   /** BM25 served from a persisted [[bm25Write]] index. An EXTERNAL
     * query batch (query_id, token) routes first: its tokens' hash
@@ -1239,9 +1256,10 @@ object TextAnalysis {
   def bm25ServeFrom(spark: SparkSession, path: String, k: Int = 10,
                     qMod: Int = 20, queries: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
-    val post0 = spark.read.parquet(s"$path/postings")
+    val root = impactRoot(spark, path)
+    val post0 = spark.read.parquet(s"$root/postings")
       .select($"bucket".cast("int").as("bucket"), $"token", $"doc_id", $"impact")
-    bm25ServeRouted(spark, path, post0, k, qMod, queries)
+    bm25ServeRouted(spark, root, post0, k, qMod, queries)
   }
 
   /** The STALENESS-BOUNDED serve of the impact layout: committed
@@ -1258,19 +1276,23 @@ object TextAnalysis {
   def bm25ServeFromLive(spark: SparkSession, path: String, k: Int = 10,
                         qMod: Int = 20, queries: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
-    val post0 = spark.read.parquet(s"$path/postings")
+    val root = impactRoot(spark, path)
+    val post0 = spark.read.parquet(s"$root/postings")
       .select($"bucket".cast("int").as("bucket"), $"token", $"doc_id", $"impact")
-      .join(impactDeletes(spark, path), Seq("doc_id"), "left_anti")
-    bm25ServeRouted(spark, path, post0, k, qMod, queries)
+      .join(impactDeletesAt(spark, root), Seq("doc_id"), "left_anti")
+    bm25ServeRouted(spark, root, post0, k, qMod, queries)
   }
 
-  private def bm25ServeRouted(spark: SparkSession, path: String, post0: DataFrame,
+  /** `root` is a RESOLVED version directory ([[impactRoot]]) — the
+    * whole serve (stats, postings, panel) reads one committed version,
+    * immune to a concurrent refresh's swap. */
+  private def bm25ServeRouted(spark: SparkSession, root: String, post0: DataFrame,
                               k: Int, qMod: Int,
                               queries: Option[DataFrame]): DataFrame = {
     import spark.implicits._
     queries match {
       case Some(q0) =>
-        val nBuckets = spark.read.parquet(s"$path/stats")
+        val nBuckets = spark.read.parquet(s"$root/stats")
           .head().getAs[Int]("n_buckets")
         val q = q0.select($"query_id", $"token").localCheckpoint()
         val buckets = q
@@ -1292,15 +1314,20 @@ object TextAnalysis {
     * [[bm25RefreshIfStale]] for the bound. */
   def bm25MarkDeleted(spark: SparkSession, path: String, ids: DataFrame): Unit =
     ids.select(col("doc_id")).distinct()
-      .coalesce(1).write.mode("append").parquet(s"$path/deletes")
+      .coalesce(1).write.mode("append")
+      .parquet(s"${impactRoot(spark, path)}/deletes")
 
   /** Distinct committed tombstones of an impact index — empty if none
-    * were ever marked. */
-  private[graft] def impactDeletes(spark: SparkSession, path: String): DataFrame = {
+    * were ever marked. Tombstones live INSIDE the version directory:
+    * a refresh's new version starts clean by construction. */
+  private[graft] def impactDeletes(spark: SparkSession, path: String): DataFrame =
+    impactDeletesAt(spark, impactRoot(spark, path))
+
+  private def impactDeletesAt(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
-    val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val del = new org.apache.hadoop.fs.Path(s"$root/deletes")
     if (del.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(del))
-      spark.read.parquet(s"$path/deletes").select($"doc_id").distinct()
+      spark.read.parquet(s"$root/deletes").select($"doc_id").distinct()
     else spark.emptyDataset[Long].toDF("doc_id")
   }
 
@@ -1312,10 +1339,11 @@ object TextAnalysis {
     * metadata-sized tombstone set. */
   def bm25DeletedFraction(spark: SparkSession, path: String): Double = {
     import spark.implicits._
-    val n = spark.read.parquet(s"$path/stats").head().getAs[Long]("n_docs")
+    val root = impactRoot(spark, path)
+    val n = spark.read.parquet(s"$root/stats").head().getAs[Long]("n_docs")
     if (n == 0L) return 0.0
-    val dead = impactDeletes(spark, path)
-      .join(spark.read.parquet(s"$path/postings").select($"doc_id"),
+    val dead = impactDeletesAt(spark, root)
+      .join(spark.read.parquet(s"$root/postings").select($"doc_id"),
         Seq("doc_id"), "left_semi")
       .count()
     dead.toDouble / n
@@ -1335,9 +1363,16 @@ object TextAnalysis {
   def bm25RefreshIfStale(docs: DataFrame, path: String, eps: Double = 0.2): Boolean = {
     val spark = docs.sparkSession
     if (bm25DeletedFraction(spark, path) <= eps) false
-    else {
-      val st = spark.read.parquet(s"$path/stats").head()
-      val survivors = docs.join(impactDeletes(spark, path), Seq("doc_id"), "left_anti")
+    else graft.sources.Lake.withWriterLock(spark, path, "bm25Refresh") {
+      // the lease serializes rebuilds against other REWRITERS; readers
+      // need no lock at all — the rebuild publishes a fresh version
+      // directory atomically (publishVersion), so an unpinned serve
+      // reads either the old complete state or the new complete state,
+      // never a mix, and a crash mid-rebuild is invisible
+      val root = impactRoot(spark, path)
+      val st = spark.read.parquet(s"$root/stats").head()
+      val survivors = docs.join(impactDeletesAt(spark, root),
+        Seq("doc_id"), "left_anti")
       bm25WriteImpactFrom(survivors, path,
         st.getAs[Int]("n_buckets"), st.getAs[Int]("df_cap"))
       true

@@ -131,6 +131,76 @@ object Lake {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  private val VersionsDir = "_versions"
+  private val VersionPrefix = "v="
+
+  /** Committed versions of a version-swapped index at `path`,
+    * ascending. A version is committed iff its marker file exists
+    * under `_versions/` — the marker create is the atomic publish
+    * ([[publishVersion]]), so a half-written version directory is
+    * simply absent from this list. */
+  def committedVersions(spark: SparkSession, path: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/$VersionsDir")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .sorted
+  }
+
+  /** The data directory of the LATEST committed version — what every
+    * reader resolves once at the start of an operation and then reads
+    * exclusively, so a concurrent [[publishVersion]] swap is invisible
+    * to an in-flight read. None if nothing ever committed. */
+  def currentVersionDir(spark: SparkSession, path: String): Option[String] =
+    committedVersions(spark, path).lastOption.map(n => s"$path/$VersionPrefix$n")
+
+  /** ATOMIC VERSION SWAP for indexes whose maintenance REBUILDS the
+    * whole layout (the impact-ordered BM25 index: precomputed impacts
+    * mean a refresh rewrites everything anyway). Writes the new state
+    * into a fresh `v=N` directory, then publishes it with a single
+    * atomic marker-file create — a reader that resolved the previous
+    * version keeps reading it untouched, a reader that resolves after
+    * the marker sees only the complete new state, and a crash before
+    * the marker leaves an uncommitted directory that no reader ever
+    * resolves (the torn-rebuild invisibility the raw layout gets from
+    * its stats-log commit rows). Old versions are retained up to
+    * `keep` deep as the in-flight readers' grace period, then GC'd
+    * along with any torn uncommitted leftovers. Contrast
+    * [[withWriterLock]]: the lease serializes rewriters against each
+    * other; the version swap is what protects the READERS — the
+    * incremental layouts (raw BM25, IVF) rewrite ∝ churn in place
+    * instead, which is their whole point, so their readers pin
+    * commit-log snapshots rather than versions. */
+  def publishVersion[T](spark: SparkSession, path: String, keep: Int = 2)
+                       (build: String => T): T = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = committedVersions(spark, path)
+    // next = 1 + max over committed AND uncommitted dirs, so a torn
+    // rebuild's leftover number is never reused (its stale files could
+    // otherwise shadow the new write)
+    val present =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.filter(_.isDirectory)
+        .flatMap(s => scala.util.Try(
+          s.getPath.getName.stripPrefix(VersionPrefix).toLong).toOption
+          .filter(_ => s.getPath.getName.startsWith(VersionPrefix)))
+    val n = (committed ++ present).foldLeft(0L)(math.max) + 1
+    val out = build(s"$path/$VersionPrefix$n")
+    // the atomic publish: create-no-overwrite of the marker file
+    val marker = new org.apache.hadoop.fs.Path(s"$path/$VersionsDir/$n")
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, false).close()
+    // GC: committed versions below the top `keep`, plus torn leftovers
+    val live = (committed :+ n).sorted.takeRight(keep).toSet
+    (committed ++ present).distinct.filterNot(live).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$VersionPrefix$v"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$VersionsDir/$v"), false)
+    }
+    out
+  }
+
   /** Thrown when a maintenance writer finds another writer's live
     * lease on the index — the caller backs off and retries later
     * (the reference's batch machine defers a claimed batch the same

@@ -118,7 +118,11 @@ class Bm25Spec extends AnyFunSuite {
     val ext = operators.TextAnalysis.bm25ServeFrom(spark, idx.getAbsolutePath,
       k = 50, queries = Some(qTokens))
     val opened = filesOpened(ext)
-    val bucketDirs = new java.io.File(idx, "postings").listFiles()
+    // the impact layout is version-swapped: internals live under the
+    // current committed version directory
+    val vdir = new java.io.File(graft.sources.Lake
+      .currentVersionDir(spark, idx.getAbsolutePath).get)
+    val bucketDirs = new java.io.File(vdir, "postings").listFiles()
       .count(d => d.isDirectory && d.getName.startsWith("bucket="))
     assert(opened <= 2 && opened < bucketDirs,
       s"2-token query must open <= 2 of $bucketDirs bucket dirs, opened $opened")
@@ -507,6 +511,78 @@ class Bm25Spec extends AnyFunSuite {
     assert(fresh.select("query_id", "doc_id", "score")
       .exceptAll(live.select("query_id", "doc_id", "score")).count() > 0,
       "fresh N/df must move at least one score off its stale value")
+    org.apache.commons.io.FileUtils.deleteDirectory(idx)
+    spark.catalog.clearCache()
+  }
+
+  test("atomic version swap: marker-atomic publish, prior version untouched, torn rebuild invisible, GC bounded") {
+    val s = spark
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_vswap").toFile
+    val path = idx.getAbsolutePath
+    val docs = mkDocs(30).toDF("doc_id", "text")
+    operators.TextAnalysis.bm25WriteImpactFrom(docs, path)
+    assert(graft.sources.Lake.committedVersions(s, path) == Seq(1L),
+      "a fresh build must publish exactly version 1")
+    // tombstone the evens INSIDE v=1, then fingerprint every v=1 file
+    operators.TextAnalysis.bm25MarkDeleted(s, path,
+      docs.filter(col("doc_id") % 2 === 0).select(col("doc_id")))
+    def filesOf(d: java.io.File): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[(String, (Long, Long))] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq((f.getAbsolutePath, (f.length, f.lastModified)))
+      walk(d).toMap
+    }
+    val v1 = new java.io.File(idx, "v=1")
+    val v1Files = filesOf(v1)
+    val v1Serve = operators.TextAnalysis.bm25ServeFromLive(s, path,
+      k = 100, qMod = 1).localCheckpoint()
+    // a TORN rebuild = a version directory with data but no marker:
+    // no reader ever resolves it
+    val torn = new java.io.File(idx, "v=7")
+    docs.limit(1).write.parquet(s"${torn.getAbsolutePath}/stats")
+    assert(graft.sources.Lake.currentVersionDir(s, path).get.endsWith("v=1"),
+      "an unpublished version directory must be invisible to readers")
+    // the refresh publishes ATOMICALLY as v=8 — numbering skips past
+    // the torn leftover so its stale files can never shadow the write
+    assert(operators.TextAnalysis.bm25RefreshIfStale(docs, path, eps = 0.1))
+    assert(graft.sources.Lake.committedVersions(s, path) == Seq(1L, 8L),
+      "publish must skip the torn directory's number and retain v=1")
+    // the in-flight readers' grace period: v=1 still complete and
+    // byte-untouched, and still serves its exact pre-swap answer
+    assert(filesOf(v1) == v1Files,
+      "the previous version must survive the swap byte-identically")
+    // a reader that resolved v=1 before the swap reads live files: its
+    // postings (minus its tombstones) still reconstruct the exact
+    // doc set the pre-swap masked serve saw
+    val v1LiveDocs = s.read.parquet(s"$path/v=1/postings")
+      .join(s.read.parquet(s"$path/v=1/deletes"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id")).distinct()
+    assert(v1LiveDocs.count() == 15 &&
+      v1Serve.select(col("doc_id")).distinct()
+        .exceptAll(v1LiveDocs).count() == 0,
+      "an in-flight v=1 reader must still see its complete pinned state")
+    // the new version starts with a clean tombstone slate and serves
+    // the survivor-corpus answer with fresh stats
+    assert(operators.TextAnalysis.bm25DeletedFraction(s, path) == 0.0)
+    val odds = docs.filter(col("doc_id") % 2 =!= 0)
+    assert(sameResult(
+      operators.TextAnalysis.bm25ServeFrom(s, path, k = 100, qMod = 1),
+      operators.TextAnalysis.bm25Of(odds, k = 100, qMod = 1)),
+      "v=8 must serve the from-scratch survivor answer")
+    // second cycle: GC keeps the top two committed versions and
+    // removes both v=1 and the torn leftover
+    operators.TextAnalysis.bm25MarkDeleted(s, path,
+      docs.filter(col("doc_id") === 1).select(col("doc_id")))
+    assert(operators.TextAnalysis.bm25RefreshIfStale(odds, path, eps = 0.01))
+    assert(graft.sources.Lake.committedVersions(s, path) == Seq(8L, 9L),
+      "GC must retain exactly the newest two committed versions")
+    assert(!v1.exists && !torn.exists,
+      "GC must remove the aged-out version and the torn leftover")
+    assert(sameResult(
+      operators.TextAnalysis.bm25ServeFrom(s, path, k = 100, qMod = 1),
+      operators.TextAnalysis.bm25Of(odds.filter(col("doc_id") =!= 1),
+        k = 100, qMod = 1)),
+      "v=9 must serve the twice-survived corpus from scratch")
     org.apache.commons.io.FileUtils.deleteDirectory(idx)
     spark.catalog.clearCache()
   }

@@ -514,8 +514,10 @@ object Similarity {
     * exact index state: appends and deletes that commit after the
     * snapshot stay invisible. Snapshots survive appends/deletes
     * (append-only on disk); retrain and compaction REWRITE cells in
-    * place and invalidate older snapshots — pin maintenance windows
-    * accordingly (single-writer contract). */
+    * place, so a session that must outlive a maintenance window takes
+    * a read pin ([[graft.sources.Lake.pinSnapshot]]) — both refuse to
+    * reclaim while the pin is live, and the pin expires by TTL if the
+    * reader crashes. */
   def ivfSnapshot(spark: SparkSession, path: String): Seq[String] =
     ivfCommitted(spark, path)
 
@@ -606,6 +608,9 @@ object Similarity {
     * (`ann_ivf_retrain`). */
   def ivfRetrain(spark: SparkSession, path: String): Unit =
       graft.sources.Lake.withWriterLock(spark, path, "ivfRetrain") {
+    // retention: retrain rewrites changed cells in place — a live
+    // reader pin still references the pre-migration rows
+    graft.sources.Lake.requireUnpinned(spark, path, "ivfRetrain")
     import spark.implicits._
     // eager: the current LIVE lists (committed batches, tombstones
     // filtered — a deleted vector must not be averaged into the new
@@ -679,6 +684,9 @@ object Similarity {
     * null off-local and compaction would silently never trigger). */
   def ivfCompact(spark: SparkSession, path: String, maxFilesPerCell: Int = 1): Unit =
       graft.sources.Lake.withWriterLock(spark, path, "ivfCompact") {
+    // retention: compaction physically drops tombstoned/orphaned rows
+    // a live reader pin may still reference
+    graft.sources.Lake.requireUnpinned(spark, path, "ivfCompact")
     import spark.implicits._
     val listsPath = new org.apache.hadoop.fs.Path(s"$path/lists")
     val fs = listsPath.getFileSystem(spark.sessionState.newHadoopConf())

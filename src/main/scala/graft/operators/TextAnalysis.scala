@@ -1557,6 +1557,10 @@ object TextAnalysis {
   def bm25Vacuum(spark: SparkSession, path: String,
                  maxFilesPerBucket: Int = 1): Unit =
       graft.sources.Lake.withWriterLock(spark, path, "bm25Vacuum") {
+    // retention: a live reader pin means some snapshot still
+    // references tombstoned/orphaned rows — reclaiming them now would
+    // corrupt that pinned view, so refuse and let the caller retry
+    graft.sources.Lake.requireUnpinned(spark, path, "bm25Vacuum")
     import spark.implicits._
     val (committed, _) = rawIndexMeta(spark, path)
     val post = spark.read.parquet(s"$path/postings")
@@ -1603,7 +1607,10 @@ object TextAnalysis {
     * probe never sees a half-session mix of index versions. O(appends
     * + deletes) driver strings. Snapshots survive appends/deletes
     * (both are append-only on disk); [[bm25Vacuum]] physically
-    * reclaims rows and invalidates older snapshots. */
+    * reclaims rows, so a session that must outlive a maintenance
+    * window takes a read pin ([[graft.sources.Lake.pinSnapshot]]) —
+    * vacuum refuses to reclaim while the pin is live, and the pin
+    * expires by TTL if the reader crashes. */
   def bm25Snapshot(spark: SparkSession, path: String): Seq[String] =
     rawIndexMeta(spark, path)._1
 

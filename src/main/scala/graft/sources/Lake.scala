@@ -201,6 +201,80 @@ object Lake {
     out
   }
 
+  /** Thrown when a physical-reclaim maintenance step (vacuum, compact,
+    * retrain) finds a live reader pin on the index: reclaiming now
+    * could delete rows a pinned snapshot still references. The caller
+    * retries after the pins release or expire. */
+  final class PinnedSnapshotException(msg: String)
+    extends RuntimeException(msg)
+
+  private val PinsDir = "_pins"
+
+  /** Take a READ PIN on an index: while the pin is live, the
+    * physically-reclaiming maintenance steps (vacuum, compact,
+    * retrain — anything that deletes or rewrites rows in place)
+    * refuse to run ([[requireUnpinned]]), so a long probe session
+    * that pinned a commit-log snapshot can never have the rows that
+    * snapshot references reclaimed out from under it. Appends and
+    * deletes do NOT check pins — they are append-only on disk and
+    * cannot invalidate one (that is the snapshot-isolation property
+    * the commit logs already give). The pin carries a TTL: a crashed
+    * reader's pin expires rather than blocking maintenance forever —
+    * the same liveness posture as [[withWriterLock]]'s stale-lease
+    * takeover. Returns the pin id to pass to [[releasePin]]. */
+  def pinSnapshot(spark: SparkSession, indexPath: String,
+                  owner: String = "reader",
+                  ttlMs: Long = 15 * 60 * 1000L): String = {
+    val id = java.util.UUID.randomUUID.toString
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/$PinsDir/$id")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, false)
+    try out.write(s"$owner\n$ttlMs".getBytes("UTF-8")) finally out.close()
+    id
+  }
+
+  /** Release a [[pinSnapshot]] pin; idempotent (a second release, or
+    * releasing an expired-and-cleaned pin, is a no-op). */
+  def releasePin(spark: SparkSession, indexPath: String, pinId: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/$PinsDir/$pinId")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+  }
+
+  /** Owners of the currently LIVE pins on an index. Expired pins
+    * (older than their own TTL — crashed readers) are cleaned up as
+    * they are discovered. */
+  def livePins(spark: SparkSession, indexPath: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$indexPath/$PinsDir")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      val (owner, ttl) =
+        try {
+          val in = fs.open(st.getPath)
+          val txt =
+            try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+            finally in.close()
+          val lines = txt.split("\n", 2)
+          (lines(0), scala.util.Try(lines(1).trim.toLong).getOrElse(0L))
+        } catch { case _: java.io.IOException => ("unknown", 0L) }
+      if (System.currentTimeMillis - st.getModificationTime > ttl) {
+        fs.delete(st.getPath, false) // expired — crashed reader
+        None
+      } else Some(owner)
+    }
+  }
+
+  /** The retention gate a reclaim step calls before deleting rows:
+    * throws [[PinnedSnapshotException]] naming the live pin owners if
+    * any reader still holds one. */
+  def requireUnpinned(spark: SparkSession, indexPath: String, step: String): Unit = {
+    val live = livePins(spark, indexPath)
+    if (live.nonEmpty)
+      throw new PinnedSnapshotException(
+        s"$step on $indexPath would reclaim rows still pinned by " +
+          s"[${live.mkString(", ")}]; retry after the pins release or expire")
+  }
+
   /** Thrown when a maintenance writer finds another writer's live
     * lease on the index — the caller backs off and retries later
     * (the reference's batch machine defers a claimed batch the same

@@ -147,4 +147,61 @@ class LakeSpec extends AnyFunSuite {
     }
     fs.delete(new org.apache.hadoop.fs.Path(idx), true)
   }
+
+  test("snapshot retention: a live read pin blocks physical reclaim; release or expiry unblocks") {
+    import graft.sources.Lake
+    val s = spark
+    import s.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_pin").toString
+    // a raw bm25 index with tombstoned rows a vacuum would reclaim
+    val docs = (0 until 20).map(i =>
+      (i.toLong, s"alpha$i beta${i % 3} gamma${i % 5} delta$i")).toDF("doc_id", "text")
+    operators.TextAnalysis.bm25WriteRaw(docs, idx)
+    // a long probe session resolves its snapshot and pins it, THEN a
+    // concurrent curation pass deletes docs the snapshot still sees
+    val snap = operators.TextAnalysis.bm25Snapshot(s, idx)
+    val pin = Lake.pinSnapshot(s, idx, owner = "probe-1")
+    operators.TextAnalysis.bm25Delete(s, idx,
+      docs.filter($"doc_id" % 2 === 0).select($"doc_id"))
+    val rowsBefore = s.read.parquet(s"$idx/postings").count()
+    val err = intercept[Lake.PinnedSnapshotException] {
+      operators.TextAnalysis.bm25Vacuum(s, idx)
+    }
+    assert(err.getMessage.contains("probe-1"),
+      s"the refusal must name the live pin owner: $err")
+    assert(s.read.parquet(s"$idx/postings").count() == rowsBefore,
+      "a refused vacuum must reclaim nothing")
+    // ... and the refusal must not leak the writer lease
+    Lake.withWriterLock(s, idx, owner = "after-refusal")(())
+    // the pinned serve still reads its complete snapshot
+    val pinned = operators.TextAnalysis.bm25ServeRaw(s, idx, qMod = 1,
+      snapshot = Some(snap))
+    assert(pinned.filter($"doc_id" % 2 === 0).count() > 0,
+      "the pinned snapshot must still see rows a vacuum would drop")
+    // release → vacuum reclaims; pins are idempotent to double-release
+    Lake.releasePin(s, idx, pin)
+    Lake.releasePin(s, idx, pin)
+    operators.TextAnalysis.bm25Vacuum(s, idx)
+    assert(s.read.parquet(s"$idx/postings").count() < rowsBefore,
+      "vacuum must reclaim once the pin is released")
+    // a crashed reader's pin expires by its own TTL instead of
+    // blocking maintenance forever
+    Lake.pinSnapshot(s, idx, owner = "crashed-probe", ttlMs = 0L)
+    Thread.sleep(5)
+    operators.TextAnalysis.bm25Vacuum(s, idx) // must not throw
+    assert(Lake.livePins(s, idx).isEmpty, "expired pins must be cleaned up")
+    // the ivf reclaim steps honor the same gate
+    val pin2 = Lake.pinSnapshot(s, idx, owner = "probe-2")
+    intercept[Lake.PinnedSnapshotException] {
+      operators.Similarity.ivfCompact(s, idx)
+    }
+    intercept[Lake.PinnedSnapshotException] {
+      operators.Similarity.ivfRetrain(s, idx)
+    }
+    Lake.releasePin(s, idx, pin2)
+    val fs2 = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs2.delete(new org.apache.hadoop.fs.Path(idx), true)
+    spark.catalog.clearCache()
+  }
 }

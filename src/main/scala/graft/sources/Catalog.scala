@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CROSS-PROCESS INDEX CATALOG — the persisted form of
+  * [[Lake.sharedIndex]]'s build-once-serve-many economics.
+  *
+  * `sharedIndex` memoizes per (session, key): one process builds a
+  * serving index once and every later caller in that process reuses
+  * it. At deployment scale the builder and the servers are DIFFERENT
+  * processes (a nightly maintenance job; a fleet of query servers),
+  * so the memo must live on disk: a manifest mapping
+  * (kind, key) → (index path, stamp) that any process can read. The
+  * reference keeps exactly this kind of durable claim/registry state
+  * in its status store (pg_engine.py's batch table) — here it is a
+  * tiny parquet log under the catalog root.
+  *
+  * Concurrency posture matches the index commit logs: registration is
+  * an append-only row write that happens AFTER the index files are
+  * complete (commit-last — a crash mid-build leaves an unregistered
+  * directory no reader ever resolves), lookups take the
+  * highest-sequence row per key (two racing builders both land; the
+  * later registration wins, the loser's directory stays until
+  * [[vacuum]]), and vacuum honors [[Lake.requireUnpinned]] read pins
+  * like every other reclaim step.
+  */
+object Catalog {
+
+  private val Manifest = "manifest"
+  private val Store = "store"
+
+  /** All manifest rows (kind, key, path, stamp, seq) — empty frame if
+    * the catalog was never written. */
+  def entries(spark: SparkSession, catalogDir: String): DataFrame = {
+    import spark.implicits._
+    val m = new org.apache.hadoop.fs.Path(s"$catalogDir/$Manifest")
+    if (m.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(m))
+      spark.read.parquet(s"$catalogDir/$Manifest")
+    else Seq.empty[(String, String, String, String, Long)]
+      .toDF("kind", "key", "path", "stamp", "seq")
+  }
+
+  /** Register a COMPLETE index under (kind, key). `path` must already
+    * hold the finished index — this row is the commit that makes it
+    * discoverable. `stamp` records the index state the builder served
+    * from (a snapshot id, a corpus fingerprint, a build date) so a
+    * serving process can judge freshness without opening the index. */
+  def register(spark: SparkSession, catalogDir: String, kind: String,
+               key: String, path: String, stamp: String): Unit = {
+    import spark.implicits._
+    val seq = entries(spark, catalogDir)
+      .agg(coalesce(max($"seq"), lit(0L))).head().getLong(0) + 1L
+    Seq((kind, key, path, stamp, seq))
+      .toDF("kind", "key", "path", "stamp", "seq")
+      .coalesce(1).write.mode("append").parquet(s"$catalogDir/$Manifest")
+  }
+
+  /** Latest registered (path, stamp) for (kind, key) — what a serving
+    * process resolves at startup or per maintenance epoch. */
+  def lookup(spark: SparkSession, catalogDir: String, kind: String,
+             key: String): Option[(String, String)] = {
+    import spark.implicits._
+    entries(spark, catalogDir)
+      .filter($"kind" === kind && $"key" === key)
+      .orderBy($"seq".desc).limit(1)
+      .collect().headOption.map(r =>
+        (r.getAs[String]("path"), r.getAs[String]("stamp")))
+  }
+
+  /** Resolve-or-build: the cross-process [[Lake.sharedIndex]]. A
+    * registered index for (kind, key) is reused as-is — the build
+    * callback never runs, which is the whole economics: one
+    * maintenance process pays the build, every serving process pays a
+    * manifest lookup. On a miss, the index is built into a fresh
+    * per-attempt directory under the catalog's store (unique name —
+    * a racing builder can never clobber a directory a reader already
+    * resolved) and registered commit-last. */
+  def resolveOrBuild(spark: SparkSession, catalogDir: String, kind: String,
+                     key: String, stamp: String = "")
+                    (build: String => Unit): String =
+    lookup(spark, catalogDir, kind, key) match {
+      case Some((path, _)) => path
+      case None =>
+        val dir = s"$catalogDir/$Store/$kind/" +
+          java.util.UUID.randomUUID.toString
+        build(dir)
+        register(spark, catalogDir, kind, key, dir, stamp)
+        dir
+    }
+
+  /** Reclaim store directories no longer referenced by any key's
+    * LATEST registration (superseded rebuilds, racing-builder losers)
+    * and drop their superseded manifest rows. Runs under the writer
+    * lease and refuses while a read pin is live — the same retention
+    * contract as every other physical reclaim. */
+  def vacuum(spark: SparkSession, catalogDir: String): Unit =
+    Lake.withWriterLock(spark, catalogDir, "catalogVacuum") {
+      Lake.requireUnpinned(spark, catalogDir, "catalogVacuum")
+      import spark.implicits._
+      val all = entries(spark, catalogDir)
+      if (!all.isEmpty) {
+        val latest = all.groupBy($"kind", $"key").agg(max($"seq").as("seq"))
+        val keep = all.join(latest, Seq("kind", "key", "seq")).localCheckpoint()
+        val dead = all.join(latest, Seq("kind", "key", "seq"), "left_anti")
+          .select($"path").distinct()
+          // a path re-registered later under any key stays live
+          .join(keep.select($"path"), Seq("path"), "left_anti")
+          .as[String].collect()
+        val fs = new org.apache.hadoop.fs.Path(catalogDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        dead.filter(_.startsWith(s"$catalogDir/$Store/")).foreach { p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), true)
+        }
+        keep.coalesce(1).write.mode("overwrite").parquet(s"$catalogDir/$Manifest")
+      }
+    }
+}

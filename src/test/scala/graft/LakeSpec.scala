@@ -204,4 +204,116 @@ class LakeSpec extends AnyFunSuite {
     fs2.delete(new org.apache.hadoop.fs.Path(idx), true)
     spark.catalog.clearCache()
   }
+
+  test("index catalog: build-once across processes, supersede by seq, vacuum reclaims losers") {
+    import graft.sources.{Catalog, Lake}
+    val s = spark
+    import s.implicits._
+    val cat = java.nio.file.Files.createTempDirectory("graft_catalog").toString
+    val docs = (0 until 25).map(i =>
+      (i.toLong, s"alpha$i beta${i % 3} gamma${i % 5}")).toDF("doc_id", "text")
+    // the MAINTENANCE process: a miss builds and registers commit-last
+    var builds = 0
+    val p1 = Catalog.resolveOrBuild(s, cat, "bm25", "corpus-a dfCap=100",
+      stamp = "epoch-1") { dir =>
+      builds += 1
+      operators.TextAnalysis.bm25WriteImpactFrom(docs, dir)
+    }
+    assert(builds == 1)
+    val servedByBuilder = operators.TextAnalysis
+      .bm25ServeFrom(s, p1, k = 100, qMod = 1).localCheckpoint()
+    // a SERVING process knows only the catalog dir: its resolve must
+    // not rebuild, and must serve the identical answer
+    val p2 = Catalog.resolveOrBuild(s, cat, "bm25", "corpus-a dfCap=100") { _ =>
+      fail("a registered index must never rebuild")
+    }
+    assert(p2 == p1, "both processes must resolve the same index")
+    val servedByServer = operators.TextAnalysis.bm25ServeFrom(s, p2, k = 100, qMod = 1)
+    assert(servedByBuilder.count() == servedByServer.count() &&
+      servedByBuilder.exceptAll(servedByServer).count() == 0,
+      "catalog-resolved serve must equal the builder's serve")
+    // a different key is a different index
+    Catalog.resolveOrBuild(s, cat, "bm25", "corpus-b dfCap=100") { dir =>
+      builds += 1
+      operators.TextAnalysis.bm25WriteImpactFrom(docs.limit(10), dir)
+    }
+    assert(builds == 2, "an unseen key must build")
+    assert(Catalog.lookup(s, cat, "bm25", "nope").isEmpty)
+    // a re-registration supersedes: lookup returns the newest stamp
+    val rebuilt = s"$cat/store/bm25/rebuilt-by-hand"
+    operators.TextAnalysis.bm25WriteImpactFrom(docs, rebuilt)
+    Catalog.register(s, cat, "bm25", "corpus-a dfCap=100", rebuilt, "epoch-2")
+    val (latestPath, latestStamp) =
+      Catalog.lookup(s, cat, "bm25", "corpus-a dfCap=100").get
+    assert(latestPath == rebuilt && latestStamp == "epoch-2",
+      "lookup must resolve the highest-seq registration")
+    // vacuum drops the superseded store dir and its manifest row; a
+    // live read pin blocks it first (same retention contract)
+    val pin = Lake.pinSnapshot(s, cat, owner = "server-1")
+    intercept[Lake.PinnedSnapshotException] { Catalog.vacuum(s, cat) }
+    Lake.releasePin(s, cat, pin)
+    Catalog.vacuum(s, cat)
+    val fs = new org.apache.hadoop.fs.Path(cat)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p1)),
+      "vacuum must reclaim the superseded index directory")
+    assert(Catalog.lookup(s, cat, "bm25", "corpus-a dfCap=100")
+      .exists(_._1 == rebuilt), "the latest registration must survive vacuum")
+    assert(Catalog.entries(s, cat).count() == 2,
+      "only the latest row per key survives vacuum")
+    fs.delete(new org.apache.hadoop.fs.Path(cat), true)
+    spark.catalog.clearCache()
+  }
+
+  test("retention cycle: TTL expiry serves immediately; reclaim defers under a pin, runs next tick") {
+    import graft.sources.Lake
+    val s = spark
+    import s.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_ttl").toString
+    val docs = (0 until 20).map(i =>
+      (i.toLong, s"alpha$i beta${i % 3} gamma${i % 5} word$i")).toDF("doc_id", "text")
+    // the pipeline's landed metadata: docs 0-7 predate the horizon
+    val meta = (0 until 20).map(i =>
+      (i.toLong, java.sql.Date.valueOf(if (i < 8) "2025-01-01" else "2026-06-01")))
+      .toDF("doc_id", "ingested")
+    val cutoff = lit("2026-01-01").cast("date")
+    operators.TextAnalysis.bm25WriteRaw(docs, idx)
+    val rowsBefore = s.read.parquet(s"$idx/postings").count()
+    // tick 1, under a live reader pin: the expiry commits (tombstones
+    // are append-only — they can't invalidate the pin) but the
+    // physical reclaim DEFERS
+    val pin = Lake.pinSnapshot(s, idx, owner = "probe")
+    assert(!operators.Retention.bm25RetentionCycle(s, idx, meta, "ingested", cutoff),
+      "reclaim must defer, not fail, under a live pin")
+    val served = operators.TextAnalysis.bm25ServeRaw(s, idx, qMod = 1)
+    assert(served.filter($"doc_id" < 8).count() == 0 &&
+      served.filter($"query_id" < 8).count() == 0,
+      "expired docs must stop serving immediately, reclaim or not")
+    assert(s.read.parquet(s"$idx/postings").count() == rowsBefore,
+      "a deferred reclaim must not touch the postings")
+    // tick 2, pin released: the re-driven expiry is a no-op
+    // (idempotent) and the vacuum lands
+    Lake.releasePin(s, idx, pin)
+    assert(operators.Retention.bm25RetentionCycle(s, idx, meta, "ingested", cutoff),
+      "the next tick must complete the deferred reclaim")
+    assert(s.read.parquet(s"$idx/postings").count() < rowsBefore,
+      "vacuum must reclaim the expired docs' postings")
+    // the IVF tick: same shape over the vector index
+    val ivf = java.nio.file.Files.createTempDirectory("graft_ttl_ivf").toString
+    val emb = Tables.embeddings(s, sf)
+    operators.Similarity.ivfWriteFrom(emb, ivf)
+    val vmeta = emb.select($"vec_id".as("doc_id"))
+      .withColumn("ingested", when($"doc_id" % 4 === 1, lit("2025-01-01"))
+        .otherwise(lit("2026-06-01")).cast("date"))
+    assert(operators.Retention.ivfRetentionCycle(s, ivf, vmeta, "ingested", cutoff,
+      maxFilesPerCell = 1000))
+    val served2 = operators.Similarity.annIvfServe(s, ivf, nprobe = 10)
+    assert(served2.filter($"neighbor_id" % 4 === 1).count() == 0,
+      "expired vectors must never be served")
+    val fs3 = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs3.delete(new org.apache.hadoop.fs.Path(idx), true)
+    fs3.delete(new org.apache.hadoop.fs.Path(ivf), true)
+    spark.catalog.clearCache()
+  }
 }

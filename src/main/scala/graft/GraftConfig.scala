@@ -32,7 +32,8 @@ final case class GraftConfig(
     jaccardThreshold: Double = 0.5, // ngram/cross dedup similarity floor
     dedupDfCap: Int = 100,       // dedup posting df cap (hot-shingle cutoff)
     sinkMaxAttempts: Int = 3,    // UpsertSink retry budget
-    sinkInitialDelayMs: Long = 50) // UpsertSink first backoff
+    sinkInitialDelayMs: Long = 50, // UpsertSink first backoff
+    catalogDir: String = "")     // durable index catalog root ("" = session-local)
 
 object GraftConfig {
 
@@ -65,6 +66,7 @@ object GraftConfig {
           case "dedupDfCap"         => c.copy(dedupDfCap = i)
           case "sinkMaxAttempts"    => c.copy(sinkMaxAttempts = i)
           case "sinkInitialDelayMs" => c.copy(sinkInitialDelayMs = value.toLong)
+          case "catalogDir"         => c.copy(catalogDir = value)
           case other => throw new IllegalArgumentException(
             s"graft config: unknown key '$other'")
         }

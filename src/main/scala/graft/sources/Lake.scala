@@ -22,25 +22,40 @@ object Lake {
 
   /** Session-lifetime SHARED serving index: `build` runs once per
     * (session, key); every later caller reuses the directory — the
-    * literal build-once-serve-many economics inside one process (at
-    * cluster scale this is a long-lived index table, and this memo
-    * becomes a catalog lookup). READ-ONLY by contract: mutating
-    * lifecycles (the append/delete/vacuum gates) must keep private
-    * scratches via [[withScratchIndex]]. The directory is recursively
-    * deleted at JVM exit — a shutdown hook CAN remove non-empty
-    * dirs, unlike File.deleteOnExit. */
-  def sharedIndex(spark: SparkSession, key: String)(build: String => Unit): String =
+    * literal build-once-serve-many economics inside one process.
+    * READ-ONLY by contract: mutating lifecycles (the append/delete/
+    * vacuum gates) must keep private scratches via
+    * [[withScratchIndex]].
+    *
+    * With a CATALOG configured (`catalogDir` here, or `catalogDir:`
+    * in graft.conf), the memo upgrades to the cross-process form: the
+    * build lands durably in the catalog's store and registers in its
+    * manifest ([[Catalog.resolveOrBuild]]), so a maintenance process
+    * and a fleet of serving processes share one physical index — the
+    * in-session map then only saves the manifest lookup. Without one,
+    * the directory is session-scoped temp space, recursively deleted
+    * at JVM exit (a shutdown hook CAN remove non-empty dirs, unlike
+    * File.deleteOnExit). */
+  def sharedIndex(spark: SparkSession, key: String,
+                  catalogDir: Option[String] = None)
+                 (build: String => Unit): String =
     sharedDirs.synchronized {
       sharedDirs.getOrElseUpdate((spark, key), {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_shared_idx").toString
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          try {
-            val p = new org.apache.hadoop.fs.Path(tmp)
-            p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
-          } catch { case _: Throwable => () }
-        }))
-        build(tmp)
-        tmp
+        val cat = catalogDir.orElse(
+          Some(graft.GraftConfig.ambient.catalogDir).filter(_.nonEmpty))
+        cat match {
+          case Some(c) => Catalog.resolveOrBuild(spark, c, "shared", key)(build)
+          case None =>
+            val tmp = java.nio.file.Files.createTempDirectory("graft_shared_idx").toString
+            Runtime.getRuntime.addShutdownHook(new Thread(() => {
+              try {
+                val p = new org.apache.hadoop.fs.Path(tmp)
+                p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+              } catch { case _: Throwable => () }
+            }))
+            build(tmp)
+            tmp
+        }
       })
     }
 

@@ -13,9 +13,10 @@ class ConfigMetricsSpec extends AnyFunSuite {
     assert(GraftConfig.parse("") == GraftConfig())
     val c = GraftConfig.parse(
       "# tuned\ndfCap: 7\ngapMinutes = 5\nsinkInitialDelayMs: 10\n" +
-        "jaccardThreshold: 0.7\nmaxHamming: 4\n\n")
+        "jaccardThreshold: 0.7\nmaxHamming: 4\ncatalogDir: /idx/catalog\n\n")
     assert(c.dfCap == 7 && c.gapMinutes == 5 && c.sinkInitialDelayMs == 10L)
     assert(c.jaccardThreshold == 0.7 && c.maxHamming == 4)
+    assert(c.catalogDir == "/idx/catalog")
     assert(c.k == GraftConfig().k, "untouched keys keep their defaults")
     // a typo'd key must fail loudly, not silently fall back
     intercept[IllegalArgumentException](GraftConfig.parse("dfcap: 3"))
@@ -43,6 +44,36 @@ class ConfigMetricsSpec extends AnyFunSuite {
     // cap drops it — same retune path a deployment takes via the file
     assert(hits(GraftConfig().dfCap).contains(3L))
     assert(!hits(tuned.dfCap).contains(3L))
+  }
+
+  test("config catalogDir upgrades sharedIndex to the durable cross-process catalog") {
+    val s = spark
+    import s.implicits._
+    val cat = java.nio.file.Files.createTempDirectory("graft_cfg_cat").toString
+    val docs = (0 until 12).map(i => (i.toLong, s"a$i b${i % 2}")).toDF("doc_id", "text")
+    var builds = 0
+    // with a catalog configured, the shared index lands in its store
+    // and registers in its manifest instead of session temp space
+    val dir = graft.sources.Lake.sharedIndex(s, "cfgspec:test-key", Some(cat)) { d =>
+      builds += 1
+      operators.TextAnalysis.bm25WriteImpactFrom(docs, d)
+    }
+    assert(builds == 1 && dir.startsWith(cat),
+      s"a configured catalog must own the shared index dir, got $dir")
+    assert(graft.sources.Catalog.lookup(s, cat, "shared", "cfgspec:test-key")
+      .exists(_._1 == dir), "the build must register in the manifest")
+    // the session memo short-circuits the manifest on repeat calls
+    val again = graft.sources.Lake.sharedIndex(s, "cfgspec:test-key", Some(cat)) {
+      _ => fail("memoized shared index must not rebuild")
+    }
+    assert(again == dir)
+    // and a separate process (no session memo) resolves by manifest
+    val cross = graft.sources.Catalog.resolveOrBuild(s, cat, "shared",
+      "cfgspec:test-key") { _ => fail("cross-process resolve must not rebuild") }
+    assert(cross == dir)
+    val fs = new org.apache.hadoop.fs.Path(cat)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(cat), true)
   }
 
   test("metrics: a measured scope records wall/cpu/rows/shuffle; DataFrame surface") {

@@ -18,8 +18,35 @@ import org.apache.spark.sql.functions._
   * re-drivable, so the cycle can run from cron unsupervised: a
   * deferred reclaim simply happens on the next tick (the reference's
   * re-drivable batch posture, arxiv_etl.py:42-58).
+  *
+  * The tick is SELF-TUNING: the physical reclaim is a rewrite, so it
+  * runs only when the index's own measures say it is worth paying —
+  * the reclaimable row fraction ([[TextAnalysis.bm25ReclaimableFraction]],
+  * [[Similarity.ivfReclaimableFraction]]) exceeds `minReclaim`, or a
+  * partition has fragmented past `maxFiles*`
+  * ([[graft.sources.Lake.fragmentedPartitions]]). Below both
+  * thresholds the tick SKIPS the rewrite and the dead weight simply
+  * accumulates toward a later tick — the
+  * [[TextAnalysis.bm25RefreshIfStale]] ε-posture generalized to the
+  * whole maintenance loop. Tombstones commit unconditionally either
+  * way: expiry is correctness (stop serving NOW), reclaim is
+  * economics (rewrite when worthwhile).
   */
 object Retention {
+
+  /** One maintenance tick's outcome. Only [[Reclaimed]] means the
+    * rewrite ran; the other two are normal cron outcomes, never
+    * errors — and in every case the tick's tombstones are already
+    * committed, so expired docs stopped serving immediately. */
+  sealed trait Tick
+  /** The physical reclaim ran. */
+  case object Reclaimed extends Tick
+  /** Reclaimable fraction ≤ ε and nothing fragmented — the rewrite
+    * isn't worth its cost yet; dead rows wait for a later tick. */
+  case object Skipped extends Tick
+  /** A live reader pin or another maintainer's lease blocks the
+    * reclaim — retry next tick (the re-drivable deferral). */
+  case object Deferred extends Tick
 
   /** Tombstone every doc whose `tsCol` in `meta` is strictly older
     * than `cutoff` from a raw BM25 index. `meta` is the corpus's
@@ -41,34 +68,66 @@ object Retention {
       meta.filter(col(tsCol) < cutoff).select(col("doc_id").as("vec_id")))
 
   /** One scheduled maintenance tick for a raw BM25 index: expire by
-    * age, then attempt the physical reclaim. Returns whether the
-    * vacuum ran — `false` means it was DEFERRED because a reader pin
-    * or another maintainer's lease is live, which is the normal
-    * outcome to retry next tick, never an error. The tombstones are
-    * already committed either way: expired docs stop being served
-    * immediately; only the disk reclaim waits. */
+    * age, measure, then reclaim only when the measures justify the
+    * rewrite (reclaimable fraction > `minReclaim`, or any bucket
+    * fragmented past `maxFilesPerBucket`). [[Skipped]]/[[Deferred]]
+    * are normal outcomes to retry next tick, never errors; the
+    * tombstones are committed either way, so expired docs stop being
+    * served immediately — only the disk reclaim waits. Pass `metrics`
+    * to record the expire/reclaim phases as named scopes (the
+    * operational trail a monitor alerts on). */
   def bm25RetentionCycle(spark: SparkSession, path: String,
                          meta: DataFrame, tsCol: String, cutoff: Column,
-                         maxFilesPerBucket: Int = 1): Boolean = {
-    bm25DeleteOlderThan(spark, path, meta, tsCol, cutoff)
-    try { TextAnalysis.bm25Vacuum(spark, path, maxFilesPerBucket); true }
-    catch {
-      case _: graft.sources.Lake.PinnedSnapshotException => false
-      case _: graft.sources.Lake.ConcurrentMaintenanceException => false
+                         maxFilesPerBucket: Int = 1,
+                         minReclaim: Double = 0.0,
+                         metrics: Option[graft.Metrics] = None): Tick = {
+    scoped(metrics, "bm25_retention_expire") {
+      bm25DeleteOlderThan(spark, path, meta, tsCol, cutoff)
+    }
+    val worth =
+      TextAnalysis.bm25ReclaimableFraction(spark, path) > minReclaim ||
+        graft.sources.Lake.fragmentedPartitions(
+          spark, s"$path/postings", "bucket", maxFilesPerBucket).nonEmpty
+    if (!worth) Skipped
+    else try {
+      scoped(metrics, "bm25_retention_reclaim") {
+        TextAnalysis.bm25Vacuum(spark, path, maxFilesPerBucket)
+      }
+      Reclaimed
+    } catch {
+      case _: graft.sources.Lake.PinnedSnapshotException => Deferred
+      case _: graft.sources.Lake.ConcurrentMaintenanceException => Deferred
     }
   }
 
   /** One scheduled maintenance tick for a persisted IVF index —
-    * [[bm25RetentionCycle]]'s shape: expire by age, then attempt
-    * compaction, deferring (not failing) under a pin or lease. */
+    * [[bm25RetentionCycle]]'s shape: expire by age, then compact only
+    * when the dead-row fraction or cell fragmentation justifies it,
+    * deferring (not failing) under a pin or lease. */
   def ivfRetentionCycle(spark: SparkSession, path: String,
                         meta: DataFrame, tsCol: String, cutoff: Column,
-                        maxFilesPerCell: Int = 1): Boolean = {
-    ivfDeleteOlderThan(spark, path, meta, tsCol, cutoff)
-    try { Similarity.ivfCompact(spark, path, maxFilesPerCell); true }
-    catch {
-      case _: graft.sources.Lake.PinnedSnapshotException => false
-      case _: graft.sources.Lake.ConcurrentMaintenanceException => false
+                        maxFilesPerCell: Int = 1,
+                        minReclaim: Double = 0.0,
+                        metrics: Option[graft.Metrics] = None): Tick = {
+    scoped(metrics, "ivf_retention_expire") {
+      ivfDeleteOlderThan(spark, path, meta, tsCol, cutoff)
+    }
+    val worth =
+      Similarity.ivfReclaimableFraction(spark, path) > minReclaim ||
+        graft.sources.Lake.fragmentedPartitions(
+          spark, s"$path/lists", "cell", maxFilesPerCell).nonEmpty
+    if (!worth) Skipped
+    else try {
+      scoped(metrics, "ivf_retention_reclaim") {
+        Similarity.ivfCompact(spark, path, maxFilesPerCell)
+      }
+      Reclaimed
+    } catch {
+      case _: graft.sources.Lake.PinnedSnapshotException => Deferred
+      case _: graft.sources.Lake.ConcurrentMaintenanceException => Deferred
     }
   }
+
+  private def scoped[T](m: Option[graft.Metrics], name: String)(body: => T): T =
+    m.fold(body)(_.measure(name)(body))
 }

@@ -668,6 +668,28 @@ object Similarity {
     newCent.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Fraction of the on-disk list rows an [[ivfCompact]] would
+    * physically drop — tombstoned or orphaned (uncommitted) over
+    * total. The ε-gate measure for the vector side of the self-tuning
+    * maintenance tick ([[Retention.ivfRetentionCycle]]): compaction
+    * rewrites whole cells, so it should run when there is enough dead
+    * weight to reclaim, not on every tick. One scan reading only
+    * batch_id/neighbor_id (parquet prunes the embedding payload). */
+  def ivfReclaimableFraction(spark: SparkSession, path: String): Double = {
+    import spark.implicits._
+    val committed = ivfCommitted(spark, path)
+    val counts = spark.read.parquet(s"$path/lists")
+      .select($"batch_id", $"neighbor_id")
+      .join(broadcast(ivfTombstones(spark, path, committed))
+        .withColumn("dead", lit(1)), Seq("neighbor_id"), "left_outer")
+      .agg(count(lit(1)).as("total"),
+        sum(when($"dead".isNotNull || !$"batch_id".isin(committed: _*), 1L)
+          .otherwise(0L)).as("reclaimable"))
+      .head()
+    if (counts.getLong(0) == 0L) 0.0
+    else counts.getLong(1).toDouble / counts.getLong(0)
+  }
+
   /** Index maintenance step 2 — COMPACT the fragmentation
     * [[ivfAppend]] accumulates: every append adds a file per touched
     * cell, and a long-running maintenance loop (E12) would otherwise
@@ -690,15 +712,8 @@ object Similarity {
     import spark.implicits._
     val listsPath = new org.apache.hadoop.fs.Path(s"$path/lists")
     val fs = listsPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val cellDirs =
-      if (fs.exists(listsPath))
-        fs.listStatus(listsPath)
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-      else Array.empty[org.apache.hadoop.fs.FileStatus]
-    val fragmented = cellDirs
-      .filter(d => fs.listStatus(d.getPath)
-        .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerCell)
-      .map(_.getPath.getName.stripPrefix("cell=").toInt).toSet
+    val fragmented = graft.sources.Lake.fragmentedPartitions(
+      spark, s"$path/lists", "cell", maxFilesPerCell)
     // compaction doubles as the index's VACUUM: cells carrying orphan
     // (uncommitted) or tombstoned rows rewrite too, dropping the dead
     // rows physically (one scan that reads only cell/batch_id/

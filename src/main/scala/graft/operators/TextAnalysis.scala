@@ -1543,6 +1543,31 @@ object TextAnalysis {
       .coalesce(1).write.mode("append").parquet(s"$path/stats_log")
   }
 
+  /** Fraction of a raw index's posting rows that a [[bm25Vacuum]]
+    * would physically drop — tombstoned or orphaned (uncommitted)
+    * rows over total. The measure a self-tuning maintenance loop
+    * thresholds the rewrite on ([[Retention.bm25RetentionCycle]]'s
+    * ε-gate — the [[bm25RefreshIfStale]] posture generalized to the
+    * raw layout): below ε the vacuum isn't worth its write cost, so
+    * the tick skips it and the fraction simply accumulates toward the
+    * next tick. One scan reading only batch_id/doc_id (parquet prunes
+    * the rest) against metadata-sized tombstones. */
+  def bm25ReclaimableFraction(spark: SparkSession, path: String): Double = {
+    import spark.implicits._
+    val (committed, _) = rawIndexMeta(spark, path)
+    val post = spark.read.parquet(s"$path/postings")
+      .select($"batch_id", $"doc_id")
+    val counts = post
+      .join(rawIndexDeletes(spark, path, committed).withColumn("dead", lit(1)),
+        Seq("doc_id"), "left_outer")
+      .agg(count(lit(1)).as("total"),
+        sum(when($"dead".isNotNull || !$"batch_id".isin(committed: _*), 1L)
+          .otherwise(0L)).as("reclaimable"))
+      .head()
+    if (counts.getLong(0) == 0L) 0.0
+    else counts.getLong(1).toDouble / counts.getLong(0)
+  }
+
   /** VACUUM a raw index: physically drop orphaned (uncommitted) and
     * tombstoned postings, and defragment buckets whose file count
     * exceeded `maxFilesPerBucket` (every append adds a file per
@@ -1574,11 +1599,8 @@ object TextAnalysis {
       .distinct().collect().map(_.getInt(0)).toSet
     val postingsPath = new org.apache.hadoop.fs.Path(s"$path/postings")
     val fs = postingsPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val fragmented = fs.listStatus(postingsPath)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-      .filter(d => fs.listStatus(d.getPath)
-        .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket)
-      .map(_.getPath.getName.stripPrefix("bucket=").toInt).toSet
+    val fragmented = graft.sources.Lake.fragmentedPartitions(
+      spark, s"$path/postings", "bucket", maxFilesPerBucket)
     val targets = dirty ++ fragmented
     if (targets.nonEmpty) {
       // eager: the rewrite replaces the very files being read

@@ -75,13 +75,26 @@ object Catalog {
     * manifest lookup. On a miss, the index is built into a fresh
     * per-attempt directory under the catalog's store (unique name —
     * a racing builder can never clobber a directory a reader already
-    * resolved) and registered commit-last. */
+    * resolved) and registered commit-last.
+    *
+    * FRESHNESS CONTRACT: `stamp` names the corpus state the caller
+    * needs the index built from (a snapshot id, a landed-table
+    * fingerprint, a build epoch). A non-empty `stamp` that differs
+    * from the registration's stamp means the registered index is
+    * STALE for this caller — it rebuilds into a fresh store directory
+    * and supersedes by seq, exactly the hand-rolled
+    * register-a-rebuild flow made automatic. Readers that resolved
+    * the stale path keep reading it untouched until [[vacuum]]
+    * reclaims it (superseded ≠ deleted — the version-grace posture).
+    * An empty `stamp` means "any registered index will do" — the
+    * serving-process default that never rebuilds. */
   def resolveOrBuild(spark: SparkSession, catalogDir: String, kind: String,
                      key: String, stamp: String = "")
                     (build: String => Unit): String =
     lookup(spark, catalogDir, kind, key) match {
-      case Some((path, _)) => path
-      case None =>
+      case Some((path, registered))
+        if stamp.isEmpty || registered == stamp => path
+      case _ =>
         val dir = s"$catalogDir/$Store/$kind/" +
           java.util.UUID.randomUUID.toString
         build(dir)

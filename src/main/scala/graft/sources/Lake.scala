@@ -146,6 +146,25 @@ object Lake {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Hive-partition directories under `dataPath` (named `prefix=N`)
+    * holding more than `maxFiles` parquet files — the fragmentation
+    * measure every append-accumulating layout shares (BM25 buckets,
+    * IVF cells). O(partitions) driver metadata, exactly what a
+    * lakehouse table format keeps in its manifest; listed through the
+    * Hadoop FileSystem API so the maintenance loop works on whatever
+    * filesystem the index lives on. */
+  def fragmentedPartitions(spark: SparkSession, dataPath: String,
+                           prefix: String, maxFiles: Int): Set[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$prefix="))
+      .filter(d => fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFiles)
+      .map(_.getPath.getName.stripPrefix(s"$prefix=").toInt).toSet
+  }
+
   private val VersionsDir = "_versions"
   private val VersionPrefix = "v="
 
@@ -207,8 +226,20 @@ object Lake {
     val marker = new org.apache.hadoop.fs.Path(s"$path/$VersionsDir/$n")
     fs.mkdirs(marker.getParent)
     fs.create(marker, false).close()
-    // GC: committed versions below the top `keep`, plus torn leftovers
-    val live = (committed :+ n).sorted.takeRight(keep).toSet
+    // GC: committed versions below the top `keep` — EXCEPT versions a
+    // live read pin still references ([[pinCurrentVersion]]): the
+    // retention contract extends to the version-swap layout, so a
+    // pinned probe session outlives any number of swaps. A live pin
+    // with NO version recorded (a plain [[pinSnapshot]]) pins every
+    // committed version conservatively — the reader never said which
+    // one it resolved. Torn (uncommitted) leftovers are never
+    // pinnable and always reclaim.
+    val pins = readLivePins(spark, path)
+    val pinned: Set[Long] =
+      if (pins.exists(_.version.isEmpty)) committed.toSet
+      else pins.flatMap(_.version).toSet
+    val live = (committed :+ n).sorted.takeRight(keep).toSet ++
+      (pinned & committed.toSet)
     (committed ++ present).distinct.filterNot(live).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/$VersionPrefix$v"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/$VersionsDir/$v"), false)
@@ -239,12 +270,36 @@ object Lake {
     * takeover. Returns the pin id to pass to [[releasePin]]. */
   def pinSnapshot(spark: SparkSession, indexPath: String,
                   owner: String = "reader",
-                  ttlMs: Long = 15 * 60 * 1000L): String = {
+                  ttlMs: Long = 15 * 60 * 1000L): String =
+    writePin(spark, indexPath, owner, ttlMs, version = None)
+
+  /** Pin the CURRENT committed version of a version-swapped index
+    * ([[publishVersion]] layout) and return (pin id, resolved data
+    * directory). While the pin is live, [[publishVersion]]'s GC
+    * retains that version even after it ages below the `keep` depth —
+    * so a probe session that resolved a version keeps reading
+    * complete files across any number of swaps, and maintenance never
+    * blocks (a swap only ADDS versions; only the aged-out reclaim
+    * waits for the pin). The TTL bounds a crashed reader, like every
+    * other pin. Throws if nothing has ever been published. */
+  def pinCurrentVersion(spark: SparkSession, indexPath: String,
+                        owner: String = "reader",
+                        ttlMs: Long = 15 * 60 * 1000L): (String, String) = {
+    val v = committedVersions(spark, indexPath).lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"pinCurrentVersion: no committed version at $indexPath"))
+    (writePin(spark, indexPath, owner, ttlMs, version = Some(v)),
+      s"$indexPath/$VersionPrefix$v")
+  }
+
+  private def writePin(spark: SparkSession, indexPath: String, owner: String,
+                       ttlMs: Long, version: Option[Long]): String = {
     val id = java.util.UUID.randomUUID.toString
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/$PinsDir/$id")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, false)
-    try out.write(s"$owner\n$ttlMs".getBytes("UTF-8")) finally out.close()
+    val body = s"$owner\n$ttlMs" + version.fold("")(v => s"\n$v")
+    try out.write(body.getBytes("UTF-8")) finally out.close()
     id
   }
 
@@ -255,29 +310,39 @@ object Lake {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
   }
 
-  /** Owners of the currently LIVE pins on an index. Expired pins
-    * (older than their own TTL — crashed readers) are cleaned up as
-    * they are discovered. */
-  def livePins(spark: SparkSession, indexPath: String): Seq[String] = {
+  private final case class LivePin(owner: String, version: Option[Long])
+
+  /** The currently LIVE pins on an index (owner + the version a
+    * [[pinCurrentVersion]] pin resolved, if any). Expired pins (older
+    * than their own TTL — crashed readers) are cleaned up as they are
+    * discovered. */
+  private def readLivePins(spark: SparkSession, indexPath: String): Seq[LivePin] = {
     val dir = new org.apache.hadoop.fs.Path(s"$indexPath/$PinsDir")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.flatMap { st =>
-      val (owner, ttl) =
+      val (owner, ttl, ver) =
         try {
           val in = fs.open(st.getPath)
           val txt =
             try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
             finally in.close()
-          val lines = txt.split("\n", 2)
-          (lines(0), scala.util.Try(lines(1).trim.toLong).getOrElse(0L))
-        } catch { case _: java.io.IOException => ("unknown", 0L) }
+          val lines = txt.split("\n")
+          (lines(0),
+            scala.util.Try(lines(1).trim.toLong).getOrElse(0L),
+            if (lines.length > 2) scala.util.Try(lines(2).trim.toLong).toOption
+            else None)
+        } catch { case _: java.io.IOException => ("unknown", 0L, None) }
       if (System.currentTimeMillis - st.getModificationTime > ttl) {
         fs.delete(st.getPath, false) // expired — crashed reader
         None
-      } else Some(owner)
+      } else Some(LivePin(owner, ver))
     }
   }
+
+  /** Owners of the currently LIVE pins on an index. */
+  def livePins(spark: SparkSession, indexPath: String): Seq[String] =
+    readLivePins(spark, indexPath).map(_.owner)
 
   /** The retention gate a reclaim step calls before deleting rows:
     * throws [[PinnedSnapshotException]] naming the live pin owners if

@@ -283,7 +283,8 @@ class LakeSpec extends AnyFunSuite {
     // are append-only — they can't invalidate the pin) but the
     // physical reclaim DEFERS
     val pin = Lake.pinSnapshot(s, idx, owner = "probe")
-    assert(!operators.Retention.bm25RetentionCycle(s, idx, meta, "ingested", cutoff),
+    assert(operators.Retention.bm25RetentionCycle(s, idx, meta, "ingested", cutoff)
+      == operators.Retention.Deferred,
       "reclaim must defer, not fail, under a live pin")
     val served = operators.TextAnalysis.bm25ServeRaw(s, idx, qMod = 1)
     assert(served.filter($"doc_id" < 8).count() == 0 &&
@@ -294,7 +295,8 @@ class LakeSpec extends AnyFunSuite {
     // tick 2, pin released: the re-driven expiry is a no-op
     // (idempotent) and the vacuum lands
     Lake.releasePin(s, idx, pin)
-    assert(operators.Retention.bm25RetentionCycle(s, idx, meta, "ingested", cutoff),
+    assert(operators.Retention.bm25RetentionCycle(s, idx, meta, "ingested", cutoff)
+      == operators.Retention.Reclaimed,
       "the next tick must complete the deferred reclaim")
     assert(s.read.parquet(s"$idx/postings").count() < rowsBefore,
       "vacuum must reclaim the expired docs' postings")
@@ -306,7 +308,7 @@ class LakeSpec extends AnyFunSuite {
       .withColumn("ingested", when($"doc_id" % 4 === 1, lit("2025-01-01"))
         .otherwise(lit("2026-06-01")).cast("date"))
     assert(operators.Retention.ivfRetentionCycle(s, ivf, vmeta, "ingested", cutoff,
-      maxFilesPerCell = 1000))
+      maxFilesPerCell = 1000) == operators.Retention.Reclaimed)
     val served2 = operators.Similarity.annIvfServe(s, ivf, nprobe = 10)
     assert(served2.filter($"neighbor_id" % 4 === 1).count() == 0,
       "expired vectors must never be served")
@@ -314,6 +316,181 @@ class LakeSpec extends AnyFunSuite {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs3.delete(new org.apache.hadoop.fs.Path(idx), true)
     fs3.delete(new org.apache.hadoop.fs.Path(ivf), true)
+    spark.catalog.clearCache()
+  }
+
+  test("self-tuning tick: reclaim skipped below the ε-gate, runs above it, measures exposed, phases in metrics") {
+    val s = spark
+    import s.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_eps").toString
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"alpha$i beta${i % 3} gamma${i % 5} word$i")).toDF("doc_id", "text")
+    // 2 of 40 docs expire: ~5% of rows reclaimable — real dead weight,
+    // but far below a 50% rewrite threshold
+    val meta = (0 until 40).map(i =>
+      (i.toLong, java.sql.Date.valueOf(if (i < 2) "2025-01-01" else "2026-06-01")))
+      .toDF("doc_id", "ingested")
+    val cutoff = lit("2026-01-01").cast("date")
+    operators.TextAnalysis.bm25WriteRaw(docs, idx)
+    assert(operators.TextAnalysis.bm25ReclaimableFraction(s, idx) == 0.0,
+      "a fresh index has nothing to reclaim")
+    val rowsBefore = s.read.parquet(s"$idx/postings").count()
+    val m = new Metrics(s)
+    assert(operators.Retention.bm25RetentionCycle(s, idx, meta, "ingested", cutoff,
+      maxFilesPerBucket = 1000, minReclaim = 0.5, metrics = Some(m))
+      == operators.Retention.Skipped,
+      "below ε and unfragmented, the tick must skip the rewrite")
+    assert(s.read.parquet(s"$idx/postings").count() == rowsBefore,
+      "a skipped reclaim must not touch the postings")
+    // …but the expiry committed anyway: correctness never waits on ε
+    val served = operators.TextAnalysis.bm25ServeRaw(s, idx, qMod = 1)
+    assert(served.filter($"doc_id" < 2).count() == 0,
+      "expired docs must stop serving even when the reclaim is skipped")
+    val frac = operators.TextAnalysis.bm25ReclaimableFraction(s, idx)
+    assert(frac > 0.0 && frac < 0.5,
+      s"the dead weight must be measurable and below the gate: $frac")
+    // the same tick at a lower threshold pays the rewrite
+    assert(operators.Retention.bm25RetentionCycle(s, idx, meta, "ingested", cutoff,
+      maxFilesPerBucket = 1000, minReclaim = 0.01, metrics = Some(m))
+      == operators.Retention.Reclaimed)
+    assert(s.read.parquet(s"$idx/postings").count() < rowsBefore)
+    assert(operators.TextAnalysis.bm25ReclaimableFraction(s, idx) == 0.0,
+      "after the vacuum the reclaimable fraction must read zero")
+    // the phases landed as named metric scopes (the operational trail)
+    val names = m.snapshot.map(_.name)
+    assert(names.count(_ == "bm25_retention_expire") == 2 &&
+      names.count(_ == "bm25_retention_reclaim") == 1,
+      s"expire on both ticks, reclaim only on the second: $names")
+    // ivf side: the fraction measure agrees with the tombstoned share
+    val ivf = java.nio.file.Files.createTempDirectory("graft_eps_ivf").toString
+    val emb = Tables.embeddings(s, sf)
+    operators.Similarity.ivfWriteFrom(emb, ivf)
+    assert(operators.Similarity.ivfReclaimableFraction(s, ivf) == 0.0)
+    val n = emb.count()
+    operators.Similarity.ivfDelete(s, ivf, emb.filter($"vec_id" % 10 === 0)
+      .select($"vec_id"))
+    val ifrac = operators.Similarity.ivfReclaimableFraction(s, ivf)
+    assert(math.abs(ifrac - emb.filter($"vec_id" % 10 === 0).count().toDouble / n) < 1e-9,
+      s"the ivf fraction must equal the tombstoned share: $ifrac")
+    val vmeta = emb.select($"vec_id".as("doc_id"))
+      .withColumn("ingested", lit("2026-06-01").cast("date"))
+    assert(operators.Retention.ivfRetentionCycle(s, ivf, vmeta, "ingested", cutoff,
+      maxFilesPerCell = 1000, minReclaim = 0.5) == operators.Retention.Skipped,
+      "a tombstoned share below ε must not pay the cell rewrite")
+    assert(operators.Retention.ivfRetentionCycle(s, ivf, vmeta, "ingested", cutoff,
+      maxFilesPerCell = 1000, minReclaim = 0.05) == operators.Retention.Reclaimed)
+    assert(operators.Similarity.ivfReclaimableFraction(s, ivf) == 0.0)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    fs.delete(new org.apache.hadoop.fs.Path(ivf), true)
+    spark.catalog.clearCache()
+  }
+
+  test("version pins: a pinned version survives GC across swaps byte-identically; release reclaims") {
+    val s = spark
+    import s.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_vpin").toFile
+    val path = idx.getAbsolutePath
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"alpha$i beta${i % 3} gamma${i % 5} word$i")).toDF("doc_id", "text")
+    operators.TextAnalysis.bm25WriteImpactFrom(docs, path)
+    // a probe session resolves AND PINS the current version before a
+    // maintenance storm of refresh swaps
+    val (pin, v1dir) = Lake.pinCurrentVersion(s, path, owner = "probe-v")
+    assert(v1dir.endsWith("v=1"))
+    val pinnedServe = operators.TextAnalysis.bm25ServeFromLive(s, path,
+      k = 100, qMod = 1).localCheckpoint()
+    def filesOf(d: java.io.File): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[(String, (Long, Long))] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq((f.getAbsolutePath, (f.length, f.lastModified)))
+      walk(d).toMap
+    }
+    // the tombstone write lands in the still-current v=1 (expected —
+    // it IS the live version until the swap); fingerprint after it,
+    // so the assertion isolates what the SWAPS must not touch
+    operators.TextAnalysis.bm25MarkDeleted(s, path,
+      docs.filter($"doc_id" % 2 === 0).select($"doc_id"))
+    val v1Files = filesOf(new java.io.File(idx, "v=1"))
+    // swap twice: without the pin, v=1 would age below keep=2 and GC
+    assert(operators.TextAnalysis.bm25RefreshIfStale(docs, path, eps = 0.1))
+    operators.TextAnalysis.bm25MarkDeleted(s, path,
+      docs.filter($"doc_id" === 1).select($"doc_id"))
+    assert(operators.TextAnalysis.bm25RefreshIfStale(
+      docs.filter($"doc_id" % 2 =!= 0), path, eps = 0.01))
+    assert(graft.sources.Lake.committedVersions(s, path) == Seq(1L, 2L, 3L),
+      "the pinned version must survive GC beyond the keep depth")
+    assert(filesOf(new java.io.File(idx, "v=1")) == v1Files,
+      "the pinned version must survive byte-identically")
+    // a plain versionless pin is conservative: it retains EVERY
+    // committed version, because the reader never said which one
+    Lake.releasePin(s, path, pin)
+    val anon = Lake.pinSnapshot(s, path, owner = "anon-probe")
+    operators.TextAnalysis.bm25MarkDeleted(s, path,
+      docs.filter($"doc_id" === 3).select($"doc_id"))
+    assert(operators.TextAnalysis.bm25RefreshIfStale(
+      docs.filter(($"doc_id" % 2 =!= 0) && ($"doc_id" =!= 1)), path, eps = 0.01))
+    assert(graft.sources.Lake.committedVersions(s, path) == Seq(1L, 2L, 3L, 4L),
+      "a versionless pin must conservatively retain all committed versions")
+    // release → the next swap GCs back down to the keep depth
+    Lake.releasePin(s, path, anon)
+    operators.TextAnalysis.bm25MarkDeleted(s, path,
+      docs.filter($"doc_id" === 5).select($"doc_id"))
+    assert(operators.TextAnalysis.bm25RefreshIfStale(
+      docs.filter(($"doc_id" % 2 =!= 0) && ($"doc_id" =!= 1) && ($"doc_id" =!= 3)),
+      path, eps = 0.01))
+    assert(graft.sources.Lake.committedVersions(s, path) == Seq(4L, 5L),
+      "with no pins live, GC must return to the keep depth")
+    assert(!new java.io.File(idx, "v=1").exists,
+      "the released version must finally reclaim")
+    // sanity: the pre-storm pinned serve was a real answer
+    assert(pinnedServe.count() > 0)
+    org.apache.commons.io.FileUtils.deleteDirectory(idx)
+    spark.catalog.clearCache()
+  }
+
+  test("catalog freshness: a changed stamp rebuilds and supersedes; matching or empty stamps reuse") {
+    import graft.sources.Catalog
+    val s = spark
+    import s.implicits._
+    val cat = java.nio.file.Files.createTempDirectory("graft_cat_fresh").toString
+    val docs = (0 until 20).map(i =>
+      (i.toLong, s"alpha$i beta${i % 3} gamma${i % 5}")).toDF("doc_id", "text")
+    var builds = 0
+    val p1 = Catalog.resolveOrBuild(s, cat, "bm25", "corpus dfCap=100",
+      stamp = "epoch-1") { dir =>
+      builds += 1
+      operators.TextAnalysis.bm25WriteImpactFrom(docs.limit(10), dir)
+    }
+    // same stamp → fresh enough → reuse; empty stamp → any → reuse
+    assert(Catalog.resolveOrBuild(s, cat, "bm25", "corpus dfCap=100",
+      stamp = "epoch-1") { _ => fail("matching stamp must reuse") } == p1)
+    assert(Catalog.resolveOrBuild(s, cat, "bm25", "corpus dfCap=100") { _ =>
+      fail("empty stamp must reuse any registration") } == p1)
+    assert(builds == 1)
+    // the corpus moved (new landed batch → new fingerprint): the next
+    // maintenance resolve rebuilds and supersedes automatically
+    val p2 = Catalog.resolveOrBuild(s, cat, "bm25", "corpus dfCap=100",
+      stamp = "epoch-2") { dir =>
+      builds += 1
+      operators.TextAnalysis.bm25WriteImpactFrom(docs, dir)
+    }
+    assert(builds == 2 && p2 != p1, "a changed stamp must rebuild")
+    assert(Catalog.lookup(s, cat, "bm25", "corpus dfCap=100")
+      .contains((p2, "epoch-2")), "the rebuild must supersede by seq")
+    // serving processes (empty stamp) now resolve the fresh index; the
+    // stale path still reads fine until vacuum (superseded ≠ deleted)
+    assert(Catalog.resolveOrBuild(s, cat, "bm25", "corpus dfCap=100") { _ =>
+      fail("post-supersede resolve must reuse the fresh index") } == p2)
+    val fs = new org.apache.hadoop.fs.Path(cat)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(p1)))
+    Catalog.vacuum(s, cat)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p1)),
+      "vacuum must reclaim the superseded build")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(p2)))
+    fs.delete(new org.apache.hadoop.fs.Path(cat), true)
     spark.catalog.clearCache()
   }
 }

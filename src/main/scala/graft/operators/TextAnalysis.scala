@@ -49,6 +49,72 @@ object TextAnalysis {
       |       COUNT(*) AS n_copies, MIN(doc_id) AS keeper_id
       |FROM corpus GROUP BY 1""".stripMargin
 
+  /** C30 `line_dedup` — corpus-level duplicated-line removal, the
+    * boilerplate strip every crawl-derived training corpus runs
+    * (C4/RefinedWeb line dedup: navigation chrome, cookie banners and
+    * footers repeat VERBATIM across pages, so any line occurring in
+    * more than one distinct document is struck from all of them).
+    * "Lines" follow F6 `sentence_stats`' segmentation convention —
+    * the synthetic corpus has no newlines or punctuation, so segments
+    * split on the literal token ' the '; real corpora split on '\n'
+    * with the identical plan. Docs reassemble from their surviving
+    * segments in position order (empty string when everything was
+    * boilerplate), with kept/dropped counts for the quality monitor.
+    *
+    * Shape that scales: segment df is one hash aggregation (partial
+    * map-side combine — no window, no sort); the duplicated-line set
+    * is a tiny fraction of distinct lines (boilerplate by definition
+    * concentrates), so the strike join's build side stays small and
+    * AQE broadcasts it at runtime; reassembly is one groupBy with a
+    * bounded per-doc collect (a doc's own segments). Nothing shuffles
+    * the corpus twice. */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame =
+    lineDedupOf(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** [[lineDedup]]'s core over any (doc_id, text) frame — the spec
+    * drives planted-boilerplate and idempotence cases through it. */
+  private[graft] def lineDedupOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lines = docs
+      .select($"doc_id", posexplode(split($"text", " the ")))
+      .select($"doc_id", $"pos", trim($"col").as("line"))
+      .filter($"line" =!= "")
+    val dup = lines.groupBy($"line")
+      .agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" > 1)
+      .select($"line", lit(1).as("dead"))
+    lines.join(dup, Seq("line"), "left_outer")
+      .groupBy($"doc_id")
+      .agg(
+        sum(when($"dead".isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"dead".isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when($"dead".isNull, struct($"pos", $"line")))),
+            x => x.getField("line")),
+          " the ").as("clean_text"))
+  }
+
+  val lineDedupSql: String =
+    """WITH segs AS (
+      |  SELECT doc_id, string_split(text, ' the ') AS parts FROM documents),
+      |lines AS (
+      |  SELECT doc_id, i AS pos, trim(parts[i]) AS line
+      |  FROM segs, unnest(generate_series(1, len(parts))) AS t(i)
+      |  WHERE trim(parts[i]) <> ''),
+      |dup AS (
+      |  SELECT line FROM (SELECT line, COUNT(DISTINCT doc_id) AS df
+      |                    FROM lines GROUP BY 1)
+      |  WHERE df > 1)
+      |SELECT l.doc_id,
+      |       COUNT(*) FILTER (WHERE d.line IS NULL) AS n_kept,
+      |       COUNT(*) FILTER (WHERE d.line IS NOT NULL) AS n_dropped,
+      |       COALESCE(string_agg(CASE WHEN d.line IS NULL THEN l.line END,
+      |                           ' the ' ORDER BY l.pos), '') AS clean_text
+      |FROM lines l LEFT JOIN dup d USING (line)
+      |GROUP BY 1""".stripMargin
+
   /** C8 `lang_id` — n-gram-heuristic language identification: count
     * marker-word hits per candidate language (codegen'd regexp_count),
     * argmax with a fixed precedence for ties. Per-row only. */

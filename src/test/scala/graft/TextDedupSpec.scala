@@ -19,6 +19,44 @@ class TextDedupSpec extends AnyFunSuite {
     assert(df.agg(sum("n_copies")).head().getLong(0) == 2 * nDocs)
   }
 
+  test("line_dedup: planted boilerplate struck everywhere, content intact, idempotent") {
+    val s = spark
+    import s.implicits._
+    // three docs share a verbatim banner segment; each also has
+    // unique content; doc 3 is PURE boilerplate; doc 4 repeats a
+    // segment twice within itself only (df = 1 → must survive)
+    val docs = Seq(
+      (0L, "cookie banner here the alpha content zero"),
+      (1L, "cookie banner here the beta content one"),
+      (2L, "cookie banner here the gamma content two"),
+      (3L, "cookie banner here"),
+      (4L, "self repeat the self repeat")
+    ).toDF("doc_id", "text")
+    val out = operators.TextAnalysis.lineDedupOf(docs)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getString(3)).toSeq == Seq(
+      "alpha content zero", "beta content one", "gamma content two",
+      "", "self repeat the self repeat"),
+      "shared banner struck from every doc; within-doc repeats survive")
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1L), (1L, 1L), (1L, 1L), (0L, 1L), (2L, 0L)))
+    // idempotence: a second pass over the cleaned corpus drops nothing
+    val second = operators.TextAnalysis.lineDedupOf(
+      out.toSeq.map(r => (r.getLong(0), r.getString(3))).toDF("doc_id", "text"))
+    assert(second.agg(sum("n_dropped")).head().getLong(0) == 0L,
+      "line dedup must be idempotent")
+    // corpus invariants at sf: every line is either kept or dropped,
+    // untouched docs reassemble their exact original text
+    val full = operators.TextAnalysis.lineDedup(spark, sf)
+    val untouched = full.filter(col("n_dropped") === 0)
+      .join(Tables.documents(spark, sf), Seq("doc_id"))
+    assert(untouched.count() > 0)
+    assert(untouched.filter(col("clean_text") =!= col("text")).count() == 0,
+      "a doc with nothing dropped must reassemble byte-identically")
+    assert(full.count() == Tables.documents(spark, sf).count(),
+      "every doc must survive as a row, even when emptied")
+  }
+
   test("minhash_lsh_dedup: all planted twins surface with est_jaccard 1.0") {
     val pairs = operators.NearDup.minhashLshDedup(spark, sf)
     val twins = pairs.filter(col("id2") === col("id1") + 1000000L)

@@ -100,6 +100,37 @@ object Retention {
     }
   }
 
+  /** One scheduled maintenance tick for an IMPACT-layout BM25 index
+    * (the version-swapped, rebuild-on-refresh family): expire by age
+    * ([[TextAnalysis.bm25MarkDeleted]] tombstones — serves stop
+    * immediately via the live-serve mask), then let
+    * [[TextAnalysis.bm25RefreshIfStale]] decide the rebuild by its
+    * own ε — the impact layout's reclaim IS the staleness-bounded
+    * refresh, so the self-tuning measure here is the tombstoned doc
+    * fraction, and the rebuilt version publishes atomically
+    * ([[graft.sources.Lake.publishVersion]] — read pins never block
+    * the swap, only the aged version's GC). `docs` is the CURRENT
+    * source corpus the refresh rebuilds from. Defers under another
+    * maintainer's lease, like the other ticks. */
+  def bm25ImpactRetentionCycle(spark: SparkSession, path: String,
+                               docs: DataFrame, meta: DataFrame,
+                               tsCol: String, cutoff: Column,
+                               eps: Double = 0.2,
+                               metrics: Option[graft.Metrics] = None): Tick = {
+    scoped(metrics, "bm25_impact_retention_expire") {
+      TextAnalysis.bm25MarkDeleted(spark, path,
+        meta.filter(col(tsCol) < cutoff).select(col("doc_id")))
+    }
+    try {
+      val rebuilt = scoped(metrics, "bm25_impact_retention_refresh") {
+        TextAnalysis.bm25RefreshIfStale(docs, path, eps)
+      }
+      if (rebuilt) Reclaimed else Skipped
+    } catch {
+      case _: graft.sources.Lake.ConcurrentMaintenanceException => Deferred
+    }
+  }
+
   /** One scheduled maintenance tick for a persisted IVF index —
     * [[bm25RetentionCycle]]'s shape: expire by age, then compact only
     * when the dead-row fraction or cell fragmentation justifies it,

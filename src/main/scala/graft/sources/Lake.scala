@@ -35,16 +35,24 @@ object Lake {
     * in-session map then only saves the manifest lookup. Without one,
     * the directory is session-scoped temp space, recursively deleted
     * at JVM exit (a shutdown hook CAN remove non-empty dirs, unlike
-    * File.deleteOnExit). */
+    * File.deleteOnExit).
+    *
+    * A non-empty `stamp` carries the corpus state the caller needs
+    * the index built from into [[Catalog.resolveOrBuild]]'s freshness
+    * contract: a catalog registration under an older stamp is rebuilt
+    * and superseded instead of served stale. The stamp is part of the
+    * in-session memo key too, so one session observing a corpus
+    * change re-resolves rather than serving its own stale memo. */
   def sharedIndex(spark: SparkSession, key: String,
-                  catalogDir: Option[String] = None)
+                  catalogDir: Option[String] = None,
+                  stamp: String = "")
                  (build: String => Unit): String =
     sharedDirs.synchronized {
-      sharedDirs.getOrElseUpdate((spark, key), {
+      sharedDirs.getOrElseUpdate((spark, s"$key@$stamp"), {
         val cat = catalogDir.orElse(
           Some(graft.GraftConfig.ambient.catalogDir).filter(_.nonEmpty))
         cat match {
-          case Some(c) => Catalog.resolveOrBuild(spark, c, "shared", key)(build)
+          case Some(c) => Catalog.resolveOrBuild(spark, c, "shared", key, stamp)(build)
           case None =>
             val tmp = java.nio.file.Files.createTempDirectory("graft_shared_idx").toString
             Runtime.getRuntime.addShutdownHook(new Thread(() => {

@@ -450,6 +450,87 @@ class LakeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("impact retention tick: expiry serves immediately, refresh gated by ε, defers under a foreign lease") {
+    import graft.sources.Lake
+    val s = spark
+    import s.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_impact_ttl").toString
+    val docs = (0 until 20).map(i =>
+      (i.toLong, s"alpha$i beta${i % 3} gamma${i % 5} word$i")).toDF("doc_id", "text")
+    val meta = (0 until 20).map(i =>
+      (i.toLong, java.sql.Date.valueOf(if (i < 4) "2025-01-01" else "2026-06-01")))
+      .toDF("doc_id", "ingested")
+    val cutoff = lit("2026-01-01").cast("date")
+    operators.TextAnalysis.bm25WriteImpactFrom(docs, idx)
+    // tick 1 at a high ε: the 20% expiry is below threshold — masked
+    // serving, no rebuild, version list untouched
+    assert(operators.Retention.bm25ImpactRetentionCycle(s, idx, docs, meta,
+      "ingested", cutoff, eps = 0.5) == operators.Retention.Skipped)
+    assert(Lake.committedVersions(s, idx) == Seq(1L),
+      "a skipped tick must not publish a version")
+    val served = operators.TextAnalysis.bm25ServeFromLive(s, idx, qMod = 1)
+    assert(served.filter($"doc_id" < 4).count() == 0,
+      "expired docs must stop serving even while the rebuild is skipped")
+    // tick 2 at a lower ε: the refresh rebuilds on the survivors and
+    // publishes atomically; the new version starts with a clean slate
+    assert(operators.Retention.bm25ImpactRetentionCycle(s, idx, docs, meta,
+      "ingested", cutoff, eps = 0.1) == operators.Retention.Reclaimed)
+    assert(Lake.committedVersions(s, idx) == Seq(1L, 2L))
+    assert(operators.TextAnalysis.bm25DeletedFraction(s, idx) == 0.0)
+    // tick 3: nothing newly expired — re-marking already-absent docs
+    // leaves the fraction at zero, so the tick is a cheap no-op
+    assert(operators.Retention.bm25ImpactRetentionCycle(s, idx, docs, meta,
+      "ingested", cutoff, eps = 0.1) == operators.Retention.Skipped)
+    assert(Lake.committedVersions(s, idx) == Seq(1L, 2L))
+    // a clean tick never touches the lease at all …
+    Lake.withWriterLock(s, idx, owner = "other-maintainer") {
+      assert(operators.Retention.bm25ImpactRetentionCycle(s, idx, docs,
+        meta.filter($"doc_id" >= 4), "ingested", cutoff, eps = 0.0)
+        == operators.Retention.Skipped, // nothing expired → skip, no lease touched
+        "a tick with nothing stale must not contend for the lease")
+    }
+    // now make it stale AND hold the lease: the tick defers
+    operators.TextAnalysis.bm25MarkDeleted(s, idx,
+      docs.filter($"doc_id" % 3 === 1).select($"doc_id"))
+    Lake.withWriterLock(s, idx, owner = "other-maintainer") {
+      assert(operators.Retention.bm25ImpactRetentionCycle(s, idx, docs, meta,
+        "ingested", cutoff, eps = 0.1) == operators.Retention.Deferred)
+    }
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    spark.catalog.clearCache()
+  }
+
+  test("sharedIndex stamp: a corpus-state change re-resolves through the catalog's freshness contract") {
+    val s = spark
+    import s.implicits._
+    val cat = java.nio.file.Files.createTempDirectory("graft_shared_stamp").toString
+    var builds = 0
+    def build(tag: String)(dir: String): Unit = {
+      builds += 1
+      Seq((tag, 1L)).toDF("tag", "v").write.parquet(s"$dir/data")
+    }
+    val p1 = graft.sources.Lake.sharedIndex(s, "stampspec:key",
+      Some(cat), stamp = "corpus-v1")(build("a"))
+    assert(builds == 1)
+    // same stamp: in-session memo AND catalog both reuse
+    assert(graft.sources.Lake.sharedIndex(s, "stampspec:key",
+      Some(cat), stamp = "corpus-v1")(build("b")) == p1 && builds == 1)
+    // the corpus moved: the stamped resolve rebuilds and supersedes
+    val p2 = graft.sources.Lake.sharedIndex(s, "stampspec:key",
+      Some(cat), stamp = "corpus-v2")(build("c"))
+    assert(builds == 2 && p2 != p1,
+      "a new stamp must re-resolve instead of serving the stale memo")
+    // an unstamped consumer now resolves the superseded-to index
+    assert(graft.sources.Catalog.lookup(s, cat, "shared", "stampspec:key")
+      .contains((p2, "corpus-v2")))
+    val fs = new org.apache.hadoop.fs.Path(cat)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(cat), true)
+    spark.catalog.clearCache()
+  }
+
   test("catalog freshness: a changed stamp rebuilds and supersedes; matching or empty stamps reuse") {
     import graft.sources.Catalog
     val s = spark

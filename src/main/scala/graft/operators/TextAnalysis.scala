@@ -76,15 +76,29 @@ object TextAnalysis {
   private[graft] def lineDedupOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val lines = docs
-      .select($"doc_id", posexplode(split($"text", " the ")))
-      .select($"doc_id", $"pos", trim($"col").as("line"))
-      .filter($"line" =!= "")
-    val dup = lines.groupBy($"line")
+    val dup = positionedLines(docs).groupBy($"line")
       .agg(countDistinct($"doc_id").as("df"))
       .filter($"df" > 1)
-      .select($"line", lit(1).as("dead"))
-    lines.join(dup, Seq("line"), "left_outer")
+      .select($"line")
+    lineStrike(docs, dup)
+  }
+
+  /** A doc frame exploded to (doc_id, pos, line) under the
+    * ' the '-segmentation convention — position kept for reassembly. */
+  private def positionedLines(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", posexplode(split($"text", " the ")))
+      .select($"doc_id", $"pos", trim($"col").as("line"))
+      .filter($"line" =!= "")
+  }
+
+  /** Strike every occurrence of a `dup` line from `docs` and
+    * reassemble — the shared tail of [[lineDedupOf]] (corpus-derived
+    * strike set) and [[lineDedupServe]] (index-derived strike set). */
+  private def lineStrike(docs: DataFrame, dup: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    positionedLines(docs)
+      .join(dup.select($"line", lit(1).as("dead")), Seq("line"), "left_outer")
       .groupBy($"doc_id")
       .agg(
         sum(when($"dead".isNull, 1L).otherwise(0L)).as("n_kept"),
@@ -113,6 +127,182 @@ object TextAnalysis {
       |       COALESCE(string_agg(CASE WHEN d.line IS NULL THEN l.line END,
       |                           ' the ' ORDER BY l.pos), '') AS clean_text
       |FROM lines l LEFT JOIN dup d USING (line)
+      |GROUP BY 1""".stripMargin
+
+  // ---- C30b: the PERSISTED line-frequency index --------------------
+  //
+  // C30 recomputes segment df from the whole corpus per run; at
+  // 100 TB the accumulated-crawl side must be indexed once and probed
+  // per new batch. Same lifecycle posture as the C4c reference-
+  // signature index (NearDup), the raw BM25 index and the IVF index:
+  //   lines/bucket=*/  (line, doc_id, batch_id) — line-hash bucketed,
+  //                    so a line's whole posting list lives in ONE
+  //                    bucket and a batch probe reads only its own
+  //                    lines' buckets
+  //   deletes/         doc tombstones (commit-gated)
+  //   commits/         (batch_id, n_buckets), written LAST
+  // Serve recomputes df from the live postings (exact under any
+  // append/delete history) and strikes a new batch's lines whose
+  // UNION df — accumulated corpus + the batch itself — exceeds one,
+  // which is exactly [[lineDedup]]'s from-scratch answer on the union
+  // restricted to the new docs (the gate proves it).
+
+  def lineIndexWrite(docs: DataFrame, path: String, nBuckets: Int = 16): Unit =
+    lineIndexAppendRaw(docs, path, Some(nBuckets), overwrite = true)
+
+  /** Fold a new crawl batch into the accumulated line index:
+    * O(batch) — touched buckets gain files, the commit log gains one
+    * row, nothing rewrites. */
+  def lineIndexAppend(docs: DataFrame, path: String): Unit =
+    lineIndexAppendRaw(docs, path, None, overwrite = false)
+
+  /** `commit = false` is the kill-between-writes state the
+    * crash-safety spec drives (postings landed, commit row absent —
+    * invisible to every serve until the re-driven append commits). */
+  private[graft] def lineIndexAppendRaw(docs: DataFrame, path: String,
+                                        nBucketsOpt: Option[Int],
+                                        overwrite: Boolean,
+                                        commit: Boolean = true): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mode = if (overwrite) "overwrite" else "append"
+    val nBuckets = nBucketsOpt.getOrElse(lineIndexMeta(spark, path)._2)
+    val batchId = java.util.UUID.randomUUID.toString
+    if (overwrite) {
+      val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
+      del.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(del, true)
+    }
+    // one row per (doc, line) — df counts DISTINCT docs; postings
+    // first (invisible until the commit row lands) …
+    positionedLines(docs).select($"doc_id", $"line").distinct()
+      .select(pmod(xxhash64($"line"), lit(nBuckets)).cast("int").as("bucket"),
+        $"line", $"doc_id", lit(batchId).as("batch_id"))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode(mode).parquet(s"$path/lines")
+    // … the commit row LAST
+    if (commit)
+      Seq((batchId, nBuckets)).toDF("batch_id", "n_buckets")
+        .coalesce(1).write.mode(mode).parquet(s"$path/commits")
+  }
+
+  private[graft] def lineIndexMeta(spark: SparkSession,
+                                   path: String): (Seq[String], Int) = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/commits")
+      .select($"batch_id", $"n_buckets").collect()
+    val nb = rows.map(_.getInt(1)).distinct
+    require(nb.length == 1,
+      s"inconsistent n_buckets in $path/commits: ${nb.mkString(",")}")
+    (rows.map(_.getString(0)).toSeq, nb.head)
+  }
+
+  private def lineIndexDeletes(spark: SparkSession, path: String,
+                               committed: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    if (del.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(del))
+      spark.read.parquet(s"$path/deletes")
+        .filter($"batch_id".isin(committed: _*)).select($"doc_id")
+    else spark.emptyDataset[Long].toDF("doc_id")
+  }
+
+  /** Tombstone docs out of the line index — their lines stop counting
+    * toward df immediately (a banner that only ever appeared in
+    * since-erased docs is content again); zero posting rewrites;
+    * idempotent; commit row last. */
+  def lineIndexDelete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    import spark.implicits._
+    val (committed, nBuckets) = lineIndexMeta(spark, path)
+    val batchId = java.util.UUID.randomUUID.toString
+    ids.select($"doc_id").distinct()
+      .join(lineIndexDeletes(spark, path, committed), Seq("doc_id"), "left_anti")
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1).write.mode("append").parquet(s"$path/deletes")
+    Seq((batchId, nBuckets)).toDF("batch_id", "n_buckets")
+      .coalesce(1).write.mode("append").parquet(s"$path/commits")
+  }
+
+  /** Strike boilerplate from a NEW crawl batch against the
+    * accumulated index: a line is struck when its distinct-doc count
+    * over (live index ∪ the batch) exceeds one. The index read is
+    * statically pruned to the batch's lines' buckets (distinct bucket
+    * set ≤ nBuckets driver ints) and then semi-restricted to the
+    * batch's own lines — df is only ever needed for lines the batch
+    * contains. `snapshot` pins the serve to a [[lineIndexMeta]]
+    * committed set (the bm25Snapshot posture). */
+  def lineDedupServe(spark: SparkSession, path: String, newDocs: DataFrame,
+                     snapshot: Option[Seq[String]] = None): DataFrame = {
+    import spark.implicits._
+    val (committedNow, nBuckets) = lineIndexMeta(spark, path)
+    val committed = snapshot.getOrElse(committedNow)
+    val dead = lineIndexDeletes(spark, path, committed)
+    val newLines = positionedLines(newDocs).select($"doc_id", $"line")
+      .distinct().localCheckpoint()
+    val buckets = newLines
+      .select(pmod(xxhash64($"line"), lit(nBuckets)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val dfIndex = spark.read.parquet(s"$path/lines")
+      .select($"bucket".cast("int").as("bucket"), $"line", $"doc_id", $"batch_id")
+      .filter($"bucket".isin(buckets: _*))
+      .filter($"batch_id".isin(committed: _*))
+      .join(broadcast(dead), Seq("doc_id"), "left_anti")
+      .join(newLines.select($"line").distinct(), Seq("line"), "left_semi")
+      .groupBy($"line").agg(countDistinct($"doc_id").as("df_ref"))
+    val dfNew = newLines.groupBy($"line")
+      .agg(countDistinct($"doc_id").as("df_new"))
+    val dup = dfNew.join(dfIndex, Seq("line"), "left_outer")
+      .filter(coalesce($"df_ref", lit(0L)) + $"df_new" > 1)
+      .select($"line")
+    lineStrike(newDocs, dup)
+  }
+
+  /** C30b `line_dedup_serve` — the incremental boilerplate strip
+    * under the gate: index 70% of the accumulated corpus → append the
+    * other 30% → tombstone every 7th doc (erasure) → strike a new
+    * crawl batch (every 3rd doc, disjoint ids) against the index.
+    * HASH-EQUAL to [[lineDedup]]'s from-scratch semantics on
+    * (surviving reference ∪ batch) restricted to the batch — df caps
+    * and every strike shift exactly with the appends and deletes. */
+  def lineDedupServeGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val ref = docs.filter($"doc_id" % 3 =!= 0)
+    val neu = docs.filter($"doc_id" % 3 === 0)
+    if (ref.isEmpty || neu.isEmpty)
+      return Seq.empty[(Long, Long, Long, String)]
+        .toDF("doc_id", "n_kept", "n_dropped", "clean_text")
+    val cut = ref.agg(max($"doc_id")).head().getLong(0) * 7 / 10
+    graft.sources.Lake.withScratchIndex(spark, "graft_line_idx") { tmp =>
+      lineIndexWrite(Tables.fanout(ref.filter($"doc_id" <= cut)), tmp)
+      lineIndexAppend(Tables.fanout(ref.filter($"doc_id" > cut)), tmp)
+      lineIndexDelete(spark, tmp, docs.filter($"doc_id" % 7 === 0).select($"doc_id"))
+      lineDedupServe(spark, tmp, Tables.fanout(neu))
+    }
+  }
+
+  val lineDedupServeSql: String =
+    """WITH ref AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id % 3 <> 0 AND doc_id % 7 <> 0),
+      |neu AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+      |corpus AS (SELECT * FROM ref UNION ALL SELECT * FROM neu),
+      |segs AS (
+      |  SELECT doc_id, string_split(text, ' the ') AS parts FROM corpus),
+      |lines AS (
+      |  SELECT doc_id, i AS pos, trim(parts[i]) AS line
+      |  FROM segs, unnest(generate_series(1, len(parts))) AS t(i)
+      |  WHERE trim(parts[i]) <> ''),
+      |dup AS (
+      |  SELECT line FROM (SELECT line, COUNT(DISTINCT doc_id) AS df
+      |                    FROM lines GROUP BY 1)
+      |  WHERE df > 1)
+      |SELECT l.doc_id,
+      |       COUNT(*) FILTER (WHERE d.line IS NULL) AS n_kept,
+      |       COUNT(*) FILTER (WHERE d.line IS NOT NULL) AS n_dropped,
+      |       COALESCE(string_agg(CASE WHEN d.line IS NULL THEN l.line END,
+      |                           ' the ' ORDER BY l.pos), '') AS clean_text
+      |FROM lines l LEFT JOIN dup d USING (line)
+      |WHERE l.doc_id % 3 = 0
       |GROUP BY 1""".stripMargin
 
   /** C8 `lang_id` — n-gram-heuristic language identification: count

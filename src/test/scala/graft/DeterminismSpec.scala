@@ -37,7 +37,8 @@ class DeterminismSpec extends AnyFunSuite {
     "scd2_apply",          // incremental MERGE vs derived boundary
     "stream_scd2_apply",   // three folded MERGEs, checkpointed between
     "bpe_encode",          // driver-collected merges baked as literals
-    "bm25_serve"           // persisted postings round-trip + serve
+    "bm25_serve",          // persisted postings round-trip + serve
+    "line_dedup"           // position-sorted reassembly from collect_list
   )
 
   /** Collect to the driver and normalize — NO cache()/exceptAll here:

@@ -57,6 +57,71 @@ class TextDedupSpec extends AnyFunSuite {
       "every doc must survive as a row, even when emptied")
   }
 
+  test("line_dedup_serve: union-df parity, erasure revives lines, torn append invisible, snapshot pins") {
+    val s = spark
+    import s.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_line_idx_spec").toString
+    // accumulated corpus: a banner shared by two ref docs; a line
+    // shared between ONE ref doc and a new doc; unique content
+    val ref = Seq(
+      (10L, "banner text here the ref alpha"),
+      (11L, "banner text here the ref beta"),
+      (12L, "shared with new the ref gamma")
+    ).toDF("doc_id", "text")
+    val neu = Seq(
+      (20L, "shared with new the new delta"),
+      (21L, "banner text here the new epsilon"),
+      (22L, "only new content")
+    ).toDF("doc_id", "text")
+    operators.TextAnalysis.lineIndexWrite(ref, idx, nBuckets = 4)
+    val served = operators.TextAnalysis.lineDedupServe(s, idx, neu)
+      .orderBy("doc_id").collect()
+    // 'banner text here' df=3 (2 ref + 1 new) → struck; 'shared with
+    // new' df=2 (1 ref + 1 new) → struck; unique lines survive
+    assert(served.map(_.getString(3)).toSeq ==
+      Seq("new delta", "new epsilon", "only new content"))
+    // …and equals the from-scratch union recompute restricted to new
+    val scratch = operators.TextAnalysis.lineDedupOf(ref.unionAll(neu))
+      .filter($"doc_id" >= 20L).orderBy("doc_id").collect()
+    assert(served.toSeq == scratch.toSeq,
+      "index serve must equal from-scratch line_dedup on the union")
+    // snapshot BEFORE maintenance pins the strike decisions
+    val snap = operators.TextAnalysis.lineIndexMeta(s, idx)._1
+    // erasure: doc 11 forgotten → 'banner text here' drops to df 2
+    // (doc 10 + new doc 21) — still struck; erase doc 10 too → df 1
+    // ref-side 0 + new 1 → the banner is CONTENT again for doc 21
+    operators.TextAnalysis.lineIndexDelete(s, idx, Seq(10L, 11L).toDF("doc_id"))
+    val afterErase = operators.TextAnalysis.lineDedupServe(s, idx, neu)
+      .orderBy("doc_id").collect()
+    assert(afterErase.map(_.getString(3)).toSeq ==
+      Seq("new delta", "banner text here the new epsilon", "only new content"),
+      "a line whose other holders were erased must become content again")
+    // the pinned snapshot still sees the pre-erasure state
+    val pinned = operators.TextAnalysis.lineDedupServe(s, idx, neu,
+      snapshot = Some(snap)).orderBy("doc_id").collect()
+    assert(pinned.toSeq == served.toSeq,
+      "a snapshot-pinned serve must be isolated from later deletes")
+    // torn append (postings landed, commit row absent) is invisible;
+    // the re-driven append lands exactly once
+    val late = Seq((13L, "late banner the only new content")).toDF("doc_id", "text")
+    operators.TextAnalysis.lineIndexAppendRaw(late, idx, None,
+      overwrite = false, commit = false)
+    val tornServe = operators.TextAnalysis.lineDedupServe(s, idx, neu)
+      .orderBy("doc_id").collect()
+    assert(tornServe.toSeq == afterErase.toSeq,
+      "a torn append must not change any strike decision")
+    operators.TextAnalysis.lineIndexAppend(late, idx)
+    val afterAppend = operators.TextAnalysis.lineDedupServe(s, idx, neu)
+      .orderBy("doc_id").collect()
+    assert(afterAppend.map(_.getString(3)).toSeq ==
+      Seq("new delta", "banner text here the new epsilon", ""),
+      "the committed append must strike the newly-shared line")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    spark.catalog.clearCache()
+  }
+
   test("minhash_lsh_dedup: all planted twins surface with est_jaccard 1.0") {
     val pairs = operators.NearDup.minhashLshDedup(spark, sf)
     val twins = pairs.filter(col("id2") === col("id1") + 1000000L)

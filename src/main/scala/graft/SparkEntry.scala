@@ -78,6 +78,7 @@ object SparkEntry {
     "bm25_append"         -> ((s, d) => TextAnalysis.bm25AppendServe(s, d, cfg.k, cfg.dfCap, cfg.qMod)),
     "bm25_delete"         -> ((s, d) => TextAnalysis.bm25DeleteServe(s, d, cfg.k, cfg.dfCap, cfg.qMod)),
     "bm25_stale_serve"    -> ((s, d) => TextAnalysis.bm25StaleServe(s, d, cfg.k, cfg.dfCap, cfg.qMod)),
+    "bm25_catalog_serve"  -> ((s, d) => TextAnalysis.bm25CatalogServe(s, d, cfg.k, cfg.dfCap, cfg.qMod)),
     "doc_embed"           -> ((s, d) => TextAnalysis.docEmbed(s, d)),
     "hybrid_retrieve"     -> ((s, d) => TextAnalysis.hybridRetrieve(s, d)),
     "hybrid_serve"        -> ((s, d) => TextAnalysis.hybridServe(s, d, cfg.k, cfg.dfCap,
@@ -259,6 +260,9 @@ object SparkEntry {
     // global (stale), served postings + panel exclude the tombstoned
     "bm25_stale_serve"    -> TextAnalysis.bm25RetrieveSql(cfg.k, cfg.dfCap, cfg.qMod,
       servedPred = "doc_id % 5 <> 3"),
+    // the whole catalog lifecycle (build → supersede-on-drift →
+    // vacuum → fleet lookup) must be answer-invisible
+    "bm25_catalog_serve"  -> TextAnalysis.bm25RetrieveSql(cfg.k, cfg.dfCap, cfg.qMod),
     "doc_embed"           -> TextAnalysis.docEmbedSql(),
     "hybrid_retrieve"     -> TextAnalysis.hybridRetrieveSql(),
     "hybrid_serve"        -> TextAnalysis.hybridServeSql(cfg.k, cfg.dfCap, cfg.nQueries,

@@ -161,4 +161,78 @@ object Retention {
 
   private def scoped[T](m: Option[graft.Metrics], name: String)(body: => T): T =
     m.fold(body)(_.measure(name)(body))
+
+  /** The index families the sweep can maintain. */
+  sealed trait IndexKind
+  /** A raw appendable BM25 index ([[TextAnalysis.bm25WriteRaw]]). */
+  case object RawBm25 extends IndexKind
+  /** A persisted IVF index ([[Similarity.ivfWriteFrom]]). */
+  case object Ivf extends IndexKind
+
+  /** One index under the sweep's care: where it lives, which family's
+    * forget/reclaim paths apply, and the expiry rule (metadata frame +
+    * timestamp column + cutoff). */
+  final case class Maintained(name: String, kind: IndexKind, path: String,
+                              meta: DataFrame, tsCol: String, cutoff: Column,
+                              maxFiles: Int = 1)
+
+  /** One maintenance SWEEP over a fleet of indexes — the scheduling
+    * policy on top of the per-index ticks: EXPIRE everywhere first
+    * (tombstones are correctness and always commit — no budget ever
+    * delays an erasure), then reclaim in descending order of each
+    * index's measured dead weight ([[TextAnalysis.bm25ReclaimableFraction]] /
+    * [[Similarity.ivfReclaimableFraction]]), at most `maxReclaims`
+    * rewrites per sweep. Below-ε indexes [[Skipped]]; over-budget,
+    * pinned or leased ones [[Deferred]] — both normal outcomes the
+    * next sweep retries, so a nightly cron spends its rewrite budget
+    * where the measured reclaim is largest and converges over sweeps.
+    * Fragmented-but-clean indexes count as worth reclaiming (many
+    * small files tax every probe) and sort by their dead-row fraction
+    * like the rest. */
+  def retentionSweep(spark: SparkSession, indexes: Seq[Maintained],
+                     minReclaim: Double = 0.0,
+                     maxReclaims: Int = Int.MaxValue,
+                     metrics: Option[graft.Metrics] = None): Map[String, Tick] = {
+    indexes.foreach { ix =>
+      scoped(metrics, s"sweep_expire_${ix.name}") {
+        ix.kind match {
+          case RawBm25 => bm25DeleteOlderThan(spark, ix.path, ix.meta, ix.tsCol, ix.cutoff)
+          case Ivf     => ivfDeleteOlderThan(spark, ix.path, ix.meta, ix.tsCol, ix.cutoff)
+        }
+      }
+    }
+    val measured = indexes.map { ix =>
+      val (frac, fragmented) = ix.kind match {
+        case RawBm25 => (TextAnalysis.bm25ReclaimableFraction(spark, ix.path),
+          graft.sources.Lake.fragmentedPartitions(
+            spark, s"${ix.path}/postings", "bucket", ix.maxFiles).nonEmpty)
+        case Ivf => (Similarity.ivfReclaimableFraction(spark, ix.path),
+          graft.sources.Lake.fragmentedPartitions(
+            spark, s"${ix.path}/lists", "cell", ix.maxFiles).nonEmpty)
+      }
+      (ix, frac, fragmented)
+    }
+    val (worth, below) = measured.partition {
+      case (_, frac, fragmented) => frac > minReclaim || fragmented
+    }
+    val ordered = worth.sortBy { case (_, frac, _) => -frac }
+    val outcomes = ordered.zipWithIndex.map { case ((ix, _, _), i) =>
+      ix.name -> {
+        if (i >= maxReclaims) Deferred
+        else try {
+          scoped(metrics, s"sweep_reclaim_${ix.name}") {
+            ix.kind match {
+              case RawBm25 => TextAnalysis.bm25Vacuum(spark, ix.path, ix.maxFiles)
+              case Ivf     => Similarity.ivfCompact(spark, ix.path, ix.maxFiles)
+            }
+          }
+          Reclaimed: Tick
+        } catch {
+          case _: graft.sources.Lake.PinnedSnapshotException => Deferred
+          case _: graft.sources.Lake.ConcurrentMaintenanceException => Deferred
+        }
+      }
+    }
+    (outcomes ++ below.map { case (ix, _, _) => ix.name -> (Skipped: Tick) }).toMap
+  }
 }

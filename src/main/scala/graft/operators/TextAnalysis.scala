@@ -2025,6 +2025,52 @@ object TextAnalysis {
     bm25ServeFrom(spark, sharedImpactIndex(spark, dir, dfCap), k, qMod)
   }
 
+  /** C23f `bm25_catalog_serve` — the CROSS-PROCESS deployment story
+    * composed end-to-end under the gate: a maintenance process builds
+    * the epoch-1 index (70% of the corpus) into a catalog
+    * ([[graft.sources.Catalog.resolveOrBuild]], commit-last
+    * registration), the corpus drifts, the stamped epoch-2 resolve
+    * REBUILDS on the full corpus and supersedes by seq (the freshness
+    * contract — no stale serve), `Catalog.vacuum` reclaims the
+    * superseded epoch-1 store under the lease+pin retention gates,
+    * and a serving process that knows only the catalog root resolves
+    * by manifest lookup and serves. HASH-EQUAL to `bm25_retrieve` on
+    * the full corpus — the whole catalog lifecycle must be
+    * answer-invisible. The spec additionally pins the epoch-1 fleet
+    * serve (lookup parity before the drift) and the physical reclaim
+    * of the superseded build. */
+  def bm25CatalogServe(spark: SparkSession, dir: String, k: Int = 10,
+                       dfCap: Int = 100, qMod: Int = 20): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    if (tfTableFor(spark, dir).isEmpty)
+      return Seq.empty[(Long, Long, Int, Long)]
+        .toDF("query_id", "doc_id", "rk", "score")
+    val cut = docs.agg(max($"doc_id")).head().getLong(0) * 7 / 10
+    val key = s"corpus:$dir dfCap=$dfCap"
+    graft.sources.Lake.withScratchIndex(spark, "graft_catalog_srv") { cat =>
+      // nightly maintenance, epoch 1: index the corpus as of the cut
+      graft.sources.Catalog.resolveOrBuild(spark, cat, "bm25impact", key,
+        stamp = "epoch-1") { d =>
+        bm25WriteImpactFrom(Tables.fanout(docs.filter($"doc_id" <= cut)), d,
+          dfCap = dfCap)
+      }
+      // the corpus drifted: the stamped epoch-2 resolve rebuilds on
+      // the full corpus and supersedes — never serves stale
+      graft.sources.Catalog.resolveOrBuild(spark, cat, "bm25impact", key,
+        stamp = "epoch-2") { d =>
+        bm25WriteImpactFrom(Tables.fanout(docs), d, dfCap = dfCap)
+      }
+      // reclaim the superseded epoch-1 store (lease + pin gates)
+      graft.sources.Catalog.vacuum(spark, cat)
+      // a serving process: manifest lookup only, then serve
+      val (path, stamp) =
+        graft.sources.Catalog.lookup(spark, cat, "bm25impact", key).get
+      require(stamp == "epoch-2", s"fleet must resolve the fresh epoch: $stamp")
+      bm25ServeFrom(spark, path, k, qMod)
+    }
+  }
+
   /** The (doc_id, dl, token, tf) table BM25 builds on. `dl` rides
     * THROUGH the tf aggregate as a functionally-dependent grouping
     * column (constant per doc_id — zero extra shuffle volume), so the

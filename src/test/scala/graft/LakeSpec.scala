@@ -11,6 +11,10 @@ import java.nio.file.{Files, Paths}
 class LakeSpec extends AnyFunSuite {
   import TestSpark._
 
+  private def sameResult(a: org.apache.spark.sql.DataFrame,
+                         b: org.apache.spark.sql.DataFrame): Boolean =
+    a.count() == b.count() && a.exceptAll(b).count() == 0
+
   private def tmp(name: String): String = {
     val d = Files.createTempDirectory(s"graft_$name").toFile
     d.deleteOnExit()
@@ -527,6 +531,94 @@ class LakeSpec extends AnyFunSuite {
       .contains((p2, "corpus-v2")))
     val fs = new org.apache.hadoop.fs.Path(cat)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(cat), true)
+    spark.catalog.clearCache()
+  }
+
+  test("retention sweep: expiry always commits, rewrite budget spent highest-dead-weight-first, converges") {
+    import operators.Retention
+    val s = spark
+    import s.implicits._
+    def mkIdx(n: Int, nOld: Int): (String, org.apache.spark.sql.DataFrame) = {
+      val idx = java.nio.file.Files.createTempDirectory("graft_sweep").toString
+      val docs = (0 until n).map(i =>
+        (i.toLong, s"alpha$i beta${i % 3} gamma${i % 5} word$i")).toDF("doc_id", "text")
+      operators.TextAnalysis.bm25WriteRaw(docs, idx)
+      val meta = (0 until n).map(i =>
+        (i.toLong, java.sql.Date.valueOf(if (i < nOld) "2025-01-01" else "2026-06-01")))
+        .toDF("doc_id", "ingested")
+      (idx, meta)
+    }
+    val cutoff = lit("2026-01-01").cast("date")
+    val (heavy, heavyMeta) = mkIdx(20, 10) // ~50% expires
+    val (light, lightMeta) = mkIdx(20, 2)  // ~10% expires
+    val fleet = Seq(
+      Retention.Maintained("heavy", Retention.RawBm25, heavy, heavyMeta, "ingested", cutoff,
+        maxFiles = 1000),
+      Retention.Maintained("light", Retention.RawBm25, light, lightMeta, "ingested", cutoff,
+        maxFiles = 1000))
+    // sweep 1, budget = one rewrite: the heavier index wins the slot,
+    // the lighter defers — but BOTH stop serving their expired docs
+    val r1 = Retention.retentionSweep(s, fleet, maxReclaims = 1)
+    assert(r1 == Map("heavy" -> Retention.Reclaimed, "light" -> Retention.Deferred), s"$r1")
+    val lightServe = operators.TextAnalysis.bm25ServeRaw(s, light, qMod = 1)
+    assert(lightServe.filter($"doc_id" < 2).count() == 0,
+      "a deferred index's expiry must still serve-mask immediately")
+    assert(operators.TextAnalysis.bm25ReclaimableFraction(s, heavy) == 0.0)
+    assert(operators.TextAnalysis.bm25ReclaimableFraction(s, light) > 0.0)
+    // sweep 2: the deferred reclaim lands; the already-clean index
+    // skips (no dead weight, no fragmentation at this threshold)
+    val r2 = Retention.retentionSweep(s, fleet, maxReclaims = 1)
+    assert(r2 == Map("light" -> Retention.Reclaimed, "heavy" -> Retention.Skipped), s"$r2")
+    assert(operators.TextAnalysis.bm25ReclaimableFraction(s, light) == 0.0)
+    // a pinned index defers even inside the budget
+    operators.TextAnalysis.bm25Delete(s, heavy,
+      (10 until 12).map(_.toLong).toDF("doc_id"))
+    val pin = Lake.pinSnapshot(s, heavy, owner = "sweep-probe")
+    val r3 = Retention.retentionSweep(s, fleet.take(1))
+    assert(r3 == Map("heavy" -> Retention.Deferred), s"$r3")
+    Lake.releasePin(s, heavy, pin)
+    val fs = new org.apache.hadoop.fs.Path(heavy)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(heavy), true)
+    fs.delete(new org.apache.hadoop.fs.Path(light), true)
+    spark.catalog.clearCache()
+  }
+
+  test("bm25_catalog_serve lifecycle: epoch-1 fleet parity, drift supersedes, vacuum reclaims") {
+    import graft.sources.Catalog
+    val s = spark
+    import s.implicits._
+    val cat = java.nio.file.Files.createTempDirectory("graft_cat_srv").toString
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"alpha$i beta${i % 3} gamma${i % 5} word$i")).toDF("doc_id", "text")
+    val p1 = Catalog.resolveOrBuild(s, cat, "bm25impact", "spec-corpus",
+      stamp = "epoch-1") { d =>
+      operators.TextAnalysis.bm25WriteImpactFrom(docs.filter($"doc_id" <= 20), d)
+    }
+    // the serving fleet: lookup-only resolve, epoch-1 answer parity
+    val fleet1 = operators.TextAnalysis.bm25ServeFrom(s,
+      Catalog.lookup(s, cat, "bm25impact", "spec-corpus").get._1,
+      k = 100, qMod = 1).localCheckpoint()
+    assert(sameResult(fleet1, operators.TextAnalysis.bm25Of(
+      docs.filter($"doc_id" <= 20), k = 100, qMod = 1)),
+      "the fleet's catalog-resolved serve must equal the from-scratch answer")
+    // drift → supersede → vacuum → the fleet serves the new epoch
+    Catalog.resolveOrBuild(s, cat, "bm25impact", "spec-corpus",
+      stamp = "epoch-2") { d =>
+      operators.TextAnalysis.bm25WriteImpactFrom(docs, d)
+    }
+    Catalog.vacuum(s, cat)
+    val fs = new org.apache.hadoop.fs.Path(cat)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p1)),
+      "vacuum must reclaim the superseded epoch-1 store")
+    val (p2, stamp2) = Catalog.lookup(s, cat, "bm25impact", "spec-corpus").get
+    assert(stamp2 == "epoch-2")
+    assert(sameResult(
+      operators.TextAnalysis.bm25ServeFrom(s, p2, k = 100, qMod = 1),
+      operators.TextAnalysis.bm25Of(docs, k = 100, qMod = 1)),
+      "the post-drift fleet serve must equal the full-corpus answer")
     fs.delete(new org.apache.hadoop.fs.Path(cat), true)
     spark.catalog.clearCache()
   }

@@ -101,6 +101,7 @@ object SparkEntry {
     "cross_dedup"         -> ((s, d) => NearDup.crossDedup(s, d, cfg.jaccardThreshold, cfg.dedupDfCap)),
     "cross_dedup_serve"   -> ((s, d) => NearDup.crossDedupServe(s, d, cfg.jaccardThreshold, cfg.dedupDfCap)),
     "stream_dedup_index"  -> ((s, d) => graft.streaming.Streams.streamDedupIndex(s, d)),
+    "stream_line_index"   -> ((s, d) => graft.streaming.Streams.streamLineIndex(s, d)),
     "dedup_cluster"       -> ((s, d) => NearDup.dedupCluster(s, d)),
     "dedup_cluster_star"  -> ((s, d) => NearDup.dedupClusterStar(s, d)),
     "dedup_keep_best"     -> ((s, d) => NearDup.dedupKeepBest(s, d)),
@@ -204,7 +205,9 @@ object SparkEntry {
     // quantitatively cross-engine in tools/check.py)
     "text_exact_dedup"    -> TextAnalysis.textExactDedupSql,
     "line_dedup"          -> TextAnalysis.lineDedupSql,
-    "line_dedup_serve"    -> TextAnalysis.lineDedupServeSql,
+    "line_dedup_serve"    -> TextAnalysis.lineDedupServeSql(),
+    // stream fold keeps the whole reference (no erasure step)
+    "stream_line_index"   -> TextAnalysis.lineDedupServeSql(refPred = "TRUE"),
     "doc_fingerprint"     -> NearDup.docFingerprintSql,
     "minhash_lsh_dedup"   -> NearDup.minhashLshDedupSql(cfg.dedupBucketCap),
     "simhash_dedup"       -> NearDup.simhashDedupSql(cfg.maxHamming, cfg.dedupBucketCap),

@@ -280,10 +280,13 @@ object TextAnalysis {
     }
   }
 
-  val lineDedupServeSql: String =
-    """WITH ref AS (
+  /** `refPred` restricts the oracle's reference side — the gate's
+    * lifecycle deletes every 7th doc (C30b); the streaming fold (E16)
+    * keeps the whole reference. */
+  def lineDedupServeSql(refPred: String = "doc_id % 7 <> 0"): String =
+    s"""WITH ref AS (
       |  SELECT doc_id, text FROM documents
-      |  WHERE doc_id % 3 <> 0 AND doc_id % 7 <> 0),
+      |  WHERE doc_id % 3 <> 0 AND $refPred),
       |neu AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
       |corpus AS (SELECT * FROM ref UNION ALL SELECT * FROM neu),
       |segs AS (

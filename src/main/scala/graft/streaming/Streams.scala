@@ -843,6 +843,46 @@ object Streams {
     }
   }
 
+  /** E16 `stream_line_index` — incremental line-frequency-index
+    * maintenance from an arriving crawl stream: each micro-batch is
+    * one [[graft.operators.TextAnalysis.lineIndexAppend]] into the
+    * persisted C30b index (commit-log batches, touched-bucket-only
+    * appends), so the boilerplate strike for the next batch consults
+    * a reference corpus that grows continuously with zero
+    * re-scanning — the line family joins BM25 (E11), IVF (E12) and
+    * the dedup signatures (E15) in having batch build + append +
+    * delete + STREAM maintenance.
+    *
+    * Driver-gate batch entry: the 30% suffix of the reference arrives
+    * as `nBatches` deterministic micro-batches folded into the
+    * 70%-prefix-built index, then the disjoint new batch strikes
+    * against it — HASH-EQUAL to `line_dedup`'s from-scratch union
+    * answer restricted to the batch (order irrelevant: postings are
+    * append-only, df recomputed from the committed union at serve;
+    * StreamingSpec drives REAL MemoryStream arrivals through
+    * foreachBatch into the same appender and pins that parity). */
+  def streamLineIndex(spark: SparkSession, dir: String,
+                      nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val ref = docs.filter($"doc_id" % 3 =!= 0)
+    val neu = docs.filter($"doc_id" % 3 === 0)
+    if (ref.isEmpty || neu.isEmpty)
+      return Seq.empty[(Long, Long, Long, String)]
+        .toDF("doc_id", "n_kept", "n_dropped", "clean_text")
+    val cut = ref.agg(max($"doc_id")).head().getLong(0) * 7 / 10
+    graft.sources.Lake.withScratchIndex(spark, "graft_line_stream") { tmp =>
+      graft.operators.TextAnalysis.lineIndexWrite(
+        Tables.fanout(ref.filter($"doc_id" <= cut)), tmp)
+      (0 until nBatches).foreach { b =>
+        graft.operators.TextAnalysis.lineIndexAppend(
+          Tables.fanout(ref.filter($"doc_id" > cut &&
+            pmod($"doc_id", lit(nBatches)) === b)), tmp)
+      }
+      graft.operators.TextAnalysis.lineDedupServe(spark, tmp, Tables.fanout(neu))
+    }
+  }
+
   /** E13 `stream_scd2_apply` — the reference's history table grows
     * row-by-row forever (create_table.sql:85-107, arxiv_etl.py:84-111);
     * this is that growth as a STREAM of change batches folded into a

@@ -663,6 +663,46 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("E16 line index: MemoryStream appends through foreachBatch strike the one-shot union answer") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft_line_ms").toString
+    // reference corpus: a banner shared across many docs + unique tails
+    val ref = (0 until 30).map(i =>
+      (i.toLong, s"shared banner line the unique tail $i"))
+    val refDf = ref.toDF("doc_id", "text")
+    operators.TextAnalysis.lineIndexWrite(refDf.filter(col("doc_id") < 20), idx)
+    val source = MemoryStream[(Long, String)]
+    val q = source.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        operators.TextAnalysis.lineIndexAppend(df, idx)
+      }
+      .start()
+    ref.filter(_._1 >= 20).grouped(4).foreach { batch =>
+      source.addData(batch: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // the new batch shares the banner AND one doc's unique tail
+    val neu = Seq(
+      (100L, s"shared banner line the fresh content"),
+      (101L, s"unique tail 25 the more fresh content")
+    ).toDF("doc_id", "text")
+    val served = operators.TextAnalysis.lineDedupServe(s, idx, neu)
+    val oneShot = operators.TextAnalysis.lineDedupOf(refDf.unionAll(neu))
+      .filter(col("doc_id") >= 100L)
+    assert(served.count() == oneShot.count() &&
+      served.exceptAll(oneShot).count() == 0,
+      "streamed appends must strike exactly the one-shot union answer")
+    // the banner (in every ref doc) and doc 25's tail (ref + new) are
+    // struck; fresh content survives
+    val byId = served.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(byId(100L) == "fresh content" && byId(101L) == "more fresh content")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+    spark.catalog.clearCache()
+  }
+
   test("E14 upsert sink: foreachBatch with dup keys + injected transient failure lands the exact merge") {
     val s = spark
     import s.implicits._

@@ -162,6 +162,40 @@ object Retention {
   private def scoped[T](m: Option[graft.Metrics], name: String)(body: => T): T =
     m.fold(body)(_.measure(name)(body))
 
+  /** One scheduled compaction tick for a LAKE TABLE — the cron
+    * wrapper over [[graft.sources.Lake.compactTable]] (F14
+    * `compaction_plan`'s physical half), with the family's outcome
+    * contract: [[Skipped]] when no partition is fragmented past
+    * `maxFilesPerPartition` (the listing is pure driver metadata —
+    * a clean tick costs no read), [[Deferred]] under a read pin or a
+    * foreign maintainer's lease, [[Reclaimed]] when the rewrite ran.
+    * There is no expiry step — lake tables forget through their own
+    * curation pipelines; this tick only repacks small files. */
+  def lakeCompactionCycle(spark: SparkSession, path: String,
+                          maxFilesPerPartition: Int = 1,
+                          targetBytes: Long = 128L * 1024 * 1024,
+                          metrics: Option[graft.Metrics] = None): Tick = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val partDirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    val groups = if (partDirs.nonEmpty) partDirs.map(_.getPath) else Seq(root)
+    val fragmented = groups.exists { dir =>
+      fs.listStatus(dir).count(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet")) > maxFilesPerPartition
+    }
+    if (!fragmented) Skipped
+    else try {
+      scoped(metrics, "lake_compaction") {
+        graft.sources.Lake.compactTable(spark, path, maxFilesPerPartition, targetBytes)
+      }
+      Reclaimed
+    } catch {
+      case _: graft.sources.Lake.PinnedSnapshotException => Deferred
+      case _: graft.sources.Lake.ConcurrentMaintenanceException => Deferred
+    }
+  }
+
   /** The index families the sweep can maintain. */
   sealed trait IndexKind
   /** A raw appendable BM25 index ([[TextAnalysis.bm25WriteRaw]]). */

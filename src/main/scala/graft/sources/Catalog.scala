@@ -56,6 +56,31 @@ object Catalog {
       .coalesce(1).write.mode("append").parquet(s"$catalogDir/$Manifest")
   }
 
+  /** Atomically supersede MANY keys in one registration — the
+    * fleet-wide EPOCH CUTOVER: a nightly maintenance job rebuilds N
+    * indexes against the same corpus snapshot and they must become
+    * visible TOGETHER (a fleet serving key A from epoch-2 and key B
+    * from epoch-1 mixes corpus states across one query). All rows
+    * land in ONE manifest file under ONE shared seq — the file
+    * create/rename is the single commit, so any reader's lookups flip
+    * every key at once: old-epoch or new-epoch, never a mix. Each
+    * `path` must already hold its finished index (commit-last, like
+    * [[register]]); superseded stores stay readable until [[vacuum]]
+    * (the version-grace posture). */
+  def registerAll(spark: SparkSession, catalogDir: String,
+                  rows: Seq[(String, String, String, String)]): Unit = {
+    import spark.implicits._
+    if (rows.isEmpty) return
+    require(rows.map(r => (r._1, r._2)).distinct.length == rows.length,
+      "registerAll: one row per (kind, key) — duplicate keys in a " +
+        "single cutover would tie on seq and resolve arbitrarily")
+    val seq = entries(spark, catalogDir)
+      .agg(coalesce(max($"seq"), lit(0L))).head().getLong(0) + 1L
+    rows.map { case (kind, key, path, stamp) => (kind, key, path, stamp, seq) }
+      .toDF("kind", "key", "path", "stamp", "seq")
+      .coalesce(1).write.mode("append").parquet(s"$catalogDir/$Manifest")
+  }
+
   /** Latest registered (path, stamp) for (kind, key) — what a serving
     * process resolves at startup or per maintenance epoch. */
   def lookup(spark: SparkSession, catalogDir: String, kind: String,

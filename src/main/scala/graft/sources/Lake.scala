@@ -173,6 +173,47 @@ object Lake {
       .map(_.getPath.getName.stripPrefix(s"$prefix=").toInt).toSet
   }
 
+  /** EXECUTE lake-table compaction — the physical half of F14's
+    * `compaction_plan` bin packing: every hive partition directory
+    * (or the table root, for an unpartitioned table) whose parquet
+    * file count exceeds `maxFilesPerPartition` is rewritten into
+    * ⌈bytes / targetBytes⌉ files; clean partitions keep their files
+    * byte-for-byte. The decision is pure directory metadata
+    * (O(partitions + files) driver listing, what a table format's
+    * manifest holds); only dirty partitions pay a read+rewrite, so
+    * cost ∝ fragmentation, not table size — the OPTIMIZE shape.
+    * Runs under the writer lease and refuses while a read pin is
+    * live ([[withWriterLock]]/[[requireUnpinned]] — rewriting files
+    * a pinned scan may hold open is the same hazard as an index
+    * vacuum). The rewrite materializes each dirty partition eagerly
+    * (localCheckpoint) before overwriting the very files it read. */
+  def compactTable(spark: SparkSession, path: String,
+                   maxFilesPerPartition: Int = 1,
+                   targetBytes: Long = 128L * 1024 * 1024): Unit =
+    withWriterLock(spark, path, "lakeCompact") {
+      requireUnpinned(spark, path, "lakeCompact")
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val partDirs = fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      val groups = if (partDirs.nonEmpty) partDirs.map(_.getPath) else Seq(root)
+      groups.foreach { dir =>
+        val files = fs.listStatus(dir)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        if (files.length > maxFilesPerPartition) {
+          val bytes = files.map(_.getLen).sum
+          val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+          val rows = spark.read.parquet(dir.toString).localCheckpoint()
+          // replace only the DATA files — a dir-level overwrite would
+          // also wipe the lock/pin control files living at the table
+          // root of an unpartitioned table
+          files.foreach(f => fs.delete(f.getPath, false))
+          rows.repartition(nOut).write.mode(SaveMode.Append)
+            .parquet(dir.toString)
+        }
+      }
+    }
+
   private val VersionsDir = "_versions"
   private val VersionPrefix = "v="
 

@@ -623,6 +623,109 @@ class LakeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("lake compaction: fragmented partitions repack to target, clean ones byte-untouched, rows exact, gated") {
+    import operators.Retention
+    val s = spark
+    import s.implicits._
+    val dir = tmp("compact")
+    val orders = Tables.orders(spark, sf)
+      .withColumn("o_year", year(col("o_orderdate")))
+    // fragment ONE partition (many small files), keep the rest clean
+    val y = orders.select(max($"o_year")).head().getInt(0)
+    orders.filter($"o_year" =!= y).coalesce(1)
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    orders.filter($"o_year" === y).repartition(8)
+      .write.mode("append").partitionBy("o_year").parquet(dir)
+    val before = Lake.readPartitioned(s, dir).localCheckpoint()
+    def filesIn(p: String): Map[String, (Long, Long)] =
+      new java.io.File(p).listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length, f.lastModified)).toMap
+    val cleanYear = new java.io.File(dir).listFiles
+      .filter(d => d.isDirectory && d.getName != s"o_year=$y").head
+    val cleanBefore = filesIn(cleanYear.getAbsolutePath)
+    assert(filesIn(s"$dir/o_year=$y").size == 8)
+    // a pinned table defers; the tick reports it
+    val pin = Lake.pinSnapshot(s, dir, owner = "scan-1")
+    assert(Retention.lakeCompactionCycle(s, dir) == Retention.Deferred)
+    Lake.releasePin(s, dir, pin)
+    // the tick repacks the fragmented partition only
+    assert(Retention.lakeCompactionCycle(s, dir) == Retention.Reclaimed)
+    assert(filesIn(s"$dir/o_year=$y").size == 1,
+      "the fragmented partition must repack to the target file count")
+    assert(filesIn(cleanYear.getAbsolutePath) == cleanBefore,
+      "clean partitions must keep their files byte-for-byte")
+    val after = Lake.readPartitioned(s, dir)
+    assert(after.count() == before.count() &&
+      after.exceptAll(before).count() == 0,
+      "compaction must preserve every row exactly")
+    // now clean: the next tick skips without reading anything
+    assert(Retention.lakeCompactionCycle(s, dir) == Retention.Skipped)
+    // an UNPARTITIONED table compacts at the root without touching
+    // the lock/pin control files
+    val flat = tmp("compact_flat")
+    Tables.nation(spark, sf).repartition(6).write.mode("overwrite").parquet(flat)
+    assert(filesIn(flat).size == 6)
+    val flatBefore = Lake.readPartitioned(s, flat).localCheckpoint()
+    assert(Retention.lakeCompactionCycle(s, flat) == Retention.Reclaimed)
+    assert(filesIn(flat).size == 1)
+    val flatAfter = Lake.readPartitioned(s, flat)
+    assert(flatAfter.count() == flatBefore.count() &&
+      flatAfter.exceptAll(flatBefore).count() == 0)
+    spark.catalog.clearCache()
+  }
+
+  test("catalog epoch cutover: registerAll flips every key together in one manifest commit") {
+    import graft.sources.Catalog
+    val s = spark
+    import s.implicits._
+    val cat = java.nio.file.Files.createTempDirectory("graft_cat_epoch").toString
+    val docs = (0 until 20).map(i =>
+      (i.toLong, s"alpha$i beta${i % 3} gamma${i % 5}")).toDF("doc_id", "text")
+    // epoch 1: two keys registered individually
+    val a1 = Catalog.resolveOrBuild(s, cat, "bm25impact", "corpus-a", "epoch-1") {
+      d => operators.TextAnalysis.bm25WriteImpactFrom(docs.limit(10), d) }
+    val b1 = Catalog.resolveOrBuild(s, cat, "bm25impact", "corpus-b", "epoch-1") {
+      d => operators.TextAnalysis.bm25WriteImpactFrom(docs.limit(5), d) }
+    // nightly epoch-2 rebuild of BOTH, cut over atomically
+    val a2 = s"$cat/store/bm25impact/a2"
+    val b2 = s"$cat/store/bm25impact/b2"
+    operators.TextAnalysis.bm25WriteImpactFrom(docs, a2)
+    operators.TextAnalysis.bm25WriteImpactFrom(docs.limit(15), b2)
+    val manifestFiles =
+      new java.io.File(s"$cat/manifest").listFiles
+        .count(_.getName.endsWith(".parquet"))
+    Catalog.registerAll(s, cat, Seq(
+      ("bm25impact", "corpus-a", a2, "epoch-2"),
+      ("bm25impact", "corpus-b", b2, "epoch-2")))
+    // ONE new manifest file = one rename-atomic commit for both keys
+    assert(new java.io.File(s"$cat/manifest").listFiles
+      .count(_.getName.endsWith(".parquet")) == manifestFiles + 1,
+      "the cutover must land as a single manifest file")
+    // both keys flip together, sharing one seq
+    assert(Catalog.lookup(s, cat, "bm25impact", "corpus-a").contains((a2, "epoch-2")))
+    assert(Catalog.lookup(s, cat, "bm25impact", "corpus-b").contains((b2, "epoch-2")))
+    assert(Catalog.entries(s, cat)
+      .filter($"stamp" === "epoch-2").select($"seq").distinct().count() == 1,
+      "a cutover's rows must share one seq")
+    // duplicate keys in one cutover are rejected (seq tie would
+    // resolve arbitrarily)
+    intercept[IllegalArgumentException] {
+      Catalog.registerAll(s, cat, Seq(
+        ("bm25impact", "corpus-a", a2, "epoch-3"),
+        ("bm25impact", "corpus-a", b2, "epoch-3")))
+    }
+    // vacuum reclaims both epoch-1 stores, keeps both epoch-2 stores
+    Catalog.vacuum(s, cat)
+    val fs = new org.apache.hadoop.fs.Path(cat)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(a1)) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(b1)))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(a2)) &&
+      fs.exists(new org.apache.hadoop.fs.Path(b2)))
+    fs.delete(new org.apache.hadoop.fs.Path(cat), true)
+    spark.catalog.clearCache()
+  }
+
   test("catalog freshness: a changed stamp rebuilds and supersedes; matching or empty stamps reuse") {
     import graft.sources.Catalog
     val s = spark

@@ -668,6 +668,43 @@ object Similarity {
     newCent.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Mean centroid DRIFT of a persisted IVF index — the vector side's
+    * staleness measure, closing the loop the way ε closes BM25's
+    * ([[graft.operators.TextAnalysis.bm25RefreshIfStale]]): per
+    * non-empty cell, 1 − cos(stored centroid, current member mean),
+    * averaged over cells. Appends assign to FROZEN centroids, so a
+    * drifting corpus pulls each cell's true mean away from the
+    * centroid that routes its probes — recall decays silently. This
+    * measures that decay from index metadata: one pass over the live
+    * lists (posting payloads pruned to the vectors), centroids
+    * broadcast-sized. Empty index → 0. */
+  def ivfDriftMeasure(spark: SparkSession, path: String): Double = {
+    import spark.implicits._
+    val means = liveLists(spark, path)
+      .select($"cell".as("cid"), $"vc".cast("array<float>").as("vc"))
+      .select($"cid", posexplode($"vc"))
+      .groupBy($"cid", $"pos").agg(avg($"col".cast("double")).as("m"))
+      .groupBy($"cid").agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select($"cid", expr("transform(pm, x -> cast(x.m as float))").as("mvec"))
+      .withColumn("mnorm", sqrt(dotF($"mvec", $"mvec")))
+    val row = means.join(spark.read.parquet(s"$path/centroids"), Seq("cid"))
+      .select(when($"mnorm" * $"cnorm" === 0d, 0d)
+        .otherwise(lit(1.0) - dotF($"mvec", col("cvec")) / ($"mnorm" * $"cnorm"))
+        .as("d"))
+      .agg(avg($"d")).head()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
+  /** Retrain only when the measured drift justifies the migration —
+    * the self-tuning trigger for the maintenance loop: below `eps`
+    * the centroids still route well and the (churn-proportional, but
+    * never free) retrain is skipped; above it, [[ivfRetrain]] runs
+    * under its own lease + pin gates. Returns whether it retrained. */
+  def ivfRetrainIfDrifted(spark: SparkSession, path: String,
+                          eps: Double = 0.02): Boolean =
+    if (ivfDriftMeasure(spark, path) <= eps) false
+    else { ivfRetrain(spark, path); true }
+
   /** Fraction of the on-disk list rows an [[ivfCompact]] would
     * physically drop — tombstoned or orphaned (uncommitted) over
     * total. The ε-gate measure for the vector side of the self-tuning

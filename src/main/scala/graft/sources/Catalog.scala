@@ -128,19 +128,29 @@ object Catalog {
     }
 
   /** Reclaim store directories no longer referenced by any key's
-    * LATEST registration (superseded rebuilds, racing-builder losers)
-    * and drop their superseded manifest rows. Runs under the writer
-    * lease and refuses while a read pin is live — the same retention
-    * contract as every other physical reclaim. */
-  def vacuum(spark: SparkSession, catalogDir: String): Unit =
+    * `keepEpochs` newest registrations (superseded rebuilds,
+    * racing-builder losers) and drop their superseded manifest rows.
+    * The default retains only the latest epoch per key; a fleet that
+    * wants ROLLBACK headroom passes `keepEpochs = K` and the last K
+    * epochs' stores stay resolvable by seq — the version-swap grace
+    * posture applied to the catalog. Runs under the writer lease and
+    * refuses while a read pin is live — the same retention contract
+    * as every other physical reclaim. */
+  def vacuum(spark: SparkSession, catalogDir: String,
+             keepEpochs: Int = 1): Unit =
     Lake.withWriterLock(spark, catalogDir, "catalogVacuum") {
       Lake.requireUnpinned(spark, catalogDir, "catalogVacuum")
       import spark.implicits._
       val all = entries(spark, catalogDir)
       if (!all.isEmpty) {
-        val latest = all.groupBy($"kind", $"key").agg(max($"seq").as("seq"))
-        val keep = all.join(latest, Seq("kind", "key", "seq")).localCheckpoint()
-        val dead = all.join(latest, Seq("kind", "key", "seq"), "left_anti")
+        // manifest rows are maintenance metadata (O(registrations)) —
+        // the per-key rank window is bounded like the other manifest
+        // scans
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"kind", $"key").orderBy($"seq".desc)
+        val ranked = all.withColumn("rk", row_number().over(w))
+        val keep = ranked.filter($"rk" <= keepEpochs).drop("rk").localCheckpoint()
+        val dead = ranked.filter($"rk" > keepEpochs)
           .select($"path").distinct()
           // a path re-registered later under any key stays live
           .join(keep.select($"path"), Seq("path"), "left_anti")

@@ -714,10 +714,17 @@ class LakeSpec extends AnyFunSuite {
         ("bm25impact", "corpus-a", a2, "epoch-3"),
         ("bm25impact", "corpus-a", b2, "epoch-3")))
     }
-    // vacuum reclaims both epoch-1 stores, keeps both epoch-2 stores
-    Catalog.vacuum(s, cat)
+    // keepEpochs = 2: both epochs' stores survive — rollback headroom
+    Catalog.vacuum(s, cat, keepEpochs = 2)
     val fs = new org.apache.hadoop.fs.Path(cat)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(a1)) &&
+      fs.exists(new org.apache.hadoop.fs.Path(b1)),
+      "keepEpochs=2 must retain the previous epoch's stores")
+    assert(Catalog.entries(s, cat).count() == 4,
+      "two epochs x two keys must survive a keepEpochs=2 vacuum")
+    // default vacuum reclaims both epoch-1 stores, keeps both epoch-2
+    Catalog.vacuum(s, cat)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(a1)) &&
       !fs.exists(new org.apache.hadoop.fs.Path(b1)))
     assert(fs.exists(new org.apache.hadoop.fs.Path(a2)) &&

@@ -533,4 +533,41 @@ class RecallSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(idx2)
     spark.catalog.clearCache()
   }
+
+  test("C7e drift trigger: a drifting append raises the measure, retrain fires past eps and lowers it") {
+    import java.nio.file.Files
+    val s = spark
+    import s.implicits._
+    val all = Tables.embeddings(spark, sf)
+    val idx = Files.createTempDirectory("graft_ivf_drift").toFile
+    val path = idx.getAbsolutePath
+    operators.Similarity.ivfWriteFrom(all, path)
+    val d0 = operators.Similarity.ivfDriftMeasure(s, path)
+    assert(d0 >= 0.0 && d0 < 0.5, s"a fresh index must sit near its means: $d0")
+    // the corpus drifts: a shifted batch appends under FROZEN
+    // centroids — every touched cell's true mean moves away from the
+    // centroid that routes its probes
+    val shifted = all
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        expr("transform(embedding, x -> x + float(2.0))").as("embedding"),
+        $"label")
+    operators.Similarity.ivfAppend(s, path, shifted)
+    val d1 = operators.Similarity.ivfDriftMeasure(s, path)
+    assert(d1 > d0, s"a drifting append must raise the measure: $d0 -> $d1")
+    // below eps the (never free) retrain is skipped …
+    assert(!operators.Similarity.ivfRetrainIfDrifted(s, path, eps = d1 * 1.01),
+      "drift at or below eps must not retrain")
+    assert(operators.Similarity.ivfDriftMeasure(s, path) == d1)
+    // … past eps it fires, and the migrated index sits closer to its
+    // (new) centroids than the drifted one did
+    assert(operators.Similarity.ivfRetrainIfDrifted(s, path, eps = (d0 + d1) / 2))
+    val d2 = operators.Similarity.ivfDriftMeasure(s, path)
+    assert(d2 < d1, s"retrain must lower the drift measure: $d1 -> $d2")
+    // and the retrained index still serves (the C7e migration-parity
+    // contract is pinned in its own spec; here: the trigger composes)
+    val served = operators.Similarity.annIvfServe(s, path, nprobe = 16, k = 1)
+    assert(served.count() > 0, "the retrained index must still serve")
+    org.apache.commons.io.FileUtils.deleteDirectory(idx)
+    spark.catalog.clearCache()
+  }
 }

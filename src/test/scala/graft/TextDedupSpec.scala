@@ -718,6 +718,49 @@ class TextDedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("C30b line serve prunes the df probe to the new batch's line buckets") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val s = spark
+    import s.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_line_prune").toFile
+    // many distinct lines spread the buckets; ' the ' splits each doc
+    // into two segments
+    val ref = (0 until 200).map(i =>
+      (i.toLong, s"left segment $i the right segment $i"))
+      .toDF("doc_id", "text")
+    operators.TextAnalysis.lineIndexWrite(ref, idx.getAbsolutePath)
+    val bucketDirs = new java.io.File(idx, "lines").listFiles()
+      .count(d => d.isDirectory && d.getName.startsWith("bucket="))
+    assert(bucketDirs >= 12, s"corpus should populate most buckets, got $bucketDirs")
+    // one small arriving doc: its two lines route to at most two
+    // buckets — the df probe must read only those directories
+    val one = Seq((9999L, "left segment 7 the brand new content")).toDF("doc_id", "text")
+    val served = operators.TextAnalysis.lineDedupServe(s, idx.getAbsolutePath, one)
+    val rows = served.collect()
+    def all(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+      case q: QueryStageExec => all(q.plan)
+      case _ => p +: p.children.flatMap(all)
+    }
+    val lineScans = all(served.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("lines")) => f
+    }
+    assert(lineScans.nonEmpty, "expected the df probe's lines scan in the plan")
+    lineScans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty, "df probe must carry a bucket partition filter")
+      val opened = f.metrics("numFiles").value
+      assert(opened < bucketDirs,
+        s"probe opened $opened files over $bucketDirs bucket dirs — no pruning")
+    }
+    // and the pruned strike decision is right: the shared line struck,
+    // the fresh one kept
+    assert(rows.length == 1 && rows(0).getString(3) == "brand new content")
+    org.apache.commons.io.FileUtils.deleteDirectory(idx)
+    spark.catalog.clearCache()
+  }
+
   test("C4c dedup serve prunes the pair probe to the new batch's shingle buckets") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

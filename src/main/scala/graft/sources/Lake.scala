@@ -186,7 +186,11 @@ object Lake {
     * live ([[withWriterLock]]/[[requireUnpinned]] — rewriting files
     * a pinned scan may hold open is the same hazard as an index
     * vacuum). The rewrite materializes each dirty partition eagerly
-    * (localCheckpoint) before overwriting the very files it read. */
+    * (localCheckpoint) before overwriting the very files it read.
+    * Scope: SINGLE-LEVEL hive layouts (the [[writePartitioned]]
+    * shape) — a multi-level `year=/month=` tree's leaves sit one
+    * directory deeper than this listing walks, so such a table
+    * compacts per leaf by calling this on each first-level dir. */
   def compactTable(spark: SparkSession, path: String,
                    maxFilesPerPartition: Int = 1,
                    targetBytes: Long = 128L * 1024 * 1024): Unit =

@@ -127,6 +127,32 @@ object Catalog {
         dir
     }
 
+  /** Roll a key back to its PREVIOUS epoch: re-register the
+    * second-newest registration's (path, stamp) at a NEW highest seq,
+    * so every fleet lookup flips back in one commit — the rollback
+    * drill the `keepEpochs` retention headroom exists for. The bad
+    * epoch's row is superseded, not erased (the manifest stays an
+    * append-only audit log), and the next default [[vacuum]] reclaims
+    * its store while keeping the rolled-back-to one (it is the newest
+    * registration again). Returns the (path, stamp) now serving.
+    * Throws if no prior epoch survives — rollback needs
+    * `vacuum(keepEpochs >= 2)` discipline between cutovers. */
+  def rollback(spark: SparkSession, catalogDir: String, kind: String,
+               key: String): (String, String) = {
+    import spark.implicits._
+    val prior = entries(spark, catalogDir)
+      .filter($"kind" === kind && $"key" === key)
+      .orderBy($"seq".desc).limit(2)
+      .collect()
+    require(prior.length == 2,
+      s"rollback($kind, $key): no prior epoch registered — " +
+        "retain headroom with vacuum(keepEpochs >= 2)")
+    val p = prior(1)
+    register(spark, catalogDir, kind, key,
+      p.getAs[String]("path"), p.getAs[String]("stamp"))
+    (p.getAs[String]("path"), p.getAs[String]("stamp"))
+  }
+
   /** Reclaim store directories no longer referenced by any key's
     * `keepEpochs` newest registrations (superseded rebuilds,
     * racing-builder losers) and drop their superseded manifest rows.

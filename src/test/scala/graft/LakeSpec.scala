@@ -733,6 +733,40 @@ class LakeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("catalog rollback: one commit flips the fleet back, vacuum then reclaims the bad epoch") {
+    import graft.sources.Catalog
+    val s = spark
+    import s.implicits._
+    val cat = java.nio.file.Files.createTempDirectory("graft_cat_rb").toString
+    val docs = (0 until 20).map(i =>
+      (i.toLong, s"alpha$i beta${i % 3} gamma${i % 5}")).toDF("doc_id", "text")
+    val good = Catalog.resolveOrBuild(s, cat, "bm25impact", "rb-key", "epoch-1") {
+      d => operators.TextAnalysis.bm25WriteImpactFrom(docs, d) }
+    val bad = Catalog.resolveOrBuild(s, cat, "bm25impact", "rb-key", "epoch-2") {
+      d => operators.TextAnalysis.bm25WriteImpactFrom(docs.limit(3), d) }
+    assert(Catalog.lookup(s, cat, "bm25impact", "rb-key").contains((bad, "epoch-2")))
+    // epoch-2 turns out broken: one rollback call flips every lookup
+    assert(Catalog.rollback(s, cat, "bm25impact", "rb-key") == (good, "epoch-1"))
+    assert(Catalog.lookup(s, cat, "bm25impact", "rb-key").contains((good, "epoch-1")),
+      "after rollback the fleet must resolve the prior epoch again")
+    // the manifest stays an audit log: the bad row is superseded, not
+    // erased, until vacuum reclaims its store and keeps the live one
+    assert(Catalog.entries(s, cat).count() == 3)
+    Catalog.vacuum(s, cat)
+    val fs = new org.apache.hadoop.fs.Path(cat)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(bad)),
+      "vacuum must reclaim the rolled-away epoch's store")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(good)))
+    assert(Catalog.lookup(s, cat, "bm25impact", "rb-key").contains((good, "epoch-1")))
+    // with only one epoch left, a further rollback refuses loudly
+    intercept[IllegalArgumentException] {
+      Catalog.rollback(s, cat, "bm25impact", "rb-key")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(cat), true)
+    spark.catalog.clearCache()
+  }
+
   test("catalog freshness: a changed stamp rebuilds and supersedes; matching or empty stamps reuse") {
     import graft.sources.Catalog
     val s = spark

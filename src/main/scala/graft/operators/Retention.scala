@@ -205,10 +205,14 @@ object Retention {
 
   /** One index under the sweep's care: where it lives, which family's
     * forget/reclaim paths apply, and the expiry rule (metadata frame +
-    * timestamp column + cutoff). */
+    * timestamp column + cutoff). `driftEps` (IVF only) additionally
+    * arms the centroid-drift trigger: past it, the index's rewrite
+    * slot runs [[Similarity.ivfRetrain]] instead of a compaction —
+    * one sweep drives reclaim AND retraining by measurement. */
   final case class Maintained(name: String, kind: IndexKind, path: String,
                               meta: DataFrame, tsCol: String, cutoff: Column,
-                              maxFiles: Int = 1)
+                              maxFiles: Int = 1,
+                              driftEps: Option[Double] = None)
 
   /** One maintenance SWEEP over a fleet of indexes — the scheduling
     * policy on top of the per-index ticks: EXPIRE everywhere first
@@ -244,20 +248,34 @@ object Retention {
           graft.sources.Lake.fragmentedPartitions(
             spark, s"${ix.path}/lists", "cell", ix.maxFiles).nonEmpty)
       }
-      (ix, frac, fragmented)
+      // the drift trigger arms an IVF index's slot even with zero dead
+      // rows: routing decay is a rewrite-worthy measurement too, and
+      // the drift magnitude competes for the budget like a fraction
+      val drift = ix.kind match {
+        case Ivf if ix.driftEps.isDefined =>
+          Some(Similarity.ivfDriftMeasure(spark, ix.path))
+            .filter(_ > ix.driftEps.get)
+        case _ => None
+      }
+      (ix, math.max(frac, drift.getOrElse(0.0)), fragmented, drift.isDefined)
     }
     val (worth, below) = measured.partition {
-      case (_, frac, fragmented) => frac > minReclaim || fragmented
+      case (_, score, fragmented, drifted) =>
+        score > minReclaim || fragmented || drifted
     }
-    val ordered = worth.sortBy { case (_, frac, _) => -frac }
-    val outcomes = ordered.zipWithIndex.map { case ((ix, _, _), i) =>
+    val ordered = worth.sortBy { case (_, score, _, _) => -score }
+    val outcomes = ordered.zipWithIndex.map { case ((ix, _, _, drifted), i) =>
       ix.name -> {
         if (i >= maxReclaims) Deferred
         else try {
           scoped(metrics, s"sweep_reclaim_${ix.name}") {
             ix.kind match {
               case RawBm25 => TextAnalysis.bm25Vacuum(spark, ix.path, ix.maxFiles)
-              case Ivf     => Similarity.ivfCompact(spark, ix.path, ix.maxFiles)
+              // a drifted index spends its slot on the retrain (which
+              // also migrates rows); dead-row compaction, if any
+              // remains, wins a later sweep's slot
+              case Ivf if drifted => Similarity.ivfRetrain(spark, ix.path)
+              case Ivf            => Similarity.ivfCompact(spark, ix.path, ix.maxFiles)
             }
           }
           Reclaimed: Tick
@@ -267,6 +285,6 @@ object Retention {
         }
       }
     }
-    (outcomes ++ below.map { case (ix, _, _) => ix.name -> (Skipped: Tick) }).toMap
+    (outcomes ++ below.map { case (ix, _, _, _) => ix.name -> (Skipped: Tick) }).toMap
   }
 }

@@ -578,6 +578,29 @@ class LakeSpec extends AnyFunSuite {
     val r3 = Retention.retentionSweep(s, fleet.take(1))
     assert(r3 == Map("heavy" -> Retention.Deferred), s"$r3")
     Lake.releasePin(s, heavy, pin)
+    // a drift-armed IVF index with ZERO dead rows still wins a slot
+    // once its measured drift passes eps, and spends it on the retrain
+    val ivf = java.nio.file.Files.createTempDirectory("graft_sweep_ivf").toString
+    val emb = Tables.embeddings(s, sf)
+    operators.Similarity.ivfWriteFrom(emb, ivf)
+    operators.Similarity.ivfAppend(s, ivf, emb
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        expr("transform(embedding, x -> x + float(2.0))").as("embedding"), $"label"))
+    val drifted = operators.Similarity.ivfDriftMeasure(s, ivf)
+    val vmeta = emb.select($"vec_id".as("doc_id"))
+      .withColumn("ingested", lit("2026-06-01").cast("date"))
+    val armed = Seq(Retention.Maintained("vec", Retention.Ivf, ivf, vmeta,
+      "ingested", cutoff, maxFiles = 1000, driftEps = Some(drifted / 2)))
+    assert(Retention.retentionSweep(s, armed) == Map("vec" -> Retention.Reclaimed))
+    assert(operators.Similarity.ivfDriftMeasure(s, ivf) < drifted,
+      "the sweep's slot must have retrained the drifted index")
+    // re-measured below eps: the next sweep skips
+    val calm = Seq(armed.head.copy(driftEps =
+      Some(operators.Similarity.ivfDriftMeasure(s, ivf) * 1.01)))
+    assert(Retention.retentionSweep(s, calm) == Map("vec" -> Retention.Skipped))
+    val fsIvf = new org.apache.hadoop.fs.Path(ivf)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsIvf.delete(new org.apache.hadoop.fs.Path(ivf), true)
     val fs = new org.apache.hadoop.fs.Path(heavy)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(heavy), true)

@@ -1215,4 +1215,170 @@ object Similarity {
        |  FROM cand c JOIN embeddings a ON a.vec_id = c.query_id
        |              JOIN embeddings b ON b.vec_id = c.neighbor_id)
        |WHERE rn <= $k""".stripMargin
+
+  // ──────────────── C7g: IVF + product quantization (IVFADC) ────────────────
+
+  /** Split each row's `vecCol` into `m` contiguous subspaces of `dsub`
+    * dims: one (…, sub, sv) row per subspace (`slice` is 1-based). */
+  private def pqSubspaces(vecs: DataFrame, vecCol: String, m: Int,
+                          dsub: Int): DataFrame =
+    vecs.withColumn("sub", explode(array((0 until m).map(lit): _*)))
+      .withColumn("sv", expr(s"slice($vecCol, sub * $dsub + 1, $dsub)"))
+      .drop(vecCol)
+
+  /** |cvec|²/2 riding each codeword so the L2 argmin (max of
+    * sv·c − |c|²/2; the |sv|² term is constant per row) never
+    * recomputes it. */
+  private def withChalf(books: DataFrame): DataFrame =
+    books.withColumn("chalf", dotF(col("cvec"), col("cvec")) / 2d)
+
+  /** Nearest codeword per (vec_id, sub) by L2 distance — the
+    * [[nearestCell]] max_by hash-agg posture (no window over the
+    * corpus × kpq scored set), ties to the lowest code. Keeps `sv`
+    * for the refinement step. */
+  private def nearestCode(subs: DataFrame, books: DataFrame): DataFrame = {
+    import subs.sparkSession.implicits._
+    subs.join(broadcast(books), Seq("sub"))
+      .withColumn("score", dotF($"sv", $"cvec") - $"chalf")
+      .groupBy($"vec_id", $"sub")
+      .agg(max_by(struct($"sv", $"code"), struct($"score", -$"code")).as("best"))
+      .select($"vec_id", $"sub", $"best.sv".as("sv"), $"best.code".as("code"))
+  }
+
+  /** PQ sub-codebook training over (vec_id, embedding) — the
+    * [[ivfIndexFrom]] posture per subspace: deterministic seeds (the
+    * first `kpq` vectors' subvectors), one Lloyd step (L2 assign via
+    * the max_by hash-agg, recenter to member dimension means), then
+    * codes DENSIFIED per subspace (row_number over the ≤ m·kpq
+    * codeword table) so a drained seed can never shift LUT indexing.
+    * Output (sub, code, cvec, chalf) is broadcast-sized metadata;
+    * at 100 TB the train step runs on a bounded sample, exactly as
+    * the IVF centroids do. */
+  private[graft] def pqCodebooks(vecs: DataFrame, m: Int, dsub: Int,
+                                 kpq: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val subs = pqSubspaces(vecs.select($"vec_id", $"embedding"), "embedding", m, dsub)
+    val seeds = withChalf(subs.filter($"vec_id" < kpq)
+      .select($"sub", $"vec_id".cast("int").as("code"), $"sv".as("cvec")))
+    val refined = nearestCode(subs, seeds)
+      .select($"sub", $"code", posexplode($"sv"))
+      .groupBy($"sub", $"code", $"pos")
+      .agg(avg($"col".cast("double")).as("mval"))
+      .groupBy($"sub", $"code")
+      .agg(array_sort(collect_list(struct($"pos", $"mval"))).as("pm"))
+      .select($"sub", $"code",
+        expr("transform(pm, x -> cast(x.mval as float))").as("cvec"))
+    val dense = Window.partitionBy($"sub").orderBy($"code")
+    withChalf(refined
+      .withColumn("code", (row_number().over(dense) - 1).cast("int")))
+      .localCheckpoint()
+  }
+
+  /** Encode (vec_id, embedding) against trained books:
+    * codes[sub] = nearest codeword — m small ints per vector, the
+    * 100 TB payload (m bytes byte-packed vs 4·dim float; 16× at the
+    * registry's m=16 over dim=64, vs q8's 4×). */
+  private[graft] def pqEncode(vecs: DataFrame, books: DataFrame, m: Int,
+                              dsub: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    nearestCode(
+      pqSubspaces(vecs.select($"vec_id", $"embedding"), "embedding", m, dsub), books)
+      .groupBy($"vec_id")
+      .agg(array_sort(collect_list(struct($"sub", $"code"))).as("sc"))
+      .select($"vec_id", expr("transform(sc, x -> x.code)").as("codes"))
+  }
+
+  /** ADC lookup tables: lut[sub][code] = (query subvector)·codeword —
+    * O(m·kpq) doubles per query, broadcast with the probe set. The
+    * cheap pass is then one gather-add per candidate
+    * (Σ_sub lut[sub][codes[sub]] ≈ q·r), no float vector touched. */
+  private def pqLut(queries: DataFrame, books: DataFrame, m: Int,
+                    dsub: Int): DataFrame = {
+    import queries.sparkSession.implicits._
+    pqSubspaces(queries.select($"vec_id", $"embedding"), "embedding", m, dsub)
+      .join(broadcast(books), Seq("sub"))
+      .withColumn("pdot", dotF($"sv", $"cvec"))
+      .groupBy($"vec_id", $"sub")
+      .agg(array_sort(collect_list(struct($"code", $"pdot"))).as("cp"))
+      .select($"vec_id", $"sub", expr("transform(cp, x -> x.pdot)").as("lrow"))
+      .groupBy($"vec_id")
+      .agg(array_sort(collect_list(struct($"sub", $"lrow"))).as("sr"))
+      .select($"vec_id".as("query_id"), expr("transform(sr, x -> x.lrow)").as("lut"))
+  }
+
+  /** Memoized PQ artifacts per (dir, nlist, m, kpq): RESIDUAL
+    * sub-codebooks + the coded index rows (cell, neighbor_id, codes,
+    * nc). Residual coding is the IVFADC refinement: what's quantized
+    * is r = x − c(cell), whose energy is what the coarse quantizer
+    * did NOT explain, so q·x = q·c(cell) (exact, one dot per probed
+    * cell) + q·r (ADC) — strictly tighter than quantizing x whole.
+    * Codes ride the lists exactly like q8: the ADC pass reads only
+    * the m-byte codes and the scalar norm. */
+  private[graft] def pqIndex(spark: SparkSession, dir: String, nlist: Int,
+                             m: Int, dsub: Int, kpq: Int): (DataFrame, DataFrame) =
+    NearDup.Shared.memo(spark, s"pqIndex:$dir:$nlist:$m:$dsub:$kpq") {
+      import spark.implicits._
+      val (centroids, lists) = ivfIndex(spark, dir, nlist)
+      val resid = lists
+        .join(broadcast(centroids.select($"cid".as("cell"), $"cvec")), Seq("cell"))
+        .select($"cell", $"neighbor_id", $"nc",
+          expr("zip_with(vc, cvec, (a, b) -> cast(a - b as float))").as("rvec"))
+      val vecs = resid.select($"neighbor_id".as("vec_id"), $"rvec".as("embedding"))
+      val books = pqCodebooks(vecs, m, dsub, kpq)
+      val coded = resid.select($"cell", $"neighbor_id", $"nc")
+        .join(pqEncode(vecs, books, m, dsub)
+          .withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+        .localCheckpoint()
+      (books, coded)
+    }
+
+  /** C7g `ann_ivf_pq` — IVFADC serving (Jégou/Douze/Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): probed
+    * cells' candidates score by asymmetric distance computation —
+    * q·x ≈ q·c(cell) (exact, per probed cell) + Σ_sub lut[sub][code]
+    * over the m-byte residual codes — then the top-`shortlist` rerank
+    * by exact float cosine (the C7c bounded-fetch posture). This is
+    * the third point on the family's compression curve: float scan
+    * (C7b) → int8 codes, 4× (C7c) → PQ codes, 16× (C7g); at 100 TB
+    * the wide pass reads m bytes + one scalar per candidate and each
+    * query ships a broadcast-sized O(m·kpq) lookup table instead of
+    * its float vector.
+    *
+    * Codebook geometry is engine-specific ⇒ rows-only; check.py
+    * grades recall@5 vs DuckDB brute force (floor 0.8; measured
+    * 0.948 sf0.001 / 0.904 sf0.1 at the m=16, kpq=32, shortlist=128
+    * defaults — the 128 buys 0.872→0.904 at sf0.1 for an O(queries)
+    * float-fetch delta); RecallSpec pins the PQ invariants (dense
+    * codes, code range, ADC ranking quality vs exact). */
+  def annIvfPq(spark: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 10,
+               m: Int = 16, kpq: Int = 32, shortlist: Int = 128, k: Int = 5,
+               nQueries: Int = 50, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val dsub = dim / m
+    val (centroids, lists) = ivfIndex(spark, dir, nlist)
+    val (books, coded) = pqIndex(spark, dir, nlist, m, dsub, kpq)
+    val queries = lists.filter($"neighbor_id" < nQueries)
+      .select($"neighbor_id".as("vec_id"), $"vc".as("embedding"), $"nc".as("norm"))
+    val probes = ivfRoute(centroids, queries, nprobe)
+      .join(broadcast(centroids.select($"cid".as("cell"), $"cvec")), Seq("cell"))
+      .withColumn("qcdot", dotF($"vq", $"cvec"))
+      .drop("cvec")
+      .join(pqLut(queries.select($"vec_id", $"embedding"), books, m, dsub),
+        Seq("query_id"))
+    val wS = Window.partitionBy($"query_id").orderBy($"qcos".desc, $"neighbor_id")
+    val short = broadcast(probes).join(coded, Seq("cell"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("adc", $"qcdot" + expr(
+        "aggregate(zip_with(codes, lut, (c, r) -> element_at(r, c + 1)), 0D, (a, x) -> a + x)"))
+      .withColumn("qcos", when($"nc" > 0d, $"adc" / ($"nq" * $"nc")).otherwise(lit(-2d)))
+      .withColumn("srank", row_number().over(wS))
+      .filter($"srank" <= shortlist)
+      .select($"query_id", $"neighbor_id", $"cell", $"vq", $"nq")
+    val wK = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    broadcast(short).join(lists.select($"neighbor_id", $"vc", $"nc"), Seq("neighbor_id"))
+      .withColumn("cosine", dot("vq", "vc") / ($"nq" * $"nc"))
+      .withColumn("rank_nn", row_number().over(wK))
+      .filter($"rank_nn" <= k)
+      .select($"query_id", $"neighbor_id", $"cell", $"rank_nn", $"cosine")
+  }
 }

@@ -238,7 +238,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "hybrid_retrieve", "drift_report", "bm25_append",
       // hybrid_serve's cross is annIvfServe's 16-row centroid routing
       // (the shared-index serve returns a live plan, so the lint sees it)
-      "hybrid_serve")
+      // ann_ivf_pq shares the same 16-row centroid routing cross
+      "hybrid_serve", "ann_ivf_pq")
     // k-bounded-group max_by assigns: the sort is by grouping key with
     // map-side partial agg — benign, unlike cluster-sized groups
     val sortAggOk = Set("ann_ivf", "resample_fill", "stream_dedup")
@@ -332,7 +333,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "tfidf_terms", "vocab_build", "perplexity_score", "zorder_layout",
       "bm25_retrieve", "bpe_pair_counts", "bpe_train_merges",
       "scd2_apply", "stream_bm25", "stream_scd2_apply",
-      "hybrid_retrieve", "drift_report", "bm25_append", "hybrid_serve")
+      "hybrid_retrieve", "drift_report", "bm25_append", "hybrid_serve",
+      "ann_ivf_pq")
     def rowsOf(p: org.apache.spark.sql.execution.SparkPlan): Option[Long] = p match {
       case q: QueryStageExec => rowsOf(q.plan)
       case e: BroadcastExchangeLike => Some(e.metrics("numOutputRows").value)

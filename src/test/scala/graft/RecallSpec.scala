@@ -570,4 +570,48 @@ class RecallSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(idx)
     spark.catalog.clearCache()
   }
+
+  test("C7g PQ: dense sub-codebooks, complete m-code rows, ADC recall@5 >= 0.8") {
+    val s = spark
+    import s.implicits._
+    val (m, dsub, kpq) = (16, 4, 32)
+    val (books, coded) = operators.Similarity.pqIndex(s, sf, 16, m, dsub, kpq)
+    // codebook invariants: every subspace's codes are DENSE 0..cnt-1
+    // (a drained Lloyd seed must never leave a hole — the ADC gather
+    // indexes lut[sub] positionally), cnt <= kpq, codewords are dsub-dim
+    val bk = books.groupBy($"sub")
+      .agg(count(lit(1)).as("cnt"), min($"code").as("lo"), max($"code").as("hi"),
+        min(size($"cvec")).as("dmin"), max(size($"cvec")).as("dmax"))
+      .collect()
+    assert(bk.length == m, s"expected $m sub-codebooks, got ${bk.length}")
+    bk.foreach { r =>
+      val (cnt, lo, hi) = (r.getAs[Long]("cnt"), r.getAs[Int]("lo"), r.getAs[Int]("hi"))
+      assert(lo == 0 && hi == cnt - 1 && cnt <= kpq,
+        s"sub ${r.getAs[Int]("sub")}: codes not dense 0..${cnt - 1} (lo=$lo hi=$hi)")
+      assert(r.getAs[Int]("dmin") == dsub && r.getAs[Int]("dmax") == dsub,
+        s"sub ${r.getAs[Int]("sub")}: codeword dim != $dsub")
+    }
+    // coded rows: one per corpus vector, exactly m in-range codes
+    val n = Tables.embeddings(spark, sf).count()
+    assert(coded.count() == n, "every vector must carry a PQ code row")
+    val badLen = coded.filter(size($"codes") =!= m).count()
+    assert(badLen == 0, s"$badLen vectors lack exactly $m codes")
+    val maxCnt = books.groupBy($"sub").count().agg(max($"count")).head().getLong(0)
+    val badCode = coded
+      .filter(exists($"codes", c => c < 0 || c >= maxCnt.toInt)).count()
+    assert(badCode == 0, s"$badCode vectors carry out-of-range codes")
+    // end-to-end ADC quality: IVFADC shortlist + exact rerank must hold
+    // the family's two-stage floor (measured 0.948 at these defaults)
+    val exact = operators.Similarity.annBruteforce(spark, sf, k = 5, nQueries = 20)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val total = exact.count()
+    val pq = operators.Similarity.annIvfPq(spark, sf, nQueries = 20)
+    val hit = exact.join(pq.select(col("query_id"), col("neighbor_id")),
+      Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = hit.toDouble / total
+    assert(recall >= 0.8, s"C7g IVFADC recall@5 = $recall")
+    info(f"C7g IVFADC recall@5 = $recall%.3f over $total exact pairs")
+    exact.unpersist()
+    spark.catalog.clearCache()
+  }
 }

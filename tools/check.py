@@ -65,7 +65,7 @@ def main():
             ok, note = True, None
             if name in ("ann_ivf", "ann_ivf_rerank", "ann_ivf_append",
                         "stream_ivf_append", "ann_ivf_retrain",
-                        "ann_ivf_delete"):
+                        "ann_ivf_delete", "ann_ivf_pq"):
                 # grade Spark's probed-cell top-k against DuckDB's
                 # exact brute-force top-k (registry defaults k=5,
                 # nQueries=50). Floors: single-stage ann_ivf probes
@@ -73,7 +73,12 @@ def main():
                 # ~2 sigma slack; a centroid-blind prober lands at
                 # ~0.125); the two-stage rerank paths probe 10/16 on
                 # int8 codes then exact-rerank the shortlist
-                # (measured ~0.90-0.95; floor 0.8). ann_ivf_append
+                # (measured ~0.90-0.95; floor 0.8); ann_ivf_pq probes
+                # the same 10/16 on m=16 residual PQ codes (IVFADC)
+                # then exact-reranks shortlist=128 — same floor 0.8
+                # (measured 0.948 sf0.001 / 0.904 sf0.1), recall
+                # governed by cell routing + ADC shortlisting.
+                # ann_ivf_append
                 # serves the SAME panel from an index built on a 70%
                 # prefix + appended 30% batch, so appended vectors
                 # are only findable if the append landed in the right

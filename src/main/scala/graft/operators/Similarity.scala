@@ -1381,4 +1381,273 @@ object Similarity {
       .filter($"rank_nn" <= k)
       .select($"query_id", $"neighbor_id", $"cell", $"rank_nn", $"cosine")
   }
+
+  // ────────── C7g persisted: the PQ sidecar on the on-disk index ──────────
+
+  /** Fingerprint of the index's CURRENT centroids — bounded driver
+    * metadata (nlist rows). The sidecar's residual codes are defined
+    * against the centroid a vector's cell had at encode time; retrain
+    * moves centroids, silently invalidating every residual, so the
+    * stamp rides the codebooks and [[pqCoverageGap]]/[[pqRefresh]]
+    * treat a mismatch as "everything is uncoded". */
+  private def pqStamp(spark: SparkSession, path: String): String = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/centroids")
+      .select($"cid", $"cvec").collect()
+      .map(r => s"${r.getAs[Number]("cid")}:${r.getSeq[Float](1).mkString(",")}")
+      .sorted.mkString(";")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(rows.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** The sidecar's committed code rows under the CURRENT centroid
+    * stamp, tombstones filtered — every ADC reader starts here, so a
+    * torn refresh, a stale (pre-retrain) code batch, or a deleted
+    * vector can never enter a shortlist. */
+  private def pqLiveCodes(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val stamp = pqStamp(spark, path)
+    val committed = spark.read.parquet(s"$path/pq/commits")
+      .filter($"cstamp" === stamp)
+      .select($"pq_batch").as[String].collect().toSeq
+    spark.read.parquet(s"$path/pq/codes")
+      .withColumn("cell", $"cell".cast("int"))
+      .filter($"pq_batch".isin(committed: _*))
+      .join(broadcast(ivfTombstones(spark, path, ivfCommitted(spark, path))),
+        Seq("neighbor_id"), "left_anti")
+      .drop("pq_batch")
+  }
+
+  /** Residuals of an explicit live-row set against the index's CURRENT
+    * centroids: (vec_id, embedding=r, cell, nc). */
+  private def pqResiduals(spark: SparkSession, path: String,
+                          rows: DataFrame): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select($"cid".as("cell"), $"cvec")
+    rows.join(broadcast(cents), Seq("cell"))
+      .select($"neighbor_id".as("vec_id"), $"cell", $"nc",
+        expr("zip_with(vc, cvec, (a, b) -> cast(a - b as float))").as("embedding"))
+  }
+
+  /** ATTACH a PQ sidecar to a persisted [[ivfWrite]] index: train
+    * residual sub-codebooks over the live lists and encode every live
+    * vector. Layout under `path/pq/`: `books/` (one broadcast-sized
+    * file; every row carries m, dsub, kpq and the centroid stamp —
+    * fully self-describing, the raw-BM25 lesson), `codes/`
+    * PARTITIONED BY cell (the ADC scan bucket-prunes exactly like the
+    * lists), `commits/` written LAST (codes carry a per-attempt
+    * pq_batch; a torn attach/refresh is invisible and a re-drive
+    * lands once). Attach resets any previous sidecar at this path. */
+  def pqAttach(spark: SparkSession, path: String, m: Int = 16,
+               kpq: Int = 32): Unit = {
+    import spark.implicits._
+    val stamp = pqStamp(spark, path)
+    val live = liveLists(spark, path)
+      .select($"cell", $"neighbor_id", $"vc".cast("array<float>").as("vc"), $"nc")
+      .localCheckpoint()
+    val dim = spark.read.parquet(s"$path/centroids")
+      .select(size($"cvec")).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val resid = pqResiduals(spark, path, live)
+    val books = pqCodebooks(resid.select($"vec_id", $"embedding"), m, dsub, kpq)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/pq"), true)
+    books
+      .withColumn("m", lit(m)).withColumn("dsub", lit(dsub))
+      .withColumn("kpq", lit(kpq)).withColumn("cstamp", lit(stamp))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq/books")
+    val batch = java.util.UUID.randomUUID.toString
+    pqEncode(resid.select($"vec_id", $"embedding"), books, m, dsub)
+      .join(resid.select($"vec_id", $"cell", $"nc"), Seq("vec_id"))
+      .select($"cell", $"vec_id".as("neighbor_id"), $"codes", $"nc")
+      .withColumn("pq_batch", lit(batch))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/pq/codes")
+    Seq((batch, stamp)).toDF("pq_batch", "cstamp").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/pq/commits")
+  }
+
+  /** Live vectors the sidecar cannot ADC-score: appended since the
+    * last refresh, or ALL live rows after a retrain moved the
+    * centroids (stamp mismatch orphans every residual code). The
+    * refresh-needed measure — the vector side's
+    * [[graft.operators.TextAnalysis.bm25DeletedFraction]] analogue. */
+  def pqCoverageGap(spark: SparkSession, path: String): Long = {
+    import spark.implicits._
+    liveLists(spark, path).select($"neighbor_id")
+      .join(pqLiveCodes(spark, path).select($"neighbor_id"),
+        Seq("neighbor_id"), "left_anti").count()
+  }
+
+  /** REFRESH the sidecar to current index state under FROZEN books —
+    * the production cadence: codes follow every append/retrain,
+    * codebooks retrain rarely (re-attach). Same-stamp refresh encodes
+    * ONLY the uncoded delta and appends it (O(batch) — untouched
+    * cells' code files stay byte-for-byte); after a retrain (stamp
+    * mismatch) every residual is stale, so the refresh re-encodes the
+    * whole live set against the new centroids and supersedes by
+    * stamp — old code batches stop resolving the moment the commit
+    * row lands, with no in-place rewrite. Commit row LAST either way;
+    * [[pqRefreshRaw]]'s `commit = false` is the kill-between-writes
+    * seam the crash spec drives. */
+  def pqRefresh(spark: SparkSession, path: String): Unit =
+    pqRefreshRaw(spark, path, commit = true)
+
+  private[graft] def pqRefreshRaw(spark: SparkSession, path: String,
+                                  commit: Boolean): Unit = {
+    import spark.implicits._
+    val stamp = pqStamp(spark, path)
+    val bk = spark.read.parquet(s"$path/pq/books")
+    val meta = bk.select($"m", $"dsub").head()
+    val (m, dsub) = (meta.getInt(0), meta.getInt(1))
+    val books = bk.select($"sub", $"code", $"cvec", $"chalf")
+    val target = liveLists(spark, path)
+      .select($"cell", $"neighbor_id", $"vc".cast("array<float>").as("vc"), $"nc")
+      .join(pqLiveCodes(spark, path).select($"neighbor_id"),
+        Seq("neighbor_id"), "left_anti")
+      .localCheckpoint()
+    if (target.isEmpty) return
+    val resid = pqResiduals(spark, path, target)
+    val batch = java.util.UUID.randomUUID.toString
+    pqEncode(resid.select($"vec_id", $"embedding"), books, m, dsub)
+      .join(resid.select($"vec_id", $"cell", $"nc"), Seq("vec_id"))
+      .select($"cell", $"vec_id".as("neighbor_id"), $"codes", $"nc")
+      .withColumn("pq_batch", lit(batch))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("append").parquet(s"$path/pq/codes")
+    if (commit)
+      Seq((batch, stamp)).toDF("pq_batch", "cstamp").coalesce(1)
+        .write.mode("append").parquet(s"$path/pq/commits")
+  }
+
+  /** Physical reclaim for the sidecar — [[ivfCompact]]'s posture over
+    * `pq/codes`: cells carrying DEAD code rows (uncommitted or
+    * stale-stamp batches — a retrain's supersede leaves the old
+    * encoding on disk — or tombstoned vectors) and fragmented cells
+    * rewrite to their live rows only; clean cells keep their files
+    * byte-for-byte; a drained cell's directory drops. Runs under the
+    * index's exclusive writer lease and refuses while a read pin is
+    * live (stale-stamp rows are exactly what a pinned pre-retrain
+    * reader may still be ADC-scoring). */
+  def pqVacuum(spark: SparkSession, path: String, maxFilesPerCell: Int = 1): Unit =
+      graft.sources.Lake.withWriterLock(spark, path, "pqVacuum") {
+    graft.sources.Lake.requireUnpinned(spark, path, "pqVacuum")
+    import spark.implicits._
+    val stamp = pqStamp(spark, path)
+    val committed = spark.read.parquet(s"$path/pq/commits")
+      .filter($"cstamp" === stamp)
+      .select($"pq_batch").as[String].collect().toSeq
+    val raw = spark.read.parquet(s"$path/pq/codes")
+      .withColumn("cell", $"cell".cast("int"))
+    val dead = ivfTombstones(spark, path, ivfCommitted(spark, path))
+    val dirty = raw.join(dead, Seq("neighbor_id"), "left_semi").select($"cell")
+      .unionAll(raw.filter(!$"pq_batch".isin(committed: _*)).select($"cell"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val fragmented = graft.sources.Lake.fragmentedPartitions(
+      spark, s"$path/pq/codes", "cell", maxFilesPerCell)
+    val targets = dirty ++ fragmented
+    if (targets.nonEmpty) {
+      val clean = raw.filter($"cell".isin(targets.toSeq: _*))
+        .filter($"pq_batch".isin(committed: _*))
+        .join(broadcast(dead), Seq("neighbor_id"), "left_anti")
+        .localCheckpoint()
+      clean.repartition(col("cell"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(s"$path/pq/codes")
+      val stillThere = clean.select($"cell").distinct()
+        .collect().map(_.getAs[Number](0).intValue()).toSet
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      (targets -- stillThere).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/pq/codes/cell=$c"), true)
+      }
+    }
+  }
+
+  /** [[annIvfPq]] served from the persisted sidecar: route via the
+    * broadcast-sized centroids, ADC over ONLY the probed cells' code
+    * partitions (statically pruned like [[annIvfServe]] — the wide
+    * pass reads m-byte codes + one scalar norm, never a float
+    * vector), exact-cosine rerank of the bounded shortlist fetching
+    * floats from the probed cells of the lists. Self-panel when
+    * `queries` is empty (gate mode); external batches keep
+    * self-matches (the [[ivfScore]] namespace rule). */
+  def annIvfPqServe(spark: SparkSession, path: String, nprobe: Int = 10,
+                    shortlist: Int = 128, k: Int = 5, nQueries: Int = 50,
+                    queries: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val bk = spark.read.parquet(s"$path/pq/books")
+    val meta = bk.select($"m", $"dsub").head()
+    val (m, dsub) = (meta.getInt(0), meta.getInt(1))
+    val books = bk.select($"sub", $"code", $"cvec", $"chalf")
+    val lists = liveLists(spark, path)
+      .select($"cell", $"neighbor_id", $"vc".cast("array<float>").as("vc"), $"nc")
+    val panel = queries.map(q => q
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+        .withColumn("norm", sqrt(dotF($"embedding", $"embedding"))))
+      .getOrElse(lists.filter($"neighbor_id" < nQueries)
+        .select($"neighbor_id".as("vec_id"), $"vc".as("embedding"), $"nc".as("norm")))
+    val routed = ivfRoute(centroids, panel, nprobe).localCheckpoint()
+    val probedCells = routed.select($"cell").distinct()
+      .collect().map(_.getAs[Number](0).intValue()).toSeq
+    val probes = routed
+      .join(broadcast(centroids.select($"cid".as("cell"), $"cvec")), Seq("cell"))
+      .withColumn("qcdot", dotF($"vq", $"cvec"))
+      .drop("cvec")
+      .join(pqLut(panel.select($"vec_id", $"embedding"), books, m, dsub),
+        Seq("query_id"))
+    val codes = pqLiveCodes(spark, path).filter($"cell".isin(probedCells: _*))
+    val excludeSelf = queries.isEmpty
+    val wS = Window.partitionBy($"query_id").orderBy($"qcos".desc, $"neighbor_id")
+    val short = broadcast(probes).join(codes, Seq("cell"))
+      .filter(if (excludeSelf) $"query_id" =!= $"neighbor_id" else lit(true))
+      .withColumn("adc", $"qcdot" + expr(
+        "aggregate(zip_with(codes, lut, (c, r) -> element_at(r, c + 1)), 0D, (a, x) -> a + x)"))
+      .withColumn("qcos", when($"nc" > 0d, $"adc" / ($"nq" * $"nc")).otherwise(lit(-2d)))
+      .withColumn("srank", row_number().over(wS))
+      .filter($"srank" <= shortlist)
+      .select($"query_id", $"neighbor_id", $"cell", $"vq", $"nq")
+    val wK = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    broadcast(short)
+      .join(lists.filter($"cell".isin(probedCells: _*))
+        .select($"neighbor_id", $"vc", $"nc"), Seq("neighbor_id"))
+      .withColumn("cosine", dot("vq", "vc") / ($"nq" * $"nc"))
+      .withColumn("rank_nn", row_number().over(wK))
+      .filter($"rank_nn" <= k)
+      .select($"query_id", $"neighbor_id", $"cell", $"rank_nn", $"cosine")
+  }
+
+  /** C7g-serve `ann_ivf_pq_serve` — the sidecar's full lifecycle under
+    * the gate, mirroring [[annIvfAppendServe]]: 70% prefix build +
+    * [[pqAttach]] (books train on prefix residuals — the honest
+    * production state) → 30% [[ivfAppend]] → [[pqRefresh]] (encodes
+    * ONLY the appended delta under frozen books) → ADC serve of the
+    * full panel. check.py grades recall@5 vs brute force over the
+    * whole corpus — appended vectors are only findable if the refresh
+    * actually coded them into the right cells. Rows-only (centroid +
+    * codebook geometry). */
+  def annIvfPqAppendServe(spark: SparkSession, dir: String, nlist: Int = 16,
+                          nprobe: Int = 10, m: Int = 16, kpq: Int = 32,
+                          shortlist: Int = 128, k: Int = 5,
+                          nQueries: Int = 50): DataFrame = {
+    import spark.implicits._
+    val all = Tables.embeddings(spark, dir)
+    val maxRow = all.agg(max($"vec_id")).head()
+    if (maxRow.isNullAt(0))
+      return Seq.empty[(Long, Long, Int, Int, Double)]
+        .toDF("query_id", "neighbor_id", "cell", "rank_nn", "cosine")
+    graft.sources.Lake.withScratchIndex(spark, "graft_ivf_pq") { tmp =>
+      val cut = prefixIvfWrite(spark, dir, tmp, nlist, maxRow.getLong(0))
+      pqAttach(spark, tmp, m, kpq)
+      ivfAppend(spark, tmp, all.filter($"vec_id" > cut))
+      pqRefresh(spark, tmp)
+      annIvfPqServe(spark, tmp, nprobe = nprobe, shortlist = shortlist,
+        k = k, nQueries = nQueries)
+    }
+  }
 }

@@ -1403,9 +1403,21 @@ object Similarity {
   /** The sidecar's committed code rows under the CURRENT centroid
     * stamp, tombstones filtered — every ADC reader starts here, so a
     * torn refresh, a stale (pre-retrain) code batch, or a deleted
-    * vector can never enter a shortlist. */
+    * vector can never enter a shortlist. A MISSING `pq/commits` (or
+    * `pq/codes`) directory is "no committed batches", not an error:
+    * an attach that crashed between the sidecar reset and its commit
+    * write leaves exactly this state, and readers must see an empty
+    * sidecar (coverage gap = everything uncoded) so the re-driven
+    * attach heals it instead of every reader throwing. */
   private def pqLiveCodes(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/pq/commits")) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$path/pq/codes")))
+      return liveLists(spark, path).filter(lit(false))
+        .select($"cell", $"neighbor_id",
+          lit(null).cast("array<int>").as("codes"), $"nc")
     val stamp = pqStamp(spark, path)
     val committed = spark.read.parquet(s"$path/pq/commits")
       .filter($"cstamp" === stamp)
@@ -1437,10 +1449,17 @@ object Similarity {
     * fully self-describing, the raw-BM25 lesson), `codes/`
     * PARTITIONED BY cell (the ADC scan bucket-prunes exactly like the
     * lists), `commits/` written LAST (codes carry a per-attempt
-    * pq_batch; a torn attach/refresh is invisible and a re-drive
-    * lands once). Attach resets any previous sidecar at this path. */
+    * pq_batch; a torn attach/refresh is invisible — readers treat the
+    * missing commit log as an empty sidecar — and a re-drive lands
+    * once). Attach resets any previous sidecar at this path, so like
+    * every rewriting mutator it runs under the index's exclusive
+    * writer lease and refuses while a read pin is live (a pinned ADC
+    * reader may still be scoring the very code files the reset
+    * deletes). */
   def pqAttach(spark: SparkSession, path: String, m: Int = 16,
-               kpq: Int = 32): Unit = {
+               kpq: Int = 32): Unit =
+      graft.sources.Lake.withWriterLock(spark, path, "pqAttach") {
+    graft.sources.Lake.requireUnpinned(spark, path, "pqAttach")
     import spark.implicits._
     val stamp = pqStamp(spark, path)
     val live = liveLists(spark, path)
@@ -1480,6 +1499,44 @@ object Similarity {
     liveLists(spark, path).select($"neighbor_id")
       .join(pqLiveCodes(spark, path).select($"neighbor_id"),
         Seq("neighbor_id"), "left_anti").count()
+  }
+
+  /** TRUE when a sidecar is attached at `path` (its codebooks file
+    * exists) — the presence probe a maintenance loop gates sidecar
+    * work on without touching index data. */
+  def pqSidecarPresent(spark: SparkSession, path: String): Boolean =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(new org.apache.hadoop.fs.Path(s"$path/pq/books"))
+
+  /** The sidecar's QUALITY-drift signal, complementing the coverage
+    * gap: TRUE when the codebooks' attach-time centroid stamp no
+    * longer matches the index's current centroids — i.e. a retrain
+    * moved the residual distribution the books were trained on.
+    * [[pqRefresh]] after a retrain restores COVERAGE (every live
+    * vector re-codes against the new centroids) but under FROZEN
+    * books fit to the old residuals, so ADC quality can silently sag
+    * while [[pqCoverageGap]] reads 0; this flag is the measurement
+    * that says "re-fit the books" — the maintenance answer is
+    * [[pqReattach]], which [[Retention.retentionSweep]] runs
+    * automatically after a sweep-driven retrain. */
+  def pqBooksStale(spark: SparkSession, path: String): Boolean = {
+    val bk = spark.read.parquet(s"$path/pq/books")
+    bk.select(col("cstamp")).head().getString(0) != pqStamp(spark, path)
+  }
+
+  /** Re-fit the sidecar against the CURRENT centroids with the
+    * attach-time geometry (m, kpq read from the existing books) — the
+    * recovery step a retrain demands: retraining moves every cell's
+    * residual distribution, so both the codes AND the books must
+    * re-fit (a frozen-book [[pqRefresh]] only restores coverage).
+    * Same cost class as the full refresh it replaces (one pass over
+    * the live lists + the bounded Lloyd step), and it inherits
+    * [[pqAttach]]'s lease/pin/commit-last discipline. */
+  def pqReattach(spark: SparkSession, path: String): Unit = {
+    val meta = spark.read.parquet(s"$path/pq/books")
+      .select(col("m"), col("kpq")).head()
+    pqAttach(spark, path, meta.getInt(0), meta.getInt(1))
   }
 
   /** REFRESH the sidecar to current index state under FROZEN books —
@@ -1536,10 +1593,19 @@ object Similarity {
       graft.sources.Lake.withWriterLock(spark, path, "pqVacuum") {
     graft.sources.Lake.requireUnpinned(spark, path, "pqVacuum")
     import spark.implicits._
+    val hfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // no code files → nothing to reclaim (incl. the torn-attach state)
+    if (!hfs.exists(new org.apache.hadoop.fs.Path(s"$path/pq/codes"))) return
     val stamp = pqStamp(spark, path)
-    val committed = spark.read.parquet(s"$path/pq/commits")
-      .filter($"cstamp" === stamp)
-      .select($"pq_batch").as[String].collect().toSeq
+    // a missing commit log (torn attach) orphans every code row: the
+    // empty committed set marks them all dead and the rewrite drops them
+    val committed =
+      if (!hfs.exists(new org.apache.hadoop.fs.Path(s"$path/pq/commits")))
+        Seq.empty[String]
+      else spark.read.parquet(s"$path/pq/commits")
+        .filter($"cstamp" === stamp)
+        .select($"pq_batch").as[String].collect().toSeq
     val raw = spark.read.parquet(s"$path/pq/codes")
       .withColumn("cell", $"cell".cast("int"))
     val dead = ivfTombstones(spark, path, ivfCommitted(spark, path))

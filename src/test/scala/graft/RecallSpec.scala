@@ -596,10 +596,16 @@ class RecallSpec extends AnyFunSuite {
     assert(coded.count() == n, "every vector must carry a PQ code row")
     val badLen = coded.filter(size($"codes") =!= m).count()
     assert(badLen == 0, s"$badLen vectors lack exactly $m codes")
-    val maxCnt = books.groupBy($"sub").count().agg(max($"count")).head().getLong(0)
+    // range-check each code against ITS OWN subspace's codebook size
+    // (codes[pos] indexes sub=pos's lut row — a global max would let a
+    // code that overruns a smaller sub-codebook slip through and null
+    // out its ADC term at serve time)
+    val perSub = books.groupBy($"sub").agg(count(lit(1)).as("cnt"))
     val badCode = coded
-      .filter(exists($"codes", c => c < 0 || c >= maxCnt.toInt)).count()
-    assert(badCode == 0, s"$badCode vectors carry out-of-range codes")
+      .select(posexplode($"codes").as(Seq("sub", "code")))
+      .join(perSub, Seq("sub"), "left_outer")
+      .filter($"code" < 0 || $"cnt".isNull || $"code" >= $"cnt").count()
+    assert(badCode == 0, s"$badCode (vector, sub) codes out of their sub-codebook's range")
     // end-to-end ADC quality: IVFADC shortlist + exact rerank must hold
     // the family's two-stage floor (measured 0.948 at these defaults)
     val exact = operators.Similarity.annBruteforce(spark, sf, k = 5, nQueries = 20)
@@ -612,6 +618,61 @@ class RecallSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"C7g IVFADC recall@5 = $recall")
     info(f"C7g IVFADC recall@5 = $recall%.3f over $total exact pairs")
     exact.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("C7g sidecar lifecycle: retrain stales the books, reattach restores freshness + recall, torn attach reads as empty") {
+    val s = spark
+    import s.implicits._
+    val Sim = operators.Similarity
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_life").toFile
+    val path = idx.getAbsolutePath
+    Sim.ivfWrite(s, sf, path)
+    Sim.pqAttach(s, path)
+    val live = Sim.liveLists(s, path).count()
+    assert(!Sim.pqBooksStale(s, path) && Sim.pqCoverageGap(s, path) == 0,
+      "a fresh attach must be fully covered with fresh books")
+    // a RETRAIN moves the centroids: every residual code is orphaned by
+    // stamp (coverage gap = whole live set) AND the frozen books are
+    // flagged stale — the quality-drift signal pqRefresh alone can't clear
+    Sim.ivfRetrain(s, path)
+    assert(Sim.pqBooksStale(s, path),
+      "post-retrain the sidecar books must read as stale")
+    assert(Sim.pqCoverageGap(s, path) == live,
+      "post-retrain every live vector must count as uncoded")
+    // REATTACH re-fits books + codes against the new centroids: fresh,
+    // covered, and the served recall holds the family floor
+    Sim.pqReattach(s, path)
+    assert(!Sim.pqBooksStale(s, path) && Sim.pqCoverageGap(s, path) == 0,
+      "reattach must restore coverage and book freshness")
+    val exact = Sim.annBruteforce(s, sf, k = 5, nQueries = 20)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val total = exact.count()
+    def recallNow(): Double = {
+      val served = Sim.annIvfPqServe(s, path, nQueries = 20)
+      exact.join(served.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi").count().toDouble / total
+    }
+    val r1 = recallNow()
+    assert(r1 >= 0.8, s"post-reattach ADC recall@5 = $r1")
+    info(f"post-retrain reattach recall@5 = $r1%.3f")
+    // TORN ATTACH (crash before the commit write): a missing pq/commits
+    // dir is "no committed batches" — readers see an empty sidecar, not
+    // an exception, and the coverage gap arms the re-drive
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/pq/commits"), true)
+    assert(Sim.pqCoverageGap(s, path) == live,
+      "a torn attach must read as everything-uncoded, not throw")
+    assert(Sim.annIvfPqServe(s, path, nQueries = 20).count() == 0,
+      "an empty sidecar must serve no ADC rows, not throw")
+    // … and the re-driven refresh heals it under the surviving books
+    Sim.pqRefresh(s, path)
+    assert(Sim.pqCoverageGap(s, path) == 0, "re-driven refresh must re-cover")
+    val r2 = recallNow()
+    assert(r2 >= 0.8, s"post-heal ADC recall@5 = $r2")
+    exact.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(idx)
     spark.catalog.clearCache()
   }
 }

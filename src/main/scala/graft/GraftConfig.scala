@@ -33,7 +33,10 @@ final case class GraftConfig(
     dedupDfCap: Int = 100,       // dedup posting df cap (hot-shingle cutoff)
     sinkMaxAttempts: Int = 3,    // UpsertSink retry budget
     sinkInitialDelayMs: Long = 50, // UpsertSink first backoff
-    catalogDir: String = "")     // durable index catalog root ("" = session-local)
+    catalogDir: String = "",     // durable index catalog root ("" = session-local)
+    fleetManifest: String = "",  // MaintenanceMain's fleet file ("" = pass as arg)
+    sweepMinReclaim: Double = 0.0, // retention sweep's rewrite ε-gate
+    sweepMaxReclaims: Int = Int.MaxValue) // rewrite budget per sweep tick
 
 object GraftConfig {
 
@@ -67,6 +70,9 @@ object GraftConfig {
           case "sinkMaxAttempts"    => c.copy(sinkMaxAttempts = i)
           case "sinkInitialDelayMs" => c.copy(sinkInitialDelayMs = value.toLong)
           case "catalogDir"         => c.copy(catalogDir = value)
+          case "fleetManifest"      => c.copy(fleetManifest = value)
+          case "sweepMinReclaim"    => c.copy(sweepMinReclaim = value.toDouble)
+          case "sweepMaxReclaims"   => c.copy(sweepMaxReclaims = i)
           case other => throw new IllegalArgumentException(
             s"graft config: unknown key '$other'")
         }

@@ -616,6 +616,74 @@ object NearDup {
       .coalesce(1).write.mode("append").parquet(s"$path/commits")
   }
 
+  /** Fraction of the signature index's posting rows a
+    * [[dedupIndexVacuum]] would physically drop — tombstoned or
+    * orphaned (uncommitted) rows over total; the self-tuning measure
+    * [[graft.operators.Retention.retentionSweep]] thresholds the
+    * rewrite on ([[graft.operators.TextAnalysis.bm25ReclaimableFraction]]'s
+    * posture for the dedup family). One scan reading only
+    * batch_id/doc_id against metadata-sized tombstones. */
+  def dedupIndexReclaimableFraction(spark: SparkSession, path: String): Double = {
+    import spark.implicits._
+    val (committed, _) = dedupIndexMeta(spark, path)
+    val counts = spark.read.parquet(s"$path/postings")
+      .select($"batch_id", $"doc_id")
+      .join(dedupIndexDeletes(spark, path, committed)
+        .withColumn("dead", lit(1)), Seq("doc_id"), "left_outer")
+      .agg(count(lit(1)).as("total"),
+        sum(when($"dead".isNotNull || !$"batch_id".isin(committed: _*), 1L)
+          .otherwise(0L)).as("reclaimable"))
+      .head()
+    if (counts.getLong(0) == 0L) 0.0
+    else counts.getLong(1).toDouble / counts.getLong(0)
+  }
+
+  /** VACUUM the signature index — the physical reclaim behind
+    * [[dedupIndexDelete]]'s zero-rewrite tombstones, mirroring
+    * [[graft.operators.TextAnalysis.bm25Vacuum]] bucket for bucket:
+    * drop orphaned (uncommitted) and tombstoned postings, defragment
+    * buckets past `maxFilesPerBucket`, rewrite ONLY dirty buckets
+    * (dynamic partition overwrite — clean buckets byte-for-byte),
+    * drained buckets' directories dropped through the Hadoop FS API.
+    * Runs under the writer lease; refuses while a read pin is live
+    * (a pinned [[dedupServe]] snapshot may still reference the
+    * tombstoned rows). deletes/ and commits/ stay — metadata-sized,
+    * and retained tombstones keep re-deletes idempotent. */
+  def dedupIndexVacuum(spark: SparkSession, path: String,
+                       maxFilesPerBucket: Int = 1): Unit =
+      graft.sources.Lake.withWriterLock(spark, path, "dedupIndexVacuum") {
+    graft.sources.Lake.requireUnpinned(spark, path, "dedupIndexVacuum")
+    import spark.implicits._
+    val (committed, _) = dedupIndexMeta(spark, path)
+    val post = spark.read.parquet(s"$path/postings")
+      .withColumn("bucket", $"bucket".cast("int"))
+    val del = dedupIndexDeletes(spark, path, committed)
+    val dirty = post.join(del, Seq("doc_id"), "left_semi").select($"bucket")
+      .unionAll(post.filter(!$"batch_id".isin(committed: _*)).select($"bucket"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val fragmented = graft.sources.Lake.fragmentedPartitions(
+      spark, s"$path/postings", "bucket", maxFilesPerBucket)
+    val targets = dirty ++ fragmented
+    if (targets.nonEmpty) {
+      // eager: the rewrite replaces the very files being read
+      val clean = post.filter($"bucket".isin(targets.toSeq: _*))
+        .filter($"batch_id".isin(committed: _*))
+        .join(broadcast(del), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      clean.repartition(col("bucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(s"$path/postings")
+      val stillThere = clean.select($"bucket").distinct()
+        .collect().map(_.getAs[Number](0).intValue()).toSet
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      (targets -- stillThere).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/postings/bucket=$b"), true)
+      }
+    }
+  }
+
   /** Score a new doc batch against the persisted reference index —
     * [[crossDedupPairs]]'s semantics with the reference side read
     * from disk: committed batches only, tombstones filtered, and the

@@ -196,23 +196,43 @@ object Retention {
     }
   }
 
-  /** The index families the sweep can maintain. */
+  /** The index families the sweep can maintain — one entry per
+    * persisted-index layout the library ships. */
   sealed trait IndexKind
   /** A raw appendable BM25 index ([[TextAnalysis.bm25WriteRaw]]). */
   case object RawBm25 extends IndexKind
-  /** A persisted IVF index ([[Similarity.ivfWriteFrom]]). */
+  /** A persisted IVF index ([[Similarity.ivfWriteFrom]]), including
+    * its PQ sidecar when one is attached. */
   case object Ivf extends IndexKind
+  /** An impact-layout BM25 index ([[TextAnalysis.bm25Write]] — the
+    * version-swapped, rebuild-on-refresh family). Its reclaim IS the
+    * ε-gated refresh, so a [[Maintained]] of this kind must carry
+    * `docs` (the CURRENT corpus the rebuild reads). */
+  case object ImpactBm25 extends IndexKind
+  /** A persisted reference-signature dedup index
+    * ([[NearDup.dedupIndexWrite]]). */
+  case object DedupSig extends IndexKind
+  /** A persisted line-frequency (boilerplate-df) index
+    * ([[TextAnalysis.lineIndexWrite]]). */
+  case object LineDf extends IndexKind
 
   /** One index under the sweep's care: where it lives, which family's
     * forget/reclaim paths apply, and the expiry rule (metadata frame +
     * timestamp column + cutoff). `driftEps` (IVF only) additionally
     * arms the centroid-drift trigger: past it, the index's rewrite
     * slot runs [[Similarity.ivfRetrain]] instead of a compaction —
-    * one sweep drives reclaim AND retraining by measurement. */
+    * one sweep drives reclaim AND retraining by measurement — and a
+    * retrained index's PQ sidecar (if attached) is re-fit in the same
+    * slot ([[Similarity.pqReattach]]: the retrain orphans every
+    * residual code AND stales the frozen books, so coverage-only
+    * repair would silently degrade ADC quality). `docs` is the
+    * rebuild corpus an [[ImpactBm25]] refresh reads (required for
+    * that kind, ignored otherwise). */
   final case class Maintained(name: String, kind: IndexKind, path: String,
                               meta: DataFrame, tsCol: String, cutoff: Column,
                               maxFiles: Int = 1,
-                              driftEps: Option[Double] = None)
+                              driftEps: Option[Double] = None,
+                              docs: Option[DataFrame] = None)
 
   /** One maintenance SWEEP over a fleet of indexes — the scheduling
     * policy on top of the per-index ticks: EXPIRE everywhere first
@@ -231,11 +251,16 @@ object Retention {
                      minReclaim: Double = 0.0,
                      maxReclaims: Int = Int.MaxValue,
                      metrics: Option[graft.Metrics] = None): Map[String, Tick] = {
+    def expiredIds(ix: Maintained): DataFrame =
+      ix.meta.filter(col(ix.tsCol) < ix.cutoff).select(col("doc_id"))
     indexes.foreach { ix =>
       scoped(metrics, s"sweep_expire_${ix.name}") {
         ix.kind match {
-          case RawBm25 => bm25DeleteOlderThan(spark, ix.path, ix.meta, ix.tsCol, ix.cutoff)
-          case Ivf     => ivfDeleteOlderThan(spark, ix.path, ix.meta, ix.tsCol, ix.cutoff)
+          case RawBm25    => bm25DeleteOlderThan(spark, ix.path, ix.meta, ix.tsCol, ix.cutoff)
+          case Ivf        => ivfDeleteOlderThan(spark, ix.path, ix.meta, ix.tsCol, ix.cutoff)
+          case ImpactBm25 => TextAnalysis.bm25MarkDeleted(spark, ix.path, expiredIds(ix))
+          case DedupSig   => NearDup.dedupIndexDelete(spark, ix.path, expiredIds(ix))
+          case LineDf     => TextAnalysis.lineIndexDelete(spark, ix.path, expiredIds(ix))
         }
       }
     }
@@ -247,17 +272,36 @@ object Retention {
         case Ivf => (Similarity.ivfReclaimableFraction(spark, ix.path),
           graft.sources.Lake.fragmentedPartitions(
             spark, s"${ix.path}/lists", "cell", ix.maxFiles).nonEmpty)
+        // the impact layout's reclaim is the ε-gated REBUILD, so its
+        // measure is the tombstoned doc fraction; fragmentation never
+        // applies (each version is a one-shot write)
+        case ImpactBm25 => (TextAnalysis.bm25DeletedFraction(spark, ix.path), false)
+        case DedupSig => (NearDup.dedupIndexReclaimableFraction(spark, ix.path),
+          graft.sources.Lake.fragmentedPartitions(
+            spark, s"${ix.path}/postings", "bucket", ix.maxFiles).nonEmpty)
+        case LineDf => (TextAnalysis.lineIndexReclaimableFraction(spark, ix.path),
+          graft.sources.Lake.fragmentedPartitions(
+            spark, s"${ix.path}/lines", "bucket", ix.maxFiles).nonEmpty)
       }
       // the drift trigger arms an IVF index's slot even with zero dead
       // rows: routing decay is a rewrite-worthy measurement too, and
-      // the drift magnitude competes for the budget like a fraction
+      // the drift magnitude competes for the budget like a fraction.
+      // An attached PQ sidecar's coverage gap arms the slot the same
+      // way (appends since the last refresh leave live vectors the
+      // ADC serve cannot see — repair is cheap and O(gap))
       val drift = ix.kind match {
         case Ivf if ix.driftEps.isDefined =>
           Some(Similarity.ivfDriftMeasure(spark, ix.path))
             .filter(_ > ix.driftEps.get)
         case _ => None
       }
-      (ix, math.max(frac, drift.getOrElse(0.0)), fragmented, drift.isDefined)
+      val pqGap = ix.kind match {
+        case Ivf if Similarity.pqSidecarPresent(spark, ix.path) =>
+          Similarity.pqCoverageGap(spark, ix.path) > 0 ||
+            Similarity.pqBooksStale(spark, ix.path)
+        case _ => false
+      }
+      (ix, math.max(frac, drift.getOrElse(0.0)), fragmented || pqGap, drift.isDefined)
     }
     val (worth, below) = measured.partition {
       case (_, score, fragmented, drifted) =>
@@ -270,15 +314,49 @@ object Retention {
         else try {
           scoped(metrics, s"sweep_reclaim_${ix.name}") {
             ix.kind match {
-              case RawBm25 => TextAnalysis.bm25Vacuum(spark, ix.path, ix.maxFiles)
+              case RawBm25 =>
+                TextAnalysis.bm25Vacuum(spark, ix.path, ix.maxFiles)
+                Reclaimed: Tick
+              // the impact layout's slot IS the staleness-bounded
+              // refresh: rebuild from the current corpus and publish
+              // the version atomically (read pins never block the
+              // swap, only the aged version's GC)
+              case ImpactBm25 =>
+                val docs = ix.docs.getOrElse(throw new IllegalArgumentException(
+                  s"${ix.name}: ImpactBm25 needs docs (the corpus the refresh rebuilds from)"))
+                if (TextAnalysis.bm25RefreshIfStale(docs, ix.path, eps = minReclaim))
+                  Reclaimed else Skipped
+              case DedupSig =>
+                NearDup.dedupIndexVacuum(spark, ix.path, ix.maxFiles)
+                Reclaimed
+              case LineDf =>
+                TextAnalysis.lineIndexVacuum(spark, ix.path, ix.maxFiles)
+                Reclaimed
               // a drifted index spends its slot on the retrain (which
               // also migrates rows); dead-row compaction, if any
-              // remains, wins a later sweep's slot
-              case Ivf if drifted => Similarity.ivfRetrain(spark, ix.path)
-              case Ivf            => Similarity.ivfCompact(spark, ix.path, ix.maxFiles)
+              // remains, wins a later sweep's slot. The retrain stales
+              // the PQ sidecar's books AND orphans its codes — re-fit
+              // both in the same slot or ADC serving craters silently
+              case Ivf if drifted =>
+                Similarity.ivfRetrain(spark, ix.path)
+                if (Similarity.pqSidecarPresent(spark, ix.path))
+                  Similarity.pqReattach(spark, ix.path)
+                Reclaimed
+              case Ivf =>
+                Similarity.ivfCompact(spark, ix.path, ix.maxFiles)
+                if (Similarity.pqSidecarPresent(spark, ix.path)) {
+                  // sidecar upkeep rides the slot: reclaim dead code
+                  // rows, re-fit stale books (a retrain outside the
+                  // sweep), and code any uncovered live vectors
+                  Similarity.pqVacuum(spark, ix.path, ix.maxFiles)
+                  if (Similarity.pqBooksStale(spark, ix.path))
+                    Similarity.pqReattach(spark, ix.path)
+                  else if (Similarity.pqCoverageGap(spark, ix.path) > 0)
+                    Similarity.pqRefresh(spark, ix.path)
+                }
+                Reclaimed
             }
           }
-          Reclaimed: Tick
         } catch {
           case _: graft.sources.Lake.PinnedSnapshotException => Deferred
           case _: graft.sources.Lake.ConcurrentMaintenanceException => Deferred

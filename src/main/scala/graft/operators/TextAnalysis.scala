@@ -222,6 +222,71 @@ object TextAnalysis {
       .coalesce(1).write.mode("append").parquet(s"$path/commits")
   }
 
+  /** Fraction of the line index's posting rows a [[lineIndexVacuum]]
+    * would physically drop — tombstoned or orphaned (uncommitted)
+    * rows over total; the sweep's self-tuning measure
+    * ([[bm25ReclaimableFraction]]'s posture for the line-df family).
+    * One scan reading only batch_id/doc_id against metadata-sized
+    * tombstones. */
+  def lineIndexReclaimableFraction(spark: SparkSession, path: String): Double = {
+    import spark.implicits._
+    val (committed, _) = lineIndexMeta(spark, path)
+    val counts = spark.read.parquet(s"$path/lines")
+      .select($"batch_id", $"doc_id")
+      .join(lineIndexDeletes(spark, path, committed)
+        .withColumn("dead", lit(1)), Seq("doc_id"), "left_outer")
+      .agg(count(lit(1)).as("total"),
+        sum(when($"dead".isNotNull || !$"batch_id".isin(committed: _*), 1L)
+          .otherwise(0L)).as("reclaimable"))
+      .head()
+    if (counts.getLong(0) == 0L) 0.0
+    else counts.getLong(1).toDouble / counts.getLong(0)
+  }
+
+  /** VACUUM the line index — the physical reclaim behind
+    * [[lineIndexDelete]]'s zero-rewrite tombstones, [[bm25Vacuum]]
+    * bucket for bucket: drop orphaned and tombstoned postings,
+    * defragment buckets past `maxFilesPerBucket`, rewrite ONLY dirty
+    * buckets (dynamic partition overwrite — clean buckets
+    * byte-for-byte), drained buckets' directories dropped through the
+    * Hadoop FS API. Writer lease + read-pin gate like every other
+    * physical reclaim; deletes/ and commits/ are retained
+    * (metadata-sized; tombstones keep re-deletes idempotent). */
+  def lineIndexVacuum(spark: SparkSession, path: String,
+                      maxFilesPerBucket: Int = 1): Unit =
+      graft.sources.Lake.withWriterLock(spark, path, "lineIndexVacuum") {
+    graft.sources.Lake.requireUnpinned(spark, path, "lineIndexVacuum")
+    import spark.implicits._
+    val (committed, _) = lineIndexMeta(spark, path)
+    val post = spark.read.parquet(s"$path/lines")
+      .withColumn("bucket", $"bucket".cast("int"))
+    val del = lineIndexDeletes(spark, path, committed)
+    val dirty = post.join(del, Seq("doc_id"), "left_semi").select($"bucket")
+      .unionAll(post.filter(!$"batch_id".isin(committed: _*)).select($"bucket"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val fragmented = graft.sources.Lake.fragmentedPartitions(
+      spark, s"$path/lines", "bucket", maxFilesPerBucket)
+    val targets = dirty ++ fragmented
+    if (targets.nonEmpty) {
+      // eager: the rewrite replaces the very files being read
+      val clean = post.filter($"bucket".isin(targets.toSeq: _*))
+        .filter($"batch_id".isin(committed: _*))
+        .join(broadcast(del), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      clean.repartition(col("bucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(s"$path/lines")
+      val stillThere = clean.select($"bucket").distinct()
+        .collect().map(_.getAs[Number](0).intValue()).toSet
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      (targets -- stillThere).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/lines/bucket=$b"), true)
+      }
+    }
+  }
+
   /** Strike boilerplate from a NEW crawl batch against the
     * accumulated index: a line is struck when its distinct-doc count
     * over (live index ∪ the batch) exceeds one. The index read is

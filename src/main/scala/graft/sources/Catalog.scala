@@ -140,7 +140,10 @@ object Catalog {
   def rollback(spark: SparkSession, catalogDir: String, kind: String,
                key: String): (String, String) = {
     import spark.implicits._
-    val prior = entries(spark, catalogDir)
+    // dropDuplicates: a crashed checkpoint can leave a manifest row
+    // housed twice (merged file + not-yet-deleted original); the rows
+    // are identical, so full-row dedup restores exact semantics
+    val prior = entries(spark, catalogDir).dropDuplicates()
       .filter($"kind" === kind && $"key" === key)
       .orderBy($"seq".desc).limit(2)
       .collect()
@@ -162,12 +165,66 @@ object Catalog {
     * posture applied to the catalog. Runs under the writer lease and
     * refuses while a read pin is live — the same retention contract
     * as every other physical reclaim. */
+  /** Compact the manifest's accumulated registration FILES into one
+    * checkpoint file without dropping any epoch — the move every
+    * commit-log system makes. Every [[register]]/[[registerAll]]
+    * appends one parquet file and [[entries]] lists + reads all of
+    * them per lookup, so a fleet doing frequent cutovers grows the
+    * listing without bound between vacuums; checkpoint bounds it at
+    * any time, with full rollback headroom intact (unlike [[vacuum]],
+    * which drops superseded epochs). Protocol: merge the rows of the
+    * CURRENT manifest files into one file written aside, RENAME it
+    * into the manifest (the single atomic commit), then delete
+    * exactly the absorbed files — a registration racing the
+    * checkpoint appends a new file that is never absorbed, so no row
+    * can be lost. A reader in the swap window (or after a crash
+    * between the rename and the deletes) may see a row housed twice;
+    * all consumers tolerate exact-duplicate rows (lookup takes
+    * max-seq, [[rollback]]/[[vacuum]] dedup, [[register]]'s next-seq
+    * is unchanged), and the next checkpoint absorbs the duplicates.
+    * Runs under the writer lease; needs NO read-pin gate — no row is
+    * removed, only re-housed. */
+  def checkpoint(spark: SparkSession, catalogDir: String): Unit =
+    Lake.withWriterLock(spark, catalogDir, "catalogCheckpoint") {
+      val mdir = new org.apache.hadoop.fs.Path(s"$catalogDir/$Manifest")
+      val fs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(mdir)) {
+        // reclaim stray merge dirs a crashed checkpoint left behind
+        // (safe under the lock: no other checkpoint is mid-write)
+        fs.listStatus(new org.apache.hadoop.fs.Path(catalogDir)).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("_ckpt_"))
+          .foreach(s => fs.delete(s.getPath, true))
+        val files = fs.listStatus(mdir).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath)
+        if (files.length > 1) {
+          val rows = spark.read.parquet(files.map(_.toString): _*)
+            .dropDuplicates().localCheckpoint()
+          val tmp = s"$catalogDir/_ckpt_${java.util.UUID.randomUUID}"
+          rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp)).toSeq
+            .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+          // the rename is the commit: readers resolve old files or
+          // merged+old, never a missing state
+          fs.rename(part,
+            new org.apache.hadoop.fs.Path(mdir,
+              s"ckpt-${java.util.UUID.randomUUID}.parquet"))
+          files.foreach(p => fs.delete(p, false))
+          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        }
+      }
+    }
+
   def vacuum(spark: SparkSession, catalogDir: String,
              keepEpochs: Int = 1): Unit =
     Lake.withWriterLock(spark, catalogDir, "catalogVacuum") {
       Lake.requireUnpinned(spark, catalogDir, "catalogVacuum")
       import spark.implicits._
-      val all = entries(spark, catalogDir)
+      // see rollback: full-row dedup absorbs a crashed checkpoint's
+      // double-housed rows before the per-key epoch ranking (a
+      // duplicated newest row must not push the true prior epoch out
+      // of the keepEpochs window)
+      val all = entries(spark, catalogDir).dropDuplicates()
       if (!all.isEmpty) {
         // manifest rows are maintenance metadata (O(registrations)) —
         // the per-key rank window is bounded like the other manifest

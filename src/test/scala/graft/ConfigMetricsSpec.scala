@@ -96,4 +96,76 @@ class ConfigMetricsSpec extends AnyFunSuite {
     assert(m.asDataFrame.count() == 2)
     spark.catalog.clearCache()
   }
+
+  test("maintenance main: one tick drives the fleet manifest end-to-end against a scratch fleet") {
+    val s = spark
+    import s.implicits._
+    def tmp(tag: String): String =
+      java.nio.file.Files.createTempDirectory(s"graft_maint_$tag").toString
+    // an index member with real dead weight: half the docs expired
+    val idx = tmp("idx")
+    val docs = (0 until 20).map(i =>
+      (i.toLong, s"alpha$i beta${i % 3} gamma${i % 5} word$i")).toDF("doc_id", "text")
+    operators.TextAnalysis.bm25WriteRaw(docs, idx)
+    val metaDir = tmp("meta")
+    (0 until 20).map(i => (i.toLong,
+        java.sql.Date.valueOf(if (i < 10) "2025-01-01" else "2026-08-01")))
+      .toDF("doc_id", "ingested")
+      .write.mode("overwrite").parquet(metaDir)
+    // a fragmented lake member (two files, maxFiles=1 → compacts)
+    val lake = tmp("lake")
+    docs.coalesce(1).write.mode("overwrite").parquet(lake)
+    docs.coalesce(1).write.mode("append").parquet(lake)
+    // a catalog member with a superseded epoch to reclaim
+    val cat = tmp("cat")
+    sources.Catalog.register(s, cat, "t", "k", s"$cat/store/t/a", "v1")
+    sources.Catalog.register(s, cat, "t", "k", s"$cat/store/t/b", "v2")
+    val manifest =
+      s"""# scratch fleet
+         |index name=docs kind=raw_bm25 path=$idx meta=$metaDir ts=ingested ttlDays=365 maxFiles=1000
+         |lake path=$lake maxFiles=1
+         |catalog dir=$cat keepEpochs=1
+         |""".stripMargin
+    val fleet = MaintenanceMain.parseFleet(s, manifest)
+    assert(fleet.indexes.length == 1 && fleet.lakes.length == 1 &&
+      fleet.catalogs.length == 1)
+    val m = new Metrics(s)
+    val outcomes = MaintenanceMain.tick(s, fleet, GraftConfig(), m)
+    assert(outcomes("index:docs") == "Reclaimed", s"$outcomes")
+    assert(outcomes(s"lake:$lake") == "Reclaimed", s"$outcomes")
+    assert(outcomes(s"catalog:$cat") == "Swept", s"$outcomes")
+    // the tick really maintained: expired docs out + physically clean,
+    // lake repacked, catalog's superseded epoch gone
+    assert(operators.TextAnalysis.bm25ReclaimableFraction(s, idx) == 0.0)
+    assert(operators.TextAnalysis.bm25ServeRaw(s, idx, qMod = 1)
+      .filter($"doc_id" < 10).count() == 0, "expired docs must not serve")
+    assert(new java.io.File(lake).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1, "lake must be repacked")
+    assert(sources.Catalog.entries(s, cat).count() == 1, "loser epoch must be vacuumed")
+    // the operational trail: every phase is a named metrics scope
+    val scopes = m.snapshot.map(_.name)
+    assert(scopes.exists(_.startsWith("sweep_expire_docs")) &&
+      scopes.exists(_.startsWith("sweep_reclaim_docs")) &&
+      scopes.contains("lake_compaction") &&
+      scopes.exists(_.startsWith("catalog_vacuum")), s"scopes: $scopes")
+    // a second tick converges: everything clean → Skipped/Swept
+    val out2 = MaintenanceMain.tick(s, fleet, GraftConfig(), new Metrics(s))
+    assert(out2("index:docs") == "Skipped" && out2(s"lake:$lake") == "Skipped",
+      s"$out2")
+    // strict manifest: unknown kind / key / type and a docs-less
+    // impact_bm25 all fail loudly
+    intercept[IllegalArgumentException](MaintenanceMain.parseFleet(s,
+      s"index name=x kind=btree path=$idx meta=$metaDir ts=t ttlDays=1"))
+    intercept[IllegalArgumentException](MaintenanceMain.parseFleet(s,
+      s"index name=x kind=ivf path=$idx meta=$metaDir ts=t ttlDays=1 nope=3"))
+    intercept[IllegalArgumentException](MaintenanceMain.parseFleet(s,
+      s"widget path=$idx"))
+    intercept[IllegalArgumentException](MaintenanceMain.parseFleet(s,
+      s"index name=x kind=impact_bm25 path=$idx meta=$metaDir ts=t ttlDays=1"))
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(idx, metaDir, lake, cat).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    spark.catalog.clearCache()
+  }
 }

@@ -608,6 +608,142 @@ class LakeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("catalog checkpoint: lookups unchanged, files bounded, rollback headroom and crash duplicates absorbed") {
+    import sources.Catalog
+    val s = spark
+    val cat = java.nio.file.Files.createTempDirectory("graft_cat_ckpt").toString
+    val fs = new org.apache.hadoop.fs.Path(cat)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def manifestFiles(): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$cat/manifest")).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+    // five registrations across two keys = five manifest files
+    Catalog.register(s, cat, "t", "a", s"$cat/store/t/a1", "v1")
+    Catalog.register(s, cat, "t", "a", s"$cat/store/t/a2", "v2")
+    Catalog.register(s, cat, "t", "b", s"$cat/store/t/b1", "v1")
+    Catalog.registerAll(s, cat, Seq(
+      ("t", "a", s"$cat/store/t/a3", "v3"), ("t", "b", s"$cat/store/t/b2", "v2")))
+    Catalog.register(s, cat, "t", "b", s"$cat/store/t/b3", "v3")
+    assert(manifestFiles().length == 5)
+    val before = Catalog.entries(s, cat).collect().map(_.toString).sorted.toSeq
+    // checkpoint: one file, every row preserved, lookups identical
+    Catalog.checkpoint(s, cat)
+    assert(manifestFiles().length == 1, "checkpoint must merge to one file")
+    assert(Catalog.entries(s, cat).collect().map(_.toString).sorted.toSeq == before,
+      "checkpoint must preserve every manifest row exactly")
+    assert(Catalog.lookup(s, cat, "t", "a").contains((s"$cat/store/t/a3", "v3")))
+    assert(Catalog.lookup(s, cat, "t", "b").contains((s"$cat/store/t/b3", "v3")))
+    // registrations after the checkpoint append fresh files that the
+    // next checkpoint absorbs; seq keeps advancing past the merge
+    Catalog.register(s, cat, "t", "a", s"$cat/store/t/a4", "v4")
+    assert(manifestFiles().length == 2)
+    assert(Catalog.lookup(s, cat, "t", "a").contains((s"$cat/store/t/a4", "v4")))
+    Catalog.checkpoint(s, cat)
+    assert(manifestFiles().length == 1)
+    // rollback still resolves the true prior epoch through the merged file
+    assert(Catalog.rollback(s, cat, "t", "a") == (s"$cat/store/t/a3", "v3"))
+    assert(Catalog.lookup(s, cat, "t", "a").contains((s"$cat/store/t/a3", "v3")))
+    // CRASHED checkpoint (merged file landed, an absorbed original not
+    // yet deleted → rows housed twice): lookups, rollback and vacuum
+    // must all absorb exact duplicates instead of double-counting
+    Catalog.checkpoint(s, cat) // fold the rollback's append in first
+    val mf = manifestFiles().head
+    org.apache.hadoop.fs.FileUtil.copy(fs, mf, fs,
+      new org.apache.hadoop.fs.Path(s"$cat/manifest/dup-copy.parquet"),
+      false, s.sparkContext.hadoopConfiguration)
+    assert(Catalog.entries(s, cat).count() == 2 * (before.length + 2),
+      "precondition: every row is duplicated")
+    assert(Catalog.lookup(s, cat, "t", "a").contains((s"$cat/store/t/a3", "v3")))
+    // vacuum(keepEpochs=2): the duplicated newest row must not push the
+    // true prior epoch out of the retention window — rollback works after
+    Catalog.vacuum(s, cat, keepEpochs = 2)
+    assert(Catalog.rollback(s, cat, "t", "b") == (s"$cat/store/t/b2", "v2"))
+    fs.delete(new org.apache.hadoop.fs.Path(cat), true)
+    spark.catalog.clearCache()
+  }
+
+  test("retention sweep maintains all five persisted index families in one tick, incl. the PQ sidecar") {
+    import operators.{NearDup, Retention, Similarity, TextAnalysis}
+    val s = spark
+    import s.implicits._
+    val cutoff = lit("2026-01-01").cast("date")
+    val docs = Tables.documents(s, sf).select($"doc_id", $"text")
+      .filter($"doc_id" < 60).localCheckpoint()
+    // every even doc expires; odd docs survive
+    val dmeta = docs.select($"doc_id")
+      .withColumn("ingested", when($"doc_id" % 2 === 0, lit("2025-01-01"))
+        .otherwise(lit("2026-06-01")).cast("date")).localCheckpoint()
+    def tmp(tag: String): String =
+      java.nio.file.Files.createTempDirectory(s"graft_sweep5_$tag").toString
+    val (raw, imp, sig, lin, ivf) =
+      (tmp("raw"), tmp("imp"), tmp("sig"), tmp("lin"), tmp("ivf"))
+    TextAnalysis.bm25WriteRaw(Tables.fanout(docs), raw)
+    TextAnalysis.bm25WriteImpactFrom(docs, imp)
+    NearDup.dedupIndexWrite(Tables.fanout(docs), sig)
+    TextAnalysis.lineIndexWrite(Tables.fanout(docs), lin)
+    // the vector member: drift-armed IVF with an attached PQ sidecar
+    val emb = Tables.embeddings(s, sf)
+    Similarity.ivfWriteFrom(emb, ivf)
+    Similarity.pqAttach(s, ivf)
+    Similarity.ivfAppend(s, ivf, emb
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        expr("transform(embedding, x -> x + float(2.0))").as("embedding"), $"label"))
+    val drift0 = Similarity.ivfDriftMeasure(s, ivf)
+    val vmeta = emb.select($"vec_id".as("doc_id"))
+      .withColumn("ingested", lit("2026-06-01").cast("date"))
+    val fleet = Seq(
+      Retention.Maintained("raw", Retention.RawBm25, raw, dmeta, "ingested", cutoff,
+        maxFiles = 1000),
+      Retention.Maintained("imp", Retention.ImpactBm25, imp, dmeta, "ingested", cutoff,
+        maxFiles = 1000, docs = Some(docs)),
+      Retention.Maintained("sig", Retention.DedupSig, sig, dmeta, "ingested", cutoff,
+        maxFiles = 1000),
+      Retention.Maintained("lin", Retention.LineDf, lin, dmeta, "ingested", cutoff,
+        maxFiles = 1000),
+      Retention.Maintained("vec", Retention.Ivf, ivf, vmeta, "ingested", cutoff,
+        maxFiles = 1000, driftEps = Some(drift0 / 2)))
+    val r1 = Retention.retentionSweep(s, fleet)
+    assert(r1.values.forall(_ == Retention.Reclaimed), s"sweep 1: $r1")
+    // every family is physically clean and serving only survivors
+    assert(TextAnalysis.bm25ReclaimableFraction(s, raw) == 0.0)
+    assert(TextAnalysis.bm25ServeRaw(s, raw, qMod = 1)
+      .filter($"doc_id" % 2 === 0).count() == 0, "raw must not serve expired docs")
+    assert(TextAnalysis.bm25DeletedFraction(s, imp) == 0.0,
+      "the impact refresh must have rebuilt on survivors (fresh version, no tombstones)")
+    assert(TextAnalysis.bm25ServeFrom(s, imp, qMod = 1)
+      .filter($"doc_id" % 2 === 0).count() == 0, "impact must not serve expired docs")
+    assert(NearDup.dedupIndexReclaimableFraction(s, sig) == 0.0)
+    assert(TextAnalysis.lineIndexReclaimableFraction(s, lin) == 0.0)
+    // the drifted vector index spent its slot on the retrain AND the
+    // sidecar re-fit (a coverage-only refresh would leave stale books)
+    assert(Similarity.ivfDriftMeasure(s, ivf) < drift0)
+    assert(!Similarity.pqBooksStale(s, ivf) && Similarity.pqCoverageGap(s, ivf) == 0,
+      "a sweep-driven retrain must leave the PQ sidecar fresh and covered")
+    // sweep 2 on the same fleet (drift re-thresholded): everything is
+    // clean, so every slot SKIPS — the loop converges
+    val calm = fleet.init :+ fleet.last.copy(
+      driftEps = Some(Similarity.ivfDriftMeasure(s, ivf) * 1.01))
+    val r2 = Retention.retentionSweep(s, calm)
+    assert(r2.values.forall(_ == Retention.Skipped), s"sweep 2: $r2")
+    // an append re-arms ONLY the sidecar (coverage gap > 0, books
+    // fresh): the slot fires and repairs by the cheap pqRefresh path
+    Similarity.ivfAppend(s, ivf, emb
+      .select(($"vec_id" + 2000000L).as("vec_id"), $"embedding", $"label"))
+    assert(Similarity.pqCoverageGap(s, ivf) > 0)
+    val r3 = Retention.retentionSweep(s, Seq(calm.last))
+    assert(r3 == Map("vec" -> Retention.Reclaimed), s"sweep 3: $r3")
+    assert(Similarity.pqCoverageGap(s, ivf) == 0 && !Similarity.pqBooksStale(s, ivf),
+      "the sidecar-gap arm must re-cover the appended vectors")
+    assert(Similarity.annIvfPqServe(s, ivf, nQueries = 20).count() > 0)
+    val fs = new org.apache.hadoop.fs.Path(raw)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(raw, imp, sig, lin, ivf).foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("bm25_catalog_serve lifecycle: epoch-1 fleet parity, drift supersedes, vacuum reclaims") {
     import graft.sources.Catalog
     val s = spark

@@ -496,11 +496,31 @@ object NearDup {
   }
 
   /** The asymmetric scoring tail shared by [[crossDedupPairs]] and
-    * [[dedupServe]]: `prAll` feeds the reference's df-cap (hot) list
-    * and per-doc capped sizes; `prProbe` is the (possibly
-    * bucket-pruned) posting set the new batch's shingles actually
-    * join — pruning only drops shingle groups with no new-side match,
-    * so the pair results are identical. */
+    * [[dedupServe]]: hot-filtered new/ref posting sets join on the
+    * shingle, intersections count, and Jaccard resolves against the
+    * supplied per-doc capped sizes. */
+  private def pairTail(n: DataFrame, r: DataFrame, sizesN: DataFrame,
+                       sizesR: DataFrame, threshold: Double): DataFrame = {
+    import n.sparkSession.implicits._
+    n.select($"doc_id".as("new_id"), $"sh")
+      .join(r.select($"doc_id".as("ref_id"), $"sh"), Seq("sh"))
+      .groupBy($"new_id", $"ref_id")
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizesN.select($"doc_id".as("new_id"), $"n_new"), Seq("new_id"))
+      .join(sizesR.select($"doc_id".as("ref_id"), $"n_ref"), Seq("ref_id"))
+      .withColumn("jaccard",
+        $"n_inter".cast("double") / ($"n_new" + $"n_ref" - $"n_inter").cast("double"))
+      .filter($"jaccard" >= threshold)
+      .select($"new_id", $"ref_id", $"n_inter", $"jaccard")
+  }
+
+  /** In-memory scoring core ([[crossDedupPairs]]): `prAll` feeds the
+    * reference's df-cap (hot) list and per-doc capped sizes; `prProbe`
+    * is the (possibly bucket-pruned) posting set the new batch's
+    * shingles actually join — pruning only drops shingle groups with
+    * no new-side match, so the pair results are identical. The
+    * PERSISTED path ([[dedupServe]]) gets these same inputs from the
+    * index's stats sidecars instead of an O(postings) recompute. */
   private def crossPairsFromPostings(pn: DataFrame, prAll: DataFrame,
                                      prProbe: DataFrame, threshold: Double,
                                      dfCap: Int): DataFrame = {
@@ -514,16 +534,7 @@ object NearDup {
     val sizesR = prAll.join(broadcast(hot), Seq("sh"), "left_anti")
       .groupBy($"doc_id").agg(count(lit(1)).as("n_ref"))
     val sizesN = n.groupBy($"doc_id").agg(count(lit(1)).as("n_new"))
-    n.select($"doc_id".as("new_id"), $"sh")
-      .join(r.select($"doc_id".as("ref_id"), $"sh"), Seq("sh"))
-      .groupBy($"new_id", $"ref_id")
-      .agg(count(lit(1)).as("n_inter"))
-      .join(sizesN.select($"doc_id".as("new_id"), $"n_new"), Seq("new_id"))
-      .join(sizesR.select($"doc_id".as("ref_id"), $"n_ref"), Seq("ref_id"))
-      .withColumn("jaccard",
-        $"n_inter".cast("double") / ($"n_new" + $"n_ref" - $"n_inter").cast("double"))
-      .filter($"jaccard" >= threshold)
-      .select($"new_id", $"ref_id", $"n_inter", $"jaccard")
+    pairTail(n, r, sizesN, sizesR, threshold)
   }
 
   // ---- C4c: the PERSISTED reference-signature index ----------------
@@ -545,49 +556,87 @@ object NearDup {
   // scan; exact under any append/delete history), and the pair join
   // reads only the new batch's shingle buckets.
 
-  def dedupIndexWrite(docs: DataFrame, path: String, nBuckets: Int = 16): Unit =
-    dedupIndexAppendRaw(docs, path, Some(nBuckets), overwrite = true)
+  def dedupIndexWrite(docs: DataFrame, path: String, nBuckets: Int = 16,
+                      dfCap: Int = 100): Unit =
+    dedupIndexAppendRaw(docs, path, Some(nBuckets), overwrite = true,
+      dfCapOpt = Some(dfCap))
 
   /** Fold a new reference batch in: O(batch) — touched buckets gain
-    * files, the commit log gains one row, nothing rewrites. The
-    * bucket count is read from the index's own commit log. */
+    * files, the stats sidecars gain the batch's rows, the commit log
+    * gains one row, nothing rewrites. Bucket count and df cap are
+    * read from the index's own commit log (the self-description
+    * principle — an append can never silently retune the index). */
   def dedupIndexAppend(docs: DataFrame, path: String): Unit =
     dedupIndexAppendRaw(docs, path, None, overwrite = false)
 
   private[graft] def dedupIndexAppendRaw(docs: DataFrame, path: String,
                                          nBucketsOpt: Option[Int],
                                          overwrite: Boolean,
-                                         commit: Boolean = true): Unit = {
+                                         commit: Boolean = true,
+                                         dfCapOpt: Option[Int] = None): Unit = {
     import docs.sparkSession.implicits._
     val spark = docs.sparkSession
     val mode = if (overwrite) "overwrite" else "append"
-    val nBuckets = nBucketsOpt.getOrElse(dedupIndexMeta(spark, path)._2)
+    val (nBuckets, cap) =
+      if (overwrite) (nBucketsOpt.get, dfCapOpt.getOrElse(100))
+      else { val m = dedupIndexMeta(spark, path); (m._2, m._3) }
     val batchId = java.util.UUID.randomUUID.toString
     if (overwrite) {
       val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
       del.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(del, true)
     }
+    // eager: the batch postings feed the postings write, the size
+    // aggregate AND the hot-candidate probe
+    val batch = shinglePostings(docs)
+      .select(pmod($"sh", lit(nBuckets)).cast("int").as("bucket"), $"sh", $"doc_id")
+      .localCheckpoint()
     // postings first (invisible until the commit row lands) …
-    shinglePostings(docs)
-      .select(pmod($"sh", lit(nBuckets)).cast("int").as("bucket"), $"sh",
-        $"doc_id", lit(batchId).as("batch_id"))
+    batch.withColumn("batch_id", lit(batchId))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode(mode).parquet(s"$path/postings")
+    // … the per-doc RAW size sidecar (the serve's Jaccard denominators:
+    // an O(docs) two-long read instead of an O(postings) aggregate;
+    // exact under deletes because tombstones are doc-level) …
+    batch.groupBy($"doc_id").agg(count(lit(1)).as("n_raw"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(mode).parquet(s"$path/sizes")
+    // … the HOT-CANDIDATE log: a shingle's df can only grow when new
+    // (sh, doc) rows land — i.e. only for shingles IN this batch — so
+    // scanning just the batch's shingles in their own buckets (a
+    // shingle's whole posting list lives in one bucket) after the
+    // write catches every possible cap crossing. Dead/uncommitted
+    // rows may overcount df here: the log is a SUPERSET — the serve
+    // recomputes the candidates' exact live df from their buckets, so
+    // a delete that un-hots a shingle is still scored exactly …
+    val touched = batch.select($"bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(s"$path/postings")
+      .select($"bucket".cast("int").as("bucket"), $"sh")
+      .filter($"bucket".isin(touched: _*))
+      .join(batch.select($"sh").distinct(), Seq("sh"), "left_semi")
+      .groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" > cap)
+      .select($"sh", pmod($"sh", lit(nBuckets)).cast("int").as("bucket"))
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1).write.mode(mode).parquet(s"$path/hotcand")
     // … the commit row LAST
     if (commit)
-      Seq((batchId, nBuckets)).toDF("batch_id", "n_buckets")
+      Seq((batchId, nBuckets, cap)).toDF("batch_id", "n_buckets", "df_cap")
         .coalesce(1).write.mode(mode).parquet(s"$path/commits")
   }
 
   private[graft] def dedupIndexMeta(spark: SparkSession,
-                                    path: String): (Seq[String], Int) = {
+                                    path: String): (Seq[String], Int, Int) = {
     import spark.implicits._
     val rows = spark.read.parquet(s"$path/commits")
-      .select($"batch_id", $"n_buckets").collect()
+      .select($"batch_id", $"n_buckets", $"df_cap").collect()
     val nb = rows.map(_.getInt(1)).distinct
     require(nb.length == 1,
       s"inconsistent n_buckets in $path/commits: ${nb.mkString(",")}")
-    (rows.map(_.getString(0)).toSeq, nb.head)
+    val caps = rows.map(_.getInt(2)).distinct
+    require(caps.length == 1,
+      s"inconsistent df_cap in $path/commits: ${caps.mkString(",")}")
+    (rows.map(_.getString(0)).toSeq, nb.head, caps.head)
   }
 
   private def dedupIndexDeletes(spark: SparkSession, path: String,
@@ -606,13 +655,13 @@ object NearDup {
     * (the gate proves it). Idempotent; commit row last. */
   def dedupIndexDelete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
     import spark.implicits._
-    val (committed, nBuckets) = dedupIndexMeta(spark, path)
+    val (committed, nBuckets, cap) = dedupIndexMeta(spark, path)
     val batchId = java.util.UUID.randomUUID.toString
     ids.select($"doc_id").distinct()
       .join(dedupIndexDeletes(spark, path, committed), Seq("doc_id"), "left_anti")
       .withColumn("batch_id", lit(batchId))
       .coalesce(1).write.mode("append").parquet(s"$path/deletes")
-    Seq((batchId, nBuckets)).toDF("batch_id", "n_buckets")
+    Seq((batchId, nBuckets, cap)).toDF("batch_id", "n_buckets", "df_cap")
       .coalesce(1).write.mode("append").parquet(s"$path/commits")
   }
 
@@ -625,7 +674,7 @@ object NearDup {
     * batch_id/doc_id against metadata-sized tombstones. */
   def dedupIndexReclaimableFraction(spark: SparkSession, path: String): Double = {
     import spark.implicits._
-    val (committed, _) = dedupIndexMeta(spark, path)
+    val (committed, _, _) = dedupIndexMeta(spark, path)
     val counts = spark.read.parquet(s"$path/postings")
       .select($"batch_id", $"doc_id")
       .join(dedupIndexDeletes(spark, path, committed)
@@ -654,7 +703,7 @@ object NearDup {
       graft.sources.Lake.withWriterLock(spark, path, "dedupIndexVacuum") {
     graft.sources.Lake.requireUnpinned(spark, path, "dedupIndexVacuum")
     import spark.implicits._
-    val (committed, _) = dedupIndexMeta(spark, path)
+    val (committed, nBuckets, cap) = dedupIndexMeta(spark, path)
     val post = spark.read.parquet(s"$path/postings")
       .withColumn("bucket", $"bucket".cast("int"))
     val del = dedupIndexDeletes(spark, path, committed)
@@ -681,35 +730,109 @@ object NearDup {
       (targets -- stillThere).foreach { b =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/postings/bucket=$b"), true)
       }
+      // the metadata-scale sidecars reclaim in the same pass: dead and
+      // orphaned size rows rewrite away, and the hot-candidate log
+      // re-counts its shingles' LIVE df so entries un-hotted by the
+      // reclaimed deletes drop out (a later append that re-crosses the
+      // cap re-logs them). Rewritten rows ride an existing committed
+      // batch id — sidecar reads are commit-gated, and the pin gate
+      // above is what protects snapshot readers from any rewrite here.
+      val liveSizes = spark.read.parquet(s"$path/sizes")
+        .filter($"batch_id".isin(committed: _*))
+        .join(broadcast(del), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      liveSizes.coalesce(1).write.mode("overwrite").parquet(s"$path/sizes")
+      val cand = spark.read.parquet(s"$path/hotcand")
+        .filter($"batch_id".isin(committed: _*))
+        .select($"sh", $"bucket".cast("int").as("bucket"))
+        .distinct().localCheckpoint()
+      val candBuckets = cand.select($"bucket").distinct()
+        .collect().map(_.getAs[Number](0).intValue()).toSeq
+      val stillHot = spark.read.parquet(s"$path/postings")
+        .select($"bucket".cast("int").as("bucket"), $"sh", $"doc_id", $"batch_id")
+        .filter($"bucket".isin(candBuckets: _*))
+        .filter($"batch_id".isin(committed: _*))
+        .join(broadcast(del), Seq("doc_id"), "left_anti")
+        .join(cand.select($"sh").distinct(), Seq("sh"), "left_semi")
+        .groupBy($"sh").agg(count(lit(1)).as("df"))
+        .filter($"df" > cap)
+        .select($"sh", pmod($"sh", lit(nBuckets)).cast("int").as("bucket"))
+        .withColumn("batch_id", lit(committed.head))
+        .localCheckpoint()
+      stillHot.coalesce(1).write.mode("overwrite").parquet(s"$path/hotcand")
     }
   }
 
   /** Score a new doc batch against the persisted reference index —
     * [[crossDedupPairs]]'s semantics with the reference side read
-    * from disk: committed batches only, tombstones filtered, and the
-    * pair join statically pruned to the new batch's shingle buckets
-    * (the distinct bucket set is ≤ nBuckets driver ints — a small
-    * nightly batch touches few). `snapshot` pins the serve to a
-    * [[dedupIndexMeta]] committed set, the bm25Snapshot posture. */
+    * from disk, in O(batch buckets + hot buckets + docs), never
+    * O(postings): committed batches only, tombstones filtered, the
+    * pair join statically pruned to the new batch's shingle buckets,
+    * and the df-cap/size statistics resolved from the index's stats
+    * sidecars instead of a full postings aggregate —
+    *
+    *   - the EXACT hot set re-counts only the hot-CANDIDATE log's
+    *     shingles in their own buckets (the log is a superset by
+    *     construction: df can only cross the cap during an append
+    *     that contains the shingle, and that append records it;
+    *     deletes only shrink df, and the re-count scores them out);
+    *   - per-doc capped sizes = the `sizes/` sidecar's raw counts
+    *     (O(docs) two-long rows, the bm25-doclens posture) minus each
+    *     candidate doc's live hot-shingle rows, which live entirely
+    *     in the candidates' buckets.
+    *
+    * `dfCap` must equal the cap the index was built with (persisted
+    * in the commit log — a serve can never silently retune the
+    * boilerplate cutoff; rebuild to retune). `snapshot` pins the
+    * serve to a [[dedupIndexMeta]] committed set, the bm25Snapshot
+    * posture. */
   def dedupServe(spark: SparkSession, path: String, newDocs: DataFrame,
                  threshold: Double = 0.5, dfCap: Int = 100,
                  snapshot: Option[Seq[String]] = None): DataFrame = {
     import spark.implicits._
-    val (committedNow, nBuckets) = dedupIndexMeta(spark, path)
+    val (committedNow, nBuckets, cap) = dedupIndexMeta(spark, path)
+    require(dfCap == cap,
+      s"dedupServe: dfCap=$dfCap differs from the index's pinned df_cap=$cap " +
+        s"at $path — retuning the cutoff needs a rebuild, not a serve flag")
     val committed = snapshot.getOrElse(committedNow)
     val dead = dedupIndexDeletes(spark, path, committed)
-    val live = spark.read.parquet(s"$path/postings")
+    def livePost(bs: Seq[Int]): DataFrame = spark.read.parquet(s"$path/postings")
       .select($"bucket".cast("int").as("bucket"), $"sh", $"doc_id", $"batch_id")
+      .filter($"bucket".isin(bs: _*))
       .filter($"batch_id".isin(committed: _*))
       .join(broadcast(dead), Seq("doc_id"), "left_anti")
+      .drop("bucket", "batch_id")
     val pn = shinglePostings(newDocs).localCheckpoint()
     val buckets = pn.select(pmod($"sh", lit(nBuckets)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    // eager: the live view feeds hot, sizes AND the probe
-    val prAll = live.drop("bucket", "batch_id").localCheckpoint()
-    val prProbe = live.filter($"bucket".isin(buckets: _*))
-      .drop("bucket", "batch_id")
-    crossPairsFromPostings(pn, prAll, prProbe, threshold, dfCap)
+    // exact hot set from the candidate log (bucket-bounded re-count)
+    val cand = spark.read.parquet(s"$path/hotcand")
+      .filter($"batch_id".isin(committed: _*))
+      .select($"sh", $"bucket".cast("int").as("bucket"))
+      .distinct().localCheckpoint()
+    val candBuckets = cand.select($"bucket").distinct()
+      .collect().map(_.getAs[Number](0).intValue()).toSeq
+    // eager: the candidates' live rows feed the hot re-count AND the
+    // per-doc size correction
+    val hotRows = livePost(candBuckets)
+      .join(cand.select($"sh").distinct(), Seq("sh"), "left_semi")
+      .localCheckpoint()
+    val hot = broadcast(hotRows.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" > cap).select($"sh"))
+    // capped ref sizes: sidecar raw counts minus live hot-row counts
+    val hotCnt = hotRows.join(hot, Seq("sh"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hot"))
+    val sizesR = spark.read.parquet(s"$path/sizes")
+      .filter($"batch_id".isin(committed: _*))
+      .join(broadcast(dead), Seq("doc_id"), "left_anti")
+      .groupBy($"doc_id").agg(sum($"n_raw").as("n_raw"))
+      .join(hotCnt, Seq("doc_id"), "left_outer")
+      .select($"doc_id", ($"n_raw" - coalesce($"n_hot", lit(0L))).as("n_ref"))
+      .filter($"n_ref" > 0)
+    val n = pn.join(hot, Seq("sh"), "left_anti")
+    val sizesN = n.groupBy($"doc_id").agg(count(lit(1)).as("n_new"))
+    val r = livePost(buckets).join(hot, Seq("sh"), "left_anti")
+    pairTail(n, r, sizesN, sizesR, threshold)
   }
 
   /** C4c `cross_dedup_serve` — the incremental-dedup lifecycle under
@@ -731,7 +854,8 @@ object NearDup {
     val cut = ref.agg(max($"doc_id")).head().getLong(0) * 7 / 10
     val neu = ref.select(($"doc_id" + BigOffset).as("doc_id"), $"text")
     graft.sources.Lake.withScratchIndex(spark, "graft_dedup_idx") { tmp =>
-      dedupIndexWrite(Tables.fanout(ref.filter($"doc_id" <= cut)), tmp)
+      dedupIndexWrite(Tables.fanout(ref.filter($"doc_id" <= cut)), tmp,
+        dfCap = dfCap)
       dedupIndexAppend(Tables.fanout(ref.filter($"doc_id" > cut)), tmp)
       dedupIndexDelete(spark, tmp, ref.filter($"doc_id" % 7 === 0).select($"doc_id"))
       dedupServe(spark, tmp, Tables.fanout(neu), threshold, dfCap)

@@ -832,7 +832,7 @@ object Streams {
     val cut = ref.agg(max($"doc_id")).head().getLong(0) * 7 / 10
     graft.sources.Lake.withScratchIndex(spark, "graft_dedup_stream") { tmp =>
       graft.operators.NearDup.dedupIndexWrite(
-        Tables.fanout(ref.filter($"doc_id" <= cut)), tmp)
+        Tables.fanout(ref.filter($"doc_id" <= cut)), tmp, dfCap = dfCap)
       (0 until nBatches).foreach { b =>
         graft.operators.NearDup.dedupIndexAppend(
           Tables.fanout(ref.filter($"doc_id" > cut &&

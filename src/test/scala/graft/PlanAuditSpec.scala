@@ -263,6 +263,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "bpe_pair_counts", "bpe_train_merges", "scd2_apply",
       "stream_scd2_apply", "hybrid_retrieve",
       "approx_topk", "drift_report", "bm25_append")
+    // single-partition (empty partitionSpec) windows move ALL data to
+    // one task — legal ONLY over metadata-bounded aggregates: the two
+    // band-offset cumsums (zorder's ≤256-row per-band counts, F14's
+    // inventory÷1000 per-band totals). Every other registry plan must
+    // rank inside a partitioned window (the banded-rank contract) —
+    // this makes the 88 test-log WindowExec warnings attributable to
+    // spec/oracle-mirror code only, enforced instead of eyeballed.
+    val windowOk = Set("zorder_layout", "compaction_plan")
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val nodes = collectAll(executedPlan(fn(spark, sf)))
       spark.catalog.clearCache()
@@ -276,6 +284,13 @@ class PlanAuditSpec extends AnyFunSuite {
         case e: ShuffleExchangeLike => e.outputPartitioning == SinglePartition
         case _ => false })
         viol += s"$name: undeclared single-partition shuffle"
+      if (!windowOk(name) && nodes.exists {
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          w.partitionSpec.isEmpty
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+          w.partitionSpec.isEmpty
+        case _ => false })
+        viol += s"$name: single-partition window over undeclared input"
       // BNLJ conditions evaluate INTERPRETED per streamed row: a fat
       // condition means pushdown inlined a whole projection expression
       // (un-CSE'd) into the join — zorder_layout's inferred

@@ -718,6 +718,62 @@ class TextDedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("C4c stats sidecars: hot re-count is exact when deletes un-hot a shingle; cap pinned at build") {
+    val s = spark
+    import s.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_dedup_unhot").toFile
+    val cap = 3
+    // every ref doc shares the (a b c) shingle; df(abc) = 5 > cap at
+    // build time, so the candidate log records it as hot
+    val ref = (0 until 5).map(i =>
+      (i.toLong, s"a b c u$i v$i w$i")).toDF("doc_id", "text")
+    val neu = Seq((100L, "a b c u1 v1 w1")).toDF("doc_id", "text")
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.count() == b.count() && a.exceptAll(b).count() == 0
+    operators.NearDup.dedupIndexWrite(ref, idx.getAbsolutePath, dfCap = cap)
+    assert(same(
+      operators.NearDup.dedupServe(s, idx.getAbsolutePath, neu, 0.3, dfCap = cap),
+      operators.NearDup.crossDedupPairs(neu, ref, 0.3, dfCap = cap)),
+      "hot-shingle serve must equal the from-scratch pairs")
+    // deleting two docs drops df(abc) to 3 = cap: NOT hot any more.
+    // The candidate log still lists it (superset by design) — the
+    // serve's bucket-bounded re-count must score it back IN, shifting
+    // both the pair join and every survivor's capped size
+    operators.NearDup.dedupIndexDelete(s, idx.getAbsolutePath,
+      Seq(3L, 4L).toDF("doc_id"))
+    val survivors = ref.filter($"doc_id" < 3)
+    assert(same(
+      operators.NearDup.dedupServe(s, idx.getAbsolutePath, neu, 0.3, dfCap = cap),
+      operators.NearDup.crossDedupPairs(neu, survivors, 0.3, dfCap = cap)),
+      "a delete that un-hots a shingle must restore it to serving exactly")
+    // vacuum re-counts the candidate log: the un-hotted shingle drops
+    // out, and the post-vacuum serve still matches from-scratch
+    operators.NearDup.dedupIndexVacuum(s, idx.getAbsolutePath,
+      maxFilesPerBucket = 1000)
+    assert(s.read.parquet(s"${idx.getAbsolutePath}/hotcand").count() == 0,
+      "vacuum must drop un-hotted candidates")
+    assert(same(
+      operators.NearDup.dedupServe(s, idx.getAbsolutePath, neu, 0.3, dfCap = cap),
+      operators.NearDup.crossDedupPairs(neu, survivors, 0.3, dfCap = cap)),
+      "post-vacuum serve must still match the from-scratch pairs")
+    // a re-append can re-cross the cap: the new batch's scan re-logs it
+    val more = (10 until 13).map(i =>
+      (i.toLong, s"a b c u$i v$i w$i")).toDF("doc_id", "text")
+    operators.NearDup.dedupIndexAppend(more, idx.getAbsolutePath)
+    assert(s.read.parquet(s"${idx.getAbsolutePath}/hotcand").count() > 0,
+      "an append that re-crosses the cap must re-log the candidate")
+    assert(same(
+      operators.NearDup.dedupServe(s, idx.getAbsolutePath, neu, 0.3, dfCap = cap),
+      operators.NearDup.crossDedupPairs(neu, survivors.unionAll(more), 0.3, dfCap = cap)),
+      "re-hotted serve must equal the from-scratch pairs on the union")
+    // the boilerplate cutoff is pinned at build: serving with another
+    // cap must fail loudly, never silently retune
+    intercept[IllegalArgumentException](
+      operators.NearDup.dedupServe(s, idx.getAbsolutePath, neu, 0.3, dfCap = 99))
+    org.apache.commons.io.FileUtils.deleteDirectory(idx)
+    spark.catalog.clearCache()
+  }
+
   test("C30b line serve prunes the df probe to the new batch's line buckets") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

@@ -118,6 +118,7 @@ object SparkEntry {
     "ann_ivf_delete"      -> ((s, d) => Similarity.annIvfDeleteServe(s, d)),
     "ann_ivf_pq"          -> ((s, d) => Similarity.annIvfPq(s, d)),
     "ann_ivf_pq_serve"    -> ((s, d) => Similarity.annIvfPqAppendServe(s, d)),
+    "ann_ivf_opq"         -> ((s, d) => Similarity.annIvfOpq(s, d)),
     "lang_id"             -> (TextAnalysis.langId _),
     "quality_score"       -> (TextAnalysis.qualityScore _),
     "token_count"         -> (TextAnalysis.tokenCount _),

@@ -250,11 +250,59 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Rotate an array<float> column by a FIXED orthogonal matrix:
+    * y[i] = Σ_j x[j] · mat[j*dim + i] (row-vector × matrix, row-major
+    * flat layout), double accumulation per output slot, cast back to
+    * float. The matrix is a plan-time literal (an OPQ rotation learned
+    * driver-side on a bounded sample — C7i), so each row pays one flat
+    * dim² JVM loop with no per-element lambda interpretation; it runs
+    * once per VECTOR in the one-time encode pass and once per query in
+    * the panel, so CodegenFallback's one boxed call per row is
+    * irrelevant (the SimHash64 rationale). Nulls/misfit lengths → null
+    * (the DotProductFloat contract). */
+  case class RotateFloat(child: Expression, mat: Array[Float], dim: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "rotate_float"
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      if (x.numElements() != dim) return null
+      val xs = new Array[Double](dim)
+      var j = 0
+      while (j < dim) {
+        if (x.isNullAt(j)) return null
+        xs(j) = x.getFloat(j).toDouble
+        j += 1
+      }
+      val y = new Array[Any](dim)
+      var i = 0
+      while (i < dim) {
+        var s = 0.0
+        var k = 0
+        while (k < dim) {
+          s += xs(k) * mat(k * dim + i)
+          k += 1
+        }
+        y(i) = s.toFloat
+        i += 1
+      }
+      new GenericArrayData(y)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // Column wrappers ----------------------------------------------------
 
   def dotF(a: Column, b: Column): Column =
     GraftShim.column(DotProductFloat(
       GraftShim.expression(a), GraftShim.expression(b)))
+
+  def rotateF(x: Column, mat: Array[Float], dim: Int): Column =
+    GraftShim.column(RotateFloat(GraftShim.expression(x), mat, dim))
 
   def simhash64(tokens: Column): Column =
     GraftShim.column(SimHash64(GraftShim.expression(tokens)))

@@ -238,8 +238,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "hybrid_retrieve", "drift_report", "bm25_append",
       // hybrid_serve's cross is annIvfServe's 16-row centroid routing
       // (the shared-index serve returns a live plan, so the lint sees it)
-      // ann_ivf_pq shares the same 16-row centroid routing cross
-      "hybrid_serve", "ann_ivf_pq")
+      // ann_ivf_pq / ann_ivf_opq share the same 16-row centroid
+      // routing cross
+      "hybrid_serve", "ann_ivf_pq", "ann_ivf_opq")
     // k-bounded-group max_by assigns: the sort is by grouping key with
     // map-side partial agg — benign, unlike cluster-sized groups
     val sortAggOk = Set("ann_ivf", "resample_fill", "stream_dedup")

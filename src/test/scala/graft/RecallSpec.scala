@@ -621,6 +621,47 @@ class RecallSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("C7i OPQ: rotation orthogonal, sample MSE <= plain PQ's, end-to-end recall@5 >= 0.8") {
+    val s = spark
+    import s.implicits._
+    val Sim = operators.Similarity
+    val (m, dsub, kpq) = (16, 4, 32)
+    val dim = m * dsub
+    val sample = Tables.embeddings(s, sf).orderBy(col("vec_id")).limit(1000)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    val (r, books, mseOpq) = Sim.opqTrain(sample, m, dsub, kpq, iters = 4)
+    // R must be orthogonal (RRᵀ = I): the ADC identity q·r = (qR)·(rR)
+    // and the exactness of rotated-space serving both hang on it
+    var maxDev = 0.0
+    for (i <- 0 until dim; j <- 0 until dim) {
+      var sum = 0.0
+      for (k2 <- 0 until dim) sum += r(i * dim + k2).toDouble * r(j * dim + k2).toDouble
+      maxDev = math.max(maxDev, math.abs(sum - (if (i == j) 1.0 else 0.0)))
+    }
+    assert(maxDev < 1e-4, s"RRt deviates from identity by $maxDev")
+    // codebook geometry: m dense sub-books, dsub-dim codewords
+    assert(books.length == m && books.forall(b => b.length <= kpq &&
+      b.forall(_.length == dsub)))
+    // the learned rotation must not lose to the identity baseline
+    // (iters = 0 trains the same books with R = I — plain PQ)
+    val (_, _, msePq) = Sim.opqTrain(sample, m, dsub, kpq, iters = 0)
+    assert(mseOpq <= msePq * 1.001,
+      s"OPQ sample MSE $mseOpq must not exceed plain PQ's $msePq")
+    info(f"sample MSE: OPQ $mseOpq%.5f vs PQ $msePq%.5f (${100 * (1 - mseOpq / msePq)}%.1f%% lower)")
+    // end-to-end: rotated-space ADC + exact rerank holds the two-stage floor
+    val exact = Sim.annBruteforce(s, sf, k = 5, nQueries = 20)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val total = exact.count()
+    val served = Sim.annIvfOpq(s, sf, nQueries = 20)
+    val hit = exact.join(served.select(col("query_id"), col("neighbor_id")),
+      Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = hit.toDouble / total
+    assert(recall >= 0.8, s"C7i OPQ recall@5 = $recall")
+    info(f"C7i OPQ recall@5 = $recall%.3f over $total exact pairs")
+    exact.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("C7g sidecar lifecycle: retrain stales the books, reattach restores freshness + recall, torn attach reads as empty") {
     val s = spark
     import s.implicits._

@@ -34,9 +34,12 @@ object Bench {
     // generated code is keyed on plan shape, which is identical across
     // SFs, so this warms every operator's codegen/JIT for pennies
     // (sf0.001 is ~100x smaller than the timed SF). Steady-state
-    // numbers, standard benchmark practice. The warmup's total wall is
-    // recorded as a LOAD CANARY: it runs identical work every round, so
-    // a warmup 2× its usual ~30s brands the whole artifact as measured
+    // numbers, standard benchmark practice. The warmup's wall is
+    // recorded as a LOAD CANARY — normalized per registry query
+    // (warmup_sec_per_query) so it stays comparable as the registry
+    // grows round over round (~2 s/query historically at sf0.001,
+    // e.g. r12: 285.9 s / 137 queries = 2.09): a canary 2× its
+    // trailing per-query value brands the whole artifact as measured
     // under load.
     val warmT0 = System.nanoTime()
     val warmDir = "/root/testdata/sf0.001"
@@ -89,7 +92,9 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""cpu_sec":${jmap(_._3)},"gc_sec":${jmap(_._4)},""" +
-      s""""warmup_sec":$warmupSec,"sf":"$sfDir"}"""
+      s""""warmup_sec":$warmupSec,""" +
+      s""""warmup_sec_per_query":${warmupSec / math.max(1, results.size)},""" +
+      s""""n_queries":${results.size},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
     // the full per-query metrics rows (input/output/shuffle/spill) as
     // JSONL — the scrape-able artifact of the graft.Metrics surface

@@ -225,6 +225,31 @@ object ScaleProbe {
       fullSig.inputBytes.toDouble, 0.0, 1.0,
       "the per-doc sizes sidecar must undercut the postings it replaces")
 
+    // ---- claim 5: dedup-signature append is O(batch), not O(index) -
+    // the cap-crossing probe reads the df-DELTA sidecar (per-shingle
+    // per-batch counts), never the accumulated posting lists — so an
+    // identical batch appended to the 1x and the Rx index shuffles
+    // ~the same bytes (claim-4's `sig` IS the Rx index; serve
+    // measurements above are done, so mutating it now is safe)
+    val sigSmall = tmp("sig_app_s")
+    operators.NearDup.dedupIndexWrite(Tables.fanout(docs), sigSmall,
+      nBuckets = 512)
+    val g1s = scope("dedup_append_1x_small") {
+      operators.NearDup.dedupIndexAppend(docBatch(250, 100000000L), sigSmall)
+    }
+    val g2s = scope("dedup_append_1x_double") {
+      operators.NearDup.dedupIndexAppend(docBatch(500, 200000000L), sigSmall)
+    }
+    val g1b = scope(s"dedup_append_${rep}x_small") {
+      operators.NearDup.dedupIndexAppend(docBatch(250, 100000000L), sig)
+    }
+    ratio("dedup_append_batch_prop", g2s.shuffleWriteBytes.toDouble,
+      g1s.shuffleWriteBytes.toDouble, 1.3, 3.0,
+      "2x batch onto the same signature index must shuffle ~2x the bytes")
+    ratio("dedup_append_corpus_indep", g1b.shuffleWriteBytes.toDouble,
+      g1s.shuffleWriteBytes.toDouble, 0.5, 1.5,
+      s"same batch onto a ${rep}x signature index must shuffle ~the same bytes")
+
     // ---- emit ------------------------------------------------------
     val out = checks.result()
     def j(c: Check): String =

@@ -547,6 +547,11 @@ object NearDup {
   //                        bucketed, so a shingle's whole posting
   //                        list lives in ONE bucket (df bucket-local,
   //                        probe reads prunable)
+  //   dfs/bucket=*/       (sh, n_new, batch_id) — the df-DELTA
+  //                        sidecar: one row per distinct batch
+  //                        shingle, so appends detect cap crossings
+  //                        by summing per-shingle deltas instead of
+  //                        rescanning accumulated posting lists
   //   deletes/            doc tombstones (commit-gated)
   //   commits/            (batch_id, n_buckets) — the commit record,
   //                        written LAST; only committed batches serve
@@ -600,21 +605,34 @@ object NearDup {
     batch.groupBy($"doc_id").agg(count(lit(1)).as("n_raw"))
       .withColumn("batch_id", lit(batchId))
       .write.mode(mode).parquet(s"$path/sizes")
+    // … the DF-DELTA sidecar: one (bucket, sh, n_new) row per distinct
+    // batch shingle — O(batch) to write, and the ONLY store the
+    // cap-crossing detection below reads. Each row collapses a whole
+    // per-batch posting list to one count, so the cumulative read is
+    // per-SHINGLE-per-batch, never per-posting …
+    val delta = batch.groupBy($"bucket", $"sh")
+      .agg(count(lit(1)).as("n_new"))
+      .withColumn("batch_id", lit(batchId))
+      .localCheckpoint()
+    delta.repartition(col("bucket"))
+      .write.partitionBy("bucket").mode(mode).parquet(s"$path/dfs")
     // … the HOT-CANDIDATE log: a shingle's df can only grow when new
     // (sh, doc) rows land — i.e. only for shingles IN this batch — so
-    // scanning just the batch's shingles in their own buckets (a
-    // shingle's whole posting list lives in one bucket) after the
-    // write catches every possible cap crossing. Dead/uncommitted
-    // rows may overcount df here: the log is a SUPERSET — the serve
-    // recomputes the candidates' exact live df from their buckets, so
-    // a delete that un-hots a shingle is still scored exactly …
-    val touched = batch.select($"bucket").distinct()
+    // summing the batch's shingles' df deltas across the dfs sidecar
+    // (bucket-pruned; a shingle's whole delta history lives in one
+    // bucket, and the batch side broadcasts so nothing corpus-sized
+    // shuffles) catches every possible cap crossing WITHOUT touching
+    // the postings store. Dead/uncommitted rows may overcount df
+    // here: the log is a SUPERSET — the serve recomputes the
+    // candidates' exact live df from their buckets, so a delete that
+    // un-hots a shingle is still scored exactly …
+    val touched = delta.select($"bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
-    spark.read.parquet(s"$path/postings")
-      .select($"bucket".cast("int").as("bucket"), $"sh")
+    spark.read.parquet(s"$path/dfs")
+      .select($"bucket".cast("int").as("bucket"), $"sh", $"n_new")
       .filter($"bucket".isin(touched: _*))
-      .join(batch.select($"sh").distinct(), Seq("sh"), "left_semi")
-      .groupBy($"sh").agg(count(lit(1)).as("df"))
+      .join(broadcast(delta.select($"sh").distinct()), Seq("sh"), "left_semi")
+      .groupBy($"sh").agg(sum($"n_new").as("df"))
       .filter($"df" > cap)
       .select($"sh", pmod($"sh", lit(nBuckets)).cast("int").as("bucket"))
       .withColumn("batch_id", lit(batchId))
@@ -760,6 +778,20 @@ object NearDup {
         .withColumn("batch_id", lit(committed.head))
         .localCheckpoint()
       stillHot.coalesce(1).write.mode("overwrite").parquet(s"$path/hotcand")
+      // … and the df-delta sidecar recompacts to the exact live
+      // per-shingle counts (one row per surviving shingle): appends
+      // resume their cumulative sums from the live floor instead of
+      // carrying reclaimed rows' overcounts forward. O(index), like
+      // the posting rewrite this pass already paid for.
+      val liveDfs = spark.read.parquet(s"$path/postings")
+        .select($"bucket".cast("int").as("bucket"), $"sh", $"doc_id", $"batch_id")
+        .filter($"batch_id".isin(committed: _*))
+        .join(broadcast(del), Seq("doc_id"), "left_anti")
+        .groupBy($"bucket", $"sh").agg(count(lit(1)).as("n_new"))
+        .withColumn("batch_id", lit(committed.head))
+        .localCheckpoint()
+      liveDfs.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/dfs")
     }
   }
 

@@ -1830,8 +1830,11 @@ object Similarity {
         .select($"cell", $"neighbor_id", $"nc",
           expr("zip_with(vc, cvec, (a, b) -> cast(a - b as float))").as("rvec"))
         .localCheckpoint()
-      // bounded deterministic sample: lowest-id residuals
-      val sample = resid.orderBy($"neighbor_id").limit(4096)
+      // bounded deterministic sample in hash order (md5 of id — the F4/F9
+      // posture): id order correlates with crawl time/source on real
+      // corpora, which would bias the learned rotation toward one slice
+      val sample = resid.orderBy(md5(col("neighbor_id").cast("string")), $"neighbor_id")
+        .limit(4096)
         .select($"rvec").collect().map(_.getSeq[Float](0).toArray)
       val (rMat, books3, _) = opqTrain(sample, m, dsub, kpq)
       val books = withChalf(books3.zipWithIndex.flatMap { case (cws, sub) =>
@@ -1868,6 +1871,9 @@ object Similarity {
                 dim: Int = 64): DataFrame = {
     import spark.implicits._
     val dsub = dim / m
+    if (Tables.embeddings(spark, dir).agg(max($"vec_id")).head().isNullAt(0))
+      return Seq.empty[(Long, Long, Int, Int, Double)]
+        .toDF("query_id", "neighbor_id", "cell", "rank_nn", "cosine")
     val (centroids, lists) = ivfIndex(spark, dir, nlist)
     val (rMat, books, coded) = opqIndex(spark, dir, nlist, m, dsub, kpq)
     val queries = lists.filter($"neighbor_id" < nQueries)

@@ -1,0 +1,153 @@
+#!/usr/bin/env python3
+"""Round-close bench ritual (dev tooling, not part of the library).
+
+Usage: python3 tools/roundclose.py <round_number> [sf_dir]
+
+Three consecutive rounds missed the same round-end hygiene by hand, so
+it is a script now. Run this AFTER the final registry change of the
+round, on a quiet machine. It:
+
+  1. runs `sbt runMain graft.Bench` TWICE (double bench: run-to-run
+     agreement separates ambient load from plan cost);
+  2. archives both runs' artifacts under the TRACKED bench/ dir as
+     bench/r{N}_out_run{1,2}.json + bench/r{N}_metrics_run{1,2}.jsonl
+     (rounds 9-12 lost their per-query metrics because the files were
+     untracked scratch — cross-round adjudication needs them);
+  3. runs tools/trendcheck.py run1 vs run2 — same code, same data, so
+     every structural metric (shuffle/input/tasks/spill) must agree;
+  4. if bench/r{N-1}_metrics_run2.jsonl exists, trendchecks THIS round
+     against the previous one — the cross-round structural regression
+     gate;
+  5. emits bench/r{N}_summary.md: totals, the normalized warmup
+     canary, and an ADJUDICATED line for every query whose wall moved
+     >1.3x vs the previous round (cpu flat => load; cpu up with
+     structural metrics flat => real plan cost; shuffle/input/tasks
+     moved => plan shape change — quote the moved metric). Paste the
+     summary into SURVEY.md's round-results section and commit
+     IN-ROUND.
+
+Exit code: 0 if run1/run2 agree structurally, else the trendcheck
+flag count.
+"""
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+RATIO = 1.3
+
+
+def run_bench(env):
+    p = subprocess.run(
+        ["sbt", "-batch", "runMain graft.Bench"], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    if p.returncode != 0:
+        sys.stderr.write(p.stdout[-4000:])
+        sys.exit(f"bench run failed rc={p.returncode}")
+    return json.load(open("bench_out.json"))
+
+
+def load_metrics(path):
+    rows = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                r = json.loads(line)
+                rows[r["name"]] = r
+    return rows
+
+
+def adjudicate(name, prev, cur):
+    """One verdict line for a >1.3x wall move, from the task metrics."""
+    wall = cur["wallSec"] / max(prev["wallSec"], 1e-9)
+    cpu = cur["cpuSec"] / max(prev["cpuSec"], 1e-9)
+    moved = []
+    for k in ("shuffleReadBytes", "shuffleWriteBytes", "inputBytes",
+              "inputRows", "tasks"):
+        a, b = prev.get(k, 0), cur.get(k, 0)
+        floor = (1 << 20) if "Bytes" in k else 0
+        if max(a, b) <= floor:
+            continue
+        if min(a, b) == 0 or max(a, b) / min(a, b) > 1.5:
+            moved.append(f"{k} {a}->{b}")
+    cpu_follows_wall = (cpu > 1.15) if wall > 1 else (cpu < 1 / 1.15)
+    if moved:
+        verdict = "PLAN SHAPE moved: " + "; ".join(moved)
+    elif cpu_follows_wall:
+        verdict = f"real plan cost (cpu {prev['cpuSec']:.1f}->{cur['cpuSec']:.1f}s, structure flat)"
+    else:
+        verdict = f"ambient load (cpu ratio {cpu:.2f} flat, structure flat)"
+    return (f"- `{name}` wall {prev['wallSec']:.2f}s -> {cur['wallSec']:.2f}s "
+            f"({wall:.2f}x): {verdict}")
+
+
+def main():
+    if len(sys.argv) < 2:
+        sys.exit(__doc__)
+    n = int(sys.argv[1])
+    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf)
+    os.makedirs("bench", exist_ok=True)
+
+    outs = []
+    for run in (1, 2):
+        print(f"[roundclose] bench run {run}/2 ...", flush=True)
+        out = run_bench(env)
+        shutil.copy("bench_out.json", f"bench/r{n}_out_run{run}.json")
+        shutil.copy("bench_metrics.jsonl", f"bench/r{n}_metrics_run{run}.jsonl")
+        outs.append(out)
+        print(f"[roundclose]   total={out['value']:.1f}s "
+              f"warmup/query={out.get('warmup_sec_per_query', -1):.2f}s", flush=True)
+
+    intra = subprocess.run(
+        [sys.executable, "tools/trendcheck.py",
+         f"bench/r{n}_metrics_run1.jsonl", f"bench/r{n}_metrics_run2.jsonl"],
+        stdout=subprocess.PIPE, text=True)
+    print(intra.stdout)
+
+    lines = [f"### Round-{n} double bench (sf_dir={sf})", ""]
+    for i, out in enumerate(outs, 1):
+        lines.append(f"- run {i}: total {out['value']:.1f}s over "
+                     f"{out.get('n_queries', len(out['queries']))} queries; warmup canary "
+                     f"{out.get('warmup_sec', -1):.1f}s "
+                     f"({out.get('warmup_sec_per_query', -1):.2f} s/query)")
+    lines.append(f"- run1 vs run2 structural trendcheck: "
+                 f"{'CLEAN' if intra.returncode == 0 else f'{intra.returncode} flags (see below)'}")
+    if intra.returncode:
+        lines += ["", "```", intra.stdout.strip(), "```"]
+
+    prev_path = f"bench/r{n-1}_metrics_run2.jsonl"
+    if os.path.exists(prev_path):
+        prev = load_metrics(prev_path)
+        cur = load_metrics(f"bench/r{n}_metrics_run2.jsonl")
+        lines += ["", f"Cross-round wall moves >{RATIO}x vs r{n-1} (adjudicated "
+                      "from task metrics):"]
+        moves = 0
+        for name in sorted(set(prev) & set(cur)):
+            w0, w1 = prev[name]["wallSec"], cur[name]["wallSec"]
+            if max(w0, w1) > 0.5 and max(w0, w1) / max(min(w0, w1), 1e-9) > RATIO:
+                lines.append(adjudicate(name, prev[name], cur[name]))
+                moves += 1
+        if not moves:
+            lines.append("- none")
+        xr = subprocess.run(
+            [sys.executable, "tools/trendcheck.py", prev_path,
+             f"bench/r{n}_metrics_run2.jsonl"],
+            stdout=subprocess.PIPE, text=True)
+        lines.append(f"- cross-round structural trendcheck: "
+                     f"{xr.returncode} flagged queries")
+    else:
+        lines += ["", f"- no r{n-1} metrics archive (this script starts the "
+                      "tracked archive at r" + str(n) + "); cross-round "
+                      "adjudication begins next round"]
+
+    summary = "\n".join(lines) + "\n"
+    open(f"bench/r{n}_summary.md", "w").write(summary)
+    print(summary)
+    sys.exit(intra.returncode)
+
+
+if __name__ == "__main__":
+    main()

@@ -41,9 +41,18 @@ import org.apache.spark.sql.functions._
   *       ts=ingested ttlDays=365 driftEps=0.02
   * index name=serve kind=impact_bm25 path=/idx/serve meta=/lake/doc_meta \
   *       ts=ingested ttlDays=365 docs=/lake/documents
+  * index name=fleet kind=ivf catalog=/srv/graft/catalog key=corpus:prod \
+  *       meta=/lake/vec_meta ts=ingested ttlDays=365
   * lake path=/lake/events maxFiles=4 targetMB=128
   * catalog dir=/srv/graft/catalog keepEpochs=2
   * }}}
+  *
+  * A catalog-addressed index line (`catalog=` + `key=`, optional
+  * `ckind=` when the catalog kind string differs from the
+  * maintenance kind word) resolves its path by manifest lookup at
+  * tick time — the fleet file names the LOGICAL index and each tick
+  * maintains whatever epoch currently serves it, so an epoch cutover
+  * never strands maintenance on a superseded store path.
   *
   * `meta` / `docs` are parquet paths: `meta` must carry `doc_id` +
   * the `ts` column (the pipeline's own landed metadata — expiry
@@ -98,15 +107,35 @@ object MaintenanceMain {
       toks.head match {
         case "index" =>
           val m = kvs(line, toks.tail, Set("name", "kind", "path", "meta",
-            "ts", "ttlDays", "maxFiles", "driftEps", "docs"))
+            "ts", "ttlDays", "maxFiles", "driftEps", "docs",
+            "catalog", "key", "ckind"))
           val kind = kindOf(req(m, "kind", line))
           if (kind == operators.Retention.ImpactBm25 && !m.contains("docs"))
             throw new IllegalArgumentException(
               s"fleet manifest: impact_bm25 needs docs=<corpus parquet> in '$line'")
           val ttl = req(m, "ttlDays", line).toInt
+          // an index is addressed by raw path OR by catalog key —
+          // catalog-addressed lines always maintain the CURRENTLY
+          // SERVING epoch (the manifest lookup this tick resolves),
+          // never a superseded store a stale path would name
+          val path = (m.get("path"), m.get("catalog")) match {
+            case (Some(p), None) => p
+            case (None, Some(catDir)) =>
+              val ckey = req(m, "key", line)
+              val ckind = m.getOrElse("ckind", req(m, "kind", line))
+              sources.Catalog.lookup(spark, catDir, ckind, ckey).map(_._1)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"fleet manifest: catalog $catDir has no registration " +
+                    s"for ($ckind, $ckey) in '$line'"))
+            case (Some(_), Some(_)) => throw new IllegalArgumentException(
+              s"fleet manifest: give path= OR catalog=+key=, not both, in '$line'")
+            case (None, None) => throw new IllegalArgumentException(
+              s"fleet manifest: missing required key 'path' " +
+                s"(or catalog=+key=) in '$line'")
+          }
           Left(operators.Retention.Maintained(
             name = req(m, "name", line), kind = kind,
-            path = req(m, "path", line),
+            path = path,
             meta = spark.read.parquet(req(m, "meta", line)),
             tsCol = req(m, "ts", line),
             cutoff = date_sub(current_date(), ttl),

@@ -225,6 +225,29 @@ object ScaleProbe {
       fullSig.inputBytes.toDouble, 0.0, 1.0,
       "the per-doc sizes sidecar must undercut the postings it replaces")
 
+    // ---- claim 4b: bucket count is the serve-read knob -------------
+    // the serve reads the batch's + hot candidates' BUCKETS in full,
+    // so its read fraction must SHRINK as the bucket count grows —
+    // the dial a 100 TB deployment turns (SURVEY §5 sizing rule:
+    // nBuckets ≫ distinct shingles per serving batch). Same corpus,
+    // same tiny batch, 64 vs 512 buckets.
+    val sig64 = tmp("sig64")
+    operators.NearDup.dedupIndexWrite(bigDocs, sig64, nBuckets = 64)
+    val prunedSig64 = scope("dedup_serve_pruned_64b") {
+      operators.NearDup.dedupServe(spark, sig64, tiny).count()
+    }
+    val fullSig64 = scope("dedup_index_full_scan_64b") {
+      spark.read.parquet(s"$sig64/postings")
+        .agg(bit_xor(xxhash64($"sh", $"doc_id", $"batch_id"))).head()
+    }
+    val frac512 = (prunedSig.inputBytes - sizesScan.inputBytes).toDouble /
+      fullSig.inputBytes
+    val frac64 = (prunedSig64.inputBytes - sizesScan.inputBytes).toDouble /
+      fullSig64.inputBytes
+    ratio("dedup_serve_bucket_scaling", frac512, frac64, 0.0, 0.7,
+      "8x the buckets must shrink a tiny-batch serve's read fraction " +
+        s"(frac512=$frac512 frac64=$frac64)")
+
     // ---- claim 5: dedup-signature append is O(batch), not O(index) -
     // the cap-crossing probe reads the df-DELTA sidecar (per-shingle
     // per-batch counts), never the accumulated posting lists — so an

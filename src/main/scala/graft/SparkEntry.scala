@@ -83,6 +83,8 @@ object SparkEntry {
     "hybrid_retrieve"     -> ((s, d) => TextAnalysis.hybridRetrieve(s, d)),
     "hybrid_serve"        -> ((s, d) => TextAnalysis.hybridServe(s, d, cfg.k, cfg.dfCap,
       cfg.nQueries, wLex = cfg.wLex, wSem = cfg.wSem)),
+    "hybrid_catalog_serve" -> ((s, d) => TextAnalysis.hybridCatalogServe(s, d, cfg.k,
+      cfg.dfCap, cfg.nQueries, wLex = cfg.wLex, wSem = cfg.wSem)),
     "approx_topk"         -> ((s, d) => TextAnalysis.approxTopK(s, d)),
     "typo_neighbors"      -> (TextAnalysis.typoNeighbors _),
     "mm_dedup"            -> (Multimodal.mmDedup _),
@@ -119,6 +121,7 @@ object SparkEntry {
     "ann_ivf_pq"          -> ((s, d) => Similarity.annIvfPq(s, d)),
     "ann_ivf_pq_serve"    -> ((s, d) => Similarity.annIvfPqAppendServe(s, d)),
     "ann_ivf_opq"         -> ((s, d) => Similarity.annIvfOpq(s, d)),
+    "ann_ivf_opq_serve"   -> ((s, d) => Similarity.annIvfOpqServe(s, d)),
     "lang_id"             -> (TextAnalysis.langId _),
     "quality_score"       -> (TextAnalysis.qualityScore _),
     "token_count"         -> (TextAnalysis.tokenCount _),
@@ -272,6 +275,10 @@ object SparkEntry {
     "doc_embed"           -> TextAnalysis.docEmbedSql(),
     "hybrid_retrieve"     -> TextAnalysis.hybridRetrieveSql(),
     "hybrid_serve"        -> TextAnalysis.hybridServeSql(cfg.k, cfg.dfCap, cfg.nQueries,
+      wLex = cfg.wLex, wSem = cfg.wSem),
+    // the two-kind epoch cutover (registerAll → vacuum → fleet
+    // lookups) must be answer-invisible vs the directly-served pair
+    "hybrid_catalog_serve" -> TextAnalysis.hybridServeSql(cfg.k, cfg.dfCap, cfg.nQueries,
       wLex = cfg.wLex, wSem = cfg.wSem),
     "typo_neighbors"      -> TextAnalysis.typoNeighborsSql,
     "bpe_pair_counts"     -> TextAnalysis.bpePairCountsSql(),

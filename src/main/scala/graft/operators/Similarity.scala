@@ -1457,7 +1457,7 @@ object Similarity {
     * reader may still be scoring the very code files the reset
     * deletes). */
   def pqAttach(spark: SparkSession, path: String, m: Int = 16,
-               kpq: Int = 32): Unit =
+               kpq: Int = 32, opqIters: Int = 0): Unit =
       graft.sources.Lake.withWriterLock(spark, path, "pqAttach") {
     graft.sources.Lake.requireUnpinned(spark, path, "pqAttach")
     import spark.implicits._
@@ -1470,16 +1470,41 @@ object Similarity {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
     val resid = pqResiduals(spark, path, live)
-    val books = pqCodebooks(resid.select($"vec_id", $"embedding"), m, dsub, kpq)
+    // opqIters > 0 attaches the OPQ variant (C7i persisted): the
+    // rotation trains over a bounded hash-ordered residual sample,
+    // books fit the ROTATED residuals and codes quantize them; the
+    // dim² rotation + its training posture persist ON the books rows
+    // (every row self-describing — the raw-BM25 lesson), so refresh,
+    // reattach and the ADC serve all recover it with zero new torn
+    // states. The ADC identity q·r = (qR)·(rR) keeps serving exact
+    // up to quantization, same as the in-session C7i plan.
+    val (rotOpt, books) =
+      if (opqIters > 0) {
+        val sample = resid
+          .orderBy(md5($"vec_id".cast("string")), $"vec_id").limit(4096)
+          .select($"embedding").collect().map(_.getSeq[Float](0).toArray)
+        val (rMat, books3, _) = opqTrain(sample, m, dsub, kpq, iters = opqIters)
+        (Some(rMat), withChalf(books3.zipWithIndex.flatMap { case (cws, sub) =>
+            cws.zipWithIndex.map { case (cw, code) => (sub, code, cw.toSeq) }
+          }.toSeq.toDF("sub", "code", "cvec")
+          .withColumn("cvec", $"cvec".cast("array<float>")))
+          .localCheckpoint())
+      } else
+        (None, pqCodebooks(resid.select($"vec_id", $"embedding"), m, dsub, kpq))
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/pq"), true)
     books
       .withColumn("m", lit(m)).withColumn("dsub", lit(dsub))
       .withColumn("kpq", lit(kpq)).withColumn("cstamp", lit(stamp))
+      .withColumn("opq_iters", lit(opqIters))
+      .withColumn("rot", rotOpt.map(r => typedLit(r.toSeq).cast("array<float>"))
+        .getOrElse(lit(null).cast("array<float>")))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/pq/books")
+    val toCode = rotOpt.fold(resid.select($"vec_id", $"embedding"))(r =>
+      resid.select($"vec_id", rotateF($"embedding", r, dim).as("embedding")))
     val batch = java.util.UUID.randomUUID.toString
-    pqEncode(resid.select($"vec_id", $"embedding"), books, m, dsub)
+    pqEncode(toCode, books, m, dsub)
       .join(resid.select($"vec_id", $"cell", $"nc"), Seq("vec_id"))
       .select($"cell", $"vec_id".as("neighbor_id"), $"codes", $"nc")
       .withColumn("pq_batch", lit(batch))
@@ -1487,6 +1512,15 @@ object Similarity {
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/pq/codes")
     Seq((batch, stamp)).toDF("pq_batch", "cstamp").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/pq/commits")
+  }
+
+  /** The attach-time OPQ rotation persisted on the books rows — None
+    * for a plain-PQ sidecar. Driver-side dim² floats (broadcast-scale
+    * metadata, like the centroids). */
+  private def pqRotation(bk: DataFrame): Option[Array[Float]] = {
+    if (!bk.columns.contains("rot")) return None
+    val r = bk.select(col("rot")).head()
+    if (r.isNullAt(0)) None else Some(r.getSeq[Float](0).toArray)
   }
 
   /** Live vectors the sidecar cannot ADC-score: appended since the
@@ -1535,8 +1569,11 @@ object Similarity {
     * [[pqAttach]]'s lease/pin/commit-last discipline. */
   def pqReattach(spark: SparkSession, path: String): Unit = {
     val meta = spark.read.parquet(s"$path/pq/books")
-      .select(col("m"), col("kpq")).head()
-    pqAttach(spark, path, meta.getInt(0), meta.getInt(1))
+      .select(col("m"), col("kpq"), col("opq_iters")).head()
+    // the OPQ posture persists with the books: a reattach after a
+    // retrain re-learns the rotation over the NEW residuals with the
+    // attach-time iteration budget (0 = stays plain PQ)
+    pqAttach(spark, path, meta.getInt(0), meta.getInt(1), meta.getInt(2))
   }
 
   /** REFRESH the sidecar to current index state under FROZEN books —
@@ -1568,8 +1605,13 @@ object Similarity {
       .localCheckpoint()
     if (target.isEmpty) return
     val resid = pqResiduals(spark, path, target)
+    // an OPQ sidecar refreshes under the FROZEN rotation exactly as
+    // it freezes the books — the delta codes live in the same rotated
+    // space the attach trained
+    val toCode = pqRotation(bk).fold(resid.select($"vec_id", $"embedding"))(r =>
+      resid.select($"vec_id", rotateF($"embedding", r, m * dsub).as("embedding")))
     val batch = java.util.UUID.randomUUID.toString
-    pqEncode(resid.select($"vec_id", $"embedding"), books, m, dsub)
+    pqEncode(toCode, books, m, dsub)
       .join(resid.select($"vec_id", $"cell", $"nc"), Seq("vec_id"))
       .select($"cell", $"vec_id".as("neighbor_id"), $"codes", $"nc")
       .withColumn("pq_batch", lit(batch))
@@ -1661,12 +1703,15 @@ object Similarity {
     val routed = ivfRoute(centroids, panel, nprobe).localCheckpoint()
     val probedCells = routed.select($"cell").distinct()
       .collect().map(_.getAs[Number](0).intValue()).toSeq
+    // an OPQ sidecar builds each query's LUT from the ROTATED query
+    // (q·r = (qR)·(rR)); qcdot and the exact rerank stay unrotated
+    val lutPanel = pqRotation(bk).fold(panel.select($"vec_id", $"embedding"))(r =>
+      panel.select($"vec_id", rotateF($"embedding", r, m * dsub).as("embedding")))
     val probes = routed
       .join(broadcast(centroids.select($"cid".as("cell"), $"cvec")), Seq("cell"))
       .withColumn("qcdot", dotF($"vq", $"cvec"))
       .drop("cvec")
-      .join(pqLut(panel.select($"vec_id", $"embedding"), books, m, dsub),
-        Seq("query_id"))
+      .join(pqLut(lutPanel, books, m, dsub), Seq("query_id"))
     val codes = pqLiveCodes(spark, path).filter($"cell".isin(probedCells: _*))
     val excludeSelf = queries.isEmpty
     val wS = Window.partitionBy($"query_id").orderBy($"qcos".desc, $"neighbor_id")
@@ -1700,7 +1745,7 @@ object Similarity {
   def annIvfPqAppendServe(spark: SparkSession, dir: String, nlist: Int = 16,
                           nprobe: Int = 10, m: Int = 16, kpq: Int = 32,
                           shortlist: Int = 128, k: Int = 5,
-                          nQueries: Int = 50): DataFrame = {
+                          nQueries: Int = 50, opqIters: Int = 0): DataFrame = {
     import spark.implicits._
     val all = Tables.embeddings(spark, dir)
     val maxRow = all.agg(max($"vec_id")).head()
@@ -1709,13 +1754,30 @@ object Similarity {
         .toDF("query_id", "neighbor_id", "cell", "rank_nn", "cosine")
     graft.sources.Lake.withScratchIndex(spark, "graft_ivf_pq") { tmp =>
       val cut = prefixIvfWrite(spark, dir, tmp, nlist, maxRow.getLong(0))
-      pqAttach(spark, tmp, m, kpq)
+      pqAttach(spark, tmp, m, kpq, opqIters)
       ivfAppend(spark, tmp, all.filter($"vec_id" > cut))
       pqRefresh(spark, tmp)
       annIvfPqServe(spark, tmp, nprobe = nprobe, shortlist = shortlist,
         k = k, nQueries = nQueries)
     }
   }
+
+  /** C7i-serve `ann_ivf_opq_serve` — [[annIvfPqAppendServe]]'s exact
+    * lifecycle with the OPQ sidecar: the rotation learns on the 70%
+    * prefix's residuals at attach, PERSISTS next to the books
+    * (dim² floats + the iteration budget on every books row), the 30%
+    * append refreshes its delta under the frozen books AND frozen
+    * rotation, and the ADC serve rebuilds each query's LUT from the
+    * rotated query it reads back from disk. Rows-only (rotation +
+    * codebook geometry); check.py grades recall@5 vs brute force at
+    * floor 0.8 — appended vectors are only findable if the refresh
+    * coded them in the persisted rotated space. */
+  def annIvfOpqServe(spark: SparkSession, dir: String, nlist: Int = 16,
+                     nprobe: Int = 10, m: Int = 16, kpq: Int = 32,
+                     shortlist: Int = 128, k: Int = 5,
+                     nQueries: Int = 50): DataFrame =
+    annIvfPqAppendServe(spark, dir, nlist, nprobe, m, kpq, shortlist, k,
+      nQueries, opqIters = 4)
 
   // ──────── C7i: OPQ — optimized product quantization (learned rotation) ────────
 

@@ -1429,6 +1429,92 @@ object TextAnalysis {
       k, nQueries, kRrf, wLex, wSem, dim)
   }
 
+  /** C27c `hybrid_catalog_serve` — the MULTI-KIND fleet epoch cutover
+    * composed under the gate: both of C27b's serving indexes (the
+    * impact-BM25 postings AND the docEmbed IVF) rebuild against the
+    * same corpus snapshot and become visible TOGETHER through
+    * [[graft.sources.Catalog.registerAll]]'s single-commit manifest
+    * write — a fleet that fuses a fresh lexical epoch with a stale
+    * semantic one mixes corpus states inside ONE RRF answer, the
+    * exact failure registerAll exists to exclude. Lifecycle under the
+    * gate: epoch-1 builds both kinds on the 70% prefix and registers
+    * them in one cutover; the corpus drifts; epoch-2 rebuilds both on
+    * the full corpus and supersedes in one cutover; `Catalog.vacuum`
+    * reclaims BOTH superseded stores (lease + pin gates); a serving
+    * process that knows only the catalog root resolves both kinds by
+    * manifest lookup and runs [[hybridServeFrom]]. HASH-EQUAL to
+    * `hybrid_serve`'s oracle on the full corpus — the whole two-kind
+    * lifecycle must be answer-invisible (nprobe = nlist keeps the IVF
+    * side exact; integer dots/impacts/RRF keep every score
+    * bit-stable). LakeSpec pins the epoch-1 fleet parity, the
+    * one-commit flip of both kinds, and the physical reclaim. */
+  def hybridCatalogServe(spark: SparkSession, dir: String, k: Int = 10,
+                         dfCap: Int = 100, nQueries: Int = 50, kRrf: Int = 60,
+                         wLex: Int = 2, wSem: Int = 1, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    if (tfTableFor(spark, dir).isEmpty)
+      return Seq.empty[(Long, Long, Long, Int)]
+        .toDF("query_id", "doc_id", "rrf", "rank_h")
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val cut = docs.agg(max($"doc_id")).head().getLong(0) * 7 / 10
+    val key = s"corpus:$dir"
+    graft.sources.Lake.withScratchIndex(spark, "graft_hyb_cat") { cat =>
+      hybridCatalogCutover(spark, dir, cat, key, "epoch-1", Some(cut),
+        dfCap, dim)
+      hybridCatalogCutover(spark, dir, cat, key, "epoch-2", None, dfCap, dim)
+      graft.sources.Catalog.vacuum(spark, cat)
+      hybridCatalogResolveServe(spark, dir, cat, key, "epoch-2",
+        k, nQueries, kRrf, wLex, wSem, dim)
+    }
+  }
+
+  /** One maintenance epoch for the hybrid pair: build BOTH kinds
+    * against the same corpus snapshot (`cutId` bounds the prefix;
+    * None = full corpus) into fresh store directories, then flip them
+    * visible together in one [[graft.sources.Catalog.registerAll]]
+    * commit. Store paths follow the catalog's own store convention so
+    * its vacuum can reclaim superseded epochs. */
+  private[graft] def hybridCatalogCutover(spark: SparkSession, dir: String,
+                                          cat: String, key: String,
+                                          stamp: String, cutId: Option[Long],
+                                          dfCap: Int = 100,
+                                          dim: Int = 64): Unit = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val bmDir = s"$cat/store/bm25impact/${java.util.UUID.randomUUID}"
+    val ivDir = s"$cat/store/ivf/${java.util.UUID.randomUUID}"
+    bm25WriteImpactFrom(
+      Tables.fanout(cutId.fold(docs)(c => docs.filter($"doc_id" <= c))),
+      bmDir, dfCap = dfCap)
+    graft.operators.Similarity.ivfWriteFrom(
+      cutId.fold(docEmbedDense(spark, dir, dim))(c =>
+        docEmbedDense(spark, dir, dim).filter($"vec_id" <= c)),
+      ivDir, nlist = 16)
+    graft.sources.Catalog.registerAll(spark, cat, Seq(
+      ("bm25impact", key, bmDir, stamp), ("ivf", key, ivDir, stamp)))
+  }
+
+  /** The serving process's half of C27c: resolve both kinds from the
+    * manifest (requiring the expected epoch — a fleet must never fuse
+    * mixed epochs), then serve. */
+  private[graft] def hybridCatalogResolveServe(spark: SparkSession,
+                                               dir: String, cat: String,
+                                               key: String, epoch: String,
+                                               k: Int = 10, nQueries: Int = 50,
+                                               kRrf: Int = 60, wLex: Int = 2,
+                                               wSem: Int = 1,
+                                               dim: Int = 64): DataFrame = {
+    val (bmPath, bmStamp) =
+      graft.sources.Catalog.lookup(spark, cat, "bm25impact", key).get
+    val (ivPath, ivStamp) =
+      graft.sources.Catalog.lookup(spark, cat, "ivf", key).get
+    require(bmStamp == epoch && ivStamp == epoch,
+      s"fleet must resolve one fresh epoch for both kinds: " +
+        s"bm25impact=$bmStamp ivf=$ivStamp want $epoch")
+    hybridServeFrom(spark, dir, ivPath, bmPath, k, nQueries, kRrf,
+      wLex, wSem, dim)
+  }
+
   def hybridServeSql(k: Int = 10, dfCap: Int = 100, nQueries: Int = 50,
                      kRrf: Int = 60, wLex: Int = 2, wSem: Int = 1,
                      dim: Int = 64): String =

@@ -782,6 +782,90 @@ class LakeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("hybrid_catalog_serve lifecycle: two kinds flip in one commit, epoch parity, vacuum reclaims both") {
+    import graft.sources.Catalog
+    import operators.TextAnalysis
+    val s = spark
+    import s.implicits._
+    val cat = tmp("hybcat")
+    val docs = Tables.documents(s, sf).select($"doc_id", $"text")
+    val cut = docs.agg(max($"doc_id")).head().getLong(0) * 7 / 10
+    // epoch 1: BOTH kinds land under one registerAll commit
+    TextAnalysis.hybridCatalogCutover(s, sf, cat, "spec", "epoch-1", Some(cut))
+    val (bm1, st1) = Catalog.lookup(s, cat, "bm25impact", "spec").get
+    val (iv1, stv1) = Catalog.lookup(s, cat, "ivf", "spec").get
+    assert(st1 == "epoch-1" && stv1 == "epoch-1")
+    assert(Catalog.entries(s, cat).select($"seq").distinct().count() == 1,
+      "one cutover = one shared seq for both kinds")
+    // epoch-1 fleet parity: the catalog-resolved serve must equal a
+    // direct serve of an INDEPENDENTLY built prefix pair
+    val ref = tmp("hybref")
+    graft.operators.Similarity.ivfWriteFrom(
+      TextAnalysis.docEmbedDense(s, sf, 64).filter($"vec_id" <= cut),
+      s"$ref/ivf", nlist = 16)
+    TextAnalysis.bm25WriteImpactFrom(
+      Tables.fanout(docs.filter($"doc_id" <= cut)), s"$ref/bm25")
+    assert(sameResult(
+      TextAnalysis.hybridCatalogResolveServe(s, sf, cat, "spec", "epoch-1"),
+      TextAnalysis.hybridServeFrom(s, sf, s"$ref/ivf", s"$ref/bm25")),
+      "the fleet's two catalog lookups must serve the epoch-1 answer")
+    // drift: epoch-2 rebuilds BOTH kinds and supersedes atomically
+    TextAnalysis.hybridCatalogCutover(s, sf, cat, "spec", "epoch-2", None)
+    val e2seq = Catalog.entries(s, cat).filter($"stamp" === "epoch-2")
+      .select($"seq").distinct().collect()
+    assert(e2seq.length == 1, "the epoch-2 pair must share one cutover seq")
+    Catalog.vacuum(s, cat)
+    val fs = new org.apache.hadoop.fs.Path(cat)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(bm1)) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(iv1)),
+      "vacuum must reclaim BOTH superseded epoch-1 stores")
+    assert(sameResult(
+      TextAnalysis.hybridCatalogResolveServe(s, sf, cat, "spec", "epoch-2"),
+      TextAnalysis.hybridServe(s, sf)),
+      "the post-drift fleet serve must equal the full-corpus hybrid answer")
+    // a mixed-epoch fleet must refuse to fuse
+    Catalog.register(s, cat, "ivf", "spec",
+      Catalog.lookup(s, cat, "ivf", "spec").get._1, "epoch-3")
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.hybridCatalogResolveServe(s, sf, cat, "spec", "epoch-3")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(cat), true)
+    spark.catalog.clearCache()
+  }
+
+  test("fleet manifest resolves a catalog-addressed index to its serving epoch") {
+    import graft.sources.Catalog
+    val s = spark
+    import s.implicits._
+    val cat = tmp("fleetcat")
+    val idx = tmp("fleetivf")
+    graft.operators.Similarity.ivfWriteFrom(
+      Tables.embeddings(s, sf).limit(200), idx, nlist = 4)
+    Catalog.register(s, cat, "ivf", "corpus:spec", idx, "epoch-1")
+    val meta = tmp("fleetmeta")
+    Tables.embeddings(s, sf).limit(200)
+      .select($"vec_id".as("doc_id"),
+        current_timestamp().as("ingested"))
+      .write.mode("overwrite").parquet(meta)
+    val fleet = MaintenanceMain.parseFleet(s,
+      s"index name=vecs kind=ivf catalog=$cat key=corpus:spec " +
+        s"meta=$meta ts=ingested ttlDays=365")
+    assert(fleet.indexes.head.path == idx,
+      "catalog-addressed line must resolve to the registered store path")
+    // unknown key fails loudly; path+catalog together fails loudly
+    assertThrows[IllegalArgumentException] {
+      MaintenanceMain.parseFleet(s,
+        s"index name=vecs kind=ivf catalog=$cat key=missing " +
+          s"meta=$meta ts=ingested ttlDays=365")
+    }
+    assertThrows[IllegalArgumentException] {
+      MaintenanceMain.parseFleet(s,
+        s"index name=vecs kind=ivf path=$idx catalog=$cat key=corpus:spec " +
+          s"meta=$meta ts=ingested ttlDays=365")
+    }
+  }
+
   test("lake compaction: fragmented partitions repack to target, clean ones byte-untouched, rows exact, gated") {
     import operators.Retention
     val s = spark

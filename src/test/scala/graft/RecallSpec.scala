@@ -716,4 +716,64 @@ class RecallSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(idx)
     spark.catalog.clearCache()
   }
+
+  test("C7i sidecar: the OPQ rotation persists, survives append+refresh, and reattach re-learns it") {
+    val s = spark
+    import s.implicits._
+    val Sim = operators.Similarity
+    val idx = java.nio.file.Files.createTempDirectory("graft_opq_life").toFile
+    val path = idx.getAbsolutePath
+    val all = Tables.embeddings(s, sf).localCheckpoint()
+    val cut = all.agg(max($"vec_id")).head().getLong(0) * 7 / 10
+    Sim.ivfWriteFrom(all.filter($"vec_id" <= cut), path)
+    // OPQ attach: the rotation + its training budget land ON the books
+    Sim.pqAttach(s, path, opqIters = 4)
+    val bk = s.read.parquet(s"$path/pq/books")
+    val rot = bk.select($"rot").head().getSeq[Float](0).toArray
+    assert(bk.select($"opq_iters").head().getInt(0) == 4,
+      "the OPQ iteration budget must persist with the books")
+    val dim = math.sqrt(rot.length.toDouble).toInt
+    assert(dim * dim == rot.length, "rot must be a square dim x dim matrix")
+    // persisted R is orthogonal: R Rᵀ = I within float tolerance
+    val maxDev = (for (i <- 0 until dim; j <- 0 until dim) yield {
+      val d = (0 until dim).map(t => rot(i * dim + t).toDouble *
+        rot(j * dim + t).toDouble).sum
+      math.abs(d - (if (i == j) 1.0 else 0.0))
+    }).max
+    assert(maxDev < 1e-4, s"persisted rotation must stay orthogonal ($maxDev)")
+    // append + refresh: the delta codes under the FROZEN rotation;
+    // the books file (incl. the rotation) stays byte-untouched
+    val booksBefore = new java.io.File(s"$path/pq/books").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified))
+    Sim.ivfAppend(s, path, all.filter($"vec_id" > cut))
+    Sim.pqRefresh(s, path)
+    val booksAfter = new java.io.File(s"$path/pq/books").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified))
+    assert(booksBefore.sameElements(booksAfter),
+      "refresh must freeze the books AND the rotation")
+    assert(Sim.pqCoverageGap(s, path) == 0, "refresh must cover the append")
+    // full-corpus recall through the persisted rotated-space ADC
+    val exact = Sim.annBruteforce(s, sf, k = 5, nQueries = 20)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val served = Sim.annIvfPqServe(s, path, nQueries = 20)
+    val r = exact.join(served.select(col("query_id"), col("neighbor_id")),
+      Seq("query_id", "neighbor_id"), "left_semi").count().toDouble / exact.count()
+    assert(r >= 0.8, s"persisted-OPQ lifecycle recall@5 = $r")
+    info(f"opq sidecar attach->append->refresh->serve recall@5 = $r%.3f")
+    // a retrain orphans the rotated codes; reattach RE-LEARNS the
+    // rotation (new residual distribution) with the persisted budget
+    Sim.ivfRetrain(s, path)
+    assert(Sim.pqBooksStale(s, path))
+    Sim.pqReattach(s, path)
+    val bk2 = s.read.parquet(s"$path/pq/books")
+    assert(bk2.select($"opq_iters").head().getInt(0) == 4,
+      "reattach must keep the OPQ posture")
+    val rot2 = bk2.select($"rot").head().getSeq[Float](0).toArray
+    assert(!rot2.sameElements(rot),
+      "reattach after retrain must re-learn the rotation on the new residuals")
+    assert(!Sim.pqBooksStale(s, path) && Sim.pqCoverageGap(s, path) == 0)
+    exact.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(idx)
+    spark.catalog.clearCache()
+  }
 }

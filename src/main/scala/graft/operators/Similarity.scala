@@ -183,6 +183,94 @@ object Similarity {
        |WHERE a.vec_id < b.vec_id
        |  AND list_cosine_similarity(a.embedding, b.embedding) >= $threshold""".stripMargin
 
+  /** C31 `semdedup` — SemDeDup (Abbas/Tirumala/Simig/Ganguli/Morcos,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv 2303.09540): embedding-space near-dup
+    * PRUNING at corpus scale by clustering FIRST and comparing only
+    * within clusters — Σ_c n_c² work instead of n², embarrassingly
+    * parallel per cell; the 100 TB path C5's exact all-pairs join
+    * cannot take (the paper runs k = 50k clusters over LAION-440M;
+    * production nlist scales with the corpus so cells stay bounded).
+    * Reuses the ANN family's clusterer ([[ivfIndexFrom]] — seeded +
+    * one Lloyd step, the same centroid machinery every IVF entry
+    * probes) over [[twinCorpus]] (the planted re-ingest C5b grades
+    * against — a base corpus plus its perturbed re-crawl at cosine
+    * ≈ 0.9999). Members pair within their cell only (self-join on
+    * cell, id1 < id2, exact codegen'd cosine ≥ eps), dup groups close
+    * transitively per cell ([[NearDup.labelPropagate]] — dup groups
+    * are tiny cliques), and each group keeps the member FARTHEST from
+    * its centroid (the paper's keeper rule — low centroid similarity
+    * = most marginal signal; ties to the lowest id) and drops the
+    * rest.
+    *
+    * Output: one row per DROPPED vector — (drop_id, witness_id,
+    * cosine, keeper_id, cell) with witness = the drop's
+    * highest-cosine within-cell partner, the evidence an auditor
+    * recomputes. Rows-only (centroid geometry decides the cells);
+    * check.py grades (a) ZERO false drops — every (drop, witness)
+    * cosine recomputed exactly in DuckDB ≥ eps — and (b) planted-twin
+    * recall ≥ 0.9: each twin pair must lose exactly one endpoint
+    * (loss = twins split across cells, the paper's documented
+    * approximation); the spec pins the keeper rule, one survivor per
+    * group, and keeper ∉ drops. */
+  /** [[semDedup]]'s clustered membership — (cell, vec_id, vc, nc,
+    * c2c) with c2c = cosine to the member's own centroid, the keeper
+    * score. Exposed (and memoized) separately so the spec can pin the
+    * keeper rule against the same clustering the operator used. */
+  private[graft] def semDedupMembers(spark: SparkSession, dir: String,
+                                     nlist: Int = 16): DataFrame =
+    NearDup.Shared.memo(spark, s"semdedupMem:$dir:$nlist") {
+      import spark.implicits._
+      val (centroids, lists) = ivfIndexFrom(
+        twinCorpus(spark, dir).select($"vec_id", $"embedding", lit(0).as("label")),
+        nlist)
+      lists
+        .join(broadcast(centroids.select($"cid".as("cell"), $"cvec", $"cnorm")),
+          Seq("cell"))
+        .select($"cell", $"neighbor_id".as("vec_id"), $"vc", $"nc",
+          (dot("vc", "cvec") / ($"nc" * $"cnorm")).as("c2c"))
+        .localCheckpoint()
+    }
+
+  def semDedup(spark: SparkSession, dir: String, eps: Double = 0.8,
+               nlist: Int = 16): DataFrame =
+    NearDup.Shared.memo(spark, s"semdedup:$dir:$eps:$nlist") {
+      import spark.implicits._
+      val mem = semDedupMembers(spark, dir, nlist)
+      // the SemDeDup pair pass: exact cosine edges WITHIN each cell
+      val edges = mem.select($"cell", $"vec_id".as("id1"), $"vc".as("v1"), $"nc".as("n1"))
+        .join(mem.select($"cell", $"vec_id".as("id2"), $"vc".as("v2"), $"nc".as("n2")),
+          Seq("cell"))
+        .filter($"id1" < $"id2")
+        .withColumn("cosine", dot("v1", "v2") / ($"n1" * $"n2"))
+        .filter($"cosine" >= eps)
+        .select($"cell", $"id1", $"id2", $"cosine")
+        .localCheckpoint()
+      val comp = NearDup.labelPropagate(edges.select($"id1", $"id2"))
+        .select($"doc_id".as("vec_id"), $"cluster_id")
+      // keeper = farthest-from-centroid member (min c2c), ties low id
+      val keepers = comp.join(mem.select($"vec_id", $"c2c"), Seq("vec_id"))
+        .groupBy($"cluster_id")
+        .agg(min_by($"vec_id", struct($"c2c", $"vec_id")).as("keeper_id"))
+      // per dropped member: its strongest within-cell partner as the
+      // recomputable evidence
+      val wit = edges.select(explode(array(
+          struct($"id1".as("vec_id"), $"id2".as("other"), $"cosine"),
+          struct($"id2".as("vec_id"), $"id1".as("other"), $"cosine"))).as("e"))
+        .select($"e.vec_id", $"e.other", $"e.cosine")
+        .groupBy($"vec_id")
+        .agg(max_by(struct($"other", $"cosine"),
+          struct($"cosine", -$"other")).as("w"))
+        .select($"vec_id", $"w.other".as("witness_id"), $"w.cosine".as("cosine"))
+      comp.join(keepers, Seq("cluster_id"))
+        .filter($"vec_id" =!= $"keeper_id")
+        .join(wit, Seq("vec_id"))
+        .join(mem.select($"vec_id", $"cell"), Seq("vec_id"))
+        .select($"vec_id".as("drop_id"), $"witness_id", $"cosine",
+          $"keeper_id", $"cell")
+        .localCheckpoint()
+    }
+
   /** C6 `ann_bruteforce` — exact cosine top-k neighbors for a bounded
     * query set (vec_id < 20). The query side is tiny and explicitly
     * `broadcast()` so the corpus never shuffles: each corpus partition

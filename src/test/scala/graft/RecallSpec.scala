@@ -717,6 +717,42 @@ class RecallSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("C31 semdedup: one twin per pair drops, keeper is the group's farthest-from-centroid, evidence exact") {
+    val s = spark
+    import s.implicits._
+    val Sim = operators.Similarity
+    val out = Sim.semDedup(s, sf).localCheckpoint()
+    val n = Tables.embeddings(s, sf).count()
+    // planted-twin recall: each (v, v + 1e6) pair loses EXACTLY one
+    // endpoint (both lost would be over-pruning; the only allowed
+    // miss is a twin pair split across cells)
+    val drops = out.select($"drop_id").as[Long].collect().toSet
+    val oneLost = (0L until n)
+      .count(v => drops.contains(v) ^ drops.contains(v + 1000000L))
+    val bothLost = (0L until n)
+      .count(v => drops.contains(v) && drops.contains(v + 1000000L))
+    assert(bothLost == 0, "a dup group must keep one member")
+    assert(oneLost.toDouble / n >= 0.9,
+      s"twin-pair recall ${oneLost.toDouble / n} (cell-split loss only)")
+    info(f"semdedup twin recall = ${oneLost.toDouble / n}%.3f over $n pairs")
+    // no keeper is ever dropped; every witness edge clears eps
+    assert(out.join(out.select($"drop_id".as("keeper_id")),
+      Seq("keeper_id"), "left_semi").count() == 0)
+    assert(out.filter($"cosine" < 0.8).count() == 0)
+    // the keeper RULE: within each group the survivor has the LOWEST
+    // centroid cosine (ties to the lowest id) among its members —
+    // checked against the same clustered membership the operator used
+    val c2c = Sim.semDedupMembers(s, sf).select($"vec_id", $"c2c")
+    val bad = out
+      .join(c2c.select($"vec_id".as("drop_id"), $"c2c".as("dropC")), Seq("drop_id"))
+      .join(c2c.select($"vec_id".as("keeper_id"), $"c2c".as("keepC")), Seq("keeper_id"))
+      .filter($"keepC" > $"dropC" ||
+        ($"keepC" === $"dropC" && $"keeper_id" > $"drop_id"))
+      .count()
+    assert(bad == 0, s"$bad drops beat their keeper on the farthest-from-centroid rule")
+    spark.catalog.clearCache()
+  }
+
   test("C7i sidecar: the OPQ rotation persists, survives append+refresh, and reattach re-learns it") {
     val s = spark
     import s.implicits._

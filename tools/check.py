@@ -142,6 +142,49 @@ def main():
                 note = (f"MG bounds: {matched}/{len(got)} tokens exist, "
                         f"overcounts={over}, max undercount {max_under} <= "
                         f"n/(k+1)={bound}")
+            elif name == "semdedup":
+                # SemDeDup graded on the rebuilt twin corpus:
+                # (a) ZERO false drops — every (drop, witness) cosine
+                #     recomputed exactly must clear eps = 0.8;
+                # (b) planted-twin recall — each (v, v + 1e6) pair must
+                #     lose exactly one endpoint; loss = twins split
+                #     across cells (the paper's approximation), floor
+                #     0.9;
+                # (c) no keeper is ever dropped.
+                con.register("sd_out", got)
+                r = con.execute("""
+                    WITH twin AS (
+                      SELECT e.vec_id + 1000000 AS vec_id,
+                             list(CAST(CAST(e.embedding[t.i] AS DOUBLE)
+                                  + (CAST((e.vec_id * 31 + (t.i - 1)) % 7 AS DOUBLE) - 3.0)
+                                    * 0.001 AS FLOAT) ORDER BY t.i) AS embedding
+                      FROM embeddings e,
+                           unnest(generate_series(1, len(e.embedding))) AS t(i)
+                      GROUP BY e.vec_id),
+                    corpus AS (
+                      SELECT vec_id, embedding FROM embeddings
+                      UNION ALL SELECT vec_id, embedding FROM twin),
+                    checked AS (
+                      SELECT s.drop_id, s.keeper_id,
+                             list_cosine_similarity(a.embedding, b.embedding) AS cos
+                      FROM sd_out s
+                      JOIN corpus a ON a.vec_id = s.drop_id
+                      JOIN corpus b ON b.vec_id = s.witness_id)
+                    SELECT
+                      (SELECT COUNT(*) FROM checked WHERE cos < 0.8),
+                      (SELECT COUNT(*) FROM embeddings e
+                       WHERE (e.vec_id IN (SELECT drop_id FROM sd_out))
+                          <> (e.vec_id + 1000000 IN (SELECT drop_id FROM sd_out))),
+                      (SELECT COUNT(*) FROM embeddings),
+                      (SELECT COUNT(*) FROM sd_out
+                       WHERE keeper_id IN (SELECT drop_id FROM sd_out))
+                    """).fetchone()
+                false_drops, one_lost, n_pairs, kept_dropped = r
+                recall = one_lost / max(n_pairs, 1)
+                ok = false_drops == 0 and recall >= 0.9 and kept_dropped == 0
+                note = (f"false drops = {false_drops} (must be 0); twin-pair "
+                        f"recall = {recall:.3f} ({one_lost}/{n_pairs}, floor 0.9); "
+                        f"dropped keepers = {kept_dropped} (must be 0)")
             elif name == "minhash_lsh_dedup":
                 # est_jaccard graded against DuckDB-exact jaccard on
                 # the emitted pairs (16 slots: 4-sigma-ish band), plus

@@ -717,6 +717,51 @@ class RecallSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("C7k adaptive probing: settled queries match their fixed-width probe, budget bounded, recall >= fixed-min baseline") {
+    val s = spark
+    import s.implicits._
+    val Sim = operators.Similarity
+    val out = Sim.annIvfAdaptive(s, sf).localCheckpoint()
+    // per-query probes_used is one value and within (minProbe, nlist]
+    val widths = out.groupBy($"query_id")
+      .agg(countDistinct($"probes_used").as("nw"), max($"probes_used").as("w"))
+    assert(widths.filter($"nw" =!= 1).count() == 0)
+    assert(widths.filter($"w" < 2 || $"w" > 16).count() == 0)
+    val avgProbes = widths.agg(avg($"w")).head().getDouble(0)
+    assert(avgProbes <= 16.0, s"avg probes $avgProbes must not exceed nlist")
+    info(f"adaptive avg probes/query = $avgProbes%.2f of nlist=16")
+    // settled-query parity: a query that settled at width w returns
+    // EXACTLY the fixed-nprobe=w probe's answer
+    val perQ: Map[Long, Array[org.apache.spark.sql.Row]] =
+      out.select($"query_id", $"neighbor_id", $"probes_used").collect()
+        .groupBy(r => r.getLong(0))
+    val settleWidths: Set[Int] =
+      perQ.values.map(rs => rs.head.getInt(2)).toSet
+    for (w <- settleWidths) {
+      val fixed = Sim.annIvf(s, sf, nprobe = w)
+        .select($"query_id", $"neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      perQ.filter(_._2.head.getInt(2) == w).foreach { case (q, rows) =>
+        assert(rows.map(_.getLong(1)).toSet == fixed(q),
+          s"query $q settled at $w must equal the fixed-$w probe")
+      }
+    }
+    // the adaptive panel's recall dominates the fixed-minProbe baseline
+    val exact = Sim.annBruteforce(s, sf, k = 5, nQueries = 50)
+      .select($"query_id", $"neighbor_id").localCheckpoint()
+    val total = exact.count().toDouble
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      exact.join(df.select($"query_id", $"neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count() / total
+    val rAdaptive = recallOf(out)
+    val rFixedMin = recallOf(Sim.annIvf(s, sf, nprobe = 2))
+    assert(rAdaptive >= rFixedMin,
+      s"adaptive recall $rAdaptive must dominate fixed-minProbe $rFixedMin")
+    assert(rAdaptive >= 0.8, s"adaptive recall@5 = $rAdaptive")
+    info(f"adaptive recall@5 = $rAdaptive%.3f vs fixed-2 $rFixedMin%.3f")
+    spark.catalog.clearCache()
+  }
+
   test("C31 semdedup: one twin per pair drops, keeper is the group's farthest-from-centroid, evidence exact") {
     val s = spark
     import s.implicits._

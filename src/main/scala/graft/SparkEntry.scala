@@ -110,6 +110,7 @@ object SparkEntry {
     "pagerank_pairs"      -> ((s, d) => NearDup.pagerankPairs(s, d)),
     "embedding_dedup"     -> ((s, d) => Similarity.embeddingDedup(s, d)),
     "semdedup"            -> ((s, d) => Similarity.semDedup(s, d)),
+    "semdedup_serve"      -> ((s, d) => Similarity.semDedupServeGate(s, d)),
     "embedding_dedup_lsh" -> ((s, d) => Similarity.embeddingDedupLsh(s, d)),
     "embedding_quantize"  -> (Similarity.embeddingQuantize _),
     "ann_bruteforce"      -> ((s, d) => Similarity.annBruteforce(s, d)),

@@ -271,6 +271,63 @@ object Similarity {
         .localCheckpoint()
     }
 
+  /** The serving half of C31b: score an incoming vector batch against
+    * a PERSISTED [[ivfWrite]] index and return the batch members that
+    * semantically duplicate an INDEXED vector (keep the indexed copy —
+    * incremental-dedup semantics, [[NearDup.dedupServe]]'s posture for
+    * embeddings). Each batch vector routes to its `nprobe` nearest
+    * cells (broadcast-sized centroids) and scans ONLY those cells'
+    * lists — O(batch · nprobe/nlist of the index) read, never the
+    * corpus — keeping one exact-cosine witness per drop. */
+  def semDedupServe(spark: SparkSession, path: String, batch: DataFrame,
+                    eps: Double = 0.8, nprobe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val lists = liveLists(spark, path)
+      .select($"cell", $"neighbor_id", $"vc".cast("array<float>").as("vc"), $"nc")
+    val q = batch
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .withColumn("norm", sqrt(dotF($"embedding", $"embedding")))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    broadcast(ivfRoute(centroids, q, nprobe)).join(lists, Seq("cell"))
+      .withColumn("cosine", dot("vq", "vc") / ($"nq" * $"nc"))
+      .filter($"cosine" >= eps)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"query_id".as("drop_id"), $"neighbor_id".as("witness_id"),
+        $"cosine", $"cell")
+  }
+
+  /** C31b `semdedup_serve` — [[semDedup]]'s INCREMENTAL form under the
+    * gate: the base corpus persists as the standard IVF index, then a
+    * re-crawl batch (the perturbed twins, cosine ≈ 0.9999 to their
+    * originals) serves against it; every batch member whose original
+    * is indexed must strike, each with a recomputable exact-cosine
+    * witness. This is the production shape ([[NearDup.crossDedupServe]]
+    * / lineDedupServe for embeddings): the 100 TB reference corpus is
+    * indexed once, a nightly batch reads only its routed cells.
+    * Rows-only (centroid geometry routes); check.py grades zero false
+    * drops (witness cosines recomputed exactly in DuckDB ≥ eps) and
+    * strike recall ≥ 0.9 (a twin is only missable if routing splits
+    * it from its original past nprobe cells); the spec pins clean-
+    * batch silence (orthogonal vectors strike nothing) and tombstone
+    * erasure (a deleted original stops striking its twin). */
+  def semDedupServeGate(spark: SparkSession, dir: String, eps: Double = 0.8,
+                        nprobe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, dir)
+    if (base.agg(max($"vec_id")).head().isNullAt(0))
+      return Seq.empty[(Long, Long, Double, Int)]
+        .toDF("drop_id", "witness_id", "cosine", "cell")
+    graft.sources.Lake.withScratchIndex(spark, "graft_semdd_srv") { tmp =>
+      ivfWriteFrom(base, tmp)
+      semDedupServe(spark, tmp,
+        twinCorpus(spark, dir).filter($"vec_id" >= NearDup.BigOffset)
+          .select($"vec_id", $"embedding"),
+        eps, nprobe)
+    }
+  }
+
   /** C6 `ann_bruteforce` — exact cosine top-k neighbors for a bounded
     * query set (vec_id < 20). The query side is tiny and explicitly
     * `broadcast()` so the corpus never shuffles: each corpus partition

@@ -798,6 +798,48 @@ class RecallSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("C31b semdedup_serve: twins strike their indexed originals, clean batches pass, deletion un-strikes") {
+    val s = spark
+    import s.implicits._
+    val Sim = operators.Similarity
+    val idx = java.nio.file.Files.createTempDirectory("graft_sds").toFile
+    val path = idx.getAbsolutePath
+    val base = Tables.embeddings(s, sf).localCheckpoint()
+    val n = base.count()
+    Sim.ivfWriteFrom(base, path)
+    // the re-crawl batch: perturbed twins of every indexed vector
+    val twins = Sim.twinCorpus(s, sf)
+      .filter($"vec_id" >= 1000000L).select($"vec_id", $"embedding")
+      .localCheckpoint()
+    val struck = Sim.semDedupServe(s, path, twins).localCheckpoint()
+    val recall = struck.select($"drop_id").distinct().count().toDouble / n
+    assert(recall >= 0.9, s"twin strike recall = $recall")
+    // the witness is (essentially always) the true original
+    val exactWit = struck.filter($"witness_id" === $"drop_id" - 1000000L).count()
+    assert(exactWit.toDouble / struck.count() >= 0.9,
+      "witnesses must overwhelmingly be the planted originals")
+    assert(struck.filter($"cosine" < 0.8).count() == 0)
+    info(f"semdedup_serve twin strike recall = $recall%.3f over $n")
+    // a CLEAN batch (disjoint one-hot-ish vectors nearly orthogonal to
+    // the corpus) strikes nothing — no false positives by construction
+    val dim = base.select(size($"embedding")).head().getInt(0)
+    val clean = s.range(2000000L, 2000020L).toDF("vec_id")
+      .withColumn("embedding", expr(
+        s"transform(sequence(0, ${dim - 1})," +
+          " d -> cast(if(d = vec_id % " + dim + ", 1.0, 0.0) as float))"))
+    assert(Sim.semDedupServe(s, path, clean).count() == 0,
+      "an orthogonal batch must strike nothing")
+    // tombstoning an original stops it striking its twin (the serve
+    // reads the live view)
+    val victim = 7L
+    Sim.ivfDelete(s, path, Seq(victim).toDF("vec_id"))
+    val after = Sim.semDedupServe(s, path, twins.filter($"vec_id" === victim + 1000000L))
+    assert(after.filter($"witness_id" === victim).count() == 0,
+      "a deleted original must not strike")
+    org.apache.commons.io.FileUtils.deleteDirectory(idx)
+    spark.catalog.clearCache()
+  }
+
   test("C7i sidecar: the OPQ rotation persists, survives append+refresh, and reattach re-learns it") {
     val s = spark
     import s.implicits._

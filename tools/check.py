@@ -186,6 +186,37 @@ def main():
                 note = (f"false drops = {false_drops} (must be 0); twin-pair "
                         f"recall = {recall:.3f} ({one_lost}/{n_pairs}, floor 0.9); "
                         f"dropped keepers = {kept_dropped} (must be 0)")
+            elif name == "semdedup_serve":
+                # the incremental form: the twin batch (vec_id + 1e6)
+                # serves against the indexed base corpus. (a) zero
+                # false strikes — every (drop, witness) cosine
+                # recomputed exactly >= eps; (b) strike recall — every
+                # twin's original is indexed, so ~all must strike
+                # (floor 0.9; loss = routing splits only).
+                con.register("sds_out", got)
+                r = con.execute("""
+                    WITH twin AS (
+                      SELECT e.vec_id + 1000000 AS vec_id,
+                             list(CAST(CAST(e.embedding[t.i] AS DOUBLE)
+                                  + (CAST((e.vec_id * 31 + (t.i - 1)) % 7 AS DOUBLE) - 3.0)
+                                    * 0.001 AS FLOAT) ORDER BY t.i) AS embedding
+                      FROM embeddings e,
+                           unnest(generate_series(1, len(e.embedding))) AS t(i)
+                      GROUP BY e.vec_id)
+                    SELECT
+                      (SELECT COUNT(*) FROM sds_out s
+                       JOIN twin a ON a.vec_id = s.drop_id
+                       JOIN embeddings b ON b.vec_id = s.witness_id
+                       WHERE list_cosine_similarity(a.embedding, b.embedding) < 0.8),
+                      (SELECT COUNT(DISTINCT drop_id) FROM sds_out),
+                      (SELECT COUNT(*) FROM embeddings)
+                    """).fetchone()
+                false_strikes, struck, n_batch = r
+                recall = struck / max(n_batch, 1)
+                ok = false_strikes == 0 and recall >= 0.9
+                note = (f"false strikes = {false_strikes} (must be 0); "
+                        f"strike recall = {recall:.3f} ({struck}/{n_batch}, "
+                        f"floor 0.9)")
             elif name == "minhash_lsh_dedup":
                 # est_jaccard graded against DuckDB-exact jaccard on
                 # the emitted pairs (16 slots: 4-sigma-ish band), plus

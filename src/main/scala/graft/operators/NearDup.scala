@@ -604,34 +604,36 @@ object NearDup {
     // exact under deletes because tombstones are doc-level) …
     batch.groupBy($"doc_id").agg(count(lit(1)).as("n_raw"))
       .withColumn("batch_id", lit(batchId))
-      .write.mode(mode).parquet(s"$path/sizes")
+      .coalesce(1).write.mode(mode).parquet(s"$path/sizes")
     // … the DF-DELTA sidecar: one (bucket, sh, n_new) row per distinct
     // batch shingle — O(batch) to write, and the ONLY store the
     // cap-crossing detection below reads. Each row collapses a whole
     // per-batch posting list to one count, so the cumulative read is
     // per-SHINGLE-per-batch, never per-posting …
-    val delta = batch.groupBy($"bucket", $"sh")
+    batch.groupBy($"bucket", $"sh")
       .agg(count(lit(1)).as("n_new"))
       .withColumn("batch_id", lit(batchId))
-      .localCheckpoint()
-    delta.repartition(col("bucket"))
+      .repartition(col("bucket"))
       .write.partitionBy("bucket").mode(mode).parquet(s"$path/dfs")
     // … the HOT-CANDIDATE log: a shingle's df can only grow when new
     // (sh, doc) rows land — i.e. only for shingles IN this batch — so
     // summing the batch's shingles' df deltas across the dfs sidecar
     // (bucket-pruned; a shingle's whole delta history lives in one
-    // bucket, and the batch side broadcasts so nothing corpus-sized
-    // shuffles) catches every possible cap crossing WITHOUT touching
-    // the postings store. Dead/uncommitted rows may overcount df
-    // here: the log is a SUPERSET — the serve recomputes the
-    // candidates' exact live df from their buckets, so a delete that
-    // un-hots a shingle is still scored exactly …
-    val touched = delta.select($"bucket").distinct()
+    // bucket, and the batch's shingle set broadcasts so ONLY matched
+    // rows ever reach an exchange — the shuffle stays O(batch
+    // overlap) no matter how large the accumulated sidecar grows,
+    // which is exactly what ScaleProbe's dedup_append_corpus_indep
+    // ratio asserts) catches every possible cap crossing WITHOUT
+    // touching the postings store. Dead/uncommitted rows may
+    // overcount df here: the log is a SUPERSET — the serve recomputes
+    // the candidates' exact live df from their buckets, so a delete
+    // that un-hots a shingle is still scored exactly …
+    val touched = batch.select($"bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
     spark.read.parquet(s"$path/dfs")
       .select($"bucket".cast("int").as("bucket"), $"sh", $"n_new")
       .filter($"bucket".isin(touched: _*))
-      .join(broadcast(delta.select($"sh").distinct()), Seq("sh"), "left_semi")
+      .join(broadcast(batch.select($"sh").distinct()), Seq("sh"), "left_semi")
       .groupBy($"sh").agg(sum($"n_new").as("df"))
       .filter($"df" > cap)
       .select($"sh", pmod($"sh", lit(nBuckets)).cast("int").as("bucket"))

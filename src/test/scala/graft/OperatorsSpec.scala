@@ -51,6 +51,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("registry source lint: no duplicate keys (Map literals drop them silently), oracles ⊆ queries") {
+    // a duplicate key in either Map literal compiles fine and silently
+    // replaces the earlier entry — the only symptom is a query count
+    // that doesn't grow (bit round 13 with a Govern/TextAnalysis name
+    // collision), so lint the SOURCE, where both declarations exist
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val parts = src.split("def oracleSql", 2)
+    assert(parts.length == 2, "SparkEntry must declare oracleSql")
+    def keys(s: String): Seq[String] =
+      "\"([a-z0-9_]+)\"\\s*->".r.findAllMatchIn(s).map(_.group(1)).toSeq
+    Seq(parts(0) -> "queries", parts(1) -> "oracleSql").foreach {
+      case (part, name) =>
+        val dup = keys(part).groupBy(identity)
+          .collect { case (k, v) if v.size > 1 => k }
+        assert(dup.isEmpty, s"duplicate keys in $name: ${dup.mkString(", ")}")
+    }
+    assert(keys(parts(0)).size == SparkEntry.queries.size,
+      "every source-declared query key must survive into the Map")
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without a query: ${missing.mkString(", ")}")
+  }
+
   test("perplexity_score: rare-vocabulary docs score strictly higher; ppl = 2^bits") {
     import spark.implicits._
     val docs = Seq(

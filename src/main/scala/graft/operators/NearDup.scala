@@ -585,6 +585,31 @@ object NearDup {
     val (nBuckets, cap) =
       if (overwrite) (nBucketsOpt.get, dfCapOpt.getOrElse(100))
       else { val m = dedupIndexMeta(spark, path); (m._2, m._3) }
+    // One-time migration for an index persisted before the df-delta
+    // sidecar existed: without a dfs/ baseline the cap-crossing sum
+    // below would see only THIS batch's deltas and silently undercount
+    // accumulated df — a missed hot shingle is a false negative the
+    // serve's exact re-count can never recover (it only re-counts
+    // logged candidates). Backfill the exact live per-shingle counts
+    // from the postings (the vacuum recompaction write) so cumulative
+    // sums resume from the true floor; every later append is O(batch)
+    // again.
+    if (!overwrite) {
+      val dfsP = new org.apache.hadoop.fs.Path(s"$path/dfs")
+      val dfsFs = dfsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!dfsFs.exists(dfsP)) {
+        val committed = dedupIndexMeta(spark, path)._1
+        spark.read.parquet(s"$path/postings")
+          .select($"bucket".cast("int").as("bucket"), $"sh", $"doc_id", $"batch_id")
+          .filter($"batch_id".isin(committed: _*))
+          .join(broadcast(dedupIndexDeletes(spark, path, committed)),
+            Seq("doc_id"), "left_anti")
+          .groupBy($"bucket", $"sh").agg(count(lit(1)).as("n_new"))
+          .withColumn("batch_id", lit(committed.head))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/dfs")
+      }
+    }
     val batchId = java.util.UUID.randomUUID.toString
     if (overwrite) {
       val del = new org.apache.hadoop.fs.Path(s"$path/deletes")

@@ -1773,12 +1773,17 @@ object Similarity {
     * the live lists + the bounded Lloyd step), and it inherits
     * [[pqAttach]]'s lease/pin/commit-last discipline. */
   def pqReattach(spark: SparkSession, path: String): Unit = {
-    val meta = spark.read.parquet(s"$path/pq/books")
-      .select(col("m"), col("kpq"), col("opq_iters")).head()
+    val bk = spark.read.parquet(s"$path/pq/books")
+    val meta = bk.select(col("m"), col("kpq")).head()
     // the OPQ posture persists with the books: a reattach after a
     // retrain re-learns the rotation over the NEW residuals with the
-    // attach-time iteration budget (0 = stays plain PQ)
-    pqAttach(spark, path, meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    // attach-time iteration budget. Books persisted before the OPQ
+    // column existed carry no opq_iters — they were trained plain-PQ,
+    // so default 0 (stay plain) instead of throwing; the sweep
+    // automates this call over whatever sidecar vintage it finds.
+    val iters = if (bk.columns.contains("opq_iters"))
+      bk.select(col("opq_iters")).head().getInt(0) else 0
+    pqAttach(spark, path, meta.getInt(0), meta.getInt(1), iters)
   }
 
   /** REFRESH the sidecar to current index state under FROZEN books —

@@ -717,6 +717,37 @@ class RecallSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("C7g vintage books: reattach over a pre-OPQ sidecar defaults to plain PQ instead of throwing") {
+    val s = spark
+    import s.implicits._
+    val Sim = operators.Similarity
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_vintage").toFile
+    val path = idx.getAbsolutePath
+    Sim.ivfWrite(s, sf, path)
+    Sim.pqAttach(s, path)
+    // simulate books persisted before the OPQ columns existed: the
+    // sweep's automated pqReattach runs over whatever sidecar vintage
+    // a maintenance tick finds, so a missing opq_iters must mean
+    // "trained plain-PQ" — never an AnalysisException with exit 1
+    val vintage = s.read.parquet(s"$path/pq/books")
+      .drop("opq_iters", "rot").localCheckpoint()
+    vintage.write.mode("overwrite").parquet(s"$path/pq/books")
+    Sim.pqReattach(s, path)
+    assert(s.read.parquet(s"$path/pq/books")
+      .select($"opq_iters").head().getInt(0) == 0,
+      "a vintage reattach must re-persist the plain-PQ posture")
+    assert(Sim.pqCoverageGap(s, path) == 0,
+      "the vintage reattach must fully re-cover the live set")
+    val exact = Sim.annBruteforce(s, sf, k = 5, nQueries = 20)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val served = Sim.annIvfPqServe(s, path, nQueries = 20)
+    val recall = exact.join(served.select(col("query_id"), col("neighbor_id")),
+      Seq("query_id", "neighbor_id"), "left_semi").count().toDouble / exact.count()
+    assert(recall >= 0.8, s"post-vintage-reattach ADC recall@5 = $recall")
+    org.apache.commons.io.FileUtils.deleteDirectory(idx)
+    spark.catalog.clearCache()
+  }
+
   test("C7k adaptive probing: settled queries match their fixed-width probe, budget bounded, recall >= fixed-min baseline") {
     val s = spark
     import s.implicits._

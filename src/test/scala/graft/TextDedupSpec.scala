@@ -774,6 +774,38 @@ class TextDedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("C4c dfs migration: appending to a pre-dfs-era index backfills the live df floor") {
+    val s = spark
+    import s.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_dedup_predfs").toFile
+    val cap = 3
+    // build-time df(abc) = 3 = cap: NOT hot yet
+    val ref = (0 until 3).map(i =>
+      (i.toLong, s"a b c u$i v$i w$i")).toDF("doc_id", "text")
+    operators.NearDup.dedupIndexWrite(ref, idx.getAbsolutePath, dfCap = cap)
+    // simulate an index persisted before the df-delta sidecar existed
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(idx, "dfs"))
+    // the append adds 2 more abc postings: the crossing (3 + 2 > cap)
+    // is visible ONLY against the backfilled floor — the batch's own
+    // delta sums to 2 <= cap, so without the migration the hot log
+    // silently misses it and the serve under-caps
+    val more = (10 until 12).map(i =>
+      (i.toLong, s"a b c u$i v$i w$i")).toDF("doc_id", "text")
+    operators.NearDup.dedupIndexAppend(more, idx.getAbsolutePath)
+    assert(s.read.parquet(s"${idx.getAbsolutePath}/hotcand").count() > 0,
+      "the cap crossing must be detected against the backfilled df floor")
+    val neu = Seq((100L, "a b c u1 v1 w1")).toDF("doc_id", "text")
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.count() == b.count() && a.exceptAll(b).count() == 0
+    assert(same(
+      operators.NearDup.dedupServe(s, idx.getAbsolutePath, neu, 0.3, dfCap = cap),
+      operators.NearDup.crossDedupPairs(neu, ref.unionAll(more), 0.3, dfCap = cap)),
+      "post-migration serve must equal the from-scratch pairs")
+    org.apache.commons.io.FileUtils.deleteDirectory(idx)
+    spark.catalog.clearCache()
+  }
+
   test("C30b line serve prunes the df probe to the new batch's line buckets") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

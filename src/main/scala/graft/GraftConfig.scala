@@ -31,6 +31,7 @@ final case class GraftConfig(
     maxHamming: Int = 8,         // simhash near-dup Hamming radius
     jaccardThreshold: Double = 0.5, // ngram/cross dedup similarity floor
     dedupDfCap: Int = 100,       // dedup posting df cap (hot-shingle cutoff)
+    semDedupCellCap: Int = 2000, // semdedup per-cell pair-join cap (skew guard)
     sinkMaxAttempts: Int = 3,    // UpsertSink retry budget
     sinkInitialDelayMs: Long = 50, // UpsertSink first backoff
     catalogDir: String = "",     // durable index catalog root ("" = session-local)
@@ -67,6 +68,7 @@ object GraftConfig {
           case "maxHamming"         => c.copy(maxHamming = i)
           case "jaccardThreshold"   => c.copy(jaccardThreshold = value.toDouble)
           case "dedupDfCap"         => c.copy(dedupDfCap = i)
+          case "semDedupCellCap"    => c.copy(semDedupCellCap = i)
           case "sinkMaxAttempts"    => c.copy(sinkMaxAttempts = i)
           case "sinkInitialDelayMs" => c.copy(sinkInitialDelayMs = value.toLong)
           case "catalogDir"         => c.copy(catalogDir = value)

@@ -109,7 +109,7 @@ object SparkEntry {
     "dedup_keep_best"     -> ((s, d) => NearDup.dedupKeepBest(s, d)),
     "pagerank_pairs"      -> ((s, d) => NearDup.pagerankPairs(s, d)),
     "embedding_dedup"     -> ((s, d) => Similarity.embeddingDedup(s, d)),
-    "semdedup"            -> ((s, d) => Similarity.semDedup(s, d)),
+    "semdedup"            -> ((s, d) => Similarity.semDedup(s, d, cellCap = cfg.semDedupCellCap)),
     "semdedup_serve"      -> ((s, d) => Similarity.semDedupServeGate(s, d)),
     "embedding_dedup_lsh" -> ((s, d) => Similarity.embeddingDedupLsh(s, d)),
     "embedding_quantize"  -> (Similarity.embeddingQuantize _),

@@ -196,7 +196,14 @@ object Similarity {
     * probes) over [[twinCorpus]] (the planted re-ingest C5b grades
     * against — a base corpus plus its perturbed re-crawl at cosine
     * ≈ 0.9999). Members pair within their cell only (self-join on
-    * cell, id1 < id2, exact codegen'd cosine ≥ eps), dup groups close
+    * cell, id1 < id2, exact codegen'd cosine ≥ eps) — SKEW-CAPPED:
+    * a cell above `cellCap` members first splits by hyperplane sign
+    * bits, and any subcell geometry can't split (a near-identical
+    * boilerplate cluster) pairs anchor-star instead of all-pairs, so
+    * candidate count is bounded by cellCap·n, never Σ n_c²
+    * ([[semDedupTag]]/[[semDedupEdges]]; production sizing keeps
+    * nlist ∝ n so cells stay near cellCap in the first place, SURVEY
+    * §5). Dup groups close
     * transitively per cell ([[NearDup.labelPropagate]] — dup groups
     * are tiny cliques), and each group keeps the member FARTHEST from
     * its centroid (the paper's keeper rule — low centroid similarity
@@ -221,31 +228,147 @@ object Similarity {
                                      nlist: Int = 16): DataFrame =
     NearDup.Shared.memo(spark, s"semdedupMem:$dir:$nlist") {
       import spark.implicits._
-      val (centroids, lists) = ivfIndexFrom(
+      semDedupMembersFrom(
         twinCorpus(spark, dir).select($"vec_id", $"embedding", lit(0).as("label")),
         nlist)
-      lists
-        .join(broadcast(centroids.select($"cid".as("cell"), $"cvec", $"cnorm")),
-          Seq("cell"))
-        .select($"cell", $"neighbor_id".as("vec_id"), $"vc", $"nc",
-          (dot("vc", "cvec") / ($"nc" * $"cnorm")).as("c2c"))
-        .localCheckpoint()
     }
 
+  /** [[semDedupMembers]]'s core over an explicit corpus frame — the
+    * seam the planted-hot-cell spec drives with a skewed corpus. */
+  private[graft] def semDedupMembersFrom(corpus: DataFrame, nlist: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (centroids, lists) = ivfIndexFrom(corpus, nlist)
+    lists
+      .join(broadcast(centroids.select($"cid".as("cell"), $"cvec", $"cnorm")),
+        Seq("cell"))
+      .select($"cell", $"neighbor_id".as("vec_id"), $"vc", $"nc",
+        (dot("vc", "cvec") / ($"nc" * $"cnorm")).as("c2c"))
+      .localCheckpoint()
+  }
+
+  /** Split-signature width for oversized cells: up to 2¹² subcells per
+    * cell, i.e. the cap holds for any cell up to 4096 × cellCap members
+    * that hyperplanes can balance; beyond that (or when geometry can't
+    * split — see [[semDedup]]) the anchor-star fallback bounds it. */
+  private[graft] val SemDedupMaxSplitBits = 12
+
+  /** The pair pass's SKEW GUARD: members of cells above `cellCap` gain
+    * a secondary pair key (`sub`) by RECURSIVE GEOMETRIC splitting —
+    * each member computes [[SemDedupMaxSplitBits]] deterministic
+    * random-hyperplane sign bits
+    * ([[graft.functions.VectorExpressions.hyperplane]], the C5b/C7
+    * family) and takes the SHORTEST low-bit prefix whose (cell, prefix)
+    * group fits the cap: the sign-bit trie splits every branch only as
+    * deep as its own population demands (the SemDeDup paper's
+    * recursive-re-cluster posture), so unbalanced splits escalate
+    * instead of silently leaving an oversized subcell. Near-duplicates
+    * (cosine ≈ 1) agree on every sign bit and therefore share a leaf at
+    * ANY depth — an id-hash split would scatter them and destroy
+    * recall. A leaf still above the cap at full depth is a
+    * near-identical cluster geometry cannot split (all members on the
+    * same side of every plane); [[semDedupEdges]] pairs it anchor-star.
+    * Cells within the cap keep sub = 0 and zero extra dot products.
+    * Output adds (n_c, sub, n_s) to the membership columns; the spec
+    * asserts subcell sizes and candidate counts against the SAME frame
+    * the operator joins. */
+  private[graft] def semDedupTag(mem: DataFrame, cellCap: Int): DataFrame = {
+    val spark = mem.sparkSession
+    import spark.implicits._
+    require(cellCap > 0, s"semdedup cellCap must be positive: $cellCap")
+    if (mem.isEmpty)
+      return mem.withColumn("n_c", lit(0L))
+        .withColumn("sub", lit(0)).withColumn("n_s", lit(0L))
+    val dims = mem.select(size($"vc")).head().getInt(0)
+    val maxBits = SemDedupMaxSplitBits
+    val sizes = mem.groupBy($"cell").agg(count(lit(1)).as("n_c"))
+    val sized = mem.join(broadcast(sizes), Seq("cell"))
+    val small = sized.filter($"n_c" <= cellCap).withColumn("sub", lit(0))
+    // oversized cells: signature once, then the per-branch trie depth —
+    // prefix populations for every level in one aggregate (13 rows per
+    // member, ids+ints only — vectors never ride the shuffle), and each
+    // member keys by its shallowest cap-fitting prefix
+    val sig = (0 until maxBits).map(p =>
+      when(dotF($"vc", typedLit(hyperplane(256 + p, dims))) > 0d, lit(1 << p))
+        .otherwise(lit(0))).reduce(_ + _)
+    val bigSig = sized.filter($"n_c" > cellCap).withColumn("sig", sig)
+      .localCheckpoint()
+    val levels = bigSig.select($"cell", $"vec_id", $"sig")
+      .select($"cell", $"vec_id", $"sig",
+        explode(expr(s"sequence(0, $maxBits)")).as("l"))
+      .withColumn("pfx", $"sig".bitwiseAND(expr("shiftleft(1, l) - 1")))
+    val pfxCounts = levels.groupBy($"cell", $"l", $"pfx")
+      .agg(count(lit(1)).as("cnt"))
+    val leaf = levels.join(pfxCounts, Seq("cell", "l", "pfx"))
+      .groupBy($"cell", $"vec_id")
+      .agg(min(when($"cnt" <= cellCap, $"l")).as("lFit"), first($"sig").as("sig"))
+      .withColumn("l", coalesce($"lFit", lit(maxBits)))
+      .select($"cell", $"vec_id",
+        ($"l" * 65536 + $"sig".bitwiseAND(expr("shiftleft(1, l) - 1")))
+          .cast("int").as("sub"))
+    val big = bigSig.drop("sig").join(leaf, Seq("cell", "vec_id"))
+    val tagged = small.unionByName(big)
+    val subSizes = tagged.groupBy($"cell", $"sub").agg(count(lit(1)).as("n_s"))
+    tagged.join(broadcast(subSizes), Seq("cell", "sub")).localCheckpoint()
+  }
+
+  /** EXACT candidate-pair count of the capped pair pass over a
+    * [[semDedupTag]] frame — Σ_small n(n−1)/2 + Σ_big (n−1), the
+    * quantity the hot-cell spec bounds against the uncapped Σ n_c². */
+  private[graft] def semDedupCandidateCount(t: DataFrame, cellCap: Int): Long = {
+    import t.sparkSession.implicits._
+    val r = t.groupBy($"cell", $"sub").agg(count(lit(1)).as("n"))
+      .agg(sum(when($"n" <= cellCap, expr("n * (n - 1) div 2"))
+        .otherwise($"n" - 1))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** The capped within-cell pair pass: all-pairs inside every
+    * (cell, sub) group that fits the cap; groups STILL above the cap —
+    * near-identical clusters geometry cannot split, the boilerplate
+    * shape — pair ANCHOR-STAR against the group's min-id member
+    * (O(n_s) candidates; in a tight cluster every member is ≥ eps to
+    * the anchor, so the dup component still closes through it). Both
+    * guards can only LOSE pairs, never invent them (every emitted edge
+    * carries an exact recomputable cosine ≥ eps) — the same loss class
+    * as cell splits, graded by twin recall. */
+  private def semDedupEdges(t: DataFrame, eps: Double, cellCap: Int): DataFrame = {
+    val spark = t.sparkSession
+    import spark.implicits._
+    val small = t.filter($"n_s" <= cellCap)
+    val allPairs = small
+      .select($"cell", $"sub", $"vec_id".as("id1"), $"vc".as("v1"), $"nc".as("n1"))
+      .join(small.select($"cell", $"sub", $"vec_id".as("id2"),
+        $"vc".as("v2"), $"nc".as("n2")), Seq("cell", "sub"))
+      .filter($"id1" < $"id2")
+    val big = t.filter($"n_s" > cellCap)
+    val anchorVecs = big.groupBy($"cell", $"sub").agg(min($"vec_id").as("id1"))
+      .join(t.select($"cell", $"sub", $"vec_id".as("id1"),
+        $"vc".as("v1"), $"nc".as("n1")), Seq("cell", "sub", "id1"))
+    val star = big
+      .select($"cell", $"sub", $"vec_id".as("id2"), $"vc".as("v2"), $"nc".as("n2"))
+      .join(broadcast(anchorVecs), Seq("cell", "sub"))
+      .filter($"id1" < $"id2")
+      .select($"cell", $"sub", $"id1", $"v1", $"n1", $"id2", $"v2", $"n2")
+    allPairs.unionByName(star)
+      .withColumn("cosine", dot("v1", "v2") / ($"n1" * $"n2"))
+      .filter($"cosine" >= eps)
+      .select($"cell", $"id1", $"id2", $"cosine")
+      .localCheckpoint()
+  }
+
   def semDedup(spark: SparkSession, dir: String, eps: Double = 0.8,
-               nlist: Int = 16): DataFrame =
-    NearDup.Shared.memo(spark, s"semdedup:$dir:$eps:$nlist") {
+               nlist: Int = 16, cellCap: Int = 2000): DataFrame =
+    NearDup.Shared.memo(spark, s"semdedup:$dir:$eps:$nlist:$cellCap") {
+      semDedupFrom(spark, semDedupMembers(spark, dir, nlist), eps, cellCap)
+    }
+
+  /** [[semDedup]]'s core over an explicit membership frame. */
+  private[graft] def semDedupFrom(spark: SparkSession, mem: DataFrame,
+                                  eps: Double, cellCap: Int): DataFrame = {
       import spark.implicits._
-      val mem = semDedupMembers(spark, dir, nlist)
-      // the SemDeDup pair pass: exact cosine edges WITHIN each cell
-      val edges = mem.select($"cell", $"vec_id".as("id1"), $"vc".as("v1"), $"nc".as("n1"))
-        .join(mem.select($"cell", $"vec_id".as("id2"), $"vc".as("v2"), $"nc".as("n2")),
-          Seq("cell"))
-        .filter($"id1" < $"id2")
-        .withColumn("cosine", dot("v1", "v2") / ($"n1" * $"n2"))
-        .filter($"cosine" >= eps)
-        .select($"cell", $"id1", $"id2", $"cosine")
-        .localCheckpoint()
+      // the SemDeDup pair pass, skew-capped (see semDedupTag/semDedupEdges)
+      val edges = semDedupEdges(semDedupTag(mem, cellCap), eps, cellCap)
       val comp = NearDup.labelPropagate(edges.select($"id1", $"id2"))
         .select($"doc_id".as("vec_id"), $"cluster_id")
       // keeper = farthest-from-centroid member (min c2c), ties low id

@@ -829,6 +829,79 @@ class RecallSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("C31 hot-cell cap: oversized cells split geometrically, tight clusters pair anchor-star, candidates bounded") {
+    val s = spark
+    import s.implicits._
+    val Sim = operators.Similarity
+    val dims = 8
+    val nlist = 4
+    val cap = 50
+    def unit(d: Int) = Array.tabulate(dims)(j => if (j == d) 1f else 0f)
+    // seeds 0..3 = four orthogonal directions (ivf seeds on vec_id < nlist)
+    val seeds = (0L until nlist.toLong).map(i => (i, unit(2 * i.toInt)))
+    // ONE HOT TIGHT CLUSTER, ~30% of the corpus: 300 near-identical
+    // members of direction 0 (cosine ≈ 1 to each other — the
+    // boilerplate shape no hyperplane can split)
+    val hot = (100L until 400L).map(i => (i, Array.tabulate(dims)(j =>
+      ((if (j == 0) 1.0 else 0.0) + ((i * 31 + j) % 7 - 3) * 1e-5).toFloat)))
+    // spread mass on the other three directions, noise wide enough to
+    // straddle hyperplanes (geometric split applies)
+    val spread = (500L until 1200L).map(i => (i, Array.tabulate(dims)(j =>
+      ((if (j == 2 * (1 + i % 3)) 1.0 else 0.0)
+        + ((i * 37 + j) % 11 - 5) * 0.1).toFloat)))
+    // twins planted INSIDE the split cells: identical vectors land in
+    // the same sign-bit subcell by construction — the recall property
+    // an id-hash split would destroy
+    val twinIds = (500L until 530L)
+    val twins = spread.filter(p => twinIds.contains(p._1))
+      .map(p => (p._1 + 10000L, p._2))
+    val all = seeds ++ hot ++ spread ++ twins
+    val corpus = all.toDF("vec_id", "embedding").withColumn("label", lit(0))
+    val mem = Sim.semDedupMembersFrom(corpus, nlist)
+    val tag = Sim.semDedupTag(mem, cap)
+    // the tight cluster stays whole under geometry → the star path fires
+    assert(tag.filter($"n_s" > cap).count() > 0,
+      "the near-identical cluster must remain an oversized subcell (star path)")
+    // candidate bound: the documented cap — and an order less than the
+    // uncapped Σ n_c(n_c-1)/2 the r13 code would have scored
+    val cand = Sim.semDedupCandidateCount(tag, cap)
+    val uncapped = mem.groupBy($"cell").agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) div 2"))).head().getLong(0)
+    assert(cand <= cap.toLong * all.size,
+      s"candidates $cand exceed the cellCap*n bound")
+    assert(cand * 5 <= uncapped,
+      s"capped candidates $cand not materially below uncapped $uncapped")
+    info(s"hot-cell candidates: capped $cand vs uncapped $uncapped")
+    val out = Sim.semDedupFrom(s, mem, 0.8, cap).localCheckpoint()
+    val drops = out.select($"drop_id").as[Long].collect().toSet
+    // the tight cluster (seed 0 included — cosine ≈ 1 to it) keeps
+    // EXACTLY one member: the anchor-star closes it into one component
+    val hotIds = Set(0L) ++ (100L until 400L)
+    val hotSurvivors = hotIds -- drops
+    assert(hotSurvivors.size == 1,
+      s"tight cluster must keep exactly one member, kept ${hotSurvivors.size}")
+    // zero false drops: every (drop, witness) cosine recomputed exactly
+    // from the constructed vectors clears eps
+    val vecs = all.toMap
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (vecs(a).map(_.toDouble), vecs(b).map(_.toDouble))
+      val d = va.zip(vb).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+    }
+    val rows = out.select($"drop_id", $"witness_id").as[(Long, Long)].collect()
+    assert(rows.forall { case (d, w) => cos(d, w) >= 0.8 - 1e-9 },
+      "every drop's witness must recompute >= eps — zero false drops")
+    // keepers never drop
+    assert(out.join(out.select($"drop_id".as("keeper_id")),
+      Seq("keeper_id"), "left_semi").count() == 0)
+    // geometric-split recall: identical twins share a subcell, so no
+    // twin pair survives whole even inside a split cell
+    val bothSurvive = twinIds.count(i => !drops.contains(i) && !drops.contains(i + 10000L))
+    assert(bothSurvive == 0,
+      s"$bothSurvive twin pairs survived whole inside split cells")
+    spark.catalog.clearCache()
+  }
+
   test("C31b semdedup_serve: twins strike their indexed originals, clean batches pass, deletion un-strikes") {
     val s = spark
     import s.implicits._

@@ -125,6 +125,7 @@ object SparkEntry {
     "ann_ivf_opq"         -> ((s, d) => Similarity.annIvfOpq(s, d)),
     "ann_ivf_opq_serve"   -> ((s, d) => Similarity.annIvfOpqServe(s, d)),
     "ann_ivf_adaptive"    -> ((s, d) => Similarity.annIvfAdaptive(s, d)),
+    "ann_ivf_pq_adaptive" -> ((s, d) => Similarity.annIvfPqAdaptiveGate(s, d)),
     "lang_id"             -> (TextAnalysis.langId _),
     "quality_score"       -> (TextAnalysis.qualityScore _),
     "token_count"         -> (TextAnalysis.tokenCount _),

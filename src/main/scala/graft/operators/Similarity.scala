@@ -744,15 +744,31 @@ object Similarity {
                      minProbe: Int = 2): DataFrame = {
     import spark.implicits._
     val (centroids, lists) = ivfIndex(spark, dir, nlist)
-    var queries = lists.filter($"neighbor_id" < nQueries)
+    val panel = lists.filter($"neighbor_id" < nQueries)
       .select($"neighbor_id".as("vec_id"), $"vc".as("embedding"), $"nc".as("norm"))
-      .localCheckpoint()
-    var p = minProbe
-    var prev = ivfProbe(centroids, lists, p, k, queries).localCheckpoint()
+    adaptiveProbeLoop(panel, nlist, minProbe,
+      (q, w) => ivfProbe(centroids, lists, w, k, q))
+  }
+
+  /** The stabilized-shortlist termination loop shared by [[annIvfAdaptive]]
+    * and [[annIvfPqAdaptive]]: double each remaining query's probe width,
+    * SETTLE a query the first time a doubling leaves its top-k id set
+    * unchanged, drop settled queries from the panel, serve the rest
+    * exactly at nlist. `probe(panel, width)` returns (query_id,
+    * neighbor_id, cell, rank_nn, cosine) for exactly the panel's
+    * queries; the driver loop is ≤ log₂ nlist rounds of metadata-sized
+    * actions. */
+  private def adaptiveProbeLoop(queries0: DataFrame, nlist: Int, minProbe: Int,
+                                probe: (DataFrame, Int) => DataFrame): DataFrame = {
+    val spark = queries0.sparkSession
+    import spark.implicits._
+    var queries = queries0.localCheckpoint()
+    var p = math.min(minProbe, nlist)
+    var prev = probe(queries, p).localCheckpoint()
     val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     while (p < nlist && !queries.isEmpty) {
       val pNext = math.min(p * 2, nlist)
-      val cur = ivfProbe(centroids, lists, pNext, k, queries).localCheckpoint()
+      val cur = probe(queries, pNext).localCheckpoint()
       // unsettled = any symmetric difference in the top-k id set
       val moved = cur.select($"query_id", $"neighbor_id")
         .unionAll(prev.select($"query_id", $"neighbor_id"))
@@ -2019,7 +2035,8 @@ object Similarity {
     * self-matches (the [[ivfScore]] namespace rule). */
   def annIvfPqServe(spark: SparkSession, path: String, nprobe: Int = 10,
                     shortlist: Int = 128, k: Int = 5, nQueries: Int = 50,
-                    queries: Option[DataFrame] = None): DataFrame = {
+                    queries: Option[DataFrame] = None,
+                    selfPanel: Boolean = false): DataFrame = {
     import spark.implicits._
     val centroids = spark.read.parquet(s"$path/centroids")
     val bk = spark.read.parquet(s"$path/pq/books")
@@ -2046,7 +2063,10 @@ object Similarity {
       .drop("cvec")
       .join(pqLut(lutPanel, books, m, dsub), Seq("query_id"))
     val codes = pqLiveCodes(spark, path).filter($"cell".isin(probedCells: _*))
-    val excludeSelf = queries.isEmpty
+    // selfPanel marks an EXPLICIT query frame as the index's own
+    // members (the adaptive loop re-serves a shrinking self-panel):
+    // same namespace rule as gate mode
+    val excludeSelf = queries.isEmpty || selfPanel
     val wS = Window.partitionBy($"query_id").orderBy($"qcos".desc, $"neighbor_id")
     val short = broadcast(probes).join(codes, Seq("cell"))
       .filter(if (excludeSelf) $"query_id" =!= $"neighbor_id" else lit(true))
@@ -2111,6 +2131,51 @@ object Similarity {
                      nQueries: Int = 50): DataFrame =
     annIvfPqAppendServe(spark, dir, nlist, nprobe, m, kpq, shortlist, k,
       nQueries, opqIters = 4)
+
+  /** ADAPTIVE-nprobe over the persisted ADC sidecar: C7k's
+    * stabilized-shortlist termination ([[adaptiveProbeLoop]]) applied
+    * to [[annIvfPqServe]], which otherwise spends a fixed nprobe=10 on
+    * every query. Each round re-serves only the still-unsettled
+    * queries at double the width — the ADC scan stays statically
+    * pruned to the routed cells' code partitions, so an early-settled
+    * query never pays the wide read. Works unchanged over an OPQ
+    * sidecar (the per-width serve reads the persisted rotation). */
+  def annIvfPqAdaptive(spark: SparkSession, path: String, k: Int = 5,
+                       nQueries: Int = 50, minProbe: Int = 2,
+                       shortlist: Int = 128): DataFrame = {
+    import spark.implicits._
+    val nlist = spark.read.parquet(s"$path/centroids").count().toInt
+    val lists = liveLists(spark, path)
+      .select($"cell", $"neighbor_id", $"vc".cast("array<float>").as("vc"), $"nc")
+    val panel = lists.filter($"neighbor_id" < nQueries)
+      .select($"neighbor_id".as("vec_id"), $"vc".as("embedding"), $"nc".as("norm"))
+    adaptiveProbeLoop(panel, nlist, minProbe, (q, w) =>
+      annIvfPqServe(spark, path, nprobe = w, shortlist = shortlist, k = k,
+        queries = Some(q), selfPanel = true))
+  }
+
+  /** C7l `ann_ivf_pq_adaptive` — the adaptive ADC serve under the
+    * gate: full-corpus [[ivfWriteFrom]] + [[pqAttach]] in a scratch
+    * dir, then [[annIvfPqAdaptive]]'s self-panel. Rows-only (centroid
+    * + codebook geometry); check.py grades recall@5 vs brute force at
+    * the two-stage floor 0.8; the spec pins settled-query parity with
+    * the fixed-width serve, recall ≥ the fixed-minProbe baseline, and
+    * avg probes < the fixed nprobe=10 the non-adaptive serves spend. */
+  def annIvfPqAdaptiveGate(spark: SparkSession, dir: String, nlist: Int = 16,
+                           m: Int = 16, kpq: Int = 32, k: Int = 5,
+                           nQueries: Int = 50, minProbe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val all = Tables.embeddings(spark, dir)
+    if (all.agg(max($"vec_id")).head().isNullAt(0))
+      return Seq.empty[(Long, Long, Int, Int, Double, Int)]
+        .toDF("query_id", "neighbor_id", "cell", "rank_nn", "cosine",
+          "probes_used")
+    graft.sources.Lake.withScratchIndex(spark, "graft_ivf_pqad") { tmp =>
+      ivfWriteFrom(all, tmp, nlist)
+      pqAttach(spark, tmp, m, kpq)
+      annIvfPqAdaptive(spark, tmp, k, nQueries, minProbe)
+    }
+  }
 
   // ──────── C7i: OPQ — optimized product quantization (learned rotation) ────────
 

@@ -793,6 +793,84 @@ class RecallSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("C7l adaptive ADC: settled queries match the fixed-width serve, avg probes < fixed nprobe, recall holds") {
+    val s = spark
+    import s.implicits._
+    val Sim = operators.Similarity
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_adapt").toFile
+    val path = idx.getAbsolutePath
+    // CLUSTERED corpus — the production embedding shape the adaptive
+    // rule is for: each query's whole neighborhood sits in one cell,
+    // so most queries settle at the first doubling. (The uniform gate
+    // corpus is the documented worst case — settling skews late and
+    // avg probes ≈ fixed, which check.py's recall floor still covers.)
+    val dims = 64
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(40)(Array.fill(dims)(rnd.nextGaussian().toFloat))
+    val all: Seq[(Long, Array[Float])] = (0 until 2000).map { i =>
+      val c = centers(i % 40)
+      (i.toLong, c.zipWithIndex.map { case (x, j) =>
+        x + ((i * 31 + j) % 7 - 3) * 0.01f })
+    }
+    val corpus = all.toDF("vec_id", "embedding").withColumn("label", lit(0))
+    Sim.ivfWriteFrom(corpus, path)
+    Sim.pqAttach(s, path)
+    val out = Sim.annIvfPqAdaptive(s, path).localCheckpoint()
+    // one settle width per query, within (minProbe, nlist]
+    val widths = out.groupBy($"query_id")
+      .agg(countDistinct($"probes_used").as("nw"), max($"probes_used").as("w"))
+    assert(widths.filter($"nw" =!= 1).count() == 0)
+    assert(widths.filter($"w" < 2 || $"w" > 16).count() == 0)
+    val avgProbes = widths.agg(avg($"w")).head().getDouble(0)
+    // the point of adapting: beat the fixed nprobe=10 the ADC serves spend
+    assert(avgProbes < 10.0,
+      s"avg probes $avgProbes must undercut the fixed nprobe=10")
+    info(f"adaptive ADC avg probes/query = $avgProbes%.2f vs fixed 10 of nlist=16")
+    // settled-query parity: a query settled at width w returns EXACTLY
+    // the fixed-nprobe=w ADC serve's answer
+    val perQ: Map[Long, Array[org.apache.spark.sql.Row]] =
+      out.select($"query_id", $"neighbor_id", $"probes_used").collect()
+        .groupBy(r => r.getLong(0))
+    val settleWidths: Set[Int] = perQ.values.map(rs => rs.head.getInt(2)).toSet
+    for (w <- settleWidths) {
+      val fixed = Sim.annIvfPqServe(s, path, nprobe = w)
+        .select($"query_id", $"neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      perQ.filter(_._2.head.getInt(2) == w).foreach { case (q, rows) =>
+        assert(rows.map(_.getLong(1)).toSet == fixed(q),
+          s"query $q settled at $w must equal the fixed-$w ADC serve")
+      }
+    }
+    // recall vs exact brute force over the constructed corpus: the
+    // adaptive panel dominates the fixed-minProbe ADC baseline and
+    // holds the two-stage floor
+    val vecs = all.toMap
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      val (ad, bd) = (a.map(_.toDouble), b.map(_.toDouble))
+      val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val exactTop: Map[Long, Set[Long]] = (0L until 50L).map { q =>
+      q -> all.filter(_._1 != q)
+        .map { case (id, v) => (id, cosine(vecs(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    }.toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select($"query_id", $"neighbor_id").as[(Long, Long)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exactTop.map { case (q, t) =>
+        (t & got.getOrElse(q, Set.empty)).size }.sum / (50.0 * 5)
+    }
+    val rAdaptive = recallOf(out)
+    val rFixedMin = recallOf(Sim.annIvfPqServe(s, path, nprobe = 2))
+    assert(rAdaptive >= rFixedMin,
+      s"adaptive ADC recall $rAdaptive must dominate fixed-minProbe $rFixedMin")
+    assert(rAdaptive >= 0.8, s"adaptive ADC recall@5 = $rAdaptive")
+    info(f"adaptive ADC recall@5 = $rAdaptive%.3f vs fixed-2 $rFixedMin%.3f")
+    org.apache.commons.io.FileUtils.deleteDirectory(idx)
+    spark.catalog.clearCache()
+  }
+
   test("C31 semdedup: one twin per pair drops, keeper is the group's farthest-from-centroid, evidence exact") {
     val s = spark
     import s.implicits._

@@ -67,7 +67,7 @@ def main():
                         "stream_ivf_append", "ann_ivf_retrain",
                         "ann_ivf_delete", "ann_ivf_pq", "ann_ivf_pq_serve",
                         "ann_ivf_opq", "ann_ivf_opq_serve",
-                        "ann_ivf_adaptive"):
+                        "ann_ivf_adaptive", "ann_ivf_pq_adaptive"):
                 # grade Spark's probed-cell top-k against DuckDB's
                 # exact brute-force top-k (registry defaults k=5,
                 # nQueries=50). Floors: single-stage ann_ivf probes

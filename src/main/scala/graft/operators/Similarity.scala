@@ -360,21 +360,47 @@ object Similarity {
   def semDedup(spark: SparkSession, dir: String, eps: Double = 0.8,
                nlist: Int = 16, cellCap: Int = 2000): DataFrame =
     NearDup.Shared.memo(spark, s"semdedup:$dir:$eps:$nlist:$cellCap") {
-      semDedupFrom(spark, semDedupMembers(spark, dir, nlist), eps, cellCap)
+      val mem = semDedupMembers(spark, dir, nlist)
+      semDedupDrops(spark, mem, semDedupEdgesFor(spark, dir, eps, nlist, cellCap),
+        centroidKeeper(mem))
+    }
+
+  /** The memoized capped pair pass per (dir, params) — shared by C31
+    * and C31c so the keeper variants never rebuild the edges. */
+  private[graft] def semDedupEdgesFor(spark: SparkSession, dir: String,
+                                      eps: Double, nlist: Int,
+                                      cellCap: Int): DataFrame =
+    NearDup.Shared.memo(spark, s"semdedupEdges:$dir:$eps:$nlist:$cellCap") {
+      semDedupEdges(
+        semDedupTag(semDedupMembers(spark, dir, nlist), cellCap), eps, cellCap)
     }
 
   /** [[semDedup]]'s core over an explicit membership frame. */
   private[graft] def semDedupFrom(spark: SparkSession, mem: DataFrame,
-                                  eps: Double, cellCap: Int): DataFrame = {
+                                  eps: Double, cellCap: Int): DataFrame =
+    semDedupDrops(spark, mem,
+      semDedupEdges(semDedupTag(mem, cellCap), eps, cellCap),
+      centroidKeeper(mem))
+
+  /** The paper's keeper rule: the member FARTHEST from its centroid
+    * (min c2c — most marginal signal), ties to the lowest id. */
+  private def centroidKeeper(mem: DataFrame)(comp: DataFrame): DataFrame = {
+    import mem.sparkSession.implicits._
+    comp.join(mem.select($"vec_id", $"c2c"), Seq("vec_id"))
+      .groupBy($"cluster_id")
+      .agg(min_by($"vec_id", struct($"c2c", $"vec_id")).as("keeper_id"))
+  }
+
+  /** Close the dup groups over the pair edges, pick one keeper per
+    * group by `keeperOf` ((vec_id, cluster_id) → (cluster_id,
+    * keeper_id)), and emit one evidence row per DROPPED member. */
+  private def semDedupDrops(spark: SparkSession, mem: DataFrame,
+                            edges: DataFrame,
+                            keeperOf: DataFrame => DataFrame): DataFrame = {
       import spark.implicits._
-      // the SemDeDup pair pass, skew-capped (see semDedupTag/semDedupEdges)
-      val edges = semDedupEdges(semDedupTag(mem, cellCap), eps, cellCap)
       val comp = NearDup.labelPropagate(edges.select($"id1", $"id2"))
         .select($"doc_id".as("vec_id"), $"cluster_id")
-      // keeper = farthest-from-centroid member (min c2c), ties low id
-      val keepers = comp.join(mem.select($"vec_id", $"c2c"), Seq("vec_id"))
-        .groupBy($"cluster_id")
-        .agg(min_by($"vec_id", struct($"c2c", $"vec_id")).as("keeper_id"))
+      val keepers = keeperOf(comp)
       // per dropped member: its strongest within-cell partner as the
       // recomputable evidence
       val wit = edges.select(explode(array(
@@ -393,6 +419,63 @@ object Similarity {
           $"keeper_id", $"cell")
         .localCheckpoint()
     }
+
+  /** C31c `semdedup_keep_best` — [[semDedup]] with the keeper a
+    * curation pipeline actually turns: within each dup group keep the
+    * member with the HIGHEST explicit quality (ties → lowest id)
+    * instead of the paper's farthest-from-centroid default. Reuses the
+    * memoized C31 membership AND the memoized capped pair pass — only
+    * the keeper argmax differs, in [[NearDup.dedupKeepBest]]'s two-
+    * hash-agg shape (max quality → min id among ties; never a
+    * struct-max SortAggregate). `quality` = (vec_id, quality) rows for
+    * every corpus member. Rows-only like C31 and graded by the same
+    * zero-false-drop + twin-recall + keeper-not-dropped checks, plus
+    * keeper-quality dominance recomputed cross-engine (the gate
+    * derives quality from documents.n_chars via doc_id = vec_id mod
+    * 1e6, so a twin TIES its original and the tie-break keeps the
+    * original). */
+  def semDedupKeepBest(spark: SparkSession, dir: String, quality: DataFrame,
+                       eps: Double = 0.8, nlist: Int = 16,
+                       cellCap: Int = 2000): DataFrame = {
+    val mem = semDedupMembers(spark, dir, nlist)
+    semDedupDrops(spark, mem,
+      semDedupEdgesFor(spark, dir, eps, nlist, cellCap), qualityKeeper(quality))
+  }
+
+  /** [[semDedupKeepBest]]'s core over explicit frames — the spec seam
+    * for planted groups with planted qualities. */
+  private[graft] def semDedupKeepBestFrom(spark: SparkSession, mem: DataFrame,
+                                          quality: DataFrame, eps: Double,
+                                          cellCap: Int): DataFrame =
+    semDedupDrops(spark, mem,
+      semDedupEdges(semDedupTag(mem, cellCap), eps, cellCap),
+      qualityKeeper(quality))
+
+  private def qualityKeeper(quality: DataFrame)(comp: DataFrame): DataFrame = {
+    import quality.sparkSession.implicits._
+    // eager: labeled feeds the max agg AND the tie-break probe
+    val labeled = comp.join(quality.select($"vec_id", $"quality"), Seq("vec_id"))
+      .localCheckpoint()
+    val bq = labeled.groupBy($"cluster_id").agg(max($"quality").as("bq"))
+    labeled.join(bq, Seq("cluster_id"))
+      .filter($"quality" === $"bq")
+      .groupBy($"cluster_id").agg(min($"vec_id").as("keeper_id"))
+  }
+
+  /** The C31c gate wiring: quality = the corpus document's n_chars
+    * (doc_id = vec_id mod 1e6 — both twin-corpus halves score their
+    * source document's length, so re-crawl twins tie and the keeper
+    * is the original). */
+  def semDedupKeepBestGate(spark: SparkSession, dir: String,
+                           cellCap: Int = 2000): DataFrame = {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, dir).select($"vec_id")
+      .join(Tables.documents(spark, dir)
+        .select($"doc_id".as("vec_id"), $"n_chars".as("quality")), Seq("vec_id"))
+    val quality = base.unionByName(base.select(
+      ($"vec_id" + NearDup.BigOffset).as("vec_id"), $"quality"))
+    semDedupKeepBest(spark, dir, quality, cellCap = cellCap)
+  }
 
   /** The serving half of C31b: score an incoming vector batch against
     * a PERSISTED [[ivfWrite]] index and return the batch members that

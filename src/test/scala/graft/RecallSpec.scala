@@ -907,6 +907,41 @@ class RecallSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("C31c semdedup_keep_best: keeper is the quality argmax, ties break to the lowest id, keeper never drops") {
+    val s = spark
+    import s.implicits._
+    val Sim = operators.Similarity
+    val dims = 8
+    def vec(d: Int, wobble: Long): Array[Float] = Array.tabulate(dims)(j =>
+      ((if (j == d) 1.0 else 0.0) + ((wobble * 31 + j) % 7 - 3) * 1e-5).toFloat)
+    // seeds 0..3 (vec_id < nlist=4) sit on FOUR distinct directions;
+    // cluster A = {0, 10, 11} on direction 0, cluster B = {1, 20} on
+    // direction 2, singletons {2, 3}
+    val all: Seq[(Long, Array[Float])] =
+      Seq((0L, vec(0, 0L)), (1L, vec(2, 1L)), (2L, vec(4, 2L)),
+        (3L, vec(6, 3L)), (10L, vec(0, 10L)), (11L, vec(0, 11L)),
+        (20L, vec(2, 20L)))
+    val corpus = all.toDF("vec_id", "embedding").withColumn("label", lit(0))
+    val mem = Sim.semDedupMembersFrom(corpus, 4)
+    // planted qualities: A's max quality 9 is TIED between 10 and 11 →
+    // keeper 10 (lowest id among the ARGMAX, not the global lowest 0);
+    // B ties everywhere → keeper 1
+    val quality = Seq((0L, 5L), (10L, 9L), (11L, 9L), (1L, 1L), (20L, 1L),
+      (2L, 7L), (3L, 7L)).toDF("vec_id", "quality")
+    val out = Sim.semDedupKeepBestFrom(s, mem, quality, 0.8, 2000)
+      .localCheckpoint()
+    val got = out.select($"drop_id", $"keeper_id").as[(Long, Long)]
+      .collect().toMap
+    assert(got == Map(0L -> 10L, 11L -> 10L, 20L -> 1L),
+      s"quality-argmax keeper/tie-break mismatch: $got")
+    // every witness edge is recomputable >= eps (zero false drops) and
+    // the singletons never appear
+    assert(out.filter($"cosine" < 0.8).count() == 0)
+    assert(!got.contains(2L) && !got.contains(3L) &&
+      !got.values.toSet.exists(Set(2L, 3L)))
+    spark.catalog.clearCache()
+  }
+
   test("C31 hot-cell cap: oversized cells split geometrically, tight clusters pair anchor-star, candidates bounded") {
     val s = spark
     import s.implicits._

@@ -143,7 +143,7 @@ def main():
                 note = (f"MG bounds: {matched}/{len(got)} tokens exist, "
                         f"overcounts={over}, max undercount {max_under} <= "
                         f"n/(k+1)={bound}")
-            elif name == "semdedup":
+            elif name in ("semdedup", "semdedup_keep_best"):
                 # SemDeDup graded on the rebuilt twin corpus:
                 # (a) ZERO false drops — every (drop, witness) cosine
                 #     recomputed exactly must clear eps = 0.8;
@@ -152,6 +152,10 @@ def main():
                 #     across cells (the paper's approximation), floor
                 #     0.9;
                 # (c) no keeper is ever dropped.
+                # semdedup_keep_best additionally: (d) the keeper
+                #     DOMINATES every drop on the explicit quality
+                #     column (documents.n_chars via doc_id = vec_id
+                #     mod 1e6; equal quality → keeper has the lower id).
                 con.register("sd_out", got)
                 r = con.execute("""
                     WITH twin AS (
@@ -186,6 +190,17 @@ def main():
                 note = (f"false drops = {false_drops} (must be 0); twin-pair "
                         f"recall = {recall:.3f} ({one_lost}/{n_pairs}, floor 0.9); "
                         f"dropped keepers = {kept_dropped} (must be 0)")
+                if name == "semdedup_keep_best":
+                    bad_q = con.execute("""
+                        SELECT COUNT(*) FROM sd_out s
+                        JOIN documents dq ON dq.doc_id = s.drop_id % 1000000
+                        JOIN documents kq ON kq.doc_id = s.keeper_id % 1000000
+                        WHERE dq.n_chars > kq.n_chars
+                           OR (dq.n_chars = kq.n_chars
+                               AND s.drop_id < s.keeper_id)""").fetchone()[0]
+                    ok = ok and bad_q == 0
+                    note += (f"; quality-argmax violations = {bad_q} "
+                             f"(must be 0)")
             elif name == "semdedup_serve":
                 # the incremental form: the twin batch (vec_id + 1e6)
                 # serves against the indexed base corpus. (a) zero

@@ -921,6 +921,48 @@ object NearDup {
     }
   }
 
+  /** C4d `dedup_catalog_serve` — the dedup-signature family's
+    * CROSS-PROCESS deployment story ([[graft.operators.TextAnalysis
+    * .bm25CatalogServe]]'s posture for this index kind): a maintenance
+    * process builds the epoch-1 signature index (70% of the reference)
+    * into a catalog under kind `dedup_sig` (the SAME kind word
+    * MaintenanceMain's fleet grammar uses, so a `catalog= key=` fleet
+    * line resolves these registrations with no ckind mapping), the
+    * corpus drifts, the stamped epoch-2 resolve rebuilds on the full
+    * reference and supersedes by seq, `Catalog.vacuum` reclaims the
+    * superseded store, and a serving process that knows only the
+    * catalog root resolves by manifest lookup and serves the re-crawl
+    * snapshot. HASH-EQUAL to `cross_dedup`'s from-scratch oracle on
+    * the full reference — the catalog lifecycle must be
+    * answer-invisible. */
+  def dedupCatalogServe(spark: SparkSession, dir: String,
+                        threshold: Double = 0.5, dfCap: Int = 100): DataFrame = {
+    import spark.implicits._
+    val ref = Tables.documents(spark, dir).select($"doc_id", $"text")
+    if (shinglePostings(ref).isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("new_id", "ref_id", "n_inter", "jaccard")
+    val cut = ref.agg(max($"doc_id")).head().getLong(0) * 7 / 10
+    val neu = ref.select(($"doc_id" + BigOffset).as("doc_id"), $"text")
+    val key = s"corpus:$dir dfCap=$dfCap"
+    graft.sources.Lake.withScratchIndex(spark, "graft_dedup_cat") { cat =>
+      graft.sources.Catalog.resolveOrBuild(spark, cat, "dedup_sig", key,
+        stamp = "epoch-1") { d =>
+        dedupIndexWrite(Tables.fanout(ref.filter($"doc_id" <= cut)), d,
+          dfCap = dfCap)
+      }
+      graft.sources.Catalog.resolveOrBuild(spark, cat, "dedup_sig", key,
+        stamp = "epoch-2") { d =>
+        dedupIndexWrite(Tables.fanout(ref), d, dfCap = dfCap)
+      }
+      graft.sources.Catalog.vacuum(spark, cat)
+      val (path, stamp) =
+        graft.sources.Catalog.lookup(spark, cat, "dedup_sig", key).get
+      require(stamp == "epoch-2", s"fleet must resolve the fresh epoch: $stamp")
+      dedupServe(spark, path, Tables.fanout(neu), threshold, dfCap)
+    }
+  }
+
   /** `refPred` restricts the oracle's reference corpus — the
     * from-scratch recompute the index-delete gate (C4c) compares
     * the tombstoned serve against. */

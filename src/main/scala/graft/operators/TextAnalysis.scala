@@ -345,6 +345,45 @@ object TextAnalysis {
     }
   }
 
+  /** C30c `line_catalog_serve` — the line-df family's CROSS-PROCESS
+    * deployment story ([[bm25CatalogServe]]'s posture for this index
+    * kind): epoch-1 line index (70% of the reference) registered in a
+    * catalog under kind `line_df` (the SAME kind word MaintenanceMain's
+    * fleet grammar uses, so a `catalog= key=` fleet line resolves
+    * these registrations directly), the corpus drifts, the stamped
+    * epoch-2 resolve rebuilds on the full reference and supersedes by
+    * seq, `Catalog.vacuum` reclaims the superseded store, and a
+    * serving process resolves by manifest lookup and strikes the new
+    * crawl batch. HASH-EQUAL to the from-scratch line dedup on
+    * (full reference ∪ batch) restricted to the batch — the catalog
+    * lifecycle must be answer-invisible. */
+  def lineCatalogServe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val ref = docs.filter($"doc_id" % 3 =!= 0)
+    val neu = docs.filter($"doc_id" % 3 === 0)
+    if (ref.isEmpty || neu.isEmpty)
+      return Seq.empty[(Long, Long, Long, String)]
+        .toDF("doc_id", "n_kept", "n_dropped", "clean_text")
+    val cut = ref.agg(max($"doc_id")).head().getLong(0) * 7 / 10
+    val key = s"corpus:$dir"
+    graft.sources.Lake.withScratchIndex(spark, "graft_line_cat") { cat =>
+      graft.sources.Catalog.resolveOrBuild(spark, cat, "line_df", key,
+        stamp = "epoch-1") { d =>
+        lineIndexWrite(Tables.fanout(ref.filter($"doc_id" <= cut)), d)
+      }
+      graft.sources.Catalog.resolveOrBuild(spark, cat, "line_df", key,
+        stamp = "epoch-2") { d =>
+        lineIndexWrite(Tables.fanout(ref), d)
+      }
+      graft.sources.Catalog.vacuum(spark, cat)
+      val (path, stamp) =
+        graft.sources.Catalog.lookup(spark, cat, "line_df", key).get
+      require(stamp == "epoch-2", s"fleet must resolve the fresh epoch: $stamp")
+      lineDedupServe(spark, path, Tables.fanout(neu))
+    }
+  }
+
   /** `refPred` restricts the oracle's reference side — the gate's
     * lifecycle deletes every 7th doc (C30b); the streaming fold (E16)
     * keeps the whole reference. */

@@ -782,6 +782,68 @@ class LakeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("dedup_sig + line_df catalog lifecycle: epoch-1 fleet parity, drift supersedes, vacuum reclaims") {
+    import graft.sources.Catalog
+    val s = spark
+    import s.implicits._
+    val cat = java.nio.file.Files.createTempDirectory("graft_cat_dl").toString
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"alpha$i beta${i % 3} gamma${i % 5} the word$i tail${i % 4}"))
+      .toDF("doc_id", "text").localCheckpoint()
+    val neu = docs.select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+      .localCheckpoint()
+    // ── dedup_sig: epoch-1 (prefix) → fleet parity → drift → vacuum ──
+    val d1 = Catalog.resolveOrBuild(s, cat, "dedup_sig", "spec",
+      stamp = "epoch-1") { d =>
+      operators.NearDup.dedupIndexWrite(docs.filter($"doc_id" <= 20), d)
+    }
+    assert(sameResult(
+      operators.NearDup.dedupServe(s,
+        Catalog.lookup(s, cat, "dedup_sig", "spec").get._1, neu, 0.3),
+      operators.NearDup.crossDedupPairs(neu, docs.filter($"doc_id" <= 20), 0.3)),
+      "the fleet's catalog-resolved dedup serve must equal from-scratch")
+    Catalog.resolveOrBuild(s, cat, "dedup_sig", "spec", stamp = "epoch-2") { d =>
+      operators.NearDup.dedupIndexWrite(docs, d)
+    }
+    // ── line_df: same lifecycle under the same catalog root ──
+    val l1 = Catalog.resolveOrBuild(s, cat, "line_df", "spec",
+      stamp = "epoch-1") { d =>
+      operators.TextAnalysis.lineIndexWrite(docs.filter($"doc_id" <= 20), d)
+    }
+    val refIdx = tmp("linecat_ref")
+    operators.TextAnalysis.lineIndexWrite(docs.filter($"doc_id" <= 20), refIdx)
+    assert(sameResult(
+      operators.TextAnalysis.lineDedupServe(s,
+        Catalog.lookup(s, cat, "line_df", "spec").get._1, neu),
+      operators.TextAnalysis.lineDedupServe(s, refIdx, neu)),
+      "the fleet's catalog-resolved line serve must equal the direct build")
+    Catalog.resolveOrBuild(s, cat, "line_df", "spec", stamp = "epoch-2") { d =>
+      operators.TextAnalysis.lineIndexWrite(docs, d)
+    }
+    // one vacuum reclaims BOTH kinds' superseded epoch-1 stores
+    Catalog.vacuum(s, cat)
+    val fs = new org.apache.hadoop.fs.Path(cat)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(d1)) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(l1)),
+      "vacuum must reclaim both superseded epoch-1 stores")
+    val (d2, ds2) = Catalog.lookup(s, cat, "dedup_sig", "spec").get
+    val (l2, ls2) = Catalog.lookup(s, cat, "line_df", "spec").get
+    assert(ds2 == "epoch-2" && ls2 == "epoch-2")
+    assert(sameResult(
+      operators.NearDup.dedupServe(s, d2, neu, 0.3),
+      operators.NearDup.crossDedupPairs(neu, docs, 0.3)),
+      "the post-drift dedup serve must equal the full-reference answer")
+    val refIdx2 = tmp("linecat_ref2")
+    operators.TextAnalysis.lineIndexWrite(docs, refIdx2)
+    assert(sameResult(
+      operators.TextAnalysis.lineDedupServe(s, l2, neu),
+      operators.TextAnalysis.lineDedupServe(s, refIdx2, neu)),
+      "the post-drift line serve must equal the full-reference build")
+    fs.delete(new org.apache.hadoop.fs.Path(cat), true)
+    spark.catalog.clearCache()
+  }
+
   test("hybrid_catalog_serve lifecycle: two kinds flip in one commit, epoch parity, vacuum reclaims both") {
     import graft.sources.Catalog
     import operators.TextAnalysis

@@ -273,6 +273,60 @@ object ScaleProbe {
       g1s.shuffleWriteBytes.toDouble, 0.5, 1.5,
       s"same batch onto a ${rep}x signature index must shuffle ~the same bytes")
 
+    // ---- claim 5b: the append's detection READ is bounded ----------
+    // shuffle independence (claim 5) is not the whole story: the
+    // cap-crossing detection READS the touched buckets' dfs delta
+    // history, which grows with appends-per-bucket until a vacuum
+    // recompacts. Two input-bytes bounds: (a) a tiny-batch append on
+    // the Rx index reads a strict fraction of the POSTINGS the r12
+    // design rescanned in full — the sidecar replaces the store, and
+    // bucket pruning bites; (b) after appends bloat the history, ONE
+    // vacuum recompacts dfs to live counts and the same tiny append
+    // reads materially less — the compaction arm the retention tick
+    // now triggers on dedupDfsReclaimableFraction.
+    def tinyBatch(off: Long): org.apache.spark.sql.DataFrame = Tables.fanout(
+      docs.filter($"doc_id" < 5)
+        .select(($"doc_id" + lit(off)).as("doc_id"), $"text"))
+    // isolate the DETECTION read itself (the dfs rows the cap-crossing
+    // sum scans for this batch's buckets): scoping the whole append
+    // would conflate it with cached-block reads of the corpus frame
+    // the batch is filtered from, which count as input bytes too
+    val touchedTiny = operators.NearDup.shinglePostings(tinyBatch(300000000L))
+      .select(pmod($"sh", lit(512)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val detScan = scope(s"dedup_detection_scan_${rep}x") {
+      spark.read.parquet(s"$sig/dfs")
+        .filter($"bucket".cast("int").isin(touchedTiny: _*))
+        .agg(bit_xor(xxhash64($"sh", $"n_new"))).head()
+    }
+    val postingsScanB = scope(s"dedup_postings_scan_${rep}x_post") {
+      spark.read.parquet(s"$sig/postings")
+        .agg(bit_xor(xxhash64($"sh", $"doc_id", $"batch_id"))).head()
+    }
+    ratio("dedup_append_input_indep", detScan.inputBytes.toDouble,
+      postingsScanB.inputBytes.toDouble, 0.0, 0.5,
+      s"a tiny-batch append's detection read on the ${rep}x index " +
+        "(bucket-pruned dfs sidecar) must be a strict fraction of the " +
+        "postings store the pre-r13 rescan read in full")
+    // bloat sigSmall's history with repeated same-content appends,
+    // then show one vacuum shrinks the identical tiny append's read
+    (0 until 3).foreach { i =>
+      operators.NearDup.dedupIndexAppend(
+        docBatch(1000, 500000000L + i * 10000000L), sigSmall)
+    }
+    val preVac = scope("dedup_append_tiny_prevac") {
+      operators.NearDup.dedupIndexAppend(tinyBatch(310000000L), sigSmall)
+    }
+    operators.NearDup.dedupIndexVacuum(spark, sigSmall,
+      maxFilesPerBucket = 1000)
+    val postVac = scope("dedup_append_tiny_postvac") {
+      operators.NearDup.dedupIndexAppend(tinyBatch(320000000L), sigSmall)
+    }
+    ratio("dedup_vacuum_compacts_dfs", postVac.inputBytes.toDouble,
+      preVac.inputBytes.toDouble, 0.0, 0.7,
+      "one vacuum must recompact the dfs delta history a run of appends " +
+        "accumulated (the detection read resets to the live floor)")
+
     // ---- emit ------------------------------------------------------
     val out = checks.result()
     def j(c: Check): String =

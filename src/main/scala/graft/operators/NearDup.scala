@@ -361,7 +361,7 @@ object NearDup {
     * — the posting rows of the inverted index; ONE definition shared
     * by the symmetric (C4) and incremental (`cross_dedup`) paths so
     * their shingle universes can never drift apart. */
-  private def shinglePostings(docs: DataFrame): DataFrame = {
+  private[graft] def shinglePostings(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs
       .withColumn("toks", split(trim($"text"), "\\s+"))
@@ -810,16 +810,56 @@ object NearDup {
       // resume their cumulative sums from the live floor instead of
       // carrying reclaimed rows' overcounts forward. O(index), like
       // the posting rewrite this pass already paid for.
-      val liveDfs = spark.read.parquet(s"$path/postings")
-        .select($"bucket".cast("int").as("bucket"), $"sh", $"doc_id", $"batch_id")
-        .filter($"batch_id".isin(committed: _*))
-        .join(broadcast(del), Seq("doc_id"), "left_anti")
-        .groupBy($"bucket", $"sh").agg(count(lit(1)).as("n_new"))
-        .withColumn("batch_id", lit(committed.head))
-        .localCheckpoint()
-      liveDfs.repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/dfs")
+      dedupRecompactDfs(spark, path, committed, del)
     }
+    // dfs-only bloat: a run of appends with zero tombstones and no
+    // file fragmentation still grows the delta history the detection
+    // scan reads — recompact it even when the postings need nothing
+    // (the cheap fraction probe gates the O(postings) recount)
+    else if (dedupDfsReclaimableFraction(spark, path) > 0.0)
+      dedupRecompactDfs(spark, path, committed, del)
+  }
+
+  /** Recompact the df-delta sidecar to the exact live per-shingle
+    * counts — one row per surviving (bucket, shingle): appends resume
+    * their cumulative sums from the live floor instead of carrying
+    * reclaimed or duplicated history forward. O(postings), like the
+    * rewrite pass that usually precedes it. */
+  private def dedupRecompactDfs(spark: SparkSession, path: String,
+                                committed: Seq[String], del: DataFrame): Unit = {
+    import spark.implicits._
+    val liveDfs = spark.read.parquet(s"$path/postings")
+      .select($"bucket".cast("int").as("bucket"), $"sh", $"doc_id", $"batch_id")
+      .filter($"batch_id".isin(committed: _*))
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
+      .groupBy($"bucket", $"sh").agg(count(lit(1)).as("n_new"))
+      .withColumn("batch_id", lit(committed.head))
+      .localCheckpoint()
+    liveDfs.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/dfs")
+  }
+
+  /** Dead weight of the df-delta sidecar: the fraction of dfs rows a
+    * vacuum's recompaction would drop — accumulated per-batch delta
+    * history over the one-row-per-live-shingle floor. This is the one
+    * store whose READ cost grows between vacuums even when nothing is
+    * tombstoned (every append adds one row per distinct batch shingle;
+    * the cap-crossing detection reads the touched buckets' whole
+    * history), so the retention tick arms the dedup slot on it exactly
+    * like a reclaimable row fraction. One dfs-only scan (two-long
+    * rows); distinct (bucket, sh) is the recompacted floor — a lower
+    * bound on the true reclaim when tombstones would drop shingles
+    * entirely, so the trigger is conservative. */
+  def dedupDfsReclaimableFraction(spark: SparkSession, path: String): Double = {
+    import spark.implicits._
+    val dfs = new org.apache.hadoop.fs.Path(s"$path/dfs")
+    if (!dfs.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dfs))
+      return 0.0
+    val r = spark.read.parquet(s"$path/dfs")
+      .agg(count(lit(1)).as("total"),
+        countDistinct($"bucket", $"sh").as("live")).head()
+    val total = r.getLong(0)
+    if (total == 0L) 0.0 else 1.0 - r.getLong(1).toDouble / total
   }
 
   /** Score a new doc batch against the persisted reference index —

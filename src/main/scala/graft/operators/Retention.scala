@@ -276,7 +276,13 @@ object Retention {
         // measure is the tombstoned doc fraction; fragmentation never
         // applies (each version is a one-shot write)
         case ImpactBm25 => (TextAnalysis.bm25DeletedFraction(spark, ix.path), false)
-        case DedupSig => (NearDup.dedupIndexReclaimableFraction(spark, ix.path),
+        case DedupSig => (
+          // the dfs delta-history fraction competes alongside the
+          // tombstone/orphan fraction: appends bloat the detection
+          // scan's read even with zero dead postings, and the same
+          // vacuum recompacts both
+          math.max(NearDup.dedupIndexReclaimableFraction(spark, ix.path),
+            NearDup.dedupDfsReclaimableFraction(spark, ix.path)),
           graft.sources.Lake.fragmentedPartitions(
             spark, s"${ix.path}/postings", "bucket", ix.maxFiles).nonEmpty)
         case LineDf => (TextAnalysis.lineIndexReclaimableFraction(spark, ix.path),

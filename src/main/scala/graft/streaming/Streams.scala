@@ -799,6 +799,42 @@ object Streams {
     }
   }
 
+  /** E17 `stream_semdedup` — the SEMANTIC-dedup strike at ingest time:
+    * each arriving embedding micro-batch scores against the PERSISTED
+    * IVF index via [[graft.operators.Similarity.semDedupServe]]
+    * (routed cells only — O(batch · nprobe/nlist) index read per
+    * batch) and emits the members that semantically duplicate an
+    * indexed vector, each with a recomputable exact-cosine witness.
+    * The embeddings' counterpart of E15 (signature strikes) / E16
+    * (line strikes): with it, every dedup family has both batch AND
+    * stream maintenance. The serve is read-only on the index, so
+    * batch composition provably cannot change the union of strikes —
+    * N micro-batches ≡ one one-shot serve of their union, which the
+    * MemoryStream spec pins through a real foreachBatch sink.
+    *
+    * Driver-gate batch entry: the re-crawl twin corpus arrives as
+    * `nBatches` deterministic micro-batches against the base-corpus
+    * index; graded like C31b (zero false strikes, strike recall). */
+  def streamSemDedup(spark: SparkSession, dir: String, nBatches: Int = 3,
+                     eps: Double = 0.8, nprobe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, dir)
+    if (base.agg(max($"vec_id")).head().isNullAt(0))
+      return Seq.empty[(Long, Long, Double, Int)]
+        .toDF("drop_id", "witness_id", "cosine", "cell")
+    graft.sources.Lake.withScratchIndex(spark, "graft_semdd_stream") { tmp =>
+      graft.operators.Similarity.ivfWriteFrom(base, tmp)
+      val twins = graft.operators.Similarity.twinCorpus(spark, dir)
+        .filter($"vec_id" >= graft.operators.NearDup.BigOffset)
+        .select($"vec_id", $"embedding").localCheckpoint()
+      (0 until nBatches).map { b =>
+        graft.operators.Similarity.semDedupServe(spark, tmp,
+          twins.filter(pmod($"vec_id", lit(nBatches)) === b), eps, nprobe)
+          .localCheckpoint()
+      }.reduce(_ unionAll _)
+    }
+  }
+
   /** E15 `stream_dedup_index` — incremental reference-signature-index
     * maintenance from an arriving doc stream: each micro-batch is one
     * [[graft.operators.NearDup.dedupIndexAppend]] into the persisted

@@ -535,6 +535,41 @@ class LakeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("retention sweep: dfs delta-history bloat arms the dedup slot with zero dead rows") {
+    import operators.Retention
+    val s = spark
+    import s.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_sweep_dfs").toString
+    val docs = (0 until 20).map(i =>
+      (i.toLong, s"alpha$i beta${i % 3} gamma${i % 5} word$i")).toDF("doc_id", "text")
+    operators.NearDup.dedupIndexWrite(docs, idx)
+    assert(operators.NearDup.dedupDfsReclaimableFraction(s, idx) == 0.0,
+      "a fresh build's dfs is already compact")
+    // repeated same-content appends bloat the delta history without a
+    // single tombstone or orphan — the read-cost growth the postings
+    // fractions can't see
+    (0 until 3).foreach(i => operators.NearDup.dedupIndexAppend(
+      docs.select(($"doc_id" + (1000L * (i + 1))).as("doc_id"), $"text"), idx))
+    assert(operators.NearDup.dedupIndexReclaimableFraction(s, idx) == 0.0,
+      "no posting is dead — only the dfs history grew")
+    val frac = operators.NearDup.dedupDfsReclaimableFraction(s, idx)
+    assert(frac > 0.5, s"3 same-content appends must bloat dfs: $frac")
+    val meta = (0 until 20).map(i =>
+      (i.toLong, java.sql.Date.valueOf("2026-06-01"))).toDF("doc_id", "ingested")
+    val fleet = Seq(Retention.Maintained("sig", Retention.DedupSig, idx, meta,
+      "ingested", lit("2026-01-01").cast("date"), maxFiles = 1000))
+    assert(Retention.retentionSweep(s, fleet) == Map("sig" -> Retention.Reclaimed),
+      "the dfs fraction alone must arm the slot")
+    assert(operators.NearDup.dedupDfsReclaimableFraction(s, idx) == 0.0,
+      "the sweep's vacuum must recompact the dfs history to the live floor")
+    assert(Retention.retentionSweep(s, fleet) == Map("sig" -> Retention.Skipped),
+      "a recompacted index must skip the next tick")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    spark.catalog.clearCache()
+  }
+
   test("retention sweep: expiry always commits, rewrite budget spent highest-dead-weight-first, converges") {
     import operators.Retention
     val s = spark

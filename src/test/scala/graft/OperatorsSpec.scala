@@ -59,17 +59,24 @@ class OperatorsSpec extends AnyFunSuite {
     val src = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")),
       java.nio.charset.StandardCharsets.UTF_8)
-    val parts = src.split("def oracleSql", 2)
-    assert(parts.length == 2, "SparkEntry must declare oracleSql")
+    // anchor each scan to its own Map declaration: a helper Map or Seq
+    // of pairs added elsewhere in the file must never leak keys into
+    // (or false-positive) these counts
+    val qStart = src.indexOf("def queries")
+    val oStart = src.indexOf("def oracleSql")
+    assert(qStart >= 0 && oStart > qStart,
+      "SparkEntry must declare queries before oracleSql")
     def keys(s: String): Seq[String] =
       "\"([a-z0-9_]+)\"\\s*->".r.findAllMatchIn(s).map(_.group(1)).toSeq
-    Seq(parts(0) -> "queries", parts(1) -> "oracleSql").foreach {
+    val qPart = src.substring(qStart, oStart)
+    val oPart = src.substring(oStart)
+    Seq(qPart -> "queries", oPart -> "oracleSql").foreach {
       case (part, name) =>
         val dup = keys(part).groupBy(identity)
           .collect { case (k, v) if v.size > 1 => k }
         assert(dup.isEmpty, s"duplicate keys in $name: ${dup.mkString(", ")}")
     }
-    assert(keys(parts(0)).size == SparkEntry.queries.size,
+    assert(keys(qPart).size == SparkEntry.queries.size,
       "every source-declared query key must survive into the Map")
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without a query: ${missing.mkString(", ")}")

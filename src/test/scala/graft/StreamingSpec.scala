@@ -272,6 +272,54 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("E17 stream_semdedup: foreachBatch strikes == one-shot serve of the union; clean batches stay silent") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = Tables.embeddings(s, sf)
+    val idx = java.nio.file.Files.createTempDirectory("graft_semdd_str").toFile
+    idx.deleteOnExit()
+    operators.Similarity.ivfWriteFrom(base, idx.getAbsolutePath)
+    val twins = operators.Similarity.twinCorpus(s, sf)
+      .filter(col("vec_id") >= 1000000L)
+      .select(col("vec_id"), col("embedding"), lit(0).as("label"))
+      .as[Streams.EmbRow].collect().toSeq
+    assert(twins.nonEmpty)
+    val (b1, b2) = twins.partition(_.vec_id % 2 == 0)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
+    val source = MemoryStream[Streams.EmbRow]
+    val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => got ++= operators.Similarity.semDedupServe(s,
+          idx.getAbsolutePath, batch.toDF())
+        .as[(Long, Long, Double, Int)].collect()
+    val q = source.toDF().writeStream.foreachBatch(sink)
+      .outputMode("append").start()
+    source.addData(b1: _*)
+    q.processAllAvailable()
+    val afterB1 = got.size
+    assert(afterB1 > 0, "the first micro-batch's twins must strike")
+    // a CLEAN micro-batch (near-orthogonal one-hots) mid-stream strikes
+    // nothing — zero false strikes holds per batch, not just in bulk
+    val dim = twins.head.embedding.length
+    val clean = (0 until 10).map(i => Streams.EmbRow(5000000L + i,
+      Seq.tabulate(dim)(j => if (j == i % dim) 1f else 0f), 0))
+    source.addData(clean: _*)
+    q.processAllAvailable()
+    assert(got.size == afterB1, "an orthogonal micro-batch must strike nothing")
+    source.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // the serve is read-only on the index, so N micro-batches must
+    // equal ONE serve of the union — exactly, row for row
+    val oneShot = operators.Similarity.semDedupServe(s, idx.getAbsolutePath,
+        twins.toDF().select(col("vec_id"), col("embedding")))
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.toSet == oneShot.toSet,
+      "streamed per-batch strikes must equal the one-shot union serve")
+    assert(got.forall(_._3 >= 0.8), "every strike must carry a >= eps witness")
+    spark.catalog.clearCache()
+  }
+
   test("E13 stream_scd2_apply: MemoryStream change batches fold to the from-scratch interval table") {
     val s = spark
     import s.implicits._

@@ -201,7 +201,7 @@ def main():
                     ok = ok and bad_q == 0
                     note += (f"; quality-argmax violations = {bad_q} "
                              f"(must be 0)")
-            elif name == "semdedup_serve":
+            elif name in ("semdedup_serve", "stream_semdedup"):
                 # the incremental form: the twin batch (vec_id + 1e6)
                 # serves against the indexed base corpus. (a) zero
                 # false strikes — every (drop, witness) cosine

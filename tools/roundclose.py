@@ -48,6 +48,18 @@ def run_bench(env):
     return json.load(open("bench_out.json"))
 
 
+def n_queries(out):
+    """Registry size of a bench artifact: n_queries since r13; older
+    artifacts carry 'queries' as the count itself (an int), and the
+    driver's per-query map variant is a dict."""
+    if "n_queries" in out:
+        return out["n_queries"]
+    q = out.get("queries")
+    if isinstance(q, int):
+        return q
+    return len(q) if q is not None else -1
+
+
 def load_metrics(path):
     rows = {}
     with open(path) as f:
@@ -110,7 +122,7 @@ def main():
     lines = [f"### Round-{n} double bench (sf_dir={sf})", ""]
     for i, out in enumerate(outs, 1):
         lines.append(f"- run {i}: total {out['value']:.1f}s over "
-                     f"{out.get('n_queries', len(out['queries']))} queries; warmup canary "
+                     f"{n_queries(out)} queries; warmup canary "
                      f"{out.get('warmup_sec', -1):.1f}s "
                      f"({out.get('warmup_sec_per_query', -1):.2f} s/query)")
     lines.append(f"- run1 vs run2 structural trendcheck: "

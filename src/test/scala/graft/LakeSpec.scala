@@ -961,6 +961,30 @@ class LakeSpec extends AnyFunSuite {
         s"index name=vecs kind=ivf path=$idx catalog=$cat key=corpus:spec " +
           s"meta=$meta ts=ingested ttlDays=365")
     }
+    // the r14 catalog kinds resolve the same way — the fleet grammar's
+    // kind words ARE the catalog kind strings, no ckind mapping needed
+    val docs = (0 until 20).map(i =>
+      (i.toLong, s"alpha$i beta${i % 3} the gamma${i % 5} word$i"))
+      .toDF("doc_id", "text")
+    val sigIdx = tmp("fleetsig")
+    val lineIdx = tmp("fleetline")
+    operators.NearDup.dedupIndexWrite(docs, sigIdx)
+    operators.TextAnalysis.lineIndexWrite(docs, lineIdx)
+    Catalog.register(s, cat, "dedup_sig", "corpus:spec", sigIdx, "epoch-1")
+    Catalog.register(s, cat, "line_df", "corpus:spec", lineIdx, "epoch-1")
+    val dmeta = tmp("fleetdmeta")
+    docs.select($"doc_id", current_timestamp().as("ingested"))
+      .write.mode("overwrite").parquet(dmeta)
+    val fleet2 = MaintenanceMain.parseFleet(s,
+      s"index name=sig kind=dedup_sig catalog=$cat key=corpus:spec " +
+        s"meta=$dmeta ts=ingested ttlDays=365\n" +
+      s"index name=lines kind=line_df catalog=$cat key=corpus:spec " +
+        s"meta=$dmeta ts=ingested ttlDays=365")
+    assert(fleet2.indexes.map(_.path) == Seq(sigIdx, lineIdx),
+      "dedup_sig/line_df fleet lines must resolve their registered stores")
+    // and a real tick maintains the resolved stores without error
+    val outcomes = operators.Retention.retentionSweep(s, fleet2.indexes)
+    assert(outcomes.keySet == Set("sig", "lines"), s"$outcomes")
   }
 
   test("lake compaction: fragmented partitions repack to target, clean ones byte-untouched, rows exact, gated") {

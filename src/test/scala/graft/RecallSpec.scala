@@ -867,6 +867,20 @@ class RecallSpec extends AnyFunSuite {
       s"adaptive ADC recall $rAdaptive must dominate fixed-minProbe $rFixedMin")
     assert(rAdaptive >= 0.8, s"adaptive ADC recall@5 = $rAdaptive")
     info(f"adaptive ADC recall@5 = $rAdaptive%.3f vs fixed-2 $rFixedMin%.3f")
+    // the same loop over an OPQ sidecar: every per-width serve reads
+    // the persisted rotation back — the adaptive rule must not care
+    // which codebook vintage is attached
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_pq_adapt_opq").toFile
+    Sim.ivfWriteFrom(corpus, idx2.getAbsolutePath)
+    Sim.pqAttach(s, idx2.getAbsolutePath, opqIters = 4)
+    val outOpq = Sim.annIvfPqAdaptive(s, idx2.getAbsolutePath).localCheckpoint()
+    val avgOpq = outOpq.groupBy($"query_id").agg(max($"probes_used").as("w"))
+      .agg(avg($"w")).head().getDouble(0)
+    val rOpq = recallOf(outOpq)
+    assert(avgOpq < 10.0, s"OPQ adaptive avg probes $avgOpq")
+    assert(rOpq >= 0.8, s"OPQ adaptive recall@5 = $rOpq")
+    info(f"OPQ adaptive: avg probes $avgOpq%.2f recall@5 $rOpq%.3f")
+    org.apache.commons.io.FileUtils.deleteDirectory(idx2)
     org.apache.commons.io.FileUtils.deleteDirectory(idx)
     spark.catalog.clearCache()
   }

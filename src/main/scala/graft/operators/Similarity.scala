@@ -279,9 +279,18 @@ object Similarity {
     if (mem.isEmpty)
       return mem.withColumn("n_c", lit(0L))
         .withColumn("sub", lit(0)).withColumn("n_s", lit(0L))
-    val dims = mem.select(size($"vc")).head().getInt(0)
     val maxBits = SemDedupMaxSplitBits
     val sizes = mem.groupBy($"cell").agg(count(lit(1)).as("n_c"))
+      .localCheckpoint()
+    // FAST PATH — no cell over the cap (every well-sized deployment,
+    // and the whole gate corpus): the subcell key is the cell itself,
+    // so skip the signature/trie machinery AND the mem-sized
+    // re-materialization it needs; the r13 plan shape survives with
+    // one nlist-row aggregate added
+    if (sizes.agg(max($"n_c")).head().getLong(0) <= cellCap)
+      return mem.join(broadcast(sizes), Seq("cell"))
+        .withColumn("sub", lit(0)).withColumn("n_s", $"n_c")
+    val dims = mem.select(size($"vc")).head().getInt(0)
     val sized = mem.join(broadcast(sizes), Seq("cell"))
     val small = sized.filter($"n_c" <= cellCap).withColumn("sub", lit(0))
     // oversized cells: signature once, then the per-branch trie depth —

@@ -2264,6 +2264,133 @@ object TextAnalysis {
     }
   }
 
+  /** C27d `fleet_catalog_serve` — the FLEET-WIDE epoch cutover across
+    * all four durable index kinds: one maintenance epoch builds
+    * bm25impact + ivf + dedup_sig + line_df against the SAME corpus
+    * snapshot and flips them visible in ONE
+    * [[graft.sources.Catalog.registerAll]] commit (one manifest file,
+    * one shared seq — a fleet can never serve kind A from epoch-2 and
+    * kind B from epoch-1), the corpus drifts, epoch-2 rebuilds all
+    * four and supersedes atomically, vacuum reclaims every superseded
+    * store, and a serving process resolves EVERY kind by manifest
+    * lookup, refuses mixed epochs, and serves. Gated on the
+    * dedup-signature member: HASH-EQUAL to cross_dedup's from-scratch
+    * oracle on the full reference — the whole four-kind lifecycle
+    * must be answer-invisible. The spec pins the one-seq-per-epoch
+    * atomicity across all four kinds and the mixed-epoch refusal. */
+  def fleetCatalogServe(spark: SparkSession, dir: String,
+                        threshold: Double = 0.5, dfCap: Int = 100,
+                        dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    if (tfTableFor(spark, dir).isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("new_id", "ref_id", "n_inter", "jaccard")
+    val cut = docs.agg(max($"doc_id")).head().getLong(0) * 7 / 10
+    val neu = docs.select(
+      ($"doc_id" + graft.operators.NearDup.BigOffset).as("doc_id"), $"text")
+    val key = s"corpus:$dir"
+    graft.sources.Lake.withScratchIndex(spark, "graft_fleet_cat") { cat =>
+      fleetCatalogCutover(spark, dir, cat, key, "epoch-1", Some(cut), dfCap, dim)
+      fleetCatalogCutover(spark, dir, cat, key, "epoch-2", None, dfCap, dim)
+      graft.sources.Catalog.vacuum(spark, cat)
+      val resolved = fleetCatalogResolve(spark, cat, key, "epoch-2")
+      graft.operators.NearDup.dedupServe(spark, resolved("dedup_sig"),
+        Tables.fanout(neu), threshold, dfCap)
+    }
+  }
+
+  /** The serving process's half of C27d: resolve EVERY kind from the
+    * manifest and refuse mixed epochs — a fleet must never serve kind
+    * A from one corpus state and kind B from another. */
+  private[graft] def fleetCatalogResolve(spark: SparkSession, cat: String,
+                                         key: String,
+                                         epoch: String): Map[String, String] = {
+    val resolved = FleetKinds.map(kind =>
+      kind -> graft.sources.Catalog.lookup(spark, cat, kind, key).get).toMap
+    require(resolved.values.forall(_._2 == epoch),
+      s"fleet must resolve ONE fresh epoch for all four kinds: " +
+        resolved.map { case (k, (_, st)) => s"$k=$st" }.mkString(" "))
+    resolved.map { case (k, (p, _)) => k -> p }
+  }
+
+  private[graft] val FleetKinds =
+    Seq("bm25impact", "ivf", "dedup_sig", "line_df")
+
+  /** One maintenance epoch for the whole fleet: build all four kinds
+    * against the same corpus snapshot (`cutId` bounds the prefix; None
+    * = full), then flip them visible together in one registerAll
+    * commit. Store paths follow the catalog's store convention so its
+    * vacuum reclaims superseded epochs. */
+  private[graft] def fleetCatalogCutover(spark: SparkSession, dir: String,
+                                         cat: String, key: String,
+                                         stamp: String, cutId: Option[Long],
+                                         dfCap: Int = 100,
+                                         dim: Int = 64): Unit = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val sub = cutId.fold(docs)(c => docs.filter($"doc_id" <= c))
+    def store(kind: String) =
+      s"$cat/store/$kind/${java.util.UUID.randomUUID}"
+    val (bm, iv, sg, ln) =
+      (store("bm25impact"), store("ivf"), store("dedup_sig"), store("line_df"))
+    bm25WriteImpactFrom(Tables.fanout(sub), bm, dfCap = dfCap)
+    graft.operators.Similarity.ivfWriteFrom(
+      cutId.fold(docEmbedDense(spark, dir, dim))(c =>
+        docEmbedDense(spark, dir, dim).filter($"vec_id" <= c)), iv, nlist = 16)
+    graft.operators.NearDup.dedupIndexWrite(Tables.fanout(sub), sg,
+      dfCap = dfCap)
+    lineIndexWrite(Tables.fanout(sub), ln)
+    graft.sources.Catalog.registerAll(spark, cat, Seq(
+      ("bm25impact", key, bm, stamp), ("ivf", key, iv, stamp),
+      ("dedup_sig", key, sg, stamp), ("line_df", key, ln, stamp)))
+  }
+
+  /** C23g `bm25_rollback_serve` — the ROLLBACK DRILL composed under
+    * the gate, the operational loop `Catalog.vacuum(keepEpochs)`'s
+    * retention headroom exists for: epoch-1 (70% prefix) registers,
+    * epoch-2 (full corpus — the drill's "bad" build) supersedes, a
+    * keepEpochs=2 vacuum retains rollback headroom,
+    * [[graft.sources.Catalog.rollback]] re-registers the prior epoch
+    * at a new seq (one rename-atomic commit — every fleet lookup flips
+    * back together), the next DEFAULT vacuum reclaims the bad epoch's
+    * store while keeping the rolled-back-to one (it is the newest
+    * registration again), and the fleet serves. HASH-EQUAL to
+    * `bm25_retrieve` on the 70% prefix — the rollback must restore the
+    * prior answer exactly, through the reclaim. */
+  def bm25RollbackServe(spark: SparkSession, dir: String, k: Int = 10,
+                        dfCap: Int = 100, qMod: Int = 20): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    if (tfTableFor(spark, dir).isEmpty)
+      return Seq.empty[(Long, Long, Int, Long)]
+        .toDF("query_id", "doc_id", "rk", "score")
+    val cut = docs.agg(max($"doc_id")).head().getLong(0) * 7 / 10
+    val key = s"corpus:$dir dfCap=$dfCap"
+    graft.sources.Lake.withScratchIndex(spark, "graft_rollback_srv") { cat =>
+      graft.sources.Catalog.resolveOrBuild(spark, cat, "bm25impact", key,
+        stamp = "epoch-1") { d =>
+        bm25WriteImpactFrom(Tables.fanout(docs.filter($"doc_id" <= cut)), d,
+          dfCap = dfCap)
+      }
+      graft.sources.Catalog.resolveOrBuild(spark, cat, "bm25impact", key,
+        stamp = "epoch-2") { d =>
+        bm25WriteImpactFrom(Tables.fanout(docs), d, dfCap = dfCap)
+      }
+      // the cutover discipline that makes rollback possible at all
+      graft.sources.Catalog.vacuum(spark, cat, keepEpochs = 2)
+      val (_, back) = graft.sources.Catalog.rollback(spark, cat,
+        "bm25impact", key)
+      require(back == "epoch-1", s"rollback must restore the prior epoch: $back")
+      // reclaim the bad epoch; the rolled-back-to store must survive it
+      graft.sources.Catalog.vacuum(spark, cat)
+      val (path, stamp) =
+        graft.sources.Catalog.lookup(spark, cat, "bm25impact", key).get
+      require(stamp == "epoch-1", s"fleet must resolve the rollback: $stamp")
+      bm25ServeFrom(spark, path, k, qMod)
+    }
+  }
+
   /** The (doc_id, dl, token, tf) table BM25 builds on. `dl` rides
     * THROUGH the tf aggregate as a functionally-dependent grouping
     * column (constant per doc_id — zero extra shuffle volume), so the

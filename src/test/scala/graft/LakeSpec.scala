@@ -817,6 +817,79 @@ class LakeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("fleet_catalog_serve: all four kinds flip in one seq per epoch; mixed epochs refuse loudly") {
+    import graft.sources.Catalog
+    import operators.TextAnalysis
+    val s = spark
+    import s.implicits._
+    val cat = java.nio.file.Files.createTempDirectory("graft_fleet4").toString
+    val cut = Tables.documents(s, sf)
+      .agg(max($"doc_id")).head().getLong(0) * 7 / 10
+    TextAnalysis.fleetCatalogCutover(s, sf, cat, "spec", "epoch-1", Some(cut))
+    TextAnalysis.fleetCatalogCutover(s, sf, cat, "spec", "epoch-2", None)
+    // each epoch's FOUR rows share ONE seq — the single-commit flip
+    val rows = Catalog.entries(s, cat)
+      .select($"kind", $"stamp", $"seq").collect()
+      .groupBy(_.getAs[String]("stamp"))
+    for ((stamp, rs) <- rows) {
+      assert(rs.map(_.getAs[Long]("seq")).distinct.length == 1,
+        s"$stamp rows must share one seq")
+      assert(rs.map(_.getAs[String]("kind")).sorted.toSeq ==
+        TextAnalysis.FleetKinds.sorted, s"$stamp must cover all four kinds")
+    }
+    // the resolve refuses a mixed fleet: one kind re-registered at a
+    // newer epoch must fail the all-four check, never serve a mix
+    assert(TextAnalysis.fleetCatalogResolve(s, cat, "spec", "epoch-2")
+      .keySet == TextAnalysis.FleetKinds.toSet)
+    Catalog.register(s, cat, "ivf", "spec",
+      Catalog.lookup(s, cat, "ivf", "spec").get._1, "epoch-3")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.fleetCatalogResolve(s, cat, "spec", "epoch-3")
+    }
+    val fs = new org.apache.hadoop.fs.Path(cat)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(cat), true)
+    spark.catalog.clearCache()
+  }
+
+  test("bm25_rollback_serve drill: bad epoch reclaimed, rolled-back-to store survives, serve restores the prior answer") {
+    import graft.sources.Catalog
+    val s = spark
+    import s.implicits._
+    val cat = java.nio.file.Files.createTempDirectory("graft_rollb").toString
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"alpha$i beta${i % 3} gamma${i % 5} word$i")).toDF("doc_id", "text")
+    val p1 = Catalog.resolveOrBuild(s, cat, "bm25impact", "spec",
+      stamp = "epoch-1") { d =>
+      operators.TextAnalysis.bm25WriteImpactFrom(docs.filter($"doc_id" <= 20), d)
+    }
+    val p2 = Catalog.resolveOrBuild(s, cat, "bm25impact", "spec",
+      stamp = "epoch-2") { d =>
+      operators.TextAnalysis.bm25WriteImpactFrom(docs, d)
+    }
+    Catalog.vacuum(s, cat, keepEpochs = 2)
+    val fs = new org.apache.hadoop.fs.Path(cat)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(p1)),
+      "keepEpochs=2 must retain the rollback headroom")
+    assert(Catalog.rollback(s, cat, "bm25impact", "spec") == (p1, "epoch-1"))
+    // the default vacuum now reclaims the BAD epoch-2 store and keeps
+    // the rolled-back-to one (it is the newest registration again)
+    Catalog.vacuum(s, cat)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p2)),
+      "the rolled-away epoch's store must reclaim")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(p1)),
+      "the serving store must survive the reclaim")
+    val (path, stamp) = Catalog.lookup(s, cat, "bm25impact", "spec").get
+    assert(path == p1 && stamp == "epoch-1")
+    assert(sameResult(
+      operators.TextAnalysis.bm25ServeFrom(s, path, k = 100, qMod = 1),
+      operators.TextAnalysis.bm25Of(docs.filter($"doc_id" <= 20), k = 100, qMod = 1)),
+      "the rolled-back fleet serve must equal the prior epoch's answer")
+    fs.delete(new org.apache.hadoop.fs.Path(cat), true)
+    spark.catalog.clearCache()
+  }
+
   test("dedup_sig + line_df catalog lifecycle: epoch-1 fleet parity, drift supersedes, vacuum reclaims") {
     import graft.sources.Catalog
     val s = spark

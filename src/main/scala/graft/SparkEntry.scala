@@ -117,6 +117,7 @@ object SparkEntry {
     "semdedup_keep_best"  -> ((s, d) => Similarity.semDedupKeepBestGate(s, d, cellCap = cfg.semDedupCellCap)),
     "semdedup_serve"      -> ((s, d) => Similarity.semDedupServeGate(s, d)),
     "stream_semdedup"     -> ((s, d) => graft.streaming.Streams.streamSemDedup(s, d)),
+    "stream_catalog_serve" -> ((s, d) => graft.streaming.Streams.streamCatalogServe(s, d, cfg.jaccardThreshold, cfg.dedupDfCap)),
     "embedding_dedup_lsh" -> ((s, d) => Similarity.embeddingDedupLsh(s, d)),
     "embedding_quantize"  -> (Similarity.embeddingQuantize _),
     "ann_bruteforce"      -> ((s, d) => Similarity.annBruteforce(s, d)),
@@ -232,6 +233,16 @@ object SparkEntry {
     "dedup_catalog_serve" -> NearDup.crossDedupSql(cfg.jaccardThreshold, cfg.dedupDfCap),
     "line_catalog_serve"  -> TextAnalysis.lineDedupServeSql(refPred = "TRUE"),
     "fleet_catalog_serve" -> NearDup.crossDedupSql(cfg.jaccardThreshold, cfg.dedupDfCap),
+    // two epochs = two df contexts: each half recomputes from scratch
+    // against its own epoch's reference (even-id batches pre-cutover
+    // vs the 70% prefix; odd-id batches post-cutover vs the full set)
+    "stream_catalog_serve" -> ("SELECT * FROM (" +
+      NearDup.crossDedupSql(cfg.jaccardThreshold, cfg.dedupDfCap,
+        refPred = "doc_id <= (SELECT max(doc_id) * 7 // 10 FROM documents)",
+        newPred = "(doc_id % 2) = 0") +
+      ") UNION ALL SELECT * FROM (" +
+      NearDup.crossDedupSql(cfg.jaccardThreshold, cfg.dedupDfCap,
+        newPred = "(doc_id % 2) = 1") + ")"),
     // the tombstoned index serve must equal a from-scratch recompute
     // on the surviving reference corpus
     "cross_dedup_serve"   -> NearDup.crossDedupSql(cfg.jaccardThreshold, cfg.dedupDfCap,

@@ -1007,13 +1007,14 @@ object NearDup {
     * from-scratch recompute the index-delete gate (C4c) compares
     * the tombstoned serve against. */
   def crossDedupSql(threshold: Double = 0.5, dfCap: Int = 100,
-                    refPred: String = "TRUE"): String =
+                    refPred: String = "TRUE",
+                    newPred: String = "TRUE"): String =
     s"""WITH reft AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
        |  FROM documents WHERE $refPred),
        |newt AS (
        |  SELECT doc_id + $BigOffset AS doc_id, string_split_regex(trim(text), '\\s+') AS l
-       |  FROM documents),
+       |  FROM documents WHERE $newPred),
        |pr AS (
        |  SELECT doc_id, unnest(list_distinct(
        |    list_transform(range(len(l) - 2), i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS sh

@@ -835,6 +835,58 @@ object Streams {
     }
   }
 
+  /** E18 `stream_catalog_serve` — stream-side CATALOG consumption: the
+    * foreachBatch serve loop re-resolves its index path per micro-batch
+    * through the durable catalog, so a fleet epoch cutover lands
+    * MID-STREAM and the next batch serves the new store without the
+    * query restarting (the manifest lookup is metadata-scale; a pinned
+    * raw path would strand the stream on a superseded — eventually
+    * vacuumed — store). Batches before the cutover strike against
+    * epoch-1 (the 70% reference prefix), batches after it against
+    * epoch-2 (the full reference); the superseded store is VACUUMED
+    * between them, so serving the later batches proves the re-resolve
+    * actually happened. HASH-EQUAL to a two-context oracle: each half
+    * recomputed from scratch against its own epoch's reference — df
+    * caps and hot sets flip with the epoch, which is exactly what the
+    * doubled CTE chain checks. The MemoryStream spec drives the same
+    * re-resolving sink with the cutover between real micro-batches. */
+  def streamCatalogServe(spark: SparkSession, dir: String,
+                         threshold: Double = 0.5,
+                         dfCap: Int = 100): DataFrame = {
+    import spark.implicits._
+    val NearDup = graft.operators.NearDup
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    if (NearDup.shinglePostings(docs).isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("new_id", "ref_id", "n_inter", "jaccard")
+    val cut = docs.agg(max($"doc_id")).head().getLong(0) * 7 / 10
+    val neu = docs.select(($"doc_id" + NearDup.BigOffset).as("doc_id"), $"text")
+    val key = s"corpus:$dir"
+    graft.sources.Lake.withScratchIndex(spark, "graft_stream_cat") { cat =>
+      graft.sources.Catalog.resolveOrBuild(spark, cat, "dedup_sig", key,
+        stamp = "epoch-1") { d =>
+        NearDup.dedupIndexWrite(Tables.fanout(docs.filter($"doc_id" <= cut)),
+          d, dfCap = dfCap)
+      }
+      def serveBatch(b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        // the per-batch re-resolve — the whole point of the entry
+        val (path, _) =
+          graft.sources.Catalog.lookup(spark, cat, "dedup_sig", key).get
+        NearDup.dedupServe(spark, path, Tables.fanout(b), threshold, dfCap)
+          .localCheckpoint()
+      }
+      val before = serveBatch(neu.filter($"doc_id" % 2 === 0))
+      // the cutover lands mid-stream; the old store is reclaimed, so
+      // a sink that cached its path would crash — re-resolving doesn't
+      graft.sources.Catalog.resolveOrBuild(spark, cat, "dedup_sig", key,
+        stamp = "epoch-2") { d =>
+        NearDup.dedupIndexWrite(Tables.fanout(docs), d, dfCap = dfCap)
+      }
+      graft.sources.Catalog.vacuum(spark, cat)
+      before.unionAll(serveBatch(neu.filter($"doc_id" % 2 === 1)))
+    }
+  }
+
   /** E15 `stream_dedup_index` — incremental reference-signature-index
     * maintenance from an arriving doc stream: each micro-batch is one
     * [[graft.operators.NearDup.dedupIndexAppend]] into the persisted

@@ -320,6 +320,63 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("E18 stream_catalog_serve: a mid-stream epoch cutover flips the serving store without a restart") {
+    import graft.sources.Catalog
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val cat = java.nio.file.Files.createTempDirectory("graft_stream_cat").toString
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"alpha$i beta${i % 3} gamma${i % 5} word$i")).toDF("doc_id", "text")
+    val p1 = Catalog.resolveOrBuild(s, cat, "dedup_sig", "spec",
+      stamp = "epoch-1") { d =>
+      operators.NearDup.dedupIndexWrite(docs.filter($"doc_id" <= 20), d)
+    }
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val source = MemoryStream[(Long, String)]
+    // the sink RE-RESOLVES the serving path per micro-batch — nothing
+    // about the stream pins a store directory
+    val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val (path, _) = Catalog.lookup(s, cat, "dedup_sig", "spec").get
+        got ++= operators.NearDup.dedupServe(s, path,
+            batch.toDF("doc_id", "text"), 0.3)
+          .as[(Long, Long, Long, Double)].collect()
+      }
+    val q = source.toDS().toDF("doc_id", "text").writeStream.foreachBatch(sink)
+      .outputMode("append").start()
+    val twins = docs.select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+      .as[(Long, String)].collect().toSeq
+    source.addData(twins.filter(_._1 % 2 == 0): _*)
+    q.processAllAvailable()
+    val preCut = got.toSet
+    assert(preCut.nonEmpty && preCut.forall(_._2 <= 20),
+      "pre-cutover strikes must come from the epoch-1 prefix only")
+    // the cutover + vacuum land MID-STREAM: the old store is GONE, so
+    // a sink that cached its resolved path would crash on the next batch
+    Catalog.resolveOrBuild(s, cat, "dedup_sig", "spec", stamp = "epoch-2") { d =>
+      operators.NearDup.dedupIndexWrite(docs, d)
+    }
+    Catalog.vacuum(s, cat)
+    val fs = new org.apache.hadoop.fs.Path(cat)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p1)),
+      "the superseded store must be reclaimed under the live stream")
+    source.addData(twins.filter(_._1 % 2 == 1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val postCut = got.toSet -- preCut
+    // the post-cutover batch serves the NEW epoch: full-reference
+    // strikes, exactly the from-scratch pairs of that batch
+    val expect = operators.NearDup.crossDedupPairs(
+      twins.filter(_._1 % 2 == 1).toDF("doc_id", "text"),
+      docs, 0.3).as[(Long, Long, Long, Double)].collect().toSet
+    assert(postCut == expect,
+      "post-cutover strikes must equal from-scratch vs the new epoch")
+    fs.delete(new org.apache.hadoop.fs.Path(cat), true)
+    spark.catalog.clearCache()
+  }
+
   test("E13 stream_scd2_apply: MemoryStream change batches fold to the from-scratch interval table") {
     val s = spark
     import s.implicits._

@@ -32,6 +32,7 @@ final case class GraftConfig(
     jaccardThreshold: Double = 0.5, // ngram/cross dedup similarity floor
     dedupDfCap: Int = 100,       // dedup posting df cap (hot-shingle cutoff)
     semDedupCellCap: Int = 2000, // semdedup per-cell pair-join cap (skew guard)
+    semDedupDropFrac: Double = 0.5, // semdedup_budget: fraction of dup pairs to admit
     sinkMaxAttempts: Int = 3,    // UpsertSink retry budget
     sinkInitialDelayMs: Long = 50, // UpsertSink first backoff
     catalogDir: String = "",     // durable index catalog root ("" = session-local)
@@ -69,6 +70,7 @@ object GraftConfig {
           case "jaccardThreshold"   => c.copy(jaccardThreshold = value.toDouble)
           case "dedupDfCap"         => c.copy(dedupDfCap = i)
           case "semDedupCellCap"    => c.copy(semDedupCellCap = i)
+          case "semDedupDropFrac"   => c.copy(semDedupDropFrac = value.toDouble)
           case "sinkMaxAttempts"    => c.copy(sinkMaxAttempts = i)
           case "sinkInitialDelayMs" => c.copy(sinkInitialDelayMs = value.toLong)
           case "catalogDir"         => c.copy(catalogDir = value)

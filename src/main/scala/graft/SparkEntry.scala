@@ -115,6 +115,7 @@ object SparkEntry {
     "embedding_dedup"     -> ((s, d) => Similarity.embeddingDedup(s, d)),
     "semdedup"            -> ((s, d) => Similarity.semDedup(s, d, cellCap = cfg.semDedupCellCap)),
     "semdedup_keep_best"  -> ((s, d) => Similarity.semDedupKeepBestGate(s, d, cellCap = cfg.semDedupCellCap)),
+    "semdedup_budget"     -> ((s, d) => Similarity.semDedupBudget(s, d, cfg.semDedupDropFrac, cellCap = cfg.semDedupCellCap)),
     "semdedup_serve"      -> ((s, d) => Similarity.semDedupServeGate(s, d)),
     "stream_semdedup"     -> ((s, d) => graft.streaming.Streams.streamSemDedup(s, d)),
     "stream_catalog_serve" -> ((s, d) => graft.streaming.Streams.streamCatalogServe(s, d, cfg.jaccardThreshold, cfg.dedupDfCap)),

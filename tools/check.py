@@ -201,6 +201,65 @@ def main():
                     ok = ok and bad_q == 0
                     note += (f"; quality-argmax violations = {bad_q} "
                              f"(must be 0)")
+            elif name == "semdedup_budget":
+                # the budget variant: (a/b/c) the semdedup checks at
+                # the REPORTED eps (1e-6 margin: rows AT the quantile
+                # boundary sit within float-dot ulp of eps by
+                # construction, unlike C31's 0.2-slack floor); (d) the
+                # threshold itself recomputed — eps must be the
+                # floor(dropFrac*C)-th largest cosine of the exact
+                # (cell-blind) floor-pair set, within 1e-3 (the
+                # engine's capped pair set loses ~0.2% of pairs to
+                # cell splits, shifting the quantile by a few ranks);
+                # (e) achieved drops land in [0.7, 1.1] x the target.
+                con.register("sb_out", got)
+                drop_frac = 0.5  # mirrors graft.conf semDedupDropFrac
+                eps_rep = float(got["eps"].iloc[0])
+                r = con.execute(f"""
+                    WITH twin AS (
+                      SELECT e.vec_id + 1000000 AS vec_id,
+                             list(CAST(CAST(e.embedding[t.i] AS DOUBLE)
+                                  + (CAST((e.vec_id * 31 + (t.i - 1)) % 7 AS DOUBLE) - 3.0)
+                                    * 0.001 AS FLOAT) ORDER BY t.i) AS embedding
+                      FROM embeddings e,
+                           unnest(generate_series(1, len(e.embedding))) AS t(i)
+                      GROUP BY e.vec_id),
+                    corpus AS (
+                      SELECT vec_id, embedding FROM embeddings
+                      UNION ALL SELECT vec_id, embedding FROM twin),
+                    pairs AS (
+                      SELECT a.vec_id AS id1, b.vec_id AS id2,
+                             list_cosine_similarity(a.embedding, b.embedding) AS cos
+                      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+                      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8),
+                    q AS (SELECT cos FROM pairs ORDER BY cos DESC
+                          LIMIT (SELECT CAST(floor({drop_frac} * COUNT(*)) AS BIGINT)
+                                 FROM pairs))
+                    SELECT
+                      (SELECT COUNT(*) FROM pairs),
+                      (SELECT MIN(cos) FROM q),
+                      (SELECT COUNT(*) FROM sb_out s
+                       JOIN corpus a ON a.vec_id = s.drop_id
+                       JOIN corpus b ON b.vec_id = s.witness_id
+                       WHERE list_cosine_similarity(a.embedding, b.embedding)
+                             < {eps_rep} - 1e-6),
+                      (SELECT COUNT(*) FROM embeddings e
+                       WHERE (e.vec_id IN (SELECT drop_id FROM sb_out))
+                         AND (e.vec_id + 1000000 IN (SELECT drop_id FROM sb_out))),
+                      (SELECT COUNT(*) FROM sb_out
+                       WHERE keeper_id IN (SELECT drop_id FROM sb_out))
+                    """).fetchone()
+                n_pairs, eps_duck, false_drops, both_lost, kept_dropped = r
+                target = drop_frac * n_pairs
+                achieved = len(got)
+                ok = (false_drops == 0 and both_lost == 0 and kept_dropped == 0
+                      and abs(eps_rep - (eps_duck or 0.0)) <= 1e-3
+                      and 0.7 * target <= achieved <= 1.1 * target)
+                note = (f"false drops @ reported eps = {false_drops} (must be 0); "
+                        f"both-lost twins = {both_lost}; dropped keepers = "
+                        f"{kept_dropped}; eps {eps_rep:.6f} vs DuckDB quantile "
+                        f"{eps_duck:.6f} (|d| <= 1e-3); achieved {achieved} vs "
+                        f"target {target:.0f} (band [0.7, 1.1]x)")
             elif name in ("semdedup_serve", "stream_semdedup"):
                 # the incremental form: the twin batch (vec_id + 1e6)
                 # serves against the indexed base corpus. (a) zero

@@ -106,6 +106,7 @@ object SparkEntry {
     "dedup_catalog_serve" -> ((s, d) => NearDup.dedupCatalogServe(s, d, cfg.jaccardThreshold, cfg.dedupDfCap)),
     "line_catalog_serve"  -> ((s, d) => TextAnalysis.lineCatalogServe(s, d)),
     "fleet_catalog_serve" -> ((s, d) => TextAnalysis.fleetCatalogServe(s, d, cfg.jaccardThreshold, cfg.dedupDfCap)),
+    "fleet_rollback_serve" -> ((s, d) => TextAnalysis.fleetRollbackServe(s, d, cfg.jaccardThreshold, cfg.dedupDfCap)),
     "stream_dedup_index"  -> ((s, d) => graft.streaming.Streams.streamDedupIndex(s, d)),
     "stream_line_index"   -> ((s, d) => graft.streaming.Streams.streamLineIndex(s, d)),
     "dedup_cluster"       -> ((s, d) => NearDup.dedupCluster(s, d)),
@@ -234,6 +235,10 @@ object SparkEntry {
     "dedup_catalog_serve" -> NearDup.crossDedupSql(cfg.jaccardThreshold, cfg.dedupDfCap),
     "line_catalog_serve"  -> TextAnalysis.lineDedupServeSql(refPred = "TRUE"),
     "fleet_catalog_serve" -> NearDup.crossDedupSql(cfg.jaccardThreshold, cfg.dedupDfCap),
+    // the four-kind rollback must restore the epoch-1 fleet answer
+    // exactly: from-scratch recompute against the 70% prefix reference
+    "fleet_rollback_serve" -> NearDup.crossDedupSql(cfg.jaccardThreshold, cfg.dedupDfCap,
+      refPred = "doc_id <= (SELECT max(doc_id) * 7 // 10 FROM documents)"),
     // two epochs = two df contexts: each half recomputes from scratch
     // against its own epoch's reference (even-id batches pre-cutover
     // vs the 70% prefix; odd-id batches post-cutover vs the full set)

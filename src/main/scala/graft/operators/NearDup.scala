@@ -598,16 +598,27 @@ object NearDup {
       val dfsP = new org.apache.hadoop.fs.Path(s"$path/dfs")
       val dfsFs = dfsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!dfsFs.exists(dfsP)) {
-        val committed = dedupIndexMeta(spark, path)._1
-        spark.read.parquet(s"$path/postings")
-          .select($"bucket".cast("int").as("bucket"), $"sh", $"doc_id", $"batch_id")
-          .filter($"batch_id".isin(committed: _*))
-          .join(broadcast(dedupIndexDeletes(spark, path, committed)),
-            Seq("doc_id"), "left_anti")
-          .groupBy($"bucket", $"sh").agg(count(lit(1)).as("n_new"))
-          .withColumn("batch_id", lit(committed.head))
-          .repartition(col("bucket"))
-          .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/dfs")
+        // the migration is a store rewrite, so it takes the same
+        // writer lease the vacuum path holds: two concurrent
+        // first-appends must not both run the O(postings) backfill
+        // (the second entrant re-checks under the lease and skips)
+        graft.sources.Lake.withWriterLock(spark, path, "dedupDfsBackfill") {
+          if (!dfsFs.exists(dfsP)) {
+            val committed = dedupIndexMeta(spark, path)._1
+            require(committed.nonEmpty,
+              s"dedup index at $path has no committed batches — cannot " +
+                "backfill the dfs/ sidecar from an empty/corrupt commit log")
+            spark.read.parquet(s"$path/postings")
+              .select($"bucket".cast("int").as("bucket"), $"sh", $"doc_id", $"batch_id")
+              .filter($"batch_id".isin(committed: _*))
+              .join(broadcast(dedupIndexDeletes(spark, path, committed)),
+                Seq("doc_id"), "left_anti")
+              .groupBy($"bucket", $"sh").agg(count(lit(1)).as("n_new"))
+              .withColumn("batch_id", lit(committed.head))
+              .repartition(col("bucket"))
+              .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/dfs")
+          }
+        }
       }
     }
     val batchId = java.util.UUID.randomUUID.toString

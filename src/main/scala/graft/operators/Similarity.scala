@@ -497,13 +497,35 @@ object Similarity {
         s"dropFrac must be in [0, 1]: $dropFrac")
       val mem = semDedupMembers(spark, dir, nlist)
       val edges = semDedupEdgesFor(spark, dir, floor, nlist, cellCap)
-      val k = math.floor(dropFrac * edges.count()).toInt
-      if (k == 0)
+      val k = math.floor(dropFrac * edges.count()).toLong
+      if (k == 0L)
         Seq.empty[(Long, Long, Double, Long, Int, Double)]
           .toDF("drop_id", "witness_id", "cosine", "keeper_id", "cell", "eps")
       else {
-        val eps = edges.select($"cosine").orderBy($"cosine".desc)
-          .limit(k).agg(min($"cosine")).head().getDouble(0)
+        // the k-th largest cosine with k kept as a LONG: at >2^31
+        // floor-pair edges an Int k wraps negative and silently
+        // corrupts the quantile. Locate rank k's bucket in a quantized
+        // histogram (cosines live in [floor, 1] → ≤ ~2001 1e-4-wide
+        // buckets, driver metadata), then select exactly within that
+        // one bucket — the k-th largest overall is the (k − above)-th
+        // largest inside it, so only the bucket's own edges ever sort.
+        val hist = edges
+          .select(org.apache.spark.sql.functions.floor($"cosine" * 10000d)
+            .cast("long").as("b"))
+          .groupBy($"b").agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(-_._1)
+        var cum = 0L; var i = 0
+        while (cum + hist(i)._2 < k) { cum += hist(i)._2; i += 1 }
+        val (bkt, inRank) = (hist(i)._1, k - cum)
+        require(inRank <= Int.MaxValue.toLong,
+          s"quantile bucket $bkt holds > Int.MaxValue ties at 1e-4 " +
+            "width — widen the histogram before selecting")
+        val eps = edges
+          .filter(org.apache.spark.sql.functions.floor($"cosine" * 10000d)
+            .cast("long") === bkt)
+          .select($"cosine").orderBy($"cosine".desc)
+          .limit(inRank.toInt).agg(min($"cosine")).head().getDouble(0)
         semDedupDrops(spark, mem,
           edges.filter($"cosine" >= eps).localCheckpoint(),
           centroidKeeper(mem))

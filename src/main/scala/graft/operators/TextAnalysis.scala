@@ -853,6 +853,13 @@ object TextAnalysis {
     // engines past 255), silently corrupting merges — refuse.
     require(rounds >= 1 && rounds <= 31,
       s"rounds must be in [1, 31] (control-char sentinels), got $rounds")
+    // deliberately NOT checkpointed: each round re-derives the word
+    // stream through the rewrite lineage (scan+tokenize+replays), and
+    // r15 measured that as CHEAPER than materializing the exploded
+    // words once and rescanning them per round (warm cpu 13 vs 20 s
+    // at sf0.1 — the corpus scan is 15k short docs; the word stream
+    // is millions of rows). See SURVEY §8k's bpe_train_merges
+    // adjudication before "fixing" this again.
     var words = wordsIn
     val out = Seq.newBuilder[DataFrame]
     var exhausted = false
@@ -2344,6 +2351,60 @@ object TextAnalysis {
     graft.sources.Catalog.registerAll(spark, cat, Seq(
       ("bm25impact", key, bm, stamp), ("ivf", key, iv, stamp),
       ("dedup_sig", key, sg, stamp), ("line_df", key, ln, stamp)))
+  }
+
+  /** C27e `fleet_rollback_serve` — the FLEET-WIDE rollback drill:
+    * C23g proves the single-kind rollback; this entry proves the
+    * operational story is SYMMETRIC with C27d's four-kind cutover. A
+    * fleet that flipped bm25impact + ivf + dedup_sig + line_df
+    * visible in one commit must be able to flip them BACK in one
+    * commit — rolling kinds back one at a time recreates exactly the
+    * mixed-epoch state [[fleetCatalogResolve]]'s refusal exists to
+    * prevent. Lifecycle under the gate: epoch-1 (70% prefix) cuts all
+    * four kinds over atomically, epoch-2 (the drill's "bad" fleet
+    * build, full corpus) supersedes atomically, a keepEpochs=2 vacuum
+    * retains rollback headroom for EVERY kind,
+    * [[graft.sources.Catalog.rollbackAll]] re-registers all four
+    * prior epochs under ONE shared seq (all-or-nothing: a kind
+    * without headroom aborts the drill with nothing written), the
+    * next default vacuum reclaims the four bad-epoch stores while the
+    * four rolled-back-to ones survive (they are the newest
+    * registrations again), and the serving process resolves every
+    * kind — refusing mixed epochs — and serves. HASH-EQUAL to
+    * cross_dedup's from-scratch oracle on the 70% prefix reference:
+    * the rollback must restore the prior fleet answer exactly,
+    * through the reclaim. */
+  def fleetRollbackServe(spark: SparkSession, dir: String,
+                         threshold: Double = 0.5, dfCap: Int = 100,
+                         dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    if (tfTableFor(spark, dir).isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("new_id", "ref_id", "n_inter", "jaccard")
+    val cut = docs.agg(max($"doc_id")).head().getLong(0) * 7 / 10
+    val neu = docs.select(
+      ($"doc_id" + graft.operators.NearDup.BigOffset).as("doc_id"), $"text")
+    val key = s"corpus:$dir"
+    graft.sources.Lake.withScratchIndex(spark, "graft_fleet_rb") { cat =>
+      fleetCatalogCutover(spark, dir, cat, key, "epoch-1", Some(cut), dfCap, dim)
+      fleetCatalogCutover(spark, dir, cat, key, "epoch-2", None, dfCap, dim)
+      // the cutover discipline that makes rollback possible at all:
+      // every kind's epoch-1 store survives the routine reclaim
+      graft.sources.Catalog.vacuum(spark, cat, keepEpochs = 2)
+      // epoch-2 is the drill's bad fleet build: one commit rolls all
+      // four kinds back together
+      val back = graft.sources.Catalog.rollbackAll(spark, cat,
+        FleetKinds.map(k => (k, key)))
+      require(back.forall(_._4 == "epoch-1"),
+        s"fleet rollback must restore the prior epoch for every kind: $back")
+      // reclaim the four bad-epoch stores; the rolled-back-to four
+      // must survive (reclaim asymmetry, spec-pinned per kind)
+      graft.sources.Catalog.vacuum(spark, cat)
+      val resolved = fleetCatalogResolve(spark, cat, key, "epoch-1")
+      graft.operators.NearDup.dedupServe(spark, resolved("dedup_sig"),
+        Tables.fanout(neu), threshold, dfCap)
+    }
   }
 
   /** C23g `bm25_rollback_serve` — the ROLLBACK DRILL composed under

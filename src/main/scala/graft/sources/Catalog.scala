@@ -139,21 +139,45 @@ object Catalog {
     * `vacuum(keepEpochs >= 2)` discipline between cutovers. */
   def rollback(spark: SparkSession, catalogDir: String, kind: String,
                key: String): (String, String) = {
+    val r = rollbackAll(spark, catalogDir, Seq((kind, key))).head
+    (r._3, r._4)
+  }
+
+  /** FLEET-WIDE rollback: roll MANY keys back to their previous epoch
+    * in ONE [[registerAll]] commit (one manifest file, one shared
+    * seq) — the multi-kind form of [[rollback]]. A fleet that cut N
+    * kinds over atomically must roll them back atomically too:
+    * rolling back one kind at a time recreates exactly the
+    * mixed-epoch state the atomic cutover exists to exclude — a
+    * reader between two single-kind rollbacks would fuse corpus
+    * states inside one answer. ALL-OR-NOTHING: every key's prior
+    * epoch is located BEFORE anything registers, so one key without
+    * rollback headroom (no `vacuum(keepEpochs >= 2)` discipline)
+    * aborts the whole drill with NOTHING written — a partial fleet
+    * rollback is never observable, not even transiently. Returns the
+    * (kind, key, path, stamp) rows now serving. */
+  def rollbackAll(spark: SparkSession, catalogDir: String,
+                  keys: Seq[(String, String)])
+      : Seq[(String, String, String, String)] = {
     import spark.implicits._
+    require(keys.nonEmpty, "rollbackAll: no keys to roll back")
     // dropDuplicates: a crashed checkpoint can leave a manifest row
     // housed twice (merged file + not-yet-deleted original); the rows
-    // are identical, so full-row dedup restores exact semantics
-    val prior = entries(spark, catalogDir).dropDuplicates()
-      .filter($"kind" === kind && $"key" === key)
-      .orderBy($"seq".desc).limit(2)
-      .collect()
-    require(prior.length == 2,
-      s"rollback($kind, $key): no prior epoch registered — " +
-        "retain headroom with vacuum(keepEpochs >= 2)")
-    val p = prior(1)
-    register(spark, catalogDir, kind, key,
-      p.getAs[String]("path"), p.getAs[String]("stamp"))
-    (p.getAs[String]("path"), p.getAs[String]("stamp"))
+    // are identical, so full-row dedup restores exact semantics.
+    // eager: the manifest is metadata-sized and probed once per key
+    val all = entries(spark, catalogDir).dropDuplicates().localCheckpoint()
+    val prior = keys.map { case (kind, key) =>
+      val rows = all.filter($"kind" === kind && $"key" === key)
+        .orderBy($"seq".desc).limit(2)
+        .collect()
+      require(rows.length == 2,
+        s"rollbackAll($kind, $key): no prior epoch registered — the " +
+          "whole fleet rollback aborts with nothing written " +
+          "(all-or-nothing); retain headroom with vacuum(keepEpochs >= 2)")
+      (kind, key, rows(1).getAs[String]("path"), rows(1).getAs[String]("stamp"))
+    }
+    registerAll(spark, catalogDir, prior)
+    prior
   }
 
   /** Reclaim store directories no longer referenced by any key's

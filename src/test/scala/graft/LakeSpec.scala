@@ -1204,6 +1204,74 @@ class LakeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("fleet rollback: one seq flips every kind back; missing headroom aborts all-or-nothing; reclaim asymmetric per kind") {
+    import graft.sources.Catalog
+    val s = spark
+    import s.implicits._
+    val cat = java.nio.file.Files.createTempDirectory("graft_cat_frb").toString
+    val docs = (0 until 20).map(i =>
+      (i.toLong, s"alpha$i beta${i % 3} gamma${i % 5}")).toDF("doc_id", "text")
+    def store(k: String, e: String) = s"$cat/store/$k/$e"
+    // two kinds cut over atomically at each epoch (epoch-2 is the
+    // drill's bad fleet build)
+    for (e <- Seq("epoch-1", "epoch-2")) {
+      val n = if (e == "epoch-1") 10 else 20
+      operators.TextAnalysis.bm25WriteImpactFrom(docs.limit(n), store("bm25impact", e))
+      operators.TextAnalysis.lineIndexWrite(docs.limit(n), store("line_df", e))
+      Catalog.registerAll(s, cat, Seq(
+        ("bm25impact", "frb", store("bm25impact", e), e),
+        ("line_df", "frb", store("line_df", e), e)))
+    }
+    Catalog.vacuum(s, cat, keepEpochs = 2)
+    val filesBefore = new java.io.File(s"$cat/manifest").listFiles
+      .count(_.getName.endsWith(".parquet"))
+    val back = Catalog.rollbackAll(s, cat,
+      Seq(("bm25impact", "frb"), ("line_df", "frb")))
+    assert(back.forall(_._4 == "epoch-1"))
+    // ONE manifest file = one rename-atomic commit for the whole fleet
+    assert(new java.io.File(s"$cat/manifest").listFiles
+      .count(_.getName.endsWith(".parquet")) == filesBefore + 1,
+      "the fleet rollback must land as a single manifest file")
+    // both kinds' rollback rows share the new highest seq — no reader
+    // can ever observe kind A rolled back and kind B not
+    val maxSeq = Catalog.entries(s, cat)
+      .agg(org.apache.spark.sql.functions.max($"seq")).head().getLong(0)
+    assert(Catalog.entries(s, cat).filter($"seq" === maxSeq).count() == 2,
+      "the rollback rows must share one seq across kinds")
+    assert(Catalog.lookup(s, cat, "bm25impact", "frb").exists(_._2 == "epoch-1"))
+    assert(Catalog.lookup(s, cat, "line_df", "frb").exists(_._2 == "epoch-1"))
+    // reclaim asymmetry, per kind: the bad epoch's store goes, the
+    // rolled-back-to one survives (it is the newest registration again)
+    val fs = new org.apache.hadoop.fs.Path(cat)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Catalog.vacuum(s, cat)
+    for (k <- Seq("bm25impact", "line_df")) {
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(store(k, "epoch-2"))),
+        s"$k: the bad epoch's store must be reclaimed")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(store(k, "epoch-1"))),
+        s"$k: the rolled-back-to store must survive the reclaim")
+    }
+    // all-or-nothing: one kind without rollback headroom (a single
+    // registered epoch) aborts the WHOLE drill with nothing written —
+    // a partial fleet rollback is the mixed-epoch state the atomic
+    // cutover exists to exclude
+    operators.TextAnalysis.bm25WriteImpactFrom(docs, store("ivf", "only"))
+    Catalog.register(s, cat, "ivf", "frb", store("ivf", "only"), "only")
+    val rowsBefore = Catalog.entries(s, cat).count()
+    val lookBefore = Seq("bm25impact", "line_df", "ivf")
+      .map(k => Catalog.lookup(s, cat, k, "frb"))
+    intercept[IllegalArgumentException] {
+      Catalog.rollbackAll(s, cat, Seq(("bm25impact", "frb"), ("ivf", "frb")))
+    }
+    assert(Catalog.entries(s, cat).count() == rowsBefore,
+      "an aborted fleet rollback must write NOTHING")
+    assert(Seq("bm25impact", "line_df", "ivf")
+      .map(k => Catalog.lookup(s, cat, k, "frb")) == lookBefore,
+      "an aborted fleet rollback must leave every lookup untouched")
+    fs.delete(new org.apache.hadoop.fs.Path(cat), true)
+    spark.catalog.clearCache()
+  }
+
   test("catalog freshness: a changed stamp rebuilds and supersedes; matching or empty stamps reuse") {
     import graft.sources.Catalog
     val s = spark

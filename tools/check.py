@@ -10,12 +10,29 @@ parquet tables, sorts columns by name + rows by all columns, and
 compares values exactly (floats: exact first, then reports max ulp-ish
 diff if not).
 """
-import json, math, sys, os
+import json, math, re, sys, os
 import duckdb
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def conf_float(key, default):
+    """Read a numeric tunable from graft.conf — the engine reads the
+    same file through GraftConfig, so a retune regrades automatically
+    instead of silently grading against a stale hardcode."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "..", "graft.conf")
+    try:
+        with open(path) as f:
+            for line in f:
+                m = re.match(rf"\s*{key}\s*:\s*([0-9.eE+-]+)", line)
+                if m:
+                    return float(m.group(1))
+    except (OSError, ValueError):
+        pass
+    return default
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -213,53 +230,65 @@ def main():
                 # cell splits, shifting the quantile by a few ranks);
                 # (e) achieved drops land in [0.7, 1.1] x the target.
                 con.register("sb_out", got)
-                drop_frac = 0.5  # mirrors graft.conf semDedupDropFrac
-                eps_rep = float(got["eps"].iloc[0])
-                r = con.execute(f"""
-                    WITH twin AS (
-                      SELECT e.vec_id + 1000000 AS vec_id,
-                             list(CAST(CAST(e.embedding[t.i] AS DOUBLE)
-                                  + (CAST((e.vec_id * 31 + (t.i - 1)) % 7 AS DOUBLE) - 3.0)
-                                    * 0.001 AS FLOAT) ORDER BY t.i) AS embedding
-                      FROM embeddings e,
-                           unnest(generate_series(1, len(e.embedding))) AS t(i)
-                      GROUP BY e.vec_id),
-                    corpus AS (
-                      SELECT vec_id, embedding FROM embeddings
-                      UNION ALL SELECT vec_id, embedding FROM twin),
-                    pairs AS (
-                      SELECT a.vec_id AS id1, b.vec_id AS id2,
-                             list_cosine_similarity(a.embedding, b.embedding) AS cos
-                      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
-                      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8),
-                    q AS (SELECT cos FROM pairs ORDER BY cos DESC
-                          LIMIT (SELECT CAST(floor({drop_frac} * COUNT(*)) AS BIGINT)
-                                 FROM pairs))
-                    SELECT
-                      (SELECT COUNT(*) FROM pairs),
-                      (SELECT MIN(cos) FROM q),
-                      (SELECT COUNT(*) FROM sb_out s
-                       JOIN corpus a ON a.vec_id = s.drop_id
-                       JOIN corpus b ON b.vec_id = s.witness_id
-                       WHERE list_cosine_similarity(a.embedding, b.embedding)
-                             < {eps_rep} - 1e-6),
-                      (SELECT COUNT(*) FROM embeddings e
-                       WHERE (e.vec_id IN (SELECT drop_id FROM sb_out))
-                         AND (e.vec_id + 1000000 IN (SELECT drop_id FROM sb_out))),
-                      (SELECT COUNT(*) FROM sb_out
-                       WHERE keeper_id IN (SELECT drop_id FROM sb_out))
-                    """).fetchone()
-                n_pairs, eps_duck, false_drops, both_lost, kept_dropped = r
-                target = drop_frac * n_pairs
-                achieved = len(got)
-                ok = (false_drops == 0 and both_lost == 0 and kept_dropped == 0
-                      and abs(eps_rep - (eps_duck or 0.0)) <= 1e-3
-                      and 0.7 * target <= achieved <= 1.1 * target)
-                note = (f"false drops @ reported eps = {false_drops} (must be 0); "
-                        f"both-lost twins = {both_lost}; dropped keepers = "
-                        f"{kept_dropped}; eps {eps_rep:.6f} vs DuckDB quantile "
-                        f"{eps_duck:.6f} (|d| <= 1e-3); achieved {achieved} vs "
-                        f"target {target:.0f} (band [0.7, 1.1]x)")
+                drop_frac = conf_float("semDedupDropFrac", 0.5)
+                if len(got) == 0:
+                    # the operator's k==0 path (tiny dropFrac) is a
+                    # legitimate empty result for the ENGINE, but the
+                    # gate corpus always has floor pairs — an empty
+                    # result must FAIL the grade, not crash the
+                    # checker on the eps read below (main() already
+                    # fails empties upstream; this guards direct use)
+                    ok = False
+                    note = ("semdedup_budget returned 0 rows — "
+                            "cannot grade eps (k==0 path?)")
+                    eps_rep = None
+                if len(got) > 0:
+                    eps_rep = float(got["eps"].iloc[0])
+                    r = con.execute(f"""
+                        WITH twin AS (
+                          SELECT e.vec_id + 1000000 AS vec_id,
+                                 list(CAST(CAST(e.embedding[t.i] AS DOUBLE)
+                                      + (CAST((e.vec_id * 31 + (t.i - 1)) % 7 AS DOUBLE) - 3.0)
+                                        * 0.001 AS FLOAT) ORDER BY t.i) AS embedding
+                          FROM embeddings e,
+                               unnest(generate_series(1, len(e.embedding))) AS t(i)
+                          GROUP BY e.vec_id),
+                        corpus AS (
+                          SELECT vec_id, embedding FROM embeddings
+                          UNION ALL SELECT vec_id, embedding FROM twin),
+                        pairs AS (
+                          SELECT a.vec_id AS id1, b.vec_id AS id2,
+                                 list_cosine_similarity(a.embedding, b.embedding) AS cos
+                          FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+                          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8),
+                        q AS (SELECT cos FROM pairs ORDER BY cos DESC
+                              LIMIT (SELECT CAST(floor({drop_frac} * COUNT(*)) AS BIGINT)
+                                     FROM pairs))
+                        SELECT
+                          (SELECT COUNT(*) FROM pairs),
+                          (SELECT MIN(cos) FROM q),
+                          (SELECT COUNT(*) FROM sb_out s
+                           JOIN corpus a ON a.vec_id = s.drop_id
+                           JOIN corpus b ON b.vec_id = s.witness_id
+                           WHERE list_cosine_similarity(a.embedding, b.embedding)
+                                 < {eps_rep} - 1e-6),
+                          (SELECT COUNT(*) FROM embeddings e
+                           WHERE (e.vec_id IN (SELECT drop_id FROM sb_out))
+                             AND (e.vec_id + 1000000 IN (SELECT drop_id FROM sb_out))),
+                          (SELECT COUNT(*) FROM sb_out
+                           WHERE keeper_id IN (SELECT drop_id FROM sb_out))
+                        """).fetchone()
+                    n_pairs, eps_duck, false_drops, both_lost, kept_dropped = r
+                    target = drop_frac * n_pairs
+                    achieved = len(got)
+                    ok = (false_drops == 0 and both_lost == 0 and kept_dropped == 0
+                          and abs(eps_rep - (eps_duck or 0.0)) <= 1e-3
+                          and 0.7 * target <= achieved <= 1.1 * target)
+                    note = (f"false drops @ reported eps = {false_drops} (must be 0); "
+                            f"both-lost twins = {both_lost}; dropped keepers = "
+                            f"{kept_dropped}; eps {eps_rep:.6f} vs DuckDB quantile "
+                            f"{eps_duck:.6f} (|d| <= 1e-3); achieved {achieved} vs "
+                            f"target {target:.0f} (band [0.7, 1.1]x)")
             elif name in ("semdedup_serve", "stream_semdedup"):
                 # the incremental form: the twin batch (vec_id + 1e6)
                 # serves against the indexed base corpus. (a) zero

@@ -140,6 +140,7 @@ object SparkEntry {
     "token_count"         -> (TextAnalysis.tokenCount _),
     "doc_fingerprint"     -> (NearDup.docFingerprint _),
     "substring_dedup"     -> ((s, d) => NearDup.substringDedup(s, d)),
+    "substring_dedup_strip" -> ((s, d) => NearDup.substringStrip(s, d)),
     "stream_substring_dedup" -> ((s, d) => graft.streaming.Streams.streamSubstringDedup(s, d)),
     "keyword_extract"     -> ((s, d) => TextAnalysis.keywordExtract(s, d)),
     "topic_classify"      -> (TextAnalysis.topicClassify _),
@@ -317,6 +318,7 @@ object SparkEntry {
     "bpe_train_merges"    -> TextAnalysis.bpeTrainMergesSql(),
     "bpe_encode"          -> TextAnalysis.bpeEncodeSql(),
     "substring_dedup"     -> NearDup.substringDedupSql(),
+    "substring_dedup_strip" -> NearDup.substringStripSql(),
     "stream_substring_dedup" -> graft.streaming.Streams.streamSubstringDedupSql(),
     "mm_dedup"            -> Multimodal.mmDedupSql,
     "mm_resize"           -> Multimodal.mmResizeSql,

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection family over `documents` (SURVEY.md §2
@@ -1519,7 +1520,9 @@ object NearDup {
     * partial-re-crawl twins → content-defined k-char window hashes.
     * Mirrors [[substringCorpus]]+[[substringWindows]]
     * construct-for-construct. */
-  private def substringWindowsCte(k: Int, anchorMod: Int): String =
+  /** The corpus half of [[substringWindowsCte]] (base ∪ partial
+    * re-crawl twins) — shared with the C24b strip oracle. */
+  private def substringCorpusCte: String =
     s"""base AS (
        |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
        |  FROM documents),
@@ -1529,7 +1532,10 @@ object NearDup {
        |  SELECT doc_id + $BigOffset,
        |         substr(norm, 1, (length(norm) * 3) // 5) || ' zztail' ||
        |           CAST(doc_id + $BigOffset AS VARCHAR)
-       |  FROM base),
+       |  FROM base)""".stripMargin
+
+  private def substringWindowsCte(k: Int, anchorMod: Int): String =
+    s"""$substringCorpusCte,
        |w AS (
        |  SELECT doc_id, unnest(list_filter(list_transform(range(1, length(norm) - $k + 2),
        |           i -> CASE WHEN CAST(('0x' || substr(md5(substr(norm, i, 8)), 1, 4)) AS BIGINT)
@@ -1559,6 +1565,147 @@ object NearDup {
        |       CAST(1 + CASE WHEN x.h2 = y.h2 THEN 1 ELSE 0 END AS DOUBLE) / 2
        |         AS est_jaccard
        |FROM adm x JOIN adm y ON x.h1 = y.h1 AND x.doc_id < y.doc_id""".stripMargin
+
+  /** C24b `substring_dedup_strip` — the EXCISION C24 only audits:
+    * Lee et al.'s exact-substring pipeline doesn't just measure
+    * duplicated spans, it REMOVES them. Every k-char window shared by
+    * ≥ 2 DISTINCT documents (C30's df convention — within-doc repeats
+    * are content, not boilerplate) marks its character interval
+    * [pos, pos+k) as duplicated in EVERY holder; per doc the marked
+    * intervals union (gaps-and-islands merge over a doc-keyed
+    * window — parallel per doc, never global), and the doc
+    * reassembles from the complement segments in position order,
+    * emitting (n_spans, n_removed, cleaned). Docs with no shared
+    * window pass through byte-identical (spec-pinned, with
+    * idempotence on a crafted corpus).
+    *
+    * Coverage is ANCHOR-RESOLUTION: windows exist only at
+    * content-defined anchor positions (density 1/anchorMod), so a
+    * shared span's first/last few bytes may survive where no anchored
+    * window covers them — the scalable trade against Lee et al.'s
+    * exact maximal-match suffix array, which cannot shard. Everything
+    * md5-derived ⇒ fully hash-gated including the cleaned strings.
+    *
+    * Scale: the window posting table is C4's shape (one hash agg +
+    * one semi-join); interval merge + reassembly are per-doc-keyed
+    * windows and a bounded per-doc aggregate (a doc's own intervals),
+    * the line_dedup reassembly posture — no global sort anywhere. */
+  def substringStrip(spark: SparkSession, dir: String, k: Int = 64,
+                     anchorMod: Int = 8): DataFrame =
+    substringStripOf(substringCorpus(spark, dir), k, anchorMod)
+
+  /** Frame-based core of C24b (docs = (doc_id, norm)) — lets
+    * SubstringSpec pin untouched-doc byte-identity, exact excision
+    * and idempotence on crafted corpora. */
+  private[graft] def substringStripOf(docsIn: DataFrame, k: Int,
+                                      anchorMod: Int): DataFrame = {
+    import docsIn.sparkSession.implicits._
+    // eager: the normalized corpus feeds the window extraction AND the
+    // reassembly join (materialize-the-snapshot step; Lee et al.'s
+    // pipeline materializes exactly this before its suffix pass)
+    val docs = docsIn.localCheckpoint()
+    // positioned variant of [[substringWindows]]: the strip needs to
+    // know WHERE each anchored window sits, not just its hash
+    val wins = docs.filter(length($"norm") >= k)
+      .select($"doc_id", explode(expr(
+        s"""filter(transform(sequence(1, length(norm) - $k + 1),
+           |  i -> if(cast(conv(substring(md5(substring(norm, i, 8)), 1, 4), 16, 10) as bigint)
+           |            % $anchorMod = 0,
+           |          named_struct('pos', i, 'h', md5(substring(norm, i, $k))), null)),
+           |  x -> x is not null)""".stripMargin)).as("w"))
+      .select($"doc_id", $"w.pos".as("pos"), $"w.h".as("h"))
+      // eager: feeds the shared-hash aggregate AND the strike join
+      .localCheckpoint()
+    val shared = wins.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2).select($"h")
+    // duplicated intervals [pos, pos + k - 1], merged per doc via
+    // gaps-and-islands (touching intervals merge: pos <= prev_end + 1)
+    val iv = wins.join(shared, Seq("h"))
+      .select($"doc_id", $"pos").distinct()
+      .withColumn("e0", $"pos" + lit(k - 1))
+    val wOrd = Window.partitionBy($"doc_id").orderBy($"pos")
+    val merged = iv
+      .withColumn("pmax",
+        max($"e0").over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isl",
+        sum(when($"pmax".isNull || $"pos" > $"pmax" + 1, 1).otherwise(0))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"isl")
+      .agg(min($"pos").as("s"), max($"e0").as("e"))
+    // bounded per-doc aggregate: a doc's own merged spans (≤ len/k +
+    // anchor gaps), sorted, then one HOF pass builds the complement
+    val perDoc = merged.groupBy($"doc_id")
+      .agg(array_sort(collect_list(struct($"s", $"e"))).as("iv"),
+        count(lit(1)).as("n_spans"),
+        sum(($"e" - $"s" + 1).cast("long")).as("n_removed"))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        coalesce($"n_removed", lit(0L)).as("n_removed"),
+        when($"iv".isNull, $"norm").otherwise(expr(
+          """aggregate(iv, named_struct('cur', 1, 'acc', ''),
+            |  (st, x) -> named_struct('cur', x.e + 1,
+            |    'acc', concat(st.acc, substring(norm, st.cur, x.s - st.cur))),
+            |  st -> concat(st.acc,
+            |    substring(norm, st.cur, length(norm) - st.cur + 1)))"""
+            .stripMargin)).as("cleaned"))
+  }
+
+  /** C24b oracle: the same positioned windows, shared set, interval
+    * merge (identical window-function formulation) and complement
+    * reassembly (row-form: kept segment before each span + the tail,
+    * string_agg in position order — provably the same complement the
+    * engine's HOF pass builds). */
+  def substringStripSql(k: Int = 64, anchorMod: Int = 8): String =
+    s"WITH $substringCorpusCte,\n" +
+    s"""wp AS (
+       |  SELECT doc_id, unnest(list_filter(list_transform(range(1, length(norm) - $k + 2),
+       |           i -> CASE WHEN CAST(('0x' || substr(md5(substr(norm, i, 8)), 1, 4)) AS BIGINT)
+       |                          % $anchorMod = 0
+       |                     THEN {'pos': i, 'h': md5(substr(norm, i, $k))} END),
+       |         x -> x IS NOT NULL)) AS w
+       |  FROM corpus WHERE length(norm) >= $k),
+       |wf AS (SELECT doc_id, w.pos AS pos, w.h AS h FROM wp),
+       |sh AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM wf GROUP BY 1)
+       |       WHERE nd >= 2),
+       |ivl AS (SELECT DISTINCT doc_id, pos, pos + $k - 1 AS e0 FROM wf JOIN sh USING (h)),
+       |m1 AS (SELECT doc_id, pos, e0,
+       |         MAX(e0) OVER (PARTITION BY doc_id ORDER BY pos
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |       FROM ivl),
+       |m2 AS (SELECT doc_id, pos, e0,
+       |         SUM(CASE WHEN pmax IS NULL OR pos > pmax + 1 THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+       |       FROM m1),
+       |mg AS (SELECT doc_id, isl, MIN(pos) AS s, MAX(e0) AS e FROM m2 GROUP BY 1, 2),
+       |lastE AS (SELECT doc_id, MAX(e) AS le FROM mg GROUP BY 1),
+       |segs AS (
+       |  SELECT doc_id,
+       |         COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS ks,
+       |         s - 1 AS ke
+       |  FROM mg
+       |  UNION ALL
+       |  SELECT l.doc_id, l.le + 1 AS ks, length(c.norm) AS ke
+       |  FROM lastE l JOIN corpus c USING (doc_id)),
+       |cln AS (
+       |  SELECT s.doc_id,
+       |         string_agg(CASE WHEN s.ke >= s.ks
+       |                         THEN substr(c.norm, s.ks, s.ke - s.ks + 1)
+       |                         ELSE '' END, '' ORDER BY s.ks) AS cleaned
+       |  FROM segs s JOIN corpus c USING (doc_id)
+       |  GROUP BY 1),
+       |stats AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |                 CAST(SUM(e - s + 1) AS BIGINT) AS n_removed
+       |          FROM mg GROUP BY 1)
+       |SELECT c.doc_id,
+       |       COALESCE(st.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+       |       COALESCE(st.n_removed, CAST(0 AS BIGINT)) AS n_removed,
+       |       COALESCE(cl.cleaned, c.norm) AS cleaned
+       |FROM corpus c
+       |LEFT JOIN stats st USING (doc_id)
+       |LEFT JOIN cln cl USING (doc_id)""".stripMargin
 
   def substringDedupSql(k: Int = 64, anchorMod: Int = 8): String =
     s"WITH ${substringWindowsCte(k, anchorMod)},\n" +

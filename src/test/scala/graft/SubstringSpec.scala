@@ -57,4 +57,61 @@ class SubstringSpec extends AnyFunSuite {
     out.unpersist()
     spark.catalog.clearCache()
   }
+
+  test("substring_dedup_strip: untouched docs byte-identical, shared span excised identically, idempotent") {
+    val docs = Seq(
+      (1L, block(1, 123) + X + block(2, 40)),
+      (2L, block(3, 38) + X + block(4, 90)),
+      (3L, block(5, 400))).toDF("doc_id", "norm")
+    val out = operators.NearDup.substringStripOf(docs, k = 64, anchorMod = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("cleaned")))).toMap
+    val (p1, s1) = (block(1, 123), block(2, 40))
+    val (p2, s2) = (block(3, 38), block(4, 90))
+    // a doc holding no shared window passes through byte-identical
+    assert(out(3L) == ((0L, 0L, block(5, 400))),
+      s"untouched doc must be byte-identical: ${out(3L)}")
+    // both holders excise the SAME anchored interval of X (shared
+    // windows lie fully inside X, so prefix/suffix survive whole)
+    val (n1, r1, c1) = out(1L)
+    val (n2, r2, c2) = out(2L)
+    assert(r1 > 0 && r1 == r2 && n1 == n2,
+      s"identical spans must be excised from both holders: $out")
+    assert(c1.startsWith(p1) && c1.endsWith(s1))
+    assert(c1.length == (p1 + X + s1).length - r1,
+      "cleaned length must reconcile with n_removed")
+    val xLeft = c1.substring(p1.length, c1.length - s1.length)
+    assert(c2 == p2 + xLeft + s2,
+      "both holders must keep the identical X remainder")
+    // idempotence: stripping the stripped corpus removes nothing (the
+    // X remainder fragments are shorter than one window)
+    val again = operators.NearDup.substringStripOf(
+      Seq((1L, c1), (2L, c2), (3L, out(3L)._3)).toDF("doc_id", "norm"),
+      k = 64, anchorMod = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_removed"), r.getAs[String]("cleaned")))).toMap
+    assert(again.values.forall(_._1 == 0L), s"strip must be idempotent: $again")
+    assert(again(1L)._2 == c1 && again(2L)._2 == c2)
+  }
+
+  test("substring_dedup_strip registry corpus: stripped set == audit dirty set; lengths reconcile") {
+    val strip = operators.NearDup.substringStrip(spark, sf).cache()
+    val audit = operators.NearDup.substringDedup(spark, sf)
+    // same window definition, same corpus: a doc is stripped iff the
+    // C24 audit flags duplication on it
+    val dirtyAudit = audit.filter(col("n_dup") > 0).select("doc_id")
+    val dirtyStrip = strip.filter(col("n_removed") > 0).select("doc_id")
+    assert(dirtyAudit.exceptAll(dirtyStrip).count() == 0 &&
+      dirtyStrip.exceptAll(dirtyAudit).count() == 0,
+      "strip and audit must agree on which docs carry shared windows")
+    // every doc's cleaned length reconciles against its norm
+    val bad = strip
+      .join(operators.NearDup.substringCorpus(spark, sf), Seq("doc_id"))
+      .filter(length(col("cleaned")) =!= length(col("norm")) - col("n_removed"))
+      .count()
+    assert(bad == 0, s"$bad docs fail length(cleaned) = length(norm) - n_removed")
+    strip.unpersist()
+    spark.catalog.clearCache()
+  }
 }

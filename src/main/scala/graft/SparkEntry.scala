@@ -144,6 +144,7 @@ object SparkEntry {
     "stream_substring_dedup" -> ((s, d) => graft.streaming.Streams.streamSubstringDedup(s, d)),
     "keyword_extract"     -> ((s, d) => TextAnalysis.keywordExtract(s, d)),
     "topic_classify"      -> (TextAnalysis.topicClassify _),
+    "nb_quality_classify" -> ((s, d) => TextAnalysis.nbQualityClassify(s, d)),
     "pipeline_clean_corpus" -> ((s, d) => TextAnalysis.pipelineCleanCorpus(s, d)),
     "perplexity_score"    -> (TextAnalysis.perplexityScore _),
     // block D — multimodal
@@ -333,6 +334,7 @@ object SparkEntry {
     "token_count"         -> TextAnalysis.tokenCountSql,
     "keyword_extract"     -> TextAnalysis.keywordExtractSql(),
     "topic_classify"      -> TextAnalysis.topicClassifySql,
+    "nb_quality_classify" -> TextAnalysis.nbQualityClassifySql(),
     "pipeline_clean_corpus" -> TextAnalysis.pipelineCleanCorpusSql(),
     "perplexity_score"    -> TextAnalysis.perplexityScoreSql,
     "mm_metadata"         -> Multimodal.mmMetadataSql,

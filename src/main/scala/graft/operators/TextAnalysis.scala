@@ -638,6 +638,175 @@ object TextAnalysis {
       |       ELSE 'commerce' END AS topic
       |FROM documents""".stripMargin
 
+  /** C32 `nb_quality_classify` — a LEARNED quality filter, the piece
+    * the curation surface's heuristics (C9 ratios, C21 unigram
+    * perplexity) feed in a real pipeline: label a subset cheaply
+    * (here a deterministic teacher heuristic over two marker word
+    * lists on the 75% train split — production swaps in human or LLM
+    * judgments), train a fasttext-style linear classifier on hashed
+    * unigram features, apply it to the FULL corpus. The classifier is
+    * multinomial Naive Bayes with Laplace smoothing — the decision is
+    * linear in the slot counts, exactly fasttext's model class — over
+    * [[docEmbed]]'s md5 slot space (unsigned counts; the hashing
+    * trick bounds the model at classes × dim rows no matter the
+    * vocabulary).
+    *
+    * ENGINE-EXACT scoring (the C23/F17 posture): every log-prob
+    * quantizes to INTEGER MICRO-UNITS at train time —
+    * w = ⌊10⁶·ln((n+1)/(t+dim))⌋, prior = ⌊10⁶·ln(dc/dn)⌋ — so a
+    * doc's score is an exact integer dot product Σ x·w + prior and
+    * the gate hash-compares scores AND predictions (the only float
+    * op, ln of an exact integer ratio, feeds a floor like C22's
+    * quantizer; C21 already gates raw log2 doubles).
+    *
+    * Scale: one tokenize scan → two hash aggs (teacher labels, slot
+    * counts); the model is a broadcast 2×dim-row table; scoring is
+    * one broadcast join + one hash agg. No driver state, no window,
+    * nothing wider than (doc, slot) shuffles. */
+  def nbQualityClassify(spark: SparkSession, dir: String,
+                        dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    nbQualityClassifyOf(Tables.fanout(Tables.documents(spark, dir)
+      .select($"doc_id", $"text")), dim)
+  }
+
+  /** Teacher word lists: the commerce/engine halves of
+    * [[topicClassify]]'s evidence sets — the heuristic the learned
+    * filter distills. */
+  private[graft] val nbKeepWords = Seq("customer", "order", "price", "value", "part", "line")
+  private[graft] val nbDropWords = Seq("spark", "partition", "shuffle", "stream", "batch", "agg")
+
+  /** Frame-based core of C32 (docs = (doc_id, text)); `trainMod`
+    * holds out every trainMod-th doc (scored, never trained on). */
+  private[graft] def nbQualityClassifyOf(docs: DataFrame, dim: Int = 64,
+                                         trainMod: Int = 4): DataFrame = {
+    import docs.sparkSession.implicits._
+    val spark = docs.sparkSession
+    // eager: the token table feeds the teacher labels AND the feature
+    // counts (materialization contract)
+    val tok = docs.select($"doc_id", explode(toks($"text")).as("token"))
+      .localCheckpoint()
+    val keepList = nbKeepWords.map(w => s"'$w'").mkString(", ")
+    val dropList = nbDropWords.map(w => s"'$w'").mkString(", ")
+    val labels = tok.filter($"doc_id" % trainMod =!= 0)
+      .groupBy($"doc_id")
+      .agg(sum(expr(s"if(token in ($keepList), 1L, 0L)")).as("np"),
+        sum(expr(s"if(token in ($dropList), 1L, 0L)")).as("nn"))
+      .select($"doc_id",
+        when($"np" >= $"nn", lit("keep")).otherwise(lit("drop")).as("label"))
+    // hashed unigram slot counts (docEmbed's slot hash, unsigned)
+    val feat = tok
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      .withColumn("slot",
+        (conv(substring(md5($"token"), 1, 8), 16, 10).cast("long") % dim).cast("int"))
+      .groupBy($"doc_id", $"slot").agg(sum($"tf").as("x"))
+      // eager: feeds the training aggregate AND the scoring join
+      .localCheckpoint()
+    val trainFeat = feat.join(labels, Seq("doc_id"))
+    val slotCounts = trainFeat.groupBy($"label", $"slot").agg(sum($"x").as("n"))
+    val classTotals = trainFeat.groupBy($"label").agg(sum($"x").as("t"))
+    val classDocs = labels.groupBy($"label").agg(count(lit(1)).as("dc"))
+    // dense classes × dim model grid (Laplace: unseen slots get n=0);
+    // all metadata-sized, the scalar-broadcast posture
+    val grid = Seq("keep", "drop").toDF("label")
+      .crossJoin(spark.range(dim).select($"id".cast("int").as("slot")))
+    val model = grid
+      .join(slotCounts, Seq("label", "slot"), "left")
+      .na.fill(0L, Seq("n"))
+      .join(classTotals, Seq("label"))
+      .select($"label", $"slot",
+        floor(lit(1e6) * log(($"n" + 1).cast("double") / ($"t" + dim).cast("double")))
+          .cast("long").as("w"))
+      .localCheckpoint()
+    val priors = classDocs
+      .crossJoin(broadcast(labels.agg(count(lit(1)).as("dn"))))
+      .select($"label",
+        floor(lit(1e6) * log($"dc".cast("double") / $"dn".cast("double")))
+          .cast("long").as("prior"))
+      .localCheckpoint()
+    val partSc = feat.join(broadcast(model), Seq("slot"))
+      .groupBy($"doc_id", $"label").agg(sum($"x" * $"w").as("lsum"))
+    val wide = partSc.join(broadcast(priors), Seq("label"))
+      .select($"doc_id", $"label", ($"lsum" + $"prior").as("score"))
+      .groupBy($"doc_id")
+      .agg(max(when($"label" === "keep", $"score")).as("sk"),
+        max(when($"label" === "drop", $"score")).as("sd"))
+    val pwide = priors
+      .groupBy().agg(max(when($"label" === "keep", $"prior")).as("pk"),
+        max(when($"label" === "drop", $"prior")).as("pd"))
+    // token-free docs fall back to priors alone
+    docs.select($"doc_id").distinct()
+      .join(wide, Seq("doc_id"), "left")
+      .crossJoin(broadcast(pwide))
+      .select($"doc_id",
+        coalesce($"sk", $"pk").as("score_keep"),
+        coalesce($"sd", $"pd").as("score_drop"))
+      .withColumn("pred",
+        when($"score_keep" >= $"score_drop", lit("keep")).otherwise(lit("drop")))
+  }
+
+  /** C32 oracle: the identical teacher → hashed counts → micro-unit
+    * NB train → integer scoring pipeline in DuckDB. */
+  def nbQualityClassifySql(dim: Int = 64, trainMod: Int = 4): String = {
+    val keepList = nbKeepWords.map(w => s"'$w'").mkString(", ")
+    val dropList = nbDropWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |lab AS (
+       |  SELECT doc_id,
+       |         CASE WHEN SUM(CASE WHEN token IN ($keepList) THEN 1 ELSE 0 END)
+       |                   >= SUM(CASE WHEN token IN ($dropList) THEN 1 ELSE 0 END)
+       |              THEN 'keep' ELSE 'drop' END AS label
+       |  FROM tok WHERE doc_id % $trainMod <> 0 GROUP BY 1),
+       |tf0 AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |feat AS (
+       |  SELECT doc_id,
+       |         CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % $dim AS INT) AS slot,
+       |         CAST(SUM(tf) AS BIGINT) AS x
+       |  FROM tf0 GROUP BY 1, 2),
+       |trainf AS (SELECT f.doc_id, f.slot, f.x, l.label FROM feat f JOIN lab l USING (doc_id)),
+       |sc0 AS (SELECT label, slot, CAST(SUM(x) AS BIGINT) AS n FROM trainf GROUP BY 1, 2),
+       |ct AS (SELECT label, CAST(SUM(x) AS BIGINT) AS t FROM trainf GROUP BY 1),
+       |cd AS (SELECT label, COUNT(*) AS dc FROM lab GROUP BY 1),
+       |dn AS (SELECT COUNT(*) AS dn FROM lab),
+       |grid AS (
+       |  SELECT label, CAST(slot AS INT) AS slot
+       |  FROM (SELECT unnest(['keep', 'drop']) AS label)
+       |  CROSS JOIN (SELECT unnest(range(0, $dim)) AS slot)),
+       |model AS (
+       |  SELECT g.label, g.slot,
+       |         CAST(floor(1e6 * ln(CAST(COALESCE(s.n, 0) + 1 AS DOUBLE)
+       |                             / CAST(ct.t + $dim AS DOUBLE))) AS BIGINT) AS w
+       |  FROM grid g
+       |  LEFT JOIN sc0 s ON s.label = g.label AND s.slot = g.slot
+       |  JOIN ct ON ct.label = g.label),
+       |priors AS (
+       |  SELECT cd.label,
+       |         CAST(floor(1e6 * ln(CAST(dc AS DOUBLE) / CAST(dn AS DOUBLE))) AS BIGINT) AS prior
+       |  FROM cd, dn),
+       |psum AS (
+       |  SELECT f.doc_id, m.label, CAST(SUM(f.x * m.w) AS BIGINT) AS lsum
+       |  FROM feat f JOIN model m ON m.slot = f.slot
+       |  GROUP BY 1, 2),
+       |wide AS (
+       |  SELECT doc_id,
+       |         MAX(CASE WHEN p.label = 'keep' THEN p.lsum + pr.prior END) AS sk,
+       |         MAX(CASE WHEN p.label = 'drop' THEN p.lsum + pr.prior END) AS sd
+       |  FROM psum p JOIN priors pr ON pr.label = p.label
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |       COALESCE(w.sk, pk.prior) AS score_keep,
+       |       COALESCE(w.sd, pd.prior) AS score_drop,
+       |       CASE WHEN COALESCE(w.sk, pk.prior) >= COALESCE(w.sd, pd.prior)
+       |            THEN 'keep' ELSE 'drop' END AS pred
+       |FROM documents d
+       |LEFT JOIN wide w ON w.doc_id = d.doc_id
+       |CROSS JOIN (SELECT prior FROM priors WHERE label = 'keep') pk(prior)
+       |CROSS JOIN (SELECT prior FROM priors WHERE label = 'drop') pd(prior)"""
+      .stripMargin
+  }
+
   /** C18 `vocab_build` — tokenizer vocabulary candidates: corpus-wide
     * token frequencies with rank and cumulative coverage, truncated to
     * the top `topN`. The coverage curve (what fraction of all token

@@ -126,6 +126,36 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("nb_quality_classify: held-out docs recover planted separable classes; empty doc falls back to priors") {
+    import spark.implicits._
+    // disjoint class vocabularies; the teacher's marker words appear
+    // only in their own class, so the planted truth is separable
+    val docs = ((0L until 60L).map { i =>
+      val t =
+        if (i % 2 == 0) s"customer value part kfilla kfillb kfill${i % 7}"
+        else s"spark batch stream dfilla dfillb dfill${i % 7}"
+      (i, t)
+    } :+ (61L, "   ")).toDF("doc_id", "text")
+    // trainMod = 5: the held-out set (doc_id % 5 == 0) carries BOTH
+    // classes (ids 0, 5, 10, … alternate parity)
+    val out = operators.TextAnalysis.nbQualityClassifyOf(docs, dim = 64, trainMod = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("score_keep"), r.getAs[Long]("score_drop"),
+          r.getAs[String]("pred")))).toMap
+    assert(out.size == 61)
+    val wrong = out.filter { case (id, (_, _, p)) =>
+      id < 60 && p != (if (id % 2 == 0) "keep" else "drop") }
+    assert(wrong.isEmpty, s"planted separable corpus must classify exactly: $wrong")
+    val held = out.filter(_._1 % 5 == 0)
+    assert(held.exists(_._1 % 2 == 0) && held.exists(_._1 % 2 == 1),
+      "held-out fifth must contain both classes")
+    // strict margins on content docs — the argmax never ties
+    assert(out.filter(_._1 < 60).values.forall { case (sk, sd, _) => sk != sd })
+    // the token-free doc scores priors alone (24 train docs per class
+    // → equal priors → tie resolves to keep)
+    assert(out(61L)._1 == out(61L)._2 && out(61L)._3 == "keep")
+  }
+
   test("exact_dedup_key: one row per (user_id, event_type), dups sum to input size") {
     val df = operators.Dedup.exactDedupKey(spark, sf)
     val total = Tables.events(spark, sf).count()

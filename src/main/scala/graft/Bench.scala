@@ -55,6 +55,12 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val warmupSec = (System.nanoTime() - warmT0) / 1e9
+    MemoLog.drain() // warmup's memo builds are not a timed query's cost
+    // per-query memo-build attribution: which timed query FIRST
+    // materialized which shared memo table / index, and what that
+    // one-time build cost — so a cross-round wall/cpu move caused by
+    // ownership alone adjudicates as such (roundclose reads this)
+    val memoBuilds = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(String, Double)]]
     // deterministic (sorted) order so per-round numbers are comparable
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink: forces every output column to materialize (a bare
@@ -70,6 +76,8 @@ object Bench {
         } catch {
           case e: Throwable => System.err.println(s"[bench] $name: $e"); -1.0
         }
+      val mb = MemoLog.drain()
+      if (mb.nonEmpty) memoBuilds(name) = mb
       spark.catalog.clearCache() // operators may persist intermediates
       // untimed: ContextCleaner frees broadcast/shuffle/cache blocks
       // only via weak refs, i.e. after a GC — and its safety-net
@@ -90,10 +98,16 @@ object Bench {
     // line (BENCH_r02 lost the total + 4 queries that way), so the
     // cpu/gc diagnostic maps go only to the file artifact
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val memoJson = memoBuilds.map { case (q, bs) =>
+      "\"" + q + "\":" + bs.map { case (t, sec) =>
+        "\"" + t.replace("\\", "\\\\").replace("\"", "\\\"") + "\":" + f"$sec%.3f"
+      }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""cpu_sec":${jmap(_._3)},"gc_sec":${jmap(_._4)},""" +
       s""""warmup_sec":$warmupSec,""" +
       s""""warmup_sec_per_query":${warmupSec / math.max(1, results.size)},""" +
+      s""""memo_builds":$memoJson,""" +
       s""""n_queries":${results.size},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
     // the full per-query metrics rows (input/output/shuffle/spill) as

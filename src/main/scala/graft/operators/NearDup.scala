@@ -61,12 +61,19 @@ object NearDup {
     * bench SF), never corpus-sized intermediates (postings die with
     * their enclosing build), so holding them for the session is the
     * point, not a leak. */
-  private[operators] object Shared {
+  private[graft] object Shared {
     private val cache = scala.collection.mutable.HashMap[(SparkSession, String, String), AnyRef]()
     def memo[T <: AnyRef](spark: SparkSession, tag: String)(build: => T): T = synchronized {
       cache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
       val key = (spark, spark.conf.get("spark.sql.shuffle.partitions", ""), tag)
-      cache.getOrElseUpdate(key, build).asInstanceOf[T]
+      cache.getOrElseUpdate(key, {
+        // log the one-time materialization cost (memos eagerly
+        // localCheckpoint) so Bench can attribute memo OWNERSHIP
+        val t0 = System.nanoTime()
+        val v = build
+        graft.MemoLog.record(tag, (System.nanoTime() - t0) / 1e9)
+        v
+      }).asInstanceOf[T]
     }
   }
 

@@ -1296,7 +1296,8 @@ object Similarity {
                   k: Int = 5, nQueries: Int = 50,
                   queries: Option[DataFrame] = None,
                   shortlist: Option[Int] = None,
-                  snapshot: Option[Seq[String]] = None): DataFrame = {
+                  snapshot: Option[Seq[String]] = None,
+                  selfPanel: Boolean = false): DataFrame = {
     import spark.implicits._
     val centroids = spark.read.parquet(s"$path/centroids")
     // the LIVE view: committed batches only (torn appends invisible),
@@ -1336,9 +1337,9 @@ object Similarity {
         ivfScoreRerank(routed,
           probed.select($"cell", $"neighbor_id", $"q8", $"qn"),
           probed.select($"neighbor_id", $"vc", $"nc"), sl, k,
-          excludeSelf = queries.isEmpty)
+          excludeSelf = queries.isEmpty || selfPanel)
       case None =>
-        ivfScore(routed, probed, k, excludeSelf = queries.isEmpty)
+        ivfScore(routed, probed, k, excludeSelf = queries.isEmpty || selfPanel)
     }
   }
 
@@ -2306,6 +2307,29 @@ object Similarity {
     adaptiveProbeLoop(panel, nlist, minProbe, (q, w) =>
       annIvfPqServe(spark, path, nprobe = w, shortlist = shortlist, k = k,
         queries = Some(q), selfPanel = true))
+  }
+
+  /** ADAPTIVE-nprobe over a persisted PLAIN index: C7k's
+    * stabilized-shortlist loop on the [[annIvfServe]] read path.
+    * Every per-width serve goes through the committed+live view
+    * (torn appends invisible, tombstones filtered), so deletes and
+    * compaction hold for the adaptive loops exactly as for the
+    * fixed-width serves — RecallSpec pins zero-deleted-served and
+    * the recall floor over a build → append → delete → compact
+    * lifecycle. */
+  private[graft] def annIvfAdaptiveServe(spark: SparkSession, path: String,
+                                         k: Int = 5, nQueries: Int = 50,
+                                         minProbe: Int = 2,
+                                         shortlist: Int = 32): DataFrame = {
+    import spark.implicits._
+    val nlist = spark.read.parquet(s"$path/centroids").count().toInt
+    val lists = liveLists(spark, path)
+      .select($"cell", $"neighbor_id", $"vc".cast("array<float>").as("vc"), $"nc")
+    val panel = lists.filter($"neighbor_id" < nQueries)
+      .select($"neighbor_id".as("vec_id"), $"vc".as("embedding"), $"nc".as("norm"))
+    adaptiveProbeLoop(panel, nlist, minProbe, (q, w) =>
+      annIvfServe(spark, path, nprobe = w, k = k, queries = Some(q),
+        shortlist = Some(shortlist), selfPanel = true))
   }
 
   /** C7l `ann_ivf_pq_adaptive` — the adaptive ADC serve under the

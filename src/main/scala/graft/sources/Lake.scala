@@ -49,6 +49,8 @@ object Lake {
                  (build: String => Unit): String =
     sharedDirs.synchronized {
       sharedDirs.getOrElseUpdate((spark, s"$key@$stamp"), {
+        val t0 = System.nanoTime()
+        try {
         val cat = catalogDir.orElse(
           Some(graft.GraftConfig.ambient.catalogDir).filter(_.nonEmpty))
         cat match {
@@ -64,6 +66,8 @@ object Lake {
             build(tmp)
             tmp
         }
+        } finally graft.MemoLog.record(s"sharedIndex:$key",
+          (System.nanoTime() - t0) / 1e9)
       })
     }
 

@@ -461,6 +461,60 @@ class RecallSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("C7k x C7f: adaptive serve over a tombstoned index — zero deleted served, recall floor through adaptiveProbeLoop") {
+    import java.nio.file.Files
+    val s = spark
+    import s.implicits._
+    val Sim = operators.Similarity
+    val all = Tables.embeddings(spark, sf)
+    val idx = Files.createTempDirectory("graft_ivf_adel").toFile
+    // the C7f lifecycle (build → append → delete → compact), then the
+    // ADAPTIVE loop serves: every per-width serve must go through the
+    // committed+live view, so the tombstone contract holds for the
+    // adaptive read path exactly as for the fixed-width one
+    val maxId = all.agg(org.apache.spark.sql.functions.max($"vec_id")).head().getLong(0)
+    val cut = Sim.prefixIvfWrite(spark, sf, idx.getAbsolutePath, 16, maxId)
+    Sim.ivfAppend(spark, idx.getAbsolutePath, all.filter($"vec_id" > cut))
+    Sim.ivfDelete(spark, idx.getAbsolutePath,
+      all.filter($"vec_id" % 3 === 0 && $"vec_id" >= 50).select($"vec_id"))
+    Sim.ivfCompact(spark, idx.getAbsolutePath)
+    val out = Sim.annIvfAdaptiveServe(spark, idx.getAbsolutePath).cache()
+    assert(out.count() > 0)
+    // zero-deleted-served through every adaptive width
+    assert(out.filter($"neighbor_id" % 3 === 0 && $"neighbor_id" >= 50).count() == 0,
+      "the adaptive loop must never serve a tombstoned vector")
+    // one width per query, bounded by nlist
+    val w = out.groupBy($"query_id")
+      .agg(countDistinct($"probes_used").as("nw"),
+        org.apache.spark.sql.functions.max($"probes_used").as("mw"))
+    assert(w.filter($"nw" > 1).count() == 0, "one width per query")
+    assert(w.filter($"mw" > 16).count() == 0, "widths bounded by nlist")
+    // recall floor vs exact cosine brute force over the SURVIVORS
+    val cosd = "aggregate(zip_with(eq, ec, (x, y) -> cast(x as double) * cast(y as double)), 0d, (a, v) -> a + v)" +
+      " / (sqrt(aggregate(eq, 0d, (a, v) -> a + cast(v as double) * cast(v as double)))" +
+      " * sqrt(aggregate(ec, 0d, (a, v) -> a + cast(v as double) * cast(v as double))))"
+    val surv = all.filter(!($"vec_id" % 3 === 0 && $"vec_id" >= 50)).localCheckpoint()
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    val exact = surv.filter($"vec_id" < 50)
+      .select($"vec_id".as("query_id"), $"embedding".as("eq"))
+      .crossJoin(surv.select($"vec_id".as("neighbor_id"), $"embedding".as("ec")))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cos", expr(cosd))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(rw))
+      .filter($"rk" <= 5)
+      .select($"query_id", $"neighbor_id").localCheckpoint()
+    val total = exact.count().toDouble
+    val hit = exact.join(out.select($"query_id", $"neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_semi").count()
+    val rec = hit / total
+    assert(rec >= 0.8, s"adaptive-over-tombstones recall@5 = $rec (floor 0.8)")
+    info(f"adaptive-over-tombstones recall@5 = $rec%.3f")
+    out.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(idx)
+    spark.catalog.clearCache()
+  }
+
   test("C7 snapshot isolation: a pinned probe ignores appends and deletes committed after it") {
     import java.nio.file.Files
     val all = Tables.embeddings(spark, sf)

@@ -71,8 +71,13 @@ def load_metrics(path):
     return rows
 
 
-def adjudicate(name, prev, cur):
-    """One verdict line for a >1.3x wall move, from the task metrics."""
+def adjudicate(name, prev, cur, prev_memo=None, cur_memo=None):
+    """One verdict line for a >1.3x wall move, from the task metrics.
+
+    prev_memo/cur_memo: this query's memo-build map ({tag: sec}) from
+    the rounds' bench_out artifacts — a wall/cpu move caused purely by
+    which query first materialized a shared memo table must adjudicate
+    as OWNERSHIP, not plan cost (the r14 pagerank_pairs lesson)."""
     wall = cur["wallSec"] / max(prev["wallSec"], 1e-9)
     cpu = cur["cpuSec"] / max(prev["cpuSec"], 1e-9)
     moved = []
@@ -84,9 +89,23 @@ def adjudicate(name, prev, cur):
             continue
         if min(a, b) == 0 or max(a, b) / min(a, b) > 1.5:
             moved.append(f"{k} {a}->{b}")
+    pm, cm = prev_memo or {}, cur_memo or {}
+    gained = {t: s for t, s in cm.items() if t not in pm and s > 0.2}
+    lost = {t: s for t, s in pm.items() if t not in cm and s > 0.2}
+    memo_bits = []
+    if gained:
+        memo_bits.append("now first-builds " + ", ".join(
+            f"{t} ({s:.1f}s)" for t, s in gained.items()))
+    if lost:
+        memo_bits.append("no longer builds " + ", ".join(
+            f"{t} ({s:.1f}s)" for t, s in lost.items()))
     cpu_follows_wall = (cpu > 1.15) if wall > 1 else (cpu < 1 / 1.15)
-    if moved:
+    if memo_bits and not moved:
+        verdict = "MEMO OWNERSHIP moved: " + "; ".join(memo_bits)
+    elif moved:
         verdict = "PLAN SHAPE moved: " + "; ".join(moved)
+        if memo_bits:
+            verdict += " [memo: " + "; ".join(memo_bits) + "]"
     elif cpu_follows_wall:
         verdict = f"real plan cost (cpu {prev['cpuSec']:.1f}->{cur['cpuSec']:.1f}s, structure flat)"
     else:
@@ -134,13 +153,22 @@ def main():
     if os.path.exists(prev_path):
         prev = load_metrics(prev_path)
         cur = load_metrics(f"bench/r{n}_metrics_run2.jsonl")
+
+        def memo_map(path):
+            try:
+                return json.load(open(path)).get("memo_builds", {})
+            except (OSError, json.JSONDecodeError):
+                return {}
+        prev_mb = memo_map(f"bench/r{n-1}_out_run2.json")
+        cur_mb = memo_map(f"bench/r{n}_out_run2.json")
         lines += ["", f"Cross-round wall moves >{RATIO}x vs r{n-1} (adjudicated "
-                      "from task metrics):"]
+                      "from task metrics + memo-build attribution):"]
         moves = 0
         for name in sorted(set(prev) & set(cur)):
             w0, w1 = prev[name]["wallSec"], cur[name]["wallSec"]
             if max(w0, w1) > 0.5 and max(w0, w1) / max(min(w0, w1), 1e-9) > RATIO:
-                lines.append(adjudicate(name, prev[name], cur[name]))
+                lines.append(adjudicate(name, prev[name], cur[name],
+                                        prev_mb.get(name), cur_mb.get(name)))
                 moves += 1
         if not moves:
             lines.append("- none")

@@ -157,6 +157,7 @@ object SparkEntry {
     "stream_dedup"        -> (graft.streaming.Streams.streamDedup _),
     "stream_join"         -> (graft.streaming.Streams.streamJoin _),
     "stream_enrich"       -> (graft.streaming.Streams.streamEnrich _),
+    "stream_quality_classify" -> ((s, d) => graft.streaming.Streams.streamQualityClassify(s, d)),
     "stream_asof_enrich"  -> (graft.streaming.Streams.streamAsofEnrich _),
     "stream_near_dedup"   -> (graft.streaming.Streams.streamNearDedup _),
     "stream_mm_dedup"     -> ((s, d) => graft.streaming.Streams.streamMmDedup(s, d)),
@@ -351,6 +352,9 @@ object SparkEntry {
     "stream_dedup"        -> graft.streaming.Streams.streamDedupSql,
     "stream_join"         -> graft.streaming.Streams.streamJoinSql,
     "stream_enrich"       -> graft.streaming.Streams.streamEnrichSql,
+    // frozen-model micro-batch scoring ≡ one-shot scoring: E19 gates
+    // on C32's own oracle (the E7-on-B12 posture)
+    "stream_quality_classify" -> TextAnalysis.nbQualityClassifySql(),
     "stream_asof_enrich"  -> operators.AsOf.asofStateJoinSql,
     "stream_sessionize"   -> graft.streaming.Streams.streamSessionizeSql(),
     // block F — governance / curation

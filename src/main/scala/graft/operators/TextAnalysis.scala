@@ -680,29 +680,51 @@ object TextAnalysis {
     * holds out every trainMod-th doc (scored, never trained on). */
   private[graft] def nbQualityClassifyOf(docs: DataFrame, dim: Int = 64,
                                          trainMod: Int = 4): DataFrame = {
+    val (model, priors) = nbTrain(docs, dim, trainMod)
+    nbScore(docs, model, priors, dim)
+  }
+
+  /** The hashed unigram slot counts NB trains and scores on
+    * (docEmbed's slot hash, unsigned). */
+  private def nbFeatures(docs: DataFrame, dim: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", explode(toks($"text")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      .withColumn("slot",
+        (conv(substring(md5($"token"), 1, 8), 16, 10).cast("long") % dim).cast("int"))
+      .groupBy($"doc_id", $"slot").agg(sum($"tf").as("x"))
+  }
+
+  /** TRAIN the NB filter: teacher-label the train split (every
+    * trainMod-th doc held out), aggregate per-(class, slot) counts,
+    * quantize log-probs to integer micro-units. Returns the
+    * (model, priors) pair — classes × dim + classes rows, both
+    * eagerly materialized: this is the nightly training job whose
+    * frozen output the batch scorer AND the streaming scorer (E19)
+    * broadcast. */
+  private[graft] def nbTrain(docs: DataFrame, dim: Int = 64,
+                             trainMod: Int = 4): (DataFrame, DataFrame) = {
     import docs.sparkSession.implicits._
     val spark = docs.sparkSession
-    // eager: the token table feeds the teacher labels AND the feature
-    // counts (materialization contract)
-    val tok = docs.select($"doc_id", explode(toks($"text")).as("token"))
-      .localCheckpoint()
     val keepList = nbKeepWords.map(w => s"'$w'").mkString(", ")
     val dropList = nbDropWords.map(w => s"'$w'").mkString(", ")
-    val labels = tok.filter($"doc_id" % trainMod =!= 0)
+    val train = docs.filter($"doc_id" % trainMod =!= 0)
+    // eager: the token table feeds the teacher labels AND the feature
+    // counts (materialization contract)
+    val tok = train.select($"doc_id", explode(toks($"text")).as("token"))
+      .localCheckpoint()
+    val labels = tok
       .groupBy($"doc_id")
       .agg(sum(expr(s"if(token in ($keepList), 1L, 0L)")).as("np"),
         sum(expr(s"if(token in ($dropList), 1L, 0L)")).as("nn"))
       .select($"doc_id",
         when($"np" >= $"nn", lit("keep")).otherwise(lit("drop")).as("label"))
-    // hashed unigram slot counts (docEmbed's slot hash, unsigned)
-    val feat = tok
+    val trainFeat = tok
       .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
       .withColumn("slot",
         (conv(substring(md5($"token"), 1, 8), 16, 10).cast("long") % dim).cast("int"))
       .groupBy($"doc_id", $"slot").agg(sum($"tf").as("x"))
-      // eager: feeds the training aggregate AND the scoring join
-      .localCheckpoint()
-    val trainFeat = feat.join(labels, Seq("doc_id"))
+      .join(labels, Seq("doc_id"))
     val slotCounts = trainFeat.groupBy($"label", $"slot").agg(sum($"x").as("n"))
     val classTotals = trainFeat.groupBy($"label").agg(sum($"x").as("t"))
     val classDocs = labels.groupBy($"label").agg(count(lit(1)).as("dc"))
@@ -724,7 +746,19 @@ object TextAnalysis {
         floor(lit(1e6) * log($"dc".cast("double") / $"dn".cast("double")))
           .cast("long").as("prior"))
       .localCheckpoint()
-    val partSc = feat.join(broadcast(model), Seq("slot"))
+    (model, priors)
+  }
+
+  /** SCORE a doc frame against a frozen (model, priors) pair: one
+    * broadcast join + one hash agg — stateless, so the identical call
+    * scores a batch corpus or an arriving micro-batch (E19). A doc's
+    * score depends on the model and ITS OWN tokens alone, which is
+    * what makes per-batch streaming scoring ≡ one-shot batch scoring
+    * (StreamingSpec pins it). */
+  private[graft] def nbScore(docs: DataFrame, model: DataFrame,
+                             priors: DataFrame, dim: Int = 64): DataFrame = {
+    import docs.sparkSession.implicits._
+    val partSc = nbFeatures(docs, dim).join(broadcast(model), Seq("slot"))
       .groupBy($"doc_id", $"label").agg(sum($"x" * $"w").as("lsum"))
     val wide = partSc.join(broadcast(priors), Seq("label"))
       .select($"doc_id", $"label", ($"lsum" + $"prior").as("score"))

@@ -326,6 +326,24 @@ object Streams {
       |       c.c_mktsegment AS segment, c.c_nationkey AS nation_key
       |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin
 
+  /** E19 `stream_quality_classify` — the LEARNED quality filter (C32)
+    * applied AT INGEST: the NB model trains once batch-side (the
+    * nightly teacher/train job, `nbTrain`) and each arriving doc
+    * micro-batch scores against the frozen broadcast classes×dim
+    * model (`nbScore`) — E5's stream-static stateless shape, so a
+    * doc's verdict depends on the model and its own tokens alone and
+    * per-batch scoring provably equals one-shot scoring (the gate:
+    * the replayed corpus hash-equals C32's oracle; StreamingSpec
+    * drives real MemoryStream batches through a foreachBatch scorer
+    * and pins row parity plus batch-composition irrelevance). */
+  def streamQualityClassify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.fanout(graft.Tables.documents(spark, dir)
+      .select($"doc_id", $"text"))
+    val (model, priors) = graft.operators.TextAnalysis.nbTrain(docs)
+    graft.operators.TextAnalysis.nbScore(docs, model, priors)
+  }
+
   /** SCD2-style validity intervals over the per-user signup state
     * stream (valid_from = state ts, valid_to = next state ts) — the
     * pre-built dimension [[asofEnrich]] probes. The window runs over

@@ -768,6 +768,51 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("E19 stream_quality_classify: MemoryStream batches scored against the frozen model equal one-shot scoring") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // the planted separable corpus from the C32 spec
+    val docs = (0L until 40L).map { i =>
+      val t =
+        if (i % 2 == 0) s"customer value part kfilla kfillb kfill${i % 7}"
+        else s"spark batch stream dfilla dfillb dfill${i % 7}"
+      (i, t)
+    }.toDF("doc_id", "text")
+    // nightly training job: the model freezes BEFORE the stream starts
+    val (model, priors) = operators.TextAnalysis.nbTrain(docs, 64, 5)
+    val oneShot = operators.TextAnalysis.nbScore(docs, model, priors, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    // the corpus ARRIVES as a real stream in uneven micro-batches;
+    // each batch scores against the broadcast model, stateless
+    val source = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+    val q = source.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= operators.TextAnalysis.nbScore(df, model, priors, 64)
+          .collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        (): Unit
+      }
+      .start()
+    // deliberately uneven batch sizes: composition must be irrelevant
+    val rows = (0L until 40L).map { i =>
+      val t =
+        if (i % 2 == 0) s"customer value part kfilla kfillb kfill${i % 7}"
+        else s"spark batch stream dfilla dfillb dfill${i % 7}"
+      (i, t)
+    }
+    Seq(rows.slice(0, 3), rows.slice(3, 17), rows.slice(17, 40)).foreach { b =>
+      source.addData(b: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(got.sortBy(_._1).toSeq == oneShot.toSeq,
+      "per-batch scoring against the frozen model must equal one-shot scoring")
+    spark.catalog.clearCache()
+  }
+
   test("E16 line index: MemoryStream appends through foreachBatch strike the one-shot union answer") {
     val s = spark
     import s.implicits._

@@ -240,7 +240,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // (the shared-index serve returns a live plan, so the lint sees it)
       // ann_ivf_pq / ann_ivf_opq share the same 16-row centroid
       // routing cross
-      "hybrid_serve", "ann_ivf_pq", "ann_ivf_opq")
+      "hybrid_serve", "ann_ivf_pq", "ann_ivf_opq",
+      // the NB classifier's crosses are the 2-class x dim model grid
+      // (<= 64-row build side), the 1-row train-doc-count scalar and
+      // the 1-row prior pair — all metadata-sized by construction
+      "nb_quality_classify", "stream_quality_classify")
     // k-bounded-group max_by assigns: the sort is by grouping key with
     // map-side partial agg — benign, unlike cluster-sized groups
     val sortAggOk = Set("ann_ivf", "resample_fill", "stream_dedup")
@@ -259,11 +263,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // bpe_pair_counts shares vocab_build's banded core and whitelist basis
     // scd2_apply: the 1-row (min,max) event-time boundary aggregate —
     // the same bounded scalar-combine class
+    // nb_quality_classify / stream_quality_classify: the 1-row
+    // train-doc-count and 2-row prior-pair global aggregates — the
+    // same bounded scalar-combine class
     val singleOk = Set("tfidf_terms", "vocab_build", "perplexity_score",
       "zorder_layout", "compaction_plan", "stats_prune", "bm25_retrieve",
       "bpe_pair_counts", "bpe_train_merges", "scd2_apply",
       "stream_scd2_apply", "hybrid_retrieve",
-      "approx_topk", "drift_report", "bm25_append")
+      "approx_topk", "drift_report", "bm25_append",
+      "nb_quality_classify", "stream_quality_classify")
     // single-partition (empty partitionSpec) windows move ALL data to
     // one task — legal ONLY over metadata-bounded aggregates: the two
     // band-offset cumsums (zorder's ≤256-row per-band counts, F14's
@@ -350,7 +358,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "bm25_retrieve", "bpe_pair_counts", "bpe_train_merges",
       "scd2_apply", "stream_bm25", "stream_scd2_apply",
       "hybrid_retrieve", "drift_report", "bm25_append", "hybrid_serve",
-      "ann_ivf_pq")
+      "ann_ivf_pq", "nb_quality_classify", "stream_quality_classify")
     def rowsOf(p: org.apache.spark.sql.execution.SparkPlan): Option[Long] = p match {
       case q: QueryStageExec => rowsOf(q.plan)
       case e: BroadcastExchangeLike => Some(e.metrics("numOutputRows").value)

@@ -327,6 +327,48 @@ object ScaleProbe {
       "one vacuum must recompact the dfs delta history a run of appends " +
         "accumulated (the detection read resets to the live floor)")
 
+    // ---- claim 6: substring STRIP volume is linear in the corpus ---
+    // the strip's strike path (shared-window semi-join + per-doc
+    // interval merge + reassembly) must shuffle ∝ total selected
+    // windows — a per-window all-pairs formulation would blow up
+    // quadratically in the duplication density. Each replica carries
+    // its own partial re-crawl twins (token-disjoint across replicas,
+    // duplication WITHIN each), so the R× corpus has R× the shared
+    // windows and the shuffle must scale ~R×, never R².
+    def stripCorpus(d: DataFrame): DataFrame = {
+      val base = d.select($"doc_id",
+        lower(trim(regexp_replace($"text", "\\s+", " "))).as("norm"))
+      base.unionAll(base.select(($"doc_id" + lit(500000000L)).as("doc_id"),
+        concat(expr("substring(norm, 1, (length(norm) * 3) div 5)"),
+          lit(" zztail"),
+          ($"doc_id" + lit(500000000L)).cast("string")).as("norm")))
+    }
+    // the strip replicas must be content-disjoint at IDENTICAL length
+    // (bigDocs' token prefixes inflate chars ~1.4x, and windows scale
+    // with chars — the probe would measure the inflation, not the
+    // claimed linearity): a per-replica Caesar shift keeps every
+    // byte count while making the window hashes disjoint
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val stripBig = Tables.fanout((0 until rep).map { i =>
+      val shifted = alpha.drop(i) + alpha.take(i)
+      docs.select(($"doc_id" + lit(i * 10000000L)).as("doc_id"),
+        (if (i == 0) $"text" else translate($"text", alpha, shifted)).as("text"))
+    }.reduce(_ unionAll _)).localCheckpoint()
+    val st1 = scope("strip_1x") {
+      graft.operators.NearDup.substringStripOf(stripCorpus(docs), 64, 8)
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+    }
+    val stR = scope(s"strip_${rep}x") {
+      graft.operators.NearDup.substringStripOf(stripCorpus(stripBig), 64, 8)
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+    }
+    ratio("strip_volume_linear", stR.shuffleWriteBytes.toDouble,
+      st1.shuffleWriteBytes.toDouble, 0.5 * rep, 1.6 * rep,
+      s"the ${rep}x twinned corpus must shuffle ~${rep}x the bytes " +
+        "(linear strike/merge/reassembly, never pair-quadratic)")
+
     // ---- emit ------------------------------------------------------
     val out = checks.result()
     def j(c: Check): String =

@@ -23,14 +23,15 @@ object OneBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, Long)]()
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, Long, Long, Long)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val wall = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(-1L)
         stages.add((si.stageId, si.name.takeWhile(_ != '\n').take(60), wall,
-          si.taskMetrics.executorRunTime))
+          si.taskMetrics.executorRunTime, si.taskMetrics.jvmGCTime,
+          si.taskMetrics.executorCpuTime / 1000000L))
       }
     })
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -42,8 +43,9 @@ object OneBench {
         .write.format("noop").mode("overwrite").save()
       println(f"[onebench] $name rep$i ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       import scala.jdk.CollectionConverters._
-      stages.asScala.toSeq.sortBy(-_._3).take(8).foreach { case (id, nm, wall, run) =>
-        println(f"[onebench]   stage $id%4d wall=${wall / 1e3}%7.2fs taskRun=${run / 1e3}%8.2fs  $nm")
+      stages.asScala.toSeq.sortBy(-_._3).take(8).foreach { case (id, nm, wall, run, gc, cpu) =>
+        println(f"[onebench]   stage $id%4d wall=${wall / 1e3}%7.2fs taskRun=${run / 1e3}%8.2fs " +
+          f"gc=${gc / 1e3}%7.2fs cpu=${cpu / 1e3}%7.2fs  $nm")
       }
       spark.catalog.clearCache()
     }

@@ -145,6 +145,7 @@ object SparkEntry {
     "keyword_extract"     -> ((s, d) => TextAnalysis.keywordExtract(s, d)),
     "topic_classify"      -> (TextAnalysis.topicClassify _),
     "nb_quality_classify" -> ((s, d) => TextAnalysis.nbQualityClassify(s, d)),
+    "dsir_select"         -> ((s, d) => TextAnalysis.dsirSelect(s, d)),
     "pipeline_clean_corpus" -> ((s, d) => TextAnalysis.pipelineCleanCorpus(s, d)),
     "perplexity_score"    -> (TextAnalysis.perplexityScore _),
     // block D — multimodal
@@ -336,6 +337,7 @@ object SparkEntry {
     "keyword_extract"     -> TextAnalysis.keywordExtractSql(),
     "topic_classify"      -> TextAnalysis.topicClassifySql,
     "nb_quality_classify" -> TextAnalysis.nbQualityClassifySql(),
+    "dsir_select"         -> TextAnalysis.dsirSelectSql(),
     "pipeline_clean_corpus" -> TextAnalysis.pipelineCleanCorpusSql(),
     "perplexity_score"    -> TextAnalysis.perplexityScoreSql,
     "mm_metadata"         -> Multimodal.mmMetadataSql,

@@ -841,6 +841,159 @@ object TextAnalysis {
       .stripMargin
   }
 
+  /** DSIR target lexicon: a doc is IN-DOMAIN when it carries at least
+    * one of these tokens (the database half of [[topicClassify]]'s
+    * evidence — the "domain we want more of"). Production swaps in a
+    * real target corpus (Wikipedia, textbooks); the estimator below
+    * never depends on how the target set was chosen. */
+  private[graft] val dsirTargetWords =
+    Seq("table", "row", "scan", "hash", "sort", "merge", "filter", "index", "query")
+
+  /** C33 `dsir_select` — Data Selection via Importance Resampling
+    * (Xie et al., NeurIPS 2023), the published importance-weighting
+    * selector real LM-data pipelines run between the heuristic and
+    * learned filters: fit two bag-of-hashed-ngram models — p̂_target
+    * over an in-domain subset, p̂_raw over the full corpus — and score
+    * every doc with its log importance weight
+    * log ŵ(x) = Σ_slot x_slot·(log p̂_t(slot) − log p̂_r(slot)), then
+    * keep the top `selectFrac` of the corpus by weight. Features are
+    * [[docEmbed]]'s md5 slot space (the hashing trick bounds both
+    * models at `dim` rows no matter the vocabulary) with Laplace
+    * smoothing, exactly C32's estimator class.
+    *
+    * ENGINE-EXACT (the C32 posture): each slot's two log-probs
+    * quantize to integer micro-units SEPARATELY —
+    * r = ⌊10⁶·ln((n_t+1)/(T_t+dim))⌋ − ⌊10⁶·ln((n_r+1)/(T_r+dim))⌋ —
+    * so logw is an exact integer dot product and the selection
+    * threshold eps (the k-th largest logw, k = ⌊selectFrac·N⌋) is an
+    * exact integer order statistic; the gate hash-compares logw, eps
+    * and the selected flag. Boundary ties are ALL kept (selected ⇔
+    * logw ≥ eps) — deterministic without a global total order.
+    *
+    * Scale: one tokenize scan → (doc, slot) hash agg; the two
+    * distributions are dim-row aggregates (broadcast); scoring is one
+    * broadcast join + one hash agg. The order statistic NEVER sorts
+    * the corpus: a coarse ⌊logw/10⁶⌋ histogram (driver metadata,
+    * bounded by the micro-unit range) locates rank k's bucket, and
+    * only that bucket's rows take the exact top-(k−above) — the
+    * semdedup_budget selection pattern. Selection itself is a
+    * stateless filter against the 1-row threshold. */
+  def dsirSelect(spark: SparkSession, dir: String, dim: Int = 64,
+                 selectFrac: Double = 0.25): DataFrame = {
+    import spark.implicits._
+    dsirSelectOf(Tables.fanout(Tables.documents(spark, dir)
+      .select($"doc_id", $"text")), dim, selectFrac)
+  }
+
+  /** Frame-based core of C33 (docs = (doc_id, text)). */
+  private[graft] def dsirSelectOf(docs: DataFrame, dim: Int = 64,
+                                  selectFrac: Double = 0.25): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(selectFrac > 0.0 && selectFrac <= 1.0,
+      s"selectFrac must be in (0, 1]: $selectFrac")
+    val tgtList = dsirTargetWords.map(w => s"'$w'").mkString(", ")
+    val feat = nbFeatures(docs, dim)
+    val tgtDocs = docs
+      .select($"doc_id", explode(toks($"text")).as("token"))
+      .filter(expr(s"token in ($tgtList)"))
+      .select($"doc_id").distinct()
+    val tgtFeat = feat.join(tgtDocs, Seq("doc_id"), "left_semi")
+    def slotModel(f: DataFrame): DataFrame = {
+      val n = f.groupBy($"slot").agg(sum($"x").as("n"))
+      val t = f.agg(sum($"x").as("t"))
+      docs.sparkSession.range(dim).select($"id".cast("int").as("slot"))
+        .join(n, Seq("slot"), "left").na.fill(0L, Seq("n"))
+        .crossJoin(broadcast(t))
+        .select($"slot",
+          floor(lit(1e6) * log(($"n" + 1).cast("double") / ($"t" + dim).cast("double")))
+            .cast("long").as("lp"))
+    }
+    val ratio = slotModel(tgtFeat).withColumnRenamed("lp", "lt")
+      .join(slotModel(feat).withColumnRenamed("lp", "lr"), Seq("slot"))
+      .select($"slot", ($"lt" - $"lr").as("r"))
+      .localCheckpoint()
+    // eager: the weighted corpus feeds the threshold histogram AND the
+    // output (materialization contract) — (doc_id, logw) only, two
+    // longs per doc
+    val weighted = docs.select($"doc_id").distinct()
+      .join(feat.join(broadcast(ratio), Seq("slot"))
+        .groupBy($"doc_id").agg(sum($"x" * $"r").as("logw")),
+        Seq("doc_id"), "left")
+      .na.fill(0L, Seq("logw"))
+      .localCheckpoint()
+    val n = weighted.count()
+    val k = math.floor(selectFrac * n).toLong
+    if (k == 0L)
+      weighted.select($"doc_id", $"logw", lit(null).cast("long").as("eps"),
+        lit(false).as("selected"))
+    else {
+      // exact k-th largest integer logw without a global sort: coarse
+      // 1e6-wide buckets locate rank k (driver metadata — the bucket
+      // count is bounded by the micro-unit weight range, not N), then
+      // only that bucket's rows take the exact within-bucket top
+      val hist = weighted
+        .select(org.apache.spark.sql.functions.floor($"logw" / 1000000L).as("b"))
+        .groupBy($"b").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(-_._1)
+      var cum = 0L; var i = 0
+      while (cum + hist(i)._2 < k) { cum += hist(i)._2; i += 1 }
+      val (bkt, inRank) = (hist(i)._1, k - cum)
+      require(inRank <= Int.MaxValue.toLong,
+        s"threshold bucket $bkt holds > Int.MaxValue rows at 1e6 " +
+          "width — narrow the histogram before selecting")
+      val eps = weighted
+        .filter(org.apache.spark.sql.functions.floor($"logw" / 1000000L) === bkt)
+        .select($"logw").orderBy($"logw".desc)
+        .limit(inRank.toInt).agg(min($"logw")).head().getLong(0)
+      weighted.select($"doc_id", $"logw", lit(eps).as("eps"),
+        ($"logw" >= eps).as("selected"))
+    }
+  }
+
+  /** C33 oracle: the identical target/raw hashed-unigram models,
+    * micro-unit log-ratio, integer dot product and k-th-largest
+    * threshold in DuckDB. */
+  def dsirSelectSql(dim: Int = 64, selectFrac: Double = 0.25): String = {
+    val tgtList = dsirTargetWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |tf0 AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |feat AS (
+       |  SELECT doc_id,
+       |         CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % $dim AS INT) AS slot,
+       |         CAST(SUM(tf) AS BIGINT) AS x
+       |  FROM tf0 GROUP BY 1, 2),
+       |tgt AS (SELECT DISTINCT doc_id FROM tok WHERE token IN ($tgtList)),
+       |nt AS (SELECT slot, SUM(x) AS n FROM feat
+       |       WHERE doc_id IN (SELECT doc_id FROM tgt) GROUP BY 1),
+       |tt AS (SELECT SUM(x) AS t FROM feat WHERE doc_id IN (SELECT doc_id FROM tgt)),
+       |nr AS (SELECT slot, SUM(x) AS n FROM feat GROUP BY 1),
+       |tr AS (SELECT SUM(x) AS t FROM feat),
+       |grid AS (SELECT CAST(unnest(range(0, $dim)) AS INT) AS slot),
+       |ratio AS (
+       |  SELECT g.slot,
+       |         CAST(floor(1e6 * ln(CAST(COALESCE(nt.n, 0) + 1 AS DOUBLE)
+       |                             / CAST(tt.t + $dim AS DOUBLE))) AS BIGINT)
+       |       - CAST(floor(1e6 * ln(CAST(COALESCE(nr.n, 0) + 1 AS DOUBLE)
+       |                             / CAST(tr.t + $dim AS DOUBLE))) AS BIGINT) AS r
+       |  FROM grid g
+       |  LEFT JOIN nt ON nt.slot = g.slot
+       |  LEFT JOIN nr ON nr.slot = g.slot, tt, tr),
+       |lw AS (SELECT f.doc_id, CAST(SUM(f.x * r.r) AS BIGINT) AS logw
+       |       FROM feat f JOIN ratio r USING (slot) GROUP BY 1),
+       |weighted AS (
+       |  SELECT d.doc_id, COALESCE(l.logw, 0) AS logw
+       |  FROM documents d LEFT JOIN lw l USING (doc_id)),
+       |eps AS (
+       |  SELECT MIN(logw) AS eps FROM (
+       |    SELECT logw FROM weighted ORDER BY logw DESC
+       |    LIMIT (SELECT CAST(floor($selectFrac * COUNT(*)) AS BIGINT) FROM weighted)))
+       |SELECT w.doc_id, w.logw, e.eps, w.logw >= e.eps AS selected
+       |FROM weighted w, eps e""".stripMargin
+  }
+
   /** C18 `vocab_build` — tokenizer vocabulary candidates: corpus-wide
     * token frequencies with rank and cumulative coverage, truncated to
     * the top `topN`. The coverage curve (what fraction of all token

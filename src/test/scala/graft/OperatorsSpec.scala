@@ -156,6 +156,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(61L)._1 == out(61L)._2 && out(61L)._3 == "keep")
   }
 
+  test("dsir_select: in-domain docs outweigh off-domain, boundary ties all kept, token-free doc weighs 0") {
+    import spark.implicits._
+    // 5 strong in-domain docs (many target tokens), 10 IDENTICAL
+    // medium docs (one target token + a medium-only filler — their
+    // weights tie exactly, planting a selection boundary inside the
+    // tie group), 25 off-domain docs (words seen only outside the
+    // target set → negative log-ratios), 1 token-free doc
+    // dim = 256: this 15-token vocabulary is verified collision-free
+    // in the md5 slot space at 256 (at 64, query/beta and hash/gamma
+    // collide and the off-domain mass bleeds into the strong docs'
+    // slots — the hashing trick's documented approximation)
+    val docs = ((0L until 5L).map(i => (i, s"table index query scan hash merge u$i")) ++
+      (5L until 15L).map(i => (i, "table fillcommon fillcommon")) ++
+      (15L until 40L).map(i => (i, "alpha beta gamma gamma")) :+
+      (40L, "   ")).toDF("doc_id", "text")
+    // k = floor(0.25 * 41) = 10: the boundary falls inside the
+    // 10-doc tie group, so selected must spill past k
+    val out = operators.TextAnalysis.dsirSelectOf(docs, dim = 256, selectFrac = 0.25)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("logw"), r.getAs[Long]("eps"), r.getAs[Boolean]("selected")))).toMap
+    assert(out.size == 41)
+    val medW = out(5L)._1
+    assert((5L until 15L).forall(out(_)._1 == medW), "identical docs must tie exactly")
+    // in-domain docs carry positive weight, off-domain negative,
+    // token-free exactly 0 (prior-free: no slots, no evidence)
+    assert((0L until 15L).forall(out(_)._1 > 0L))
+    assert((15L until 40L).forall(out(_)._1 < 0L))
+    assert(out(40L)._1 == 0L && !out(40L)._3)
+    // selection = the 15 in-domain docs: 5 strong + ALL 10 tied medium
+    // (ties at eps are kept past k = 10 — no arbitrary tiebreak)
+    val sel = out.filter(_._2._3).keySet
+    assert(sel == (0L until 15L).toSet, s"selected = $sel")
+    assert(out.values.map(_._2).toSet.size == 1, "one eps for the whole corpus")
+    assert(out(5L)._2 == medW, "eps must sit at the tie group's weight")
+  }
+
   test("exact_dedup_key: one row per (user_id, event_type), dups sum to input size") {
     val df = operators.Dedup.exactDedupKey(spark, sf)
     val total = Tables.events(spark, sf).count()

@@ -146,6 +146,7 @@ object SparkEntry {
     "topic_classify"      -> (TextAnalysis.topicClassify _),
     "nb_quality_classify" -> ((s, d) => TextAnalysis.nbQualityClassify(s, d)),
     "dsir_select"         -> ((s, d) => TextAnalysis.dsirSelect(s, d)),
+    "nb_quality_calibrate" -> ((s, d) => TextAnalysis.nbQualityCalibrate(s, d)),
     "pipeline_clean_corpus" -> ((s, d) => TextAnalysis.pipelineCleanCorpus(s, d)),
     "perplexity_score"    -> (TextAnalysis.perplexityScore _),
     // block D — multimodal
@@ -338,6 +339,7 @@ object SparkEntry {
     "topic_classify"      -> TextAnalysis.topicClassifySql,
     "nb_quality_classify" -> TextAnalysis.nbQualityClassifySql(),
     "dsir_select"         -> TextAnalysis.dsirSelectSql(),
+    "nb_quality_calibrate" -> TextAnalysis.nbQualityCalibrateSql(),
     "pipeline_clean_corpus" -> TextAnalysis.pipelineCleanCorpusSql(),
     "perplexity_score"    -> TextAnalysis.perplexityScoreSql,
     "mm_metadata"         -> Multimodal.mmMetadataSql,

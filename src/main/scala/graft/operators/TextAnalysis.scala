@@ -994,6 +994,160 @@ object TextAnalysis {
        |FROM weighted w, eps e""".stripMargin
   }
 
+  /** C32b `nb_quality_calibrate` — the operating-point sweep that
+    * turns C32's scores into a deployable filter: on the HELD-OUT
+    * split (never trained on), compute each doc's integer margin
+    * (score_keep − score_drop) and the teacher's truth label, then
+    * emit the full confusion table (tp, fp, fn, tn) at EVERY distinct
+    * margin threshold — the exact ROC/PR sweep a pipeline reads to
+    * pick its keep threshold. All counts are exact integers at exact
+    * integer thresholds, so the gate hash-compares the whole sweep.
+    *
+    * Scale: scoring is C32's broadcast join + hash agg; the sweep
+    * NEVER sorts the corpus — margins aggregate per distinct value,
+    * band by coarse ⌊margin/10⁶⌋ buckets, band offsets come from the
+    * bounded band-aggregate's broadcast inequality self-join
+    * (vocab_build's replacement for a global ordered window), and the
+    * cumulative confusion counts run in a window PARTITIONED by band.
+    * The per-distinct-margin relation is ≤ held-out-doc-sized; a
+    * 100 TB deployment sweeps a quantile grid of thresholds instead —
+    * same plan, coarser margin key. */
+  def nbQualityCalibrate(spark: SparkSession, dir: String,
+                         dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    nbQualityCalibrateOf(Tables.fanout(Tables.documents(spark, dir)
+      .select($"doc_id", $"text")), dim)
+  }
+
+  /** Frame-based core of C32b (docs = (doc_id, text)). */
+  private[graft] def nbQualityCalibrateOf(docs: DataFrame, dim: Int = 64,
+                                          trainMod: Int = 4): DataFrame = {
+    import docs.sparkSession.implicits._
+    val keepList = nbKeepWords.map(w => s"'$w'").mkString(", ")
+    val dropList = nbDropWords.map(w => s"'$w'").mkString(", ")
+    val (model, priors) = nbTrain(docs, dim, trainMod)
+    val held = docs.filter($"doc_id" % trainMod === 0)
+    val margins = nbScore(held, model, priors, dim)
+      .select($"doc_id", ($"score_keep" - $"score_drop").as("margin"))
+    // the teacher's truth on the held-out docs (same marker rule the
+    // training labels used; a token-free doc counts 0 ≥ 0 → keep)
+    val truth = held.select($"doc_id").distinct()
+      .join(held.select($"doc_id", explode(toks($"text")).as("token"))
+        .groupBy($"doc_id")
+        .agg(sum(expr(s"if(token in ($keepList), 1L, 0L)")).as("np"),
+          sum(expr(s"if(token in ($dropList), 1L, 0L)")).as("nn")),
+        Seq("doc_id"), "left")
+      .select($"doc_id",
+        when(coalesce($"np", lit(0L)) >= coalesce($"nn", lit(0L)), lit(1L))
+          .otherwise(lit(0L)).as("isk"))
+    // per-distinct-margin confusion mass, banded for the cumsum;
+    // eager: feeds the band aggregate AND the windowed main path
+    val m = margins.join(truth, Seq("doc_id"))
+      .groupBy($"margin")
+      .agg(sum($"isk").as("nk"), sum(lit(1L) - $"isk").as("nd"))
+      .withColumn("band",
+        org.apache.spark.sql.functions.floor($"margin" / 1000000L).cast("long"))
+      .localCheckpoint()
+    val bandAgg = m.groupBy($"band")
+      .agg(sum($"nk").as("bk"), sum($"nd").as("bd")).localCheckpoint()
+    val higher = bandAgg.select($"band".as("hb"), $"bk".as("hk"), $"bd".as("hd"))
+    val offsets = bandAgg.join(broadcast(higher), $"hb" > $"band", "left")
+      .groupBy($"band")
+      .agg(coalesce(sum($"hk"), lit(0L)).as("ok"),
+        coalesce(sum($"hd"), lit(0L)).as("od"))
+    val totals = bandAgg.agg(sum($"bk").as("totk"), sum($"bd").as("totd"))
+    val w = Window.partitionBy($"band").orderBy($"margin".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.join(broadcast(offsets), Seq("band"))
+      .crossJoin(broadcast(totals))
+      .withColumn("ck", sum($"nk").over(w) + $"ok")
+      .withColumn("cd", sum($"nd").over(w) + $"od")
+      .select($"margin".as("thr"), $"ck".as("tp"), $"cd".as("fp"),
+        ($"totk" - $"ck").as("fn"), ($"totd" - $"cd").as("tn"))
+  }
+
+  /** C32b oracle: the identical train → held-out margins → teacher
+    * truth → cumulative confusion sweep in DuckDB (the ordered window
+    * there runs over the same per-distinct-margin aggregate). */
+  def nbQualityCalibrateSql(dim: Int = 64, trainMod: Int = 4): String = {
+    val keepList = nbKeepWords.map(w => s"'$w'").mkString(", ")
+    val dropList = nbDropWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |lab AS (
+       |  SELECT doc_id,
+       |         CASE WHEN SUM(CASE WHEN token IN ($keepList) THEN 1 ELSE 0 END)
+       |                   >= SUM(CASE WHEN token IN ($dropList) THEN 1 ELSE 0 END)
+       |              THEN 'keep' ELSE 'drop' END AS label
+       |  FROM tok WHERE doc_id % $trainMod <> 0 GROUP BY 1),
+       |tf0 AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |feat AS (
+       |  SELECT doc_id,
+       |         CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % $dim AS INT) AS slot,
+       |         CAST(SUM(tf) AS BIGINT) AS x
+       |  FROM tf0 GROUP BY 1, 2),
+       |trainf AS (SELECT f.doc_id, f.slot, f.x, l.label FROM feat f JOIN lab l USING (doc_id)),
+       |sc0 AS (SELECT label, slot, CAST(SUM(x) AS BIGINT) AS n FROM trainf GROUP BY 1, 2),
+       |ct AS (SELECT label, CAST(SUM(x) AS BIGINT) AS t FROM trainf GROUP BY 1),
+       |cd AS (SELECT label, COUNT(*) AS dc FROM lab GROUP BY 1),
+       |dn AS (SELECT COUNT(*) AS dn FROM lab),
+       |grid AS (
+       |  SELECT label, CAST(slot AS INT) AS slot
+       |  FROM (SELECT unnest(['keep', 'drop']) AS label)
+       |  CROSS JOIN (SELECT unnest(range(0, $dim)) AS slot)),
+       |model AS (
+       |  SELECT g.label, g.slot,
+       |         CAST(floor(1e6 * ln(CAST(COALESCE(s.n, 0) + 1 AS DOUBLE)
+       |                             / CAST(ct.t + $dim AS DOUBLE))) AS BIGINT) AS w
+       |  FROM grid g
+       |  LEFT JOIN sc0 s ON s.label = g.label AND s.slot = g.slot
+       |  JOIN ct ON ct.label = g.label),
+       |priors AS (
+       |  SELECT cd.label,
+       |         CAST(floor(1e6 * ln(CAST(dc AS DOUBLE) / CAST(dn AS DOUBLE))) AS BIGINT) AS prior
+       |  FROM cd, dn),
+       |held AS (SELECT doc_id FROM documents WHERE doc_id % $trainMod = 0),
+       |psum AS (
+       |  SELECT f.doc_id, m.label, CAST(SUM(f.x * m.w) AS BIGINT) AS lsum
+       |  FROM feat f JOIN model m ON m.slot = f.slot
+       |  WHERE f.doc_id % $trainMod = 0
+       |  GROUP BY 1, 2),
+       |wide AS (
+       |  SELECT doc_id,
+       |         MAX(CASE WHEN p.label = 'keep' THEN p.lsum + pr.prior END) AS sk,
+       |         MAX(CASE WHEN p.label = 'drop' THEN p.lsum + pr.prior END) AS sd
+       |  FROM psum p JOIN priors pr ON pr.label = p.label
+       |  GROUP BY 1),
+       |margins AS (
+       |  SELECT h.doc_id,
+       |         COALESCE(w.sk, pk.prior) - COALESCE(w.sd, pd.prior) AS margin
+       |  FROM held h
+       |  LEFT JOIN wide w ON w.doc_id = h.doc_id
+       |  CROSS JOIN (SELECT prior FROM priors WHERE label = 'keep') pk(prior)
+       |  CROSS JOIN (SELECT prior FROM priors WHERE label = 'drop') pd(prior)),
+       |truth AS (
+       |  SELECT h.doc_id,
+       |         CASE WHEN COALESCE(t.np, 0) >= COALESCE(t.nn, 0) THEN 1 ELSE 0 END AS isk
+       |  FROM held h
+       |  LEFT JOIN (
+       |    SELECT doc_id,
+       |           SUM(CASE WHEN token IN ($keepList) THEN 1 ELSE 0 END) AS np,
+       |           SUM(CASE WHEN token IN ($dropList) THEN 1 ELSE 0 END) AS nn
+       |    FROM tok GROUP BY 1) t ON t.doc_id = h.doc_id),
+       |m AS (
+       |  SELECT margin, CAST(SUM(t.isk) AS BIGINT) AS nk,
+       |         CAST(SUM(1 - t.isk) AS BIGINT) AS nd
+       |  FROM margins g JOIN truth t USING (doc_id) GROUP BY 1),
+       |tot AS (SELECT SUM(nk) AS totk, SUM(nd) AS totd FROM m)
+       |SELECT m.margin AS thr,
+       |       CAST(SUM(m.nk) OVER (ORDER BY m.margin DESC) AS BIGINT) AS tp,
+       |       CAST(SUM(m.nd) OVER (ORDER BY m.margin DESC) AS BIGINT) AS fp,
+       |       CAST(tot.totk - SUM(m.nk) OVER (ORDER BY m.margin DESC) AS BIGINT) AS fn,
+       |       CAST(tot.totd - SUM(m.nd) OVER (ORDER BY m.margin DESC) AS BIGINT) AS tn
+       |FROM m, tot""".stripMargin
+  }
+
   /** C18 `vocab_build` — tokenizer vocabulary candidates: corpus-wide
     * token frequencies with rank and cumulative coverage, truncated to
     * the top `topN`. The coverage curve (what fraction of all token

@@ -156,6 +156,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(61L)._1 == out(61L)._2 && out(61L)._3 == "keep")
   }
 
+  test("nb_quality_calibrate: a perfect-separation threshold exists on a separable corpus; sweep counts conserve") {
+    import spark.implicits._
+    // the C32 spec's separable corpus: even = keep-marked, odd =
+    // drop-marked; trainMod = 4 holds out ids 0, 4, 8, … (both
+    // classes: even ids only — so plant odd-parity held-out docs by
+    // using % 3 classes instead). Simpler: class by (id % 3 == 0).
+    val docs = (0L until 60L).map { i =>
+      val t =
+        if (i % 3 == 0) s"customer value part kfilla kfillb kfill${i % 7}"
+        else s"spark batch stream dfilla dfillb dfill${i % 7}"
+      (i, t)
+    }.toDF("doc_id", "text")
+    val rows = operators.TextAnalysis.nbQualityCalibrateOf(docs, dim = 64, trainMod = 4)
+      .collect().map(r => (r.getAs[Long]("thr"), r.getAs[Long]("tp"),
+        r.getAs[Long]("fp"), r.getAs[Long]("fn"), r.getAs[Long]("tn")))
+      .sortBy(-_._1)
+    assert(rows.nonEmpty)
+    // held-out = ids % 4 == 0 (15 docs); truth keep = ids % 3 == 0
+    // among them (ids 0, 12, 24, 36, 48 → 5 keep, 10 drop)
+    val (totK, totD) = (5L, 10L)
+    // conservation at every threshold
+    assert(rows.forall { case (_, tp, fp, fn, tn) =>
+      tp + fn == totK && fp + tn == totD })
+    // cumulative monotonicity going down the sweep
+    assert(rows.sliding(2).forall {
+      case Array((_, tp1, fp1, _, _), (_, tp2, fp2, _, _)) =>
+        tp2 >= tp1 && fp2 >= fp1
+      case _ => true })
+    // the separable corpus admits a PERFECT operating point
+    assert(rows.exists { case (_, tp, fp, fn, tn) =>
+      tp == totK && fp == 0L && fn == 0L && tn == totD },
+      s"no perfect threshold in sweep: ${rows.mkString(", ")}")
+    // the loosest threshold admits everything
+    assert(rows.last._2 + rows.last._3 == totK + totD)
+  }
+
   test("dsir_select: in-domain docs outweigh off-domain, boundary ties all kept, token-free doc weighs 0") {
     import spark.implicits._
     // 5 strong in-domain docs (many target tokens), 10 IDENTICAL

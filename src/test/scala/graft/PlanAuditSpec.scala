@@ -244,7 +244,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // the NB classifier's crosses are the 2-class x dim model grid
       // (<= 64-row build side), the 1-row train-doc-count scalar and
       // the 1-row prior pair — all metadata-sized by construction
-      "nb_quality_classify", "stream_quality_classify")
+      "nb_quality_classify", "stream_quality_classify",
+      // the calibration sweep's crosses are the band-offset inequality
+      // self-join (vocab_build's pattern — bounded band aggregate on
+      // the build side) and the 1-row (totk, totd) scalar
+      "nb_quality_calibrate")
     // k-bounded-group max_by assigns: the sort is by grouping key with
     // map-side partial agg — benign, unlike cluster-sized groups
     val sortAggOk = Set("ann_ivf", "resample_fill", "stream_dedup")
@@ -271,7 +275,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "bpe_pair_counts", "bpe_train_merges", "scd2_apply",
       "stream_scd2_apply", "hybrid_retrieve",
       "approx_topk", "drift_report", "bm25_append",
-      "nb_quality_classify", "stream_quality_classify")
+      "nb_quality_classify", "stream_quality_classify",
+      // nb_quality_calibrate: the same classifier scalars plus the
+      // 1-row (totk, totd) sweep-totals aggregate
+      "nb_quality_calibrate")
     // single-partition (empty partitionSpec) windows move ALL data to
     // one task — legal ONLY over metadata-bounded aggregates: the two
     // band-offset cumsums (zorder's ≤256-row per-band counts, F14's
@@ -358,7 +365,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "bm25_retrieve", "bpe_pair_counts", "bpe_train_merges",
       "scd2_apply", "stream_bm25", "stream_scd2_apply",
       "hybrid_retrieve", "drift_report", "bm25_append", "hybrid_serve",
-      "ann_ivf_pq", "nb_quality_classify", "stream_quality_classify")
+      "ann_ivf_pq", "nb_quality_classify", "stream_quality_classify",
+      "nb_quality_calibrate")
     def rowsOf(p: org.apache.spark.sql.execution.SparkPlan): Option[Long] = p match {
       case q: QueryStageExec => rowsOf(q.plan)
       case e: BroadcastExchangeLike => Some(e.metrics("numOutputRows").value)

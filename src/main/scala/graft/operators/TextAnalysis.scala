@@ -889,6 +889,23 @@ object TextAnalysis {
   private[graft] def dsirSelectOf(docs: DataFrame, dim: Int = 64,
                                   selectFrac: Double = 0.25): DataFrame = {
     import docs.sparkSession.implicits._
+    val (_, weighted, epsOpt) = dsirFit(docs, dim, selectFrac)
+    epsOpt match {
+      case None =>
+        weighted.select($"doc_id", $"logw", lit(null).cast("long").as("eps"),
+          lit(false).as("selected"))
+      case Some(eps) =>
+        weighted.select($"doc_id", $"logw", lit(eps).as("eps"),
+          ($"logw" >= eps).as("selected"))
+    }
+  }
+
+  /** The shared fit: the dim-row log-ratio model, the checkpointed
+    * (doc_id, logw) corpus, and the selection threshold (None when
+    * ⌊selectFrac·N⌋ = 0). */
+  private def dsirFit(docs: DataFrame, dim: Int,
+                      selectFrac: Double): (DataFrame, DataFrame, Option[Long]) = {
+    import docs.sparkSession.implicits._
     require(selectFrac > 0.0 && selectFrac <= 1.0,
       s"selectFrac must be in (0, 1]: $selectFrac")
     val tgtList = dsirTargetWords.map(w => s"'$w'").mkString(", ")
@@ -923,9 +940,7 @@ object TextAnalysis {
       .localCheckpoint()
     val n = weighted.count()
     val k = math.floor(selectFrac * n).toLong
-    if (k == 0L)
-      weighted.select($"doc_id", $"logw", lit(null).cast("long").as("eps"),
-        lit(false).as("selected"))
+    if (k == 0L) (ratio, weighted, None)
     else {
       // exact k-th largest integer logw without a global sort: coarse
       // 1e6-wide buckets locate rank k (driver metadata — the bucket
@@ -946,9 +961,40 @@ object TextAnalysis {
         .filter(org.apache.spark.sql.functions.floor($"logw" / 1000000L) === bkt)
         .select($"logw").orderBy($"logw".desc)
         .limit(inRank.toInt).agg(min($"logw")).head().getLong(0)
-      weighted.select($"doc_id", $"logw", lit(eps).as("eps"),
-        ($"logw" >= eps).as("selected"))
+      (ratio, weighted, Some(eps))
     }
+  }
+
+  /** TRAIN the DSIR selector: the nightly job whose frozen output the
+    * streaming filter (E20) broadcasts — the dim-row log-ratio table
+    * plus the integer selection threshold eps fitted on the reference
+    * corpus. Both are exactly [[dsirSelectOf]]'s internals; a doc's
+    * (logw, selected) verdict against the frozen pair depends on the
+    * model and its own tokens alone, which is what makes per-batch
+    * scoring ≡ one-shot scoring. */
+  private[graft] def dsirTrain(docs: DataFrame, dim: Int = 64,
+                               selectFrac: Double = 0.25): (DataFrame, Long) = {
+    val (ratio, _, epsOpt) = dsirFit(docs, dim, selectFrac)
+    require(epsOpt.nonEmpty,
+      s"dsirTrain: selectFrac $selectFrac admits no docs (k = 0) — " +
+        "no threshold to freeze")
+    (ratio, epsOpt.get)
+  }
+
+  /** SCORE a doc frame against a frozen (ratio, eps) pair: one
+    * broadcast join + one hash agg + a stateless filter column — the
+    * identical call scores the batch corpus or an arriving micro-batch
+    * (E20). */
+  private[graft] def dsirScore(docs: DataFrame, ratio: DataFrame,
+                               eps: Long, dim: Int = 64): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id").distinct()
+      .join(nbFeatures(docs, dim).join(broadcast(ratio), Seq("slot"))
+        .groupBy($"doc_id").agg(sum($"x" * $"r").as("logw")),
+        Seq("doc_id"), "left")
+      .na.fill(0L, Seq("logw"))
+      .select($"doc_id", $"logw", lit(eps).as("eps"),
+        ($"logw" >= eps).as("selected"))
   }
 
   /** C33 oracle: the identical target/raw hashed-unigram models,

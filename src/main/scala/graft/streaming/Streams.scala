@@ -344,6 +344,27 @@ object Streams {
     graft.operators.TextAnalysis.nbScore(docs, model, priors)
   }
 
+  /** E20 `stream_dsir_select` — the DSIR importance filter (C33)
+    * applied AT INGEST: the log-ratio model AND the selection
+    * threshold eps freeze batch-side (`dsirTrain`, the nightly job
+    * over the reference corpus), and each arriving doc micro-batch
+    * scores statelessly against the frozen pair (`dsirScore`) — E19's
+    * stream-static shape with the threshold frozen too, because a
+    * per-batch quantile would redefine the selection as data arrives.
+    * A doc's (logw, selected) verdict depends on the frozen pair and
+    * its own tokens alone, so per-batch scoring ≡ one-shot scoring:
+    * the gate replays the corpus through train+score and hash-equals
+    * C33's oracle; StreamingSpec drives real MemoryStream batches
+    * through a foreachBatch scorer and pins row parity plus
+    * batch-composition irrelevance. */
+  def streamDsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.fanout(graft.Tables.documents(spark, dir)
+      .select($"doc_id", $"text"))
+    val (ratio, eps) = graft.operators.TextAnalysis.dsirTrain(docs)
+    graft.operators.TextAnalysis.dsirScore(docs, ratio, eps)
+  }
+
   /** SCD2-style validity intervals over the per-user signup state
     * stream (valid_from = state ts, valid_to = next state ts) — the
     * pre-built dimension [[asofEnrich]] probes. The window runs over

@@ -813,6 +813,46 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("E20 stream_dsir_select: MemoryStream batches scored against the frozen (ratio, eps) equal one-shot selection") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // the C33 spec's corpus: strong in-domain, tied medium, off-domain
+    val rows = (0L until 5L).map(i => (i, s"table index query scan hash merge u$i")) ++
+      (5L until 15L).map(i => (i, "table fillcommon fillcommon")) ++
+      (15L until 40L).map(i => (i, "alpha beta gamma gamma"))
+    val docs = rows.toDF("doc_id", "text")
+    // nightly training job: ratio model AND threshold freeze BEFORE
+    // the stream starts (a per-batch quantile would redefine the
+    // selection as data arrives)
+    val (ratio, eps) = operators.TextAnalysis.dsirTrain(docs, 256, 0.25)
+    val oneShot = operators.TextAnalysis.dsirScore(docs, ratio, eps, 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    val source = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Boolean)]
+    val q = source.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= operators.TextAnalysis.dsirScore(df, ratio, eps, 256)
+          .collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        (): Unit
+      }
+      .start()
+    // uneven batches; one SPLITS the medium tie group — composition
+    // must be irrelevant because eps is frozen, not per-batch
+    Seq(rows.slice(0, 7), rows.slice(7, 12), rows.slice(12, 40)).foreach { b =>
+      source.addData(b: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(got.sortBy(_._1).toSeq == oneShot.toSeq,
+      "per-batch scoring against the frozen (ratio, eps) must equal one-shot selection")
+    // the frozen threshold still selects exactly the in-domain docs
+    assert(got.filter(_._4).map(_._1).toSet == (0L until 15L).toSet)
+    spark.catalog.clearCache()
+  }
+
   test("E16 line index: MemoryStream appends through foreachBatch strike the one-shot union answer") {
     val s = spark
     import s.implicits._

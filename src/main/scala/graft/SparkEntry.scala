@@ -161,6 +161,7 @@ object SparkEntry {
     "stream_enrich"       -> (graft.streaming.Streams.streamEnrich _),
     "stream_quality_classify" -> ((s, d) => graft.streaming.Streams.streamQualityClassify(s, d)),
     "stream_dsir_select"  -> ((s, d) => graft.streaming.Streams.streamDsirSelect(s, d)),
+    "stream_decontaminate" -> ((s, d) => graft.streaming.Streams.streamDecontaminate(s, d)),
     "stream_asof_enrich"  -> (graft.streaming.Streams.streamAsofEnrich _),
     "stream_near_dedup"   -> (graft.streaming.Streams.streamNearDedup _),
     "stream_mm_dedup"     -> ((s, d) => graft.streaming.Streams.streamMmDedup(s, d)),
@@ -361,6 +362,7 @@ object SparkEntry {
     // on C32's own oracle (the E7-on-B12 posture)
     "stream_quality_classify" -> TextAnalysis.nbQualityClassifySql(),
     "stream_dsir_select"  -> TextAnalysis.dsirSelectSql(),
+    "stream_decontaminate" -> Govern.decontaminateSql(),
     "stream_asof_enrich"  -> operators.AsOf.asofStateJoinSql,
     "stream_sessionize"   -> graft.streaming.Streams.streamSessionizeSql(),
     // block F — governance / curation

@@ -28,7 +28,7 @@ object Govern {
   /** Benchmark-set membership stand-in (doc_id % BenchMod == 0) —
     * shared by `decontaminate` and `pipeline_training_manifest`, engine
     * and oracle sides, so the two gates can't drift. */
-  private val BenchMod = 17
+  private[graft] val BenchMod = 17
 
   /** documents with deterministically planted PII: every 7th doc gains
     * an email, every 11th a URL, every 13th a phone number (mod doc_id,
@@ -139,17 +139,46 @@ object Govern {
     * shuffled until the per-doc aggregate on matches only. */
   def decontaminate(spark: SparkSession, dir: String, n: Int = 4): DataFrame = {
     import spark.implicits._
-    val grams = Tables.fanout(Tables.documents(spark, dir).select($"doc_id", $"text"))
+    val grams = docGrams(Tables.fanout(
+      Tables.documents(spark, dir).select($"doc_id", $"text")), n)
+    decontScore(
+      grams.filter($"doc_id" % BenchMod =!= 0),
+      grams.filter($"doc_id" % BenchMod === 0).select($"gh").distinct())
+  }
+
+  /** Per-doc DISTINCT word-n-gram 64-bit hashes — the shared feature
+    * of the batch decontam pass and the streaming scorer (E21). */
+  private[graft] def docGrams(docs: DataFrame, n: Int = 4): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .withColumn("toks", split(trim($"text"), "\\s+"))
       .filter(size($"toks") >= n)
       .select($"doc_id", explode(expr(
         s"array_distinct(transform(sequence(0, size(toks)-$n), i -> xxhash64(concat_ws(' ', slice(toks, i+1, $n)))))"))
         .as("gh"))
-    val benchGrams = grams.filter($"doc_id" % BenchMod === 0).select($"gh").distinct()
-    grams.filter($"doc_id" % BenchMod =!= 0)
-      .join(broadcast(benchGrams), Seq("gh"))
+  }
+
+  /** SCORE gram-exploded docs against a frozen benchmark gram set:
+    * one broadcast semi-join + one per-doc count — stateless, so the
+    * identical call flags a batch corpus or an arriving micro-batch
+    * (E21). A doc's count depends on the frozen set and its own
+    * grams alone. */
+  private[graft] def decontScore(grams: DataFrame, benchGrams: DataFrame): DataFrame = {
+    import grams.sparkSession.implicits._
+    grams.join(broadcast(benchGrams), Seq("gh"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** The frozen benchmark gram set (the static side E21 broadcasts;
+    * eagerly materialized — the nightly "index the benchmarks" job). */
+  private[graft] def benchGramSet(spark: SparkSession, dir: String,
+                                  n: Int = 4): DataFrame = {
+    import spark.implicits._
+    docGrams(Tables.fanout(Tables.documents(spark, dir)
+      .select($"doc_id", $"text")), n)
+      .filter($"doc_id" % BenchMod === 0).select($"gh").distinct()
+      .localCheckpoint()
   }
 
   def decontaminateSql(n: Int = 4): String =

@@ -365,6 +365,28 @@ object Streams {
     graft.operators.TextAnalysis.dsirScore(docs, ratio, eps)
   }
 
+  /** E21 `stream_decontaminate` — benchmark contamination flagging
+    * (F3) applied AT INGEST: the benchmark gram set freezes batch-side
+    * (`benchGramSet`, the nightly "index the benchmarks" job — tiny by
+    * nature, broadcast), and each arriving training-doc micro-batch
+    * flags statelessly via `decontScore` (one broadcast semi-join +
+    * one per-doc count). A doc's shared-gram count depends on the
+    * frozen set and its own grams alone, so N micro-batches ≡ one
+    * one-shot pass: the gate replays the corpus and hash-equals F3's
+    * oracle; StreamingSpec drives real MemoryStream batches through a
+    * foreachBatch flagger and pins row parity plus per-batch silence
+    * on clean batches. */
+  def streamDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Gov = graft.operators.Govern
+    val bench = Gov.benchGramSet(spark, dir)
+    Gov.decontScore(
+      Gov.docGrams(Tables.fanout(graft.Tables.documents(spark, dir)
+        .select($"doc_id", $"text")))
+        .filter($"doc_id" % Gov.BenchMod =!= 0),
+      bench)
+  }
+
   /** SCD2-style validity intervals over the per-user signup state
     * stream (valid_from = state ts, valid_to = next state ts) — the
     * pre-built dimension [[asofEnrich]] probes. The window runs over

@@ -853,6 +853,52 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("E21 stream_decontaminate: MemoryStream batches flagged against the frozen bench grams equal one-shot; clean batches stay silent") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val Gov = operators.Govern
+    // benchmark docs (the frozen set) + training docs: some copy a
+    // benchmark 4-gram verbatim, some share nothing
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (200L, "four score and seven years ago our fathers"))
+    val contaminated = (0L until 6L).map(i =>
+      (i, s"prefix $i the quick brown fox tail $i"))
+    val clean = (6L until 12L).map(i =>
+      (i, s"entirely original content number $i with no overlap"))
+    val benchSet = Gov.docGrams(bench.toDF("doc_id", "text")).select($"gh")
+      .distinct().localCheckpoint()
+    val oneShot = Gov.decontScore(
+        Gov.docGrams((contaminated ++ clean).toDF("doc_id", "text")), benchSet)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(oneShot.map(_._1).toSet == (0L until 6L).toSet,
+      "exactly the contaminated docs must be flagged")
+    val source = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val q = source.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val flagged = Gov.decontScore(Gov.docGrams(df), benchSet)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        got ++= flagged
+        batchSizes += ((df.count().toInt, flagged.length))
+        (): Unit
+      }
+      .start()
+    val rows = contaminated ++ clean
+    // last batch is ALL-clean: the flagger must emit nothing for it
+    Seq(rows.slice(0, 4), rows.slice(4, 7), rows.slice(7, 12)).foreach { b =>
+      source.addData(b: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(got.sortBy(_._1).toSeq == oneShot.toSeq,
+      "per-batch flagging against the frozen bench set must equal one-shot")
+    assert(batchSizes.last == ((5, 0)), "an all-clean batch must flag nothing")
+    spark.catalog.clearCache()
+  }
+
   test("E16 line index: MemoryStream appends through foreachBatch strike the one-shot union answer") {
     val s = spark
     import s.implicits._

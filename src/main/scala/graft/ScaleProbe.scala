@@ -369,6 +369,31 @@ object ScaleProbe {
       s"the ${rep}x twinned corpus must shuffle ~${rep}x the bytes " +
         "(linear strike/merge/reassembly, never pair-quadratic)")
 
+    // ---- claim 7: learned-filter selection volume is linear --------
+    // the DSIR selector's whole lifecycle (model fit + scoring + the
+    // threshold order statistic) must shuffle ∝ corpus: the model is
+    // dim-row-bounded by the hashing trick, scoring is a broadcast
+    // join (never a model-side shuffle), and the k-th-largest
+    // threshold goes through a coarse value-bucketed driver histogram
+    // — a global sort-based quantile would shuffle the corpus again
+    // and a value-unbounded histogram would grow the driver collect
+    // with N instead of the micro-unit range.
+    val ds1 = scope("dsir_1x") {
+      graft.operators.TextAnalysis.dsirSelectOf(docs, 64, 0.25)
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+    }
+    val dsR = scope(s"dsir_${rep}x") {
+      graft.operators.TextAnalysis.dsirSelectOf(bigDocs, 64, 0.25)
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+    }
+    ratio("dsir_volume_linear", dsR.shuffleWriteBytes.toDouble,
+      ds1.shuffleWriteBytes.toDouble, 0.5 * rep, 1.8 * rep,
+      s"the ${rep}x corpus must shuffle ~${rep}x the bytes through " +
+        "fit+score+threshold (dim-bounded model, histogram quantile — " +
+        "never a corpus sort)")
+
     // ---- emit ------------------------------------------------------
     val out = checks.result()
     def j(c: Check): String =

@@ -67,6 +67,7 @@ object SparkEntry {
     "zorder_layout"       -> ((s, d) => Govern.zorderLayout(s, d)),
     "compaction_plan"     -> ((s, d) => Govern.compactionPlan(s, d)),
     "stats_prune"         -> ((s, d) => Govern.statsPrune(s, d)),
+    "source_quality_block" -> ((s, d) => Govern.sourceQualityBlock(s, d)),
     "pipeline_training_manifest" -> ((s, d) => Govern.trainingManifest(s, d)),
     "tfidf_terms"         -> ((s, d) => TextAnalysis.tfidfTerms(s, d)),
     "sparse_tfidf_pairs"  -> ((s, d) => TextAnalysis.sparseTfidfPairs(s, d)),
@@ -290,6 +291,7 @@ object SparkEntry {
     "zorder_layout"       -> Govern.zorderLayoutSql(),
     "compaction_plan"     -> Govern.compactionPlanSql(),
     "stats_prune"         -> Govern.statsPruneSql(),
+    "source_quality_block" -> Govern.sourceQualityBlockSql(),
     "pipeline_training_manifest" -> Govern.trainingManifestSql(),
     "tfidf_terms"         -> TextAnalysis.tfidfTermsSql(),
     "sparse_tfidf_pairs"  -> TextAnalysis.sparseTfidfPairsSql(),

@@ -971,4 +971,79 @@ object Govern {
        |       CAST((row_number() OVER (ORDER BY zval, l_orderkey, l_linenumber, x, y) - 1)
        |            // $rowsPerFile AS INT) AS file_id
        |FROM z""".stripMargin
+
+  /** F18 `source_quality_block` — SOURCE-level curation verdicts, the
+    * domain-blocklist stage web-scale pipelines run before any per-doc
+    * filter (CCNet/RefinedWeb posture: a domain whose aggregate
+    * signals are bad gets dropped wholesale, cheaper and safer than
+    * trusting per-doc scores inside a spam domain). Per source over
+    * the TRAINING corpus (benchmark members excluded): doc count,
+    * benchmark-contaminated count (F3's flagger), exact-duplicate
+    * excess (non-keeper copies under C1's normalization), short-doc
+    * count — and a `blocked` verdict from integer cross-multiplied
+    * thresholds (contaminated > 20%, dup excess > 20%, short > 50%),
+    * so the whole report hash-gates with zero float arithmetic.
+    *
+    * Scale: one normalize+md5 scan → hash agg per text-hash (the C1
+    * shuffle), one broadcast semi/left join against the flagged sets,
+    * then a per-source hash agg — output is domain-cardinality (tiny).
+    * The verdict thresholds compare n·k > N, never divide. */
+  def sourceQualityBlock(spark: SparkSession, dir: String): DataFrame =
+    sourceQualityBlockOf(
+      Tables.fanout(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars")))
+        .filter(col("doc_id") % BenchMod =!= 0),
+      decontaminate(spark, dir).select(col("doc_id")))
+
+  /** Frame-based core of F18 (docs = (doc_id, text, source, n_chars),
+    * already restricted to the corpus under curation; contaminatedIds
+    * = the flagged doc ids). */
+  private[graft] def sourceQualityBlockOf(docs: DataFrame,
+                                          contaminatedIds: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val contaminated = contaminatedIds.select($"doc_id", lit(1L).as("cont"))
+    val normed = docs.select($"doc_id", $"source", $"n_chars",
+      md5(lower(trim(regexp_replace($"text", "\\s+", " ")))).as("h"))
+    val groups = normed.groupBy($"h")
+      .agg(count(lit(1)).as("cnt"), min($"doc_id").as("keeper"))
+    normed.join(groups, Seq("h"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .select($"source",
+        (($"cnt" > 1) && ($"doc_id" =!= $"keeper")).cast("long").as("dup_excess"),
+        coalesce($"cont", lit(0L)).as("cont"),
+        ($"n_chars" < 200).cast("long").as("is_short"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"cont").as("n_contaminated"),
+        sum($"dup_excess").as("n_dup_excess"),
+        sum($"is_short").as("n_short"))
+      .withColumn("blocked",
+        ($"n_contaminated" * 5 > $"n_docs") ||
+          ($"n_dup_excess" * 5 > $"n_docs") ||
+          ($"n_short" * 2 > $"n_docs"))
+  }
+
+  /** F18 oracle: identical flagging + integer thresholds in DuckDB. */
+  def sourceQualityBlockSql(): String =
+    s"""WITH contaminated AS (SELECT doc_id FROM (${decontaminateSql()})),
+       |docs AS (
+       |  SELECT doc_id, source, n_chars,
+       |         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+       |  FROM documents WHERE doc_id % $BenchMod <> 0),
+       |groups AS (SELECT h, COUNT(*) AS cnt, MIN(doc_id) AS keeper FROM docs GROUP BY 1),
+       |flagged AS (
+       |  SELECT d.source,
+       |         CASE WHEN g.cnt > 1 AND d.doc_id <> g.keeper THEN 1 ELSE 0 END AS dup_excess,
+       |         CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS cont,
+       |         CASE WHEN d.n_chars < 200 THEN 1 ELSE 0 END AS is_short
+       |  FROM docs d
+       |  JOIN groups g USING (h)
+       |  LEFT JOIN contaminated c USING (doc_id))
+       |SELECT source, COUNT(*) AS n_docs,
+       |       CAST(SUM(cont) AS BIGINT) AS n_contaminated,
+       |       CAST(SUM(dup_excess) AS BIGINT) AS n_dup_excess,
+       |       CAST(SUM(is_short) AS BIGINT) AS n_short,
+       |       (SUM(cont) * 5 > COUNT(*) OR SUM(dup_excess) * 5 > COUNT(*)
+       |        OR SUM(is_short) * 2 > COUNT(*)) AS blocked
+       |FROM flagged GROUP BY 1""".stripMargin
 }

@@ -486,6 +486,35 @@ class GovernSpec extends AnyFunSuite {
     }
   }
 
+  test("source_quality_block: each threshold blocks its planted source; the clean source survives") {
+    import spark.implicits._
+    // four planted sources, one per failure mode + one clean:
+    //  - dupfarm: 10 docs, 8 share one normalized text (7 excess) → 7*5 > 10
+    //  - shortfarm: 4 docs, 3 under 200 chars → 3*2 > 4
+    //  - contfarm: 5 docs, 2 flagged contaminated → 2*5 > 5
+    //  - clean: 10 distinct long docs, nothing flagged
+    val long = "x " * 150 // 300 chars
+    val docs = (
+      (0L until 8L).map(i => (i, s"dup body $long", "dupfarm", 300L)) ++
+      Seq((8L, s"uniq a $long", "dupfarm", 300L), (9L, s"uniq b $long", "dupfarm", 300L)) ++
+      (10L until 13L).map(i => (i, s"tiny $i", "shortfarm", 10L)) :+
+      (13L, s"long enough $long", "shortfarm", 300L)) ++
+      (14L until 19L).map(i => (i, s"cont doc $i $long", "contfarm", 300L)) ++
+      (19L until 29L).map(i => (i, s"clean doc $i $long", "clean", 300L))
+    val contaminated = Seq(14L, 15L).toDF("doc_id")
+    val out = operators.Govern.sourceQualityBlockOf(
+        docs.toDF("doc_id", "text", "source", "n_chars"), contaminated)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_contaminated"),
+          r.getAs[Long]("n_dup_excess"), r.getAs[Long]("n_short"),
+          r.getAs[Boolean]("blocked")))).toMap
+    assert(out.keySet == Set("dupfarm", "shortfarm", "contfarm", "clean"))
+    assert(out("dupfarm") == ((10L, 0L, 7L, 0L, true)), s"dupfarm = ${out("dupfarm")}")
+    assert(out("shortfarm") == ((4L, 0L, 0L, 3L, true)))
+    assert(out("contfarm") == ((5L, 2L, 0L, 0L, true)))
+    assert(out("clean") == ((10L, 0L, 0L, 0L, false)))
+  }
+
   test("pipeline_training_manifest: survivors respect every upstream gate; shard positions contiguous") {
     val mf = operators.Govern.trainingManifest(spark, sf).cache()
     // no benchmark member, no planted-twin id, every doc at most once

@@ -68,6 +68,7 @@ object SparkEntry {
     "compaction_plan"     -> ((s, d) => Govern.compactionPlan(s, d)),
     "stats_prune"         -> ((s, d) => Govern.statsPrune(s, d)),
     "source_quality_block" -> ((s, d) => Govern.sourceQualityBlock(s, d)),
+    "curation_audit"      -> ((s, d) => Govern.curationAudit(s, d)),
     "pipeline_training_manifest" -> ((s, d) => Govern.trainingManifest(s, d)),
     "tfidf_terms"         -> ((s, d) => TextAnalysis.tfidfTerms(s, d)),
     "sparse_tfidf_pairs"  -> ((s, d) => TextAnalysis.sparseTfidfPairs(s, d)),
@@ -292,6 +293,7 @@ object SparkEntry {
     "compaction_plan"     -> Govern.compactionPlanSql(),
     "stats_prune"         -> Govern.statsPruneSql(),
     "source_quality_block" -> Govern.sourceQualityBlockSql(),
+    "curation_audit"      -> Govern.curationAuditSql(),
     "pipeline_training_manifest" -> Govern.trainingManifestSql(),
     "tfidf_terms"         -> TextAnalysis.tfidfTermsSql(),
     "sparse_tfidf_pairs"  -> TextAnalysis.sparseTfidfPairsSql(),

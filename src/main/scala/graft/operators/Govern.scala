@@ -1023,6 +1023,89 @@ object Govern {
           ($"n_short" * 2 > $"n_docs"))
   }
 
+  /** F19 `curation_audit` — the per-doc "why was my document dropped"
+    * surface: one row per training doc with every filter stage's
+    * verdict as a flag and the final conjunction — exact-duplicate
+    * excess (C1's normalization, non-keeper copies), benchmark
+    * contamination (F3), learned low-quality (C32's NB predicts
+    * drop), importance deselection (C33's DSIR threshold), and a
+    * blocked source (F18) — `kept` ⇔ no flag fires. The operational
+    * complement of F12's manifest: the manifest emits the survivors,
+    * the audit explains every decision, flag by flag, for the docs
+    * that did NOT survive. All flags are deterministic booleans, so
+    * the whole audit hash-gates.
+    *
+    * Scale: each flag is its stage's own plan (shared work memoized
+    * where the stages already memoize); the audit itself adds only
+    * broadcast/hash joins on doc_id plus one tiny source-verdict
+    * join — no new shuffle wider than (doc_id, flag). */
+  def curationAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.fanout(Tables.documents(spark, dir)
+      .select($"doc_id", $"text", $"source"))
+      .filter($"doc_id" % BenchMod =!= 0)
+    val normed = docs.select($"doc_id", $"source",
+      md5(lower(trim(regexp_replace($"text", "\\s+", " ")))).as("h"))
+    val groups = normed.groupBy($"h")
+      .agg(count(lit(1)).as("cnt"), min($"doc_id").as("keeper"))
+    val base = normed.join(groups, Seq("h"))
+      .select($"doc_id", $"source",
+        (($"cnt" > 1) && ($"doc_id" =!= $"keeper")).as("is_dup"))
+    val cont = decontaminate(spark, dir)
+      .select($"doc_id", lit(true).as("contaminated"))
+    val lowq = TextAnalysis.nbQualityClassify(spark, dir)
+      .select($"doc_id", ($"pred" === "drop").as("low_quality"))
+    val desel = TextAnalysis.dsirSelect(spark, dir)
+      .select($"doc_id", (!$"selected").as("deselected"))
+    val blocked = sourceQualityBlock(spark, dir)
+      .select($"source", $"blocked".as("blocked_source"))
+    base
+      .join(cont, Seq("doc_id"), "left")
+      .join(lowq, Seq("doc_id"), "left")
+      .join(desel, Seq("doc_id"), "left")
+      .join(broadcast(blocked), Seq("source"), "left")
+      .select($"doc_id", $"source", $"is_dup",
+        coalesce($"contaminated", lit(false)).as("contaminated"),
+        coalesce($"low_quality", lit(false)).as("low_quality"),
+        coalesce($"deselected", lit(false)).as("deselected"),
+        coalesce($"blocked_source", lit(false)).as("blocked_source"))
+      .withColumn("kept",
+        !($"is_dup" || $"contaminated" || $"low_quality" ||
+          $"deselected" || $"blocked_source"))
+  }
+
+  /** F19 oracle: every stage's own oracle composed as parenthesized
+    * subqueries (WITH-inside-subquery, the stream_catalog_serve
+    * posture), joined on doc_id/source with the same conjunction. */
+  def curationAuditSql(): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source,
+       |         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+       |  FROM documents WHERE doc_id % $BenchMod <> 0),
+       |groups AS (SELECT h, COUNT(*) AS cnt, MIN(doc_id) AS keeper FROM docs GROUP BY 1),
+       |base AS (
+       |  SELECT d.doc_id, d.source,
+       |         (g.cnt > 1 AND d.doc_id <> g.keeper) AS is_dup
+       |  FROM docs d JOIN groups g USING (h)),
+       |cont AS (SELECT doc_id FROM (${decontaminateSql()})),
+       |lowq AS (SELECT doc_id, pred FROM (${TextAnalysis.nbQualityClassifySql()})),
+       |desel AS (SELECT doc_id, selected FROM (${TextAnalysis.dsirSelectSql()})),
+       |blocked AS (SELECT source, blocked FROM (${sourceQualityBlockSql()}))
+       |SELECT b.doc_id, b.source, b.is_dup,
+       |       (c.doc_id IS NOT NULL) AS contaminated,
+       |       COALESCE(l.pred = 'drop', FALSE) AS low_quality,
+       |       COALESCE(NOT s.selected, FALSE) AS deselected,
+       |       COALESCE(k.blocked, FALSE) AS blocked_source,
+       |       NOT (b.is_dup OR (c.doc_id IS NOT NULL)
+       |            OR COALESCE(l.pred = 'drop', FALSE)
+       |            OR COALESCE(NOT s.selected, FALSE)
+       |            OR COALESCE(k.blocked, FALSE)) AS kept
+       |FROM base b
+       |LEFT JOIN cont c ON c.doc_id = b.doc_id
+       |LEFT JOIN lowq l ON l.doc_id = b.doc_id
+       |LEFT JOIN desel s ON s.doc_id = b.doc_id
+       |LEFT JOIN blocked k ON k.source = b.source""".stripMargin
+
   /** F18 oracle: identical flagging + integer thresholds in DuckDB. */
   def sourceQualityBlockSql(): String =
     s"""WITH contaminated AS (SELECT doc_id FROM (${decontaminateSql()})),

@@ -973,12 +973,12 @@ object TextAnalysis {
     * model and its own tokens alone, which is what makes per-batch
     * scoring ≡ one-shot scoring. */
   private[graft] def dsirTrain(docs: DataFrame, dim: Int = 64,
-                               selectFrac: Double = 0.25): (DataFrame, Long) = {
+                               selectFrac: Double = 0.25): (DataFrame, Option[Long]) = {
     val (ratio, _, epsOpt) = dsirFit(docs, dim, selectFrac)
-    require(epsOpt.nonEmpty,
-      s"dsirTrain: selectFrac $selectFrac admits no docs (k = 0) — " +
-        "no threshold to freeze")
-    (ratio, epsOpt.get)
+    // epsOpt is None only when ⌊selectFrac·N⌋ = 0 (degenerate/empty
+    // reference corpus) — the scorer then selects nothing, exactly
+    // the batch k = 0 branch
+    (ratio, epsOpt)
   }
 
   /** SCORE a doc frame against a frozen (ratio, eps) pair: one
@@ -986,15 +986,21 @@ object TextAnalysis {
     * identical call scores the batch corpus or an arriving micro-batch
     * (E20). */
   private[graft] def dsirScore(docs: DataFrame, ratio: DataFrame,
-                               eps: Long, dim: Int = 64): DataFrame = {
+                               eps: Option[Long], dim: Int = 64): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select($"doc_id").distinct()
+    val weighted = docs.select($"doc_id").distinct()
       .join(nbFeatures(docs, dim).join(broadcast(ratio), Seq("slot"))
         .groupBy($"doc_id").agg(sum($"x" * $"r").as("logw")),
         Seq("doc_id"), "left")
       .na.fill(0L, Seq("logw"))
-      .select($"doc_id", $"logw", lit(eps).as("eps"),
-        ($"logw" >= eps).as("selected"))
+    eps match {
+      case Some(e) =>
+        weighted.select($"doc_id", $"logw", lit(e).as("eps"),
+          ($"logw" >= e).as("selected"))
+      case None =>
+        weighted.select($"doc_id", $"logw", lit(null).cast("long").as("eps"),
+          lit(false).as("selected"))
+    }
   }
 
   /** C33 oracle: the identical target/raw hashed-unigram models,

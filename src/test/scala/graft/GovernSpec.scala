@@ -486,6 +486,45 @@ class GovernSpec extends AnyFunSuite {
     }
   }
 
+  test("curation_audit: kept ⇔ no flag fires; every flag agrees with its own stage; benchmark docs absent") {
+    import spark.implicits._
+    val audit = operators.Govern.curationAudit(spark, sf).localCheckpoint()
+    val rows = audit.collect()
+    assert(rows.nonEmpty)
+    // kept is exactly the conjunction of the five flags
+    assert(rows.forall { r =>
+      r.getAs[Boolean]("kept") == !(r.getAs[Boolean]("is_dup") ||
+        r.getAs[Boolean]("contaminated") || r.getAs[Boolean]("low_quality") ||
+        r.getAs[Boolean]("deselected") || r.getAs[Boolean]("blocked_source"))
+    })
+    // benchmark members never appear
+    assert(rows.forall(_.getAs[Long]("doc_id") % 17 != 0))
+    // one row per training doc
+    assert(rows.length ==
+      Tables.documents(spark, sf).filter(col("doc_id") % 17 =!= 0).count().toInt)
+    // each flag column agrees with the stage that owns it
+    val cont = operators.Govern.decontaminate(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => r.getAs[Boolean]("contaminated") ==
+      cont.contains(r.getAs[Long]("doc_id"))))
+    val lowq = operators.TextAnalysis.nbQualityClassify(spark, sf)
+      .filter(col("pred") === "drop")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => r.getAs[Boolean]("low_quality") ==
+      lowq.contains(r.getAs[Long]("doc_id"))))
+    val desel = operators.TextAnalysis.dsirSelect(spark, sf)
+      .filter(!col("selected"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => r.getAs[Boolean]("deselected") ==
+      desel.contains(r.getAs[Long]("doc_id"))))
+    val blockedSrc = operators.Govern.sourceQualityBlock(spark, sf)
+      .filter(col("blocked")).select(col("source"))
+      .collect().map(_.getString(0)).toSet
+    assert(rows.forall(r => r.getAs[Boolean]("blocked_source") ==
+      blockedSrc.contains(r.getAs[String]("source"))))
+    spark.catalog.clearCache()
+  }
+
   test("source_quality_block: each threshold blocks its planted source; the clean source survives") {
     import spark.implicits._
     // four planted sources, one per failure mode + one clean:

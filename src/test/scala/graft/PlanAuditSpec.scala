@@ -248,7 +248,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // the calibration sweep's crosses are the band-offset inequality
       // self-join (vocab_build's pattern — bounded band aggregate on
       // the build side) and the 1-row (totk, totd) scalar
-      "nb_quality_calibrate")
+      "nb_quality_calibrate",
+      // curation_audit composes the NB scorer, so it inherits exactly
+      // the classifier's declared scalar crosses (prior pair, pwide)
+      "curation_audit")
     // k-bounded-group max_by assigns: the sort is by grouping key with
     // map-side partial agg — benign, unlike cluster-sized groups
     val sortAggOk = Set("ann_ivf", "resample_fill", "stream_dedup")
@@ -277,8 +280,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "approx_topk", "drift_report", "bm25_append",
       "nb_quality_classify", "stream_quality_classify",
       // nb_quality_calibrate: the same classifier scalars plus the
-      // 1-row (totk, totd) sweep-totals aggregate
-      "nb_quality_calibrate")
+      // 1-row (totk, totd) sweep-totals aggregate; curation_audit
+      // inherits the NB scorer's scalar combines
+      "nb_quality_calibrate", "curation_audit")
     // single-partition (empty partitionSpec) windows move ALL data to
     // one task — legal ONLY over metadata-bounded aggregates: the two
     // band-offset cumsums (zorder's ≤256-row per-band counts, F14's
@@ -366,7 +370,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "scd2_apply", "stream_bm25", "stream_scd2_apply",
       "hybrid_retrieve", "drift_report", "bm25_append", "hybrid_serve",
       "ann_ivf_pq", "nb_quality_classify", "stream_quality_classify",
-      "nb_quality_calibrate")
+      "nb_quality_calibrate", "curation_audit")
     def rowsOf(p: org.apache.spark.sql.execution.SparkPlan): Option[Long] = p match {
       case q: QueryStageExec => rowsOf(q.plan)
       case e: BroadcastExchangeLike => Some(e.metrics("numOutputRows").value)

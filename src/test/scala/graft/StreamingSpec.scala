@@ -826,6 +826,7 @@ class StreamingSpec extends AnyFunSuite {
     // the stream starts (a per-batch quantile would redefine the
     // selection as data arrives)
     val (ratio, eps) = operators.TextAnalysis.dsirTrain(docs, 256, 0.25)
+    assert(eps.nonEmpty, "the reference corpus must freeze a threshold")
     val oneShot = operators.TextAnalysis.dsirScore(docs, ratio, eps, 256)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
       .sortBy(_._1)

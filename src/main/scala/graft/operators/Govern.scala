@@ -1106,6 +1106,29 @@ object Govern {
        |LEFT JOIN desel s ON s.doc_id = b.doc_id
        |LEFT JOIN blocked k ON k.source = b.source""".stripMargin
 
+  /** TAG a doc frame against a frozen per-source verdict table: one
+    * broadcast join on `source` — stateless, so the identical call
+    * tags a batch corpus or an arriving micro-batch (E22). A source
+    * the nightly job never saw admits by default (blocklist
+    * semantics, not allowlist). */
+  private[graft] def sourceBlockTag(docs: DataFrame,
+                                    verdicts: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.join(broadcast(verdicts.select($"source", $"blocked")),
+        Seq("source"), "left")
+      .select($"doc_id", $"source",
+        coalesce($"blocked", lit(false)).as("blocked"))
+  }
+
+  /** E22 oracle: F18's verdicts left-joined back onto the training
+    * docs by source, unseen sources admitting by default. */
+  def streamSourceBlockSql(): String =
+    s"""WITH verdicts AS (SELECT source, blocked FROM (${sourceQualityBlockSql()}))
+       |SELECT d.doc_id, d.source, COALESCE(v.blocked, FALSE) AS blocked
+       |FROM documents d
+       |LEFT JOIN verdicts v ON v.source = d.source
+       |WHERE d.doc_id % $BenchMod <> 0""".stripMargin
+
   /** F18 oracle: identical flagging + integer thresholds in DuckDB. */
   def sourceQualityBlockSql(): String =
     s"""WITH contaminated AS (SELECT doc_id FROM (${decontaminateSql()})),

@@ -903,11 +903,12 @@ object TextAnalysis {
   /** The shared fit: the dim-row log-ratio model, the checkpointed
     * (doc_id, logw) corpus, and the selection threshold (None when
     * ⌊selectFrac·N⌋ = 0). */
-  private def dsirFit(docs: DataFrame, dim: Int,
-                      selectFrac: Double): (DataFrame, DataFrame, Option[Long]) = {
+  /** The dim-row log-ratio model alone: p̂_target vs p̂_raw fitted
+    * over `docs` (the reference corpus), checkpointed. Shared by the
+    * full fit and the drift measure, which compares a FROZEN ratio
+    * against a fresh one without ever building the weighted corpus. */
+  private[graft] def dsirRatioOf(docs: DataFrame, dim: Int = 64): DataFrame = {
     import docs.sparkSession.implicits._
-    require(selectFrac > 0.0 && selectFrac <= 1.0,
-      s"selectFrac must be in (0, 1]: $selectFrac")
     val tgtList = dsirTargetWords.map(w => s"'$w'").mkString(", ")
     val feat = nbFeatures(docs, dim)
     val tgtDocs = docs
@@ -925,10 +926,19 @@ object TextAnalysis {
           floor(lit(1e6) * log(($"n" + 1).cast("double") / ($"t" + dim).cast("double")))
             .cast("long").as("lp"))
     }
-    val ratio = slotModel(tgtFeat).withColumnRenamed("lp", "lt")
+    slotModel(tgtFeat).withColumnRenamed("lp", "lt")
       .join(slotModel(feat).withColumnRenamed("lp", "lr"), Seq("slot"))
       .select($"slot", ($"lt" - $"lr").as("r"))
       .localCheckpoint()
+  }
+
+  private def dsirFit(docs: DataFrame, dim: Int,
+                      selectFrac: Double): (DataFrame, DataFrame, Option[Long]) = {
+    import docs.sparkSession.implicits._
+    require(selectFrac > 0.0 && selectFrac <= 1.0,
+      s"selectFrac must be in (0, 1]: $selectFrac")
+    val feat = nbFeatures(docs, dim)
+    val ratio = dsirRatioOf(docs, dim)
     // eager: the weighted corpus feeds the threshold histogram AND the
     // output (materialization contract) — (doc_id, logw) only, two
     // longs per doc
@@ -979,6 +989,102 @@ object TextAnalysis {
     // reference corpus) — the scorer then selects nothing, exactly
     // the batch k = 0 branch
     (ratio, epsOpt)
+  }
+
+  /** Drift of a FROZEN ratio model against the CURRENT corpus: mean
+    * |Δr| over the dim slots between the frozen table and a freshly
+    * fitted one, in NATURAL LOG units (micro-units / 10⁶). Both
+    * tables are dim rows — the measure is a broadcast join over
+    * driver-metadata-sized frames, never a corpus pass beyond the
+    * fresh fit's own two aggregates. The ε-trigger posture of
+    * [[bm25RefreshIfStale]] / ivfRetrainIfDrifted carried to the
+    * learned selector. */
+  private[graft] def dsirDriftMeasure(docs: DataFrame, frozenRatio: DataFrame,
+                                      dim: Int = 64): Double = {
+    import docs.sparkSession.implicits._
+    val fresh = dsirRatioOf(docs, dim)
+    frozenRatio.select($"slot", $"r".as("r0"))
+      .join(fresh.select($"slot", $"r".as("r1")), Seq("slot"))
+      .agg(avg(abs($"r1" - $"r0")).as("d"))
+      .head().getDouble(0) / 1e6
+  }
+
+  /** Refresh the frozen (ratio, eps) pair when the reference corpus
+    * has drifted past `eps` log-units; below the threshold the frozen
+    * pair keeps serving (returns None — the caller's pair stands).
+    * The nightly retrain bound: a stable corpus never retrains. */
+  private[graft] def dsirRefreshIfDrifted(docs: DataFrame, frozenRatio: DataFrame,
+                                          dim: Int = 64, selectFrac: Double = 0.25,
+                                          driftEps: Double = 0.05)
+      : Option[(DataFrame, Option[Long])] =
+    if (dsirDriftMeasure(docs, frozenRatio, dim) <= driftEps) None
+    else Some(dsirTrain(docs, dim, selectFrac))
+
+  /** C33b `dsir_stale_serve` — the learned selector's STALENESS drill
+    * under the gate: the (ratio, eps) pair freezes on the 70%
+    * id-mod prefix (the nightly job's reference corpus — doc_id mod
+    * 10 < 7, deterministic in both engines), the corpus then GROWS to
+    * 100%, and the full corpus serves against the frozen pair — the
+    * production state between nightly retrains, where new docs are
+    * admitted by yesterday's model and yesterday's threshold. The
+    * oracle independently refits the same prefix models and prefix
+    * threshold and scores all docs — hash-equal on weights, eps and
+    * flags. The REFRESH branch ([[dsirRefreshIfDrifted]]: drift
+    * rising on a shifted append, the sub-ε skip, retrain restoring
+    * full-corpus parity) is spec-pinned rather than gated — at the
+    * gate it would be indistinguishable from `dsir_select`. */
+  def dsirStaleServe(spark: SparkSession, dir: String, dim: Int = 64,
+                     selectFrac: Double = 0.25): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.fanout(Tables.documents(spark, dir)
+      .select($"doc_id", $"text"))
+    val (ratio, eps) = dsirTrain(docs.filter($"doc_id" % 10 < 7), dim, selectFrac)
+    dsirScore(docs, ratio, eps, dim)
+  }
+
+  /** C33b oracle: prefix-fitted models + prefix threshold, all docs
+    * scored. */
+  def dsirStaleServeSql(dim: Int = 64, selectFrac: Double = 0.25): String = {
+    val tgtList = dsirTargetWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |tf0 AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |feat AS (
+       |  SELECT doc_id,
+       |         CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % $dim AS INT) AS slot,
+       |         CAST(SUM(tf) AS BIGINT) AS x
+       |  FROM tf0 GROUP BY 1, 2),
+       |reff AS (SELECT * FROM feat WHERE doc_id % 10 < 7),
+       |tgt AS (SELECT DISTINCT doc_id FROM tok
+       |        WHERE token IN ($tgtList) AND doc_id % 10 < 7),
+       |nt AS (SELECT slot, SUM(x) AS n FROM reff
+       |       WHERE doc_id IN (SELECT doc_id FROM tgt) GROUP BY 1),
+       |tt AS (SELECT SUM(x) AS t FROM reff WHERE doc_id IN (SELECT doc_id FROM tgt)),
+       |nr AS (SELECT slot, SUM(x) AS n FROM reff GROUP BY 1),
+       |tr AS (SELECT SUM(x) AS t FROM reff),
+       |grid AS (SELECT CAST(unnest(range(0, $dim)) AS INT) AS slot),
+       |ratio AS (
+       |  SELECT g.slot,
+       |         CAST(floor(1e6 * ln(CAST(COALESCE(nt.n, 0) + 1 AS DOUBLE)
+       |                             / CAST(tt.t + $dim AS DOUBLE))) AS BIGINT)
+       |       - CAST(floor(1e6 * ln(CAST(COALESCE(nr.n, 0) + 1 AS DOUBLE)
+       |                             / CAST(tr.t + $dim AS DOUBLE))) AS BIGINT) AS r
+       |  FROM grid g
+       |  LEFT JOIN nt ON nt.slot = g.slot
+       |  LEFT JOIN nr ON nr.slot = g.slot, tt, tr),
+       |lw AS (SELECT f.doc_id, CAST(SUM(f.x * r.r) AS BIGINT) AS logw
+       |       FROM feat f JOIN ratio r USING (slot) GROUP BY 1),
+       |weighted AS (
+       |  SELECT d.doc_id, COALESCE(l.logw, 0) AS logw
+       |  FROM documents d LEFT JOIN lw l USING (doc_id)),
+       |refw AS (SELECT * FROM weighted WHERE doc_id % 10 < 7),
+       |eps AS (
+       |  SELECT MIN(logw) AS eps FROM (
+       |    SELECT logw FROM refw ORDER BY logw DESC
+       |    LIMIT (SELECT CAST(floor($selectFrac * COUNT(*)) AS BIGINT) FROM refw)))
+       |SELECT w.doc_id, w.logw, e.eps, w.logw >= e.eps AS selected
+       |FROM weighted w, eps e""".stripMargin
   }
 
   /** SCORE a doc frame against a frozen (ratio, eps) pair: one

@@ -365,6 +365,30 @@ object Streams {
     graft.operators.TextAnalysis.dsirScore(docs, ratio, eps)
   }
 
+  /** E22 `stream_source_block` — the domain blocklist (F18) applied
+    * AT INGEST as admission control: the per-source verdict table
+    * freezes batch-side (the nightly aggregate over yesterday's
+    * corpus — domain-cardinality, broadcast), and each arriving doc
+    * micro-batch tags statelessly by one broadcast join on `source`.
+    * A doc's verdict depends on the frozen table and its own source
+    * alone (a source unseen by the nightly job admits by default —
+    * blocklist, not allowlist), so N micro-batches ≡ one one-shot
+    * tagging: the gate replays the corpus and hash-equals a
+    * LEFT-JOIN-composed F18 oracle; StreamingSpec drives real
+    * MemoryStream batches through a foreachBatch tagger and pins row
+    * parity plus the unseen-source default. */
+  def streamSourceBlock(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Gov = graft.operators.Govern
+    val verdicts = Gov.sourceQualityBlock(spark, dir)
+      .select($"source", $"blocked").localCheckpoint()
+    Gov.sourceBlockTag(
+      Tables.fanout(graft.Tables.documents(spark, dir)
+        .select($"doc_id", $"source"))
+        .filter($"doc_id" % Gov.BenchMod =!= 0),
+      verdicts)
+  }
+
   /** E21 `stream_decontaminate` — benchmark contamination flagging
     * (F3) applied AT INGEST: the benchmark gram set freezes batch-side
     * (`benchGramSet`, the nightly "index the benchmarks" job — tiny by

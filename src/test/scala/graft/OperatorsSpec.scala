@@ -228,6 +228,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(5L)._2 == medW, "eps must sit at the tie group's weight")
   }
 
+  test("dsir refresh: zero drift on a stable corpus skips retrain; shifted append trips it; refresh restores full parity") {
+    import spark.implicits._
+    val TA = operators.TextAnalysis
+    val ref = ((0L until 5L).map(i => (i, s"table index query scan hash merge u$i")) ++
+      (5L until 15L).map(i => (i, "table fillcommon fillcommon")) ++
+      (15L until 40L).map(i => (i, "alpha beta gamma gamma"))).toDF("doc_id", "text")
+    val (ratio0, eps0) = TA.dsirTrain(ref, 256, 0.25)
+    assert(eps0.nonEmpty)
+    // a refit of the IDENTICAL corpus reproduces the same integer
+    // table — drift is exactly 0 and the ε-trigger must skip
+    assert(TA.dsirDriftMeasure(ref, ratio0, 256) == 0.0)
+    assert(TA.dsirRefreshIfDrifted(ref, ratio0, 256, 0.25, driftEps = 0.01).isEmpty)
+    // the corpus grows with content-shifted docs (new off-domain
+    // vocabulary): the raw distribution moves, the frozen ratio goes
+    // stale, drift rises past ε and the refresh fires
+    val grown = ref.unionAll((40L until 100L).map(i =>
+      (i, s"zshift zshift znoise$i znoise$i znoise$i")).toDF("doc_id", "text"))
+    assert(TA.dsirDriftMeasure(grown, ratio0, 256) > 0.01)
+    val refreshed = TA.dsirRefreshIfDrifted(grown, ratio0, 256, 0.25, driftEps = 0.01)
+    assert(refreshed.nonEmpty, "a shifted append must trip the retrain")
+    // the refreshed pair serves the grown corpus EXACTLY as a
+    // from-scratch selection would
+    val (ratio1, eps1) = refreshed.get
+    val served = TA.dsirScore(grown, ratio1, eps1, 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val scratch = TA.dsirSelectOf(grown, 256, 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    assert(served == scratch, "refresh must restore from-scratch parity")
+  }
+
   test("exact_dedup_key: one row per (user_id, event_type), dups sum to input size") {
     val df = operators.Dedup.exactDedupKey(spark, sf)
     val total = Tables.events(spark, sf).count()

@@ -900,6 +900,43 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("E22 stream_source_block: MemoryStream batches tagged by the frozen verdict table equal one-shot; unseen sources admit") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val Gov = operators.Govern
+    // the frozen nightly verdict table: one blocked, one clean source
+    val verdicts = Seq(("spamfarm", true), ("clean", false))
+      .toDF("source", "blocked").localCheckpoint()
+    // arriving docs: both known sources plus a source the nightly job
+    // never saw (it must ADMIT — blocklist, not allowlist)
+    val rows = (0L until 30L).map { i =>
+      val src = if (i % 3 == 0) "spamfarm" else if (i % 3 == 1) "clean" else "brandnew"
+      (i, src)
+    }
+    val oneShot = Gov.sourceBlockTag(rows.toDF("doc_id", "source"), verdicts)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).sortBy(_._1)
+    val source = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Boolean)]
+    val q = source.toDF().toDF("doc_id", "source").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= Gov.sourceBlockTag(df, verdicts)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+        (): Unit
+      }
+      .start()
+    Seq(rows.slice(0, 11), rows.slice(11, 19), rows.slice(19, 30)).foreach { b =>
+      source.addData(b: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(got.sortBy(_._1).toSeq == oneShot.toSeq,
+      "per-batch tagging against the frozen verdicts must equal one-shot")
+    assert(got.forall { case (_, src, b) =>
+      b == (src == "spamfarm") }, "only the blocked source's docs may be refused")
+    spark.catalog.clearCache()
+  }
+
   test("E16 line index: MemoryStream appends through foreachBatch strike the one-shot union answer") {
     val s = spark
     import s.implicits._

@@ -38,7 +38,8 @@ class DeterminismSpec extends AnyFunSuite {
     "stream_scd2_apply",   // three folded MERGEs, checkpointed between
     "bpe_encode",          // driver-collected merges baked as literals
     "bm25_serve",          // persisted postings round-trip + serve
-    "line_dedup"           // position-sorted reassembly from collect_list
+    "line_dedup",          // position-sorted reassembly from collect_list
+    "dsir_select"          // driver histogram + bucket-local order statistic
   )
 
   /** Collect to the driver and normalize — NO cache()/exceptAll here:

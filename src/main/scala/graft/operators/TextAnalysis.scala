@@ -501,6 +501,146 @@ object TextAnalysis {
       |    + ((CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 0.2) AS quality
       |FROM base""".stripMargin
 
+  /** Gopher's stop-word list (Rae et al. 2021, A1.1): a doc must carry
+    * at least two of these to pass the stop-word rule. */
+  private val gopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** C9b `gopher_rules` — the published Gopher quality-rule VERDICT
+    * (Rae et al. 2021, appendix A1.1), per doc: every rule as its own
+    * boolean flag plus `gopher_keep` = the conjunction. The published
+    * complement to C9's weighted score and F2's two repetition
+    * fractions — this is the rule set real curation pipelines cite
+    * (Gopher → MassiveText → FineWeb all start here):
+    *
+    *   - word count ∈ [50, 100 000]
+    *   - mean word length ∈ [3, 10]
+    *   - symbol-to-word ratio ('#' or '...') ≤ 0.1
+    *   - ≥ 80 % of words contain an alphabetic character
+    *   - ≥ 2 distinct stop words present
+    *   - chars in the most frequent word-2-gram ≤ 20 % of word chars
+    *   - chars in duplicated word-5-grams ≤ 15 % of word chars
+    *
+    * ENGINE-EXACT: every threshold is an integer cross-multiply
+    * (3·n_words ≤ word_chars, top2_chars·5 ≤ word_chars, dup5_chars·20
+    * ≤ word_chars·3 — the F18 posture: no division anywhere), so the
+    * gate hash-compares the full flag table. Char masses count word
+    * characters only (gram length minus its n−1 joiner spaces) so both
+    * engines share one definition; the top-2-gram tie breaks (count
+    * desc, gram asc) — binary string order in both engines.
+    *
+    * Scale shape: one tokenize projection for the scalar stats (pure
+    * codegen, no shuffle), plus the bigram and 5-gram explode→agg pairs
+    * keyed by doc — partial-agg combines before any exchange, identical
+    * to F2's proven shape; the three legs re-join on doc_id. Linear in
+    * corpus tokens, never pairwise. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(Tables.fanout(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"))))
+
+  /** [[gopherRules]]'s rule engine over an arbitrary (doc_id, text)
+    * frame — lets the spec plant one doc per rule violation. */
+  private[graft] def gopherRulesOf(in: DataFrame): DataFrame = {
+    import in.sparkSession.implicits._
+    val docs = in.withColumn("w", toks($"text"))
+    val base = docs.select($"doc_id",
+      size($"w").as("n_words"),
+      expr("aggregate(w, 0L, (a, x) -> a + length(x))").as("word_chars"),
+      size(expr("filter(w, x -> x rlike '[A-Za-z]')")).as("n_alpha_words"),
+      regexp_count($"text", lit("#|\\.\\.\\.")).as("n_sym"),
+      size(array_intersect(expr("transform(w, x -> lower(x))"),
+        array(gopherStops.map(lit): _*))).as("n_stop_distinct"))
+    val wTop = Window.partitionBy($"doc_id").orderBy($"c".desc, $"gram")
+    val top2 = docs.filter(size($"w") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))")).as("gram"))
+      .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter($"rn" === 1)
+      .select($"doc_id", ($"c" * (length($"gram") - lit(1)).cast("long")).as("top2_chars"))
+    val dup5 = docs.filter(size($"w") >= 5)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(w)-5), i -> concat_ws(' ', slice(w, i+1, 5)))")).as("gram"))
+      .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("c"))
+      .filter($"c" > 1)
+      .groupBy($"doc_id")
+      .agg(sum($"c" * (length($"gram") - lit(4)).cast("long")).as("dup5_chars"))
+    base
+      .join(top2, Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_words", $"word_chars", $"n_alpha_words",
+        $"n_sym", $"n_stop_distinct",
+        coalesce($"top2_chars", lit(0L)).as("top2_chars"),
+        coalesce($"dup5_chars", lit(0L)).as("dup5_chars"))
+      .withColumn("r_word_count", $"n_words" >= 50 && $"n_words" <= 100000)
+      .withColumn("r_mean_word_len",
+        lit(3L) * $"n_words" <= $"word_chars" && $"word_chars" <= lit(10L) * $"n_words")
+      .withColumn("r_symbol_ratio", $"n_sym" * lit(10L) <= $"n_words")
+      .withColumn("r_alpha_frac", $"n_alpha_words" * lit(5L) >= $"n_words" * lit(4L))
+      .withColumn("r_stopwords", $"n_stop_distinct" >= 2)
+      .withColumn("r_top2gram", $"top2_chars" * lit(5L) <= $"word_chars")
+      .withColumn("r_dup5gram", $"dup5_chars" * lit(20L) <= $"word_chars" * lit(3L))
+      .withColumn("gopher_keep",
+        $"r_word_count" && $"r_mean_word_len" && $"r_symbol_ratio" &&
+          $"r_alpha_frac" && $"r_stopwords" && $"r_top2gram" && $"r_dup5gram")
+  }
+
+  /** C9b oracle: the identical rule arithmetic in DuckDB — integer
+    * stats, integer cross-multiplied thresholds, same tiebreak. */
+  def gopherRulesSql(): String = {
+    val stops = gopherStops.map(s => s"'$s'").mkString(", ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, text,
+       |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text), '\\s+') END AS w
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS INT) AS n_words,
+       |    CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) AS word_chars,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS INT) AS n_alpha_words,
+       |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS INT) AS n_sym,
+       |    CAST(len(list_intersect(list_transform(w, x -> lower(x)), [$stops])) AS INT) AS n_stop_distinct
+       |  FROM docs),
+       |big AS (
+       |  SELECT doc_id, gram, COUNT(*) AS c
+       |  FROM (SELECT doc_id, unnest(list_transform(range(len(w)-1), i -> w[i+1] || ' ' || w[i+2])) AS gram
+       |        FROM docs WHERE len(w) >= 2)
+       |  GROUP BY 1, 2),
+       |top2 AS (
+       |  SELECT doc_id, CAST(c * (length(gram) - 1) AS BIGINT) AS top2_chars
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn FROM big)
+       |  WHERE rn = 1),
+       |five AS (
+       |  SELECT doc_id, gram, COUNT(*) AS c
+       |  FROM (SELECT doc_id, unnest(list_transform(range(len(w)-4), i -> array_to_string(list_slice(w, i+1, i+5), ' '))) AS gram
+       |        FROM docs WHERE len(w) >= 5)
+       |  GROUP BY 1, 2),
+       |dup5 AS (
+       |  SELECT doc_id, CAST(SUM(c * (length(gram) - 4)) AS BIGINT) AS dup5_chars
+       |  FROM five WHERE c > 1 GROUP BY 1)
+       |SELECT b.doc_id, b.n_words, b.word_chars, b.n_alpha_words, b.n_sym, b.n_stop_distinct,
+       |  COALESCE(t.top2_chars, 0) AS top2_chars,
+       |  COALESCE(d.dup5_chars, 0) AS dup5_chars,
+       |  (b.n_words >= 50 AND b.n_words <= 100000) AS r_word_count,
+       |  (3 * b.n_words <= b.word_chars AND b.word_chars <= 10 * b.n_words) AS r_mean_word_len,
+       |  (b.n_sym * 10 <= b.n_words) AS r_symbol_ratio,
+       |  (b.n_alpha_words * 5 >= b.n_words * 4) AS r_alpha_frac,
+       |  (b.n_stop_distinct >= 2) AS r_stopwords,
+       |  (COALESCE(t.top2_chars, 0) * 5 <= b.word_chars) AS r_top2gram,
+       |  (COALESCE(d.dup5_chars, 0) * 20 <= b.word_chars * 3) AS r_dup5gram,
+       |  ((b.n_words >= 50 AND b.n_words <= 100000)
+       |   AND (3 * b.n_words <= b.word_chars AND b.word_chars <= 10 * b.n_words)
+       |   AND (b.n_sym * 10 <= b.n_words)
+       |   AND (b.n_alpha_words * 5 >= b.n_words * 4)
+       |   AND (b.n_stop_distinct >= 2)
+       |   AND (COALESCE(t.top2_chars, 0) * 5 <= b.word_chars)
+       |   AND (COALESCE(d.dup5_chars, 0) * 20 <= b.word_chars * 3)) AS gopher_keep
+       |FROM base b
+       |LEFT JOIN top2 t USING (doc_id)
+       |LEFT JOIN dup5 d USING (doc_id)""".stripMargin
+  }
+
   /** C10 `token_count` — whitespace tokens + BPE-ish regex tokens
     * (letter runs / digit runs / single punctuation, the pre-tokenizer
     * split GPT-style BPE vocabularies assume). regexp_count is one

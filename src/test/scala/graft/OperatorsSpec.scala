@@ -156,6 +156,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(61L)._1 == out(61L)._2 && out(61L)._3 == "keep")
   }
 
+  test("gopher_rules: one planted doc per rule violation trips exactly its rule; the clean doc keeps") {
+    import spark.implicits._
+    val clean = "the and " + (0 until 58).map(i => f"token$i%02dx").mkString(" ")
+    val docs = Seq(
+      (0L, clean),                                              // all rules pass
+      (1L, "the and tok a b"),                                  // word count < 50
+      (2L, Seq.fill(30)("aaaa bbbb").mkString(" ")),            // top-2-gram chars = 100%
+      (3L, (0 until 60).map(i => ('a' + i % 26).toChar.toString).mkString(" ")), // mean word len 1
+      (4L, "the and " + (0 until 28).map(i => f"alpha$i%02d").mkString(" ") +
+        " " + (0 until 30).map(i => f"$i%03d").mkString(" ")),  // alpha frac 0.5
+      (5L, clean + " # # # # # # #"),                           // symbol ratio 7/67 > 0.1
+      (6L, Seq.fill(12)("va vb vc vd ve").mkString(" ")),       // dup-5-gram chars ≈ 100%
+      (7L, (0 until 60).map(i => f"uniq$i%02dzz").mkString(" ")), // no stop words, all else clean
+      (8L, "   "))                                              // empty → word count 0
+      .toDF("doc_id", "text")
+    val out = operators.TextAnalysis.gopherRulesOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 9)
+    def flag(id: Long, c: String) = out(id).getAs[Boolean](c)
+    assert(flag(0, "gopher_keep"), s"clean doc must keep: ${out(0L)}")
+    assert(!flag(1, "r_word_count") && !flag(1, "gopher_keep"))
+    assert(!flag(2, "r_top2gram"))
+    assert(!flag(3, "r_mean_word_len"))
+    assert(!flag(4, "r_alpha_frac"))
+    assert(!flag(5, "r_symbol_ratio"))
+    assert(!flag(6, "r_dup5gram"))
+    // doc 7 fails ONLY the stop-word rule — every other flag passes
+    assert(!flag(7, "r_stopwords") && !flag(7, "gopher_keep"))
+    assert(Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+      "r_alpha_frac", "r_top2gram", "r_dup5gram").forall(flag(7, _)),
+      s"doc 7 must fail only the stop-word rule: ${out(7L)}")
+    assert(!flag(8, "r_word_count") && !flag(8, "gopher_keep"))
+    // integer stats audit on the clean doc: 60 words, 2 stops, all alpha
+    val r0 = out(0L)
+    assert(r0.getAs[Int]("n_words") == 60 &&
+      r0.getAs[Int]("n_alpha_words") == 60 &&
+      r0.getAs[Int]("n_stop_distinct") == 2 &&
+      r0.getAs[Long]("word_chars") ==
+        clean.split("\\s+").map(_.length.toLong).sum)
+    // 58 distinct tokens + 2 stops → every bigram unique → top2 = one
+    // bigram's word chars (count 1)
+    assert(r0.getAs[Long]("top2_chars") > 0 &&
+      r0.getAs[Long]("dup5_chars") == 0L)
+  }
+
   test("nb_quality_calibrate: a perfect-separation threshold exists on a separable corpus; sweep counts conserve") {
     import spark.implicits._
     // the C32 spec's separable corpus: even = keep-marked, odd =

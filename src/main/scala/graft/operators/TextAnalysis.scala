@@ -921,7 +921,8 @@ object TextAnalysis {
 
   /** C32 oracle: the identical teacher → hashed counts → micro-unit
     * NB train → integer scoring pipeline in DuckDB. */
-  def nbQualityClassifySql(dim: Int = 64, trainMod: Int = 4): String = {
+  def nbQualityClassifySql(dim: Int = 64, trainMod: Int = 4,
+                           trainExtra: String = ""): String = {
     val keepList = nbKeepWords.map(w => s"'$w'").mkString(", ")
     val dropList = nbDropWords.map(w => s"'$w'").mkString(", ")
     s"""WITH tok AS (
@@ -932,7 +933,7 @@ object TextAnalysis {
        |         CASE WHEN SUM(CASE WHEN token IN ($keepList) THEN 1 ELSE 0 END)
        |                   >= SUM(CASE WHEN token IN ($dropList) THEN 1 ELSE 0 END)
        |              THEN 'keep' ELSE 'drop' END AS label
-       |  FROM tok WHERE doc_id % $trainMod <> 0 GROUP BY 1),
+       |  FROM tok WHERE doc_id % $trainMod <> 0 $trainExtra GROUP BY 1),
        |tf0 AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
        |feat AS (
        |  SELECT doc_id,
@@ -980,6 +981,61 @@ object TextAnalysis {
        |CROSS JOIN (SELECT prior FROM priors WHERE label = 'drop') pd(prior)"""
       .stripMargin
   }
+
+  /** C32c `nb_stale_serve` — the learned quality filter's STALENESS
+    * drill under the gate (the C33b posture carried to NB): the
+    * (model, priors) pair freezes on the 70% id-mod prefix (the
+    * nightly training job's corpus — doc_id mod 10 < 7, deterministic
+    * in both engines, with the usual trainMod held-out discipline
+    * inside the prefix), the corpus then GROWS to 100%, and ALL docs
+    * score against the frozen pair — the production state between
+    * nightly retrains, where new docs are judged by yesterday's
+    * model. The oracle independently refits the prefix model and
+    * scores all docs — hash-equal on scores and predictions. The
+    * refresh branch ([[nbRefreshIfDrifted]]) is spec-pinned rather
+    * than gated — at the gate it would be indistinguishable from
+    * `nb_quality_classify`. */
+  def nbStaleServe(spark: SparkSession, dir: String,
+                   dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.fanout(Tables.documents(spark, dir)
+      .select($"doc_id", $"text"))
+    val (model, priors) = nbTrain(docs.filter($"doc_id" % 10 < 7), dim)
+    nbScore(docs, model, priors, dim)
+  }
+
+  /** C32c oracle: the prefix-trained model scoring all docs — C32's
+    * SQL with the training split additionally restricted to the
+    * id-mod prefix. */
+  def nbStaleServeSql(dim: Int = 64): String =
+    nbQualityClassifySql(dim, 4, "AND doc_id % 10 < 7")
+
+  /** Drift of a FROZEN NB model against the CURRENT corpus: mean |Δw|
+    * over the classes × dim weight grid between the frozen model and
+    * a freshly trained one, in natural log units (micro-units / 10⁶).
+    * Both tables are classes × dim rows — a broadcast join over
+    * driver-metadata-sized frames; the only corpus pass is the fresh
+    * fit's own aggregates. [[dsirDriftMeasure]]'s ε-trigger posture
+    * for the learned classifier. */
+  private[graft] def nbDriftMeasure(docs: DataFrame, frozenModel: DataFrame,
+                                    dim: Int = 64, trainMod: Int = 4): Double = {
+    import docs.sparkSession.implicits._
+    val (fresh, _) = nbTrain(docs, dim, trainMod)
+    frozenModel.select($"label", $"slot", $"w".as("w0"))
+      .join(fresh.select($"label", $"slot", $"w".as("w1")), Seq("label", "slot"))
+      .agg(avg(abs($"w1" - $"w0")).as("d"))
+      .head().getDouble(0) / 1e6
+  }
+
+  /** Refresh the frozen (model, priors) pair when the corpus has
+    * drifted past `driftEps` log-units; below the threshold the
+    * frozen pair keeps serving (None — the caller's pair stands). */
+  private[graft] def nbRefreshIfDrifted(docs: DataFrame, frozenModel: DataFrame,
+                                        dim: Int = 64, trainMod: Int = 4,
+                                        driftEps: Double = 0.05)
+      : Option[(DataFrame, DataFrame)] =
+    if (nbDriftMeasure(docs, frozenModel, dim, trainMod) <= driftEps) None
+    else Some(nbTrain(docs, dim, trainMod))
 
   /** DSIR target lexicon: a doc is IN-DOMAIN when it carries at least
     * one of these tokens (the database half of [[topicClassify]]'s

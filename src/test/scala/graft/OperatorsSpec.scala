@@ -305,6 +305,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(served == scratch, "refresh must restore from-scratch parity")
   }
 
+  test("nb refresh: zero drift on a stable corpus skips retrain; shifted append trips it; refresh restores full parity") {
+    import spark.implicits._
+    val TA = operators.TextAnalysis
+    // the C32 spec's separable corpus (held-out fourth inside)
+    val ref = (0L until 60L).map { i =>
+      val t =
+        if (i % 2 == 0) s"customer value part kfilla kfillb kfill${i % 7}"
+        else s"spark batch stream dfilla dfillb dfill${i % 7}"
+      (i, t)
+    }.toDF("doc_id", "text")
+    val (model0, priors0) = TA.nbTrain(ref, 64)
+    // a refit of the IDENTICAL corpus reproduces the same integer
+    // grid — drift is exactly 0 and the ε-trigger must skip
+    assert(TA.nbDriftMeasure(ref, model0, 64) == 0.0)
+    assert(TA.nbRefreshIfDrifted(ref, model0, 64, driftEps = 0.01).isEmpty)
+    // the corpus grows with content-shifted docs: the class-slot
+    // distribution moves, drift rises past ε, the refresh fires
+    val grown = ref.unionAll((60L until 160L).map(i =>
+      (i, s"customer znoise$i znoise$i znoise$i znoise$i")).toDF("doc_id", "text"))
+    assert(TA.nbDriftMeasure(grown, model0, 64) > 0.01)
+    val refreshed = TA.nbRefreshIfDrifted(grown, model0, 64, driftEps = 0.01)
+    assert(refreshed.nonEmpty, "a shifted append must trip the retrain")
+    // the refreshed pair scores the grown corpus EXACTLY as a
+    // from-scratch train would
+    val (m1, p1) = refreshed.get
+    val served = TA.nbScore(grown, m1, p1, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    val scratch = TA.nbQualityClassifyOf(grown, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(served == scratch, "refresh must restore from-scratch parity")
+  }
+
   test("exact_dedup_key: one row per (user_id, event_type), dups sum to input size") {
     val df = operators.Dedup.exactDedupKey(spark, sf)
     val total = Tables.events(spark, sf).count()

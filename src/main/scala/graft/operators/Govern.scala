@@ -1106,6 +1106,92 @@ object Govern {
        |LEFT JOIN desel s ON s.doc_id = b.doc_id
        |LEFT JOIN blocked k ON k.source = b.source""".stripMargin
 
+  /** The frozen filter states E23 `stream_curation_audit` serves
+    * against — one artifact per curation stage, all built batch-side
+    * (the nightly jobs), so an arriving doc's five verdicts depend on
+    * the frozen states and its own (text, source) alone:
+    *
+    *   - `groups`: the normalized-hash dedup index (h → count,
+    *     keeper) over the training corpus — corpus-keyed, so it joins
+    *     by hash (the persisted C4c index stands in for this eager
+    *     freeze at 100 TB);
+    *   - `bench`: F3's benchmark gram set (tiny, broadcast);
+    *   - `(model, priors)`: C32's trained NB filter (classes × dim);
+    *   - `(ratio, eps)`: C33's DSIR pair (dim rows + one threshold);
+    *   - `verdicts`: F18's per-source blocklist (domain-cardinality).
+    */
+  private[graft] case class CurationState(groups: DataFrame, bench: DataFrame,
+                                          model: DataFrame, priors: DataFrame,
+                                          ratio: DataFrame, eps: Option[Long],
+                                          verdicts: DataFrame)
+
+  /** Build every frozen curation artifact from the batch corpus —
+    * exactly the states the batch stages themselves train, so tagging
+    * the replayed corpus hash-equals F19's composed oracle. */
+  private[graft] def curationFreeze(spark: SparkSession, dir: String): CurationState =
+    curationFreezeOf(Tables.fanout(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))))
+
+  /** Frame-based core of the freeze (docsAll = the FULL corpus
+    * including benchmark members, (doc_id, text, source, n_chars)) —
+    * lets the spec plant a corpus with one doc per failure mode. */
+  private[graft] def curationFreezeOf(docsAll: DataFrame): CurationState = {
+    import docsAll.sparkSession.implicits._
+    val train = docsAll.filter($"doc_id" % BenchMod =!= 0)
+    val groups = train
+      .select($"doc_id", md5(lower(trim(regexp_replace($"text", "\\s+", " ")))).as("h"))
+      .groupBy($"h")
+      .agg(count(lit(1)).as("cnt"), min($"doc_id").as("keeper"))
+      .localCheckpoint()
+    val bench = docGrams(docsAll.select($"doc_id", $"text"))
+      .filter($"doc_id" % BenchMod === 0).select($"gh").distinct()
+      .localCheckpoint()
+    val (model, priors) = TextAnalysis.nbTrain(docsAll.select($"doc_id", $"text"))
+    val (ratio, eps) = TextAnalysis.dsirTrain(docsAll.select($"doc_id", $"text"))
+    val contIds = decontScore(
+      docGrams(train.select($"doc_id", $"text")), bench).select($"doc_id")
+    val verdicts = sourceQualityBlockOf(train, contIds)
+      .select($"source", $"blocked").localCheckpoint()
+    CurationState(groups, bench, model, priors, ratio, eps, verdicts)
+  }
+
+  /** TAG an arriving (doc_id, text, source) batch with every curation
+    * stage's verdict against the frozen states — F19's flag row,
+    * computed statelessly per micro-batch: the dedup flag joins the
+    * frozen index by hash (a doc whose duplicate partner arrived in an
+    * EARLIER batch — or hasn't arrived yet but is in the nightly index
+    * — still flags), every other stage is a broadcast probe. A doc
+    * the index has never seen is novel, not a duplicate. */
+  private[graft] def curationTag(batch: DataFrame, st: CurationState): DataFrame = {
+    import batch.sparkSession.implicits._
+    val base = batch
+      .select($"doc_id", $"source",
+        md5(lower(trim(regexp_replace($"text", "\\s+", " ")))).as("h"))
+      .join(st.groups, Seq("h"), "left")
+      .select($"doc_id", $"source",
+        coalesce($"cnt" > 1 && $"doc_id" =!= $"keeper", lit(false)).as("is_dup"))
+    val cont = decontScore(docGrams(batch.select($"doc_id", $"text")), st.bench)
+      .select($"doc_id", lit(true).as("contaminated"))
+    val lowq = TextAnalysis.nbScore(batch.select($"doc_id", $"text"), st.model, st.priors)
+      .select($"doc_id", ($"pred" === "drop").as("low_quality"))
+    val desel = TextAnalysis.dsirScore(batch.select($"doc_id", $"text"), st.ratio, st.eps)
+      .select($"doc_id", (!$"selected").as("deselected"))
+    base
+      .join(cont, Seq("doc_id"), "left")
+      .join(lowq, Seq("doc_id"), "left")
+      .join(desel, Seq("doc_id"), "left")
+      .join(broadcast(st.verdicts.select($"source", $"blocked".as("blocked_source"))),
+        Seq("source"), "left")
+      .select($"doc_id", $"source", $"is_dup",
+        coalesce($"contaminated", lit(false)).as("contaminated"),
+        coalesce($"low_quality", lit(false)).as("low_quality"),
+        coalesce($"deselected", lit(false)).as("deselected"),
+        coalesce($"blocked_source", lit(false)).as("blocked_source"))
+      .withColumn("kept",
+        !($"is_dup" || $"contaminated" || $"low_quality" ||
+          $"deselected" || $"blocked_source"))
+  }
+
   /** TAG a doc frame against a frozen per-source verdict table: one
     * broadcast join on `source` — stateless, so the identical call
     * tags a batch corpus or an arriving micro-batch (E22). A source

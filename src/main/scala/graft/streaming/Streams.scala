@@ -389,6 +389,31 @@ object Streams {
       verdicts)
   }
 
+  /** E23 `stream_curation_audit` — the per-doc curation audit (F19)
+    * applied AT INGEST: every filter stage's state freezes batch-side
+    * (`Govern.curationFreeze` — the dedup index, benchmark grams, NB
+    * model, DSIR pair, source blocklist: each exactly the artifact its
+    * own nightly job trains), and each arriving (doc_id, text, source)
+    * micro-batch gets its full five-flag verdict row statelessly
+    * (`Govern.curationTag`). A doc's flags depend on the frozen states
+    * and its own content alone, so N micro-batches ≡ the one-shot
+    * audit — including the cross-batch case: a doc whose duplicate
+    * partner arrived in a DIFFERENT batch still flags, because the
+    * dedup verdict probes the frozen corpus-wide index, not the batch.
+    * Gate: the replayed corpus hash-equals F19's composed oracle;
+    * StreamingSpec drives real MemoryStream batches (splitting a dup
+    * pair across batches) and pins row parity. */
+  def streamCurationAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Gov = graft.operators.Govern
+    val st = Gov.curationFreeze(spark, dir)
+    Gov.curationTag(
+      Tables.fanout(graft.Tables.documents(spark, dir)
+        .select($"doc_id", $"text", $"source"))
+        .filter($"doc_id" % Gov.BenchMod =!= 0),
+      st)
+  }
+
   /** E21 `stream_decontaminate` — benchmark contamination flagging
     * (F3) applied AT INGEST: the benchmark gram set freezes batch-side
     * (`benchGramSet`, the nightly "index the benchmarks" job — tiny by

@@ -937,6 +937,68 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("E23 stream_curation_audit: MemoryStream batches tagged against the frozen states equal one-shot; a cross-batch dup pair flags; a novel doc admits") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val Gov = operators.Govern
+    // planted corpus: id 0 is a benchmark member (0 % 17 == 0);
+    // 5 & 6 are a normalized dup pair; 7 copies a benchmark 4-gram
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "bench", 250L),
+      (1L, "customer value part order price line one", "good", 250L),
+      (2L, "table row scan hash customer order value", "good", 250L),
+      (3L, "spark shuffle stream batch agg partition", "good", 250L),
+      (5L, "Repeated   Text body", "good", 250L),
+      (6L, "repeated text BODY", "good", 250L),
+      (7L, "prefix alpha beta gamma delta tail", "good", 250L),
+      (8L, "novel completely fresh unseen content here", "good", 250L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val st = Gov.curationFreezeOf(corpus)
+    val train = corpus.filter($"doc_id" % Gov.BenchMod =!= 0)
+      .select($"doc_id", $"text", $"source")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Boolean]("is_dup"), r.getAs[Boolean]("contaminated"),
+        r.getAs[Boolean]("low_quality"), r.getAs[Boolean]("deselected"),
+        r.getAs[Boolean]("blocked_source"), r.getAs[Boolean]("kept")))
+    val oneShot = rowsOf(Gov.curationTag(train, st)).sortBy(_._1)
+    val byId = oneShot.map(r => r._1 -> r).toMap
+    assert(!byId(5L)._3 && byId(6L)._3, "keeper 5 clean, dup 6 flagged")
+    assert(byId(7L)._4, "the benchmark-gram copier must flag contaminated")
+    assert(oneShot.forall(r => r._8 == !(r._3 || r._4 || r._5 || r._6 || r._7)))
+    val docRows = train.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2)))
+    val source = MemoryStream[(Long, String, String)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+    val q = source.toDF().toDF("doc_id", "text", "source").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= rowsOf(Gov.curationTag(df, st))
+        (): Unit
+      }
+      .start()
+    // the dup pair (5, 6) is deliberately split across batches 1 and 2;
+    // the final batch carries a doc the frozen index has NEVER seen
+    val b1 = docRows.filter(r => Seq(1L, 5L, 3L).contains(r._1))
+    val b2 = docRows.filter(r => Seq(6L, 7L).contains(r._1))
+    val b3 = docRows.filter(r => Seq(2L, 8L).contains(r._1)) :+
+      ((99L, "totally new appended doc content arriving later", "good"))
+    Seq(b1, b2, b3).foreach { b =>
+      source.addData(b: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val (novel, replayed) = got.partition(_._1 == 99L)
+    assert(replayed.sortBy(_._1).toSeq == oneShot.toSeq,
+      "per-batch tagging against the frozen states must equal the one-shot audit")
+    assert(got.find(_._1 == 6L).get._3,
+      "a doc whose dup partner arrived in ANOTHER batch must still flag")
+    assert(novel.size == 1 && !novel.head._3,
+      "a doc the frozen index never saw is novel, not a duplicate")
+    spark.catalog.clearCache()
+  }
+
   test("E16 line index: MemoryStream appends through foreachBatch strike the one-shot union answer") {
     val s = spark
     import s.implicits._

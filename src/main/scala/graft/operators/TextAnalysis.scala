@@ -3479,6 +3479,70 @@ object TextAnalysis {
       |       round(pow(2.0, bits_per_token), 4) AS ppl
       |FROM scored""".stripMargin
 
+  /** C21b `ccnet_buckets` — CCNet's head/middle/tail split (Wenzek et
+    * al., LREC 2020): per LANGUAGE, rank documents by LM perplexity
+    * and cut the corpus into equal thirds — `head` (most fluent, kept
+    * outright by CCNet), `middle`, `tail` (usually dropped). The
+    * published bucketing that turns C21's raw score into the curation
+    * decision real crawl pipelines ship.
+    *
+    * ENGINE-EXACT: bits_per_token is C21's 6dp-rounded double; it
+    * quantizes to integer micro-units with one identically-rounded
+    * IEEE multiply-add (⌊b·10⁶ + 0.5⌋ — NOT a decimal round, the F10
+    * posture), ranks break ties by doc_id, and the two cuts are
+    * integer cross-multiplies (3·rank ≤ n, 3·rank ≤ 2n) — the gate
+    * hash-compares buckets whole. Token-free docs have no perplexity
+    * and are absent by definition (C21's inner tokenize join).
+    *
+    * Scale: C21's scoring plan plus one per-lang ranking window (the
+    * F16/F11 banded-rank posture — partitions are per-language, not
+    * global). A 100 TB deployment computes the two per-lang thresholds
+    * on a sample and buckets with a stateless filter — same output
+    * contract, no corpus sort. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ccnetBucketsOf(Tables.fanout(Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"text")))
+  }
+
+  /** Frame-based core of C21b (docs = (doc_id, lang, text)). */
+  private[graft] def ccnetBucketsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val scored = docs.select($"doc_id", $"lang")
+      .join(perplexityOf(docs.select($"doc_id", $"text"))
+        .select($"doc_id", $"bits_per_token"), Seq("doc_id"))
+      .withColumn("bits_micros",
+        floor($"bits_per_token" * lit(1e6) + lit(0.5)).cast("long"))
+    val wRank = Window.partitionBy($"lang").orderBy($"bits_micros", $"doc_id")
+    scored
+      .withColumn("ppl_rank", row_number().over(wRank))
+      .withColumn("n_lang", count(lit(1)).over(Window.partitionBy($"lang")))
+      .select($"doc_id", $"lang", $"bits_micros", $"ppl_rank", $"n_lang")
+      .withColumn("bucket",
+        when($"ppl_rank" * 3 <= $"n_lang", lit("head"))
+          .when($"ppl_rank" * 3 <= $"n_lang" * 2, lit("middle"))
+          .otherwise(lit("tail")))
+  }
+
+  /** C21b oracle: C21's scored subquery + the identical micro-unit
+    * quantize, per-lang rank and integer cuts. */
+  def ccnetBucketsSql(): String =
+    s"""WITH ppl AS ($perplexityScoreSql),
+       |j AS (
+       |  SELECT d.doc_id, d.lang,
+       |         CAST(floor(p.bits_per_token * 1e6 + 0.5) AS BIGINT) AS bits_micros
+       |  FROM documents d JOIN ppl p ON p.doc_id = d.doc_id),
+       |r AS (
+       |  SELECT *,
+       |         row_number() OVER (PARTITION BY lang ORDER BY bits_micros, doc_id) AS rn,
+       |         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+       |  FROM j)
+       |SELECT doc_id, lang, bits_micros, CAST(rn AS INT) AS ppl_rank, n_lang,
+       |       CASE WHEN rn * 3 <= n_lang THEN 'head'
+       |            WHEN rn * 3 <= n_lang * 2 THEN 'middle'
+       |            ELSE 'tail' END AS bucket
+       |FROM r""".stripMargin
+
   /** C20 `doc_chunk` — sliding-window token chunking: every document
     * becomes ⌈n/stride⌉ chunks of up to `chunkSize` tokens starting
     * every `stride` tokens (consecutive full chunks overlap by

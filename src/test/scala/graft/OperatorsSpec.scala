@@ -305,6 +305,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(served == scratch, "refresh must restore from-scratch parity")
   }
 
+  test("ccnet_buckets: per-lang equal thirds; fluent docs land in head, garbled in tail; empty docs absent") {
+    import spark.implicits._
+    // 9 'en' docs: 3 of pure common vocabulary (low ppl), 3 mixed,
+    // 3 of unique-token noise (high ppl); 3 'xx' docs rank separately
+    val docs = ((0L until 3L).map(i => (i, "en", "common common common common word word")) ++
+      (3L until 6L).map(i => (i, "en", s"common word mid$i rare$i other$i extra$i")) ++
+      (6L until 9L).map(i => (i, "en", s"zz$i qq$i ww$i vv$i uu$i tt$i")) ++
+      (9L until 12L).map(i => (i, "xx", s"foo bar baz$i")) :+
+      ((12L, "en", "   ")))
+      .toDF("doc_id", "lang", "text")
+    val out = operators.TextAnalysis.ccnetBucketsOf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Int]("ppl_rank"), r.getAs[String]("bucket")))
+    // the token-free doc has no perplexity and is absent
+    assert(!out.exists(_._1 == 12L) && out.length == 12)
+    val en = out.filter(_._2 == "en")
+    assert(en.count(_._4 == "head") == 3 && en.count(_._4 == "middle") == 3 &&
+      en.count(_._4 == "tail") == 3, s"equal thirds per lang: ${en.toSeq}")
+    // fluency ordering: the common-vocab docs are the head, the noise
+    // docs the tail
+    assert((0L until 3L).forall(id => en.find(_._1 == id).get._4 == "head"))
+    assert((6L until 9L).forall(id => en.find(_._1 == id).get._4 == "tail"))
+    // ranks are a permutation of 1..n within each lang
+    assert(en.map(_._3).sorted.toSeq == (1 to 9).toSeq)
+    assert(out.filter(_._2 == "xx").map(_._3).sorted.toSeq == (1 to 3).toSeq)
+  }
+
   test("nb refresh: zero drift on a stable corpus skips retrain; shifted append trips it; refresh restores full parity") {
     import spark.implicits._
     val TA = operators.TextAnalysis

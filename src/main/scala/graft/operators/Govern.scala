@@ -600,6 +600,67 @@ object Govern {
        |         PARTITION BY skey % $nShards ORDER BY skey, doc_id) AS INT) AS pos
        |FROM keyed""".stripMargin
 
+  /** F20 `curriculum_order` — deterministic easy→hard curriculum
+    * ordering for training ingestion (Bengio et al. 2009's curriculum
+    * learning, in the form LM pipelines actually ship: order the
+    * corpus by a difficulty signal, shuffle WITHIN difficulty bands so
+    * no batch is pathologically ordered): difficulty = C21's unigram
+    * perplexity in integer micro-units, band = whole bits-per-token
+    * (⌊bits_micros div 10⁶⌋ — monotone in difficulty), within-band
+    * order = the F4/F11 md5 pseudo-random key, and `train_pos` = the
+    * doc's exact global position in (band, key) order. Same corpus →
+    * same training order, any partitioning, any day.
+    *
+    * Scale: the global position is NOT one corpus-wide window — the
+    * [[shardBy]] banded two-pass rank, partitioned by (band, key's
+    * top 8 bits): per-(band, sub) counts (≤ bands·256 rows) yield
+    * offsets through a broadcast inequality self-join and row_number
+    * runs per (band, sub) — exact because (band, sub) prefixes the
+    * (band, key) order. Token-free docs have no difficulty and are
+    * absent (C21's tokenize join). */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame =
+    curriculumOrderOf(Tables.fanout(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))))
+
+  /** Frame-based core of F20 (docs = (doc_id, text)). */
+  private[graft] def curriculumOrderOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val keyed = TextAnalysis.perplexityOf(docs)
+      .select($"doc_id",
+        floor($"bits_per_token" * lit(1e6) + lit(0.5)).cast("long").as("bits_micros"))
+      .withColumn("band", expr("bits_micros div 1000000").cast("int"))
+      .withColumn("ukey",
+        conv(substring(md5(concat($"doc_id".cast("string"), lit(":curr"))), 1, 12), 16, 10)
+          .cast(LongType))
+      .withColumn("sub", shiftright($"ukey", 40).cast("int"))
+    val bandCnt = keyed.groupBy($"band", $"sub").agg(count(lit(1)).as("cnt"))
+    val lower = bandCnt.select($"band".as("lb"), $"sub".as("ls"), $"cnt".as("lc"))
+    val off = bandCnt.join(broadcast(lower),
+        $"lb" < $"band" || ($"lb" === $"band" && $"ls" < $"sub"), "left")
+      .groupBy($"band", $"sub")
+      .agg(coalesce(sum($"lc"), lit(0L)).as("off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"band", $"sub").orderBy($"ukey", $"doc_id")
+    keyed.join(broadcast(off), Seq("band", "sub"))
+      .withColumn("train_pos", ($"off" + row_number().over(w)).cast("int"))
+      .select($"doc_id", $"bits_micros", $"band", $"train_pos")
+  }
+
+  /** F20 oracle: identical difficulty/band/key arithmetic; the global
+    * position is one ordered window (the oracle may sort — the engine
+    * may not). */
+  def curriculumOrderSql(): String =
+    s"""WITH ppl AS (${TextAnalysis.perplexityScoreSql}),
+       |keyed AS (
+       |  SELECT doc_id,
+       |         CAST(floor(bits_per_token * 1e6 + 0.5) AS BIGINT) AS bits_micros,
+       |         CAST(CAST(floor(bits_per_token * 1e6 + 0.5) AS BIGINT) // 1000000 AS INT) AS band,
+       |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':curr'), 1, 12)) AS BIGINT) AS ukey
+       |  FROM ppl)
+       |SELECT doc_id, bits_micros, band,
+       |       CAST(row_number() OVER (ORDER BY band, ukey, doc_id) AS INT) AS train_pos
+       |FROM keyed""".stripMargin
+
   /** Extension `pipeline_training_manifest` — the END-TO-END curation
     * chain a pre-training data pipeline ships, as ONE declarative
     * plan: near-dup clusters keep their best-quality representative

@@ -486,6 +486,37 @@ class GovernSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculum_order: positions a permutation, bands easy→hard and contiguous, within-band order is the md5 key") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // three difficulty tiers: pure common vocabulary (low bits), mixed,
+    // unique-token noise (high bits) — plus a token-free doc (absent)
+    val docs = ((0L until 8L).map(i => (i, "common common common common word word")) ++
+      (8L until 16L).map(i => (i, s"common word mid$i rare$i other$i extra$i")) ++
+      (16L until 24L).map(i => (i, s"zz$i qq$i ww$i vv$i uu$i tt$i")) :+
+      ((24L, "  ")))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Govern.curriculumOrderOf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bits_micros"),
+        r.getAs[Int]("band"), r.getAs[Int]("train_pos")))
+    assert(out.length == 24 && !out.exists(_._1 == 24L))
+    // positions are exactly 1..n
+    assert(out.map(_._4).sorted.toSeq == (1 to 24).toSeq)
+    // band is monotone in position: every doc in band b precedes b+1
+    val byPos = out.sortBy(_._4)
+    assert(byPos.sliding(2).forall {
+      case Array(a, b) => a._3 <= b._3
+      case _ => true }, s"bands must be contiguous in training order: ${byPos.toSeq}")
+    // the easy tier trains first, the noise tier last
+    val firstTier = byPos.take(8).map(_._1).toSet
+    assert(firstTier == (0L until 8L).toSet, s"easy docs first: $firstTier")
+    assert(byPos.takeRight(8).map(_._1).toSet == (16L until 24L).toSet)
+    // within a band the order is the md5 key, NOT doc_id: the easy
+    // tier's ids must not come out 0, 1, 2, … (md5 scrambles them)
+    assert(byPos.take(8).map(_._1).toSeq != (0L until 8L).toSeq,
+      "within-band order must be the pseudo-random key, not insertion order")
+  }
+
   test("curation_audit: kept ⇔ no flag fires; every flag agrees with its own stage; benchmark docs absent") {
     import spark.implicits._
     val audit = operators.Govern.curationAudit(spark, sf).localCheckpoint()

@@ -3454,7 +3454,32 @@ object TextAnalysis {
     val tokCk = tok.localCheckpoint()
     val counts = tokCk.groupBy($"token").agg(count(lit(1)).as("c"))
     val scal = counts.agg(sum($"c").as("n_tok"), count(lit(1)).as("v_size"))
-    tokCk.join(counts, Seq("token"))
+    perplexityAgainst(tokCk, counts, scal)
+  }
+
+  /** The frozen unigram LM (token counts + the (N, V) scalar) trained
+    * on a reference corpus — what C21c/E24 freeze batch-side. Both
+    * sides eagerly materialized (the nightly LM-training job). */
+  private[graft] def perplexityLm(docs: DataFrame): (DataFrame, DataFrame) = {
+    import docs.sparkSession.implicits._
+    val counts = docs.select($"doc_id", explode(toks($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val scal = counts.agg(sum($"c").as("n_tok"), count(lit(1)).as("v_size"))
+      .localCheckpoint()
+    (counts, scal)
+  }
+
+  /** SCORE a (doc_id, token) stream against a frozen LM: tokens the LM
+    * never saw take the Laplace floor p = 1/(N+V) (a LEFT join with
+    * c → 0) — on a self-trained LM every token is present, so this is
+    * exactly the original inner-join scoring; on a frozen LM it is
+    * CCNet's real posture (a FIXED reference LM scoring new text). */
+  private[graft] def perplexityAgainst(tok: DataFrame, counts: DataFrame,
+                                       scal: DataFrame): DataFrame = {
+    import tok.sparkSession.implicits._
+    tok.join(counts, Seq("token"), "left")
+      .na.fill(0L, Seq("c"))
       .crossJoin(broadcast(scal))
       .withColumn("logp", log2(($"c" + 1.0) / ($"n_tok" + $"v_size").cast("double")))
       .groupBy($"doc_id")
@@ -3542,6 +3567,96 @@ object TextAnalysis {
        |            WHEN rn * 3 <= n_lang * 2 THEN 'middle'
        |            ELSE 'tail' END AS bucket
        |FROM r""".stripMargin
+
+  /** The frozen per-lang CCNet cut points from a reference corpus:
+    * t1 = the largest bits_micros inside the rank-based head third,
+    * t2 = inside head∪middle — so value-bucketing against (t1, t2)
+    * reproduces the reference's own thirds and EXTENDS them to new
+    * text. A lang with too few reference docs for a third (or absent
+    * entirely) gets NULL cuts → everything serves `tail` (conservative:
+    * CCNet drops text it cannot score). */
+  private[graft] def ccnetThresholds(ref: DataFrame): DataFrame = {
+    import ref.sparkSession.implicits._
+    ccnetBucketsOf(ref).groupBy($"lang").agg(
+      max(when($"ppl_rank" * 3 <= $"n_lang", $"bits_micros")).as("t1"),
+      max(when($"ppl_rank" * 3 <= $"n_lang" * 2, $"bits_micros")).as("t2"))
+      .localCheckpoint()
+  }
+
+  /** BUCKET a (doc_id, lang, text) frame against a frozen (LM,
+    * thresholds) pair: one scoring pass against the frozen counts
+    * ([[perplexityAgainst]] — unseen tokens take the Laplace floor) +
+    * one broadcast threshold join — stateless, so the identical call
+    * serves the batch corpus or an arriving micro-batch (E24). */
+  private[graft] def ccnetServe(docs: DataFrame, counts: DataFrame,
+                                scal: DataFrame, thr: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bits = perplexityAgainst(
+      docs.select($"doc_id", explode(toks($"text")).as("token")), counts, scal)
+      .select($"doc_id",
+        floor($"bits_per_token" * lit(1e6) + lit(0.5)).cast("long").as("bits_micros"))
+    docs.select($"doc_id", $"lang").join(bits, Seq("doc_id"))
+      .join(broadcast(thr), Seq("lang"), "left")
+      .select($"doc_id", $"lang", $"bits_micros", $"t1", $"t2",
+        when($"bits_micros" <= $"t1", lit("head"))
+          .when($"bits_micros" <= $"t2", lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** C21c `ccnet_stale_serve` — the CCNet bucketing's STALENESS drill,
+    * which is also its TRUE published posture: real CCNet scores crawl
+    * text with a FIXED pretrained LM, not a self-trained one. The LM
+    * (token counts + (N, V)) and the per-lang cut points freeze on the
+    * 70% id-mod prefix (yesterday's nightly bucketing job), the corpus
+    * grows to 100%, and ALL docs serve against the frozen pair —
+    * tokens the LM never saw take the Laplace floor p = 1/(N+V), langs
+    * without reference thirds serve `tail`. Oracle refits the prefix
+    * LM + prefix cuts independently and hash-matches bits, cuts and
+    * buckets. Value-bucketing (bits ≤ t1/t2) rather than rank thirds:
+    * ties at a cut all take the better bucket — deterministic without
+    * ranking the grown corpus. */
+  def ccnetStaleServe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docsAll = Tables.fanout(Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"text"))
+    val prefix = docsAll.filter($"doc_id" % 10 < 7)
+    val (counts, scal) = perplexityLm(prefix.select($"doc_id", $"text"))
+    ccnetServe(docsAll, counts, scal, ccnetThresholds(prefix))
+  }
+
+  /** C21c oracle: prefix LM (LEFT-join Laplace floor for unseen
+    * tokens), prefix rank-based cuts, all docs value-bucketed. */
+  def ccnetStaleServeSql(prefixPred: String = "doc_id % 10 < 7"): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |c AS (SELECT token, COUNT(*) AS c FROM tok WHERE $prefixPred GROUP BY 1),
+       |s AS (SELECT SUM(c) AS n_tok, COUNT(*) AS v_size FROM c),
+       |bits AS (
+       |  SELECT t.doc_id,
+       |         CAST(floor(round(-SUM(log2((COALESCE(c.c, 0) + 1.0)
+       |                                    / CAST(s.n_tok + s.v_size AS DOUBLE)))
+       |                          / COUNT(*), 6) * 1e6 + 0.5) AS BIGINT) AS bits_micros
+       |  FROM tok t LEFT JOIN c ON c.token = t.token, s
+       |  GROUP BY 1),
+       |bm AS (
+       |  SELECT d.doc_id, d.lang, b.bits_micros
+       |  FROM documents d JOIN bits b ON b.doc_id = d.doc_id),
+       |r AS (
+       |  SELECT *,
+       |         row_number() OVER (PARTITION BY lang ORDER BY bits_micros, doc_id) AS rn,
+       |         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+       |  FROM bm WHERE $prefixPred),
+       |thr AS (
+       |  SELECT lang,
+       |         MAX(CASE WHEN rn * 3 <= n_lang THEN bits_micros END) AS t1,
+       |         MAX(CASE WHEN rn * 3 <= n_lang * 2 THEN bits_micros END) AS t2
+       |  FROM r GROUP BY 1)
+       |SELECT bm.doc_id, bm.lang, bm.bits_micros, thr.t1, thr.t2,
+       |       CASE WHEN bm.bits_micros <= thr.t1 THEN 'head'
+       |            WHEN bm.bits_micros <= thr.t2 THEN 'middle'
+       |            ELSE 'tail' END AS bucket
+       |FROM bm LEFT JOIN thr USING (lang)""".stripMargin
 
   /** C20 `doc_chunk` — sliding-window token chunking: every document
     * becomes ⌈n/stride⌉ chunks of up to `chunkSize` tokens starting

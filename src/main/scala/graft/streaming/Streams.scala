@@ -414,6 +414,26 @@ object Streams {
       st)
   }
 
+  /** E24 `stream_ccnet_bucket` — CCNet quality bucketing (C21b/C21c)
+    * applied AT INGEST: the unigram LM and the per-lang cut points
+    * freeze batch-side (the nightly bucketing job), and each arriving
+    * (doc_id, lang, text) micro-batch value-buckets statelessly
+    * (`ccnetServe`) — unseen tokens take the Laplace floor, a lang the
+    * nightly job never saw serves `tail`. A doc's bucket depends on
+    * the frozen pair and its own tokens alone, so N micro-batches ≡
+    * one-shot bucketing: the gate replays the corpus against the
+    * full-corpus freeze and hash-equals the value-threshold oracle;
+    * StreamingSpec drives real MemoryStream batches (one carrying
+    * unseen-token and unseen-lang docs) and pins row parity. */
+  def streamCcnetBucket(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val TA = graft.operators.TextAnalysis
+    val docsAll = Tables.fanout(graft.Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"text"))
+    val (counts, scal) = TA.perplexityLm(docsAll.select($"doc_id", $"text"))
+    TA.ccnetServe(docsAll, counts, scal, TA.ccnetThresholds(docsAll))
+  }
+
   /** E21 `stream_decontaminate` — benchmark contamination flagging
     * (F3) applied AT INGEST: the benchmark gram set freezes batch-side
     * (`benchGramSet`, the nightly "index the benchmarks" job — tiny by

@@ -332,6 +332,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.filter(_._2 == "xx").map(_._3).sorted.toSeq == (1 to 3).toSeq)
   }
 
+  test("ccnet_stale_serve: frozen cuts reproduce the reference thirds and extend to new text; unseen tokens floor; unseen langs serve tail") {
+    import spark.implicits._
+    val TA = operators.TextAnalysis
+    // reference corpus (ids 0-5, all in the %10<7 prefix): 2 common,
+    // 2 mixed, 2 noise docs -> thirds of 2/2/2 in 'en'
+    val prefix = Seq(
+      (0L, "en", "common common word common word common"),
+      (1L, "en", "common word common common word word"),
+      (2L, "en", "common word mid2 rare2 other2 extra2"),
+      (3L, "en", "common word mid3 rare3 other3 extra3"),
+      (4L, "en", "zz4 qq4 ww4 vv4 uu4 tt4"),
+      (5L, "en", "zz5 qq5 ww5 vv5 uu5 tt5"))
+    // appended docs (ids 17/27/37, outside the prefix): a copy of a
+    // common doc (must serve head via the FROZEN cuts), an
+    // unseen-token doc (Laplace floor -> worst bits -> tail), and an
+    // unseen-lang doc (no cuts -> tail)
+    val appended = Seq(
+      (27L, "en", "common common word common word common"),
+      (17L, "en", "xxa17 xxb17 xxc17 xxd17 xxe17 xxf17"),
+      (37L, "zz", "common common word common word common"))
+    val all = (prefix ++ appended).toDF("doc_id", "lang", "text")
+    val ref = prefix.toDF("doc_id", "lang", "text")
+    val (counts, scal) = TA.perplexityLm(ref.select($"doc_id", $"text"))
+    val served = TA.ccnetServe(all, counts, scal, TA.ccnetThresholds(ref))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("bucket"), Option(r.getAs[java.lang.Long]("t1"))))).toMap
+    assert(served.size == 9)
+    // the reference docs' value-buckets reproduce their own rank thirds
+    val rankThirds = TA.ccnetBucketsOf(ref).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    prefix.foreach { case (id, _, _) =>
+      assert(served(id)._1 == rankThirds(id),
+        s"doc $id: frozen-cut bucket ${served(id)._1} != rank third ${rankThirds(id)}") }
+    assert(served(27L)._1 == "head", s"the common copy must serve head: ${served(27L)}")
+    assert(served(17L)._1 == "tail", "all-unseen tokens take the floor -> tail")
+    assert(served(37L)._1 == "tail" && served(37L)._2.isEmpty,
+      "a lang without reference thirds serves tail with NULL cuts")
+  }
+
   test("nb refresh: zero drift on a stable corpus skips retrain; shifted append trips it; refresh restores full parity") {
     import spark.implicits._
     val TA = operators.TextAnalysis

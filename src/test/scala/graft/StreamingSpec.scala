@@ -999,6 +999,50 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("E24 stream_ccnet_bucket: MemoryStream batches bucketed against the frozen (LM, cuts) equal one-shot; unseen tokens and langs serve tail") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val TA = operators.TextAnalysis
+    val corpus = Seq(
+      (0L, "en", "common common word common word common"),
+      (1L, "en", "common word common common word word"),
+      (2L, "en", "common word mid2 rare2 other2 extra2"),
+      (3L, "en", "common word mid3 rare3 other3 extra3"),
+      (4L, "en", "zz4 qq4 ww4 vv4 uu4 tt4"),
+      (5L, "en", "zz5 qq5 ww5 vv5 uu5 tt5"))
+    val corpusDf = corpus.toDF("doc_id", "lang", "text")
+    val (counts, scal) = TA.perplexityLm(corpusDf.select($"doc_id", $"text"))
+    val thr = TA.ccnetThresholds(corpusDf)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("bits_micros"), r.getAs[String]("bucket")))
+    val oneShot = rowsOf(TA.ccnetServe(corpusDf, counts, scal, thr)).sortBy(_._1)
+    val source = MemoryStream[(Long, String, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, String)]
+    val q = source.toDF().toDF("doc_id", "lang", "text").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= rowsOf(TA.ccnetServe(df, counts, scal, thr))
+        (): Unit
+      }
+      .start()
+    // batch 3 carries docs the freeze never saw: unseen tokens in a
+    // known lang, and a known text in an unknown lang
+    val b3 = Seq((98L, "en", "xxa98 xxb98 xxc98 xxd98 xxe98 xxf98"),
+      (99L, "zz", "common common word common word common"))
+    Seq(corpus.slice(0, 3), corpus.slice(3, 6), b3).foreach { b =>
+      source.addData(b: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val (novel, replayed) = got.partition(_._1 >= 98L)
+    assert(replayed.sortBy(_._1).toSeq == oneShot.toSeq,
+      "per-batch bucketing against the frozen pair must equal one-shot")
+    assert(novel.find(_._1 == 98L).get._4 == "tail", "unseen tokens -> floor -> tail")
+    assert(novel.find(_._1 == 99L).get._4 == "tail", "unseen lang -> no cuts -> tail")
+    spark.catalog.clearCache()
+  }
+
   test("E16 line index: MemoryStream appends through foreachBatch strike the one-shot union answer") {
     val s = spark
     import s.implicits._

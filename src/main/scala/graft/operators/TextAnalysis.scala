@@ -1677,9 +1677,11 @@ object TextAnalysis {
       .select(ascii($"sym").as("sym_code"), expanded.as("token"), $"n_occ")
   }
 
-  def bpeEncodeSql(rounds: Int = 3): String = {
-    require(rounds >= 1 && rounds <= 8,
-      s"bpe_encode rounds must be in [1, 8] (same sentinel bound as bpeEncodeOf); got $rounds")
+  /** The C25b training pipeline as a CTE prefix (w0 = the word
+    * stream, cN/mN/wN = each round's counts, argmax merge and
+    * rewritten stream) — shared by the encode oracle and the
+    * fertility oracle, which both re-apply the learned merges. */
+  private def bpeTrainCtesSql(rounds: Int): String = {
     val w0 =
       """w0 AS (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
@@ -1694,17 +1696,91 @@ object TextAnalysis {
          |w$r AS (SELECT replace(w, (SELECT pair FROM m$r), chr($r)) AS w FROM w${r - 1})"""
         .stripMargin
     }
+    s"$w0,\n${steps.mkString(",\n")}"
+  }
+
+  def bpeEncodeSql(rounds: Int = 3): String = {
+    require(rounds >= 1 && rounds <= 8,
+      s"bpe_encode rounds must be in [1, 8] (same sentinel bound as bpeEncodeOf); got $rounds")
     val expand = (1 to rounds).reverse.foldLeft("sym") { (acc, r) =>
       s"replace($acc, chr($r), (SELECT pair FROM m$r))"
     }
-    s"""WITH $w0,
-       |${steps.mkString(",\n")},
+    s"""WITH ${bpeTrainCtesSql(rounds)},
        |syms AS (
        |  SELECT unnest(list_transform(range(1, length(w) + 1), i -> substr(w, i, 1))) AS sym
        |  FROM w$rounds),
        |counts AS (SELECT sym, COUNT(*) AS n_occ FROM syms GROUP BY 1)
        |SELECT CAST(ascii(sym) AS INT) AS sym_code, $expand AS token, n_occ
        |FROM counts""".stripMargin
+  }
+
+  /** C25d `tokenizer_fertility` — the per-language FERTILITY report of
+    * the trained tokenizer (symbols per word, chars per symbol): the
+    * standard multilingual-tokenizer diagnostic — a language whose
+    * fertility is far above the corpus mean is being over-segmented
+    * by the learned merges (its bytes cost more training compute), the
+    * signal that drives vocab re-allocation in multilingual pipelines.
+    * Composes C25b's learned merge table (driver-collected, ≤ rounds
+    * rows, baked into the rewrite expression as literals — the
+    * codegen'd form of a broadcast) with one stateless per-word encode
+    * pass + one per-lang hash agg.
+    *
+    * ENGINE-EXACT: counts are integers; the two ratios are integer
+    * micro-units via integer division ((n·10⁶) div d — no IEEE
+    * anywhere), so the gate hash-compares the whole report. */
+  def tokenizerFertility(spark: SparkSession, dir: String,
+                         rounds: Int = 3): DataFrame =
+    tokenizerFertilityOf(Tables.fanout(Tables.documents(spark, dir)
+      .select(col("lang"), col("text"))), rounds)
+
+  /** Frame-based core of C25d (docs = (lang, text)). */
+  private[graft] def tokenizerFertilityOf(docs: DataFrame,
+                                          rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 8,
+      s"tokenizer_fertility rounds must be in [1, 8] (bpe_encode's sentinel bound); got $rounds")
+    import docs.sparkSession.implicits._
+    val mseq = bpeMergesOf(docs.select(explode(toks($"text")).as("w")), rounds)
+      .orderBy($"round").collect().map(r => (r.getInt(0), r.getString(1)))
+    val encoded = mseq.foldLeft($"w": Column) { case (c, (r, m)) =>
+      replace(c, lit(m), lit(r.toChar.toString))
+    }
+    docs.select($"lang", explode(toks($"text")).as("w"))
+      .select($"lang", length($"w").cast("long").as("wc"),
+        length(encoded).cast("long").as("sc"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_words"), sum($"wc").as("word_chars"),
+        sum($"sc").as("n_symbols"))
+      .withColumn("symbols_per_word_micros",
+        expr("(n_symbols * 1000000) div n_words"))
+      .withColumn("chars_per_symbol_micros",
+        expr("(word_chars * 1000000) div n_symbols"))
+  }
+
+  /** C25d oracle: the same training CTEs re-applied per (lang, word),
+    * integer-division micro-unit ratios. */
+  def tokenizerFertilitySql(rounds: Int = 3): String = {
+    require(rounds >= 1 && rounds <= 8,
+      s"tokenizer_fertility rounds must be in [1, 8]; got $rounds")
+    val enc = (1 to rounds).foldLeft("w") { (acc, r) =>
+      s"replace($acc, (SELECT pair FROM m$r), chr($r))"
+    }
+    s"""WITH ${bpeTrainCtesSql(rounds)},
+       |docw AS (
+       |  SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |enc AS (
+       |  SELECT lang, CAST(length(w) AS BIGINT) AS wc,
+       |         CAST(length($enc) AS BIGINT) AS sc
+       |  FROM docw),
+       |agg AS (
+       |  SELECT lang, COUNT(*) AS n_words,
+       |         CAST(SUM(wc) AS BIGINT) AS word_chars,
+       |         CAST(SUM(sc) AS BIGINT) AS n_symbols
+       |  FROM enc GROUP BY 1)
+       |SELECT lang, n_words, word_chars, n_symbols,
+       |       (n_symbols * 1000000) // n_words AS symbols_per_word_micros,
+       |       (word_chars * 1000000) // n_symbols AS chars_per_symbol_micros
+       |FROM agg""".stripMargin
   }
 
   /** Frame-based core of C25b (words = one column `w`) — lets the spec

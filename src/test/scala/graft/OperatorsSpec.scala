@@ -371,6 +371,25 @@ class OperatorsSpec extends AnyFunSuite {
       "a lang without reference thirds serves tail with NULL cuts")
   }
 
+  test("tokenizer_fertility: exact per-lang symbol accounting under the learned merges") {
+    import spark.implicits._
+    // lang aa: 10x 'abab' — merges land ab (r1), xy (r2), then the
+    // aa-word collapses to ONE symbol (r3 merges the sentinel pair);
+    // lang bb: 10x 'xyxy' — stays at TWO symbols after r2
+    val docs = ((0 until 10).map(i => ("aa", "abab")) ++
+      (0 until 10).map(i => ("bb", "xyxy")))
+      .toDF("lang", "text")
+    val out = operators.TextAnalysis.tokenizerFertilityOf(docs, rounds = 3)
+      .collect().map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("word_chars"),
+          r.getAs[Long]("n_symbols"), r.getAs[Long]("symbols_per_word_micros"),
+          r.getAs[Long]("chars_per_symbol_micros")))).toMap
+    assert(out("aa") == ((10L, 40L, 10L, 1000000L, 4000000L)),
+      s"aa must collapse to one symbol/word: ${out("aa")}")
+    assert(out("bb") == ((10L, 40L, 20L, 2000000L, 2000000L)),
+      s"bb must sit at two symbols/word: ${out("bb")}")
+  }
+
   test("nb refresh: zero drift on a stable corpus skips retrain; shifted append trips it; refresh restores full parity") {
     import spark.implicits._
     val TA = operators.TextAnalysis

@@ -280,6 +280,74 @@ object Govern {
        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 8)) AS BIGINT)
        |      / 4294967296.0 < r.kr""".stripMargin
 
+  /** F21 `mixture_allocate` — exact token-budget apportionment across
+    * languages: given a total training budget B tokens, allocate each
+    * language a quota ∝ n_lang^0.5 (the XLM/mT5 temperature-sampling
+    * exponent that upweights tail languages) using LARGEST-REMAINDER
+    * (Hamilton) apportionment — ⌊B·wᵢ/Σw⌋ each, the L = B − Σ⌊·⌋
+    * leftover seats to the largest remainders, ties by lang. The
+    * pipeline artifact a training mix is built FROM (F10 samples to a
+    * rate; this fixes exact integer token counts that sum to B).
+    *
+    * Engine parity: token counts are integers; sqrt/× /÷ are single
+    * correctly-rounded IEEE ops (identical in both engines — F10's
+    * proven posture), remainders quantize to 9dp before ranking
+    * (F16's rank idiom) and ΣquotaTokens == B exactly by
+    * construction. Scale: one corpus token-count agg; everything
+    * after runs on a lang-cardinality frame (driver-metadata-sized
+    * windows — never a corpus sort). */
+  def mixtureAllocate(spark: SparkSession, dir: String,
+                      budget: Long = 10000L): DataFrame =
+    mixtureAllocateOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text")), budget)
+
+  /** Frame-based core of F21 (docs = (doc_id, lang, text)). */
+  private[graft] def mixtureAllocateOf(docs: DataFrame, budget: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    val counts = docs
+      .select($"lang",
+        when(length(trim($"text")) === 0, lit(0))
+          .otherwise(size(split(trim($"text"), "\\s+"))).cast("long").as("n"))
+      .groupBy($"lang").agg(sum($"n").as("n_tokens"))
+      .withColumn("w", sqrt($"n_tokens".cast("double")))
+    val tot = counts.agg(sum($"w").as("tw"), count(lit(1)).as("nl"))
+    val q = counts.crossJoin(broadcast(tot))
+      .withColumn("qraw", lit(budget.toDouble) * $"w" / $"tw")
+      .withColumn("base", floor($"qraw").cast("long"))
+      .withColumn("rem", round($"qraw" - $"base", 9))
+    val leftover = q.agg((lit(budget) - sum($"base")).as("l"))
+    val wRem = org.apache.spark.sql.expressions.Window
+      .orderBy($"rem".desc, $"lang")
+    q.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(wRem))
+      .select($"lang", $"n_tokens",
+        ($"base" + when($"rk" <= $"l", 1L).otherwise(0L)).as("quota_tokens"))
+  }
+
+  /** F21 oracle: identical counts, IEEE shares and largest-remainder
+    * seats in DuckDB. */
+  def mixtureAllocateSql(budget: Long = 10000L): String =
+    s"""WITH counts AS (
+       |  SELECT lang,
+       |         CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+       |                  ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |sh AS (SELECT lang, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS w FROM counts),
+       |tot AS (SELECT SUM(w) AS tw FROM sh),
+       |q AS (
+       |  SELECT lang, n_tokens,
+       |         CAST($budget AS DOUBLE) * w / tot.tw AS qraw,
+       |         CAST(floor(CAST($budget AS DOUBLE) * w / tot.tw) AS BIGINT) AS base
+       |  FROM sh, tot),
+       |lo AS (SELECT $budget - SUM(base) AS l FROM q),
+       |rk AS (
+       |  SELECT *, row_number() OVER (
+       |    ORDER BY round(qraw - base, 9) DESC, lang) AS rk
+       |  FROM q)
+       |SELECT lang, n_tokens,
+       |       base + CASE WHEN rk <= lo.l THEN 1 ELSE 0 END AS quota_tokens
+       |FROM rk, lo""".stripMargin
+
   /** F16 `weighted_sample` — per-language WEIGHTED sampling without
     * replacement via the exponential race (Efraimidis-Spirakis A-Res /
     * Gumbel top-k): each doc draws the deterministic md5 uniform

@@ -517,6 +517,31 @@ class GovernSpec extends AnyFunSuite {
       "within-band order must be the pseudo-random key, not insertion order")
   }
 
+  test("mixture_allocate: quotas sum exactly to the budget; sqrt temperature upweights the tail; leftovers to largest remainders") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // head lang: 90 docs x 10 tokens = 900; tail lang: 10 docs x 10 = 100
+    // sqrt shares: 30 vs 10 -> quotas 750/250 of B=1000 (exact split,
+    // no leftover); proportional would have given 900/100
+    val docs = ((0 until 90).map(i => (i.toLong, "big", "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")) ++
+      (0 until 10).map(i => ((100 + i).toLong, "small", "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.operators.Govern.mixtureAllocateOf(docs, budget = 1000L)
+      .collect().map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("quota_tokens")))).toMap
+    assert(out("big") == ((900L, 750L)) && out("small") == ((100L, 250L)), s"$out")
+    // an odd budget forces a leftover seat: 751/250 splits 1001 with
+    // the extra going to the larger remainder
+    val out2 = graft.operators.Govern.mixtureAllocateOf(docs, budget = 1001L)
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("quota_tokens")).toMap
+    assert(out2.values.sum == 1001L, s"quotas must sum exactly to the budget: $out2")
+    // three-lang case: conservation holds whatever the remainders
+    val docs3 = docs.unionAll(Seq((200L, "mid", "t1 t2 t3 t4 t5 t6 t7")).toDF("doc_id", "lang", "text"))
+    val out3 = graft.operators.Govern.mixtureAllocateOf(docs3, budget = 997L)
+      .collect().map(r => r.getAs[Long]("quota_tokens"))
+    assert(out3.sum == 997L && out3.forall(_ >= 0))
+  }
+
   test("curation_audit: kept ⇔ no flag fires; every flag agrees with its own stage; benchmark docs absent") {
     import spark.implicits._
     val audit = operators.Govern.curationAudit(spark, sf).localCheckpoint()

@@ -2069,6 +2069,16 @@ object TextAnalysis {
     * tokenize pass per process instead of four. Already
     * checkpointed, so every consumer starts from the materialized
     * rows (the NearDup.Shared contract). */
+  /** Degenerate-corpus probe for the serve entries' early-return
+    * guards: true iff no document carries a token — equivalent to
+    * `tfTableFor(...).isEmpty` (the tf table is empty exactly when no
+    * trimmed text is non-empty) but a LIMIT-1 scan of the docs frame,
+    * not a materialization of the memoized tf table (r14 verdict's
+    * note). */
+  private[graft] def corpusTokenFree(spark: SparkSession, dir: String): Boolean =
+    Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0).isEmpty
+
   private[graft] def tfTableFor(spark: SparkSession, dir: String): DataFrame =
     NearDup.Shared.memo(spark, s"bm25Tf:$dir") {
       bm25TfTable(Tables.fanout(
@@ -2341,7 +2351,7 @@ object TextAnalysis {
                   dfCap: Int = 100, nQueries: Int = 50, kRrf: Int = 60,
                   wLex: Int = 2, wSem: Int = 1, dim: Int = 64): DataFrame = {
     import spark.implicits._
-    if (tfTableFor(spark, dir).isEmpty)
+    if (corpusTokenFree(spark, dir))
       return Seq.empty[(Long, Long, Long, Int)]
         .toDF("query_id", "doc_id", "rrf", "rank_h")
     // both serving indexes are session-shared (read-only): the BM25
@@ -2438,7 +2448,7 @@ object TextAnalysis {
                          dfCap: Int = 100, nQueries: Int = 50, kRrf: Int = 60,
                          wLex: Int = 2, wSem: Int = 1, dim: Int = 64): DataFrame = {
     import spark.implicits._
-    if (tfTableFor(spark, dir).isEmpty)
+    if (corpusTokenFree(spark, dir))
       return Seq.empty[(Long, Long, Long, Int)]
         .toDF("query_id", "doc_id", "rrf", "rank_h")
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
@@ -2789,7 +2799,7 @@ object TextAnalysis {
                      dfCap: Int = 100, qMod: Int = 20): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
-    if (tfTableFor(spark, dir).isEmpty)
+    if (corpusTokenFree(spark, dir))
       return Seq.empty[(Long, Long, Int, Long)]
         .toDF("query_id", "doc_id", "rk", "score")
     graft.sources.Lake.withScratchIndex(spark, "graft_bm25_stale") { tmp =>
@@ -3159,7 +3169,7 @@ object TextAnalysis {
     // a corpus with no indexable terms (empty, or all docs under the
     // 3-token shingle floor) writes no postings partitions and a
     // schemaless dir is unreadable — serve the empty result instead
-    if (tfTableFor(spark, dir).isEmpty)
+    if (corpusTokenFree(spark, dir))
       return Seq.empty[(Long, Long, Int, Long)]
         .toDF("query_id", "doc_id", "rk", "score")
     bm25ServeFrom(spark, sharedImpactIndex(spark, dir, dfCap), k, qMod)
@@ -3183,7 +3193,7 @@ object TextAnalysis {
                        dfCap: Int = 100, qMod: Int = 20): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
-    if (tfTableFor(spark, dir).isEmpty)
+    if (corpusTokenFree(spark, dir))
       return Seq.empty[(Long, Long, Int, Long)]
         .toDF("query_id", "doc_id", "rk", "score")
     val cut = docs.agg(max($"doc_id")).head().getLong(0) * 7 / 10
@@ -3230,7 +3240,7 @@ object TextAnalysis {
                         dim: Int = 64): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
-    if (tfTableFor(spark, dir).isEmpty)
+    if (corpusTokenFree(spark, dir))
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("new_id", "ref_id", "n_inter", "jaccard")
     val cut = docs.agg(max($"doc_id")).head().getLong(0) * 7 / 10
@@ -3344,7 +3354,7 @@ object TextAnalysis {
                          dim: Int = 64): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
-    if (tfTableFor(spark, dir).isEmpty)
+    if (corpusTokenFree(spark, dir))
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("new_id", "ref_id", "n_inter", "jaccard")
     val cut = docs.agg(max($"doc_id")).head().getLong(0) * 7 / 10
@@ -3388,7 +3398,7 @@ object TextAnalysis {
                         dfCap: Int = 100, qMod: Int = 20): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
-    if (tfTableFor(spark, dir).isEmpty)
+    if (corpusTokenFree(spark, dir))
       return Seq.empty[(Long, Long, Int, Long)]
         .toDF("query_id", "doc_id", "rk", "score")
     val cut = docs.agg(max($"doc_id")).head().getLong(0) * 7 / 10

@@ -1010,6 +1010,66 @@ object TextAnalysis {
   def nbStaleServeSql(dim: Int = 64): String =
     nbQualityClassifySql(dim, 4, "AND doc_id % 10 < 7")
 
+  /** PERSIST a trained NB filter (model + priors, classes × dim + 2
+    * integer rows) as a catalog store — the model-registry write the
+    * nightly training job commits. Integer micro-unit weights
+    * round-trip parquet exactly, so a catalog-resolved model scores
+    * bit-identically to the in-session one. */
+  private[graft] def nbModelWrite(docs: DataFrame, d: String,
+                                  dim: Int = 64): Unit = {
+    val (model, priors) = nbTrain(docs, dim)
+    model.coalesce(1).write.parquet(s"$d/model")
+    priors.coalesce(1).write.parquet(s"$d/priors")
+  }
+
+  /** Read a persisted NB filter back ([[nbModelWrite]]'s layout). */
+  private[graft] def nbModelRead(spark: SparkSession, d: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$d/model"), spark.read.parquet(s"$d/priors"))
+
+  /** C32d `nb_catalog_serve` — the MODEL REGISTRY lifecycle for the
+    * learned quality filter, the same cross-process story the index
+    * kinds have (C23f/C4d): a nightly training process commits the
+    * epoch-1 model (trained on the 70% id-cut corpus) into the
+    * catalog ([[graft.sources.Catalog.resolveOrBuild]], commit-last),
+    * the corpus drifts, the stamped epoch-2 resolve RETRAINS on the
+    * full corpus and supersedes by seq, `Catalog.vacuum` reclaims the
+    * superseded epoch-1 store, and a serving process that knows only
+    * the catalog root resolves the model by manifest lookup and
+    * scores. HASH-EQUAL to `nb_quality_classify` — the whole registry
+    * lifecycle must be answer-invisible (integer weights round-trip
+    * parquet exactly). The spec additionally pins epoch-1 lookup
+    * parity before the drift, physical reclaim, and the
+    * one-commit rollback ([[graft.sources.Catalog.rollback]] is
+    * kind-generic — the C23g drill applies to models too). */
+  def nbCatalogServe(spark: SparkSession, dir: String,
+                     dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.fanout(Tables.documents(spark, dir)
+      .select($"doc_id", $"text"))
+    val cut = Tables.documents(spark, dir)
+      .agg(max($"doc_id")).head().getLong(0) * 7 / 10
+    val key = s"corpus:$dir dim=$dim"
+    graft.sources.Lake.withScratchIndex(spark, "graft_nbmodel_cat") { cat =>
+      // nightly training, epoch 1: the corpus as of the cut
+      graft.sources.Catalog.resolveOrBuild(spark, cat, "nbmodel", key,
+        stamp = "epoch-1") { d =>
+        nbModelWrite(docs.filter($"doc_id" <= cut), d, dim)
+      }
+      // the corpus drifted: the stamped epoch-2 resolve retrains on
+      // the full corpus and supersedes — never serves stale
+      graft.sources.Catalog.resolveOrBuild(spark, cat, "nbmodel", key,
+        stamp = "epoch-2") { d =>
+        nbModelWrite(docs, d, dim)
+      }
+      graft.sources.Catalog.vacuum(spark, cat)
+      val (path, stamp) =
+        graft.sources.Catalog.lookup(spark, cat, "nbmodel", key).get
+      require(stamp == "epoch-2", s"fleet must resolve the fresh epoch: $stamp")
+      val (model, priors) = nbModelRead(spark, path)
+      nbScore(docs, model, priors, dim)
+    }
+  }
+
   /** Drift of a FROZEN NB model against the CURRENT corpus: mean |Δw|
     * over the classes × dim weight grid between the frozen model and
     * a freshly trained one, in natural log units (micro-units / 10⁶).

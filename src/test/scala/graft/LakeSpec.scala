@@ -817,6 +817,59 @@ class LakeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("nb_catalog_serve lifecycle: epoch-1 model parity, drift retrains, vacuum reclaims, rollback restores the prior model") {
+    import graft.sources.Catalog
+    val s = spark
+    import s.implicits._
+    val TA = operators.TextAnalysis
+    val cat = java.nio.file.Files.createTempDirectory("graft_nbm_srv").toString
+    // the C32 separable corpus
+    val docs = (0L until 60L).map { i =>
+      val t =
+        if (i % 2 == 0) s"customer value part kfilla kfillb kfill${i % 7}"
+        else s"spark batch stream dfilla dfillb dfill${i % 7}"
+      (i, t)
+    }.toDF("doc_id", "text")
+    val prefix = docs.filter($"doc_id" <= 40)
+    val p1 = Catalog.resolveOrBuild(s, cat, "nbmodel", "spec-corpus",
+      stamp = "epoch-1") { d => TA.nbModelWrite(prefix, d) }
+    // a serving process: lookup-only resolve, scores == the
+    // from-scratch prefix-trained scores (integer parquet round-trip)
+    val (m1, pr1) = TA.nbModelRead(s, p1)
+    val fleet1 = TA.nbScore(docs, m1, pr1).localCheckpoint()
+    val (m1s, pr1s) = TA.nbTrain(prefix)
+    assert(sameResult(fleet1, TA.nbScore(docs, m1s, pr1s)),
+      "the catalog-resolved model must score identically to the in-session one")
+    // drift → retrain on the full corpus → supersede, keeping
+    // rollback headroom (keepEpochs = 2)
+    Catalog.resolveOrBuild(s, cat, "nbmodel", "spec-corpus",
+      stamp = "epoch-2") { d => TA.nbModelWrite(docs, d) }
+    Catalog.vacuum(s, cat, keepEpochs = 2)
+    val fs = new org.apache.hadoop.fs.Path(cat)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(p1)),
+      "keepEpochs=2 must preserve the rollback target")
+    val (p2, stamp2) = Catalog.lookup(s, cat, "nbmodel", "spec-corpus").get
+    assert(stamp2 == "epoch-2")
+    val (m2, pr2) = TA.nbModelRead(s, p2)
+    val (m2s, pr2s) = TA.nbTrain(docs)
+    assert(sameResult(TA.nbScore(docs, m2, pr2), TA.nbScore(docs, m2s, pr2s)))
+    // the one-commit rollback applies to MODEL kinds identically:
+    // the fleet flips back to epoch-1 and serves the prior scores
+    val (pb, sb) = Catalog.rollback(s, cat, "nbmodel", "spec-corpus")
+    assert(sb == "epoch-1" && pb == p1)
+    val (mb, prb) = TA.nbModelRead(s, pb)
+    assert(sameResult(TA.nbScore(docs, mb, prb), fleet1),
+      "rollback must restore the prior model's exact scores")
+    // the bad epoch reclaims on the next default vacuum; the
+    // rolled-back-to store survives (it is the newest registration)
+    Catalog.vacuum(s, cat)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p2)) &&
+      fs.exists(new org.apache.hadoop.fs.Path(p1)))
+    fs.delete(new org.apache.hadoop.fs.Path(cat), true)
+    spark.catalog.clearCache()
+  }
+
   test("fleet_catalog_serve: all four kinds flip in one seq per epoch; mixed epochs refuse loudly") {
     import graft.sources.Catalog
     import operators.TextAnalysis

@@ -394,6 +394,27 @@ object ScaleProbe {
         "fit+score+threshold (dim-bounded model, histogram quantile — " +
         "never a corpus sort)")
 
+    // ---- claim 8: the Gopher rule verdict's volume is linear --------
+    // the full rule table (scalar stats + bigram + 5-gram legs + the
+    // per-doc top-2-gram window) must shuffle ∝ corpus tokens: every
+    // leg is an explode→partial-agg keyed by doc and the window
+    // partitions per doc — nothing is pairwise, nothing corpus-global.
+    val gr1 = scope("gopher_1x") {
+      graft.operators.TextAnalysis.gopherRulesOf(docs)
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+    }
+    val grR = scope(s"gopher_${rep}x") {
+      graft.operators.TextAnalysis.gopherRulesOf(bigDocs)
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+    }
+    ratio("gopher_volume_linear", grR.shuffleWriteBytes.toDouble,
+      gr1.shuffleWriteBytes.toDouble, 0.5 * rep, 1.8 * rep,
+      s"the ${rep}x corpus must shuffle ~${rep}x the bytes through all " +
+        "three rule legs (per-doc explode-aggs + per-doc window — " +
+        "never pairwise)")
+
     // ---- emit ------------------------------------------------------
     val out = checks.result()
     def j(c: Check): String =

@@ -39,7 +39,12 @@ class DeterminismSpec extends AnyFunSuite {
     "bpe_encode",          // driver-collected merges baked as literals
     "bm25_serve",          // persisted postings round-trip + serve
     "line_dedup",          // position-sorted reassembly from collect_list
-    "dsir_select"          // driver histogram + bucket-local order statistic
+    "dsir_select",         // driver histogram + bucket-local order statistic
+    "gopher_rules",        // per-doc explode-aggs + top-2-gram tie-break
+    "ccnet_buckets",       // per-lang rank thirds over micro-unit bits
+    "curriculum_order",    // banded two-pass global position over md5 keys
+    "mixture_allocate",    // largest-remainder seats over IEEE shares
+    "tokenizer_fertility"  // driver-collected merges + integer-div ratios
   )
 
   /** Collect to the driver and normalize — NO cache()/exceptAll here:

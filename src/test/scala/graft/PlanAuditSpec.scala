@@ -251,7 +251,23 @@ class PlanAuditSpec extends AnyFunSuite {
       "nb_quality_calibrate",
       // curation_audit composes the NB scorer, so it inherits exactly
       // the classifier's declared scalar crosses (prior pair, pwide)
-      "curation_audit")
+      "curation_audit",
+      // the ccnet family inherits perplexity_score's 1-row (N, V)
+      // scalar cross; the stale/stream serves join the same scalar
+      // from the frozen-LM path
+      "ccnet_buckets", "ccnet_stale_serve", "stream_ccnet_bucket",
+      // curriculum_order: perplexity's (N, V) scalar plus the banded
+      // two-pass rank's ≤ bands·256-row offset inequality self-join
+      // (corpus_shard's declared pattern)
+      "curriculum_order",
+      // mixture_allocate: the 1-row Σw total and 1-row leftover-seat
+      // scalars over the lang-cardinality share table
+      "mixture_allocate",
+      // nb_stale_serve scores with the frozen NB model — the
+      // classifier's declared scalar crosses (model grid, prior pair,
+      // pwide); stream_curation_audit composes NB + DSIR scorers and
+      // inherits the same bounded set
+      "nb_stale_serve", "stream_curation_audit")
     // k-bounded-group max_by assigns: the sort is by grouping key with
     // map-side partial agg — benign, unlike cluster-sized groups
     val sortAggOk = Set("ann_ivf", "resample_fill", "stream_dedup")
@@ -282,7 +298,15 @@ class PlanAuditSpec extends AnyFunSuite {
       // nb_quality_calibrate: the same classifier scalars plus the
       // 1-row (totk, totd) sweep-totals aggregate; curation_audit
       // inherits the NB scorer's scalar combines
-      "nb_quality_calibrate", "curation_audit")
+      "nb_quality_calibrate", "curation_audit",
+      // ccnet_buckets / curriculum_order: perplexity's 1-row (N, V)
+      // scalar combine (the stale/stream ccnet serves freeze the LM
+      // eagerly, so their served plans carry no global agg)
+      "ccnet_buckets", "curriculum_order",
+      // mixture_allocate: the 1-row Σw and leftover aggregates;
+      // nb_stale_serve / stream_curation_audit: the NB/DSIR scalar
+      // combines (train-doc count, prior pair, eps histogram scalars)
+      "mixture_allocate", "nb_stale_serve", "stream_curation_audit")
     // single-partition (empty partitionSpec) windows move ALL data to
     // one task — legal ONLY over metadata-bounded aggregates: the two
     // band-offset cumsums (zorder's ≤256-row per-band counts, F14's
@@ -290,7 +314,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // rank inside a partitioned window (the banded-rank contract) —
     // this makes the 88 test-log WindowExec warnings attributable to
     // spec/oracle-mirror code only, enforced instead of eyeballed.
-    val windowOk = Set("zorder_layout", "compaction_plan")
+    // mixture_allocate: the leftover-seat rank runs over the
+    // lang-cardinality share AGGREGATE (|langs| rows — the same
+    // metadata-bounded class as the two band-offset cumsums)
+    val windowOk = Set("zorder_layout", "compaction_plan",
+      "mixture_allocate")
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val nodes = collectAll(executedPlan(fn(spark, sf)))
       spark.catalog.clearCache()

@@ -1046,8 +1046,13 @@ object TextAnalysis {
     import spark.implicits._
     val docs = Tables.fanout(Tables.documents(spark, dir)
       .select($"doc_id", $"text"))
-    val cut = Tables.documents(spark, dir)
-      .agg(max($"doc_id")).head().getLong(0) * 7 / 10
+    // empty-corpus guard: no docs → no cut, no model to register —
+    // serve the empty scored frame (nbScore's schema)
+    val maxId = Tables.documents(spark, dir).agg(max($"doc_id")).head()
+    if (maxId.isNullAt(0))
+      return Seq.empty[(Long, Long, Long, String)]
+        .toDF("doc_id", "score_keep", "score_drop", "pred")
+    val cut = maxId.getLong(0) * 7 / 10
     val key = s"corpus:$dir dim=$dim"
     graft.sources.Lake.withScratchIndex(spark, "graft_nbmodel_cat") { cat =>
       // nightly training, epoch 1: the corpus as of the cut

@@ -57,6 +57,25 @@ class CrossCheckSpec extends AnyFunSuite {
       "band offset + in-band rank must equal the definitional global rank per shard")
   }
 
+  test("curriculum_order banded position equals the naive one-global-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val got = operators.Govern.curriculumOrder(spark, sf)
+      .select(col("doc_id"), col("train_pos"))
+    val naive = operators.TextAnalysis.perplexityOf(
+        Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        floor(col("bits_per_token") * lit(1e6) + lit(0.5)).cast("long").as("bm"))
+      .withColumn("band", expr("bm div 1000000"))
+      .withColumn("ukey",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":curr"))), 1, 12), 16, 10)
+          .cast("long"))
+      .withColumn("train_pos",
+        row_number().over(Window.orderBy(col("band"), col("ukey"), col("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("train_pos"))
+    assert(got.exceptAll(naive).count() == 0 && naive.exceptAll(got).count() == 0,
+      "band offset + in-(band, sub) rank must equal the definitional global order")
+  }
+
   test("shardBy equals the naive rank on seeded random id sets (sparse, dense, huge ids)") {
     import org.apache.spark.sql.expressions.Window
     val s = spark

@@ -1611,9 +1611,24 @@ object NearDup {
     // reassembly join (materialize-the-snapshot step; Lee et al.'s
     // pipeline materializes exactly this before its suffix pass)
     val docs = docsIn.localCheckpoint()
-    // positioned variant of [[substringWindows]]: the strip needs to
-    // know WHERE each anchored window sits, not just its hash
-    val wins = docs.filter(length($"norm") >= k)
+    val wins = positionedWindows(docs, k, anchorMod)
+    val shared = wins.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2).select($"h")
+    // duplicated intervals [pos, pos + k - 1]
+    val iv = wins.join(shared, Seq("h"))
+      .select($"doc_id", $"pos").distinct()
+      .withColumn("e0", $"pos" + lit(k - 1))
+    exciseIntervals(docs, iv)
+  }
+
+  /** Positioned variant of [[substringWindows]]: the strips need to
+    * know WHERE each anchored window sits, not just its hash. Eager —
+    * the table feeds a shared-hash aggregate AND the strike join. */
+  private def positionedWindows(docs: DataFrame, k: Int,
+                                anchorMod: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.filter(length($"norm") >= k)
       .select($"doc_id", explode(expr(
         s"""filter(transform(sequence(1, length(norm) - $k + 1),
            |  i -> if(cast(conv(substring(md5(substring(norm, i, 8)), 1, 4), 16, 10) as bigint)
@@ -1621,16 +1636,16 @@ object NearDup {
            |          named_struct('pos', i, 'h', md5(substring(norm, i, $k))), null)),
            |  x -> x is not null)""".stripMargin)).as("w"))
       .select($"doc_id", $"w.pos".as("pos"), $"w.h".as("h"))
-      // eager: feeds the shared-hash aggregate AND the strike join
       .localCheckpoint()
-    val shared = wins.groupBy($"h")
-      .agg(countDistinct($"doc_id").as("nd"))
-      .filter($"nd" >= 2).select($"h")
-    // duplicated intervals [pos, pos + k - 1], merged per doc via
-    // gaps-and-islands (touching intervals merge: pos <= prev_end + 1)
-    val iv = wins.join(shared, Seq("h"))
-      .select($"doc_id", $"pos").distinct()
-      .withColumn("e0", $"pos" + lit(k - 1))
+  }
+
+  /** EXCISE marked character intervals (doc_id, pos, e0) from a
+    * (doc_id, norm) corpus: gaps-and-islands merge per doc (touching
+    * intervals merge: pos ≤ prev_end + 1), then the doc reassembles
+    * from the complement segments in position order — shared by the
+    * cross-doc strip (C24b) and the within-doc strip (C24c). */
+  private def exciseIntervals(docs: DataFrame, iv: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val wOrd = Window.partitionBy($"doc_id").orderBy($"pos")
     val merged = iv
       .withColumn("pmax",
@@ -1664,8 +1679,9 @@ object NearDup {
     * reassembly (row-form: kept segment before each span + the tail,
     * string_agg in position order — provably the same complement the
     * engine's HOF pass builds). */
-  def substringStripSql(k: Int = 64, anchorMod: Int = 8): String =
-    s"WITH $substringCorpusCte,\n" +
+  /** The positioned-window CTEs (wp/wf) shared by the two strip
+    * oracles — mirrors [[positionedWindows]]. */
+  private def positionedWindowsCte(k: Int, anchorMod: Int): String =
     s"""wp AS (
        |  SELECT doc_id, unnest(list_filter(list_transform(range(1, length(norm) - $k + 2),
        |           i -> CASE WHEN CAST(('0x' || substr(md5(substr(norm, i, 8)), 1, 4)) AS BIGINT)
@@ -1673,11 +1689,21 @@ object NearDup {
        |                     THEN {'pos': i, 'h': md5(substr(norm, i, $k))} END),
        |         x -> x IS NOT NULL)) AS w
        |  FROM corpus WHERE length(norm) >= $k),
-       |wf AS (SELECT doc_id, w.pos AS pos, w.h AS h FROM wp),
+       |wf AS (SELECT doc_id, w.pos AS pos, w.h AS h FROM wp)""".stripMargin
+
+  def substringStripSql(k: Int = 64, anchorMod: Int = 8): String =
+    s"WITH $substringCorpusCte,\n" +
+    s"""${positionedWindowsCte(k, anchorMod)},
        |sh AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM wf GROUP BY 1)
        |       WHERE nd >= 2),
        |ivl AS (SELECT DISTINCT doc_id, pos, pos + $k - 1 AS e0 FROM wf JOIN sh USING (h)),
-       |m1 AS (SELECT doc_id, pos, e0,
+       |$exciseSqlTail""".stripMargin
+
+  /** The excision CTEs (merge + complement reassembly over `ivl` and
+    * `corpus`) shared by the two strip oracles — mirrors
+    * [[exciseIntervals]]. */
+  private def exciseSqlTail: String =
+    s"""m1 AS (SELECT doc_id, pos, e0,
        |         MAX(e0) OVER (PARTITION BY doc_id ORDER BY pos
        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
        |       FROM ivl),
@@ -1713,6 +1739,78 @@ object NearDup {
        |FROM corpus c
        |LEFT JOIN stats st USING (doc_id)
        |LEFT JOIN cln cl USING (doc_id)""".stripMargin
+
+  /** C24c's corpus: normalized documents where every 5th doc gains a
+    * SELF-repeat (its first 60 chars re-appended) — the planted
+    * within-doc boilerplate the within-doc strip must excise, mirrored
+    * in [[selfrepCorpusCte]]. */
+  private[graft] def selfrepCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.fanout(Tables.documents(spark, dir)
+      .select($"doc_id", lower(trim(regexp_replace($"text", "\\s+", " "))).as("n0"))
+      .select($"doc_id",
+        when($"doc_id" % 5 === 0,
+          concat($"n0", lit(" "), expr("substring(n0, 1, 60)")))
+          .otherwise($"n0").as("norm")))
+  }
+
+  private def selfrepCorpusCte: String =
+    s"""corpus AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 5 = 0 THEN n0 || ' ' || substr(n0, 1, 60)
+       |              ELSE n0 END AS norm
+       |  FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS n0
+       |        FROM documents))""".stripMargin
+
+  /** C24c `selfrep_strip` — WITHIN-doc repetition excision, the
+    * cleaner behind Gopher's repetition flags (C9b/F2 measure
+    * repetition; this removes it): every anchored k-char window whose
+    * hash re-occurs LATER in the SAME document marks its later
+    * occurrences' intervals (the FIRST occurrence always survives —
+    * repeated boilerplate inside a page keeps one copy), intervals
+    * merge per doc and the doc reassembles from the complement —
+    * [[substringStripOf]]'s machinery with the strike set switched
+    * from cross-doc shared windows to within-doc re-occurrences.
+    * Smaller k (32) and denser anchors (1/4) than C24b: within-page
+    * boilerplate is shorter than cross-crawl duplication.
+    *
+    * Hash-gated whole (cleaned strings included); spec pins
+    * byte-identity for repeat-free docs, exact excision of the
+    * planted self-repeat, first-occurrence survival and idempotence.
+    * Scale: the strike set is a per-(doc, h) min-pos aggregate — one
+    * hash agg + one self-equi-join keyed by (doc_id, h), narrower
+    * than C24b's corpus-wide shared-hash set; merge + reassembly are
+    * the shared per-doc-keyed passes. */
+  def selfrepStrip(spark: SparkSession, dir: String, k: Int = 32,
+                   anchorMod: Int = 4): DataFrame =
+    selfrepStripOf(selfrepCorpus(spark, dir), k, anchorMod)
+
+  /** Frame-based core of C24c (docs = (doc_id, norm)). */
+  private[graft] def selfrepStripOf(docsIn: DataFrame, k: Int,
+                                    anchorMod: Int): DataFrame = {
+    import docsIn.sparkSession.implicits._
+    val docs = docsIn.localCheckpoint()
+    val wins = positionedWindows(docs, k, anchorMod)
+    val firsts = wins.groupBy($"doc_id", $"h").agg(min($"pos").as("p0"))
+    // strike every LATER occurrence of a repeated window
+    val iv = wins.join(firsts, Seq("doc_id", "h"))
+      .filter($"pos" > $"p0")
+      .select($"doc_id", $"pos").distinct()
+      .withColumn("e0", $"pos" + lit(k - 1))
+    exciseIntervals(docs, iv)
+  }
+
+  /** C24c oracle: the planted self-repeat corpus, within-doc
+    * first-occurrence strike set, shared excision tail. */
+  def selfrepStripSql(k: Int = 32, anchorMod: Int = 4): String =
+    s"WITH $selfrepCorpusCte,\n" +
+    s"""${positionedWindowsCte(k, anchorMod)},
+       |firsts AS (SELECT doc_id, h, MIN(pos) AS p0 FROM wf GROUP BY 1, 2),
+       |ivl AS (
+       |  SELECT DISTINCT wf.doc_id, wf.pos, wf.pos + $k - 1 AS e0
+       |  FROM wf JOIN firsts ON firsts.doc_id = wf.doc_id AND firsts.h = wf.h
+       |  WHERE wf.pos > firsts.p0),
+       |$exciseSqlTail""".stripMargin
 
   def substringDedupSql(k: Int = 64, anchorMod: Int = 8): String =
     s"WITH ${substringWindowsCte(k, anchorMod)},\n" +

@@ -95,6 +95,60 @@ class SubstringSpec extends AnyFunSuite {
     assert(again(1L)._2 == c1 && again(2L)._2 == c2)
   }
 
+  test("selfrep_strip: repeat-free docs byte-identical; the later self-repeat excised, first survives; idempotent") {
+    // `block` is PERIODIC (period 13) — fine for cross-doc span tests,
+    // but a within-doc detector correctly strikes it; the self-repeat
+    // spec needs aperiodic filler
+    def rblock(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val rep = rblock(7, 100) // the within-doc repeated boilerplate
+    val pre = rblock(8, 80)
+    val mid = rblock(9, 44)
+    val tail = rblock(10, 60)
+    val clean = rblock(11, 300) // no repeats
+    val docs = Seq(
+      (1L, pre + rep + mid + rep + tail),
+      (2L, clean)).toDF("doc_id", "norm")
+    val out = operators.NearDup.selfrepStripOf(docs, k = 32, anchorMod = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("cleaned")))).toMap
+    // repeat-free doc passes through byte-identical
+    assert(out(2L) == ((0L, 0L, clean)))
+    val (n1, rm1, c1) = out(1L)
+    assert(n1 >= 1 && rm1 >= 32, s"the planted self-repeat must strike: ${out(1L)}")
+    // length reconciles exactly and the FIRST occurrence survives
+    assert(c1.length == (pre + rep + mid + rep + tail).length - rm1)
+    assert(c1.startsWith(pre + rep + mid.take(1)),
+      "the first occurrence (and everything before the second) must survive")
+    // excision only reaches inside the second occurrence: the strike
+    // set is later-occurrence windows, whose positions all sit in it
+    assert(c1.endsWith(tail))
+    // a second pass finds nothing left to strike
+    val again = operators.NearDup.selfrepStripOf(
+      Seq((1L, c1), (2L, out(2L)._3)).toDF("doc_id", "norm"), k = 32, anchorMod = 4)
+      .collect().map(r => (r.getAs[Long]("n_removed"), r.getAs[String]("cleaned"), r.getAs[Long]("doc_id")))
+    assert(again.forall(_._1 == 0L) &&
+      again.find(_._3 == 1L).get._2 == c1, "the strip must be idempotent")
+  }
+
+  test("selfrep_strip registry corpus: exactly the planted fifth strikes; others byte-identical") {
+    val out = operators.NearDup.selfrepStrip(spark, sf).localCheckpoint()
+    val struck = out.filter(col("n_spans") > 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(struck.nonEmpty && struck.forall(_ % 5 == 0),
+      s"only the planted self-repeat docs may strike: ${struck.take(5)}")
+    // non-planted docs reassemble byte-identically to their norm
+    val norms = operators.NearDup.selfrepCorpus(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = out.collect()
+    assert(rows.filter(_.getAs[Long]("n_spans") == 0L).forall(r =>
+      r.getAs[String]("cleaned") == norms(r.getAs[Long]("doc_id"))))
+    spark.catalog.clearCache()
+  }
+
   test("substring_dedup_strip registry corpus: stripped set == audit dirty set; lengths reconcile") {
     val strip = operators.NearDup.substringStrip(spark, sf).cache()
     val audit = operators.NearDup.substringDedup(spark, sf)

@@ -1740,6 +1740,129 @@ object NearDup {
        |LEFT JOIN stats st USING (doc_id)
        |LEFT JOIN cln cl USING (doc_id)""".stripMargin
 
+  /** C1b's Bloom geometry: 32768 words × 62 usable bits ≈ 2.03M bits,
+    * k = 4 probes. 62 bits per word because DuckDB's `<<` overflows at
+    * shift 63 (and bit 62 keeps sign headroom) — the price of an
+    * ENGINE-EXACT filter is two dead bits per word. At the bench SFs
+    * the load n·k/m stays ≪ 1 (FP ~1e-4); production sizes m to its
+    * corpus the same way. */
+  private[graft] val BloomWords = 32768L
+  private[graft] val BloomK = 4
+
+  /** The k (word, bit) probe positions of each doc's normalized-text
+    * hash — Kirsch–Mitzenmacher double hashing over md5's two 56-bit
+    * halves (the C2/C3 portable-hash-family posture), identical
+    * arithmetic in the oracle. */
+  private def bloomProbes(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val m = BloomWords * 62L
+    docs.withColumn("bh", md5($"norm"))
+      .withColumn("h1", conv(substring($"bh", 1, 14), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring($"bh", 15, 14), 16, 10).cast("long"))
+      .select($"doc_id", explode(expr(
+        s"transform(sequence(0, ${BloomK - 1}), i -> (h1 + i * h2) % ${m}L)")).as("pos"))
+      .select($"doc_id",
+        expr("pos div 62").as("word"),
+        ($"pos" % 62).cast("int").as("bit"))
+  }
+
+  /** BUILD the Bloom sidecar over a (doc_id, norm) corpus: one
+    * explode → bit_or hash agg → ≤ [[BloomWords]] rows regardless of
+    * corpus size. The nightly artifact C1b/E25 freeze. */
+  private[graft] def bloomBuild(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    bloomProbes(docs)
+      .select($"word", expr("shiftleft(1L, bit)").as("mask"))
+      .groupBy($"word").agg(expr("bit_or(mask)").as("bits"))
+      .localCheckpoint()
+  }
+
+  /** TAG a (doc_id, norm) batch against a frozen Bloom filter:
+    * maybe_dup ⇔ all k probe bits are set. One broadcast join on
+    * `word` + one per-doc count — stateless, so the identical call
+    * tags a batch corpus or an arriving micro-batch (E25). */
+  private[graft] def bloomTag(batch: DataFrame, filter: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    bloomProbes(batch)
+      .join(broadcast(filter), Seq("word"), "left")
+      .withColumn("hit",
+        when($"bits".isNotNull &&
+          (expr("bits & shiftleft(1L, bit)") =!= 0L), 1).otherwise(0))
+      .groupBy($"doc_id")
+      .agg(sum($"hit").as("n_hits"))
+      .select($"doc_id", $"n_hits", ($"n_hits" === BloomK).as("maybe_dup"))
+  }
+
+  /** C1b `bloom_dedup_serve` — APPROXIMATE dedup admission via an
+    * engine-exact Bloom filter: the compressed membership sidecar a
+    * 100 TB ingest consults BEFORE touching the full signature index
+    * (C4c's postings are exact but batch-bucket-sized reads; the Bloom
+    * is ≤ 32768 rows TOTAL and broadcastable — a no-FN pre-screen
+    * that lets clean batches skip the index entirely). Guarantees:
+    * an exact duplicate of an indexed doc ALWAYS flags (no false
+    * negatives — the Bloom property the spec pins); a novel doc
+    * passes except with FP probability (1−e^(−kn/m))^k, ~1e-4 here.
+    *
+    * ENGINE-EXACT, unlike B16's built-in BloomFilterAggregate (whose
+    * bits depend on Spark internals): positions come from md5's two
+    * 56-bit halves via Kirsch–Mitzenmacher, words pack 62 bits
+    * (DuckDB `<<` overflows at 63), build is bit_or over int64 words —
+    * the oracle computes the identical filter, so flags, hit counts
+    * AND the false positives hash-gate exactly.
+    *
+    * The served batch = an exact re-crawl (ids + 10⁶ — every row must
+    * flag) ∪ synthetic novel docs (ids + 2·10⁶ — rows flag only by
+    * FP). */
+  def bloomDedupServe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.fanout(Tables.documents(spark, dir)
+      .select($"doc_id", lower(trim(regexp_replace($"text", "\\s+", " "))).as("norm")))
+    val filter = bloomBuild(base)
+    val batch = base.select(($"doc_id" + BigOffset).as("doc_id"), $"norm")
+      .unionAll(base.select(($"doc_id" + 2 * BigOffset).as("doc_id"),
+        concat(lit("novel doc "), ($"doc_id" + 2 * BigOffset).cast("string")).as("norm")))
+    bloomTag(batch, filter)
+  }
+
+  /** C1b oracle: the identical md5-KM probe family, 62-bit packed
+    * bit_or build, and k-probe AND test in DuckDB. */
+  def bloomDedupServeSql(): String = {
+    val m = BloomWords * 62L
+    s"""WITH base AS (
+       |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+       |  FROM documents),
+       |batch AS (
+       |  SELECT doc_id + $BigOffset AS doc_id, norm FROM base
+       |  UNION ALL
+       |  SELECT doc_id + ${2 * BigOffset},
+       |         'novel doc ' || CAST(doc_id + ${2 * BigOffset} AS VARCHAR)
+       |  FROM base),
+       |bprobe AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(0, $BloomK),
+       |           i -> (CAST(('0x' || substr(md5(norm), 1, 14)) AS BIGINT)
+       |                 + i * CAST(('0x' || substr(md5(norm), 15, 14)) AS BIGINT)) % $m)) AS pos
+       |  FROM base),
+       |filt AS (
+       |  SELECT pos // 62 AS word, bit_or(1::BIGINT << CAST(pos % 62 AS INT)) AS bits
+       |  FROM bprobe GROUP BY 1),
+       |qprobe AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(0, $BloomK),
+       |           i -> (CAST(('0x' || substr(md5(norm), 1, 14)) AS BIGINT)
+       |                 + i * CAST(('0x' || substr(md5(norm), 15, 14)) AS BIGINT)) % $m)) AS pos
+       |  FROM batch),
+       |hits AS (
+       |  SELECT q.doc_id,
+       |         CAST(SUM(CASE WHEN f.bits IS NOT NULL
+       |                        AND (f.bits & (1::BIGINT << CAST(q.pos % 62 AS INT))) <> 0
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |  FROM qprobe q LEFT JOIN filt f ON f.word = q.pos // 62
+       |  GROUP BY 1)
+       |SELECT doc_id, n_hits, n_hits = $BloomK AS maybe_dup
+       |FROM hits""".stripMargin
+  }
+
   /** C24c's corpus: normalized documents where every 5th doc gains a
     * SELF-repeat (its first 60 chars re-appended) — the planted
     * within-doc boilerplate the within-doc strip must excise, mirrored

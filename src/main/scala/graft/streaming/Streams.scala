@@ -389,6 +389,32 @@ object Streams {
       verdicts)
   }
 
+  /** E25 `stream_bloom_dedup` — Bloom-filter dedup ADMISSION at
+    * ingest: the engine-exact Bloom sidecar (C1b — ≤ 32768 int64
+    * words, broadcastable) freezes batch-side over the indexed
+    * corpus, and each arriving micro-batch tags statelessly
+    * (`NearDup.bloomTag`): an exact duplicate of an indexed doc
+    * ALWAYS flags (no false negatives — the admission guarantee), a
+    * novel doc passes except with ~1e-4 FP probability, and
+    * flagged-clean batches can skip the exact signature index (C4c)
+    * entirely. A doc's verdict depends on the frozen bits and its own
+    * normalized hash alone, so N micro-batches ≡ one-shot tagging —
+    * gate hash-equal to C1b's oracle (including the deterministic
+    * false positives); StreamingSpec drives real MemoryStream batches
+    * splitting the re-crawl across batches and pins row parity +
+    * zero false negatives. */
+  def streamBloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ND = graft.operators.NearDup
+    val base = Tables.fanout(graft.Tables.documents(spark, dir)
+      .select($"doc_id", lower(trim(regexp_replace($"text", "\\s+", " "))).as("norm")))
+    val filter = ND.bloomBuild(base)
+    val batch = base.select(($"doc_id" + ND.BigOffset).as("doc_id"), $"norm")
+      .unionAll(base.select(($"doc_id" + 2 * ND.BigOffset).as("doc_id"),
+        concat(lit("novel doc "), ($"doc_id" + 2 * ND.BigOffset).cast("string")).as("norm")))
+    ND.bloomTag(batch, filter)
+  }
+
   /** E23 `stream_curation_audit` — the per-doc curation audit (F19)
     * applied AT INGEST: every filter stage's state freezes batch-side
     * (`Govern.curationFreeze` — the dedup index, benchmark grams, NB

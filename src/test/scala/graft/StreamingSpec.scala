@@ -1043,6 +1043,43 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("E25 stream_bloom_dedup: MemoryStream batches tagged by the frozen Bloom equal one-shot; dups always flag, novels admit") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ND = operators.NearDup
+    // indexed corpus: 40 distinct normalized docs
+    val base = (0L until 40L).map(i => (i, s"indexed document number $i body"))
+      .toDF("doc_id", "norm")
+    val filter = ND.bloomBuild(base)
+    // arriving stream: 20 exact dups of indexed docs + 20 novels
+    val rows = (0L until 20L).map(i => (100 + i, s"indexed document number $i body")) ++
+      (0L until 20L).map(i => (200 + i, s"fresh unseen arrival $i payload"))
+    val oneShot = ND.bloomTag(rows.toDF("doc_id", "norm"), filter)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    val source = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    val q = source.toDF().toDF("doc_id", "norm").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= ND.bloomTag(df, filter)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        (): Unit
+      }
+      .start()
+    Seq(rows.slice(0, 13), rows.slice(13, 27), rows.slice(27, 40)).foreach { b =>
+      source.addData(b: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(got.sortBy(_._1).toSeq == oneShot.toSeq,
+      "per-batch tagging against the frozen Bloom must equal one-shot")
+    assert(got.filter(_._1 < 200).forall(_._3),
+      "an exact duplicate of an indexed doc must ALWAYS flag")
+    assert(got.filter(_._1 >= 200).count(_._3) <= 1,
+      "novel docs admit except rare FPs")
+    spark.catalog.clearCache()
+  }
+
   test("E16 line index: MemoryStream appends through foreachBatch strike the one-shot union answer") {
     val s = spark
     import s.implicits._

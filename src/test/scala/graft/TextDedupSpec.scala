@@ -12,6 +12,26 @@ class TextDedupSpec extends AnyFunSuite {
 
   private val nDocs = Tables.documents(spark, sf).count()
 
+  test("bloom_dedup_serve: zero false negatives on the re-crawl; novel-doc FP rate under the design bound") {
+    val out = operators.NearDup.bloomDedupServe(spark, sf).localCheckpoint()
+    // every exact re-crawl doc (ids + 1e6) MUST flag — the Bloom
+    // guarantee the admission control rests on
+    val twins = out.filter(col("doc_id") >= 1000000L && col("doc_id") < 2000000L)
+    assert(twins.count() == nDocs)
+    assert(twins.filter(!col("maybe_dup")).count() == 0,
+      "a Bloom filter can never miss an indexed member")
+    // novel docs (ids + 2e6, content-disjoint) flag only by FP —
+    // design rate ~1e-4; allow 100x headroom against unlucky corpora
+    val novel = out.filter(col("doc_id") >= 2000000L)
+    val fp = novel.filter(col("maybe_dup")).count()
+    assert(novel.count() == nDocs)
+    assert(fp.toDouble / nDocs <= 0.01,
+      s"false-positive rate must stay near the design point: $fp of $nDocs")
+    // hit counts are k-bounded
+    assert(out.filter(col("n_hits") > 4 || col("n_hits") < 0).count() == 0)
+    spark.catalog.clearCache()
+  }
+
   test("text_exact_dedup: every planted twin collapses; keeper is the original id") {
     val df = operators.TextAnalysis.textExactDedup(spark, sf)
     assert(df.filter(col("n_copies") < 2).count() == 0)

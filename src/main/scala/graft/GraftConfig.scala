@@ -33,6 +33,7 @@ final case class GraftConfig(
     dedupDfCap: Int = 100,       // dedup posting df cap (hot-shingle cutoff)
     semDedupCellCap: Int = 2000, // semdedup per-cell pair-join cap (skew guard)
     semDedupDropFrac: Double = 0.5, // semdedup_budget: fraction of dup pairs to admit
+    boilerplatePct: Int = 30,    // per-source boilerplate line threshold (% of the source's docs)
     sinkMaxAttempts: Int = 3,    // UpsertSink retry budget
     sinkInitialDelayMs: Long = 50, // UpsertSink first backoff
     catalogDir: String = "",     // durable index catalog root ("" = session-local)
@@ -71,6 +72,7 @@ object GraftConfig {
           case "dedupDfCap"         => c.copy(dedupDfCap = i)
           case "semDedupCellCap"    => c.copy(semDedupCellCap = i)
           case "semDedupDropFrac"   => c.copy(semDedupDropFrac = value.toDouble)
+          case "boilerplatePct"     => c.copy(boilerplatePct = i)
           case "sinkMaxAttempts"    => c.copy(sinkMaxAttempts = i)
           case "sinkInitialDelayMs" => c.copy(sinkInitialDelayMs = value.toLong)
           case "catalogDir"         => c.copy(catalogDir = value)

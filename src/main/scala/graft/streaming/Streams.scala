@@ -389,6 +389,27 @@ object Streams {
       verdicts)
   }
 
+  /** E26 `stream_boilerplate` — per-source boilerplate stripping AT
+    * INGEST: the (source, line) strike table (C30d's
+    * `boilerplateStrikes` — a site's chrome changes slowly, so the
+    * nightly job's output is the frozen artifact) freezes batch-side,
+    * and each arriving (doc_id, source, text) micro-batch strips and
+    * reassembles statelessly (`boilerplateApply`). A doc's cleaned
+    * text depends on the frozen strikes and its own segments alone,
+    * so N micro-batches ≡ the one-shot strip — gate hash-equal to
+    * C30d's oracle; StreamingSpec drives real MemoryStream batches
+    * splitting a source's pages across arrivals and pins row parity
+    * (the per-source fraction was decided at freeze time, never from
+    * the partial view a single batch has of its source). */
+  def streamBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val TA = graft.operators.TextAnalysis
+    val corpus = TA.chromeCorpus(spark, dir)
+    val strikes = TA.boilerplateStrikes(
+      corpus, graft.GraftConfig.ambient.boilerplatePct).localCheckpoint()
+    TA.boilerplateApply(Tables.fanout(corpus), strikes)
+  }
+
   /** E25 `stream_bloom_dedup` — Bloom-filter dedup ADMISSION at
     * ingest: the engine-exact Bloom sidecar (C1b — ≤ 32768 int64
     * words, broadcastable) freezes batch-side over the indexed

@@ -1043,6 +1043,51 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("E26 stream_boilerplate: per-batch strips against frozen strikes equal one-shot; a source split across batches keeps its freeze-time verdict") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val TA = operators.TextAnalysis
+    // the accumulated corpus the nightly job trained on: siteA's nav
+    // chrome on 3 of 4 pages, siteB's banner on both of its pages
+    val corpus = Seq(
+      (0L, "siteA", "site nav chrome the alpha body zero"),
+      (1L, "siteA", "site nav chrome the beta body one"),
+      (2L, "siteA", "site nav chrome the gamma body two"),
+      (3L, "siteA", "delta body three"),
+      (4L, "siteB", "cookie banner b the epsilon body four"),
+      (5L, "siteB", "cookie banner b the zeta body five")
+    ).toDF("doc_id", "source", "text")
+    val strikes = TA.boilerplateStrikes(corpus, pct = 30).localCheckpoint()
+    val oneShot = TA.boilerplateApply(corpus, strikes)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1).toSeq
+    // replay the same pages as arrivals — siteA's pages deliberately
+    // SPLIT across batches (batch 1 sees only one siteA page: a
+    // batch-local fraction rule would never reach 30% there; the
+    // frozen verdict must still strike its chrome)
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val source = MemoryStream[(Long, String, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+    val q = source.toDF().toDF("doc_id", "source", "text").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= TA.boilerplateApply(df, strikes)
+          .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getString(4)))
+        (): Unit
+      }
+      .start()
+    Seq(rows.slice(0, 1), rows.slice(1, 4), rows.slice(4, 6)).foreach { b =>
+      source.addData(b.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(got.sortBy(_._1).toSeq == oneShot,
+      "stateless per-batch strips against the frozen strike table must equal one-shot")
+    assert(got.find(_._1 == 0L).get._4 == "alpha body zero",
+      "the lone siteA page in batch 1 still loses its chrome — the verdict froze corpus-side")
+    spark.catalog.clearCache()
+  }
+
   test("E25 stream_bloom_dedup: MemoryStream batches tagged by the frozen Bloom equal one-shot; dups always flag, novels admit") {
     val s = spark
     import s.implicits._

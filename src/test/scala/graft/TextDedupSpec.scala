@@ -77,6 +77,54 @@ class TextDedupSpec extends AnyFunSuite {
       "every doc must survive as a row, even when emptied")
   }
 
+  test("boilerplate_strip: per-source chrome struck, cross-source shared lines survive, idempotent") {
+    val s = spark
+    import s.implicits._
+    val TA = operators.TextAnalysis
+    // siteA: 3 of 4 docs carry the site's nav chrome (75% ≥ 30%);
+    // siteB: its own banner on every doc; the segment 'common quote
+    // text' appears once in EACH site (cross-source df = 2 but
+    // within-source fraction 25% — line_dedup would strike it, the
+    // per-source rule must NOT)
+    val docs = Seq(
+      (0L, "siteA", "site nav chrome the alpha body zero"),
+      (1L, "siteA", "site nav chrome the beta body one"),
+      (2L, "siteA", "site nav chrome the common quote text"),
+      (3L, "siteA", "delta body three"),
+      (4L, "siteB", "cookie banner b the common quote text"),
+      (5L, "siteB", "cookie banner b the epsilon body five")
+    ).toDF("doc_id", "source", "text")
+    val out = TA.boilerplateStripOf(docs, pct = 30)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getString(4)).toSeq == Seq(
+      "alpha body zero", "beta body one", "common quote text",
+      "delta body three", "common quote text", "epsilon body five"),
+      "each site's chrome struck; the cross-source quote survives both sites")
+    assert(out.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 1L), (1L, 1L), (1L, 1L), (1L, 0L), (1L, 1L), (1L, 1L)))
+    // idempotence: a second pass over the cleaned corpus drops nothing
+    val second = TA.boilerplateStripOf(
+      out.toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(4)))
+        .toDF("doc_id", "source", "text"), pct = 30)
+    assert(second.agg(sum("n_dropped")).head().getLong(0) == 0L,
+      "boilerplate strip must be idempotent")
+    // corpus invariants at sf: the planted header is the ONLY strike
+    // (exactly 1 dropped per doc) and every cleaned doc reassembles
+    // its original (pre-chrome) segmentation byte-identically
+    val full = TA.boilerplateStrip(spark, sf).localCheckpoint()
+    assert(full.count() == nDocs)
+    assert(full.filter(col("n_dropped") =!= 1L).count() == 0,
+      "exactly the planted chrome segment drops from every doc")
+    val orig = TA.boilerplateApply(
+      Tables.documents(spark, sf).select(col("doc_id"), col("source"), col("text")),
+      Seq.empty[(String, String)].toDF("source", "line"))
+      .select(col("doc_id"), col("clean_text").as("orig_reassembled"))
+    assert(full.join(orig, Seq("doc_id"))
+      .filter(col("clean_text") =!= col("orig_reassembled")).count() == 0,
+      "stripping the chrome must restore the original segmentation")
+    spark.catalog.clearCache()
+  }
+
   test("line_dedup_serve: union-df parity, erasure revives lines, torn append invisible, snapshot pins") {
     val s = spark
     import s.implicits._

@@ -1421,6 +1421,60 @@ object NearDup {
        |SELECT doc_id, r AS rank_units FROM r$iters""".stripMargin
   }
 
+  /** C14e `dedup_weights` — SOFT dedup: instead of dropping a near-dup
+    * cluster's non-keepers outright (C14c's hard decision), every
+    * member gets a training weight 1/cluster_size, so the cluster's
+    * TOTAL contribution to the loss equals one document's — the
+    * duplicate-downweighting alternative recent data-curation work
+    * prefers when near-dups carry complementary fragments worth a
+    * diluted gradient rather than zero. Weights are integer
+    * parts-per-million (⌊10⁶ div size⌋ — floor division in both
+    * engines, so the gate hash-compares them exactly); singletons
+    * (docs outside every near-dup cluster) weigh the full 10⁶.
+    *
+    * Scale: cluster membership is the memoized [[dedupCluster]] table
+    * (built once per registry run; label-propagation over C4's LSH
+    * edges — never all-pairs); sizes are ONE hash agg over that table,
+    * and the size join's build side is cluster-cardinality (AQE
+    * broadcasts it when small). Nothing new shuffles the corpus. */
+  def dedupWeights(spark: SparkSession, dir: String,
+                   threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val clusters = dedupCluster(spark, dir, threshold)
+      .select($"doc_id", $"cluster_id")
+    val lab = corpus(spark, dir).select($"doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
+    val sizes = lab.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, Seq("cluster_id"))
+      .select($"doc_id", $"cluster_id", $"cluster_size",
+        expr("1000000L div cluster_size").as("weight_ppm"))
+  }
+
+  /** C14e oracle: C14's recursive-reachability clusters + the same
+    * ppm floor division in DuckDB. */
+  def dedupWeightsSql(threshold: Double = 0.5): String =
+    s"""WITH RECURSIVE pairs AS (${ngramJaccardDedupSql(threshold)}),
+       |bi AS (SELECT id1 AS n, id2 AS nbr FROM pairs
+       |       UNION SELECT id2, id1 FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT DISTINCT n, n FROM bi
+       |  UNION
+       |  SELECT r.n, b.nbr FROM reach r JOIN bi b ON r.m = b.n),
+       |clusters AS (SELECT n AS doc_id, MIN(m) AS cluster_id
+       |             FROM reach GROUP BY n),
+       |nodes AS (
+       |  SELECT doc_id FROM documents
+       |  UNION ALL SELECT doc_id + $BigOffset FROM documents),
+       |lab AS (SELECT nodes.doc_id,
+       |               COALESCE(c.cluster_id, nodes.doc_id) AS cluster_id
+       |        FROM nodes LEFT JOIN clusters c USING (doc_id)),
+       |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+       |          FROM lab GROUP BY 1)
+       |SELECT doc_id, cluster_id, cluster_size,
+       |       1000000 // cluster_size AS weight_ppm
+       |FROM lab JOIN sizes USING (cluster_id)""".stripMargin
+
   /** C11 `doc_fingerprint` — winnowing (rolling-hash) fingerprints:
     * hash every char 8-gram, keep the minimum of each sliding window of
     * 4 hashes, distinct. Guarantees any shared substring ≥ 11 chars

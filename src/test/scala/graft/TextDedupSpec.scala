@@ -235,6 +235,34 @@ class TextDedupSpec extends AnyFunSuite {
     assert(lsh.count() > 0)
   }
 
+  test("dedup_weights: cluster mass totals one doc, twins split evenly, singletons keep full weight") {
+    val out = operators.NearDup.dedupWeights(spark, sf).localCheckpoint()
+    // full corpus coverage (documents + the noisy re-crawl)
+    assert(out.count() == 2 * nDocs)
+    // the ppm rule itself: weight == 10^6 div size, everywhere
+    assert(out.filter(
+      col("weight_ppm") =!= expr("1000000L div cluster_size")).count() == 0)
+    // singleton docs (no near-dup) keep the full weight
+    assert(out.filter(col("cluster_size") === 1L)
+      .filter(col("weight_ppm") =!= 1000000L).count() == 0)
+    // every planted twin pair shares a cluster of >= 2 → each member
+    // weighs at most half; and a cluster's total weight never exceeds
+    // one document's (floor division only loses mass)
+    val twins = out.filter(col("doc_id") >= 1000000L)
+    assert(twins.filter(col("weight_ppm") > 500000L).count() == 0,
+      "a re-crawl twin always has at least its original as a cluster-mate")
+    val mass = out.groupBy("cluster_id")
+      .agg(sum("weight_ppm").as("m"), max("cluster_size").as("sz"))
+    assert(mass.filter(col("m") > 1000000L).count() == 0,
+      "soft dedup must cap each cluster's total contribution at one doc")
+    // membership agrees with dedup_cluster (same memoized table)
+    val c = operators.NearDup.dedupCluster(spark, sf)
+      .select(col("doc_id"), col("cluster_id").as("c2"))
+    assert(out.join(c, Seq("doc_id"))
+      .filter(col("cluster_id") =!= col("c2")).count() == 0)
+    spark.catalog.clearCache()
+  }
+
   test("dedup_cluster: exactly one keeper per cluster; twins share a cluster") {
     val cl = operators.NearDup.dedupCluster(spark, sf)
     // one keeper per cluster, keeper id == cluster id

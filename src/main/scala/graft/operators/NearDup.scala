@@ -1475,6 +1475,63 @@ object NearDup {
        |       1000000 // cluster_size AS weight_ppm
        |FROM lab JOIN sizes USING (cluster_id)""".stripMargin
 
+  /** C14f `leak_safe_split` — near-dup-aware train/val/test assignment:
+    * F4 splits by doc hash, which lets a near-duplicate PAIR straddle
+    * train and test — the eval-contamination path F3's decontaminate
+    * can't see (the test twin isn't a benchmark doc, it's the corpus's
+    * own re-crawl). Here the split key is the doc's near-dup CLUSTER
+    * representative (C14's label-propagation label; singletons key by
+    * themselves), so every cluster lands whole in one split — with
+    * F4's exact salt and 80/10/10 cuts, making this a REFINEMENT of
+    * F4: docs outside every cluster keep their F4 assignment
+    * bit-for-bit (spec-pinned), only clustered docs move (onto their
+    * representative's draw).
+    *
+    * Scale: cluster membership is the memoized [[dedupCluster]] table
+    * (LSH edges, never all-pairs); the label join's build side is
+    * cluster-cardinality (AQE-broadcast), the bucket is one per-row
+    * md5 — nothing new shuffles the corpus, same volume class as C14e. */
+  def leakSafeSplit(spark: SparkSession, dir: String,
+                    threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val clusters = dedupCluster(spark, dir, threshold)
+      .select($"doc_id", $"cluster_id")
+    corpus(spark, dir).select($"doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("group_id"))
+      .withColumn("bucket",
+        conv(substring(md5(concat($"group_id".cast("string"), lit(":split"))), 1, 8), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val").otherwise("test"))
+  }
+
+  /** C14f oracle: C14's recursive-reachability labels + F4's md5
+    * bucket arithmetic on the group key. */
+  def leakSafeSplitSql(threshold: Double = 0.5): String =
+    s"""WITH RECURSIVE pairs AS (${ngramJaccardDedupSql(threshold)}),
+       |bi AS (SELECT id1 AS n, id2 AS nbr FROM pairs
+       |       UNION SELECT id2, id1 FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT DISTINCT n, n FROM bi
+       |  UNION
+       |  SELECT r.n, b.nbr FROM reach r JOIN bi b ON r.m = b.n),
+       |clusters AS (SELECT n AS doc_id, MIN(m) AS cluster_id
+       |             FROM reach GROUP BY n),
+       |nodes AS (
+       |  SELECT doc_id FROM documents
+       |  UNION ALL SELECT doc_id + $BigOffset FROM documents),
+       |grp AS (SELECT nodes.doc_id,
+       |               COALESCE(c.cluster_id, nodes.doc_id) AS group_id
+       |        FROM nodes LEFT JOIN clusters c USING (doc_id)),
+       |bk AS (SELECT doc_id, group_id,
+       |              CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT) % 100 AS bucket
+       |       FROM grp)
+       |SELECT doc_id, group_id, bucket,
+       |       CASE WHEN bucket < 80 THEN 'train'
+       |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM bk""".stripMargin
+
   /** C11 `doc_fingerprint` — winnowing (rolling-hash) fingerprints:
     * hash every char 8-gram, keep the minimum of each sliding window of
     * 4 hashes, distinct. Guarantees any shared substring ≥ 11 chars

@@ -3783,6 +3783,111 @@ object TextAnalysis {
       |       round(pow(2.0, bits_per_token), 4) AS ppl
       |FROM scored""".stripMargin
 
+  /** C21e `kn_bigram_score` — interpolated Kneser–Ney BIGRAM perplexity
+    * per document: the published smoothing (Kneser & Ney 1995; Chen &
+    * Goodman 1999 eq. 4.26) behind the KenLM models real CCNet filters
+    * score with — where C21's unigram LM sees only vocabulary rarity,
+    * this sees WORD ORDER: a doc whose token multiset is fluent but
+    * whose sequence is scrambled keeps its unigram ppl and blows up
+    * here (the spec pins exactly that discrimination). Model, trained
+    * in-plan on the corpus (swap the count inputs for a frozen
+    * reference LM — C21c's posture):
+    *   D        = n₁ / (n₁ + 2·n₂)            (absolute-discount estimate)
+    *   P_cont(w₂) = N₁₊(·w₂) / |bigram types|  (continuation probability)
+    *   P(w₂|w₁) = (max(c(w₁w₂)−D, 0) + D·N₁₊(w₁·)·P_cont(w₂)) / c(w₁·)
+    * bits_per_bigram = −mean log₂ P over the doc's adjacent pairs,
+    * kn_ppl = 2^bits. Self-trained ⇒ every scored bigram is in the
+    * model (inner joins, no OOV leg); docs with < 2 tokens have no
+    * bigram and are absent by definition (C21's token-free posture).
+    *
+    * ENGINE-EXACT: all counts are integers; D, P_cont and P are the
+    * same left-associated single-IEEE-op chain in both engines, and
+    * bits quantize to 6dp AFTER the per-doc mean (C21's proven
+    * rounding posture), kn_ppl deriving from the rounded bits.
+    *
+    * Scale: one (doc, bigram) explode → three hash aggregates over the
+    * bigram-TYPE table (cb rows are distinct pairs, so COUNT(*) per w₁
+    * IS N₁₊(w₁·) and SUM(cb) IS c(w₁·) — fwd stats cost ONE agg, never
+    * a distinct), then scoring joins keyed on w₁ / (w₁,w₂) / w₂ — AQE
+    * broadcasts small LM tables, shuffle-joins a 100 TB vocabulary;
+    * (n₁, n₂, B) ride as a broadcast 1-row aggregate. Nothing wider
+    * than (doc, bigram) ever shuffles — the same volume class as the
+    * C4 shingle pipeline (ScaleProbe: kn_volume_linear). */
+  def knBigramScore(spark: SparkSession, dir: String): DataFrame =
+    knBigramOf(Tables.fanout(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))))
+
+  /** Frame-based core of C21e (docs = (doc_id, text)) — lets the spec
+    * pin the order-sensitivity signal on crafted fluent/scrambled
+    * twins. */
+  private[graft] def knBigramOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bg = docs.withColumn("w", toks($"text"))
+      .filter(size($"w") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(w)-2), i -> named_struct('w1', w[i], 'w2', w[i+1]))")).as("g"))
+      .select($"doc_id", $"g.w1".as("w1"), $"g.w2".as("w2"))
+      // eager (materialization contract): bg feeds the LM count
+      // aggregates AND the scoring join probe — lazy, all consumers
+      // re-run the tokenize+explode concurrently
+      .localCheckpoint()
+    val cb = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb")).localCheckpoint()
+    val fwd = cb.groupBy($"w1").agg(sum($"cb").as("c1"), count(lit(1)).as("nf"))
+    val bwd = cb.groupBy($"w2").agg(count(lit(1)).as("nb"))
+    val scal = cb.agg(count(lit(1)).as("btypes"),
+      sum(when($"cb" === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when($"cb" === 2, 1L).otherwise(0L)).as("n2"))
+    bg.join(cb, Seq("w1", "w2"))
+      .join(fwd, Seq("w1"))
+      .join(bwd, Seq("w2"))
+      .crossJoin(broadcast(scal))
+      .withColumn("d", $"n1".cast("double") / ($"n1" + lit(2L) * $"n2").cast("double"))
+      .withColumn("logp", log2(
+        (greatest($"cb".cast("double") - $"d", lit(0.0))
+          + $"d" * $"nf".cast("double")
+            * ($"nb".cast("double") / $"btypes".cast("double")))
+          / $"c1".cast("double")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum($"logp") / count(lit(1)), 6).as("bits_per_bigram"))
+      .withColumn("kn_ppl", round(pow(lit(2.0), $"bits_per_bigram"), 4))
+  }
+
+  /** C21e oracle: identical KN arithmetic in DuckDB — same integer
+    * counts, same left-associated IEEE chain, same 6dp-after-mean
+    * rounding. */
+  val knBigramScoreSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |bg AS (
+      |  SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+      |  FROM docs, unnest(generate_series(0, len(w) - 2)) AS t(i)
+      |  WHERE len(w) >= 2),
+      |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+      |fwd AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS c1, COUNT(*) AS nf FROM cb GROUP BY 1),
+      |bwd AS (SELECT w2, COUNT(*) AS nb FROM cb GROUP BY 1),
+      |scal AS (SELECT COUNT(*) AS btypes,
+      |                CAST(SUM(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |                CAST(SUM(CASE WHEN cb = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |         FROM cb),
+      |scored AS (
+      |  SELECT doc_id, COUNT(*) AS n_bigrams,
+      |         round(-SUM(log2(
+      |           (greatest(CAST(cb AS DOUBLE) - d, 0.0)
+      |            + d * CAST(nf AS DOUBLE) * (CAST(nb AS DOUBLE) / CAST(btypes AS DOUBLE)))
+      |           / CAST(c1 AS DOUBLE))) / COUNT(*), 6) AS bits_per_bigram
+      |  FROM (SELECT bg.doc_id, cb.cb, f.c1, f.nf, b.nb, s.btypes,
+      |               CAST(s.n1 AS DOUBLE) / CAST(s.n1 + 2 * s.n2 AS DOUBLE) AS d
+      |        FROM bg
+      |        JOIN cb USING (w1, w2)
+      |        JOIN fwd f USING (w1)
+      |        JOIN bwd b USING (w2), scal s)
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams, bits_per_bigram,
+      |       round(pow(2.0, bits_per_bigram), 4) AS kn_ppl
+      |FROM scored""".stripMargin
+
   /** C21b `ccnet_buckets` — CCNet's head/middle/tail split (Wenzek et
     * al., LREC 2020): per LANGUAGE, rank documents by LM perplexity
     * and cut the corpus into equal thirds — `head` (most fluent, kept

@@ -165,4 +165,63 @@ class CrossCheckSpec extends AnyFunSuite {
       "nprobe = nlist probe must equal brute-force votes exactly")
     spark.catalog.clearCache()
   }
+
+  test("kn_bigram_score: order-sensitivity, driver re-derivation, KN normalization") {
+    val s = spark
+    import s.implicits._
+    val sentence = "the quick brown fox jumps over the lazy dog"
+    // same token MULTISET as `sentence`, different order
+    val scrambled = "dog the lazy fox quick jumps brown over the"
+    val docs = ((1 to 20).map(i => (i.toLong, sentence)) ++
+      Seq((100L, sentence), (101L, scrambled))).toDF("doc_id", "text")
+
+    // (a) the discrimination KN exists for: the unigram LM can't see
+    // word order (same multiset -> same bits), the bigram LM must
+    val uni = operators.TextAnalysis.perplexityOf(docs)
+      .select($"doc_id", $"bits_per_token").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(uni(100L) == uni(101L),
+      "scrambled twin must keep its unigram bits (same token multiset)")
+    val kn = operators.TextAnalysis.knBigramOf(docs)
+      .select($"doc_id", $"n_bigrams", $"bits_per_bigram").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(kn(101L)._2 > kn(100L)._2 + 1.0,
+      s"scrambled twin must score clearly higher KN bits: " +
+        s"fluent=${kn(100L)._2} scrambled=${kn(101L)._2}")
+    assert(kn(100L)._1 == 8L && kn(101L)._1 == 8L, "9 tokens -> 8 bigrams")
+
+    // (b) driver-side re-derivation of the exact KN formula
+    val bgs = docs.collect().flatMap { r =>
+      val w = r.getString(1).trim.split("\\s+")
+      w.sliding(2).map(p => (r.getLong(0), (p(0), p(1)))).toSeq
+    }
+    val cb = bgs.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val c1 = cb.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    val nf = cb.groupBy(_._1._1).map { case (k, v) => k -> v.size.toLong }
+    val nb = cb.groupBy(_._1._2).map { case (k, v) => k -> v.size.toLong }
+    val b = cb.size.toLong
+    val n1 = cb.values.count(_ == 1L).toLong
+    val n2 = cb.values.count(_ == 2L).toLong
+    val d = n1.toDouble / (n1 + 2L * n2).toDouble
+    def p(w1: String, w2: String): Double =
+      (math.max(cb.getOrElse((w1, w2), 0L).toDouble - d, 0.0)
+        + d * nf(w1).toDouble * (nb.getOrElse(w2, 0L).toDouble / b.toDouble)) / c1(w1).toDouble
+    for (id <- Seq(100L, 101L)) {
+      val doc = bgs.filter(_._1 == id).map(_._2)
+      val bits = -doc.map(g => math.log(p(g._1, g._2)) / math.log(2.0)).sum / doc.size
+      assert(math.abs(bits - kn(id)._2) < 1e-5,
+        s"doc $id: engine bits ${kn(id)._2} vs driver re-derivation $bits")
+    }
+
+    // (c) KN's defining invariant: P(.|w1) is a proper distribution —
+    // summed over the FULL vocabulary it must hit 1 exactly
+    val vocab = (cb.keys.map(_._1) ++ cb.keys.map(_._2)).toSeq.distinct
+    for (w1 <- c1.keys) {
+      val mass = vocab.map(w2 => p(w1, w2)).sum
+      // vocab misses nothing: every w2 with nb > 0 is in it, and
+      // P for nb = 0 words is 0 under the continuation model
+      assert(math.abs(mass - 1.0) < 1e-9,
+        s"sum_w2 P(w2|$w1) = $mass, must be 1 (KN normalization)")
+    }
+  }
 }

@@ -267,7 +267,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // classifier's declared scalar crosses (model grid, prior pair,
       // pwide); stream_curation_audit composes NB + DSIR scorers and
       // inherits the same bounded set
-      "nb_stale_serve", "stream_curation_audit")
+      "nb_stale_serve", "stream_curation_audit",
+      // kn_bigram_score: perplexity_score's posture — the 1-row
+      // (btypes, n1, n2) LM-scalar broadcast cross
+      "kn_bigram_score")
     // k-bounded-group max_by assigns: the sort is by grouping key with
     // map-side partial agg — benign, unlike cluster-sized groups
     val sortAggOk = Set("ann_ivf", "resample_fill", "stream_dedup")
@@ -306,7 +309,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // mixture_allocate: the 1-row Σw and leftover aggregates;
       // nb_stale_serve / stream_curation_audit: the NB/DSIR scalar
       // combines (train-doc count, prior pair, eps histogram scalars)
-      "mixture_allocate", "nb_stale_serve", "stream_curation_audit")
+      "mixture_allocate", "nb_stale_serve", "stream_curation_audit",
+      // kn_bigram_score: the 1-row (btypes, n1, n2) LM-scalar combine —
+      // perplexity_score's declared class
+      "kn_bigram_score")
     // single-partition (empty partitionSpec) windows move ALL data to
     // one task — legal ONLY over metadata-bounded aggregates: the two
     // band-offset cumsums (zorder's ≤256-row per-band counts, F14's

@@ -263,6 +263,38 @@ class TextDedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("leak_safe_split: clusters land whole, twins never straddle, singletons keep F4's draw") {
+    val out = operators.NearDup.leakSafeSplit(spark, sf).localCheckpoint()
+    // full corpus coverage (documents + the noisy re-crawl)
+    assert(out.count() == 2 * nDocs)
+    // the leakage guarantee itself: every group is entirely in ONE split
+    assert(out.groupBy("group_id").agg(countDistinct("split").as("ns"))
+      .filter(col("ns") > 1).count() == 0,
+      "a near-dup cluster must never straddle splits")
+    // in particular each planted twin pair (doc, doc + 10^6) agrees
+    val base = out.filter(col("doc_id") < 1000000L)
+      .select(col("doc_id"), col("split").as("s1"))
+    val twin = out.filter(col("doc_id") >= 1000000L)
+      .select((col("doc_id") - 1000000L).as("doc_id"), col("split").as("s2"))
+    assert(base.join(twin, Seq("doc_id"))
+      .filter(col("s1") =!= col("s2")).count() == 0,
+      "a re-crawl twin must land in its original's split")
+    // refinement of F4: docs that are their own group keep the plain
+    // sample_split assignment bit-for-bit (same salt, same cuts)
+    val f4 = operators.Govern.sampleSplit(spark, sf)
+      .select(col("doc_id"), col("split").as("f4"))
+    assert(out.filter(col("group_id") === col("doc_id"))
+      .join(f4, Seq("doc_id"))
+      .filter(col("split") =!= col("f4")).count() == 0,
+      "singleton groups must keep F4's draw")
+    // group labels agree with dedup_cluster where a doc is clustered
+    val c = operators.NearDup.dedupCluster(spark, sf)
+      .select(col("doc_id"), col("cluster_id"))
+    assert(out.join(c, Seq("doc_id"))
+      .filter(col("group_id") =!= col("cluster_id")).count() == 0)
+    spark.catalog.clearCache()
+  }
+
   test("dedup_cluster: exactly one keeper per cluster; twins share a cluster") {
     val cl = operators.NearDup.dedupCluster(spark, sf)
     // one keeper per cluster, keeper id == cluster id

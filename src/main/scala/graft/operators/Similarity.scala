@@ -1715,6 +1715,112 @@ object Similarity {
        |              JOIN embeddings b ON b.vec_id = c.neighbor_id)
        |WHERE rn <= $k""".stripMargin
 
+  /** C32 `lsh_diversity_sample` — cluster-balanced diverse subset
+    * selection over the embedding space: partition the corpus into LSH
+    * cells (sign bits of the C7/C5b md5-derived hyperplane family —
+    * reproducible on any cluster, and in the oracle), apportion a
+    * global pick budget across cells by the F21 largest-remainder rule
+    * with weight √size (the temperature-flattened allocation: a
+    * dominant mode contributes ∝√mass, so coverage tilts toward the
+    * space's spread rather than its density — the cluster-balanced
+    * selection posture of diversity-aware curation work), then pick
+    * each cell's quota by a deterministic per-vector md5 draw. Output:
+    * the picked panel with its cell, cell size, quota and in-cell rank.
+    * A cell smaller than its seat count under-fills honestly (picks =
+    * min(quota, size)); Σ quota == budget by construction (F21).
+    *
+    * ENGINE-EXACT: sign bits gate bit-identically (C7's proven plane
+    * family), the apportionment is F21's proven IEEE chain, the draw
+    * is the F4/F11 md5-prefix uniform — fully hash-gated.
+    *
+    * Scale: one scan computes cells (per-row dot products, codegen);
+    * sizes/quotas live on a ≤2^bits-row aggregate (driver-metadata
+    * class — its global seat window is declared, mixture_allocate's
+    * posture); the only data-sized shuffle is the per-cell pick rank
+    * (partitioned window, F16's top-m class). Nothing pairwise. */
+  def lshDiversitySample(spark: SparkSession, dir: String,
+                         budget: Long = 200L, bits: Int = 6): DataFrame = {
+    import spark.implicits._
+    val dims = 64
+    val cells = Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        (0 until bits).map { p =>
+          when(dotF($"embedding", typedLit(hyperplane(p, dims))) > 0d,
+            lit(1 << p)).otherwise(lit(0))
+        }.reduce(_ + _).cast("int").as("cell"))
+      // eager: cells feeds the size aggregate AND the pick window
+      .localCheckpoint()
+    apportionPick(cells, budget)
+  }
+
+  /** Budget apportionment + in-cell pick over a (vec_id, cell) frame —
+    * the frame-based core of C32 (lets the spec plant a skewed cell
+    * layout and pin the √-flattening). */
+  private[graft] def apportionPick(cells: DataFrame, budget: Long): DataFrame = {
+    import cells.sparkSession.implicits._
+    val sizes = cells.groupBy($"cell").agg(count(lit(1)).as("cell_size"))
+      .withColumn("w", sqrt($"cell_size".cast("double")))
+    val tot = sizes.agg(sum($"w").as("tw"))
+    val q = sizes.crossJoin(broadcast(tot))
+      .withColumn("qraw", lit(budget.toDouble) * $"w" / $"tw")
+      .withColumn("base", floor($"qraw").cast("long"))
+      .withColumn("rem", round($"qraw" - $"base", 9))
+    val leftover = q.agg((lit(budget) - sum($"base")).as("l"))
+    val wRem = Window.orderBy($"rem".desc, $"cell")
+    val quotas = q.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(wRem))
+      .select($"cell", $"cell_size",
+        ($"base" + when($"rk" <= $"l", 1L).otherwise(0L)).as("quota"))
+    val wPick = Window.partitionBy($"cell").orderBy($"ukey", $"vec_id")
+    cells
+      .withColumn("ukey",
+        conv(substring(md5(concat($"vec_id".cast("string"), lit(":div"))), 1, 12), 16, 10)
+          .cast("long"))
+      .withColumn("pick_rank", row_number().over(wPick))
+      .join(quotas, Seq("cell"))
+      .filter($"pick_rank" <= $"quota")
+      .select($"vec_id", $"cell", $"cell_size", $"quota", $"pick_rank")
+  }
+
+  /** C32 oracle: the same plane family, √-weight largest-remainder
+    * seats and md5 in-cell draw in DuckDB. */
+  def lshDiversitySampleSql(budget: Long = 200L, bits: Int = 6): String =
+    s"""WITH planes AS (
+       |  SELECT p.p AS p,
+       |         list(CAST(CAST(('0x' || substr(md5(p.p || ':' || i.i), 1, 8)) AS BIGINT)
+       |                   % 1000 / 1000.0 - 0.5 AS FLOAT) ORDER BY i.i) AS w
+       |  FROM range(0, $bits) p(p), range(0, 64) i(i) GROUP BY 1),
+       |cells AS (
+       |  SELECT e.vec_id,
+       |         CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+       |                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.w[i] AS DOUBLE))) > 0
+       |           THEN (1 << p.p) ELSE 0 END) AS INT) AS cell
+       |  FROM embeddings e CROSS JOIN planes p GROUP BY 1),
+       |sizes AS (SELECT cell, COUNT(*) AS cell_size,
+       |                 sqrt(CAST(COUNT(*) AS DOUBLE)) AS w
+       |          FROM cells GROUP BY 1),
+       |tot AS (SELECT SUM(w) AS tw FROM sizes),
+       |q AS (SELECT cell, cell_size,
+       |             CAST($budget AS DOUBLE) * w / tot.tw AS qraw,
+       |             CAST(floor(CAST($budget AS DOUBLE) * w / tot.tw) AS BIGINT) AS base
+       |      FROM sizes, tot),
+       |lo AS (SELECT $budget - SUM(base) AS l FROM q),
+       |qr AS (SELECT *, row_number() OVER (
+       |         ORDER BY round(qraw - base, 9) DESC, cell) AS rk FROM q),
+       |quotas AS (SELECT cell, cell_size,
+       |                  base + CASE WHEN rk <= lo.l THEN 1 ELSE 0 END AS quota
+       |           FROM qr, lo),
+       |picks AS (
+       |  SELECT vec_id, cell,
+       |         row_number() OVER (PARTITION BY cell
+       |           ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':div'), 1, 12)) AS BIGINT),
+       |                    vec_id) AS pick_rank
+       |  FROM cells)
+       |SELECT p.vec_id, p.cell, q.cell_size, q.quota,
+       |       CAST(p.pick_rank AS INT) AS pick_rank
+       |FROM picks p JOIN quotas q USING (cell)
+       |WHERE p.pick_rank <= q.quota""".stripMargin
+
   // ──────────────── C7g: IVF + product quantization (IVFADC) ────────────────
 
   /** Split each row's `vecCol` into `m` contiguous subspaces of `dsub`

@@ -270,7 +270,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "nb_stale_serve", "stream_curation_audit",
       // kn_bigram_score: perplexity_score's posture — the 1-row
       // (btypes, n1, n2) LM-scalar broadcast cross
-      "kn_bigram_score")
+      "kn_bigram_score",
+      // lsh_diversity_sample: mixture_allocate's posture — the 1-row
+      // Σ√size and leftover-seat scalars over the ≤2^bits cell table
+      "lsh_diversity_sample")
     // k-bounded-group max_by assigns: the sort is by grouping key with
     // map-side partial agg — benign, unlike cluster-sized groups
     val sortAggOk = Set("ann_ivf", "resample_fill", "stream_dedup")
@@ -312,7 +315,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "mixture_allocate", "nb_stale_serve", "stream_curation_audit",
       // kn_bigram_score: the 1-row (btypes, n1, n2) LM-scalar combine —
       // perplexity_score's declared class
-      "kn_bigram_score")
+      "kn_bigram_score",
+      // lsh_diversity_sample: the 1-row Σ√size and leftover scalars —
+      // mixture_allocate's declared class
+      "lsh_diversity_sample")
     // single-partition (empty partitionSpec) windows move ALL data to
     // one task — legal ONLY over metadata-bounded aggregates: the two
     // band-offset cumsums (zorder's ≤256-row per-band counts, F14's
@@ -324,7 +330,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // lang-cardinality share AGGREGATE (|langs| rows — the same
     // metadata-bounded class as the two band-offset cumsums)
     val windowOk = Set("zorder_layout", "compaction_plan",
-      "mixture_allocate")
+      // lsh_diversity_sample: the leftover-seat rank runs over the
+      // ≤2^bits-row cell AGGREGATE (mixture_allocate's class); the
+      // data-sized pick window is partitioned by cell
+      "mixture_allocate", "lsh_diversity_sample")
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val nodes = collectAll(executedPlan(fn(spark, sf)))
       spark.catalog.clearCache()

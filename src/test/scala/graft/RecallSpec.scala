@@ -1218,4 +1218,46 @@ class RecallSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(idx)
     spark.catalog.clearCache()
   }
+
+  test("lsh_diversity_sample: seats sum to budget, picks honor quotas, sqrt flattens a planted hot cell") {
+    val s = spark
+    import s.implicits._
+    // planted layout: one dominant cell of 900 vectors + 10 sparse
+    // cells of 10 — density-proportional sampling would hand the hot
+    // cell ~90% of the panel
+    val cells = ((0 until 900).map(i => (i.toLong, 0)) ++
+      (0 until 10).flatMap(c => (0 until 10).map(j =>
+        ((1000 + c * 10 + j).toLong, c + 1)))).toDF("vec_id", "cell")
+    val out = operators.Similarity.apportionPick(cells, budget = 100L)
+      .localCheckpoint()
+    val quotas = out.select($"cell", $"quota").distinct()
+    assert(quotas.agg(sum($"quota")).head().getLong(0) == 100L,
+      "largest-remainder seats must sum exactly to the budget")
+    // sqrt flattening: w_hot = 30 vs Σw_small = 10·√10 ≈ 31.6 — the
+    // hot cell gets ~49 seats, not 90
+    val hot = quotas.filter($"cell" === 0).head().getLong(1)
+    assert(hot >= 40 && hot <= 55,
+      s"hot-cell quota $hot should be ~49 under sqrt weights (90 under proportional)")
+    assert(quotas.filter($"cell" =!= 0 && $"quota" < 5L).count() == 0,
+      "every sparse cell must keep meaningful representation")
+    // picks per cell = min(quota, size), ranks contiguous from 1
+    val per = out.groupBy($"cell")
+      .agg(count(lit(1)).as("n"), max($"quota").as("q"),
+        max($"cell_size").as("sz"), max($"pick_rank").as("maxr"))
+    assert(per.filter($"n" =!= least($"q", $"sz")).count() == 0)
+    assert(per.filter($"maxr".cast("long") =!= $"n").count() == 0)
+
+    // end-to-end on the real corpus: same invariants through the
+    // hyperplane cell compute, and the panel is deterministic
+    val real = operators.Similarity.lshDiversitySample(spark, sf)
+      .localCheckpoint()
+    val rq = real.select($"cell", $"quota").distinct()
+    assert(rq.agg(sum($"quota")).head().getLong(0) == 200L)
+    val rper = real.groupBy($"cell")
+      .agg(count(lit(1)).as("n"), max($"quota").as("q"), max($"cell_size").as("sz"))
+    assert(rper.filter($"n" =!= least($"q", $"sz")).count() == 0)
+    val again = operators.Similarity.lshDiversitySample(spark, sf)
+    assert(real.exceptAll(again).count() == 0 && again.exceptAll(real).count() == 0)
+    spark.catalog.clearCache()
+  }
 }

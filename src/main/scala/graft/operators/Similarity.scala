@@ -1715,7 +1715,7 @@ object Similarity {
        |              JOIN embeddings b ON b.vec_id = c.neighbor_id)
        |WHERE rn <= $k""".stripMargin
 
-  /** C32 `lsh_diversity_sample` — cluster-balanced diverse subset
+  /** C34 `lsh_diversity_sample` — cluster-balanced diverse subset
     * selection over the embedding space: partition the corpus into LSH
     * cells (sign bits of the C7/C5b md5-derived hyperplane family —
     * reproducible on any cluster, and in the oracle), apportion a
@@ -1754,7 +1754,7 @@ object Similarity {
   }
 
   /** Budget apportionment + in-cell pick over a (vec_id, cell) frame —
-    * the frame-based core of C32 (lets the spec plant a skewed cell
+    * the frame-based core of C34 (lets the spec plant a skewed cell
     * layout and pin the √-flattening). */
   private[graft] def apportionPick(cells: DataFrame, budget: Long): DataFrame = {
     import cells.sparkSession.implicits._
@@ -1782,7 +1782,7 @@ object Similarity {
       .select($"vec_id", $"cell", $"cell_size", $"quota", $"pick_rank")
   }
 
-  /** C32 oracle: the same plane family, √-weight largest-remainder
+  /** C34 oracle: the same plane family, √-weight largest-remainder
     * seats and md5 in-cell draw in DuckDB. */
   def lshDiversitySampleSql(budget: Long = 200L, bits: Int = 6): String =
     s"""WITH planes AS (

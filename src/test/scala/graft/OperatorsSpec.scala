@@ -94,11 +94,17 @@ class OperatorsSpec extends AnyFunSuite {
     val s2Start = survey.indexOf("## §2")
     val s2End = survey.indexOf("## §3")
     assert(s2Start >= 0 && s2End > s2Start, "SURVEY.md must have §2 before §3")
-    val rowKey = "^\\|\\s*[A-F][0-9]+[a-z]?\\s*\\|\\s*`([a-z0-9_]+)`".r
-    val s2Rows = survey.substring(s2Start, s2End).linesIterator
-      .flatMap(l => rowKey.findFirstMatchIn(l).map(_.group(1))).toSeq
+    val rowKey = "^\\|\\s*([A-F][0-9]+[a-z]?)\\s*\\|\\s*`([a-z0-9_]+)`".r
+    val s2Pairs = survey.substring(s2Start, s2End).linesIterator
+      .flatMap(l => rowKey.findFirstMatchIn(l).map(m => (m.group(1), m.group(2)))).toSeq
+    val s2Rows = s2Pairs.map(_._2)
     val dup = s2Rows.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
     assert(dup.isEmpty, s"duplicate §2 rows: ${dup.mkString(", ")}")
+    // row IDs must be unique too (bit r15: a second C32 hid a row from
+    // any id-keyed audit)
+    val dupId = s2Pairs.map(_._1).groupBy(identity)
+      .collect { case (k, v) if v.size > 1 => k }
+    assert(dupId.isEmpty, s"duplicate §2 row ids: ${dupId.mkString(", ")}")
     val s2Keys = s2Rows.toSet
     val unregistered = s2Keys -- SparkEntry.queries.keySet
     val uninventoried = SparkEntry.queries.keySet -- s2Keys

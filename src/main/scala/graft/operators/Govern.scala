@@ -495,6 +495,111 @@ object Govern {
       |       CAST(MAX(t1) AS BIGINT) AS n_second
       |FROM tot GROUP BY 1""".stripMargin
 
+  /** F22 `source_overlap` — pairwise CONTENT-overlap estimation between
+    * sources via k-minimum-values sketches (Beyer et al., SIGMOD 2007;
+    * the KMV/theta-sketch family): each source's word-3-gram shingle
+    * set compresses to its k smallest 48-bit md5 hashes, and any pair's
+    * Jaccard is estimated from the two sketches alone — the way a
+    * 100 TB shop sizes cross-crawl duplication BEFORE paying for a
+    * full cross-corpus dedup (C4b): sketches are corpus-pass-once,
+    * mergeable, and pair comparison never touches the corpus again.
+    * Estimator: over the k smallest distinct hashes of the UNION of
+    * two sketches, d = how many live in both; Ĵ = d/k' (k' = union
+    * sketch size, < k only when the union itself is smaller). Output
+    * carries integer (d, k', ppm) — deterministic md5 hashing makes
+    * the whole estimator ENGINE-EXACT, so an approximate sketch still
+    * hash-gates (the repo's standing sketch posture); accuracy vs the
+    * exact shingle Jaccard (~1/√k standard error) is spec-graded.
+    *
+    * Scale: one corpus scan → distinct (source, h) hash agg (C4's
+    * shingle volume class) → the bounded-memory k-heap aggregate
+    * ([[graft.functions.TopKAgg]] — map-side k-sized partials, O(k)
+    * merges, never a per-source sort); everything after runs on the
+    * S·k-row sketch table (S = #sources — snapshot/top-domain
+    * cardinality, a bounded comparison panel by contract, like the
+    * C23 query panels; the S×S pair cross is label-only and declared).
+    * 48-bit hashes (not 56) because the heap orders doubles: 2^48 fits
+    * a double's 53-bit mantissa exactly. */
+  def sourceOverlap(spark: SparkSession, dir: String, k: Int = 128): DataFrame =
+    sourceOverlapOf(Tables.documents(spark, dir)
+      .select(col("source"), col("text")), k)
+
+  /** Frame-based core of F22 (docs = (source, text)) — lets the spec
+    * plant identical / disjoint sources and grade estimator accuracy. */
+  private[graft] def sourceOverlapOf(docs: DataFrame, k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs
+      .withColumn("w", when(length(trim($"text")) === 0, array().cast("array<string>"))
+        .otherwise(split(trim($"text"), "\\s+")))
+      .filter(size($"w") >= 3)
+      .select($"source", explode(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("g"))
+      .select($"source",
+        conv(substring(md5($"g"), 1, 12), 16, 10).cast("long").as("h"))
+      .groupBy($"source", $"h").agg(count(lit(1)).as("c")).drop("c")
+    val skt = sh.groupBy($"source")
+      // k SMALLEST distinct hashes: the heap keeps top-k by value desc,
+      // so feed -h (exact in double — h < 2^48); inputs are distinct
+      // per group, so the id tiebreak never fires
+      .agg(graft.functions.TopKAgg.topk(-$"h".cast("double"), $"h", k).as("top"))
+      .select($"source", explode($"top").as("e"))
+      .select($"source", $"e.id".as("h"))
+      // eager: the S·k-row sketch feeds both pair legs
+      .localCheckpoint()
+    val srcs = skt.select($"source").distinct()
+    val pairs = srcs.select($"source".as("src_a"))
+      .crossJoin(srcs.select($"source".as("src_b")))
+      .filter($"src_a" < $"src_b")
+    val ra = pairs.join(skt.select($"source".as("src_a"), $"h"), Seq("src_a"))
+      .select($"src_a", $"src_b", $"h", lit(1).as("ina"), lit(0).as("inb"))
+    val rb = pairs.join(skt.select($"source".as("src_b"), $"h"), Seq("src_b"))
+      .select($"src_a", $"src_b", $"h", lit(0).as("ina"), lit(1).as("inb"))
+    val u = ra.union(rb).groupBy($"src_a", $"src_b", $"h")
+      .agg(max($"ina").as("ina"), max($"inb").as("inb"))
+    val wp = Window.partitionBy($"src_a", $"src_b").orderBy($"h")
+    u.withColumn("ur", row_number().over(wp))
+      .filter($"ur" <= k)
+      .groupBy($"src_a", $"src_b")
+      .agg(sum(($"ina" * $"inb").cast("long")).as("d"), count(lit(1)).as("ku"))
+      .select($"src_a", $"src_b", $"d", $"ku",
+        expr("(1000000L * d) div ku").as("est_jaccard_ppm"))
+  }
+
+  /** F22 oracle: identical shingles, 48-bit md5 hashes, per-source
+    * k-smallest rank, union-top-k intersection count in DuckDB. */
+  def sourceOverlapSql(k: Int = 128): String =
+    s"""WITH docs AS (
+       |  SELECT source, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |hx AS (
+       |  SELECT DISTINCT source,
+       |         CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT) AS h
+       |  FROM (SELECT source, unnest(list_transform(range(len(w)-2),
+       |               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS g
+       |        FROM docs WHERE len(w) >= 3)),
+       |skt AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h,
+       |           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM hx) WHERE rn <= $k),
+       |srcs AS (SELECT DISTINCT source FROM skt),
+       |pairs AS (SELECT a.source AS sa, b.source AS sb
+       |          FROM srcs a, srcs b WHERE a.source < b.source),
+       |u AS (
+       |  SELECT p.sa, p.sb, s.h,
+       |         MAX(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS ina,
+       |         MAX(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS inb
+       |  FROM pairs p JOIN skt s ON s.source IN (p.sa, p.sb)
+       |  GROUP BY 1, 2, 3),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS ur
+       |      FROM u)
+       |SELECT sa AS src_a, sb AS src_b,
+       |       CAST(SUM(ina * inb) AS BIGINT) AS d,
+       |       COUNT(*) AS ku,
+       |       (1000000 * CAST(SUM(ina * inb) AS BIGINT)) // COUNT(*) AS est_jaccard_ppm
+       |FROM r WHERE ur <= $k GROUP BY 1, 2""".stripMargin
+
   /** F6 `sentence_stats` — sentence segmentation statistics per doc.
     * The synthetic corpus has no punctuation, so sentences are derived
     * by splitting on the literal token ' the ' (deterministic and

@@ -694,4 +694,55 @@ class GovernSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     assert(rt.except(direct).count() == 0 && direct.except(rt).count() == 0)
   }
+
+  test("source_overlap: identical sources read 1.0, disjoint read 0, KMV tracks exact Jaccard") {
+    val s = spark
+    import s.implicits._
+    // planted panel: A == B verbatim, C disjoint vocabulary, D = half
+    // of A's stream + its own tail (exact shingle J(A,D) = 148/448)
+    val wa = (1 to 300).map("a" + _).mkString(" ")
+    val wc = (1 to 300).map("c" + _).mkString(" ")
+    val wd = ((1 to 150).map("a" + _) ++ (1 to 150).map("d" + _)).mkString(" ")
+    val docs = Seq(("A", wa), ("B", wa), ("C", wc), ("D", wd)).toDF("source", "text")
+    val est = operators.Govern.sourceOverlapOf(docs, 128).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(est.size == 6, "4 sources -> 6 pairs")
+    assert(est(("A", "B"))._3 == 1000000L,
+      "identical shingle sets must estimate exactly 1.0 (d == k')")
+    assert(est(("A", "C"))._3 == 0L && est(("B", "C"))._3 == 0L,
+      "disjoint shingle sets must estimate exactly 0")
+    val exactAD = 148.0 / 448.0
+    val gotAD = est(("A", "D"))._3.toDouble / 1e6
+    assert(math.abs(gotAD - exactAD) <= 0.15,
+      s"KMV estimate $gotAD too far from exact $exactAD (k = 128, SE ~ 0.04)")
+
+    // real corpus: estimates track the EXACT pairwise shingle Jaccard
+    // within KMV error (mean abs error over all pairs <= 0.1)
+    val real = Tables.documents(spark, sf).select(col("source"), col("text"))
+    val sh = real
+      .withColumn("w", split(trim(col("text")), "\\s+"))
+      .filter(size(col("w")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("g"))
+      .select(col("source"),
+        conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long").as("h"))
+      .distinct().localCheckpoint()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("ni")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = operators.Govern.sourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4) / 1e6).toMap
+    val errs = got.map { case (pair, e) =>
+      val ni = inter.getOrElse(pair, 0L).toDouble
+      val exact = ni / (sizes(pair._1) + sizes(pair._2) - ni)
+      math.abs(e - exact)
+    }
+    assert(errs.sum / errs.size <= 0.1,
+      s"mean abs KMV error ${errs.sum / errs.size} exceeds 0.1 (max ${errs.max})")
+    spark.catalog.clearCache()
+  }
 }

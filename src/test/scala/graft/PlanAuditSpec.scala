@@ -273,7 +273,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "kn_bigram_score",
       // lsh_diversity_sample: mixture_allocate's posture — the 1-row
       // Σ√size and leftover-seat scalars over the ≤2^bits cell table
-      "lsh_diversity_sample")
+      "lsh_diversity_sample",
+      // source_overlap: the S×S source-label pair cross over the
+      // bounded comparison panel (S = #sources, ≤64 on the gate data)
+      "source_overlap")
     // k-bounded-group max_by assigns: the sort is by grouping key with
     // map-side partial agg — benign, unlike cluster-sized groups
     val sortAggOk = Set("ann_ivf", "resample_fill", "stream_dedup")
@@ -413,7 +416,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "scd2_apply", "stream_bm25", "stream_scd2_apply",
       "hybrid_retrieve", "drift_report", "bm25_append", "hybrid_serve",
       "ann_ivf_pq", "nb_quality_classify", "stream_quality_classify",
-      "nb_quality_calibrate", "curation_audit")
+      "nb_quality_calibrate", "curation_audit", "source_overlap")
     def rowsOf(p: org.apache.spark.sql.execution.SparkPlan): Option[Long] = p match {
       case q: QueryStageExec => rowsOf(q.plan)
       case e: BroadcastExchangeLike => Some(e.metrics("numOutputRows").value)

@@ -2305,6 +2305,99 @@ object TextAnalysis {
     bm25TopK(post, q, k)
   }
 
+  /** C23h `phrase_retrieve` — exact-PHRASE retrieval over a positional
+    * index: the retrieval depth the BM25 family lacks (C23* is
+    * bag-of-words — "data base" and "base data" score identically
+    * there; a phrase query requires CONSECUTIVE positions). Postings
+    * carry (doc, pos, token); a deterministic bigram panel (the first
+    * two tokens of every qMod-th doc, C23's panel convention, self-
+    * matches kept) retrieves every doc containing the exact adjacent
+    * pair, scored by occurrence count, top-k per query (count desc,
+    * doc_id asc).
+    *
+    * RAREST-FIRST ANCHOR (the published phrase-query plan): each query
+    * anchors on whichever term occurs LESS in the corpus and verifies
+    * the neighbor position with one (doc, pos)-keyed join — the join
+    * volume is min(occ(t₁), occ(t₂)) per query, not occ(t₁); with a
+    * stopword-leading phrase that is the difference between scanning
+    * the corpus and scanning the rare term's postings. Anchor choice
+    * is answer-invisible (spec pins branch-swap equality); the oracle
+    * computes the naive t₁-first form.
+    *
+    * Scale: one posexplode scan → checkpointed positional postings
+    * (the C23 tf volume class, +1 int column); panel and its
+    * occurrence-count routing table are broadcast; both verify joins
+    * key on (doc, pos) — linear, never pairwise; top-k in a
+    * query-partitioned window (F16's class). */
+  def phraseRetrieve(spark: SparkSession, dir: String,
+                     k: Int = 10, qMod: Int = 20): DataFrame =
+    phraseOf(Tables.fanout(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))), k, qMod)
+
+  /** Frame-based core of C23h (docs = (doc_id, text)). */
+  private[graft] def phraseOf(docs: DataFrame, k: Int, qMod: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val pos = docs.withColumn("w", toks($"text"))
+      .filter(size($"w") >= 1)
+      .select($"doc_id", posexplode($"w"))
+      .select($"doc_id", $"pos".as("p"), $"col".as("token"))
+      // eager (materialization contract): pos feeds the occurrence
+      // counts, both anchor branches AND both verify legs
+      .localCheckpoint()
+    val occ = pos.groupBy($"token").agg(count(lit(1)).as("tocc"))
+    val panel = docs.filter($"doc_id" % qMod === 0)
+      .withColumn("w", toks($"text")).filter(size($"w") >= 2)
+      .select($"doc_id".as("query_id"), $"w".getItem(0).as("t1"), $"w".getItem(1).as("t2"))
+      .join(occ.select($"token".as("t1"), $"tocc".as("o1")), Seq("t1"), "left")
+      .join(occ.select($"token".as("t2"), $"tocc".as("o2")), Seq("t2"), "left")
+      .na.fill(0L, Seq("o1", "o2"))
+      // strict <: an occurrence tie anchors on t1 (deterministic)
+      .withColumn("anchor2", $"o2" < $"o1")
+      .select($"query_id", $"t1", $"t2", $"anchor2")
+      .localCheckpoint()
+    // anchor = t1: hits at p, verify token(p+1) == t2
+    val m1 = pos.join(broadcast(panel.filter(!$"anchor2")), $"token" === $"t1")
+      .select($"query_id", $"doc_id", $"p", $"t2")
+      .join(pos.select($"doc_id", ($"p" - 1).as("p"), $"token".as("nxt")),
+        Seq("doc_id", "p"))
+      .filter($"nxt" === $"t2")
+      .select($"query_id", $"doc_id", $"p")
+    // anchor = t2: hits at q, verify token(q-1) == t1; start pos = q-1
+    val m2 = pos.join(broadcast(panel.filter($"anchor2")), $"token" === $"t2")
+      .select($"query_id", $"doc_id", ($"p" - 1).as("p"), $"t1")
+      .join(pos.select($"doc_id", $"p", $"token".as("prv")), Seq("doc_id", "p"))
+      .filter($"prv" === $"t1")
+      .select($"query_id", $"doc_id", $"p")
+    val w = Window.partitionBy($"query_id").orderBy($"n_occ".desc, $"doc_id")
+    m1.unionAll(m2)
+      .groupBy($"query_id", $"doc_id").agg(count(lit(1)).as("n_occ"))
+      .withColumn("rank_phrase", row_number().over(w))
+      .filter($"rank_phrase" <= k)
+  }
+
+  /** C23h oracle: the naive t₁-first positional join in DuckDB —
+    * anchor choice is answer-invisible by construction. */
+  def phraseRetrieveSql(k: Int = 10, qMod: Int = 20): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |pos AS (
+       |  SELECT doc_id, i AS p, w[i+1] AS token
+       |  FROM docs, unnest(generate_series(0, len(w) - 1)) AS t(i)),
+       |panel AS (
+       |  SELECT doc_id AS query_id, w[1] AS t1, w[2] AS t2
+       |  FROM docs WHERE doc_id % $qMod = 0 AND len(w) >= 2),
+       |m AS (
+       |  SELECT q.query_id, a.doc_id, a.p
+       |  FROM panel q
+       |  JOIN pos a ON a.token = q.t1
+       |  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1 AND b.token = q.t2),
+       |cnt AS (SELECT query_id, doc_id, COUNT(*) AS n_occ FROM m GROUP BY 1, 2)
+       |SELECT query_id, doc_id, n_occ, CAST(rn AS INT) AS rank_phrase
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY n_occ DESC, doc_id) AS rn FROM cnt)
+       |WHERE rn <= $k""".stripMargin
+
   /** C29 `typo_neighbors` — EXACT edit-distance-1 vocabulary pairs via
     * deletion-neighborhood blocking (the SymSpell candidate scheme,
     * Garbe 2012): every term posts itself plus its `len` single-char

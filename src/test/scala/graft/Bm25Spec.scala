@@ -586,4 +586,54 @@ class Bm25Spec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(idx)
     spark.catalog.clearCache()
   }
+
+  test("phrase_retrieve: exact adjacency counts, order sensitivity, anchor-swap equality") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "x y x y x y"), // "x y" at 0, 2, 4
+      (2L, "y x y x"),     // "x y" once (pos 1); "y x" twice
+      (3L, "x x y y"),     // "x y" once; "x x" once
+      (4L, "z z z z")      // "z z" three times, no x/y
+    ).toDF("doc_id", "text")
+    // qMod = 1: every doc queries its own leading bigram
+    val got = operators.TextAnalysis.phraseOf(docs, k = 10, qMod = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getInt(3))).toMap
+    // query 1 = (x, y): doc1 3x, doc2 1x, doc3 1x — count desc, id tiebreak
+    assert(got((1L, 1L)) == ((3L, 1)) && got((1L, 2L)) == ((1L, 2)) &&
+      got((1L, 3L)) == ((1L, 3)))
+    // query 2 = (y, x): ORDER MATTERS — doc1 2x, doc2 2x, doc3 zero
+    assert(got((2L, 1L)) == ((2L, 1)) && got((2L, 2L)) == ((2L, 2)))
+    assert(!got.contains((2L, 3L)), "'y x' never occurs in doc 3 ('x x y y')")
+    // query 3 = (x, x), query 4 = (z, z): overlapping starts all count
+    assert(got((3L, 3L)) == ((1L, 1)) && got((4L, 4L)) == ((3L, 1)))
+    assert(!got.contains((1L, 4L)) && !got.contains((4L, 1L)))
+
+    // anchor-swap equality: a corpus where one phrase leads with the
+    // COMMON term and another with the RARE term — both anchors fire,
+    // and the result must equal the naive t1-first formulation
+    val skew = Seq(
+      (10L, "the rare " + (1 to 50).map(_ => "the").mkString(" ")),
+      (11L, "rare the " + (1 to 50).map(_ => "filler").mkString(" ")),
+      (12L, "the rare the rare pad"),
+      (13L, "rare the rare the pad")
+    ).toDF("doc_id", "text")
+    val fast = operators.TextAnalysis.phraseOf(skew, k = 10, qMod = 1)
+    val pos = skew.withColumn("w", split(trim($"text"), "\\s+"))
+      .select($"doc_id", posexplode($"w")).select($"doc_id", $"pos".as("p"), $"col".as("token"))
+    val panel = skew.withColumn("w", split(trim($"text"), "\\s+"))
+      .select($"doc_id".as("query_id"), $"w".getItem(0).as("t1"), $"w".getItem(1).as("t2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"n_occ".desc, $"doc_id")
+    val naive = pos.join(panel, $"token" === $"t1")
+      .select($"query_id", $"doc_id", $"p", $"t2")
+      .join(pos.select($"doc_id", ($"p" - 1).as("p"), $"token".as("nxt")), Seq("doc_id", "p"))
+      .filter($"nxt" === $"t2")
+      .groupBy($"query_id", $"doc_id").agg(count(lit(1)).as("n_occ"))
+      .withColumn("rank_phrase", row_number().over(w))
+      .filter($"rank_phrase" <= 10)
+    assert(fast.exceptAll(naive).count() == 0 && naive.exceptAll(fast).count() == 0,
+      "rarest-first anchoring must be answer-invisible")
+    spark.catalog.clearCache()
+  }
 }

@@ -194,6 +194,64 @@ object Govern {
        |WHERE doc_id % $BenchMod <> 0
        |GROUP BY doc_id""".stripMargin
 
+  /** F3b `contam_overlap_report` — per-doc contamination FRACTION, the
+    * published contamination ANALYSIS next to F3's binary gate: large
+    * model reports (GPT-3 appendix C, PaLM §7) grade eval sets by the
+    * fraction of each doc's n-grams shared with benchmarks and split
+    * "dirty" from marginally-contaminated docs — a binary flag
+    * over-drops a long doc quoting one benchmark line. Output per
+    * non-benchmark doc (INCLUDING zero-hit docs, which F3's inner join
+    * never emits): distinct-gram count, shared count, contam_ppm =
+    * ⌊10⁶·shared div grams⌋ and a verdict — `clean` (0 hits), `dirty`
+    * (shared ≥ half, integer cross-multiply), else `partial`.
+    *
+    * Scale: F3's exact shape — one gram explode, a broadcast LEFT
+    * join against the frozen benchmark gram set, one per-doc hash
+    * agg; the fraction adds zero shuffle. */
+  def contamOverlapReport(spark: SparkSession, dir: String, n: Int = 4): DataFrame =
+    contamOverlapOf(Tables.fanout(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"))), n)
+
+  /** Frame-based core of F3b (docs = (doc_id, text)) — benchmark side
+    * = doc_id % BenchMod == 0, like F3. */
+  private[graft] def contamOverlapOf(docs: DataFrame, n: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val grams = docGrams(docs, n)
+    val bench = grams.filter($"doc_id" % BenchMod === 0)
+      .select($"gh").distinct().withColumn("hit", lit(1))
+    grams.filter($"doc_id" % BenchMod =!= 0)
+      .join(broadcast(bench), Seq("gh"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce($"hit", lit(0))).as("n_shared"))
+      .withColumn("contam_ppm", expr("(1000000L * n_shared) div n_grams"))
+      .withColumn("verdict",
+        when($"n_shared" === 0L, "clean")
+          .when($"n_shared" * 2 >= $"n_grams", "dirty")
+          .otherwise("partial"))
+  }
+
+  /** F3b oracle: the same distinct-gram LEFT join and integer
+    * fraction arithmetic in DuckDB. */
+  def contamOverlapReportSql(n: Int = 4): String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(len(l) - ${n - 1}),
+       |      i -> array_to_string(l[i+1:i+$n], ' ')))) AS gram
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents)
+       |  WHERE len(l) >= $n),
+       |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % $BenchMod = 0)
+       |SELECT doc_id, COUNT(*) AS n_grams,
+       |       CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       |       (1000000 * CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT))
+       |         // COUNT(*) AS contam_ppm,
+       |       CASE WHEN SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) = 0 THEN 'clean'
+       |            WHEN 2 * SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) >= COUNT(*) THEN 'dirty'
+       |            ELSE 'partial' END AS verdict
+       |FROM (SELECT doc_id, gram FROM grams WHERE doc_id % $BenchMod <> 0) c
+       |LEFT JOIN bench b USING (gram)
+       |GROUP BY doc_id""".stripMargin
+
   /** Deterministic uniform [0,100) bucket from a key: first 8 hex chars
     * of md5, engine-portable (identical in DuckDB). Hash-based
     * sampling is reproducible on any cluster, any partitioning, any

@@ -695,6 +695,35 @@ class GovernSpec extends AnyFunSuite {
     assert(rt.except(direct).count() == 0 && direct.except(rt).count() == 0)
   }
 
+  test("contam_overlap_report: fractions and verdicts exact, zero-hit docs included, hits agree with decontaminate") {
+    val s = spark
+    import s.implicits._
+    // BenchMod = 17, so doc 0 is the benchmark
+    val docs = Seq(
+      (0L, "b1 b2 b3 b4 b5 b6 b7"),      // benchmark: 4 distinct 4-grams
+      (1L, "b1 b2 b3 b4 b5 b6 b7"),      // verbatim copy -> 4/4 dirty
+      (2L, "b1 b2 b3 b4 x1 x2 x3 x4"),   // one shared gram of 5 -> partial
+      (3L, "c1 c2 c3 c4 c5")             // no overlap -> clean
+    ).toDF("doc_id", "text")
+    val out = operators.Govern.contamOverlapOf(docs, n = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((4L, 4L, 1000000L, "dirty")))
+    assert(out(2L) == ((5L, 1L, 200000L, "partial")))
+    assert(out(3L) == ((2L, 0L, 0L, "clean")),
+      "a zero-hit doc must appear with verdict clean (F3's inner join drops it)")
+    assert(!out.contains(0L), "the benchmark doc itself is not graded")
+
+    // real corpus: the docs this report marks as hit (n_shared > 0)
+    // must be exactly decontaminate's flag set, with identical counts
+    val rep = operators.Govern.contamOverlapReport(spark, sf)
+      .filter(col("n_shared") > 0).select(col("doc_id"), col("n_shared"))
+    val f3 = operators.Govern.decontaminate(spark, sf)
+      .select(col("doc_id"), col("n_shared_grams").as("n_shared"))
+    assert(rep.exceptAll(f3).count() == 0 && f3.exceptAll(rep).count() == 0,
+      "hit set must agree with decontaminate row-for-row")
+    spark.catalog.clearCache()
+  }
+
   test("source_overlap: identical sources read 1.0, disjoint read 0, KMV tracks exact Jaccard") {
     val s = spark
     import s.implicits._

@@ -415,6 +415,45 @@ object ScaleProbe {
         "three rule legs (per-doc explode-aggs + per-doc window — " +
         "never pairwise)")
 
+    // ---- claim 9: the KN bigram LM's state is type-bounded ---------
+    // The LM tables (cb/fwd/bwd) are bigram-TYPE-bounded: replicating
+    // the corpus adds COUNTS, never types — at 100 TB the model a
+    // scorer joins against is vocabulary-sized, not corpus-sized.
+    // Probed directly on the state (cb row counts, 1x vs Rx must be
+    // EQUAL), plus an at-most-linear bound on total shuffle (both
+    // sides fanout'd so task-count effects cancel; the lower side is
+    // deliberately loose — at this tiny SF the fixed per-task type
+    // partials dominate the data term, so the ratio sits well UNDER
+    // linear; the claim that matters is never-superlinear/pairwise).
+    // a VERBATIM ×R copy (bigDocs is deliberately token-disjoint, which
+    // grows the vocabulary itself — the wrong axis for this claim)
+    val knRep = Tables.fanout(
+      (0 until rep).map(i => docs.select(($"doc_id" + lit(i * 10000000L))
+        .as("doc_id"), $"text")).reduce(_ unionAll _)).localCheckpoint()
+    val knTypes1 = graft.operators.TextAnalysis
+      .knBigramTypes(Tables.fanout(docs)).count()
+    val knTypesR = graft.operators.TextAnalysis
+      .knBigramTypes(knRep).count()
+    ratio("kn_lm_type_bounded", knTypesR.toDouble, knTypes1.toDouble,
+      0.999, 1.001,
+      s"a verbatim ${rep}x replication must train the SAME bigram-type " +
+        s"table ($knTypesR vs $knTypes1 rows — counts grow, types don't)")
+    val kn1 = scope("kn_1x") {
+      graft.operators.TextAnalysis.knBigramOf(Tables.fanout(docs))
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+    }
+    val knR = scope(s"kn_${rep}x") {
+      graft.operators.TextAnalysis.knBigramOf(bigDocs)
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+    }
+    ratio("kn_volume_at_most_linear", knR.shuffleWriteBytes.toDouble,
+      kn1.shuffleWriteBytes.toDouble, 0.5, 1.8 * rep,
+      s"the ${rep}x corpus must shuffle at MOST ~${rep}x the bytes " +
+        "through LM fit + scoring (type-bounded tables, broadcast " +
+        "scalar — never pairwise)")
+
     // ---- emit ------------------------------------------------------
     val out = checks.result()
     def j(c: Check): String =

@@ -3905,10 +3905,25 @@ object TextAnalysis {
     * broadcasts small LM tables, shuffle-joins a 100 TB vocabulary;
     * (n₁, n₂, B) ride as a broadcast 1-row aggregate. Nothing wider
     * than (doc, bigram) ever shuffles — the same volume class as the
-    * C4 shingle pipeline (ScaleProbe: kn_volume_linear). */
+    * C4 shingle pipeline (ScaleProbe: kn_lm_type_bounded pins the
+    * type-bounded LM state, kn_volume_at_most_linear the shuffle). */
   def knBigramScore(spark: SparkSession, dir: String): DataFrame =
     knBigramOf(Tables.fanout(Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))))
+
+  /** The bigram-TYPE table of the KN LM ((w₁, w₂, cb) rows) —
+    * ScaleProbe pins its replication INVARIANCE: replicating a corpus
+    * grows counts, never types, so the model stays vocabulary-sized
+    * at any corpus scale. */
+  private[graft] def knBigramTypes(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.withColumn("w", toks($"text"))
+      .filter(size($"w") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(w)-2), i -> named_struct('w1', w[i], 'w2', w[i+1]))")).as("g"))
+      .select($"g.w1".as("w1"), $"g.w2".as("w2"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+  }
 
   /** Frame-based core of C21e (docs = (doc_id, text)) — lets the spec
     * pin the order-sensitivity signal on crafted fluent/scrambled

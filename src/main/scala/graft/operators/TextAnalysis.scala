@@ -3885,7 +3885,10 @@ object TextAnalysis {
     * here (the spec pins exactly that discrimination). Model, trained
     * in-plan on the corpus (swap the count inputs for a frozen
     * reference LM — C21c's posture):
-    *   D        = n₁ / (n₁ + 2·n₂)            (absolute-discount estimate)
+    *   D        = n₁ / (n₁ + 2·n₂)            (absolute-discount estimate;
+    *              0.5 when n₁ = n₂ = 0 — a closed vocabulary at scale
+    *              has no singleton/doubleton types and the estimate
+    *              degenerates 0/0, the classic default takes over)
     *   P_cont(w₂) = N₁₊(·w₂) / |bigram types|  (continuation probability)
     *   P(w₂|w₁) = (max(c(w₁w₂)−D, 0) + D·N₁₊(w₁·)·P_cont(w₂)) / c(w₁·)
     * bits_per_bigram = −mean log₂ P over the doc's adjacent pairs,
@@ -3949,7 +3952,12 @@ object TextAnalysis {
       .join(fwd, Seq("w1"))
       .join(bwd, Seq("w2"))
       .crossJoin(broadcast(scal))
-      .withColumn("d", $"n1".cast("double") / ($"n1" + lit(2L) * $"n2").cast("double"))
+      // n₁ = n₂ = 0 (every bigram type repeats 3+ times — small closed
+      // vocabularies at scale) leaves the discount estimate 0/0; the
+      // classic absolute-discounting default D = 0.5 takes over
+      .withColumn("d",
+        when($"n1" + lit(2L) * $"n2" === 0L, lit(0.5))
+          .otherwise($"n1".cast("double") / ($"n1" + lit(2L) * $"n2").cast("double")))
       .withColumn("logp", log2(
         (greatest($"cb".cast("double") - $"d", lit(0.0))
           + $"d" * $"nf".cast("double")
@@ -3986,7 +3994,8 @@ object TextAnalysis {
       |            + d * CAST(nf AS DOUBLE) * (CAST(nb AS DOUBLE) / CAST(btypes AS DOUBLE)))
       |           / CAST(c1 AS DOUBLE))) / COUNT(*), 6) AS bits_per_bigram
       |  FROM (SELECT bg.doc_id, cb.cb, f.c1, f.nf, b.nb, s.btypes,
-      |               CAST(s.n1 AS DOUBLE) / CAST(s.n1 + 2 * s.n2 AS DOUBLE) AS d
+      |               CASE WHEN s.n1 + 2 * s.n2 = 0 THEN 0.5
+      |                    ELSE CAST(s.n1 AS DOUBLE) / CAST(s.n1 + 2 * s.n2 AS DOUBLE) END AS d
       |        FROM bg
       |        JOIN cb USING (w1, w2)
       |        JOIN fwd f USING (w1)

@@ -3914,18 +3914,24 @@ object TextAnalysis {
     knBigramOf(Tables.fanout(Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))))
 
+  /** Adjacent-pair stream of a (doc_id, text) frame — the shared
+    * bigram extraction of the C21e/C21f KN family. */
+  private def bigramStream(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.withColumn("w", toks($"text"))
+      .filter(size($"w") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(w)-2), i -> named_struct('w1', w[i], 'w2', w[i+1]))")).as("g"))
+      .select($"doc_id", $"g.w1".as("w1"), $"g.w2".as("w2"))
+  }
+
   /** The bigram-TYPE table of the KN LM ((w₁, w₂, cb) rows) —
     * ScaleProbe pins its replication INVARIANCE: replicating a corpus
     * grows counts, never types, so the model stays vocabulary-sized
     * at any corpus scale. */
   private[graft] def knBigramTypes(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.withColumn("w", toks($"text"))
-      .filter(size($"w") >= 2)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(w)-2), i -> named_struct('w1', w[i], 'w2', w[i+1]))")).as("g"))
-      .select($"g.w1".as("w1"), $"g.w2".as("w2"))
-      .groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+    bigramStream(docs).groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
   }
 
   /** Frame-based core of C21e (docs = (doc_id, text)) — lets the spec
@@ -3933,15 +3939,10 @@ object TextAnalysis {
     * twins. */
   private[graft] def knBigramOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val bg = docs.withColumn("w", toks($"text"))
-      .filter(size($"w") >= 2)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(w)-2), i -> named_struct('w1', w[i], 'w2', w[i+1]))")).as("g"))
-      .select($"doc_id", $"g.w1".as("w1"), $"g.w2".as("w2"))
-      // eager (materialization contract): bg feeds the LM count
-      // aggregates AND the scoring join probe — lazy, all consumers
-      // re-run the tokenize+explode concurrently
-      .localCheckpoint()
+    // eager (materialization contract): bg feeds the LM count
+    // aggregates AND the scoring join probe — lazy, all consumers
+    // re-run the tokenize+explode concurrently
+    val bg = bigramStream(docs).localCheckpoint()
     val cb = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb")).localCheckpoint()
     val fwd = cb.groupBy($"w1").agg(sum($"cb").as("c1"), count(lit(1)).as("nf"))
     val bwd = cb.groupBy($"w2").agg(count(lit(1)).as("nb"))
@@ -4001,6 +4002,111 @@ object TextAnalysis {
       |        JOIN fwd f USING (w1)
       |        JOIN bwd b USING (w2), scal s)
       |  GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams, bits_per_bigram,
+      |       round(pow(2.0, bits_per_bigram), 4) AS kn_ppl
+      |FROM scored""".stripMargin
+
+  /** C21f `kn_stale_serve` — the KN scorer's STALENESS drill, and the
+    * only place its real BACKOFF runs: C21e is self-trained, so every
+    * scored bigram is in the model; here the LM freezes on the 70%
+    * id-mod prefix (yesterday's nightly job, C21c's posture), the
+    * corpus grows to 100%, and ALL docs score against the frozen
+    * tables — exercising the out-of-vocabulary legs Kneser–Ney exists
+    * for:
+    *   - unseen bigram, seen context: c(w₁w₂) = 0 ⇒ the max(c−D,0)
+    *     term vanishes and the doc pays only the backoff mass
+    *     D·N₁₊(w₁·)·P'cont(w₂)/c(w₁·);
+    *   - unseen context w₁: no c(w₁·) row ⇒ P = P'cont(w₂) — the pure
+    *     continuation probability, which prefers words seen after
+    *     MANY distinct contexts over frequent-but-bound words ("san
+    *     francisco": high count, one context — the published
+    *     motivating example, spec-pinned);
+    *   - unseen continuation w₂: P'cont Laplace-floors the
+    *     continuation counts ((N₁₊(·w₂)+1)/(B+C), C = continuation
+    *     types), so nothing scores −∞.
+    * Oracle refits the prefix LM independently — hash-equal on bits
+    * and ppl for every doc, stale and new alike.
+    *
+    * Scale: C21e's plan with the count aggregates on the prefix and
+    * LEFT joins on the serve side — same type-bounded LM tables, same
+    * (doc, bigram) linear volume. */
+  def knStaleServe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docsAll = Tables.fanout(Tables.documents(spark, dir)
+      .select($"doc_id", $"text"))
+    knStaleServeOf(docsAll, docsAll.filter($"doc_id" % 10 < 7))
+  }
+
+  /** Frame-based core of C21f: score `docs` against the LM trained on
+    * `ref` (the frozen nightly tables — eagerly materialized). */
+  private[graft] def knStaleServeOf(docs: DataFrame, ref: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val cb = knBigramTypes(ref).localCheckpoint()
+    val fwd = cb.groupBy($"w1").agg(sum($"cb").as("c1"), count(lit(1)).as("nf"))
+      .localCheckpoint()
+    val bwd = cb.groupBy($"w2").agg(count(lit(1)).as("nb")).localCheckpoint()
+    val scal = cb.agg(count(lit(1)).as("btypes"),
+        coalesce(sum(when($"cb" === 1, 1L).otherwise(0L)), lit(0L)).as("n1"),
+        coalesce(sum(when($"cb" === 2, 1L).otherwise(0L)), lit(0L)).as("n2"))
+      .crossJoin(bwd.agg(count(lit(1)).as("ctypes")))
+      .localCheckpoint()
+    bigramStream(docs)
+      .join(cb, Seq("w1", "w2"), "left").na.fill(0L, Seq("cb"))
+      .join(fwd, Seq("w1"), "left")
+      .join(bwd, Seq("w2"), "left").na.fill(0L, Seq("nb"))
+      .crossJoin(broadcast(scal))
+      .withColumn("d",
+        when($"n1" + lit(2L) * $"n2" === 0L, lit(0.5))
+          .otherwise($"n1".cast("double") / ($"n1" + lit(2L) * $"n2").cast("double")))
+      // greatest(…, 1): an EMPTY frozen LM (no prefix docs at all)
+      // must serve uniform-floor bits, not an ANSI 0/0
+      .withColumn("pc", ($"nb" + lit(1.0))
+        / greatest($"btypes" + $"ctypes", lit(1L)).cast("double"))
+      .withColumn("p",
+        when($"c1".isNull, $"pc")
+          .otherwise((greatest($"cb".cast("double") - $"d", lit(0.0))
+            + $"d" * $"nf".cast("double") * $"pc") / $"c1".cast("double")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum(log2($"p")) / count(lit(1)), 6).as("bits_per_bigram"))
+      .withColumn("kn_ppl", round(pow(lit(2.0), $"bits_per_bigram"), 4))
+  }
+
+  /** C21f oracle: the prefix LM refit + the identical backoff CASE
+    * chain in DuckDB. */
+  val knStaleServeSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |bg AS (
+      |  SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+      |  FROM docs, unnest(generate_series(0, len(w) - 2)) AS t(i)
+      |  WHERE len(w) >= 2),
+      |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg
+      |       WHERE doc_id % 10 < 7 GROUP BY 1, 2),
+      |fwd AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS c1, COUNT(*) AS nf FROM cb GROUP BY 1),
+      |bwd AS (SELECT w2, COUNT(*) AS nb FROM cb GROUP BY 1),
+      |scal AS (SELECT (SELECT COUNT(*) FROM cb) AS btypes,
+      |                (SELECT CAST(COALESCE(SUM(CASE WHEN cb = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM cb) AS n1,
+      |                (SELECT CAST(COALESCE(SUM(CASE WHEN cb = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM cb) AS n2,
+      |                (SELECT COUNT(*) FROM bwd) AS ctypes),
+      |pr AS (
+      |  SELECT bg.doc_id,
+      |         CASE WHEN f.c1 IS NULL THEN pc
+      |              ELSE (greatest(CAST(COALESCE(c.cb, 0) AS DOUBLE) - d, 0.0)
+      |                    + d * CAST(f.nf AS DOUBLE) * pc) / CAST(f.c1 AS DOUBLE) END AS p
+      |  FROM (SELECT bg.*,
+      |               CASE WHEN s.n1 + 2 * s.n2 = 0 THEN 0.5
+      |                    ELSE CAST(s.n1 AS DOUBLE) / CAST(s.n1 + 2 * s.n2 AS DOUBLE) END AS d,
+      |               (COALESCE(b.nb, 0) + 1.0) / CAST(greatest(s.btypes + s.ctypes, 1) AS DOUBLE) AS pc
+      |        FROM bg
+      |        LEFT JOIN bwd b USING (w2), scal s) bg
+      |  LEFT JOIN cb c USING (w1, w2)
+      |  LEFT JOIN fwd f USING (w1)),
+      |scored AS (
+      |  SELECT doc_id, COUNT(*) AS n_bigrams,
+      |         round(-SUM(log2(p)) / COUNT(*), 6) AS bits_per_bigram
+      |  FROM pr GROUP BY doc_id)
       |SELECT doc_id, n_bigrams, bits_per_bigram,
       |       round(pow(2.0, bits_per_bigram), 4) AS kn_ppl
       |FROM scored""".stripMargin

@@ -224,4 +224,65 @@ class CrossCheckSpec extends AnyFunSuite {
         s"sum_w2 P(w2|$w1) = $mass, must be 1 (KN normalization)")
     }
   }
+
+  test("kn_stale_serve: backoff prefers continuation diversity; seen bigrams beat backoff; driver parity") {
+    val s = spark
+    import s.implicits._
+    // frozen LM (ids % 10 < 7): "glue" follows FOUR distinct contexts
+    // (count 4); "francisco" occurs FIVE times but only ever after
+    // "san" (continuation diversity 1) — the published KN example
+    val ref = Seq(
+      (1L, "a1 glue"), (2L, "a2 glue"), (3L, "a3 glue"), (4L, "a4 glue"),
+      (5L, "san francisco san francisco san francisco san francisco san francisco"),
+      (6L, "base base base")).toDF("doc_id", "text")
+    // grown docs (ids % 10 >= 7): every backoff leg
+    val grown = Seq(
+      (7L, "nov glue"),       // unseen context -> pure continuation
+      (17L, "nov francisco"), // unseen context, low-diversity word
+      (27L, "nov zzz"),       // both unseen -> Laplace floor
+      (37L, "san glue"),      // seen context, unseen bigram -> backoff mass
+      (47L, "san francisco")  // seen bigram -> discounted direct estimate
+    ).toDF("doc_id", "text")
+    val out = operators.TextAnalysis.knStaleServeOf(ref.unionAll(grown), ref)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // all 11 docs scored, stale and new alike, all finite
+    assert(out.size == 11 && out.values.forall(b => !b.isNaN && !b.isInfinite))
+    // THE Kneser–Ney discrimination: under an unseen context, the
+    // 4-context word beats the 5-count-but-1-context word, which
+    // still beats a fully unseen word
+    assert(out(7L) < out(17L) && out(17L) < out(27L),
+      s"continuation-diversity ordering violated: glue=${out(7L)} " +
+        s"francisco=${out(17L)} zzz=${out(27L)}")
+    // a seen bigram's discounted direct estimate beats pure backoff
+    assert(out(47L) < out(37L),
+      s"seen bigram ${out(47L)} must beat backoff ${out(37L)}")
+
+    // driver re-derivation of every leg (D, P'cont, backoff, direct)
+    val bgs = ref.collect().flatMap { r =>
+      r.getString(1).trim.split("\\s+").sliding(2).map(p => (p(0), p(1))).toSeq
+    }
+    val cb = bgs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = cb.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    val nf = cb.groupBy(_._1._1).map { case (k, v) => k -> v.size.toLong }
+    val nb = cb.groupBy(_._1._2).map { case (k, v) => k -> v.size.toLong }
+    val b = cb.size.toLong
+    val c = nb.size.toLong
+    val n1 = cb.values.count(_ == 1L).toLong
+    val n2 = cb.values.count(_ == 2L).toLong
+    val d = if (n1 + 2 * n2 == 0) 0.5 else n1.toDouble / (n1 + 2L * n2).toDouble
+    def pc(w2: String): Double = (nb.getOrElse(w2, 0L) + 1.0) / (b + c).toDouble
+    def p(w1: String, w2: String): Double = c1.get(w1) match {
+      case None => pc(w2)
+      case Some(cw1) =>
+        (math.max(cb.getOrElse((w1, w2), 0L).toDouble - d, 0.0)
+          + d * nf(w1).toDouble * pc(w2)) / cw1.toDouble
+    }
+    for ((id, txt) <- Seq((7L, "nov glue"), (17L, "nov francisco"),
+      (27L, "nov zzz"), (37L, "san glue"), (47L, "san francisco"))) {
+      val doc = txt.split(" ").sliding(2).map(x => (x(0), x(1))).toSeq
+      val bits = -doc.map(g => math.log(p(g._1, g._2)) / math.log(2.0)).sum / doc.size
+      assert(math.abs(bits - out(id)) < 1e-5,
+        s"doc $id: engine ${out(id)} vs driver $bits")
+    }
+  }
 }

@@ -268,9 +268,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // pwide); stream_curation_audit composes NB + DSIR scorers and
       // inherits the same bounded set
       "nb_stale_serve", "stream_curation_audit",
-      // kn_bigram_score: perplexity_score's posture — the 1-row
-      // (btypes, n1, n2) LM-scalar broadcast cross
-      "kn_bigram_score",
+      // kn_bigram_score / kn_stale_serve: perplexity_score's posture —
+      // the 1-row (btypes, n1, n2[, ctypes]) LM-scalar broadcast cross
+      "kn_bigram_score", "kn_stale_serve",
       // lsh_diversity_sample: mixture_allocate's posture — the 1-row
       // Σ√size and leftover-seat scalars over the ≤2^bits cell table
       "lsh_diversity_sample",
@@ -316,9 +316,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // nb_stale_serve / stream_curation_audit: the NB/DSIR scalar
       // combines (train-doc count, prior pair, eps histogram scalars)
       "mixture_allocate", "nb_stale_serve", "stream_curation_audit",
-      // kn_bigram_score: the 1-row (btypes, n1, n2) LM-scalar combine —
+      // kn_bigram_score / kn_stale_serve: the 1-row LM-scalar combine —
       // perplexity_score's declared class
-      "kn_bigram_score",
+      "kn_bigram_score", "kn_stale_serve",
       // lsh_diversity_sample: the 1-row Σ√size and leftover scalars —
       // mixture_allocate's declared class
       "lsh_diversity_sample")

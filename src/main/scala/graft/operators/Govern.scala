@@ -584,27 +584,46 @@ object Govern {
 
   /** Frame-based core of F22 (docs = (source, text)) — lets the spec
     * plant identical / disjoint sources and grade estimator accuracy. */
-  private[graft] def sourceOverlapOf(docs: DataFrame, k: Int): DataFrame = {
+  private[graft] def sourceOverlapOf(docs: DataFrame, k: Int): DataFrame =
+    // eager: the S·k-row sketch feeds both pair legs
+    sketchPairs(sourceSketch(docs, k).localCheckpoint(), k)
+
+  /** The per-source KMV sketch of a (source, text) frame: each
+    * source's k smallest 48-bit shingle hashes — the mergeable state
+    * F22 estimates from and E27 folds micro-batches into. */
+  private[graft] def sourceSketch(docs: DataFrame, k: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val sh = docs
+    kmvTop(docs
       .withColumn("w", when(length(trim($"text")) === 0, array().cast("array<string>"))
         .otherwise(split(trim($"text"), "\\s+")))
       .filter(size($"w") >= 3)
       .select($"source", explode(expr(
         "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("g"))
       .select($"source",
-        conv(substring(md5($"g"), 1, 12), 16, 10).cast("long").as("h"))
-      .groupBy($"source", $"h").agg(count(lit(1)).as("c")).drop("c")
-    val skt = sh.groupBy($"source")
+        conv(substring(md5($"g"), 1, 12), 16, 10).cast("long").as("h")), k)
+  }
+
+  /** KMV MERGE: k smallest distinct hashes per source of any union of
+    * sketch/hash rows. Associative and idempotent — k-smallest(A ∪ B)
+    * == k-smallest(k-smallest(A) ∪ B) — which is why N micro-batch
+    * folds serve the one-shot answer EXACTLY (E27's gate). */
+  private[graft] def kmvTop(sh: DataFrame, k: Int): DataFrame = {
+    import sh.sparkSession.implicits._
+    sh.groupBy($"source", $"h").agg(count(lit(1)).as("c")).drop("c")
+      .groupBy($"source")
       // k SMALLEST distinct hashes: the heap keeps top-k by value desc,
       // so feed -h (exact in double — h < 2^48); inputs are distinct
       // per group, so the id tiebreak never fires
       .agg(graft.functions.TopKAgg.topk(-$"h".cast("double"), $"h", k).as("top"))
       .select($"source", explode($"top").as("e"))
       .select($"source", $"e.id".as("h"))
-      // eager: the S·k-row sketch feeds both pair legs
-      .localCheckpoint()
+  }
+
+  /** Pairwise KMV-Jaccard estimates over a (source, h) sketch table
+    * (≤ S·k rows — nothing here ever re-touches the corpus). */
+  private[graft] def sketchPairs(skt: DataFrame, k: Int): DataFrame = {
+    import skt.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
     val srcs = skt.select($"source").distinct()
     val pairs = srcs.select($"source".as("src_a"))
       .crossJoin(srcs.select($"source".as("src_b")))

@@ -401,6 +401,41 @@ object Streams {
     * splitting a source's pages across arrivals and pins row parity
     * (the per-source fraction was decided at freeze time, never from
     * the partial view a single batch has of its source). */
+  /** E27 `stream_source_overlap` — cross-source duplication estimates
+    * maintained FROM A STREAM: the per-source KMV sketch (F22) is
+    * MERGEABLE — k-smallest(A ∪ B) == k-smallest(k-smallest(A) ∪ B) —
+    * so each arriving micro-batch folds into the S·k-row sketch state
+    * with one [[graft.operators.Govern.kmvTop]] merge (O(batch) work,
+    * corpus never re-touched), and the pair estimates after N batches
+    * are EXACTLY the one-shot estimates: the property that makes KMV
+    * the sketch a streaming ingest can afford to keep per source.
+    *
+    * Driver-gate batch entry: the 70%-prefix sketch is the nightly
+    * state, the 30% suffix arrives as `nBatches` deterministic
+    * micro-batches, each folded by merge; the final pair table is
+    * HASH-EQUAL to F22's full-corpus oracle — batch composition is
+    * answer-invisible by the merge law, not by approximation.
+    * StreamingSpec drives real MemoryStream arrivals through
+    * foreachBatch into the same fold and pins that parity. */
+  def streamSourceOverlap(spark: SparkSession, dir: String,
+                          nBatches: Int = 3, k: Int = 128): DataFrame = {
+    import spark.implicits._
+    val G = graft.operators.Govern
+    val docs = graft.Tables.documents(spark, dir).select($"doc_id", $"source", $"text")
+    val cols = Seq($"source", $"text").map(c => c)
+    var state = G.sourceSketch(
+      Tables.fanout(docs.filter($"doc_id" % 10 < 7).select(cols: _*)), k)
+      .localCheckpoint()
+    (0 until nBatches).foreach { b =>
+      val batch = docs.filter($"doc_id" % 10 >= 7 &&
+        pmod($"doc_id", lit(nBatches)) === b).select(cols: _*)
+      state = G.kmvTop(
+        state.unionAll(G.sourceSketch(Tables.fanout(batch), k)), k)
+        .localCheckpoint()
+    }
+    G.sketchPairs(state, k)
+  }
+
   def streamBoilerplate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val TA = graft.operators.TextAnalysis

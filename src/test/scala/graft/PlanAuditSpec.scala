@@ -274,9 +274,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // lsh_diversity_sample: mixture_allocate's posture — the 1-row
       // Σ√size and leftover-seat scalars over the ≤2^bits cell table
       "lsh_diversity_sample",
-      // source_overlap: the S×S source-label pair cross over the
-      // bounded comparison panel (S = #sources, ≤64 on the gate data)
-      "source_overlap")
+      // source_overlap / stream_source_overlap: the S×S source-label
+      // pair cross over the bounded comparison panel (S = #sources,
+      // ≤64 on the gate data)
+      "source_overlap", "stream_source_overlap")
     // k-bounded-group max_by assigns: the sort is by grouping key with
     // map-side partial agg — benign, unlike cluster-sized groups
     val sortAggOk = Set("ann_ivf", "resample_fill", "stream_dedup")

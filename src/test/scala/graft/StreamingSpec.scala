@@ -1125,6 +1125,42 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("E27 stream_source_overlap: MemoryStream folds merge to the one-shot sketch exactly") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val G = operators.Govern
+    val k = 32
+    // three sources whose pages arrive interleaved across batches
+    val wa = (1 to 120).map("a" + _).mkString(" ")
+    val wb = ((1 to 60).map("a" + _) ++ (1 to 60).map("b" + _)).mkString(" ")
+    val wc = (1 to 120).map("c" + _).mkString(" ")
+    val pages = Seq(("A", wa), ("B", wb), ("C", wc),
+      ("A", wb), ("B", wa), ("C", wa)) // cross-posted pages too
+    val oneShot = G.sourceOverlapOf(pages.toDF("source", "text"), k)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4))).sortBy(x => (x._1, x._2))
+    val source = MemoryStream[(String, String)]
+    var state = G.sourceSketch(Seq.empty[(String, String)].toDF("source", "text"), k)
+      .localCheckpoint()
+    val q = source.toDF().toDF("source", "text").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        state = G.kmvTop(state.unionAll(G.sourceSketch(df, k)), k).localCheckpoint()
+        (): Unit
+      }
+      .start()
+    // batch split deliberately cuts a source's pages across arrivals
+    Seq(pages.slice(0, 2), pages.slice(2, 5), pages.slice(5, 6)).foreach { b =>
+      source.addData(b: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val folded = G.sketchPairs(state, k)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4))).sortBy(x => (x._1, x._2))
+    assert(folded.toSeq == oneShot.toSeq,
+      "the KMV merge law must make N micro-batch folds serve the one-shot estimates exactly")
+    spark.catalog.clearCache()
+  }
+
   test("E16 line index: MemoryStream appends through foreachBatch strike the one-shot union answer") {
     val s = spark
     import s.implicits._

@@ -44,7 +44,15 @@ class DeterminismSpec extends AnyFunSuite {
     "ccnet_buckets",       // per-lang rank thirds over micro-unit bits
     "curriculum_order",    // banded two-pass global position over md5 keys
     "mixture_allocate",    // largest-remainder seats over IEEE shares
-    "tokenizer_fertility"  // driver-collected merges + integer-div ratios
+    "tokenizer_fertility", // driver-collected merges + integer-div ratios
+    "kn_bigram_score",     // rounded float mean of per-bigram KN log-probs
+    "kn_stale_serve",      // frozen-LM backoff legs + rounded float mean
+    "leak_safe_split",     // cluster-rep md5 bucket over memoized labels
+    "lsh_diversity_sample", // IEEE √-shares + seat ranks + md5 in-cell draw
+    "source_overlap",      // k-heap KMV sketch + per-pair union ranks
+    "stream_source_overlap", // N-fold KMV merges ≡ one-shot sketch
+    "phrase_retrieve",     // rarest-first anchor branches + (count, id) ranks
+    "contam_overlap_report" // integer fractions over broadcast gram hits
   )
 
   /** Collect to the driver and normalize — NO cache()/exceptAll here:

@@ -100,7 +100,10 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     val memoJson = memoBuilds.map { case (q, bs) =>
       "\"" + q + "\":" + bs.map { case (t, sec) =>
-        "\"" + t.replace("\\", "\\\\").replace("\"", "\\\"") + "\":" + f"$sec%.3f"
+        // Locale.ROOT: the f-interpolator uses the default locale, and
+        // a comma-decimal locale would corrupt the JSON artifact
+        "\"" + t.replace("\\", "\\\\").replace("\"", "\\\"") + "\":" +
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec))
       }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

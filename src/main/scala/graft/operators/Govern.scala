@@ -1362,13 +1362,21 @@ object Govern {
     val base = normed.join(groups, Seq("h"))
       .select($"doc_id", $"source",
         (($"cnt" > 1) && ($"doc_id" =!= $"keeper")).as("is_dup"))
-    val cont = decontaminate(spark, dir)
-      .select($"doc_id", lit(true).as("contaminated"))
+    // eager: the flagged-id set feeds the contaminated flag AND the
+    // source-verdict leg — the dir-based sourceQualityBlock would
+    // re-run the whole 4-gram decontaminate pass a second time
+    // (r15 review's catch; curationFreezeOf already shares it this way)
+    val contIds = decontaminate(spark, dir)
+      .select($"doc_id").localCheckpoint()
+    val cont = contIds.select($"doc_id", lit(true).as("contaminated"))
     val lowq = TextAnalysis.nbQualityClassify(spark, dir)
       .select($"doc_id", ($"pred" === "drop").as("low_quality"))
     val desel = TextAnalysis.dsirSelect(spark, dir)
       .select($"doc_id", (!$"selected").as("deselected"))
-    val blocked = sourceQualityBlock(spark, dir)
+    val blocked = sourceQualityBlockOf(
+      Tables.fanout(Tables.documents(spark, dir)
+        .select($"doc_id", $"text", $"source", $"n_chars"))
+        .filter($"doc_id" % BenchMod =!= 0), contIds)
       .select($"source", $"blocked".as("blocked_source"))
     base
       .join(cont, Seq("doc_id"), "left")

@@ -1026,6 +1026,16 @@ object TextAnalysis {
   private[graft] def nbScore(docs: DataFrame, model: DataFrame,
                              priors: DataFrame, dim: Int = 64): DataFrame = {
     import docs.sparkSession.implicits._
+    // DEGENERATE MODEL GUARD: a train split the teacher labeled all
+    // one way has no second class — the missing class's prior/weights
+    // vanish, the null coalesce below would make `pred` compare
+    // against NULL (classifying all-keep evidence as all-drop), and
+    // the oracle's cross join against the empty prior relation
+    // returns zero rows. Serve the oracle's answer: an un-trainable
+    // classifier classifies nothing (r15 review's catch, spec-pinned).
+    if (priors.select($"label").distinct().count() < 2)
+      return Seq.empty[(Long, Long, Long, String)]
+        .toDF("doc_id", "score_keep", "score_drop", "pred")
     val partSc = nbFeatures(docs, dim).join(broadcast(model), Seq("slot"))
       .groupBy($"doc_id", $"label").agg(sum($"x" * $"w").as("lsum"))
     val wide = partSc.join(broadcast(priors), Seq("label"))
@@ -1472,7 +1482,8 @@ object TextAnalysis {
        |  SELECT MIN(logw) AS eps FROM (
        |    SELECT logw FROM refw ORDER BY logw DESC
        |    LIMIT (SELECT CAST(floor($selectFrac * COUNT(*)) AS BIGINT) FROM refw)))
-       |SELECT w.doc_id, w.logw, e.eps, w.logw >= e.eps AS selected
+       |SELECT w.doc_id, w.logw, e.eps,
+       |       COALESCE(w.logw >= e.eps, FALSE) AS selected
        |FROM weighted w, eps e""".stripMargin
   }
 
@@ -1537,7 +1548,8 @@ object TextAnalysis {
        |  SELECT MIN(logw) AS eps FROM (
        |    SELECT logw FROM weighted ORDER BY logw DESC
        |    LIMIT (SELECT CAST(floor($selectFrac * COUNT(*)) AS BIGINT) FROM weighted)))
-       |SELECT w.doc_id, w.logw, e.eps, w.logw >= e.eps AS selected
+       |SELECT w.doc_id, w.logw, e.eps,
+       |       COALESCE(w.logw >= e.eps, FALSE) AS selected
        |FROM weighted w, eps e""".stripMargin
   }
 
@@ -2263,14 +2275,18 @@ object TextAnalysis {
     * checkpointed, so every consumer starts from the materialized
     * rows (the NearDup.Shared contract). */
   /** Degenerate-corpus probe for the serve entries' early-return
-    * guards: true iff no document carries a token — equivalent to
-    * `tfTableFor(...).isEmpty` (the tf table is empty exactly when no
-    * trimmed text is non-empty) but a LIMIT-1 scan of the docs frame,
-    * not a materialization of the memoized tf table (r14 verdict's
-    * note). */
+    * guards: true iff no document reaches [[bm25TfTable]]'s 3-token
+    * shingle floor — exactly when the tf table is empty (its filter
+    * is `size(toks) >= 3`), as a LIMIT-1 scan of the docs frame
+    * rather than a materialization of the memoized tf table (r14
+    * verdict's note). NOT the weaker "no non-empty text" check: a
+    * corpus of 1-2-token docs has text but no shingles, and serving
+    * it would write a postings store with zero partitions and crash
+    * the read-back on schema inference (r15 review's catch,
+    * spec-pinned in Bm25Spec). */
   private[graft] def corpusTokenFree(spark: SparkSession, dir: String): Boolean =
     Tables.documents(spark, dir)
-      .filter(length(trim(col("text"))) > 0).isEmpty
+      .filter(size(toks(col("text"))) >= 3).isEmpty
 
   private[graft] def tfTableFor(spark: SparkSession, dir: String): DataFrame =
     NearDup.Shared.memo(spark, s"bm25Tf:$dir") {

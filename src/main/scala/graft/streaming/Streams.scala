@@ -459,17 +459,13 @@ object Streams {
     * false positives); StreamingSpec drives real MemoryStream batches
     * splitting the re-crawl across batches and pins row parity +
     * zero false negatives. */
-  def streamBloomDedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val ND = graft.operators.NearDup
-    val base = Tables.fanout(graft.Tables.documents(spark, dir)
-      .select($"doc_id", lower(trim(regexp_replace($"text", "\\s+", " "))).as("norm")))
-    val filter = ND.bloomBuild(base)
-    val batch = base.select(($"doc_id" + ND.BigOffset).as("doc_id"), $"norm")
-      .unionAll(base.select(($"doc_id" + 2 * ND.BigOffset).as("doc_id"),
-        concat(lit("novel doc "), ($"doc_id" + 2 * ND.BigOffset).cast("string")).as("norm")))
-    ND.bloomTag(batch, filter)
-  }
+  def streamBloomDedup(spark: SparkSession, dir: String): DataFrame =
+    // the gate entry IS C1b's freeze + stateless tag (both entries
+    // share bloomDedupServeSql); what E25 ADDS over C1b — real
+    // MemoryStream micro-batches through the frozen filter — lives in
+    // StreamingSpec's foreachBatch drive. One body, not a copy that
+    // must track it (r15 review's catch).
+    graft.operators.NearDup.bloomDedupServe(spark, dir)
 
   /** E23 `stream_curation_audit` — the per-doc curation audit (F19)
     * applied AT INGEST: every filter stage's state freezes batch-side

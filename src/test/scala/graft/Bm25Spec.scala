@@ -587,6 +587,45 @@ class Bm25Spec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("serve guard: a corpus entirely under the 3-token shingle floor serves empty, never a schemaless-store crash") {
+    val s = spark
+    import s.implicits._
+    val TA = operators.TextAnalysis
+    // every doc has non-empty text but < 3 tokens: the tf table is
+    // empty (bm25TfTable's size >= 3 floor) while the old
+    // "any non-empty text" guard would NOT fire — serving then wrote
+    // a postings store with zero partitions and crashed read-back on
+    // schema inference
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shortdocs").toString
+    Seq((1L, "one two", "en", "srcA", 7L), (2L, "hi", "en", "srcB", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(TA.corpusTokenFree(spark, tmp),
+      "1-2-token docs are below the shingle floor: token-free for the serve paths")
+    assert(TA.bm25IndexServe(spark, tmp).count() == 0,
+      "short-doc corpus must serve the empty frame")
+    assert(TA.bm25StaleServe(spark, tmp).count() == 0)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    spark.catalog.clearCache()
+  }
+
+  test("nbScore: a single-class train split classifies nothing (the oracle's empty answer), never all-drop") {
+    val s = spark
+    import s.implicits._
+    val TA = operators.TextAnalysis
+    // every doc keep-labeled by the teacher: no drop prior exists, so
+    // pred would compare against NULL and flip all-keep evidence to
+    // all-drop while the oracle's cross join returns zero rows
+    val docs = (1L to 20L).map(i => (i, s"plain ordinary content piece $i"))
+      .toDF("doc_id", "text")
+    val (model, priors) = TA.nbTrain(docs, 64)
+    assert(priors.select($"label").distinct().count() == 1,
+      "corpus must actually be single-class for this probe")
+    assert(TA.nbScore(docs, model, priors, 64).count() == 0,
+      "an un-trainable classifier must classify nothing, matching the oracle")
+    spark.catalog.clearCache()
+  }
+
   test("phrase_retrieve: exact adjacency counts, order sensitivity, anchor-swap equality") {
     val s = spark
     import s.implicits._

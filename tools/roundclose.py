@@ -29,13 +29,78 @@ round, on a quiet machine. It:
 Exit code: 0 if run1/run2 agree structurally, else the trendcheck
 flag count.
 """
+import glob
 import json
 import os
+import re
 import shutil
 import subprocess
 import sys
 
 RATIO = 1.3
+
+ENTRY_FILE = "src/main/scala/graft/SparkEntry.scala"
+
+
+def _git(*args):
+    p = subprocess.run(["git"] + list(args), stdout=subprocess.PIPE,
+                       text=True)
+    return p.stdout if p.returncode == 0 else ""
+
+
+def _registry_chunks(src):
+    """Map registry key -> the text of its entry (up to the next key),
+    so multi-line entries attribute their continuation lines."""
+    keys = [(m.start(), m.group(1))
+            for m in re.finditer(r'"([a-z0-9_]+)"\s*->', src)]
+    chunks = {}
+    for i, (pos, key) in enumerate(keys):
+        end = keys[i + 1][0] if i + 1 < len(keys) else len(src)
+        chunks.setdefault(key, src[pos:end])
+    return chunks
+
+
+def build_change_map(n):
+    """query name -> True if its implementing code changed since the
+    r{n-1} close, False if provably unchanged, None if undeterminable.
+
+    'real plan cost' is only a legal verdict for a CHANGED query: an
+    unchanged operator whose cpu moved is ambient/JIT by definition
+    (the r15 q1_pricing/q3_shipping mislabel). Change sources checked:
+    the operator's implementing .scala files (object names referenced
+    on its registry line), its own SparkEntry registry chunk, and
+    graft.conf (shared tunables)."""
+    base = _git("log", "--format=%H", "-1", "--",
+                f"bench/r{n-1}_out_run2.json").strip()
+    if not base:
+        return {}
+    changed = set(_git("diff", "--name-only", base, "HEAD", "--",
+                       "src/main/scala").split())
+    conf_changed = bool(_git("diff", "--name-only", base, "HEAD", "--",
+                             "graft.conf").strip())
+    obj_file = {}
+    for path in glob.glob("src/main/scala/**/*.scala", recursive=True):
+        try:
+            txt = open(path).read()
+        except OSError:
+            continue
+        for m in re.finditer(r"\bobject\s+(\w+)", txt):
+            obj_file.setdefault(m.group(1), path)
+    cur_src = open(ENTRY_FILE).read()
+    old_src = _git("show", f"{base}:{ENTRY_FILE}")
+    cur_chunks = _registry_chunks(cur_src)
+    old_chunks = _registry_chunks(old_src) if old_src else {}
+    out = {}
+    for key, chunk in cur_chunks.items():
+        impls = {obj_file[o] for o in re.findall(r"\b([A-Z]\w*)\.", chunk)
+                 if o in obj_file}
+        if not impls:
+            out[key] = None
+            continue
+        out[key] = (conf_changed
+                    or bool(impls & changed)
+                    or old_chunks.get(key) != chunk)
+    return out
 
 
 def run_bench(env):
@@ -71,13 +136,18 @@ def load_metrics(path):
     return rows
 
 
-def adjudicate(name, prev, cur, prev_memo=None, cur_memo=None):
+def adjudicate(name, prev, cur, prev_memo=None, cur_memo=None,
+               code_changed=None):
     """One verdict line for a >1.3x wall move, from the task metrics.
 
     prev_memo/cur_memo: this query's memo-build map ({tag: sec}) from
     the rounds' bench_out artifacts — a wall/cpu move caused purely by
     which query first materialized a shared memo table must adjudicate
-    as OWNERSHIP, not plan cost (the r14 pagerank_pairs lesson)."""
+    as OWNERSHIP, not plan cost (the r14 pagerank_pairs lesson).
+    code_changed: git-diff verdict from build_change_map — an operator
+    whose implementing code did NOT change since the previous close can
+    never be 'real plan cost'; a cpu move on unchanged code is
+    ambient/JIT (the r15 q1_pricing/q3_shipping mislabel)."""
     wall = cur["wallSec"] / max(prev["wallSec"], 1e-9)
     cpu = cur["cpuSec"] / max(prev["cpuSec"], 1e-9)
     moved = []
@@ -107,7 +177,13 @@ def adjudicate(name, prev, cur, prev_memo=None, cur_memo=None):
         if memo_bits:
             verdict += " [memo: " + "; ".join(memo_bits) + "]"
     elif cpu_follows_wall:
-        verdict = f"real plan cost (cpu {prev['cpuSec']:.1f}->{cur['cpuSec']:.1f}s, structure flat)"
+        cpu_txt = f"cpu {prev['cpuSec']:.1f}->{cur['cpuSec']:.1f}s, structure flat"
+        if code_changed is False:
+            verdict = f"ambient/JIT ({cpu_txt}, code UNCHANGED since prev close)"
+        elif code_changed is None:
+            verdict = f"cpu moved, attribution unknown ({cpu_txt}; no git base/impl mapping)"
+        else:
+            verdict = f"real plan cost ({cpu_txt}, impl changed this round)"
     else:
         verdict = f"ambient load (cpu ratio {cpu:.2f} flat, structure flat)"
     return (f"- `{name}` wall {prev['wallSec']:.2f}s -> {cur['wallSec']:.2f}s "
@@ -161,14 +237,16 @@ def main():
                 return {}
         prev_mb = memo_map(f"bench/r{n-1}_out_run2.json")
         cur_mb = memo_map(f"bench/r{n}_out_run2.json")
+        change_map = build_change_map(n)
         lines += ["", f"Cross-round wall moves >{RATIO}x vs r{n-1} (adjudicated "
-                      "from task metrics + memo-build attribution):"]
+                      "from task metrics + memo-build attribution + git diff):"]
         moves = 0
         for name in sorted(set(prev) & set(cur)):
             w0, w1 = prev[name]["wallSec"], cur[name]["wallSec"]
             if max(w0, w1) > 0.5 and max(w0, w1) / max(min(w0, w1), 1e-9) > RATIO:
                 lines.append(adjudicate(name, prev[name], cur[name],
-                                        prev_mb.get(name), cur_mb.get(name)))
+                                        prev_mb.get(name), cur_mb.get(name),
+                                        change_map.get(name)))
                 moves += 1
         if not moves:
             lines.append("- none")

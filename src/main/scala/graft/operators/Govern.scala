@@ -200,8 +200,11 @@ object Govern {
     * fraction of each doc's n-grams shared with benchmarks and split
     * "dirty" from marginally-contaminated docs — a binary flag
     * over-drops a long doc quoting one benchmark line. Output per
-    * non-benchmark doc (INCLUDING zero-hit docs, which F3's inner join
-    * never emits): distinct-gram count, shared count, contam_ppm =
+    * non-benchmark doc WITH AT LEAST n TOKENS (shorter docs form no
+    * n-grams and are absent — there is nothing to grade them on;
+    * zero-HIT docs of sufficient length ARE emitted as `clean`, which
+    * F3's inner join never does): distinct-gram count, shared count,
+    * contam_ppm =
     * ⌊10⁶·shared div grams⌋ and a verdict — `clean` (0 hits), `dirty`
     * (shared ≥ half, integer cross-multiply), else `partial`.
     *

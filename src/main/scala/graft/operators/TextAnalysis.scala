@@ -1023,6 +1023,16 @@ object TextAnalysis {
     * score depends on the model and ITS OWN tokens alone, which is
     * what makes per-batch streaming scoring ≡ one-shot batch scoring
     * (StreamingSpec pins it). */
+  /** Per-frozen-model cache of the two-class check below: the answer
+    * is fixed once the model is trained, but the check is an eager
+    * Spark action — without the memo every nbScore call (including
+    * each E19 micro-batch against the SAME frozen priors) pays two
+    * extra jobs. Weak identity keys: a priors frame is a stable
+    * localCheckpoint'ed object for its model's lifetime. */
+  private val nbTwoClass =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, java.lang.Boolean]())
+
   private[graft] def nbScore(docs: DataFrame, model: DataFrame,
                              priors: DataFrame, dim: Int = 64): DataFrame = {
     import docs.sparkSession.implicits._
@@ -1033,7 +1043,15 @@ object TextAnalysis {
     // the oracle's cross join against the empty prior relation
     // returns zero rows. Serve the oracle's answer: an un-trainable
     // classifier classifies nothing (r15 review's catch, spec-pinned).
-    if (priors.select($"label").distinct().count() < 2)
+    // get/put, not computeIfAbsent: never hold the map monitor across
+    // a Spark action (a racing duplicate count is harmless)
+    val twoClass = Option(nbTwoClass.get(priors)).map(_.booleanValue())
+      .getOrElse {
+        val v = priors.select($"label").distinct().count() >= 2
+        nbTwoClass.put(priors, v)
+        v
+      }
+    if (!twoClass)
       return Seq.empty[(Long, Long, Long, String)]
         .toDF("doc_id", "score_keep", "score_drop", "pred")
     val partSc = nbFeatures(docs, dim).join(broadcast(model), Seq("slot"))
@@ -4071,8 +4089,12 @@ object TextAnalysis {
       .join(fwd, Seq("w1"), "left")
       .join(bwd, Seq("w2"), "left").na.fill(0L, Seq("nb"))
       .crossJoin(broadcast(scal))
+      // guard on n1 == 0 (not just n1 + 2n2 == 0): with n1 = 0 but
+      // n2 > 0 the estimate gives d = 0, and an UNSEEN bigram under a
+      // seen context then scores p = (max(0-0,0) + 0·nf·pc)/c1 = 0 —
+      // log2(0) on exactly the backoff leg this serve exists for
       .withColumn("d",
-        when($"n1" + lit(2L) * $"n2" === 0L, lit(0.5))
+        when($"n1" === 0L, lit(0.5))
           .otherwise($"n1".cast("double") / ($"n1" + lit(2L) * $"n2").cast("double")))
       // greatest(…, 1): an EMPTY frozen LM (no prefix docs at all)
       // must serve uniform-floor bits, not an ANSI 0/0
@@ -4112,7 +4134,7 @@ object TextAnalysis {
       |              ELSE (greatest(CAST(COALESCE(c.cb, 0) AS DOUBLE) - d, 0.0)
       |                    + d * CAST(f.nf AS DOUBLE) * pc) / CAST(f.c1 AS DOUBLE) END AS p
       |  FROM (SELECT bg.*,
-      |               CASE WHEN s.n1 + 2 * s.n2 = 0 THEN 0.5
+      |               CASE WHEN s.n1 = 0 THEN 0.5
       |                    ELSE CAST(s.n1 AS DOUBLE) / CAST(s.n1 + 2 * s.n2 AS DOUBLE) END AS d,
       |               (COALESCE(b.nb, 0) + 1.0) / CAST(greatest(s.btypes + s.ctypes, 1) AS DOUBLE) AS pc
       |        FROM bg

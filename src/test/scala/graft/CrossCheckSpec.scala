@@ -285,4 +285,32 @@ class CrossCheckSpec extends AnyFunSuite {
         s"doc $id: engine ${out(id)} vs driver $bits")
     }
   }
+
+  test("kn_stale_serve: zero-singleton LM (n1=0, n2>0) takes the D=0.5 default, never log2(0)") {
+    val s = spark
+    import s.implicits._
+    // frozen LM with NO singleton bigram types but a doubleton:
+    // "a b a b a b" -> (a,b)×3, (b,a)×2 => n1 = 0, n2 = 1. The raw
+    // estimate D = n1/(n1+2n2) = 0 would zero the backoff mass, and
+    // an UNSEEN bigram under a seen context ((a,c): c(a,c)=0,
+    // c(a·)=3) would score p = (max(0-0,0) + 0·nf·pc)/3 = 0 —
+    // log2(0). The guard must widen to n1 == 0, not just n1+2n2 == 0.
+    val ref = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val grown = Seq((7L, "a c")).toDF("doc_id", "text")
+    val out = operators.TextAnalysis.knStaleServeOf(ref.unionAll(grown), ref)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(out.size == 2, s"both docs must score: $out")
+    val byId = out.map(r => r._1 -> r).toMap
+    // the unseen-bigram doc keeps its bigram in the count AND scores
+    // finite bits (the old d=0 path either dropped it from the sum
+    // while n_bigrams still counted it, or errored)
+    assert(byId(7L)._2 == 1L, "one bigram in 'a c'")
+    assert(!byId(7L)._3.isNaN && !byId(7L)._3.isInfinite,
+      s"backoff bits must be finite: ${byId(7L)._3}")
+    // driver parity with D = 0.5: p(c|a) = 0.5·nf(a)·pc(c)/c(a·)
+    // where nf(a)=1, pc(c)=(0+1)/(btypes+ctypes)=(0+1)/(2+2), c(a·)=3
+    val expect = -math.log(0.5 * 1.0 * (1.0 / 4.0) / 3.0) / math.log(2.0)
+    assert(math.abs(byId(7L)._3 - expect) < 1e-5,
+      s"engine ${byId(7L)._3} vs driver $expect")
+  }
 }

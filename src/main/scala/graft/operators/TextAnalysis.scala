@@ -4149,6 +4149,286 @@ object TextAnalysis {
       |       round(pow(2.0, bits_per_bigram), 4) AS kn_ppl
       |FROM scored""".stripMargin
 
+  /** Adjacent-triple stream of a (doc_id, text) frame — the trigram
+    * extraction shared by the C21g/C21h interpolated-KN family. */
+  private def trigramStream(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.withColumn("w", toks($"text"))
+      .filter(size($"w") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(w)-3), i -> named_struct('w1', w[i], 'w2', w[i+1], 'w3', w[i+2]))")).as("g"))
+      .select($"doc_id", $"g.w1".as("w1"), $"g.w2".as("w2"), $"g.w3".as("w3"))
+  }
+
+  /** The type-bounded table set of the interpolated trigram KN LM —
+    * every frame is bounded by vocabulary TYPES, never corpus size,
+    * so the model broadcasts at any scale (the C21e/C21f posture one
+    * order up):
+    *   ct   (w1,w2,w3,c3)   trigram token counts
+    *   fwd2 (w1,w2,c12,nf12) context totals + N₁₊(w₁w₂·)
+    *   mid  (w2,w3,cc)      continuation counts N₁₊(·w₂w₃) — the
+    *                        Kneser–Ney substitution: the MIDDLE level
+    *                        counts distinct preceding contexts, not
+    *                        raw frequency
+    *   midfwd (w2,ccs,nfm)  mid-level totals + N₁₊(w₂·)
+    *   low  (w3,nl)         N₁₊(·w₃) over mid types
+    *   scal                 discount stats n1/n2 at BOTH levels +
+    *                        type totals (one broadcast row). */
+  private def knTrigramTables(tg: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import tg.sparkSession.implicits._
+    val ct = tg.groupBy($"w1", $"w2", $"w3")
+      .agg(count(lit(1)).as("c3")).localCheckpoint()
+    val fwd2 = ct.groupBy($"w1", $"w2")
+      .agg(sum($"c3").as("c12"), count(lit(1)).as("nf12")).localCheckpoint()
+    val mid = ct.groupBy($"w2", $"w3").agg(count(lit(1)).as("cc")).localCheckpoint()
+    val midfwd = mid.groupBy($"w2")
+      .agg(sum($"cc").as("ccs"), count(lit(1)).as("nfm")).localCheckpoint()
+    val low = mid.groupBy($"w3").agg(count(lit(1)).as("nl")).localCheckpoint()
+    val scal = ct.agg(
+        coalesce(sum(when($"c3" === 1, 1L).otherwise(0L)), lit(0L)).as("n1t"),
+        coalesce(sum(when($"c3" === 2, 1L).otherwise(0L)), lit(0L)).as("n2t"))
+      .crossJoin(mid.agg(count(lit(1)).as("mtypes"),
+        coalesce(sum(when($"cc" === 1, 1L).otherwise(0L)), lit(0L)).as("n1m"),
+        coalesce(sum(when($"cc" === 2, 1L).otherwise(0L)), lit(0L)).as("n2m")))
+      .crossJoin(low.agg(count(lit(1)).as("ltypes")))
+      .localCheckpoint()
+    (ct, fwd2, mid, midfwd, low, scal)
+  }
+
+  /** C21g `kn_trigram_score` — interpolated TRIGRAM Kneser–Ney
+    * (Chen & Goodman 1999 §3; the order production CCNet's 5-gram
+    * KenLM actually recurses through), self-trained like C21e. Unlike
+    * the bigram LM, the backoff here is RECURSIVE: the trigram
+    * estimate interpolates a discounted direct count with the
+    * mid-level model, which itself interpolates CONTINUATION counts
+    * (N₁₊(·w₂w₃), distinct preceding contexts — the KN substitution)
+    * with the lowest-level continuation distribution. Even
+    * self-trained, every scored trigram pays all three levels — the
+    * interpolation mass D·N₁₊/c is always present — so the recursion
+    * arithmetic is exercised on every row, and the spec pins it
+    * against a driver re-derivation.
+    *
+    * ENGINE-EXACT: integer type/count tables, both discounts from
+    * the published n₁/(n₁+2n₂) estimate (n₁ = 0 ⇒ the classic 0.5
+    * default — the closed-vocabulary guard C21e/f needed), one
+    * left-associated IEEE chain per level, 6dp-after-mean rounding.
+    *
+    * Scale: one trigram explode (linear), five type-bounded count
+    * aggregates, one broadcast scalar row; scoring is the linear
+    * stream joined against vocabulary-sized tables — nothing grows
+    * with corpus size but the stream itself. */
+  def knTrigramScore(spark: SparkSession, dir: String): DataFrame =
+    knTrigramOf(Tables.fanout(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))))
+
+  /** Frame-based core of C21g (docs = (doc_id, text)). */
+  private[graft] def knTrigramOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    // eager (materialization contract): tg feeds the LM aggregates
+    // AND the scoring probe — lazy, every consumer re-runs the
+    // tokenize+explode concurrently
+    val tg = trigramStream(docs).localCheckpoint()
+    val (ct, fwd2, mid, midfwd, low, scal) = knTrigramTables(tg)
+    tg.join(ct, Seq("w1", "w2", "w3"))
+      .join(fwd2, Seq("w1", "w2"))
+      .join(mid, Seq("w2", "w3"))
+      .join(midfwd, Seq("w2"))
+      .join(low, Seq("w3"))
+      .crossJoin(broadcast(scal))
+      .withColumn("d3",
+        when($"n1t" === 0L, lit(0.5))
+          .otherwise($"n1t".cast("double") / ($"n1t" + lit(2L) * $"n2t").cast("double")))
+      .withColumn("d2",
+        when($"n1m" === 0L, lit(0.5))
+          .otherwise($"n1m".cast("double") / ($"n1m" + lit(2L) * $"n2m").cast("double")))
+      // level 1 (unigram continuation), level 2 (bigram continuation),
+      // level 3 (trigram direct) — each level's backoff mass
+      // D·N₁₊·P_lower is live on every row: interpolated KN
+      .withColumn("pl", $"nl".cast("double") / $"mtypes".cast("double"))
+      .withColumn("pm",
+        (greatest($"cc".cast("double") - $"d2", lit(0.0))
+          + $"d2" * $"nfm".cast("double") * $"pl") / $"ccs".cast("double"))
+      .withColumn("p",
+        (greatest($"c3".cast("double") - $"d3", lit(0.0))
+          + $"d3" * $"nf12".cast("double") * $"pm") / $"c12".cast("double"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(-sum(log2($"p")) / count(lit(1)), 6).as("bits_per_trigram"))
+      .withColumn("kn3_ppl", round(pow(lit(2.0), $"bits_per_trigram"), 4))
+  }
+
+  /** C21g oracle: identical three-level interpolated-KN arithmetic in
+    * DuckDB — same integer tables, same IEEE chains per level, same
+    * 6dp-after-mean rounding. LEFT-join chain even though self-trained
+    * rows all match (values identical): an INNER chain here lets
+    * DuckDB 1.0's join-order optimizer reorder around the inlined
+    * scalar-subquery relations of `scal`, which explodes to 100+ GB
+    * (measured); LEFT joins pin the tg-driven order. */
+  val knTrigramScoreSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |tg AS (
+      |  SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2, w[i+3] AS w3
+      |  FROM docs, unnest(generate_series(0, len(w) - 3)) AS t(i)
+      |  WHERE len(w) >= 3),
+      |ct AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tg GROUP BY 1, 2, 3),
+      |fwd2 AS (SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c12, COUNT(*) AS nf12
+      |         FROM ct GROUP BY 1, 2),
+      |mid AS (SELECT w2, w3, COUNT(*) AS cc FROM ct GROUP BY 1, 2),
+      |midfwd AS (SELECT w2, CAST(SUM(cc) AS BIGINT) AS ccs, COUNT(*) AS nfm
+      |           FROM mid GROUP BY 1),
+      |low AS (SELECT w3, COUNT(*) AS nl FROM mid GROUP BY 1),
+      |scal AS (SELECT
+      |  (SELECT CAST(COALESCE(SUM(CASE WHEN c3 = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM ct) AS n1t,
+      |  (SELECT CAST(COALESCE(SUM(CASE WHEN c3 = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM ct) AS n2t,
+      |  (SELECT COUNT(*) FROM mid) AS mtypes,
+      |  (SELECT CAST(COALESCE(SUM(CASE WHEN cc = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM mid) AS n1m,
+      |  (SELECT CAST(COALESCE(SUM(CASE WHEN cc = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM mid) AS n2m),
+      |pr AS (
+      |  SELECT doc_id,
+      |         (greatest(CAST(c3 AS DOUBLE) - d3, 0.0)
+      |          + d3 * CAST(nf12 AS DOUBLE) * pm) / CAST(c12 AS DOUBLE) AS p
+      |  FROM (SELECT tg.doc_id, c.c3, f.c12, f.nf12, tg.d3,
+      |               (greatest(CAST(m.cc AS DOUBLE) - tg.d2, 0.0)
+      |                + tg.d2 * CAST(mf.nfm AS DOUBLE) * tg.pl)
+      |                 / CAST(mf.ccs AS DOUBLE) AS pm
+      |        FROM (SELECT tg.*, d3, d2,
+      |                     CAST(l.nl AS DOUBLE) / CAST(s.mtypes AS DOUBLE) AS pl
+      |              FROM tg
+      |              LEFT JOIN low l USING (w3)
+      |              CROSS JOIN (SELECT *,
+      |                  CASE WHEN n1t = 0 THEN 0.5
+      |                       ELSE CAST(n1t AS DOUBLE) / CAST(n1t + 2 * n2t AS DOUBLE) END AS d3,
+      |                  CASE WHEN n1m = 0 THEN 0.5
+      |                       ELSE CAST(n1m AS DOUBLE) / CAST(n1m + 2 * n2m AS DOUBLE) END AS d2
+      |                FROM scal) s) tg
+      |        LEFT JOIN ct c USING (w1, w2, w3)
+      |        LEFT JOIN fwd2 f USING (w1, w2)
+      |        LEFT JOIN mid m USING (w2, w3)
+      |        LEFT JOIN midfwd mf USING (w2))),
+      |scored AS (
+      |  SELECT doc_id, COUNT(*) AS n_trigrams,
+      |         round(-SUM(log2(p)) / COUNT(*), 6) AS bits_per_trigram
+      |  FROM pr GROUP BY doc_id)
+      |SELECT doc_id, n_trigrams, bits_per_trigram,
+      |       round(pow(2.0, bits_per_trigram), 4) AS kn3_ppl
+      |FROM scored""".stripMargin
+
+  /** C21h `kn_trigram_stale_serve` — the trigram LM's staleness
+    * drill: the model freezes on the 70% id-mod prefix, the corpus
+    * grows to 100%, and all docs score against the frozen tables.
+    * This is where the RECURSION earns its keep — a trigram can now
+    * miss at any level, and each miss backs off exactly one rung:
+    *   - unseen trigram, seen context w₁w₂: pays the discounted-zero
+    *     direct term and the interpolation mass D₃·N₁₊(w₁w₂·)·P(w₃|w₂);
+    *   - unseen context w₁w₂: P = P(w₃|w₂) — the full mid-level model;
+    *   - unseen mid context w₂: P = P'cont(w₃);
+    *   - unseen w₃: Laplace floor over continuation types — nothing
+    *     scores −∞.
+    * Oracle refits the prefix LM independently; hash-equal on bits
+    * and ppl for every doc, stale and new alike. */
+  def knTrigramStaleServe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docsAll = Tables.fanout(Tables.documents(spark, dir)
+      .select($"doc_id", $"text"))
+    knTrigramStaleServeOf(docsAll, docsAll.filter($"doc_id" % 10 < 7))
+  }
+
+  /** Frame-based core of C21h: score `docs` against the trigram LM
+    * trained on `ref` (the frozen nightly tables). */
+  private[graft] def knTrigramStaleServeOf(docs: DataFrame, ref: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val (ct, fwd2, mid, midfwd, low, scal) = knTrigramTables(trigramStream(ref))
+    trigramStream(docs)
+      .join(ct, Seq("w1", "w2", "w3"), "left").na.fill(0L, Seq("c3"))
+      .join(fwd2, Seq("w1", "w2"), "left")
+      .join(mid, Seq("w2", "w3"), "left").na.fill(0L, Seq("cc"))
+      .join(midfwd, Seq("w2"), "left")
+      .join(low, Seq("w3"), "left").na.fill(0L, Seq("nl"))
+      .crossJoin(broadcast(scal))
+      // n1 == 0 guard at BOTH levels (today's C21f lesson: d = 0
+      // makes an unseen type under a seen context score log2(0))
+      .withColumn("d3",
+        when($"n1t" === 0L, lit(0.5))
+          .otherwise($"n1t".cast("double") / ($"n1t" + lit(2L) * $"n2t").cast("double")))
+      .withColumn("d2",
+        when($"n1m" === 0L, lit(0.5))
+          .otherwise($"n1m".cast("double") / ($"n1m" + lit(2L) * $"n2m").cast("double")))
+      // greatest(…, 1): an EMPTY frozen LM serves uniform-floor bits
+      .withColumn("pl", ($"nl" + lit(1.0))
+        / greatest($"mtypes" + $"ltypes", lit(1L)).cast("double"))
+      .withColumn("pm",
+        when($"ccs".isNull, $"pl")
+          .otherwise((greatest($"cc".cast("double") - $"d2", lit(0.0))
+            + $"d2" * $"nfm".cast("double") * $"pl") / $"ccs".cast("double")))
+      .withColumn("p",
+        when($"c12".isNull, $"pm")
+          .otherwise((greatest($"c3".cast("double") - $"d3", lit(0.0))
+            + $"d3" * $"nf12".cast("double") * $"pm") / $"c12".cast("double")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(-sum(log2($"p")) / count(lit(1)), 6).as("bits_per_trigram"))
+      .withColumn("kn3_ppl", round(pow(lit(2.0), $"bits_per_trigram"), 4))
+  }
+
+  /** C21h oracle: the prefix trigram LM refit + the identical
+    * three-level backoff CASE chain in DuckDB. */
+  val knTrigramStaleServeSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |tg AS (
+      |  SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2, w[i+3] AS w3
+      |  FROM docs, unnest(generate_series(0, len(w) - 3)) AS t(i)
+      |  WHERE len(w) >= 3),
+      |ct AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tg
+      |       WHERE doc_id % 10 < 7 GROUP BY 1, 2, 3),
+      |fwd2 AS (SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c12, COUNT(*) AS nf12
+      |         FROM ct GROUP BY 1, 2),
+      |mid AS (SELECT w2, w3, COUNT(*) AS cc FROM ct GROUP BY 1, 2),
+      |midfwd AS (SELECT w2, CAST(SUM(cc) AS BIGINT) AS ccs, COUNT(*) AS nfm
+      |           FROM mid GROUP BY 1),
+      |low AS (SELECT w3, COUNT(*) AS nl FROM mid GROUP BY 1),
+      |scal AS (SELECT
+      |  (SELECT CAST(COALESCE(SUM(CASE WHEN c3 = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM ct) AS n1t,
+      |  (SELECT CAST(COALESCE(SUM(CASE WHEN c3 = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM ct) AS n2t,
+      |  (SELECT COUNT(*) FROM mid) AS mtypes,
+      |  (SELECT CAST(COALESCE(SUM(CASE WHEN cc = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM mid) AS n1m,
+      |  (SELECT CAST(COALESCE(SUM(CASE WHEN cc = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM mid) AS n2m,
+      |  (SELECT COUNT(*) FROM low) AS ltypes),
+      |pr AS (
+      |  SELECT doc_id,
+      |         CASE WHEN c12 IS NULL THEN pm
+      |              ELSE (greatest(CAST(COALESCE(c3, 0) AS DOUBLE) - d3, 0.0)
+      |                    + d3 * CAST(nf12 AS DOUBLE) * pm) / CAST(c12 AS DOUBLE) END AS p
+      |  FROM (SELECT tg.doc_id, c.c3, f.c12, f.nf12, d3,
+      |               CASE WHEN mf.ccs IS NULL THEN pl
+      |                    ELSE (greatest(CAST(COALESCE(m.cc, 0) AS DOUBLE) - d2, 0.0)
+      |                          + d2 * CAST(mf.nfm AS DOUBLE) * pl) / CAST(mf.ccs AS DOUBLE) END AS pm
+      |        FROM (SELECT tg.*, d3, d2,
+      |                     (COALESCE(l.nl, 0) + 1.0)
+      |                       / CAST(greatest(s.mtypes + s.ltypes, 1) AS DOUBLE) AS pl
+      |              FROM tg
+      |              LEFT JOIN low l USING (w3)
+      |              CROSS JOIN (SELECT *,
+      |                  CASE WHEN n1t = 0 THEN 0.5
+      |                       ELSE CAST(n1t AS DOUBLE) / CAST(n1t + 2 * n2t AS DOUBLE) END AS d3,
+      |                  CASE WHEN n1m = 0 THEN 0.5
+      |                       ELSE CAST(n1m AS DOUBLE) / CAST(n1m + 2 * n2m AS DOUBLE) END AS d2
+      |                FROM scal) s) tg
+      |        LEFT JOIN ct c USING (w1, w2, w3)
+      |        LEFT JOIN fwd2 f USING (w1, w2)
+      |        LEFT JOIN mid m USING (w2, w3)
+      |        LEFT JOIN midfwd mf USING (w2))),
+      |scored AS (
+      |  SELECT doc_id, COUNT(*) AS n_trigrams,
+      |         round(-SUM(log2(p)) / COUNT(*), 6) AS bits_per_trigram
+      |  FROM pr GROUP BY doc_id)
+      |SELECT doc_id, n_trigrams, bits_per_trigram,
+      |       round(pow(2.0, bits_per_trigram), 4) AS kn3_ppl
+      |FROM scored""".stripMargin
+
   /** C21b `ccnet_buckets` — CCNet's head/middle/tail split (Wenzek et
     * al., LREC 2020): per LANGUAGE, rank documents by LM perplexity
     * and cut the corpus into equal thirds — `head` (most fluent, kept

@@ -313,4 +313,123 @@ class CrossCheckSpec extends AnyFunSuite {
     assert(math.abs(byId(7L)._3 - expect) < 1e-5,
       s"engine ${byId(7L)._3} vs driver $expect")
   }
+
+  /** Driver-side interpolated trigram KN over a token corpus: returns
+    * (tables, p) where p(w1,w2,w3) is the three-level estimate with
+    * the stale-serve backoff legs (pure continuation on unseen
+    * contexts, Laplace floor on unseen words). laplace=false gives
+    * the self-trained form (pl = nl/mtypes, no floor). */
+  private def driverKn3(refDocs: Seq[String], laplace: Boolean)
+  : (String, String, String) => Double = {
+    val tgs = refDocs.flatMap(_.trim.split("\\s+").sliding(3)
+      .filter(_.length == 3).map(a => (a(0), a(1), a(2))))
+    val ct = tgs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c12 = ct.groupBy { case ((w1, w2, _), _) => (w1, w2) }
+      .map { case (k, v) => k -> v.values.sum }
+    val nf12 = ct.groupBy { case ((w1, w2, _), _) => (w1, w2) }
+      .map { case (k, v) => k -> v.size.toLong }
+    val cc = ct.keys.toSeq.groupBy(k => (k._2, k._3)).map { case (k, v) => k -> v.size.toLong }
+    val ccs = cc.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    val nfm = cc.groupBy(_._1._1).map { case (k, v) => k -> v.size.toLong }
+    val nl = cc.keys.toSeq.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val mtypes = cc.size.toLong
+    val ltypes = nl.size.toLong
+    val n1t = ct.values.count(_ == 1L).toLong
+    val n2t = ct.values.count(_ == 2L).toLong
+    val n1m = cc.values.count(_ == 1L).toLong
+    val n2m = cc.values.count(_ == 2L).toLong
+    val d3 = if (n1t == 0) 0.5 else n1t.toDouble / (n1t + 2 * n2t).toDouble
+    val d2 = if (n1m == 0) 0.5 else n1m.toDouble / (n1m + 2 * n2m).toDouble
+    def pl(w3: String): Double =
+      if (laplace) (nl.getOrElse(w3, 0L) + 1.0) / math.max(mtypes + ltypes, 1L).toDouble
+      else nl.getOrElse(w3, 0L).toDouble / mtypes.toDouble
+    def pm(w2: String, w3: String): Double = ccs.get(w2) match {
+      case None => pl(w3)
+      case Some(cs) =>
+        (math.max(cc.getOrElse((w2, w3), 0L).toDouble - d2, 0.0)
+          + d2 * nfm(w2).toDouble * pl(w3)) / cs.toDouble
+    }
+    (w1: String, w2: String, w3: String) => c12.get((w1, w2)) match {
+      case None => pm(w2, w3)
+      case Some(c) =>
+        (math.max(ct.getOrElse((w1, w2, w3), 0L).toDouble - d3, 0.0)
+          + d3 * nf12((w1, w2)).toDouble * pm(w2, w3)) / c.toDouble
+    }
+  }
+
+  test("kn_trigram_score: driver re-derivation of the three-level recursion; proper normalization") {
+    val s = spark
+    import s.implicits._
+    val sentence = "the quick brown fox jumps over the lazy dog"
+    val other = "the lazy dog sleeps under the quick fox"
+    val docs = ((1 to 10).map(i => (i.toLong, sentence)) ++
+      (11 to 15).map(i => (i.toLong, other))).toDF("doc_id", "text")
+    val out = operators.TextAnalysis.knTrigramOf(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.size == 15 &&
+      out.values.forall(v => !v._2.isNaN && !v._2.isInfinite))
+    assert(out(1L)._1 == 7L, "9 tokens -> 7 trigrams")
+
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+    val p = driverKn3(texts.map(_._2).toSeq, laplace = false)
+    for ((id, txt) <- Seq(texts.head, texts.last)) {
+      val doc = txt.trim.split("\\s+").sliding(3).map(a => (a(0), a(1), a(2))).toSeq
+      val bits = -doc.map(g => math.log(p(g._1, g._2, g._3)) / math.log(2.0)).sum / doc.size
+      assert(math.abs(bits - out(id)._2) < 1e-5,
+        s"doc $id: engine ${out(id)._2} vs driver $bits")
+    }
+
+    // interpolated KN's defining invariant, one order up: for every
+    // SEEN context (w1,w2), Σ_w3 P(w3|w1,w2) over the vocabulary = 1
+    val vocab = (sentence + " " + other).split("\\s+").distinct.toSeq
+    val contexts = (sentence.split("\\s+").sliding(2) ++ other.split("\\s+").sliding(2))
+      .map(a => (a(0), a(1))).toSeq.distinct
+    for ((w1, w2) <- contexts) {
+      val mass = vocab.map(w3 => p(w1, w2, w3)).sum
+      assert(math.abs(mass - 1.0) < 1e-9,
+        s"sum_w3 P(w3|$w1,$w2) = $mass, must be 1 (recursive KN normalization)")
+    }
+  }
+
+  test("kn_trigram_stale_serve: each recursion rung backs off exactly one level; driver parity") {
+    val s = spark
+    import s.implicits._
+    // frozen LM: enough structure that every serve leg is reachable
+    val refTexts = Seq(
+      "a b c a b c a b c",   // (a,b,c) seen trigram
+      "x b c x b c",         // second context for (b,c): cc(b,c)=2
+      "a b d",               // (a,b) context has two continuations
+      "q r s q r s")
+    val ref = refTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val grown = Seq(
+      (107L, "a b c"),   // fully seen trigram: discounted direct leg
+      (117L, "z b c"),   // unseen context (z,b): mid-level model P(c|b)
+      (127L, "z z c"),   // unseen mid context z: pure continuation P'cont(c)
+      (137L, "z z z"),   // fully unseen word: Laplace floor
+      (147L, "a b s")    // seen context (a,b), unseen trigram: backoff mass
+    ).toDF("doc_id", "text")
+    val out = operators.TextAnalysis.knTrigramStaleServeOf(ref.unionAll(grown), ref)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.size == 9, s"all 9 docs scored: ${out.keySet}")
+    assert(out.values.forall(b => !b.isNaN && !b.isInfinite),
+      s"every leg finite: $out")
+    // ordering: direct beats backoff-mass beats mid-model beats
+    // continuation beats the Laplace floor on this corpus
+    assert(out(107L) < out(147L),
+      s"seen trigram ${out(107L)} must beat backoff mass ${out(147L)}")
+    assert(out(117L) < out(137L),
+      s"mid-level ${out(117L)} must beat fully-unseen ${out(137L)}")
+    assert(out(127L) < out(137L),
+      s"continuation ${out(127L)} must beat fully-unseen ${out(137L)}")
+
+    val p = driverKn3(refTexts, laplace = true)
+    for ((id, txt) <- Seq((107L, "a b c"), (117L, "z b c"), (127L, "z z c"),
+      (137L, "z z z"), (147L, "a b s"))) {
+      val doc = txt.split(" ").sliding(3).map(a => (a(0), a(1), a(2))).toSeq
+      val bits = -doc.map(g => math.log(p(g._1, g._2, g._3)) / math.log(2.0)).sum / doc.size
+      assert(math.abs(bits - out(id)) < 1e-5,
+        s"doc $id: engine ${out(id)} vs driver $bits")
+    }
+  }
 }

@@ -271,6 +271,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // kn_bigram_score / kn_stale_serve: perplexity_score's posture —
       // the 1-row (btypes, n1, n2[, ctypes]) LM-scalar broadcast cross
       "kn_bigram_score", "kn_stale_serve",
+      // the trigram family's 1-row discount/type-total scalar cross —
+      // same class, one LM order up
+      "kn_trigram_score", "kn_trigram_stale_serve",
       // lsh_diversity_sample: mixture_allocate's posture — the 1-row
       // Σ√size and leftover-seat scalars over the ≤2^bits cell table
       "lsh_diversity_sample",
@@ -320,6 +323,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // kn_bigram_score / kn_stale_serve: the 1-row LM-scalar combine —
       // perplexity_score's declared class
       "kn_bigram_score", "kn_stale_serve",
+      // the trigram family's 1-row LM-scalar combines (both discount
+      // levels + type totals) — same declared class
+      "kn_trigram_score", "kn_trigram_stale_serve",
       // lsh_diversity_sample: the 1-row Σ√size and leftover scalars —
       // mixture_allocate's declared class
       "lsh_diversity_sample")

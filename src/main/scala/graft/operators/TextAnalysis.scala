@@ -540,6 +540,135 @@ object TextAnalysis {
       |WHERE $docPred
       |GROUP BY 1, 2""".stripMargin
 
+  // ---- C35/E28: HTML/markup → text extraction ----------------------
+  //
+  // Every C-block filter assumes clean text; the reference gets it
+  // from an API (reference arxiv_etl.py:84-86 strips only control
+  // chars), but the corpus the LLM-pipeline surface targets is
+  // CRAWLED MARKUP. Tag stripping, entity decode, script/style/
+  // comment removal and block segmentation are the stage BEFORE
+  // boilerplate_strip (C30d) and gopher_rules (C9b) — RefinedWeb §3.1
+  // runs exactly this before any quality rule fires.
+
+  /** The planted markup corpus: the synthetic documents are clean
+    * text, so the gate corpus wraps each one in deterministic HTML —
+    * head/title, a script block whose BODY contains raw '<' and '&&'
+    * (must not leak into text), a style block, an entity-encoded
+    * heading, the text split across two <p> blocks with
+    * entity-encoded tails, and a comment hiding markup. Built
+    * identically in the oracle, so extraction gates byte-exact. */
+  private[graft] def htmlCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    htmlWrap(Tables.documents(spark, dir).select($"doc_id", $"text"))
+  }
+
+  /** Frame-based corpus builder ((doc_id, text) → (doc_id, html)). */
+  private[graft] def htmlWrap(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.withColumn("w", toks($"text"))
+      .withColumn("h", expr("size(w) div 2"))
+      .select($"doc_id", concat(
+        lit("<html><head><title>Doc "), $"doc_id".cast("string"), lit("</title>"),
+        lit("<script type=\"text/javascript\">if (a < b && c > 1) { track(\"x\"); }</script>"),
+        lit("<style>.nav { display: none; }</style></head><body>"),
+        lit("<h1>Title &amp; sect "), $"doc_id".cast("string"), lit("</h1><p>"),
+        concat_ws(" ", expr("slice(w, 1, h)")), lit(" &lt;em&gt; tail</p>"),
+        lit("<!-- comment <p>hidden</p> --><p>"),
+        concat_ws(" ", expr("slice(w, h+1, size(w)-h)")),
+        lit(" &quot;quoted&quot;&nbsp;end</p></body></html>")).as("html"))
+  }
+
+  /** C35 `html_extract` — markup → text extraction with block
+    * segmentation. Pipeline (order matters, and the oracle mirrors
+    * it step for step):
+    *   1. drop script/style/comment blocks WHOLE (their bodies
+    *      contain raw '<' that a naive tag strip would mangle);
+    *   2. replace block-level tags (p, h1-h4, br, div, li, ul, ol,
+    *      tr, table) with newlines — the block boundaries;
+    *   3. strip every remaining tag;
+    *   4. decode the fixed entity set (&lt; &gt; &quot; &nbsp;
+    *      &amp; — ampersand LAST, the standard order that never
+    *      double-decodes), so entity-ENCODED markup stays text;
+    *   5. split on newlines, collapse intra-block whitespace, drop
+    *      empty blocks, number the survivors per doc.
+    * Output (doc_id, block_id, block_text) — one row per retained
+    * block, byte-exact vs the oracle.
+    *
+    * Scale: pure per-row regex projection (codegen'd) + one explode +
+    * a PER-DOC window — no shuffle wider than the doc key, no state;
+    * at 100 TB this is an embarrassingly parallel scan stage. */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame =
+    htmlExtractOf(Tables.fanout(htmlCorpus(spark, dir)))
+
+  /** Frame-based core of C35 (pages = (doc_id, html)). */
+  private[graft] def htmlExtractOf(pages: DataFrame): DataFrame = {
+    import pages.sparkSession.implicits._
+    pages
+      .withColumn("s", regexp_replace($"html", "<script[^>]*>.*?</script>", ""))
+      .withColumn("s", regexp_replace($"s", "<style[^>]*>.*?</style>", ""))
+      .withColumn("s", regexp_replace($"s", "<!--.*?-->", ""))
+      .withColumn("s", regexp_replace($"s",
+        "</?(p|h1|h2|h3|h4|br|div|li|ul|ol|tr|table)[^>]*>", "\n"))
+      .withColumn("s", regexp_replace($"s", "<[^>]*>", ""))
+      .withColumn("s", regexp_replace($"s", "&lt;", "<"))
+      .withColumn("s", regexp_replace($"s", "&gt;", ">"))
+      .withColumn("s", regexp_replace($"s", "&quot;", "\""))
+      .withColumn("s", regexp_replace($"s", "&nbsp;", " "))
+      .withColumn("s", regexp_replace($"s", "&amp;", "&"))
+      .select($"doc_id", posexplode(split($"s", "\n")).as(Seq("pos", "raw")))
+      .withColumn("block_text", trim(regexp_replace($"raw", "\\s+", " ")))
+      .filter(length($"block_text") > 0)
+      .withColumn("block_id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"pos")))
+      .select($"doc_id", $"block_id", $"block_text")
+  }
+
+  /** C35 oracle: identical corpus construction and extraction chain
+    * in DuckDB (regexp_replace needs the 'g' flag there — the engine
+    * replaces all matches by default). `docPred` restricts which
+    * pages are extracted — E28's oracle reuses the chain unchanged. */
+  def htmlExtractSql(docPred: String = "TRUE"): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |              ELSE string_split_regex(trim(text), '\\s+') END AS l
+      |  FROM documents),
+      |pages AS (
+      |  SELECT doc_id,
+      |         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+      |         || '<script type="text/javascript">if (a < b && c > 1) { track("x"); }</script>'
+      |         || '<style>.nav { display: none; }</style></head><body>'
+      |         || '<h1>Title &amp; sect ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+      |         || array_to_string(l[1:len(l) // 2], ' ') || ' &lt;em&gt; tail</p>'
+      |         || '<!-- comment <p>hidden</p> --><p>'
+      |         || array_to_string(l[len(l) // 2 + 1:len(l)], ' ')
+      |         || ' &quot;quoted&quot;&nbsp;end</p></body></html>' AS html
+      |  FROM toks),
+      |cleaned AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      html, '<script[^>]*>.*?</script>', '', 'g'),
+      |      '<style[^>]*>.*?</style>', '', 'g'),
+      |      '<!--.*?-->', '', 'g'),
+      |      '</?(p|h1|h2|h3|h4|br|div|li|ul|ol|tr|table)[^>]*>', chr(10), 'g'),
+      |      '<[^>]*>', '', 'g') AS s
+      |  FROM pages),
+      |decoded AS (
+      |  SELECT doc_id, replace(replace(replace(replace(replace(s,
+      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '),
+      |    '&amp;', '&') AS s
+      |  FROM cleaned),
+      |blocks AS (
+      |  SELECT doc_id, i AS pos,
+      |         trim(regexp_replace(b[i+1], '\\s+', ' ', 'g')) AS block_text
+      |  FROM (SELECT doc_id, string_split(s, chr(10)) AS b FROM decoded),
+      |       unnest(generate_series(0, len(b) - 1)) AS t(i))
+      |SELECT doc_id,
+      |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS INT) AS block_id,
+      |       block_text
+      |FROM blocks WHERE length(block_text) > 0 AND $docPred""".stripMargin
+
   /** C8 `lang_id` — n-gram-heuristic language identification: count
     * marker-word hits per candidate language (codegen'd regexp_count),
     * argmax with a fixed precedence for ties. Per-row only. */

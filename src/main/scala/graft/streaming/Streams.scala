@@ -445,6 +445,17 @@ object Streams {
     TA.boilerplateApply(Tables.fanout(corpus), strikes)
   }
 
+  /** E28 `stream_html_extract` — markup → text extraction at ingest:
+    * C35's per-row regex pipeline applied to each arriving page
+    * batch. A page's blocks depend on its own markup alone (no frozen
+    * state at all — the most stateless entry in the E block), so N
+    * micro-batches ≡ one-shot extraction by construction; the gate
+    * entry IS C35's body (the E25 sharing posture), and what E28 ADDS
+    * — real MemoryStream page batches through `htmlExtractOf` —
+    * lives in StreamingSpec's foreachBatch drive. */
+  def streamHtmlExtract(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.htmlExtract(spark, dir)
+
   /** E25 `stream_bloom_dedup` — Bloom-filter dedup ADMISSION at
     * ingest: the engine-exact Bloom sidecar (C1b — ≤ 32768 int64
     * words, broadcastable) freezes batch-side over the indexed

@@ -1125,6 +1125,39 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("E28 stream_html_extract: per-batch page extraction equals one-shot; blocks stay page-local") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val TA = operators.TextAnalysis
+    val pages = (0L until 30L).map(i => (i,
+      s"<html><body><script>a < $i && b</script><h1>Page &amp; $i</h1>" +
+        s"<p>alpha $i beta</p><p>gamma &lt;x&gt; $i</p></body></html>"))
+    val oneShot = TA.htmlExtractOf(pages.toDF("doc_id", "html"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sortBy(x => (x._1, x._2))
+    val source = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String)]
+    val q = source.toDF().toDF("doc_id", "html").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= TA.htmlExtractOf(df)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        (): Unit
+      }
+      .start()
+    Seq(pages.slice(0, 11), pages.slice(11, 19), pages.slice(19, 30)).foreach { b =>
+      source.addData(b: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(got.sortBy(x => (x._1, x._2)).toSeq == oneShot.toSeq,
+      "per-batch extraction must equal one-shot block for block")
+    assert(got.groupBy(_._1).forall { case (_, bs) =>
+      bs.map(_._2).sorted == (1 to bs.size).toSeq },
+      "block numbering is page-local, untouched by batch composition")
+    spark.catalog.clearCache()
+  }
+
   test("E27 stream_source_overlap: MemoryStream folds merge to the one-shot sketch exactly") {
     val s = spark
     import s.implicits._

@@ -1018,4 +1018,46 @@ class TextDedupSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(idx)
     spark.catalog.clearCache()
   }
+
+  test("C35 html_extract: byte-exact blocks on planted pages — script/style/comment drop, entity decode, segmentation") {
+    val s = spark
+    import s.implicits._
+    val TA = operators.TextAnalysis
+    val pages = Seq(
+      // script body carries raw '<' and '&&' that a naive tag strip
+      // would mangle; the comment HIDES a <p> that must not emit
+      (1L, "<html><body><script>if (a < b && c > 1) { x(); }</script>" +
+        "<h1>Head &amp; tail</h1><!-- <p>ghost</p> -->" +
+        "<p>one   two\tthree</p><p>&lt;em&gt; is text</p></body></html>"),
+      // style dropped whole; <br> segments; entity-only block survives
+      (2L, "<div>top</div><style>p { color: red; }</style>" +
+        "alpha<br>beta &nbsp;&quot;q&quot;"),
+      // nothing but dropped content -> zero blocks
+      (3L, "<script>junk < more junk</script><style>x</style><!-- gone -->"),
+      // inline (non-block) tags strip without segmenting
+      (4L, "<p>a <b>bold</b> word</p>")
+    ).toDF("doc_id", "html")
+    val out = TA.htmlExtractOf(pages).orderBy("doc_id", "block_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq ==
+      Seq("Head & tail", "one two three", "<em> is text"),
+      s"doc 1 blocks wrong: ${out.filter(_._1 == 1L).toSeq}")
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq ==
+      Seq("top", "alpha", "beta \"q\""),
+      s"doc 2 blocks wrong: ${out.filter(_._1 == 2L).toSeq}")
+    assert(!out.exists(_._1 == 3L), "all-markup page yields zero blocks")
+    assert(out.filter(_._1 == 4L).map(_._3).toSeq == Seq("a bold word"),
+      "inline tags strip without creating block boundaries")
+    assert(out.filter(_._1 == 1L).map(_._2).toSeq == Seq(1, 2, 3),
+      "block ids number the SURVIVING blocks contiguously per doc")
+    // the corpus wrap is total: every sf doc emits >= 3 blocks (title,
+    // heading, at least one entity tail), markup-free
+    val full = TA.htmlExtract(spark, sf).localCheckpoint()
+    assert(full.groupBy("doc_id").count().filter(col("count") < 3).count() == 0)
+    // no LIVE markup survives — the decoded '<em>' literal is text by
+    // design, so probe for the wrap's actual tag/entity inventory
+    assert(full.filter(col("block_text").rlike(
+      "</|<html|<body|<head|<title|<script|<style|<h1|<p>|&amp;|&lt;|&quot;|&nbsp;|<!--")).count() == 0,
+      "no live tag, comment, or undecoded entity survives extraction")
+  }
 }

@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + URL-level dedup (SURVEY.md §2 C36/C37).
+  *
+  * Reference behavior: the reference stores per-record link lists as
+  * JSONB (reference create_table.sql:65,80) and queries them (A17-A20),
+  * but nothing normalizes them — two crawls of one page with different
+  * host casing, a default port, a fragment, or tracking parameters
+  * count as distinct. URL canonicalization is the CHEAPEST dedup key a
+  * crawl pipeline applies — it fires before any content hash is even
+  * computed (no fetch needed), which is why every published crawl
+  * dedups at the URL level first.
+  *
+  * Canonical form (the standard RFC 3986 normalizations plus the crawl
+  * conventions): lowercase scheme+host; strip default ports (http:80,
+  * https:443); drop the fragment; collapse duplicate slashes and strip
+  * the trailing slash (empty path → '/'); drop tracking parameters
+  * (utm_*, fbclid, gclid, ref); sort the surviving query parameters.
+  */
+object Url {
+
+  /** The planted link corpus: deterministic messy URLs derived from
+    * doc_id, built identically in the oracle. Five variants per group
+    * of five consecutive ids — three spellings of one page (case /
+    * default-port / trailing-slash+tracking+fragment / duplicate-slash
+    * noise around identical real params) and two spellings of a
+    * second, query-less page (bare vs tracking-only query) — so
+    * canonicalization provably collapses each group to two canonical
+    * URLs. Host family alternates per group: an https site with the
+    * default port planted explicitly, and an http site on :8080 whose
+    * NON-default port must survive canonicalization. */
+  private[graft] def urlCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select($"doc_id")
+      .withColumn("g", expr("doc_id div 5").cast("string"))
+      .withColumn("v", $"doc_id" % 5)
+      .select($"doc_id", when($"g" % 2 === 0,
+        when($"v" === 0, concat(lit("https://CDN.Site.org/doc/"), $"g", lit("?b=2&a=1")))
+          .when($"v" === 1, concat(lit("HTTPS://cdn.site.org:443/doc/"), $"g",
+            lit("/?a=1&utm_source=feed&b=2#sec")))
+          .when($"v" === 2, concat(lit("https://cdn.site.org//doc/"), $"g",
+            lit("?fbclid=zzz&b=2&a=1")))
+          .when($"v" === 3, concat(lit("https://cdn.site.org:443/doc/"), $"g", lit("/")))
+          .otherwise(concat(lit("HTTPS://CDN.SITE.ORG/doc/"), $"g", lit("?utm_campaign=x#f"))))
+        .otherwise(
+          when($"v" === 0, concat(lit("http://News.EXAMPLE.net:8080/doc/"), $"g", lit("?b=2&a=1")))
+            .when($"v" === 1, concat(lit("HTTP://news.example.net:8080/doc/"), $"g",
+              lit("/?a=1&utm_medium=rss&b=2#x")))
+            .when($"v" === 2, concat(lit("http://news.example.net:8080//doc/"), $"g",
+              lit("?gclid=1&b=2&a=1")))
+            .when($"v" === 3, concat(lit("http://news.example.net:8080/doc/"), $"g", lit("/")))
+            .otherwise(concat(lit("HTTP://NEWS.Example.net:8080/doc/"), $"g", lit("?ref=tw"))))
+        .as("url"))
+  }
+
+  /** The canonicalization expression over a `url` column — pure
+    * per-row compute (codegen'd regex + array ops), no shuffle, no
+    * state: at 100 TB this runs inside whatever scan already reads
+    * the links. */
+  private[graft] def canonicalCol(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = regexp_extract(hostport, "^([^:]*)", 1)
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val portN = when(port === "" ||
+      (scheme === "http" && port === "80") ||
+      (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path0 = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path1 = regexp_replace(regexp_replace(path0, "/+", "/"), "/$", "")
+    val pathN = when(path1 === "", lit("/")).otherwise(path1)
+    val qn = array_join(array_sort(filter(
+      split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+      x => x =!= "" && !x.rlike("^(utm_[^=]*|fbclid|gclid|ref)="))), "&")
+    concat(scheme, lit("://"), host, portN, pathN,
+      when(qn === "", lit("")).otherwise(concat(lit("?"), qn)))
+  }
+
+  /** C36 `url_canonicalize` — (doc_id, url, canonical_url). */
+  def urlCanonicalize(spark: SparkSession, dir: String): DataFrame =
+    canonicalizeOf(Tables.fanout(urlCorpus(spark, dir)))
+
+  /** Frame-based core of C36 (links = (doc_id, url)). */
+  private[graft] def canonicalizeOf(links: DataFrame): DataFrame = {
+    import links.sparkSession.implicits._
+    links.select($"doc_id", $"url", canonicalCol($"url").as("canonical_url"))
+  }
+
+  /** The oracle's canonicalization chain over a `url` expression —
+    * identical regex/list pipeline in DuckDB (list_filter/list_sort
+    * mirror filter/array_sort; binary string order both sides). */
+  private def canonicalSqlExpr(url: String): String = {
+    val hostport = s"lower(regexp_extract($url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
+    val scheme = s"lower(regexp_extract($url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    val port = s"regexp_extract($hostport, ':([0-9]+)$$', 1)"
+    val path = s"regexp_replace(regexp_replace(regexp_extract($url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+', '/', 'g'), '/$$', '')"
+    // coalesce: DuckDB's array_to_string([]) is NULL, not '' (measured)
+    val qn = s"coalesce(array_to_string(list_sort(list_filter(string_split(regexp_extract($url, '\\?([^#]*)', 1), '&'), x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&'), '')"
+    // no generated line may BEGIN with '||' — the caller embeds this
+    // inside a stripMargin string, which would eat the first pipe
+    s"""$scheme || '://' ||
+       |regexp_extract($hostport, '^([^:]*)', 1) ||
+       |CASE WHEN $port = ''
+       |       OR ($scheme = 'http' AND $port = '80')
+       |       OR ($scheme = 'https' AND $port = '443')
+       |     THEN '' ELSE ':' || $port END ||
+       |CASE WHEN $path = '' THEN '/' ELSE $path END ||
+       |CASE WHEN $qn = '' THEN '' ELSE '?' || $qn END""".stripMargin
+  }
+
+  /** The oracle's planted corpus — the identical CASE ladder. */
+  private val urlCorpusSql: String =
+    """links AS (
+      |  SELECT doc_id,
+      |    CASE WHEN (doc_id // 5) % 2 = 0 THEN
+      |      CASE doc_id % 5
+      |        WHEN 0 THEN 'https://CDN.Site.org/doc/' || CAST(doc_id // 5 AS VARCHAR) || '?b=2&a=1'
+      |        WHEN 1 THEN 'HTTPS://cdn.site.org:443/doc/' || CAST(doc_id // 5 AS VARCHAR) || '/?a=1&utm_source=feed&b=2#sec'
+      |        WHEN 2 THEN 'https://cdn.site.org//doc/' || CAST(doc_id // 5 AS VARCHAR) || '?fbclid=zzz&b=2&a=1'
+      |        WHEN 3 THEN 'https://cdn.site.org:443/doc/' || CAST(doc_id // 5 AS VARCHAR) || '/'
+      |        ELSE 'HTTPS://CDN.SITE.ORG/doc/' || CAST(doc_id // 5 AS VARCHAR) || '?utm_campaign=x#f' END
+      |    ELSE
+      |      CASE doc_id % 5
+      |        WHEN 0 THEN 'http://News.EXAMPLE.net:8080/doc/' || CAST(doc_id // 5 AS VARCHAR) || '?b=2&a=1'
+      |        WHEN 1 THEN 'HTTP://news.example.net:8080/doc/' || CAST(doc_id // 5 AS VARCHAR) || '/?a=1&utm_medium=rss&b=2#x'
+      |        WHEN 2 THEN 'http://news.example.net:8080//doc/' || CAST(doc_id // 5 AS VARCHAR) || '?gclid=1&b=2&a=1'
+      |        WHEN 3 THEN 'http://news.example.net:8080/doc/' || CAST(doc_id // 5 AS VARCHAR) || '/'
+      |        ELSE 'HTTP://NEWS.Example.net:8080/doc/' || CAST(doc_id // 5 AS VARCHAR) || '?ref=tw' END
+      |    END AS url
+      |  FROM documents)""".stripMargin
+
+  /** C36 oracle. */
+  val urlCanonicalizeSql: String =
+    s"""WITH $urlCorpusSql
+       |SELECT doc_id, url,
+       |${canonicalSqlExpr("url")} AS canonical_url
+       |FROM links""".stripMargin
+
+  /** C37 `url_dedup` — exact first-writer-wins dedup on the CANONICAL
+    * form: keeper = min doc_id per canonical URL. The A2 shape (one
+    * hash-partitioned agg + a keeper join — min_by carries nothing
+    * here because the payload IS the key), applied to the crawl's
+    * cheapest dedup key.
+    *
+    * Scale: one groupBy on canonical_url (hash agg, map-side
+    * combine), then a same-key join the canonicalized side already
+    * partitions for — no window, no sort, no state. */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame =
+    urlDedupOf(Tables.fanout(urlCorpus(spark, dir)))
+
+  /** Frame-based core of C37. */
+  private[graft] def urlDedupOf(links: DataFrame): DataFrame = {
+    import links.sparkSession.implicits._
+    val canon = canonicalizeOf(links)
+    val keepers = canon.groupBy($"canonical_url")
+      .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_aliases"))
+    canon.join(keepers, Seq("canonical_url"))
+      .select($"doc_id", $"canonical_url", $"keeper_id", $"n_aliases",
+        ($"doc_id" =!= $"keeper_id").as("is_dup"))
+  }
+
+  /** C37 oracle. */
+  val urlDedupSql: String =
+    s"""WITH $urlCorpusSql,
+       |canon AS (
+       |  SELECT doc_id,
+       |${canonicalSqlExpr("url")} AS canonical_url
+       |  FROM links),
+       |keepers AS (
+       |  SELECT canonical_url, MIN(doc_id) AS keeper_id, COUNT(*) AS n_aliases
+       |  FROM canon GROUP BY 1)
+       |SELECT doc_id, canonical_url, keeper_id, n_aliases,
+       |       doc_id <> keeper_id AS is_dup
+       |FROM canon JOIN keepers USING (canonical_url)""".stripMargin
+}

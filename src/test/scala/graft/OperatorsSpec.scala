@@ -438,6 +438,60 @@ class OperatorsSpec extends AnyFunSuite {
     assert(df.agg(org.apache.spark.sql.functions.sum("n_dups")).head().getLong(0) == total)
   }
 
+  test("url_canonicalize: the published normalization cases, one by one") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      // lowercase scheme + host, fragment dropped
+      (1L, "HTTP://Example.COM/a#frag", "http://example.com/a"),
+      // default ports strip per scheme; non-default survives
+      (2L, "http://example.com:80/a", "http://example.com/a"),
+      (3L, "https://example.com:443/a", "https://example.com/a"),
+      (4L, "http://example.com:8080/a", "http://example.com:8080/a"),
+      (5L, "https://example.com:80/a", "https://example.com:80/a"),
+      // duplicate slashes collapse; trailing slash strips; root stays '/'
+      (6L, "https://example.com//a///b/", "https://example.com/a/b"),
+      (7L, "https://example.com/", "https://example.com/"),
+      (8L, "https://example.com", "https://example.com/"),
+      // tracking params drop, survivors sort; all-tracking -> no query
+      (9L, "https://example.com/a?utm_source=x&b=2&a=1&fbclid=y",
+        "https://example.com/a?a=1&b=2"),
+      (10L, "https://example.com/a?gclid=1&utm_campaign=c&ref=tw",
+        "https://example.com/a"),
+      // a param merely CONTAINING a tracking name is not tracking
+      (11L, "https://example.com/a?xref=keep&pref=2",
+        "https://example.com/a?pref=2&xref=keep"),
+      (12L, "https://example.com/a?", "https://example.com/a"))
+    val out = operators.Url.canonicalizeOf(cases.map(c => (c._1, c._2))
+        .toDF("doc_id", "url"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    for ((id, raw, want) <- cases)
+      assert(out(id) == want, s"url $raw: got ${out(id)}, want $want")
+    // idempotence: canonicalizing a canonical URL is the identity
+    val second = operators.Url.canonicalizeOf(
+      cases.map(c => (c._1, c._3)).toDF("doc_id", "url"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    for ((id, _, want) <- cases)
+      assert(second(id) == want, s"canonicalization must be idempotent on $want")
+  }
+
+  test("url_dedup: each planted 5-group collapses to its two real pages, first writer wins") {
+    val s = spark
+    import s.implicits._
+    val out = operators.Url.urlDedup(spark, sf).localCheckpoint()
+    val n = out.count()
+    assert(out.select("canonical_url").distinct().count() < n / 2 + 2,
+      "the planted alias groups must collapse")
+    // variants 0-2 of each group share one canonical (3 aliases),
+    // variants 3-4 the other (2 aliases)
+    val byAliases = out.groupBy("n_aliases").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byAliases.keySet.subsetOf(Set(2L, 3L)), s"alias sizes: $byAliases")
+    // keeper is the min id of its group and is never a dup itself
+    assert(out.filter($"keeper_id" > $"doc_id").count() == 0)
+    assert(out.filter($"doc_id" === $"keeper_id" && $"is_dup").count() == 0)
+  }
+
   test("incremental_dedup: result disjoint from seen window") {
     import org.apache.spark.sql.functions._
     val res = operators.Dedup.incrementalDedup(spark, sf)

@@ -92,12 +92,35 @@ object TextAnalysis {
       .filter($"line" =!= "")
   }
 
+  /** The PARAGRAPH granularity (C38): non-overlapping windows of
+    * `paraSegs` consecutive RAW segments (empty segments keep their
+    * slot, so paragraph boundaries are stable under trimming), each
+    * window's surviving trimmed segments rejoined with the separator.
+    * Same (doc_id, pos, line) shape as [[positionedLines]], so the
+    * whole strike/index machinery runs unchanged one granularity up.
+    * Windowing is a per-row array transform — no extra shuffle. */
+  private def positionedParas(docs: DataFrame, k: Int = 2): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.withColumn("parts", split($"text", " the "))
+      .select($"doc_id", posexplode(expr(
+        s"""transform(sequence(0, (size(parts) - 1) div $k),
+           |  j -> array_join(
+           |         filter(transform(slice(parts, j * $k + 1, $k), s -> trim(s)),
+           |                s -> s != ''),
+           |         ' the '))""".stripMargin)))
+      .select($"doc_id", $"pos", $"col".as("line"))
+      .filter($"line" =!= "")
+  }
+
   /** Strike every occurrence of a `dup` line from `docs` and
     * reassemble — the shared tail of [[lineDedupOf]] (corpus-derived
-    * strike set) and [[lineDedupServe]] (index-derived strike set). */
-  private def lineStrike(docs: DataFrame, dup: DataFrame): DataFrame = {
+    * strike set) and [[lineDedupServe]] (index-derived strike set).
+    * `segs` picks the granularity (lines by default, paragraphs for
+    * the C38 family). */
+  private def lineStrike(docs: DataFrame, dup: DataFrame,
+                         segs: DataFrame => DataFrame = positionedLines): DataFrame = {
     import docs.sparkSession.implicits._
-    positionedLines(docs)
+    segs(docs)
       .join(dup.select($"line", lit(1).as("dead")), Seq("line"), "left_outer")
       .groupBy($"doc_id")
       .agg(
@@ -162,7 +185,8 @@ object TextAnalysis {
   private[graft] def lineIndexAppendRaw(docs: DataFrame, path: String,
                                         nBucketsOpt: Option[Int],
                                         overwrite: Boolean,
-                                        commit: Boolean = true): Unit = {
+                                        commit: Boolean = true,
+                                        segs: DataFrame => DataFrame = positionedLines): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     val mode = if (overwrite) "overwrite" else "append"
@@ -174,7 +198,7 @@ object TextAnalysis {
     }
     // one row per (doc, line) — df counts DISTINCT docs; postings
     // first (invisible until the commit row lands) …
-    positionedLines(docs).select($"doc_id", $"line").distinct()
+    segs(docs).select($"doc_id", $"line").distinct()
       .select(pmod(xxhash64($"line"), lit(nBuckets)).cast("int").as("bucket"),
         $"line", $"doc_id", lit(batchId).as("batch_id"))
       .repartition(col("bucket"))
@@ -296,12 +320,13 @@ object TextAnalysis {
     * contains. `snapshot` pins the serve to a [[lineIndexMeta]]
     * committed set (the bm25Snapshot posture). */
   def lineDedupServe(spark: SparkSession, path: String, newDocs: DataFrame,
-                     snapshot: Option[Seq[String]] = None): DataFrame = {
+                     snapshot: Option[Seq[String]] = None,
+                     segs: DataFrame => DataFrame = positionedLines): DataFrame = {
     import spark.implicits._
     val (committedNow, nBuckets) = lineIndexMeta(spark, path)
     val committed = snapshot.getOrElse(committedNow)
     val dead = lineIndexDeletes(spark, path, committed)
-    val newLines = positionedLines(newDocs).select($"doc_id", $"line")
+    val newLines = segs(newDocs).select($"doc_id", $"line")
       .distinct().localCheckpoint()
     val buckets = newLines
       .select(pmod(xxhash64($"line"), lit(nBuckets)).cast("int").as("b"))
@@ -318,7 +343,7 @@ object TextAnalysis {
     val dup = dfNew.join(dfIndex, Seq("line"), "left_outer")
       .filter(coalesce($"df_ref", lit(0L)) + $"df_new" > 1)
       .select($"line")
-    lineStrike(newDocs, dup)
+    lineStrike(newDocs, dup, segs)
   }
 
   /** C30b `line_dedup_serve` — the incremental boilerplate strip
@@ -411,6 +436,134 @@ object TextAnalysis {
       |FROM lines l LEFT JOIN dup d USING (line)
       |WHERE l.doc_id % 3 = 0
       |GROUP BY 1""".stripMargin
+
+  // ---- C38/C38b/E29: PARAGRAPH-granularity dedup -------------------
+  //
+  // The granularity ladder had whole-doc (C1), line (C30) and k-char
+  // window (C24); the PARAGRAPH middle rung — what RefinedWeb
+  // actually strips (its "exact duplicated passages") — was missing.
+  // A paragraph here is a non-overlapping window of `paraSegs`
+  // consecutive segments: long enough that striking it removes a
+  // duplicated PASSAGE wholesale, short enough that one shared line
+  // inside an otherwise-novel passage does NOT strike it (the
+  // over-stripping C30 is prone to — the spec pins the distinction
+  // both ways). The entire C30 machinery (strike, persisted
+  // bucket-partitioned df index, serve, stream maintenance) runs
+  // unchanged one granularity up via the `segs` parameter.
+
+  /** The paragraph-window size: the ' the '-segmentation convention
+    * makes segments short, so two segments ≈ one real paragraph. */
+  private val ParaSegs = 2
+
+  /** C38 `para_dedup` — corpus-level duplicated-PARAGRAPH removal. */
+  def paraDedup(spark: SparkSession, dir: String): DataFrame =
+    paraDedupOf(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** [[paraDedup]]'s core over any (doc_id, text) frame. */
+  private[graft] def paraDedupOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val dup = positionedParas(docs, ParaSegs).groupBy($"line")
+      .agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" > 1)
+      .select($"line")
+    lineStrike(docs, dup, positionedParas(_, ParaSegs))
+  }
+
+  /** The oracle's paragraph CTE over a `corpus` relation — the
+    * identical windowed re-join (coalesce: DuckDB's array_to_string
+    * of an empty list is NULL). */
+  private def paraCteSql(k: Int): String =
+    s"""segs AS (
+       |  SELECT doc_id, string_split(text, ' the ') AS parts FROM corpus),
+       |paras AS (
+       |  SELECT doc_id, j AS pos,
+       |         coalesce(array_to_string(
+       |           list_filter(list_transform(parts[j*$k+1:j*$k+$k], s -> trim(s)),
+       |                       s -> s <> ''), ' the '), '') AS line
+       |  FROM segs, unnest(generate_series(0, (len(parts) - 1) // $k)) AS t(j))""".stripMargin
+
+  /** C38 oracle. */
+  val paraDedupSql: String =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+       |${paraCteSql(ParaSegs)},
+       |lines AS (SELECT * FROM paras WHERE line <> ''),
+       |dup AS (
+       |  SELECT line FROM (SELECT line, COUNT(DISTINCT doc_id) AS df
+       |                    FROM lines GROUP BY 1)
+       |  WHERE df > 1)
+       |SELECT l.doc_id,
+       |       COUNT(*) FILTER (WHERE d.line IS NULL) AS n_kept,
+       |       COUNT(*) FILTER (WHERE d.line IS NOT NULL) AS n_dropped,
+       |       COALESCE(string_agg(CASE WHEN d.line IS NULL THEN l.line END,
+       |                           ' the ' ORDER BY l.pos), '') AS clean_text
+       |FROM lines l LEFT JOIN dup d USING (line)
+       |GROUP BY 1""".stripMargin
+
+  /** The paragraph segmentation as a reusable handle (E29 builds the
+    * streamed para index through these). */
+  private[graft] val paraSegsFn: DataFrame => DataFrame =
+    positionedParas(_, ParaSegs)
+
+  /** Paragraph-index lifecycle — [[lineIndexWrite]]/[[lineIndexAppend]]
+    * over paragraph rows (same store layout, same commit protocol;
+    * deletes/vacuum are granularity-blind and shared as-is). */
+  def paraIndexWrite(docs: DataFrame, path: String, nBuckets: Int = 16): Unit =
+    lineIndexAppendRaw(docs, path, Some(nBuckets), overwrite = true, segs = paraSegsFn)
+
+  def paraIndexAppend(docs: DataFrame, path: String): Unit =
+    lineIndexAppendRaw(docs, path, None, overwrite = false, segs = paraSegsFn)
+
+  def paraDedupServe(spark: SparkSession, path: String, newDocs: DataFrame): DataFrame =
+    lineDedupServe(spark, path, newDocs, segs = paraSegsFn)
+
+  /** C38b `para_dedup_serve` — the C30b lifecycle one granularity up:
+    * index 70% of the reference → append the rest → tombstone every
+    * 7th doc → strike a new crawl batch against the index. Same
+    * bucket-partitioned (line, doc_id, batch_id) store, same commit
+    * protocol, same O(batch) bucket-pruned serve — the rows are
+    * paragraphs instead of lines. HASH-EQUAL to [[paraDedup]]'s
+    * from-scratch semantics on (surviving reference ∪ batch)
+    * restricted to the batch. */
+  def paraDedupServeGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val ref = docs.filter($"doc_id" % 3 =!= 0)
+    val neu = docs.filter($"doc_id" % 3 === 0)
+    if (ref.isEmpty || neu.isEmpty)
+      return Seq.empty[(Long, Long, Long, String)]
+        .toDF("doc_id", "n_kept", "n_dropped", "clean_text")
+    val cut = ref.agg(max($"doc_id")).head().getLong(0) * 7 / 10
+    graft.sources.Lake.withScratchIndex(spark, "graft_para_idx") { tmp =>
+      paraIndexWrite(Tables.fanout(ref.filter($"doc_id" <= cut)), tmp)
+      paraIndexAppend(Tables.fanout(ref.filter($"doc_id" > cut)), tmp)
+      lineIndexDelete(spark, tmp, docs.filter($"doc_id" % 7 === 0).select($"doc_id"))
+      paraDedupServe(spark, tmp, Tables.fanout(neu))
+    }
+  }
+
+  /** C38b oracle — the from-scratch paragraph dedup on (surviving
+    * reference ∪ batch) restricted to the batch. `refPred` restricts
+    * the reference side like [[lineDedupServeSql]]. */
+  def paraDedupServeSql(refPred: String = "doc_id % 7 <> 0"): String =
+    s"""WITH ref AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 3 <> 0 AND $refPred),
+       |neu AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+       |corpus AS (SELECT * FROM ref UNION ALL SELECT * FROM neu),
+       |${paraCteSql(ParaSegs)},
+       |lines AS (SELECT * FROM paras WHERE line <> ''),
+       |dup AS (
+       |  SELECT line FROM (SELECT line, COUNT(DISTINCT doc_id) AS df
+       |                    FROM lines GROUP BY 1)
+       |  WHERE df > 1)
+       |SELECT l.doc_id,
+       |       COUNT(*) FILTER (WHERE d.line IS NULL) AS n_kept,
+       |       COUNT(*) FILTER (WHERE d.line IS NOT NULL) AS n_dropped,
+       |       COALESCE(string_agg(CASE WHEN d.line IS NULL THEN l.line END,
+       |                           ' the ' ORDER BY l.pos), '') AS clean_text
+       |FROM lines l LEFT JOIN dup d USING (line)
+       |WHERE l.doc_id % 3 = 0
+       |GROUP BY 1""".stripMargin
 
   // ---- C30d/E26: PER-SOURCE boilerplate stripping ------------------
   //

@@ -1190,6 +1190,36 @@ object Streams {
     }
   }
 
+  /** E29 `stream_para_index` — E16 one granularity up: the
+    * accumulated PARAGRAPH-df index maintained from a stream of crawl
+    * batches (each micro-batch folds in with one O(batch)
+    * `paraIndexAppend` — touched buckets gain files, the commit log
+    * gains one row, nothing rewrites), then a new crawl batch strikes
+    * against the accumulated state. N appends ≡ one big append for df
+    * purposes (df counts distinct docs; batch composition is
+    * invisible), so the serve HASH-EQUALS the from-scratch paragraph
+    * dedup on (reference ∪ batch) restricted to the batch. */
+  def streamParaIndex(spark: SparkSession, dir: String,
+                      nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val ref = docs.filter($"doc_id" % 3 =!= 0)
+    val neu = docs.filter($"doc_id" % 3 === 0)
+    if (ref.isEmpty || neu.isEmpty)
+      return Seq.empty[(Long, Long, Long, String)]
+        .toDF("doc_id", "n_kept", "n_dropped", "clean_text")
+    val cut = ref.agg(max($"doc_id")).head().getLong(0) * 7 / 10
+    val TA = graft.operators.TextAnalysis
+    graft.sources.Lake.withScratchIndex(spark, "graft_para_stream") { tmp =>
+      TA.paraIndexWrite(Tables.fanout(ref.filter($"doc_id" <= cut)), tmp)
+      (0 until nBatches).foreach { b =>
+        TA.paraIndexAppend(Tables.fanout(ref.filter($"doc_id" > cut &&
+          pmod($"doc_id", lit(nBatches)) === b)), tmp)
+      }
+      TA.paraDedupServe(spark, tmp, Tables.fanout(neu))
+    }
+  }
+
   /** E13 `stream_scd2_apply` — the reference's history table grows
     * row-by-row forever (create_table.sql:85-107, arxiv_etl.py:84-111);
     * this is that growth as a STREAM of change batches folded into a

@@ -1019,6 +1019,60 @@ class TextDedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("C38 para_dedup: whole repeated passages strike; one shared line inside a novel window does not") {
+    val s = spark
+    import s.implicits._
+    val TA = operators.TextAnalysis
+    // docs 1,2: the SAME 2-segment passage (window-aligned) -> strikes
+    // whole from both. docs 3,4: share only their FIRST segment; the
+    // window (seg0+seg1) differs -> survives in both, where line
+    // granularity (C30) would strike the shared line from each.
+    val docs = Seq(
+      (1L, "passage alpha one the passage alpha two the unique one tail"),
+      (2L, "passage alpha one the passage alpha two the unique two tail"),
+      (3L, "common line here the unique c tail"),
+      (4L, "common line here the unique d tail")
+    ).toDF("doc_id", "text")
+    val out = TA.paraDedupOf(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // docs 1,2: window0 (the passage) struck, window1 (their unique
+    // tails) kept
+    assert(out(0) == (1L, 1L, 1L, "unique one tail"), s"got ${out(0)}")
+    assert(out(1) == (2L, 1L, 1L, "unique two tail"), s"got ${out(1)}")
+    // docs 3,4: single window each, differing in the second segment —
+    // nothing strikes despite the shared first line
+    assert(out(2) == (3L, 1L, 0L, "common line here the unique c tail"))
+    assert(out(3) == (4L, 1L, 0L, "common line here the unique d tail"))
+    // the SAME corpus under line granularity strikes the shared line —
+    // the middle rung is strictly less aggressive here
+    val lineOut = TA.lineDedupOf(docs).filter(col("doc_id") >= 3L)
+      .agg(org.apache.spark.sql.functions.sum("n_dropped")).head().getLong(0)
+    assert(lineOut == 2L, "line dedup strikes what paragraph dedup spares")
+    // idempotence
+    val second = TA.paraDedupOf(out.toSeq.map(r => (r._1, r._4)).toDF("doc_id", "text"))
+    assert(second.agg(org.apache.spark.sql.functions.sum("n_dropped"))
+      .head().getLong(0) == 0L)
+  }
+
+  test("C38b para_dedup_serve: the index lifecycle reproduces the from-scratch paragraph answer") {
+    val s = spark
+    import s.implicits._
+    val TA = operators.TextAnalysis
+    val served = TA.paraDedupServeGate(spark, sf)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // from-scratch answer on (surviving reference ∪ batch) restricted
+    // to the batch
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val union = docs.filter($"doc_id" % 3 =!= 0 && $"doc_id" % 7 =!= 0)
+      .unionAll(docs.filter($"doc_id" % 3 === 0))
+    val scratch = TA.paraDedupOf(union).filter($"doc_id" % 3 === 0)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(served.toSeq == scratch.toSeq,
+      "index-served paragraph strikes must equal the from-scratch answer")
+  }
+
   test("C35 html_extract: byte-exact blocks on planted pages — script/style/comment drop, entity decode, segmentation") {
     val s = spark
     import s.implicits._

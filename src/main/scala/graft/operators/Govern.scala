@@ -91,6 +91,170 @@ object Govern {
        |    '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS redacted
        |FROM planted""".stripMargin
 
+  // ---- F23: checksum-validated structured PII ----------------------
+  //
+  // F1's regex redaction treats every pattern hit as PII; real
+  // pipelines validate STRUCTURED identifiers by checksum first —
+  // a 16-digit sequence is only a card number if it passes Luhn
+  // mod-10, an IBAN only real if its rearranged digits ≡ 1 mod 97 —
+  // so a random digit run (an ID, a hash prefix) is not redacted.
+  // Both checksums here are pure integer expressions (no UDF): Luhn
+  // is a position-parity digit sum; IBAN mod-97 uses the FIXED
+  // 24-digit layout of a DE IBAN, so each position's 10^k mod 97
+  // weight is a compile-time constant and the big-number mod becomes
+  // one weighted digit sum.
+
+  /** 10^(24-i) mod 97 for i = 1..24 — the positional weights of the
+    * rearranged (BBAN ‖ '1314' ‖ check) DE-IBAN digit string. */
+  private val IbanW =
+    "array(56,25,51,73,17,89,38,62,45,53,15,50,5,49,34,81,76,27,90,9,30,3,10,1)"
+  private val IbanWSql =
+    "[56,25,51,73,17,89,38,62,45,53,15,50,5,49,34,81,76,27,90,9,30,3,10,1]"
+
+  /** documents with deterministically planted STRUCTURED identifiers:
+    * every 5th doc a 16-digit card (Luhn-VALID on even ids, check
+    * digit +1 on odd — provably invalid), every 6th a DE IBAN
+    * (mod-97-valid check digits on even ids, +1 on odd, which shifts
+    * the rearranged number by exactly 1 mod 97 — never valid). The
+    * check digits are COMPUTED with the same integer folds the
+    * validator uses, identically in the oracle. */
+  private def plantedStructured(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select($"doc_id", $"text")
+      .withColumn("p15", expr("lpad(CAST(doc_id AS STRING), 15, '4')"))
+      .withColumn("s15", expr(
+        """aggregate(sequence(1, 15), 0, (a, i) -> a +
+          |  (CASE WHEN i % 2 = 1
+          |        THEN IF(2 * CAST(substring(p15, i, 1) AS INT) > 9,
+          |                2 * CAST(substring(p15, i, 1) AS INT) - 9,
+          |                2 * CAST(substring(p15, i, 1) AS INT))
+          |        ELSE CAST(substring(p15, i, 1) AS INT) END))""".stripMargin))
+      .withColumn("cd", expr(
+        "IF(doc_id % 2 = 0, (10 - s15 % 10) % 10, ((10 - s15 % 10) % 10 + 1) % 10)"))
+      .withColumn("bban", expr("lpad(CAST(doc_id AS STRING), 18, '0')"))
+      .withColumn("m22", expr(
+        s"""aggregate(sequence(1, 22), 0, (a, i) -> a +
+           |  CAST(substring(concat(bban, '1314'), i, 1) AS INT) * element_at($IbanW, i)) % 97""".stripMargin))
+      .withColumn("cc", expr(
+        "IF(doc_id % 2 = 0, 98 - m22, IF(98 - m22 = 98, 2, 99 - m22))"))
+      .select($"doc_id", expr(
+        """concat(text,
+          |  IF(doc_id % 5 = 0, concat(' card ', p15, CAST(cd AS STRING)), ''),
+          |  IF(doc_id % 6 = 0,
+          |     concat(' iban DE', lpad(CAST(cc AS STRING), 2, '0'), bban), ''))""".stripMargin)
+        .as("text"))
+  }
+
+  /** F23 `pii_structured` — checksum-validated structured-PII
+    * redaction: extract 16-digit and DE-IBAN candidates, validate by
+    * Luhn / mod-97 INTEGER expressions, and redact ONLY validated
+    * hits — checksum-failing candidates stay in the text and are
+    * counted as rejected, which is precisely the false-positive class
+    * a regex-only redactor (F1) cannot separate.
+    *
+    * Scale: F1's shape — pure per-row codegen'd regex + fixed-length
+    * integer folds, zero shuffle; saturates scan IO at 100 TB. */
+  def piiStructured(spark: SparkSession, dir: String): DataFrame =
+    piiStructuredOf(Tables.fanout(plantedStructured(spark, dir)))
+
+  /** Frame-based core of F23 (docs = (doc_id, text)). IF-guards, not
+    * AND: under ANSI a CAST('' AS INT) in a not-taken conjunct would
+    * still throw — only IF/CASE branches are lazily skipped. */
+  private[graft] def piiStructuredOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("cand", expr("regexp_extract(text, '\\\\b([0-9]{16})\\\\b', 1)"))
+      .withColumn("luhn_ok", expr(
+        """IF(cand = '', false,
+          |  aggregate(sequence(1, 16), 0, (a, i) -> a +
+          |    (CASE WHEN i % 2 = 1
+          |          THEN IF(2 * CAST(substring(cand, i, 1) AS INT) > 9,
+          |                  2 * CAST(substring(cand, i, 1) AS INT) - 9,
+          |                  2 * CAST(substring(cand, i, 1) AS INT))
+          |          ELSE CAST(substring(cand, i, 1) AS INT) END)) % 10 = 0)""".stripMargin))
+      .withColumn("ic", expr("regexp_extract(text, '\\\\b(DE[0-9]{20})\\\\b', 1)"))
+      .withColumn("iban_ok", expr(
+        s"""IF(ic = '', false,
+           |  aggregate(sequence(1, 24), 0, (a, i) -> a +
+           |    CAST(substring(concat(substring(ic, 5, 18), '1314', substring(ic, 3, 2)), i, 1) AS INT)
+           |      * element_at($IbanW, i)) % 97 = 1)""".stripMargin))
+      .select($"doc_id",
+        expr("CAST(IF(luhn_ok, 1, 0) AS INT)").as("n_cards"),
+        expr("CAST(IF(iban_ok, 1, 0) AS INT)").as("n_ibans"),
+        expr("CAST(IF(cand != '' AND NOT luhn_ok, 1, 0) + IF(ic != '' AND NOT iban_ok, 1, 0) AS INT)")
+          .as("n_rejected"),
+        expr("""IF(iban_ok,
+               |   replace(IF(luhn_ok, replace(text, cand, '<CARD>'), text), ic, '<IBAN>'),
+               |   IF(luhn_ok, replace(text, cand, '<CARD>'), text))""".stripMargin)
+          .as("redacted"))
+  }
+
+  /** F23 oracle: identical plant + identical integer checksums in
+    * DuckDB. No generated line may START with '||' (stripMargin). */
+  val piiStructuredSql: String = {
+    val luhn15 =
+      """list_sum(list_transform(generate_series(1, 15), i ->
+        |    CASE WHEN i % 2 = 1
+        |         THEN CASE WHEN 2 * CAST(substr(p15, i, 1) AS INT) > 9
+        |                   THEN 2 * CAST(substr(p15, i, 1) AS INT) - 9
+        |                   ELSE 2 * CAST(substr(p15, i, 1) AS INT) END
+        |         ELSE CAST(substr(p15, i, 1) AS INT) END))""".stripMargin
+    val luhn16 =
+      """list_sum(list_transform(generate_series(1, 16), i ->
+        |    CASE WHEN i % 2 = 1
+        |         THEN CASE WHEN 2 * CAST(substr(cand, i, 1) AS INT) > 9
+        |                   THEN 2 * CAST(substr(cand, i, 1) AS INT) - 9
+        |                   ELSE 2 * CAST(substr(cand, i, 1) AS INT) END
+        |         ELSE CAST(substr(cand, i, 1) AS INT) END))""".stripMargin
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |         lpad(CAST(doc_id AS VARCHAR), 15, '4') AS p15,
+       |         lpad(CAST(doc_id AS VARCHAR), 18, '0') AS bban
+       |  FROM documents),
+       |checked AS (
+       |  SELECT *,
+       |         $luhn15 AS s15,
+       |         list_sum(list_transform(generate_series(1, 22), i ->
+       |           CAST(substr(bban || '1314', i, 1) AS INT) * ($IbanWSql)[i])) % 97 AS m22
+       |  FROM base),
+       |planted AS (
+       |  SELECT doc_id,
+       |         text ||
+       |         CASE WHEN doc_id % 5 = 0 THEN ' card ' || p15 ||
+       |           CAST(CASE WHEN doc_id % 2 = 0 THEN (10 - s15 % 10) % 10
+       |                     ELSE ((10 - s15 % 10) % 10 + 1) % 10 END AS VARCHAR)
+       |         ELSE '' END ||
+       |         CASE WHEN doc_id % 6 = 0 THEN ' iban DE' ||
+       |           lpad(CAST(CASE WHEN doc_id % 2 = 0 THEN 98 - m22
+       |                          WHEN 98 - m22 = 98 THEN 2
+       |                          ELSE 99 - m22 END AS VARCHAR), 2, '0') || bban
+       |         ELSE '' END AS text
+       |  FROM checked),
+       |cands AS (
+       |  SELECT doc_id, text,
+       |         regexp_extract(text, '\\b([0-9]{16})\\b', 1) AS cand,
+       |         regexp_extract(text, '\\b(DE[0-9]{20})\\b', 1) AS ic
+       |  FROM planted),
+       |valid AS (
+       |  SELECT *,
+       |         CASE WHEN cand = '' THEN FALSE
+       |              ELSE $luhn16 % 10 = 0 END AS luhn_ok,
+       |         CASE WHEN ic = '' THEN FALSE
+       |              ELSE list_sum(list_transform(generate_series(1, 24), i ->
+       |                CAST(substr(substr(ic, 5, 18) || '1314' || substr(ic, 3, 2), i, 1) AS INT)
+       |                  * ($IbanWSql)[i])) % 97 = 1 END AS iban_ok
+       |  FROM cands)
+       |SELECT doc_id,
+       |       CAST(CASE WHEN luhn_ok THEN 1 ELSE 0 END AS INT) AS n_cards,
+       |       CAST(CASE WHEN iban_ok THEN 1 ELSE 0 END AS INT) AS n_ibans,
+       |       CAST(CASE WHEN cand <> '' AND NOT luhn_ok THEN 1 ELSE 0 END +
+       |            CASE WHEN ic <> '' AND NOT iban_ok THEN 1 ELSE 0 END AS INT) AS n_rejected,
+       |       CASE WHEN iban_ok THEN
+       |              replace(CASE WHEN luhn_ok THEN replace(text, cand, '<CARD>') ELSE text END, ic, '<IBAN>')
+       |            ELSE CASE WHEN luhn_ok THEN replace(text, cand, '<CARD>') ELSE text END END AS redacted
+       |FROM valid""".stripMargin
+  }
+
   /** F2 `repetition_score` — Gopher-style repetition signals per doc:
     * duplicate-bigram fraction and most-frequent-bigram fraction. High
     * values flag boilerplate/templated text that survives exact dedup.

@@ -774,4 +774,44 @@ class GovernSpec extends AnyFunSuite {
       s"mean abs KMV error ${errs.sum / errs.size} exceeds 0.1 (max ${errs.max})")
     spark.catalog.clearCache()
   }
+
+  test("pii_structured: Luhn/mod-97 validation separates real identifiers from random digit runs") {
+    val s = spark
+    import s.implicits._
+    // known-good checksums: 4111111111111111 is the canonical
+    // Luhn-valid test PAN; DE89370400440532013000 is the published
+    // valid IBAN example. Off-by-one variants must be rejected.
+    val docs = Seq(
+      (1L, "pay with 4111111111111111 now"),          // valid card
+      (2L, "pay with 4111111111111112 now"),          // bad check digit
+      (3L, "send to DE89370400440532013000 today"),   // valid IBAN
+      (4L, "send to DE88370400440532013000 today"),   // bad check digits
+      (5L, "order id 1234567890123456 is not a card"),// random run, Luhn fails
+      (6L, "no identifiers here at all"),
+      (7L, "both 4111111111111111 and DE89370400440532013000")
+    ).toDF("doc_id", "text")
+    val out = operators.Govern.piiStructuredOf(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    assert(out(0) == (1L, 1, 0, 0, "pay with <CARD> now"))
+    assert(out(1) == (2L, 0, 0, 1, "pay with 4111111111111112 now"),
+      "a checksum-failing candidate must stay in the text, counted rejected")
+    assert(out(2) == (3L, 0, 1, 0, "send to <IBAN> today"))
+    assert(out(3) == (4L, 0, 0, 1, "send to DE88370400440532013000 today"))
+    assert(out(4) == (5L, 0, 0, 1, "order id 1234567890123456 is not a card"),
+      "a random 16-digit run is the false positive the checksum exists to spare")
+    assert(out(5) == (6L, 0, 0, 0, "no identifiers here at all"))
+    assert(out(6) == (7L, 1, 1, 0, "both <CARD> and <IBAN>"))
+    // corpus invariants: planted-valid ids (even) always redact,
+    // planted-invalid (odd) always reject — the plant's check-digit
+    // fold and the validator's fold agree
+    val full = operators.Govern.piiStructured(spark, sf).localCheckpoint()
+    assert(full.filter(col("doc_id") % 5 === 0 && col("doc_id") % 2 === 0 &&
+      col("n_cards") =!= 1).count() == 0, "every even planted card validates")
+    assert(full.filter(col("doc_id") % 5 === 0 && col("doc_id") % 2 === 1 &&
+      col("n_cards") =!= 0).count() == 0, "every odd planted card rejects")
+    assert(full.filter(col("doc_id") % 6 === 0 && col("doc_id") % 2 === 0 &&
+      col("n_ibans") =!= 1).count() == 0, "every even planted IBAN validates")
+    assert(full.filter(col("doc_id") % 6 === 0 && col("doc_id") % 2 === 1 &&
+      col("n_ibans") =!= 0).count() == 0, "every odd planted IBAN rejects")
+  }
 }

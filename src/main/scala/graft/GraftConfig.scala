@@ -34,6 +34,7 @@ final case class GraftConfig(
     semDedupCellCap: Int = 2000, // semdedup per-cell pair-join cap (skew guard)
     semDedupDropFrac: Double = 0.5, // semdedup_budget: fraction of dup pairs to admit
     boilerplatePct: Int = 30,    // per-source boilerplate line threshold (% of the source's docs)
+    bpeRounds: Int = 16,         // BPE merge-training rounds (≤ 26: control-char sentinels skip whitespace)
     sinkMaxAttempts: Int = 3,    // UpsertSink retry budget
     sinkInitialDelayMs: Long = 50, // UpsertSink first backoff
     catalogDir: String = "",     // durable index catalog root ("" = session-local)
@@ -73,6 +74,7 @@ object GraftConfig {
           case "semDedupCellCap"    => c.copy(semDedupCellCap = i)
           case "semDedupDropFrac"   => c.copy(semDedupDropFrac = value.toDouble)
           case "boilerplatePct"     => c.copy(boilerplatePct = i)
+          case "bpeRounds"          => c.copy(bpeRounds = i)
           case "sinkMaxAttempts"    => c.copy(sinkMaxAttempts = i)
           case "sinkInitialDelayMs" => c.copy(sinkInitialDelayMs = value.toLong)
           case "catalogDir"         => c.copy(catalogDir = value)

@@ -193,6 +193,38 @@ object ScaleProbe {
     ratio("line_serve_bucket_pruned", pruned.inputBytes.toDouble,
       full.inputBytes.toDouble, 0.0, 0.5,
       "a tiny-batch serve must read a strict fraction of the line index")
+    // phrase postings (C23i): a one-query serve routes its TWO tokens
+    // to their buckets and reads nothing else — the sharpest pruning
+    // of the family (2 of 512 buckets, vs a batch's ~50 lines)
+    val ph = tmp("phrase")
+    operators.TextAnalysis.phraseIndexWrite(bigDocs, ph, nBuckets = 512)
+    val onePanel = Tables.fanout(docs.filter($"doc_id" === 0)
+      .select($"doc_id".as("query_id"),
+        split(trim($"text"), "\\s+").getItem(0).as("t1"),
+        split(trim($"text"), "\\s+").getItem(1).as("t2")))
+      .localCheckpoint()
+    // correctness of the serve itself (answer checked elsewhere); the
+    // byte claim scopes a REPRODUCTION of its pruned postings scan
+    // alone — the serve's localCheckpoint re-reads count as
+    // inputBytes and would drown the scan (the r14 scoping lesson)
+    operators.TextAnalysis.phraseServe(spark, ph, onePanel).count()
+    val qTok = onePanel.select($"t1".as("token"))
+      .unionAll(onePanel.select($"t2".as("token"))).distinct().localCheckpoint()
+    val bks = qTok.select(pmod(xxhash64($"token"), lit(512)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val prunedPh = scope("phrase_serve_pruned_scan") {
+      spark.read.parquet(s"$ph/pos")
+        .filter($"bucket".cast("int").isin(bks: _*))
+        .join(broadcast(qTok), Seq("token"), "left_semi")
+        .agg(bit_xor(xxhash64($"token", $"doc_id", $"p"))).head()
+    }
+    val fullPh = scope("phrase_index_full_scan") {
+      spark.read.parquet(s"$ph/pos")
+        .agg(bit_xor(xxhash64($"token", $"doc_id", $"p"))).head()
+    }
+    ratio("phrase_serve_bucket_pruned", prunedPh.inputBytes.toDouble,
+      fullPh.inputBytes.toDouble, 0.0, 0.25,
+      "a one-query phrase serve must read only its two tokens' buckets")
     val sig = tmp("sig")
     // bucket granularity bounds the pruning: a 5-doc batch carries ~30
     // distinct shingles, so the bucket count must comfortably exceed

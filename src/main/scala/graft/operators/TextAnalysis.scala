@@ -2164,17 +2164,17 @@ object TextAnalysis {
     * the whitespace tokenizer (and the oracle's `string_split_regex`)
     * would mangle, corrupting the encode/expand round-trip. */
   private[graft] def bpeEncodeOf(words: DataFrame, rounds: Int): DataFrame = {
-    require(rounds >= 1 && rounds <= 8,
-      s"bpe_encode rounds must be in [1, 8] (chr(rounds) sentinels must stay " +
-        s"below the whitespace code points); got $rounds")
+    require(rounds >= 1 && rounds <= 26,
+      s"bpe_encode rounds must be in [1, 26] (bpeSentinel's control-char " +
+        s"range minus the whitespace block); got $rounds")
     import words.sparkSession.implicits._
     val mseq = bpeMergesOf(words, rounds)
       .orderBy($"round").collect().map(r => (r.getInt(0), r.getString(1)))
     val encoded = mseq.foldLeft($"w": Column) { case (c, (r, m)) =>
-      replace(c, lit(m), lit(r.toChar.toString))
+      replace(c, lit(m), lit(bpeSentinel(r).toChar.toString))
     }
     val expanded = mseq.sortBy(-_._1).foldLeft($"sym": Column) { case (c, (r, m)) =>
-      replace(c, lit(r.toChar.toString), lit(m))
+      replace(c, lit(bpeSentinel(r).toChar.toString), lit(m))
     }
     words.select(explode(split(encoded, "")).as("sym"))
       .filter(length($"sym") > 0)
@@ -2186,29 +2186,34 @@ object TextAnalysis {
     * stream, cN/mN/wN = each round's counts, argmax merge and
     * rewritten stream) — shared by the encode oracle and the
     * fertility oracle, which both re-apply the learned merges. */
+  /** The unrolled training CTEs. MATERIALIZED is load-bearing: each
+    * w_r is referenced by BOTH c_{r+1} and w_{r+1}, so a plain CTE
+    * chain inlines 2^rounds copies of the corpus scan — measured 1 s
+    * at 6 rounds, 5.7 s at 8, hopeless at 16; materialized, 16 rounds
+    * run in 1 s. */
   private def bpeTrainCtesSql(rounds: Int): String = {
     val w0 =
-      """w0 AS (
+      """w0 AS MATERIALIZED (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
         |  FROM documents WHERE length(trim(text)) > 0)""".stripMargin
     val steps = (1 to rounds).map { r =>
-      s"""c$r AS (
+      s"""c$r AS MATERIALIZED (
          |  SELECT pair, COUNT(*) AS n_occ FROM (
          |    SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
          |    FROM w${r - 1} WHERE length(w) >= 2)
          |  GROUP BY 1),
-         |m$r AS (SELECT pair, n_occ FROM c$r ORDER BY n_occ DESC, pair LIMIT 1),
-         |w$r AS (SELECT replace(w, (SELECT pair FROM m$r), chr($r)) AS w FROM w${r - 1})"""
+         |m$r AS MATERIALIZED (SELECT pair, n_occ FROM c$r ORDER BY n_occ DESC, pair LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT replace(w, (SELECT pair FROM m$r), chr(${bpeSentinel(r)})) AS w FROM w${r - 1})"""
         .stripMargin
     }
     s"$w0,\n${steps.mkString(",\n")}"
   }
 
   def bpeEncodeSql(rounds: Int = 3): String = {
-    require(rounds >= 1 && rounds <= 8,
-      s"bpe_encode rounds must be in [1, 8] (same sentinel bound as bpeEncodeOf); got $rounds")
+    require(rounds >= 1 && rounds <= 26,
+      s"bpe_encode rounds must be in [1, 26] (same sentinel bound as bpeEncodeOf); got $rounds")
     val expand = (1 to rounds).reverse.foldLeft("sym") { (acc, r) =>
-      s"replace($acc, chr($r), (SELECT pair FROM m$r))"
+      s"replace($acc, chr(${bpeSentinel(r)}), (SELECT pair FROM m$r))"
     }
     s"""WITH ${bpeTrainCtesSql(rounds)},
        |syms AS (
@@ -2241,13 +2246,13 @@ object TextAnalysis {
   /** Frame-based core of C25d (docs = (lang, text)). */
   private[graft] def tokenizerFertilityOf(docs: DataFrame,
                                           rounds: Int = 3): DataFrame = {
-    require(rounds >= 1 && rounds <= 8,
-      s"tokenizer_fertility rounds must be in [1, 8] (bpe_encode's sentinel bound); got $rounds")
+    require(rounds >= 1 && rounds <= 26,
+      s"tokenizer_fertility rounds must be in [1, 26] (bpe_encode's sentinel bound); got $rounds")
     import docs.sparkSession.implicits._
     val mseq = bpeMergesOf(docs.select(explode(toks($"text")).as("w")), rounds)
       .orderBy($"round").collect().map(r => (r.getInt(0), r.getString(1)))
     val encoded = mseq.foldLeft($"w": Column) { case (c, (r, m)) =>
-      replace(c, lit(m), lit(r.toChar.toString))
+      replace(c, lit(m), lit(bpeSentinel(r).toChar.toString))
     }
     docs.select($"lang", explode(toks($"text")).as("w"))
       .select($"lang", length($"w").cast("long").as("wc"),
@@ -2264,10 +2269,10 @@ object TextAnalysis {
   /** C25d oracle: the same training CTEs re-applied per (lang, word),
     * integer-division micro-unit ratios. */
   def tokenizerFertilitySql(rounds: Int = 3): String = {
-    require(rounds >= 1 && rounds <= 8,
-      s"tokenizer_fertility rounds must be in [1, 8]; got $rounds")
+    require(rounds >= 1 && rounds <= 26,
+      s"tokenizer_fertility rounds must be in [1, 26]; got $rounds")
     val enc = (1 to rounds).foldLeft("w") { (acc, r) =>
-      s"replace($acc, (SELECT pair FROM m$r), chr($r))"
+      s"replace($acc, (SELECT pair FROM m$r), chr(${bpeSentinel(r)}))"
     }
     s"""WITH ${bpeTrainCtesSql(rounds)},
        |docw AS (
@@ -2290,14 +2295,21 @@ object TextAnalysis {
 
   /** Frame-based core of C25b (words = one column `w`) — lets the spec
     * pin the merge sequence on a crafted corpus. */
+  /** Merge-round sentinel code point: the C0 control range, SKIPPING
+    * the whitespace block chr(9..13) — a tab/newline sentinel would be
+    * mangled by the whitespace tokenizer and the oracle's
+    * string_split_regex on the encode round-trip (the old reason the
+    * encode path capped at 8 rounds). Rounds 1-8 keep their historic
+    * codes; 9+ shift past the gap — max round 26 lands on chr(31). */
+  private[graft] def bpeSentinel(r: Int): Int = if (r <= 8) r else r + 5
+
   private[graft] def bpeMergesOf(wordsIn: DataFrame, rounds: Int): DataFrame = {
     import wordsIn.sparkSession.implicits._
-    // sentinels are the C0 control range, guaranteed absent from
-    // whitespace-tokenized text; past 31 they would collide with
-    // printable characters (and chr() wraps differently across
-    // engines past 255), silently corrupting merges — refuse.
-    require(rounds >= 1 && rounds <= 31,
-      s"rounds must be in [1, 31] (control-char sentinels), got $rounds")
+    // sentinels are the C0 control range minus whitespace (see
+    // bpeSentinel); past 26 the shifted code would leave the control
+    // range and collide with printable characters — refuse.
+    require(rounds >= 1 && rounds <= 26,
+      s"rounds must be in [1, 26] (control-char sentinels minus the whitespace block), got $rounds")
     // deliberately NOT checkpointed: each round re-derives the word
     // stream through the rewrite lineage (scan+tokenize+replays), and
     // r15 measured that as CHEAPER than materializing the exploded
@@ -2327,7 +2339,7 @@ object TextAnalysis {
       else {
         out += best.select(lit(r).as("round"), $"pair".as("merged"), $"n_occ")
         words = words.crossJoin(broadcast(best.select($"pair".as("m"))))
-          .select(expr(s"replace(w, m, chr($r))").as("w"))
+          .select(expr(s"replace(w, m, chr(${bpeSentinel(r)}))").as("w"))
       }
     }
     val parts = out.result()
@@ -2343,24 +2355,10 @@ object TextAnalysis {
   }
 
   def bpeTrainMergesSql(rounds: Int = 3): String = {
-    val w0 =
-      """w0 AS (
-        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
-        |  FROM documents WHERE length(trim(text)) > 0)""".stripMargin
-    val steps = (1 to rounds).map { r =>
-      s"""c$r AS (
-         |  SELECT pair, COUNT(*) AS n_occ FROM (
-         |    SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
-         |    FROM w${r - 1} WHERE length(w) >= 2)
-         |  GROUP BY 1),
-         |m$r AS (SELECT pair, n_occ FROM c$r ORDER BY n_occ DESC, pair LIMIT 1),
-         |w$r AS (SELECT replace(w, (SELECT pair FROM m$r), chr($r)) AS w FROM w${r - 1})"""
-        .stripMargin
-    }
     val sel = (1 to rounds).map(r =>
       s"SELECT CAST($r AS INT) AS round, pair AS merged, CAST(n_occ AS BIGINT) AS n_occ FROM m$r")
       .mkString("\nUNION ALL\n")
-    s"WITH $w0,\n${steps.mkString(",\n")}\n$sel"
+    s"WITH ${bpeTrainCtesSql(rounds)}\n$sel"
   }
 
   def bpePairCountsSql(topN: Int = 200): String =
@@ -2671,6 +2669,16 @@ object TextAnalysis {
       .withColumn("anchor2", $"o2" < $"o1")
       .select($"query_id", $"t1", $"t2", $"anchor2")
       .localCheckpoint()
+    phraseMatch(pos, panel, k)
+  }
+
+  /** The rarest-first verify + rank tail shared by [[phraseOf]]
+    * (full-corpus postings) and [[phraseServe]] (bucket-pruned
+    * postings — sufficient because a hit's BOTH rows carry query
+    * tokens, so the verify legs never need a posting outside the
+    * query tokens' buckets). */
+  private def phraseMatch(pos: DataFrame, panel: DataFrame, k: Int): DataFrame = {
+    import pos.sparkSession.implicits._
     // anchor = t1: hits at p, verify token(p+1) == t2
     val m1 = pos.join(broadcast(panel.filter(!$"anchor2")), $"token" === $"t1")
       .select($"query_id", $"doc_id", $"p", $"t2")
@@ -2689,6 +2697,107 @@ object TextAnalysis {
       .groupBy($"query_id", $"doc_id").agg(count(lit(1)).as("n_occ"))
       .withColumn("rank_phrase", row_number().over(w))
       .filter($"rank_phrase" <= k)
+  }
+
+  // ---- C23i: the PERSISTED positional phrase index -----------------
+  //
+  // C23h re-derives the positional table and shuffles it per call —
+  // right as the batch form, but the 100 TB serve wants the postings
+  // PERSISTED token-hash-bucket-partitioned (C23b's layout), so an
+  // external phrase query reads ONLY its tokens' buckets. The verify
+  // legs stay bucket-local: a phrase hit's two rows both carry query
+  // tokens, so the pruned read is sufficient, not just faster. Same
+  // commit-last protocol as the line/BM25 indexes ([[lineIndexMeta]]
+  // reads the shared commits/ layout).
+
+  def phraseIndexWrite(docs: DataFrame, path: String, nBuckets: Int = 16): Unit =
+    phraseIndexAppendRaw(docs, path, Some(nBuckets), overwrite = true)
+
+  /** O(batch) fold of a new crawl batch into the positional index. */
+  def phraseIndexAppend(docs: DataFrame, path: String): Unit =
+    phraseIndexAppendRaw(docs, path, None, overwrite = false)
+
+  private[graft] def phraseIndexAppendRaw(docs: DataFrame, path: String,
+                                          nBucketsOpt: Option[Int],
+                                          overwrite: Boolean,
+                                          commit: Boolean = true): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mode = if (overwrite) "overwrite" else "append"
+    val nBuckets = nBucketsOpt.getOrElse(lineIndexMeta(spark, path)._2)
+    val batchId = java.util.UUID.randomUUID.toString
+    docs.withColumn("w", toks($"text")).filter(size($"w") >= 1)
+      .select($"doc_id", posexplode($"w"))
+      .select(pmod(xxhash64($"col"), lit(nBuckets)).cast("int").as("bucket"),
+        $"col".as("token"), $"doc_id", $"pos".as("p"), lit(batchId).as("batch_id"))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode(mode).parquet(s"$path/pos")
+    if (commit)
+      Seq((batchId, nBuckets)).toDF("batch_id", "n_buckets")
+        .coalesce(1).write.mode(mode).parquet(s"$path/commits")
+  }
+
+  /** Serve an external phrase-query panel (query_id, t1, t2) against
+    * the persisted positional index: route the panel's tokens to
+    * their buckets (≤ 2·|panel| driver ints), statically prune the
+    * postings read to those buckets, semi-restrict to the panel's
+    * tokens, and run C23h's rarest-first verify on the pruned table —
+    * the occurrence counts for anchor choice are exact because a
+    * token's WHOLE posting list lives in its one bucket. */
+  def phraseServe(spark: SparkSession, path: String, queries: DataFrame,
+                  k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val (committed, nBuckets) = lineIndexMeta(spark, path)
+    val qp = queries.localCheckpoint()
+    val qTokens = qp.select($"t1".as("token"))
+      .unionAll(qp.select($"t2".as("token"))).distinct().localCheckpoint()
+    val buckets = qTokens
+      .select(pmod(xxhash64($"token"), lit(nBuckets)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val posQ = spark.read.parquet(s"$path/pos")
+      .select($"bucket".cast("int").as("bucket"), $"token", $"doc_id", $"p",
+        $"batch_id")
+      .filter($"bucket".isin(buckets: _*))
+      .filter($"batch_id".isin(committed: _*))
+      .join(broadcast(qTokens), Seq("token"), "left_semi")
+      .select($"doc_id", $"p", $"token")
+      .localCheckpoint()
+    val occ = posQ.groupBy($"token").agg(count(lit(1)).as("tocc"))
+    val panel = qp
+      .join(occ.select($"token".as("t1"), $"tocc".as("o1")), Seq("t1"), "left")
+      .join(occ.select($"token".as("t2"), $"tocc".as("o2")), Seq("t2"), "left")
+      .na.fill(0L, Seq("o1", "o2"))
+      .withColumn("anchor2", $"o2" < $"o1")
+      .select($"query_id", $"t1", $"t2", $"anchor2")
+      .localCheckpoint()
+    phraseMatch(posQ, panel, k)
+  }
+
+  /** C23i `phrase_serve` gate — index 70% of the corpus, append the
+    * other 30% (the full corpus accumulated incrementally), then
+    * serve C23h's own query panel: HASH-EQUAL to [[phraseRetrieve]]'s
+    * from-scratch answer through [[phraseRetrieveSql]]. */
+  def phraseServeGate(spark: SparkSession, dir: String,
+                      k: Int = 10, qMod: Int = 20): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val live = docs.filter(length(trim($"text")) > 0)
+    // a token-free corpus writes zero postings partitions (read-back
+    // crash) and serves nothing — return the empty answer directly
+    val mx = live.agg(max($"doc_id")).head()
+    if (mx.isNullAt(0))
+      return Seq.empty[(Long, Long, Long, Int)]
+        .toDF("query_id", "doc_id", "n_occ", "rank_phrase")
+    val cut = mx.getLong(0) * 7 / 10
+    val panel = docs.filter($"doc_id" % qMod === 0)
+      .withColumn("w", toks($"text")).filter(size($"w") >= 2)
+      .select($"doc_id".as("query_id"), $"w".getItem(0).as("t1"),
+        $"w".getItem(1).as("t2"))
+    graft.sources.Lake.withScratchIndex(spark, "graft_phrase_idx") { tmp =>
+      phraseIndexWrite(Tables.fanout(docs.filter($"doc_id" <= cut)), tmp)
+      phraseIndexAppend(Tables.fanout(docs.filter($"doc_id" > cut)), tmp)
+      phraseServe(spark, tmp, Tables.fanout(panel), k)
+    }
   }
 
   /** C23h oracle: the naive t₁-first positional join in DuckDB —

@@ -675,4 +675,65 @@ class Bm25Spec extends AnyFunSuite {
       "rarest-first anchoring must be answer-invisible")
     spark.catalog.clearCache()
   }
+
+  test("bpe deep rounds: 16-round merges use whitespace-safe sentinels and round-trip cleanly") {
+    val s = spark
+    import s.implicits._
+    val TA = operators.TextAnalysis
+    val words = Tables.fanout(Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("text")))
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val merges = TA.bpeMergesOf(words, rounds = 16).orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(merges.length == 16, s"the sf corpus supports 16 rounds: ${merges.length}")
+    // later merges may embed earlier sentinels, but NEVER a whitespace
+    // code point (chr 9-13) — the gap bpeSentinel exists for
+    assert(merges.forall { case (_, m) => !m.exists(c => c >= 9 && c <= 13) },
+      "no merge string may contain a whitespace-range sentinel")
+    // encode/expand round-trip: expanded tokens contain no control
+    // chars at all (full reverse-round expansion)
+    val vocab = TA.bpeEncodeOf(words, rounds = 16).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(vocab.forall { case (_, tok, _) => !tok.exists(_ < 32) },
+      "every encoded symbol must expand back to sentinel-free text")
+    // symbol mass is conserved: total expanded chars == total word chars
+    val wordChars = words.agg(org.apache.spark.sql.functions
+      .sum(length(col("w")))).head().getLong(0)
+    val expandedChars = vocab.map { case (_, tok, n) => tok.length * n }.sum
+    assert(expandedChars == wordChars,
+      s"expansion must conserve characters: $expandedChars vs $wordChars")
+    spark.catalog.clearCache()
+  }
+
+  test("phrase_serve: the bucket-pruned persisted index reproduces the from-scratch answer; external panel serves") {
+    val s = spark
+    import s.implicits._
+    val TA = operators.TextAnalysis
+    // lifecycle parity on the sf corpus through the gate entry
+    val served = TA.phraseServeGate(spark, sf).orderBy("query_id", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val scratch = TA.phraseRetrieve(spark, sf).orderBy("query_id", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(served.toSeq == scratch.toSeq,
+      "persisted-index phrase serve must equal the from-scratch retrieval")
+    // an EXTERNAL panel (tokens the corpus builder never saw as a
+    // query) serves correctly against a small planted index
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta"),
+      (2L, "beta alpha beta gamma"),
+      (3L, "gamma gamma alpha")
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("phrase_idx").toString
+    TA.phraseIndexWrite(docs, idx, nBuckets = 8)
+    val out = TA.phraseServe(spark,
+        idx, Seq((100L, "alpha", "beta")).toDF("query_id", "t1", "t2"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    // doc1: "alpha beta" at 0 and 3; doc2: once; doc3: never
+    assert(out.toSeq == Seq((1L, 2L, 1), (2L, 1L, 2)),
+      s"external phrase query wrong: ${out.toSeq}")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+    spark.catalog.clearCache()
+  }
 }

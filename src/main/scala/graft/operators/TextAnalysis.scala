@@ -220,8 +220,8 @@ object TextAnalysis {
     (rows.map(_.getString(0)).toSeq, nb.head)
   }
 
-  private def lineIndexDeletes(spark: SparkSession, path: String,
-                               committed: Seq[String]): DataFrame = {
+  private[graft] def lineIndexDeletes(spark: SparkSession, path: String,
+                                      committed: Seq[String]): DataFrame = {
     import spark.implicits._
     val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
     if (del.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(del))

@@ -163,6 +163,102 @@ object Url {
         ($"doc_id" =!= $"keeper_id").as("is_dup"))
   }
 
+  // ---- C37b: the PERSISTED canonical-URL seen set -------------------
+  //
+  // C37 recomputes the canonical groups from the whole crawl per run;
+  // the crawl FRONTIER needs the accumulated seen set indexed once and
+  // probed per arriving batch — the line-df index machinery runs
+  // unchanged with "one canonical URL per doc" as the segmentation
+  // (same bucketed store, commit-last appends, tombstone deletes),
+  // and the serve reads only the batch's canonicals' buckets.
+
+  /** The URL "segmentation": one (doc_id, line = canonical form) row
+    * per link — plugs the whole line-index lifecycle. */
+  private val urlSegsFn: DataFrame => DataFrame = links => {
+    import links.sparkSession.implicits._
+    canonicalizeOf(links)
+      .select($"doc_id", lit(0).as("pos"), $"canonical_url".as("line"))
+  }
+
+  def urlIndexWrite(links: DataFrame, path: String, nBuckets: Int = 16): Unit =
+    TextAnalysis.lineIndexAppendRaw(links, path, Some(nBuckets),
+      overwrite = true, segs = urlSegsFn)
+
+  /** O(batch) fold of a new crawl batch's canonicals into the set. */
+  def urlIndexAppend(links: DataFrame, path: String): Unit =
+    TextAnalysis.lineIndexAppendRaw(links, path, None,
+      overwrite = false, segs = urlSegsFn)
+
+  /** Serve an arriving link batch against the accumulated seen set:
+    * canonicalize, route the canonicals to their buckets (driver
+    * ints), read ONLY those buckets semi-restricted to the batch's
+    * canonicals (honoring tombstones), and answer with C37's exact
+    * first-writer-wins semantics over (surviving index ∪ batch). */
+  def urlDedupServe(spark: SparkSession, path: String,
+                    links: DataFrame): DataFrame = {
+    import spark.implicits._
+    val (committed, nBuckets) = TextAnalysis.lineIndexMeta(spark, path)
+    val dead = TextAnalysis.lineIndexDeletes(spark, path, committed)
+    val neu = canonicalizeOf(links).select($"doc_id", $"canonical_url")
+      .localCheckpoint()
+    val buckets = neu
+      .select(pmod(xxhash64($"canonical_url"), lit(nBuckets)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val refRows = spark.read.parquet(s"$path/lines")
+      .select($"bucket".cast("int").as("bucket"),
+        $"line".as("canonical_url"), $"doc_id", $"batch_id")
+      .filter($"bucket".isin(buckets: _*))
+      .filter($"batch_id".isin(committed: _*))
+      .join(broadcast(dead), Seq("doc_id"), "left_anti")
+      .join(neu.select($"canonical_url").distinct(), Seq("canonical_url"), "left_semi")
+      .select($"canonical_url", $"doc_id")
+    val agg = refRows.unionAll(neu.select($"canonical_url", $"doc_id"))
+      .groupBy($"canonical_url")
+      .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_aliases"))
+    neu.join(agg, Seq("canonical_url"))
+      .select($"doc_id", $"canonical_url", $"keeper_id", $"n_aliases",
+        ($"doc_id" =!= $"keeper_id").as("is_dup"))
+  }
+
+  /** C37b `url_dedup_serve` gate — index 70% of the reference crawl's
+    * canonicals, append the rest, tombstone every 7th doc, serve the
+    * new batch: HASH-EQUAL to C37's from-scratch answer on (surviving
+    * reference ∪ batch) restricted to the batch. */
+  def urlDedupServeGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = urlCorpus(spark, dir)
+    val ref = all.filter($"doc_id" % 3 =!= 0)
+    val neu = all.filter($"doc_id" % 3 === 0)
+    if (ref.isEmpty || neu.isEmpty)
+      return Seq.empty[(Long, String, Long, Long, Boolean)]
+        .toDF("doc_id", "canonical_url", "keeper_id", "n_aliases", "is_dup")
+    val cut = ref.agg(max($"doc_id")).head().getLong(0) * 7 / 10
+    graft.sources.Lake.withScratchIndex(spark, "graft_url_idx") { tmp =>
+      urlIndexWrite(Tables.fanout(ref.filter($"doc_id" <= cut)), tmp)
+      urlIndexAppend(Tables.fanout(ref.filter($"doc_id" > cut)), tmp)
+      TextAnalysis.lineIndexDelete(spark, tmp,
+        all.filter($"doc_id" % 7 === 0).select($"doc_id"))
+      urlDedupServe(spark, tmp, Tables.fanout(neu))
+    }
+  }
+
+  /** C37b oracle — the from-scratch canonical dedup on (surviving
+    * reference ∪ batch) restricted to the batch. */
+  val urlDedupServeSql: String =
+    s"""WITH $urlCorpusSql,
+       |canon AS (
+       |  SELECT doc_id,
+       |${canonicalSqlExpr("url")} AS canonical_url
+       |  FROM links
+       |  WHERE (doc_id % 3 <> 0 AND doc_id % 7 <> 0) OR doc_id % 3 = 0),
+       |keepers AS (
+       |  SELECT canonical_url, MIN(doc_id) AS keeper_id, COUNT(*) AS n_aliases
+       |  FROM canon GROUP BY 1)
+       |SELECT c.doc_id, c.canonical_url, k.keeper_id, k.n_aliases,
+       |       c.doc_id <> k.keeper_id AS is_dup
+       |FROM canon c JOIN keepers k USING (canonical_url)
+       |WHERE c.doc_id % 3 = 0""".stripMargin
+
   /** C37 oracle. */
   val urlDedupSql: String =
     s"""WITH $urlCorpusSql,

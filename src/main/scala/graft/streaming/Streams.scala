@@ -445,6 +445,16 @@ object Streams {
     TA.boilerplateApply(Tables.fanout(corpus), strikes)
   }
 
+  /** E30 `stream_pii_structured` — checksum-validated structured-PII
+    * redaction at ingest: F23's per-row Luhn/mod-97 expressions
+    * applied to each arriving batch. A doc's verdict depends on its
+    * own text alone (stateless — E28's class), so N micro-batches ≡
+    * one-shot redaction by construction; gate shares F23's body and
+    * oracle, and the MemoryStream batch drive lives in
+    * StreamingSpec's foreachBatch parity spec. */
+  def streamPiiStructured(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Govern.piiStructured(spark, dir)
+
   /** E28 `stream_html_extract` — markup → text extraction at ingest:
     * C35's per-row regex pipeline applied to each arriving page
     * batch. A page's blocks depend on its own markup alone (no frozen

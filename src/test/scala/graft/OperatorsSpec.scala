@@ -492,6 +492,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.filter($"doc_id" === $"keeper_id" && $"is_dup").count() == 0)
   }
 
+  test("url_dedup_serve: the persisted seen set reproduces the from-scratch union answer") {
+    val s = spark
+    import s.implicits._
+    val served = operators.Url.urlDedupServeGate(spark, sf)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val all = operators.Url.urlCorpus(spark, sf)
+    val union = all.filter($"doc_id" % 3 =!= 0 && $"doc_id" % 7 =!= 0)
+      .unionAll(all.filter($"doc_id" % 3 === 0))
+    val scratch = operators.Url.urlDedupOf(union).filter($"doc_id" % 3 === 0)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(served.toSeq == scratch.toSeq,
+      "index-served URL verdicts must equal the from-scratch union answer")
+    // a batch URL whose only prior sighting was TOMBSTONED is novel
+    // again: some batch doc must be its own keeper despite a same-
+    // canonical ref doc existing pre-delete (groups span ids g*5..g*5+4,
+    // so every batch contains keepers) — sanity that both classes occur
+    assert(served.exists(!_._5) && served.exists(_._5),
+      "the served batch must contain both keepers and duplicates")
+  }
+
   test("incremental_dedup: result disjoint from seen window") {
     import org.apache.spark.sql.functions._
     val res = operators.Dedup.incrementalDedup(spark, sf)

@@ -1125,6 +1125,48 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("E30 stream_pii_structured: per-batch checksum redaction equals one-shot; verdicts batch-invariant") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val G = operators.Govern
+    // mixed stream: valid card, invalid card, valid IBAN, clean text
+    val rows = (0L until 24L).map { i =>
+      (i, (i % 4) match {
+        case 0 => s"doc $i pay 4111111111111111 now"
+        case 1 => s"doc $i pay 4111111111111112 now"
+        case 2 => s"doc $i send DE89370400440532013000 today"
+        case _ => s"doc $i nothing sensitive"
+      })
+    }
+    val oneShot = G.piiStructuredOf(rows.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4))).sortBy(_._1)
+    val source = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Int, Int, String)]
+    val q = source.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= G.piiStructuredOf(df).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+            r.getString(4)))
+        (): Unit
+      }
+      .start()
+    Seq(rows.slice(0, 9), rows.slice(9, 17), rows.slice(17, 24)).foreach { b =>
+      source.addData(b: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(got.sortBy(_._1).toSeq == oneShot.toSeq,
+      "per-batch redaction must equal one-shot, verdict for verdict")
+    assert(got.filter(_._1 % 4 == 0).forall(r => r._2 == 1 && r._5.contains("<CARD>")),
+      "valid cards always redact regardless of batch")
+    assert(got.filter(_._1 % 4 == 1).forall(r => r._2 == 0 && r._4 == 1),
+      "checksum-failing cards always reject regardless of batch")
+    spark.catalog.clearCache()
+  }
+
   test("E28 stream_html_extract: per-batch page extraction equals one-shot; blocks stay page-local") {
     val s = spark
     import s.implicits._

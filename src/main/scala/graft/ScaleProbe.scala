@@ -486,6 +486,29 @@ object ScaleProbe {
         "through LM fit + scoring (type-bounded tables, broadcast " +
         "scalar — never pairwise)")
 
+    // ---- claim: KN store append is O(batch), not O(store) ---------
+    // (the bm25/IVF append axes for the C21i delta log: a 2x batch
+    // folds ~2x the bytes, the same batch onto an 8x-corpus store
+    // folds ~the same — the append never re-reads corpus or store)
+    val (knS, knB) = (tmp("kn_s"), tmp("kn_b"))
+    graft.operators.TextAnalysis.knStoreWrite(Tables.fanout(docs), knS)
+    graft.operators.TextAnalysis.knStoreWrite(bigDocs, knB)
+    val k1s = scope("kn_append_1x_small") {
+      graft.operators.TextAnalysis.knStoreAppend(docBatch(250, 100000000L), knS)
+    }
+    val k2s = scope("kn_append_1x_double") {
+      graft.operators.TextAnalysis.knStoreAppend(docBatch(500, 200000000L), knS)
+    }
+    val k1b = scope(s"kn_append_${rep}x_small") {
+      graft.operators.TextAnalysis.knStoreAppend(docBatch(250, 100000000L), knB)
+    }
+    ratio("kn_append_batch_prop", k2s.shuffleWriteBytes.toDouble,
+      k1s.shuffleWriteBytes.toDouble, 1.3, 3.0,
+      "2x batch onto the same LM store must shuffle ~2x the bytes")
+    ratio("kn_append_corpus_indep", k1b.shuffleWriteBytes.toDouble,
+      k1s.shuffleWriteBytes.toDouble, 0.5, 1.5,
+      s"same batch onto a ${rep}x-corpus LM store must shuffle ~the same bytes")
+
     // ---- emit ------------------------------------------------------
     val out = checks.result()
     def j(c: Check): String =

@@ -4369,6 +4369,16 @@ object TextAnalysis {
     // re-run the tokenize+explode concurrently
     val bg = bigramStream(docs).localCheckpoint()
     val cb = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb")).localCheckpoint()
+    knScoreJoins(bg, cb)
+  }
+
+  /** The C21e scoring joins given the bigram stream and the count
+    * table — shared VERBATIM by the self-trained C21e and the C21i
+    * persisted-store path, so a store-served score is definitionally
+    * the same IEEE chain as a from-scratch retrain (inner joins: the
+    * covered-corpus contract — every scored bigram has a count row). */
+  private def knScoreJoins(bg: DataFrame, cb: DataFrame): DataFrame = {
+    import bg.sparkSession.implicits._
     val fwd = cb.groupBy($"w1").agg(sum($"cb").as("c1"), count(lit(1)).as("nf"))
     val bwd = cb.groupBy($"w2").agg(count(lit(1)).as("nb"))
     val scal = cb.agg(count(lit(1)).as("btypes"),
@@ -4398,10 +4408,15 @@ object TextAnalysis {
   /** C21e oracle: identical KN arithmetic in DuckDB — same integer
     * counts, same left-associated IEEE chain, same 6dp-after-mean
     * rounding. */
-  val knBigramScoreSql: String =
-    """WITH docs AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-      |  FROM documents WHERE length(trim(text)) > 0),
+  val knBigramScoreSql: String = knBigramSqlOver("")
+
+  /** The C21e oracle parameterized over an extra corpus predicate —
+    * C21i's gate is the SAME self-trained arithmetic on the surviving
+    * (post-retract) corpus, so both oracles share one template. */
+  private def knBigramSqlOver(extraWhere: String): String =
+    s"""WITH docs AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      |  FROM documents WHERE length(trim(text)) > 0$extraWhere),
       |bg AS (
       |  SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
       |  FROM docs, unnest(generate_series(0, len(w) - 2)) AS t(i)
@@ -4430,6 +4445,110 @@ object TextAnalysis {
       |SELECT doc_id, n_bigrams, bits_per_bigram,
       |       round(pow(2.0, bits_per_bigram), 4) AS kn_ppl
       |FROM scored""".stripMargin
+
+  // ---- C21i `kn_append`: the PERSISTED KN count store ---------------
+  //
+  // C21e retrains from the corpus per run; a nightly LM over a growing
+  // crawl needs the TYPE-BOUNDED count table persisted once and FOLDED
+  // per batch. Bigram counts are additive integers over documents, so
+  // the store is a delta log: an append writes the batch's own counts
+  // as positive rows, a retract the removed docs' counts negated, and
+  // the merged LM (SUM per type, net ≤ 0 types dropped) is EXACTLY the
+  // LM a from-scratch retrain on the surviving corpus would build —
+  // the gate pins hash-equality, not approximation. At 100 TB the
+  // append shuffles O(batch bigrams) and never re-reads the corpus;
+  // the serve-side merge reads LM TYPES (vocabulary-bounded,
+  // ScaleProbe kn_lm_type_bounded), never corpus bytes.
+
+  /** Initialize the persisted LM count store from a corpus. */
+  def knStoreWrite(docs: DataFrame, path: String): Unit =
+    knStoreDelta(docs, path, overwrite = true, sign = 1L)
+
+  /** O(batch) fold of a new doc batch's bigram counts into the LM. */
+  def knStoreAppend(docs: DataFrame, path: String): Unit =
+    knStoreDelta(docs, path, overwrite = false, sign = 1L)
+
+  /** Retract documents from the LM: their counts re-derived and
+    * appended NEGATED (additive-inverse delta — no store rewrite). */
+  def knStoreRetract(docs: DataFrame, path: String): Unit =
+    knStoreDelta(docs, path, overwrite = false, sign = -1L)
+
+  /** Delta writer shared by write/append/retract: count rows first,
+    * the commit row LAST — a crashed batch stays invisible. */
+  private[graft] def knStoreDelta(docs: DataFrame, path: String,
+                                  overwrite: Boolean, sign: Long,
+                                  commit: Boolean = true): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mode = if (overwrite) "overwrite" else "append"
+    val batchId = java.util.UUID.randomUUID.toString
+    knBigramTypes(docs)
+      .select($"w1", $"w2", ($"cb" * lit(sign)).as("cb"),
+        lit(batchId).as("batch_id"))
+      .write.mode(mode).parquet(s"$path/counts")
+    if (commit)
+      Seq(batchId).toDF("batch_id")
+        .coalesce(1).write.mode(mode).parquet(s"$path/commits")
+  }
+
+  /** The merged LM count table: committed deltas summed per bigram
+    * type; a fully-retracted type (net count ≤ 0) no longer exists.
+    * One type-bounded aggregate — never a corpus read. */
+  private[graft] def knStoreCounts(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val committed = spark.read.parquet(s"$path/commits").select($"batch_id")
+    spark.read.parquet(s"$path/counts")
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
+      .groupBy($"w1", $"w2").agg(sum($"cb").as("cb"))
+      .filter($"cb" > 0L)
+  }
+
+  /** Score a corpus against the persisted LM — C21e's scoring joins
+    * verbatim on the merged table (covered-corpus contract: callers
+    * score docs whose counts are in the store, as C21e self-scores). */
+  def knStoreScore(spark: SparkSession, path: String, docs: DataFrame): DataFrame =
+    knScoreJoins(bigramStream(docs).localCheckpoint(),
+      knStoreCounts(spark, path).localCheckpoint())
+
+  /** Compact the delta log: rewrite the merged LIVE counts as one
+    * batch and retire the append/retract history (the dedup-vacuum
+    * posture — a long run of retractions otherwise accumulates dead
+    * delta rows every merge re-reads). Merge-preserving by
+    * construction; the eager checkpoint frees the read before the
+    * overwrite lands. */
+  def knStoreVacuum(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val live = knStoreCounts(spark, path).localCheckpoint()
+    val batchId = java.util.UUID.randomUUID.toString
+    live.select($"w1", $"w2", $"cb", lit(batchId).as("batch_id"))
+      .write.mode("overwrite").parquet(s"$path/counts")
+    Seq(batchId).toDF("batch_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/commits")
+  }
+
+  /** C21i `kn_append` gate — build the store as a nightly lifecycle
+    * would (60% initial write, two appends, retract every 7th doc)
+    * and score the surviving corpus from the merged table: HASH-EQUAL
+    * to a from-scratch C21e retrain on the survivors. */
+  def knAppendGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = Tables.fanout(Tables.documents(spark, dir)
+      .select($"doc_id", $"text")).localCheckpoint()
+    if (all.isEmpty)
+      return Seq.empty[(Long, Long, Double, Double)]
+        .toDF("doc_id", "n_bigrams", "bits_per_bigram", "kn_ppl")
+    graft.sources.Lake.withScratchIndex(spark, "graft_kn_store") { tmp =>
+      knStoreWrite(all.filter($"doc_id" % 10 < 6), tmp)
+      knStoreAppend(all.filter($"doc_id" % 10 === 6 || $"doc_id" % 10 === 7), tmp)
+      knStoreAppend(all.filter($"doc_id" % 10 >= 8), tmp)
+      knStoreRetract(all.filter($"doc_id" % 7 === 0), tmp)
+      knStoreScore(spark, tmp, all.filter($"doc_id" % 7 =!= 0))
+    }
+  }
+
+  /** C21i oracle: the from-scratch C21e arithmetic on the surviving
+    * corpus — additive-delta merge ≡ retrain, asserted in SQL. */
+  val knAppendSql: String = knBigramSqlOver(" AND doc_id % 7 <> 0")
 
   /** C21f `kn_stale_serve` — the KN scorer's STALENESS drill, and the
     * only place its real BACKOFF runs: C21e is self-trained, so every

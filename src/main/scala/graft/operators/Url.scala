@@ -272,4 +272,217 @@ object Url {
        |SELECT doc_id, canonical_url, keeper_id, n_aliases,
        |       doc_id <> keeper_id AS is_dup
        |FROM canon JOIN keepers USING (canonical_url)""".stripMargin
+
+  // ---- C39 `domain_extract`: registered-domain extraction -----------
+  //
+  // Every domain-scoped curation stage (per-domain caps, domain
+  // blocklists, crawl politeness) keys on the REGISTERED domain, not
+  // the raw host — "a.blog.co.uk" and "b.blog.co.uk" are one
+  // registrant, "blog.co.uk" and "news.co.uk" are not, and getting
+  // that split right requires the public-suffix rules ("co.uk" is a
+  // suffix, "site.com"'s suffix is just "com").
+
+  /** Public-suffix rules (published PSL entries — single-label TLDs,
+    * multi-label country suffixes, private-registry entries). A
+    * compile-time sample here; the probe is a literal-array
+    * membership, so the full ~9k-rule published list rides the task
+    * binary the same way — still pure scan-parallel projection.
+    * Lookup follows the published PSL algorithm: the LONGEST matching
+    * rule wins; a host matching no rule takes the implicit '*' rule
+    * (its last label is the suffix); a host that IS a suffix has no
+    * registered domain. */
+  private[graft] val publicSuffixes: Seq[String] = Seq(
+    "com", "org", "net", "edu", "gov", "io", "uk", "au", "jp",
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ac.jp", "ne.jp", "github.io", "blogspot.com")
+
+  /** (public_suffix, registered_domain) columns for a lowercase host —
+    * candidate suffixes are the host's last k labels (k ≤ 4), matched
+    * against the rule list inside one array expression: no UDF, no
+    * join, no shuffle — the scan IS the lookup. */
+  private[graft] def domainCols(host: Column): (Column, Column) = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val psl = array(publicSuffixes.map(lit): _*)
+    // candidates ascend in k, so the last match is the longest rule
+    val matched = filter(
+      transform(sequence(lit(1), least(n, lit(4))),
+        k => array_join(slice(labels, n - k + 1, k), ".")),
+      s => array_contains(psl, s))
+    val suffix = coalesce(try_element_at(matched, lit(-1)),
+      try_element_at(labels, lit(-1)))
+    val ns = size(split(suffix, "\\."))
+    val registered = when(n > ns,
+      array_join(slice(labels, n - ns, ns + 1), "."))
+      .otherwise(lit(null).cast("string"))
+    (suffix, registered)
+  }
+
+  /** The planted host corpus: nine host shapes per doc-id group
+    * covering each PSL lookup leg — multi-label country suffixes,
+    * deep subdomain chains, a bare suffix (no registered domain), a
+    * private-registry entry that must beat its parent TLD, and an
+    * unknown TLD taking the implicit '*' rule. Built identically in
+    * the oracle. */
+  private[graft] def hostCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select($"doc_id")
+      .withColumn("g", expr("doc_id div 9").cast("string"))
+      .withColumn("v", $"doc_id" % 9)
+      .select($"doc_id",
+        when($"v" === 0, concat(lit("www.blog"), $"g", lit(".co.uk")))
+          .when($"v" === 1, concat(lit("a.b.site"), $"g", lit(".com")))
+          .when($"v" === 2, concat(lit("news"), $"g", lit(".ac.jp")))
+          .when($"v" === 3, concat(lit("cdn"), $"g", lit(".org")))
+          .when($"v" === 4, concat(lit("deep.x.host"), $"g", lit(".com.au")))
+          .when($"v" === 5, concat(lit("host"), $"g", lit(".net")))
+          .when($"v" === 6, lit("co.uk"))
+          .when($"v" === 7, concat(lit("files"), $"g", lit(".github.io")))
+          .otherwise(concat(lit("intra"), $"g", lit(".lan")))
+          .as("host"))
+  }
+
+  /** C39 `domain_extract` — (doc_id, host, public_suffix,
+    * registered_domain). Pure per-row array compute over whatever
+    * scan already reads the hosts; at 100 TB the downstream
+    * domain-keyed stages shuffle on registered_domain, never here. */
+  def domainExtract(spark: SparkSession, dir: String): DataFrame =
+    domainExtractOf(Tables.fanout(hostCorpus(spark, dir)))
+
+  /** Frame-based core of C39 (hosts = (doc_id, host)). */
+  private[graft] def domainExtractOf(hosts: DataFrame): DataFrame = {
+    import hosts.sparkSession.implicits._
+    val (suffix, registered) = domainCols($"host")
+    hosts.select($"doc_id", $"host", suffix.as("public_suffix"),
+      registered.as("registered_domain"))
+  }
+
+  /** The oracle's PSL lookup over a host expression — the identical
+    * candidate/filter/longest chain in DuckDB list functions. */
+  private def domainSqlExpr(h: String): String = {
+    val labels = s"string_split($h, '.')"
+    val rules = publicSuffixes.map(s => s"'$s'").mkString("[", ", ", "]")
+    val matched = s"list_filter(list_transform(generate_series(1, least(len($labels), 4)), k -> array_to_string($labels[len($labels)-k+1:len($labels)], '.')), s -> list_contains($rules, s))"
+    val suffix = s"coalesce($matched[-1], $labels[-1])"
+    val ns = s"len(string_split($suffix, '.'))"
+    s"""$suffix AS public_suffix,
+       |CASE WHEN len($labels) > $ns
+       |     THEN array_to_string($labels[len($labels)-$ns:len($labels)], '.')
+       |     ELSE NULL END AS registered_domain""".stripMargin
+  }
+
+  /** The oracle's planted host corpus — the identical CASE ladder. */
+  private val hostCorpusSql: String =
+    """hosts AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 9
+      |      WHEN 0 THEN 'www.blog' || CAST(doc_id // 9 AS VARCHAR) || '.co.uk'
+      |      WHEN 1 THEN 'a.b.site' || CAST(doc_id // 9 AS VARCHAR) || '.com'
+      |      WHEN 2 THEN 'news' || CAST(doc_id // 9 AS VARCHAR) || '.ac.jp'
+      |      WHEN 3 THEN 'cdn' || CAST(doc_id // 9 AS VARCHAR) || '.org'
+      |      WHEN 4 THEN 'deep.x.host' || CAST(doc_id // 9 AS VARCHAR) || '.com.au'
+      |      WHEN 5 THEN 'host' || CAST(doc_id // 9 AS VARCHAR) || '.net'
+      |      WHEN 6 THEN 'co.uk'
+      |      WHEN 7 THEN 'files' || CAST(doc_id // 9 AS VARCHAR) || '.github.io'
+      |      ELSE 'intra' || CAST(doc_id // 9 AS VARCHAR) || '.lan' END AS host
+      |  FROM documents)""".stripMargin
+
+  /** C39 oracle. */
+  val domainExtractSql: String =
+    s"""WITH $hostCorpusSql
+       |SELECT doc_id, host,
+       |${domainSqlExpr("host")}
+       |FROM hosts""".stripMargin
+
+  // ---- C40 `robots_filter`: crawl admission by robots rules ---------
+  //
+  // The crawl frontier's other gate besides the seen set (C37b): may
+  // this URL be fetched at all? Published robots.txt semantics
+  // (RFC 9309): per authority, the rule with the LONGEST matching
+  // path prefix decides; allow wins a length tie; a URL matching no
+  // rule — including the whole authority having no rules — is
+  // allowed. Matching is against the canonical PATH (query excluded
+  // here; the RFC leaves it to the implementation).
+
+  /** The planted per-authority rule set (authority, allow, prefix) —
+    * compile-time here (a real frontier broadcast-joins a
+    * domain-cardinality rules table; the verdict expression is the
+    * same). Covers every semantic leg: nested prefixes three deep,
+    * an exact allow/disallow length tie, and a blanket empty-prefix
+    * disallow that matches every path. */
+  private[graft] val robotsRules: Seq[(String, Boolean, String)] = Seq(
+    ("cdn.site.org", false, "/doc/1"),
+    ("cdn.site.org", true, "/doc/12"),
+    ("cdn.site.org", false, "/doc/123"),
+    ("cdn.site.org", true, "/doc/5"),
+    ("cdn.site.org", false, "/doc/5"),
+    ("news.example.net:8080", false, ""))
+
+  /** C40 `robots_filter` — (doc_id, canonical_url, authority,
+    * matched_prefix, matched_directive, allowed). Pure per-row
+    * compute: the rule set rides as a literal struct array, each URL
+    * filters it to its authority's matching prefixes and takes the
+    * (length, allow)-max — no join, no shuffle, the scan decides. */
+  def robotsFilter(spark: SparkSession, dir: String): DataFrame =
+    robotsFilterOf(canonicalizeOf(Tables.fanout(urlCorpus(spark, dir))))
+
+  /** Frame-based core of C40 over canonicalized links. */
+  private[graft] def robotsFilterOf(canon: DataFrame): DataFrame = {
+    import canon.sparkSession.implicits._
+    val rulesArr = array(robotsRules.map { case (a, al, p) =>
+      struct(lit(a).as("a"), lit(if (al) 1 else 0).as("al"), lit(p).as("p"))
+    }: _*)
+    val auth = regexp_extract($"canonical_url",
+      "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    val path = regexp_extract($"canonical_url",
+      "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    // winner = max (prefix length, allow, prefix) over matching rules
+    // — longest rule first, allow wins the tie, struct-max is total
+    val winner = array_max(transform(
+      filter(rulesArr, r => r("a") === $"authority" &&
+        $"path".startsWith(r("p"))),
+      r => struct(length(r("p")).as("l"), r("al").as("al"), r("p").as("p"))))
+    canon.select($"doc_id", $"canonical_url",
+        auth.as("authority"), path.as("path"))
+      .withColumn("w", winner)
+      .select($"doc_id", $"canonical_url", $"authority",
+        $"w.p".as("matched_prefix"),
+        when($"w".isNull, lit(null).cast("string"))
+          .otherwise(when($"w.al" === 1, lit("allow")).otherwise(lit("disallow")))
+          .as("matched_directive"),
+        coalesce($"w.al" === 1, lit(true)).as("allowed"))
+  }
+
+  /** C40 oracle: the identical rule table + longest-prefix/allow-tie
+    * pick via a ranked join in DuckDB (prefix DESC mirrors the
+    * engine's struct-max tiebreak). */
+  val robotsFilterSql: String = {
+    val rows = robotsRules.map { case (a, al, p) =>
+      s"('$a', ${if (al) 1 else 0}, '$p')"
+    }.mkString(",\n      |         ")
+    s"""WITH $urlCorpusSql,
+       |canon AS (
+       |  SELECT doc_id,
+       |${canonicalSqlExpr("url")} AS canonical_url
+       |  FROM links),
+       |parts AS (
+       |  SELECT doc_id, canonical_url,
+       |         regexp_extract(canonical_url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS authority,
+       |         regexp_extract(canonical_url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+       |  FROM canon),
+       |rules(authority, al, prefix) AS (
+       |  VALUES $rows),
+       |m AS (
+       |  SELECT p.doc_id, r.al, r.prefix,
+       |         row_number() OVER (PARTITION BY p.doc_id
+       |           ORDER BY len(r.prefix) DESC, r.al DESC, r.prefix DESC) AS rn
+       |  FROM parts p JOIN rules r
+       |    ON p.authority = r.authority AND starts_with(p.path, r.prefix))
+       |SELECT p.doc_id, p.canonical_url, p.authority,
+       |       m.prefix AS matched_prefix,
+       |       CASE WHEN m.al IS NULL THEN NULL
+       |            WHEN m.al = 1 THEN 'allow' ELSE 'disallow' END AS matched_directive,
+       |       COALESCE(m.al = 1, TRUE) AS allowed
+       |FROM parts p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id)""".stripMargin
+  }
 }

@@ -1230,6 +1230,37 @@ object Streams {
     }
   }
 
+  /** E31 `stream_kn_append` — the C21i LM count store maintained from
+    * a STREAM of crawl batches: each micro-batch folds its own bigram
+    * counts in as one O(batch) commit-last delta (`knStoreAppend`), a
+    * retraction batch lands as negated counts, and the merged LM
+    * after N micro-batches is EXACTLY the one-shot LM — counts are
+    * additive integers, so batch composition is invisible by
+    * construction. Gate: initial write + nBatches id-sliced appends +
+    * one retraction, then score the survivors from the store —
+    * hash-equal to the from-scratch C21e oracle on the survivors
+    * (C21i's own oracle). The StreamingSpec drives the same fold
+    * through real MemoryStream micro-batches. */
+  def streamKnAppend(spark: SparkSession, dir: String,
+                     nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    val TA = graft.operators.TextAnalysis
+    val docs = Tables.fanout(Tables.documents(spark, dir)
+      .select($"doc_id", $"text")).localCheckpoint()
+    if (docs.isEmpty)
+      return Seq.empty[(Long, Long, Double, Double)]
+        .toDF("doc_id", "n_bigrams", "bits_per_bigram", "kn_ppl")
+    graft.sources.Lake.withScratchIndex(spark, "graft_kn_stream") { tmp =>
+      TA.knStoreWrite(docs.filter($"doc_id" % 10 < 6), tmp)
+      (0 until nBatches).foreach { b =>
+        TA.knStoreAppend(docs.filter($"doc_id" % 10 >= 6 &&
+          pmod($"doc_id", lit(nBatches)) === b), tmp)
+      }
+      TA.knStoreRetract(docs.filter($"doc_id" % 7 === 0), tmp)
+      TA.knStoreScore(spark, tmp, docs.filter($"doc_id" % 7 =!= 0))
+    }
+  }
+
   /** E13 `stream_scd2_apply` — the reference's history table grows
     * row-by-row forever (create_table.sql:85-107, arxiv_etl.py:84-111);
     * this is that growth as a STREAM of change batches folded into a

@@ -314,6 +314,58 @@ class CrossCheckSpec extends AnyFunSuite {
       s"engine ${byId(7L)._3} vs driver $expect")
   }
 
+  test("kn_append: delta-log store merge equals from-scratch retrain; commit-last; full retraction drops the type") {
+    val s = spark
+    import s.implicits._
+    val ta = operators.TextAnalysis
+    val a = Seq((1L, "the quick brown fox jumps"),
+      (2L, "the quick red fox sleeps")).toDF("doc_id", "text")
+    val b = Seq((3L, "a lazy dog naps"), (4L, "the quick brown fox runs")).toDF("doc_id", "text")
+    val gone = Seq((2L, "the quick red fox sleeps")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("kn_store_spec").toString
+    try {
+      // write + append + retract, then score the survivors from the
+      // store: EXACTLY the from-scratch LM on the surviving corpus
+      ta.knStoreWrite(a, tmp)
+      ta.knStoreAppend(b, tmp)
+      ta.knStoreRetract(gone, tmp)
+      val survivors = a.filter($"doc_id" =!= 2L).unionAll(b)
+      val served = ta.knStoreScore(s, tmp, survivors)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      val scratch = ta.knBigramOf(survivors)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      assert(served == scratch,
+        s"store-served scores must equal the retrain bit-for-bit: $served vs $scratch")
+
+      // the retracted doc's exclusive types are gone from the merge;
+      // shared types survive with the survivor count
+      val counts = ta.knStoreCounts(s, tmp)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(!counts.contains(("red", "fox")), "fully-retracted type must vanish")
+      assert(counts(("the", "quick")) == 2L,
+        s"shared type keeps the surviving count: ${counts(("the", "quick"))}")
+
+      // commit-last: an uncommitted delta batch is invisible
+      ta.knStoreDelta(Seq((9L, "zz yy zz yy")).toDF("doc_id", "text"), tmp,
+        overwrite = false, sign = 1L, commit = false)
+      val after = ta.knStoreCounts(s, tmp)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(after == counts, "uncommitted batch must not change the merged LM")
+
+      // vacuum: the delta history (3 committed batches + 1 orphan)
+      // compacts to ONE live batch; the merged LM is unchanged
+      ta.knStoreVacuum(s, tmp)
+      val vac = ta.knStoreCounts(s, tmp)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(vac == counts, "vacuum must preserve the merged LM exactly")
+      assert(s.read.parquet(s"$tmp/commits").count() == 1L,
+        "vacuum must retire the commit history down to one batch")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   /** Driver-side interpolated trigram KN over a token corpus: returns
     * (tables, p) where p(w1,w2,w3) is the three-level estimate with
     * the stale-serve backoff legs (pure continuation on unseen

@@ -514,6 +514,66 @@ class OperatorsSpec extends AnyFunSuite {
       "the served batch must contain both keepers and duplicates")
   }
 
+  test("domain_extract: PSL lookup legs — longest rule, private registry, bare suffix, implicit '*'") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      // (host, expected suffix, expected registered domain)
+      (1L, "www.blog.co.uk", "co.uk", "blog.co.uk"),   // multi-label rule beats "uk"
+      (2L, "a.b.site.com", "com", "site.com"),          // deep chain keeps one label
+      (3L, "site.com", "com", "site.com"),              // already registrable
+      (4L, "files.x.github.io", "github.io", "x.github.io"), // private registry beats "io"
+      (5L, "co.uk", "co.uk", null),                     // host IS a suffix -> NULL
+      (6L, "uk", "uk", null),                           // single-label suffix -> NULL
+      (7L, "intra.corp.lan", "lan", "corp.lan"),        // no rule -> implicit '*'
+      (8L, "deep.x.y.host.com.au", "com.au", "host.com.au"))
+    val out = operators.Url.domainExtractOf(
+      cases.map(c => (c._1, c._2)).toDF("doc_id", "host"))
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getString(3))).toMap
+    for ((id, host, suf, reg) <- cases) {
+      assert(out(id)._1 == suf, s"$host: suffix ${out(id)._1}, want $suf")
+      assert(out(id)._2 == reg, s"$host: registered ${out(id)._2}, want $reg")
+    }
+    // sibling subdomains of one registrant collapse; sibling
+    // registrants under one suffix do not
+    val pair = operators.Url.domainExtractOf(Seq(
+      (10L, "a.blog.co.uk"), (11L, "b.blog.co.uk"), (12L, "news.co.uk"))
+      .toDF("doc_id", "host"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(pair(10L) == pair(11L) && pair(10L) != pair(12L),
+      s"registrant split wrong: $pair")
+  }
+
+  test("robots_filter: longest prefix decides, allow wins ties, no-rule URLs admit") {
+    val s = spark
+    import s.implicits._
+    val urls = Seq(
+      (1L, "https://cdn.site.org/doc/1"),     // /doc/1 -> disallow
+      (2L, "https://cdn.site.org/doc/19"),    // /doc/1 prefix -> disallow
+      (3L, "https://cdn.site.org/doc/12"),    // /doc/12 beats /doc/1 -> allow
+      (4L, "https://cdn.site.org/doc/125"),   // /doc/12 prefix -> allow
+      (5L, "https://cdn.site.org/doc/123"),   // /doc/123 beats /doc/12 -> disallow
+      (6L, "https://cdn.site.org/doc/5"),     // exact length tie -> allow wins
+      (7L, "https://cdn.site.org/other"),     // no matching rule -> allowed
+      (8L, "http://news.example.net:8080/doc/2"), // blanket '' disallow
+      (9L, "https://unknown.example.edu/x"))  // rule-less authority -> allowed
+      .toDF("doc_id", "url")
+    val out = operators.Url.robotsFilterOf(
+      operators.Url.canonicalizeOf(urls))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(3)), Option(r.getString(4)), r.getBoolean(5)))).toMap
+    assert(out(1L) == ((Some("/doc/1"), Some("disallow"), false)))
+    assert(out(2L) == ((Some("/doc/1"), Some("disallow"), false)))
+    assert(out(3L) == ((Some("/doc/12"), Some("allow"), true)))
+    assert(out(4L) == ((Some("/doc/12"), Some("allow"), true)))
+    assert(out(5L) == ((Some("/doc/123"), Some("disallow"), false)))
+    assert(out(6L) == ((Some("/doc/5"), Some("allow"), true)),
+      s"allow must win the exact-length tie: ${out(6L)}")
+    assert(out(7L) == ((None, None, true)))
+    assert(out(8L) == ((Some(""), Some("disallow"), false)))
+    assert(out(9L) == ((None, None, true)))
+  }
+
   test("incremental_dedup: result disjoint from seen window") {
     import org.apache.spark.sql.functions._
     val res = operators.Dedup.incrementalDedup(spark, sf)

@@ -274,6 +274,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // the trigram family's 1-row discount/type-total scalar cross —
       // same class, one LM order up
       "kn_trigram_score", "kn_trigram_stale_serve",
+      // kn_append / stream_kn_append serve C21e's scoring joins from
+      // the persisted store — the same 1-row LM-scalar broadcast cross
+      "kn_append", "stream_kn_append",
       // lsh_diversity_sample: mixture_allocate's posture — the 1-row
       // Σ√size and leftover-seat scalars over the ≤2^bits cell table
       "lsh_diversity_sample",
@@ -326,6 +329,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // the trigram family's 1-row LM-scalar combines (both discount
       // levels + type totals) — same declared class
       "kn_trigram_score", "kn_trigram_stale_serve",
+      // kn_append / stream_kn_append: the same 1-row LM-scalar combine
+      // over the merged store (plus the commit-list collect)
+      "kn_append", "stream_kn_append",
       // lsh_diversity_sample: the 1-row Σ√size and leftover scalars —
       // mixture_allocate's declared class
       "lsh_diversity_sample")

@@ -768,6 +768,52 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("E31 stream_kn_append: MemoryStream batches through foreachBatch train the one-shot LM; serveable between batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft_kn_ms").toString
+    val TA = operators.TextAnalysis
+    val docs = (0 until 24).map(i =>
+      (i.toLong, s"the quick w${i % 5} fox jumps over the lazy w${i % 3}"))
+    val docsDf = docs.toDF("doc_id", "text")
+    // nightly base: the first ten docs; the rest ARRIVE as a stream,
+    // each micro-batch folded in by the maintenance sink
+    TA.knStoreWrite(docsDf.filter(col("doc_id") < 10), idx)
+    val source = MemoryStream[(Long, String)]
+    val q = source.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        TA.knStoreAppend(df, idx)
+      }
+      .start()
+    // uneven micro-batches; serve IN FLIGHT after the first one —
+    // the store is consistent (commit-last) at every batch boundary
+    val tail = docs.filter(_._1 >= 10)
+    source.addData(tail.take(3): _*)
+    q.processAllAvailable()
+    val partial = docsDf.filter(col("doc_id") < 13)
+    val inFlight = TA.knStoreScore(s, idx, partial)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    val inFlightScratch = TA.knBigramOf(partial)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(inFlight == inFlightScratch,
+      "mid-stream store must serve the LM of exactly the docs folded so far")
+    tail.drop(3).grouped(5).foreach { b =>
+      source.addData(b: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // after the stream drains: store LM == one-shot LM, bit for bit
+    val served = TA.knStoreScore(s, idx, docsDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val oneShot = TA.knBigramOf(docsDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(served == oneShot,
+      "streamed count deltas must train exactly the one-shot LM")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+    spark.catalog.clearCache()
+  }
+
   test("E19 stream_quality_classify: MemoryStream batches scored against the frozen model equal one-shot scoring") {
     val s = spark
     import s.implicits._

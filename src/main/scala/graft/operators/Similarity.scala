@@ -638,6 +638,45 @@ object Similarity {
        |  WHERE a.vec_id < $nQueries AND a.vec_id <> b.vec_id)
        |WHERE rn <= $k""".stripMargin
 
+  /** C6b `ann_truncated` — Matryoshka-style TRUNCATED retrieval: rank
+    * by cosine over only the first `dims` coordinates (the
+    * published matryoshka-representation property: a prefix of the
+    * embedding is itself a usable lower-dim embedding). At 100 TB
+    * this is the cheap candidate pass — the scan reads a `dims/d`
+    * fraction of the vector bytes (a prefix slice projects BEFORE
+    * the shuffle/score), and C7c's exact-rerank pattern composes on
+    * the shortlist. C6's plan shape otherwise: broadcast query
+    * panel × corpus, per-query window top-k. The spec grades
+    * truncated recall against the full-dimension exact answer. */
+  def annTruncated(spark: SparkSession, dir: String, dims: Int = 32,
+                   k: Int = 5, nQueries: Int = 20): DataFrame = {
+    import spark.implicits._
+    val e = Tables.fanout(Tables.embeddings(spark, dir))
+      .select($"vec_id", expr(s"slice(embedding, 1, $dims)").as("emb"))
+      .withColumn("norm", sqrt(dotF($"emb", $"emb")))
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"emb".as("vq"), $"norm".as("nq"))
+    val c = e.select($"vec_id".as("neighbor_id"), $"emb".as("vc"), $"norm".as("nc"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    broadcast(q).crossJoin(c)
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cosine", dotF($"vq", $"vc") / ($"nq" * $"nc"))
+      .withColumn("rank_nn", row_number().over(w))
+      .filter($"rank_nn" <= k)
+      .select($"query_id", $"neighbor_id", $"rank_nn")
+  }
+
+  def annTruncatedSql(dims: Int = 32, k: Int = 5, nQueries: Int = 20): String =
+    s"""SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank_nn
+       |FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |         row_number() OVER (
+       |           PARTITION BY a.vec_id
+       |           ORDER BY list_cosine_similarity(a.embedding[1:$dims], b.embedding[1:$dims]) DESC, b.vec_id) AS rn
+       |  FROM embeddings a, embeddings b
+       |  WHERE a.vec_id < $nQueries AND a.vec_id <> b.vec_id)
+       |WHERE rn <= $k""".stripMargin
+
   /** Nearest-`n` centroid assignment: vecs × broadcast(cents) scored by
     * cosine. n = 1 plans as a max_by hash-aggregate (no sort, no window
     * shuffle-and-order over corpus × centroids; ties break to the

@@ -38,6 +38,29 @@ class RecallSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("C6b ann_truncated: prefix shortlist recovers full-dim top-5; ranks really come from the prefix") {
+    val s = spark
+    import s.implicits._
+    val full = operators.Similarity.annBruteforce(spark, sf, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    // candidate-stage posture: a 5x truncated shortlist must recover
+    // a usable fraction of the exact top-5 (measured 0.61-0.66 at
+    // dims=32/64 on these isotropic synthetic embeddings; floor 0.4
+    // with regeneration slack — real MRL checkpoints sit far higher)
+    val short25 = operators.Similarity.annTruncated(spark, sf, k = 25)
+      .select(col("query_id"), col("neighbor_id"))
+    val nFull = full.count().toDouble
+    val recall = full.join(short25, Seq("query_id", "neighbor_id")).count() / nFull
+    assert(recall >= 0.4, s"truncated shortlist recall@5-in-25 = $recall")
+    // and the operator really truncates: the prefix ordering must
+    // DISAGREE with the full-dim ordering somewhere in the top-5
+    val trunc5 = operators.Similarity.annTruncated(spark, sf, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    assert(full.exceptAll(trunc5).count() > 0,
+      "dims=32 ranks identical to full-dim ranks — truncation is not happening")
+    spark.catalog.clearCache()
+  }
+
   test("C2 minhash est_jaccard tracks C4 exact jaccard within the binomial band") {
     val est = operators.NearDup.minhashLshDedup(spark, sf)
       .select(col("id1"), col("id2"), col("est_jaccard"))

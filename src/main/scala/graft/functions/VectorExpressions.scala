@@ -295,7 +295,41 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Deflate-compressed byte length of a string column (zlib wrapper,
+    * the given level) — the C9c compression-ratio quality signal's
+    * kernel. Once per DOCUMENT, so CodegenFallback's one boxed call
+    * per row is noise next to the deflate itself (SimHash64's
+    * argument). The JDK's Deflater wraps the same zlib as CPython's —
+    * byte-length parity verified in this container, which is what
+    * lets check.py grade the signal EXACTLY cross-engine. A fresh
+    * Deflater per row (not thread-local): Deflater holds native
+    * state that `end()` must release deterministically. */
+  case class DeflateLen(child: Expression, level: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "deflate_len"
+
+    override def nullSafeEval(input: Any): Any = {
+      val in = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      val d = new java.util.zip.Deflater(level)
+      try {
+        d.setInput(in)
+        d.finish()
+        val buf = new Array[Byte](math.max(64, in.length / 2 + 64))
+        var total = 0
+        while (!d.finished()) total += d.deflate(buf)
+        total
+      } finally d.end()
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // Column wrappers ----------------------------------------------------
+
+  def deflateLen(s: Column, level: Int = 6): Column =
+    GraftShim.column(DeflateLen(GraftShim.expression(s), level))
 
   def dotF(a: Column, b: Column): Column =
     GraftShim.column(DotProductFloat(

@@ -574,6 +574,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(9L) == ((None, None, true)))
   }
 
+  test("compression_score: repetition compresses away, prose does not; milli ratio is exact integer math") {
+    val s = spark
+    import s.implicits._
+    val rep = ("ab" * 500)                       // pure repetition
+    val prose = (1 to 100).map(i => s"w$i t$i").mkString(" ") // high-entropy
+    val out = operators.TextAnalysis.compressionScoreOf(Seq(
+      (1L, rep), (2L, prose), (3L, rep * 4), (4L, "")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    assert(!out.contains(4L), "empty doc must be filtered, not divided by zero")
+    assert(out(1L)._3 < 100,
+      s"pure repetition must compress below 10%: ${out(1L)}")
+    assert(out(2L)._3 > 300,
+      s"high-entropy prose must stay above 30%: ${out(2L)}")
+    // 4x the repetition: raw quadruples, deflate grows only marginally
+    assert(out(3L)._1 == 4 * out(1L)._1 && out(3L)._2 < 2 * out(1L)._2,
+      s"longer repetition must not compress linearly: ${out(1L)} vs ${out(3L)}")
+    // the milli ratio is exactly comp*1000 div raw
+    out.foreach { case (id, (raw, comp, m)) =>
+      assert(m == comp.toLong * 1000 / raw, s"doc $id milli ratio off") }
+  }
+
   test("incremental_dedup: result disjoint from seen window") {
     import org.apache.spark.sql.functions._
     val res = operators.Dedup.incrementalDedup(spark, sf)

@@ -132,6 +132,27 @@ def main():
                 note = (f"cross-engine recall@5 = {recall:.3f} "
                         f"({len(truth & found)}/{len(truth)} vs DuckDB brute force; "
                         f"floor {floor}){note_extra}")
+            elif name == "compression_score":
+                # EXACT cross-engine grade: the JDK Deflater and
+                # CPython zlib wrap the same library — recompute every
+                # doc's level-6 deflate length here and compare
+                # row-for-row (raw/comp lengths AND the milli ratio)
+                import zlib
+                docs = con.execute(
+                    "SELECT doc_id, text FROM documents "
+                    "WHERE strlen(text) > 0").df()  # strlen = BYTE length in DuckDB
+                want = {}
+                for did, text in zip(docs.doc_id, docs.text):
+                    raw = text.encode("utf-8")
+                    comp = len(zlib.compress(raw, 6))
+                    want[did] = (len(raw), comp, comp * 1000 // len(raw))
+                got_m = {r.doc_id: (r.raw_len, r.comp_len, r.ratio_milli)
+                         for r in got.itertuples()}
+                mism = sum(1 for k, v in want.items() if got_m.get(k) != v)
+                extra = len(set(got_m) - set(want))
+                ok = mism == 0 and extra == 0 and len(want) == len(got_m)
+                note = (f"exact zlib-length parity: {len(want)} docs, "
+                        f"{mism} mismatches, {extra} extra ids")
             elif name == "approx_topk":
                 # MG guarantees, graded against DuckDB exact shingle
                 # counts over the SAME corpus (documents + the planted

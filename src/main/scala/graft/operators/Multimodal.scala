@@ -556,6 +556,128 @@ object Multimodal {
       .filter($"hamming" <= maxHamming)
   }
 
+  // ---- D6d `mm_phash_serve`: the PERSISTED perceptual index ---------
+  //
+  // D6b rehashes the whole media corpus per run; a media pipeline
+  // keeps the accumulated BAND POSTINGS indexed once and probes them
+  // per arriving batch (the C23b/C30b posture for the mm family). The
+  // store is band-token-bucketed — a serve routes the batch's band
+  // values to their buckets (driver ints) and reads ONLY those
+  // buckets, so the read is collision-bounded, never corpus-bounded;
+  // rows carry the full 4-int band array (8 bytes of payload), so the
+  // exact hamming verify needs nothing outside the read set.
+
+  def phashIndexWrite(bmp: DataFrame, path: String, nBuckets: Int = 16): Unit =
+    phashIndexAppendRaw(bmp, path, Some(nBuckets), overwrite = true)
+
+  /** O(batch) fold of a new media batch's band postings. */
+  def phashIndexAppend(bmp: DataFrame, path: String): Unit =
+    phashIndexAppendRaw(bmp, path, None, overwrite = false)
+
+  /** Postings first, the commit row LAST — torn writes invisible. */
+  private[graft] def phashIndexAppendRaw(bmp: DataFrame, path: String,
+                                  nBucketsOpt: Option[Int],
+                                  overwrite: Boolean,
+                                  commit: Boolean = true): Unit = {
+    val spark = bmp.sparkSession
+    import spark.implicits._
+    val mode = if (overwrite) "overwrite" else "append"
+    val nBuckets = nBucketsOpt.getOrElse(phashIndexMeta(spark, path)._2)
+    val batchId = java.util.UUID.randomUUID.toString
+    phashFrame(bmp).select($"doc_id", $"bands", posexplode($"bands"))
+      .select(pmod(xxhash64($"pos", $"col"), lit(nBuckets)).cast("int").as("bucket"),
+        $"pos".as("band_idx"), $"col".as("band_val"),
+        $"doc_id", $"bands", lit(batchId).as("batch_id"))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode(mode).parquet(s"$path/bands")
+    if (commit)
+      Seq((batchId, nBuckets)).toDF("batch_id", "n_buckets")
+        .coalesce(1).write.mode(mode).parquet(s"$path/commits")
+  }
+
+  private def phashIndexMeta(spark: SparkSession,
+                             path: String): (Seq[String], Int) = {
+    val c = spark.read.parquet(s"$path/commits").collect()
+    (c.map(_.getString(0)).toSeq, c.head.getInt(1))
+  }
+
+  /** Serve an arriving media batch against the accumulated band
+    * index: D6b's exact semantics (shared band candidacy under the
+    * drop-bucket cap over index ∪ batch, exact hamming verify)
+    * restricted to pairs touching the batch. */
+  def mmPhashServe(spark: SparkSession, path: String, bmp: DataFrame,
+                   maxHamming: Int = 6, bucketCap: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val neuBands = phashFrame(bmp)
+      .select($"doc_id", $"bands", posexplode($"bands"))
+      .select($"pos".as("band_idx"), $"col".as("band_val"),
+        $"doc_id", $"bands")
+      .localCheckpoint()
+    val (committed, nBuckets) = phashIndexMeta(spark, path)
+    val buckets = neuBands
+      .select(pmod(xxhash64($"band_idx", $"band_val"), lit(nBuckets))
+        .cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val refRows = spark.read.parquet(s"$path/bands")
+      .filter($"bucket".cast("int").isin(buckets: _*))
+      .filter($"batch_id".isin(committed: _*))
+      .join(neuBands.select($"band_idx", $"band_val").distinct(),
+        Seq("band_idx", "band_val"), "left_semi")
+      .select($"band_idx", $"band_val", $"doc_id", $"bands")
+    val all = refRows.unionAll(
+      neuBands.select($"band_idx", $"band_val", $"doc_id", $"bands"))
+    // the from-scratch drop-bucket cap: population over (index ∪
+    // batch) — exact for every candidate key, because a touched
+    // key's whole posting list lives in its one bucket
+    val smallBuckets = all.groupBy($"band_idx", $"band_val")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter($"bucket_n" > 1 && $"bucket_n" <= bucketCap)
+      .select($"band_idx", $"band_val")
+    val bucketed = all.join(smallBuckets, Seq("band_idx", "band_val"))
+    val a = bucketed.select($"band_idx", $"band_val",
+      $"doc_id".as("id1"), $"bands".as("s1"))
+    val b = bucketed.select($"band_idx", $"band_val",
+      $"doc_id".as("id2"), $"bands".as("s2"))
+    val batchIds = neuBands.select($"doc_id").distinct().localCheckpoint()
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter($"id1" < $"id2")
+      .select($"id1", $"id2", expr(
+        "cast(aggregate(sequence(0, 3), 0, (a, i) -> a + bit_count(s1[i] ^ s2[i])) as int)")
+        .as("hamming"))
+      .distinct()
+      .filter($"hamming" <= maxHamming)
+      .join(batchIds.select($"doc_id".as("id1"), lit(1).as("b1")), Seq("id1"), "left")
+      .join(batchIds.select($"doc_id".as("id2"), lit(1).as("b2")), Seq("id2"), "left")
+      .filter($"b1".isNotNull || $"b2".isNotNull)
+      .select($"id1", $"id2", $"hamming")
+  }
+
+  /** D6d gate — index the original images as a nightly job would
+    * (70% write + 30% append), then the noisy re-crawl twins arrive
+    * as the batch: HASH-EQUAL to D6b's from-scratch pairs restricted
+    * to twin-touching pairs. */
+  def mmPhashServeGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ref = bmpTable(spark, dir).select($"doc_id", $"payload")
+    val neu = bmpTwinTable(spark, dir)
+    if (ref.isEmpty || neu.isEmpty)
+      return Seq.empty[(Long, Long, Int)].toDF("id1", "id2", "hamming")
+    val cut = ref.agg(max($"doc_id")).head().getLong(0) * 7 / 10
+    graft.sources.Lake.withScratchIndex(spark, "graft_phash_idx") { tmp =>
+      phashIndexWrite(Tables.fanout(ref.filter($"doc_id" <= cut)), tmp)
+      phashIndexAppend(Tables.fanout(ref.filter($"doc_id" > cut)), tmp)
+      mmPhashServe(spark, tmp, Tables.fanout(neu))
+    }
+  }
+
+  /** D6d oracle — the D6b oracle restricted to twin-touching pairs
+    * (twin ids sit above [[NearDup.BigOffset]]; `a.id < b.id` puts a
+    * twin in id2 whenever a pair touches the batch). */
+  def mmPhashServeSql(maxHamming: Int = 6, bucketCap: Int = 1000): String =
+    s"""SELECT id1, id2, hamming FROM (
+       |${mmPhashDedupSql(maxHamming, bucketCap)}
+       |) q WHERE id2 >= ${NearDup.BigOffset}""".stripMargin
+
   /** D6c `mm_phash_cluster` — the perceptual dedup DECISION: connected
     * components of the D6b pair graph via large/small-star contraction
     * ([[NearDup.starContract]], O(log²) rounds on any graph shape),

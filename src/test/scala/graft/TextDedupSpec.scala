@@ -727,6 +727,39 @@ class TextDedupSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq == Seq(10L))
   }
 
+  test("mm_phash_serve: the persisted band index reproduces the from-scratch twin answer; commit-last holds") {
+    import spark.implicits._
+    val mm = operators.Multimodal
+    // served gate answer vs from-scratch D6b restricted to the batch
+    val served = mm.mmPhashServeGate(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val scratch = mm.mmPhashDedup(spark, sf)
+      .filter(col("id2") >= 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(served == scratch,
+      s"index-served pairs must equal the from-scratch answer (${served.size} vs ${scratch.size})")
+    assert(served.nonEmpty, "the twin batch must strike against the index")
+
+    // commit-last: a torn append (postings landed, no commit row) is
+    // invisible to the serve
+    val ref = mm.bmpTable(spark, sf).select(col("doc_id"), col("payload"))
+    val neu = mm.bmpTwinTable(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("phash_idx_spec").toString
+    try {
+      mm.phashIndexWrite(ref.filter(col("doc_id") % 2 === 0), tmp)
+      val before = mm.mmPhashServe(spark, tmp, neu)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      mm.phashIndexAppendRaw(ref.filter(col("doc_id") % 2 =!= 0), tmp,
+        None, overwrite = false, commit = false)
+      val after = mm.mmPhashServe(spark, tmp, neu)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after == before, "uncommitted postings must not serve")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    spark.catalog.clearCache()
+  }
+
   test("mm_phash_dedup: planted noisy twins pair perceptually where the exact content hash cannot") {
     import spark.implicits._
     val pairs = operators.Multimodal.mmPhashDedup(spark, sf)

@@ -509,6 +509,42 @@ object ScaleProbe {
       k1s.shuffleWriteBytes.toDouble, 0.5, 1.5,
       s"same batch onto a ${rep}x-corpus LM store must shuffle ~the same bytes")
 
+    // ---- claim: mm phash serve reads only the batch's band buckets --
+    // (the byte claim scopes a REPRODUCTION of the pruned postings
+    // scan alone — the r14 scoping lesson, as with phrase_serve)
+    val mmIdx = tmp("phash")
+    val MM = graft.operators.Multimodal
+    MM.phashIndexWrite(Tables.fanout(
+      MM.bmpTable(spark, sfDir).select($"doc_id", $"payload")), mmIdx,
+      nBuckets = 512)
+    // ONE arriving image (the phrase-probe posture): at tiny SFs a
+    // wider twin batch touches most of the index's band keys and the
+    // measurement saturates on batch size, not pruning structure
+    val twinBatch = Tables.fanout(MM.bmpTwinTable(spark, sfDir)
+      .filter($"doc_id" < 1000003L)).localCheckpoint()
+    MM.mmPhashServe(spark, mmIdx, twinBatch).count()
+    val tKeys = MM.phashFrame(twinBatch)
+      .select(posexplode($"bands"))
+      .select($"pos".as("band_idx"), $"col".as("band_val"))
+      .distinct().localCheckpoint()
+    val mmBks = tKeys
+      .select(pmod(xxhash64($"band_idx", $"band_val"), lit(512))
+        .cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val prunedMm = scope("mm_serve_pruned_scan") {
+      spark.read.parquet(s"$mmIdx/bands")
+        .filter($"bucket".cast("int").isin(mmBks: _*))
+        .join(broadcast(tKeys), Seq("band_idx", "band_val"), "left_semi")
+        .agg(bit_xor(xxhash64($"band_idx", $"band_val", $"doc_id"))).head()
+    }
+    val fullMm = scope("mm_index_full_scan") {
+      spark.read.parquet(s"$mmIdx/bands")
+        .agg(bit_xor(xxhash64($"band_idx", $"band_val", $"doc_id"))).head()
+    }
+    ratio("mm_serve_bucket_pruned", prunedMm.inputBytes.toDouble,
+      fullMm.inputBytes.toDouble, 0.0, 0.25,
+      "a tiny twin batch must read only its band values' buckets")
+
     // ---- emit ------------------------------------------------------
     val out = checks.result()
     def j(c: Check): String =

@@ -2647,6 +2647,59 @@ object TextAnalysis {
     bm25TopK(post, q, k)
   }
 
+  /** C42 `hard_negatives` — retrieval-training NEGATIVE mining, the
+    * standard recipe (DPR/ANCE posture): a trainable hard negative is
+    * a document that SCORES high for the query but is NOT a true
+    * match. Candidates = C23's BM25 top-k per panel query; positives
+    * to exclude = the query itself and every member of the query's
+    * near-dup cluster (C14 over the same corpus — a near-duplicate
+    * of the query ranked as a "negative" would poison the loss with
+    * a false negative, the classic mining bug). Survivors re-rank
+    * densely per query (score desc, doc_id) — a query may yield
+    * fewer than k negatives (mine-from-top-k-then-filter; no
+    * backfill from below k, matching the published recipe).
+    *
+    * Scale: C23's retrieval plan + one cluster-membership table
+    * joined TWICE (query side and candidate side) — membership is
+    * cluster-member-cardinality (only docs in near-dup pairs appear,
+    * C14b's convention), so AQE broadcasts it; the re-rank window
+    * partitions by query over ≤ k rows each. */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 10,
+                    dfCap: Int = 100, qMod: Int = 20,
+                    threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val cand = bm25Retrieve(spark, dir, k, dfCap, qMod)
+    val cl = NearDup.dedupCluster(spark, dir, threshold)
+      .select($"doc_id", $"cluster_id")
+    val cq = cl.select($"doc_id".as("query_id"), $"cluster_id".as("qc"))
+    val cd = cl.select($"doc_id", $"cluster_id".as("dc"))
+    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id")
+    cand.join(cq, Seq("query_id"), "left")
+      .join(cd, Seq("doc_id"), "left")
+      .filter($"doc_id" =!= $"query_id")
+      .filter($"qc".isNull || $"dc".isNull || $"qc" =!= $"dc")
+      .withColumn("neg_rank", row_number().over(w))
+      .select($"query_id", $"doc_id", $"neg_rank", $"score")
+  }
+
+  /** C42 oracle — the C23 and C14 oracles composed (both nested as
+    * parenthesized WITH subqueries; LEFT joins keep the stream-driven
+    * order, the r16 DuckDB join-order lesson). */
+  def hardNegativesSql(k: Int = 10, dfCap: Int = 100, qMod: Int = 20,
+                       threshold: Double = 0.5): String =
+    s"""WITH cand AS (${bm25RetrieveSql(k, dfCap, qMod)}),
+       |cl AS (${NearDup.dedupClusterSql(threshold)})
+       |SELECT query_id, doc_id, CAST(rn AS INT) AS neg_rank, score FROM (
+       |  SELECT c.query_id, c.doc_id, c.score,
+       |         row_number() OVER (PARTITION BY c.query_id
+       |           ORDER BY c.score DESC, c.doc_id) AS rn
+       |  FROM cand c
+       |  LEFT JOIN cl cq ON cq.doc_id = c.query_id
+       |  LEFT JOIN cl cd ON cd.doc_id = c.doc_id
+       |  WHERE c.doc_id <> c.query_id
+       |    AND (cq.cluster_id IS NULL OR cd.cluster_id IS NULL
+       |         OR cq.cluster_id <> cd.cluster_id))""".stripMargin
+
   /** C23h `phrase_retrieve` — exact-PHRASE retrieval over a positional
     * index: the retrieval depth the BM25 family lacks (C23* is
     * bag-of-words — "data base" and "base data" score identically

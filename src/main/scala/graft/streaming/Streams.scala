@@ -455,6 +455,17 @@ object Streams {
   def streamPiiStructured(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Govern.piiStructured(spark, dir)
 
+  /** E32 `stream_robots_filter` — crawl admission at the FRONTIER'S
+    * ingest edge: C40's per-row longest-prefix verdict applied to
+    * each arriving link batch (the rule set is frozen batch-side —
+    * robots fetches are a nightly job, not per-URL). A URL's verdict
+    * depends on the frozen rules and its own canonical form alone
+    * (E28/E30's stateless class), so N micro-batches ≡ one-shot by
+    * construction; the gate entry IS C40's body, and the real
+    * MemoryStream batch drive lives in StreamingSpec's parity spec. */
+  def streamRobotsFilter(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Url.robotsFilter(spark, dir)
+
   /** E28 `stream_html_extract` — markup → text extraction at ingest:
     * C35's per-row regex pipeline applied to each arriving page
     * batch. A page's blocks depend on its own markup alone (no frozen

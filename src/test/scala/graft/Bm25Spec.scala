@@ -61,6 +61,37 @@ class Bm25Spec extends AnyFunSuite {
       s"tf=4 must saturate below (k1+1)x the tf=1 score: $sc")
   }
 
+  test("hard_negatives: self and same-cluster candidates excluded, ranks dense, survivors = bm25 minus positives") {
+    val hn = operators.TextAnalysis.hardNegatives(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(hn.nonEmpty, "the panel must mine some negatives")
+    // no self-negatives
+    assert(!hn.exists(r => r._1 == r._2), "a query must never be its own negative")
+    // no same-cluster (near-dup) negatives
+    val cl = operators.NearDup.dedupCluster(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val poisoned = hn.filter { case (q, d, _, _) =>
+      cl.contains(q) && cl.contains(d) && cl(q) == cl(d) }
+    assert(poisoned.isEmpty, s"near-dup positives mined as negatives: ${poisoned.take(3).toSeq}")
+    // ranks are dense 1..n per query, ordered by (score desc, doc_id)
+    hn.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to rows.length).toSeq, s"query $q ranks not dense")
+      assert(sorted.sameElements(rows.sortBy(r => (-r._4, r._2))),
+        s"query $q negatives not ordered by score desc, id")
+    }
+    // survivors are exactly bm25's top-k minus the excluded positives
+    val bm = operators.TextAnalysis.bm25Retrieve(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hn.forall(r => bm.contains((r._1, r._2))),
+      "every negative must come from the bm25 candidate set")
+    val excluded = bm -- hn.map(r => (r._1, r._2)).toSet
+    assert(excluded.forall { case (q, d) =>
+      q == d || (cl.contains(q) && cl.contains(d) && cl(q) == cl(d)) },
+      "only self or same-cluster candidates may be excluded")
+    spark.catalog.clearCache()
+  }
+
   test("bpe_train_merges: the merge sequence is the greedy argmax with rewrite") {
     // corpus: "abc" x3, "abd", "xy" x2 — round 1 must merge "ab" (4
     // occurrences beat "xy"'s 2 and the singletons); after the rewrite

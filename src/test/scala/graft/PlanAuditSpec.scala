@@ -277,6 +277,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // kn_append / stream_kn_append serve C21e's scoring joins from
       // the persisted store — the same 1-row LM-scalar broadcast cross
       "kn_append", "stream_kn_append",
+      // hard_negatives composes the C23 retrieval plan — bm25's
+      // declared 1-row (n_docs, am) stats scalar cross
+      "hard_negatives",
       // lsh_diversity_sample: mixture_allocate's posture — the 1-row
       // Σ√size and leftover-seat scalars over the ≤2^bits cell table
       "lsh_diversity_sample",
@@ -332,6 +335,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // kn_append / stream_kn_append: the same 1-row LM-scalar combine
       // over the merged store (plus the commit-list collect)
       "kn_append", "stream_kn_append",
+      // hard_negatives: bm25's declared 1-row stats combine
+      "hard_negatives",
       // lsh_diversity_sample: the 1-row Σ√size and leftover scalars —
       // mixture_allocate's declared class
       "lsh_diversity_sample")
@@ -429,7 +434,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "scd2_apply", "stream_bm25", "stream_scd2_apply",
       "hybrid_retrieve", "drift_report", "bm25_append", "hybrid_serve",
       "ann_ivf_pq", "nb_quality_classify", "stream_quality_classify",
-      "nb_quality_calibrate", "curation_audit", "source_overlap")
+      "nb_quality_calibrate", "curation_audit", "source_overlap",
+      // hard_negatives: bm25's 1-row stats scalar is its only cross
+      "hard_negatives")
     def rowsOf(p: org.apache.spark.sql.execution.SparkPlan): Option[Long] = p match {
       case q: QueryStageExec => rowsOf(q.plan)
       case e: BroadcastExchangeLike => Some(e.metrics("numOutputRows").value)

@@ -1171,6 +1171,45 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("E32 stream_robots_filter: per-batch admission equals one-shot; verdicts batch-invariant") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val U = operators.Url
+    // mixed frontier stream: disallowed, nested allow, tie, rule-less
+    val rows = (0L until 20L).map { i =>
+      (i, (i % 4) match {
+        case 0 => s"https://cdn.site.org/doc/1$i"
+        case 1 => s"https://cdn.site.org/doc/12$i"
+        case 2 => s"https://cdn.site.org/doc/5"
+        case _ => s"https://open.example.edu/page/$i"
+      })
+    }
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      U.robotsFilterOf(U.canonicalizeOf(df)).collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.getString(3)),
+          r.getBoolean(5)))
+    val oneShot = verdicts(rows.toDF("doc_id", "url")).sortBy(_._1)
+    val source = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Option[String], Boolean)]
+    val q = source.toDF().toDF("doc_id", "url").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= verdicts(df)
+        (): Unit
+      }
+      .start()
+    Seq(rows.slice(0, 7), rows.slice(7, 13), rows.slice(13, 20)).foreach { b =>
+      source.addData(b: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(got.sortBy(_._1).toSeq == oneShot.toSeq,
+      "per-batch robots verdicts must equal the one-shot admission")
+    assert(oneShot.exists(!_._4) && oneShot.exists(_._4),
+      "the stream must contain both admitted and blocked URLs")
+  }
+
   test("E30 stream_pii_structured: per-batch checksum redaction equals one-shot; verdicts batch-invariant") {
     val s = spark
     import s.implicits._

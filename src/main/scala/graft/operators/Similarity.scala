@@ -677,6 +677,46 @@ object Similarity {
        |  WHERE a.vec_id < $nQueries AND a.vec_id <> b.vec_id)
        |WHERE rn <= $k""".stripMargin
 
+  /** C6c `ann_truncated_rerank` — the two-stage form C6b exists for
+    * (C7c's pattern on the MRL axis): the truncated prefix shortlists
+    * `shortlist` candidates per query cheaply, then ONLY the
+    * shortlist pays the full-dimension exact cosine and the top-k
+    * re-ranks from it. At 100 TB the wide scan moves dims/d of the
+    * vector bytes and the full vectors are fetched for
+    * shortlist/corpus of the rows — the standard funnel. Gate is
+    * exact (hash-compare on the reranked top-k). */
+  def annTruncatedRerank(spark: SparkSession, dir: String, dims: Int = 32,
+                         k: Int = 5, shortlist: Int = 25,
+                         nQueries: Int = 20): DataFrame = {
+    import spark.implicits._
+    val short = annTruncated(spark, dir, dims, shortlist, nQueries)
+      .select($"query_id", $"neighbor_id")
+    val e = withNorm(spark, dir)
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("vq"), $"norm".as("nq"))
+    val c = e.select($"vec_id".as("neighbor_id"), $"embedding".as("vc"), $"norm".as("nc"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    short.join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", dot("vq", "vc") / ($"nq" * $"nc"))
+      .withColumn("rank_nn", row_number().over(w))
+      .filter($"rank_nn" <= k)
+      .select($"query_id", $"neighbor_id", $"rank_nn")
+  }
+
+  def annTruncatedRerankSql(dims: Int = 32, k: Int = 5, shortlist: Int = 25,
+                            nQueries: Int = 20): String =
+    s"""WITH short AS (${annTruncatedSql(dims, shortlist, nQueries)})
+       |SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank_nn FROM (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         row_number() OVER (PARTITION BY s.query_id
+       |           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+       |                    s.neighbor_id) AS rn
+       |  FROM short s
+       |  JOIN embeddings a ON a.vec_id = s.query_id
+       |  JOIN embeddings b ON b.vec_id = s.neighbor_id)
+       |WHERE rn <= $k""".stripMargin
+
   /** Nearest-`n` centroid assignment: vecs × broadcast(cents) scored by
     * cosine. n = 1 plans as a max_by hash-aggregate (no sort, no window
     * shuffle-and-order over corpus × centroids; ties break to the

@@ -230,7 +230,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // scd2_apply's cross is the 1-row (min,max) boundary scalar;
     // stream_bm25's is bm25's 1-row (n_docs, am) stats scalar;
     // ann_ivf_rerank's is the 16-row centroid routing table
-    val crossOk = Set("ann_bruteforce", "ann_truncated", "ann_ivf", "ann_ivf_rerank",
+    val crossOk = Set("ann_bruteforce", "ann_truncated", "ann_truncated_rerank",
+      "ann_ivf", "ann_ivf_rerank",
       "knn_classify", "knn_classify_ivf", "stats_prune",
       "tfidf_terms", "vocab_build", "perplexity_score", "zorder_layout",
       "bm25_retrieve", "bpe_pair_counts", "bpe_train_merges",
@@ -427,7 +428,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row scalar aggregate or a bounded query/centroid set — so a
     // future edit can't silently grow a whitelisted cross into an
     // n×m explosion. Runtime numOutputRows is the cardinality itself.
-    val crossOk = Seq("ann_bruteforce", "ann_truncated", "ann_ivf", "ann_ivf_rerank",
+    val crossOk = Seq("ann_bruteforce", "ann_truncated", "ann_truncated_rerank",
+      "ann_ivf", "ann_ivf_rerank",
       "knn_classify", "knn_classify_ivf", "stats_prune",
       "tfidf_terms", "vocab_build", "perplexity_score", "zorder_layout",
       "bm25_retrieve", "bpe_pair_counts", "bpe_train_merges",

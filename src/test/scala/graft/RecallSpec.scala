@@ -58,6 +58,18 @@ class RecallSpec extends AnyFunSuite {
       .select(col("query_id"), col("neighbor_id"))
     assert(full.exceptAll(trunc5).count() > 0,
       "dims=32 ranks identical to full-dim ranks — truncation is not happening")
+
+    // C6c: the funnel's recall equals the shortlist's by construction
+    // (exact rerank loses nothing the shortlist found), and every
+    // reranked neighbor came from the shortlist
+    val rr = operators.Similarity.annTruncatedRerank(spark, sf)
+      .select(col("query_id"), col("neighbor_id"))
+    val rrRecall = full.join(rr, Seq("query_id", "neighbor_id")).count() / nFull
+    assert(rrRecall >= 0.4, s"funnel recall@5 = $rrRecall")
+    assert(rr.exceptAll(short25).count() == 0,
+      "reranked neighbors must all come from the truncated shortlist")
+    assert(rrRecall >= recall - 1e-9,
+      s"exact rerank must not lose shortlist recall: $rrRecall < $recall")
     spark.catalog.clearCache()
   }
 

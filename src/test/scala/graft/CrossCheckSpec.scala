@@ -360,6 +360,30 @@ class CrossCheckSpec extends AnyFunSuite {
       assert(vac == counts, "vacuum must preserve the merged LM exactly")
       assert(s.read.parquet(s"$tmp/commits").count() == 1L,
         "vacuum must retire the commit history down to one batch")
+
+      // degenerate store lifecycle: an EMPTY-corpus write must leave
+      // a READABLE store (non-partitioned parquet keeps its schema on
+      // a zero-row write — unlike the partitionBy stores, whose gates
+      // guard empties for exactly that reason), an append onto the
+      // empty store revives it, and vacuuming the empty store is safe
+      val tmp2 = java.nio.file.Files.createTempDirectory("kn_store_empty").toString
+      try {
+        ta.knStoreWrite(a.filter($"doc_id" < 0L), tmp2)
+        assert(ta.knStoreCounts(s, tmp2).count() == 0L,
+          "empty-corpus store must read back as an empty LM, not crash")
+        ta.knStoreVacuum(s, tmp2)
+        assert(ta.knStoreCounts(s, tmp2).count() == 0L,
+          "vacuum of an empty store must stay readable")
+        ta.knStoreAppend(b, tmp2)
+        val revived = ta.knStoreScore(s, tmp2, b)
+          .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+        val direct = ta.knBigramOf(b)
+          .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+        assert(revived == direct, "append onto an empty store must train the batch's own LM")
+      } finally {
+        val p2 = new org.apache.hadoop.fs.Path(tmp2)
+        p2.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p2, true)
+      }
     } finally {
       val p = new org.apache.hadoop.fs.Path(tmp)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)

@@ -299,7 +299,10 @@ object Url {
   /** (public_suffix, registered_domain) columns for a lowercase host —
     * candidate suffixes are the host's last k labels (k ≤ 4), matched
     * against the rule list inside one array expression: no UDF, no
-    * join, no shuffle — the scan IS the lookup. */
+    * join, no shuffle — the scan IS the lookup. PSL matching is
+    * case-sensitive against the lowercase rule list: run AFTER C36
+    * canonicalization (which lowercases hosts), as the C39 entry and
+    * its corpus do. */
   private[graft] def domainCols(host: Column): (Column, Column) = {
     val labels = split(host, "\\.")
     val n = size(labels)

@@ -405,7 +405,9 @@ object Url {
   // path prefix decides; allow wins a length tie; a URL matching no
   // rule — including the whole authority having no rules — is
   // allowed. Matching is against the canonical PATH (query excluded
-  // here; the RFC leaves it to the implementation).
+  // here; the RFC leaves it to the implementation). Plain prefix
+  // rules only: RFC 9309's `*`/`$` wildcards and the crawl-delay
+  // extension are out of scope at this revision.
 
   /** The planted per-authority rule set (authority, allow, prefix) —
     * compile-time here (a real frontier broadcast-joins a

@@ -598,7 +598,35 @@ object Multimodal {
   private def phashIndexMeta(spark: SparkSession,
                              path: String): (Seq[String], Int) = {
     val c = spark.read.parquet(s"$path/commits").collect()
-    (c.map(_.getString(0)).toSeq, c.head.getInt(1))
+    val nb = c.map(_.getInt(1)).distinct
+    require(nb.length == 1,
+      s"inconsistent n_buckets in $path/commits: ${nb.mkString(",")}")
+    (c.map(_.getString(0)).toSeq, nb.head)
+  }
+
+  private def phashIndexDeletes(spark: SparkSession, path: String,
+                                committed: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    if (del.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(del))
+      spark.read.parquet(s"$path/deletes")
+        .filter($"batch_id".isin(committed: _*)).select($"doc_id")
+    else spark.emptyDataset[Long].toDF("doc_id")
+  }
+
+  /** Tombstone images out of the band index (the line-index delete
+    * protocol): their postings stop serving immediately, zero
+    * posting rewrites, idempotent, commit row last. */
+  def phashIndexDelete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    import spark.implicits._
+    val (committed, nBuckets) = phashIndexMeta(spark, path)
+    val batchId = java.util.UUID.randomUUID.toString
+    ids.select($"doc_id").distinct()
+      .join(phashIndexDeletes(spark, path, committed), Seq("doc_id"), "left_anti")
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1).write.mode("append").parquet(s"$path/deletes")
+    Seq((batchId, nBuckets)).toDF("batch_id", "n_buckets")
+      .coalesce(1).write.mode("append").parquet(s"$path/commits")
   }
 
   /** Serve an arriving media batch against the accumulated band
@@ -614,6 +642,7 @@ object Multimodal {
         $"doc_id", $"bands")
       .localCheckpoint()
     val (committed, nBuckets) = phashIndexMeta(spark, path)
+    val dead = phashIndexDeletes(spark, path, committed)
     val buckets = neuBands
       .select(pmod(xxhash64($"band_idx", $"band_val"), lit(nBuckets))
         .cast("int").as("b"))
@@ -621,6 +650,7 @@ object Multimodal {
     val refRows = spark.read.parquet(s"$path/bands")
       .filter($"bucket".cast("int").isin(buckets: _*))
       .filter($"batch_id".isin(committed: _*))
+      .join(broadcast(dead), Seq("doc_id"), "left_anti")
       .join(neuBands.select($"band_idx", $"band_val").distinct(),
         Seq("band_idx", "band_val"), "left_semi")
       .select($"band_idx", $"band_val", $"doc_id", $"bands")
@@ -652,10 +682,11 @@ object Multimodal {
       .select($"id1", $"id2", $"hamming")
   }
 
-  /** D6d gate — index the original images as a nightly job would
-    * (70% write + 30% append), then the noisy re-crawl twins arrive
-    * as the batch: HASH-EQUAL to D6b's from-scratch pairs restricted
-    * to twin-touching pairs. */
+  /** D6d gate — the full index lifecycle as a nightly job would run
+    * it: 70% write + 30% append, every 5th original TOMBSTONED, then
+    * the noisy re-crawl twins arrive as the batch: HASH-EQUAL to
+    * D6b's from-scratch pairs over (surviving originals ∪ twins)
+    * restricted to twin-touching pairs. */
   def mmPhashServeGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ref = bmpTable(spark, dir).select($"doc_id", $"payload")
@@ -666,16 +697,20 @@ object Multimodal {
     graft.sources.Lake.withScratchIndex(spark, "graft_phash_idx") { tmp =>
       phashIndexWrite(Tables.fanout(ref.filter($"doc_id" <= cut)), tmp)
       phashIndexAppend(Tables.fanout(ref.filter($"doc_id" > cut)), tmp)
+      phashIndexDelete(spark, tmp,
+        ref.filter($"doc_id" % 5 === 0).select($"doc_id"))
       mmPhashServe(spark, tmp, Tables.fanout(neu))
     }
   }
 
-  /** D6d oracle — the D6b oracle restricted to twin-touching pairs
-    * (twin ids sit above [[NearDup.BigOffset]]; `a.id < b.id` puts a
-    * twin in id2 whenever a pair touches the batch). */
+  /** D6d oracle — the D6b oracle over the SURVIVING originals (every
+    * 5th tombstoned; twins all arrive in the batch regardless),
+    * restricted to twin-touching pairs (twin ids sit above
+    * [[NearDup.BigOffset]]; `a.id < b.id` puts a twin in id2
+    * whenever a pair touches the batch). */
   def mmPhashServeSql(maxHamming: Int = 6, bucketCap: Int = 1000): String =
     s"""SELECT id1, id2, hamming FROM (
-       |${mmPhashDedupSql(maxHamming, bucketCap)}
+       |${mmPhashDedupSql(maxHamming, bucketCap, "doc_id % 5 <> 0")}
        |) q WHERE id2 >= ${NearDup.BigOffset}""".stripMargin
 
   /** D6c `mm_phash_cluster` — the perceptual dedup DECISION: connected
@@ -713,13 +748,14 @@ object Multimodal {
     * threshold bits → 16-bit bands. Mirrors [[phashFrame]] /
     * [[bmpTableRaw]]'s noise construct-for-construct (DuckDB lists are
     * 1-based, hence the +1 indexing). */
-  private def phashCte: String =
+  private def phashCte(origPred: String = "TRUE"): String =
     s"""img AS (
        |  SELECT doc_id, CAST(3 + doc_id % 8 AS INT) AS w,
        |         CAST(2 + doc_id % 6 AS INT) AS h
        |  FROM documents WHERE doc_id % 3 = 0),
        |var AS (
        |  SELECT doc_id AS id, doc_id AS orig, w, h, 0 AS noisy FROM img
+       |  WHERE $origPred
        |  UNION ALL
        |  SELECT doc_id + ${NearDup.BigOffset}, doc_id, w, h, 1 FROM img),
        |cell AS (
@@ -742,7 +778,7 @@ object Multimodal {
 
   /** D6 oracle: per-image band values of the BASE corpus. */
   val mmPhashSql: String =
-    s"""WITH $phashCte
+    s"""WITH ${phashCte()}
        |SELECT id AS doc_id,
        |  CAST(list_sum(list_transform(range(0, 16), k -> bits[k + 1] * (1 << k))) AS INT) AS b0,
        |  CAST(list_sum(list_transform(range(0, 16), k -> bits[k + 17] * (1 << k))) AS INT) AS b1,
@@ -752,8 +788,9 @@ object Multimodal {
 
   /** D6b oracle: band-bucket candidates (drop-bucket cap) + hamming
     * filter over base ∪ twins. */
-  def mmPhashDedupSql(maxHamming: Int = 6, bucketCap: Int = 1000): String =
-    s"""WITH $phashCte,
+  def mmPhashDedupSql(maxHamming: Int = 6, bucketCap: Int = 1000,
+                      origPred: String = "TRUE"): String =
+    s"""WITH ${phashCte(origPred)},
        |bands AS (
        |  SELECT id, bits, b.b AS band_idx,
        |         CAST(list_sum(list_transform(range(0, 16),
@@ -781,7 +818,7 @@ object Multimodal {
     * precedent). At any SF where no bucket exceeds the cap this
     * coincides with [[mmPhashDedupSql]]'s drop-bucket form. */
   def mmPhashTruncatedSql(maxHamming: Int = 6, bucketCap: Int = 1000): String =
-    s"""WITH $phashCte,
+    s"""WITH ${phashCte()},
        |bands AS (
        |  SELECT id, bits, b.b AS band_idx,
        |         CAST(list_sum(list_transform(range(0, 16),

@@ -727,33 +727,52 @@ class TextDedupSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq == Seq(10L))
   }
 
-  test("mm_phash_serve: the persisted band index reproduces the from-scratch twin answer; commit-last holds") {
+  test("mm_phash_serve: tombstones never serve, full lifecycle vs from-scratch, commit-last holds") {
     import spark.implicits._
     val mm = operators.Multimodal
-    // served gate answer vs from-scratch D6b restricted to the batch
+    // the gate (write + append + tombstone every 5th original +
+    // serve): no pair may touch a tombstoned original, every pair
+    // touches the batch, and the batch still strikes (the oracle
+    // hash-gate carries the exact from-scratch equality)
     val served = mm.mmPhashServeGate(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val scratch = mm.mmPhashDedup(spark, sf)
-      .filter(col("id2") >= 1000000L)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(served == scratch,
-      s"index-served pairs must equal the from-scratch answer (${served.size} vs ${scratch.size})")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(served.nonEmpty, "the twin batch must strike against the index")
+    assert(!served.exists(p => p._1 < 1000000L && p._1 % 5 == 0),
+      "a tombstoned original must never serve")
+    assert(served.forall(_._2 >= 1000000L),
+      "every served pair must touch the arriving batch")
 
-    // commit-last: a torn append (postings landed, no commit row) is
-    // invisible to the serve
     val ref = mm.bmpTable(spark, sf).select(col("doc_id"), col("payload"))
     val neu = mm.bmpTwinTable(spark, sf)
     val tmp = java.nio.file.Files.createTempDirectory("phash_idx_spec").toString
     try {
+      // an undeleted store serves the from-scratch twin answer
       mm.phashIndexWrite(ref.filter(col("doc_id") % 2 === 0), tmp)
-      val before = mm.mmPhashServe(spark, tmp, neu)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      mm.phashIndexAppendRaw(ref.filter(col("doc_id") % 2 =!= 0), tmp,
+      mm.phashIndexAppend(ref.filter(col("doc_id") % 2 =!= 0), tmp)
+      val full = mm.mmPhashServe(spark, tmp, neu)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val scratch = mm.mmPhashDedup(spark, sf)
+        .filter(col("id2") >= 1000000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(full == scratch,
+        s"undeleted index must serve the from-scratch answer (${full.size} vs ${scratch.size})")
+
+      // commit-last: a torn append (postings landed, no commit row)
+      // is invisible to the serve
+      mm.phashIndexAppendRaw(neu.filter(col("doc_id") % 9 === 0), tmp,
         None, overwrite = false, commit = false)
-      val after = mm.mmPhashServe(spark, tmp, neu)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(after == before, "uncommitted postings must not serve")
+      val afterTorn = mm.mmPhashServe(spark, tmp, neu)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(afterTorn == full, "uncommitted postings must not serve")
+
+      // tombstoning is immediate and idempotent
+      val goners = full.map(_._1).filter(_ < 1000000L).take(3).toSeq
+      mm.phashIndexDelete(spark, tmp, goners.toDF("doc_id"))
+      mm.phashIndexDelete(spark, tmp, goners.toDF("doc_id")) // no-op re-drive
+      val afterDel = mm.mmPhashServe(spark, tmp, neu)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(afterDel == full.filterNot(p => goners.contains(p._1)),
+        "deletes must erase exactly the tombstoned ids' pairs")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }

@@ -301,14 +301,21 @@ object Govern {
     * broadcast semi-join keyed on a 64-bit gram hash (no string
     * shuffles), then one partial-agg count per doc. The corpus is never
     * shuffled until the per-doc aggregate on matches only. */
-  def decontaminate(spark: SparkSession, dir: String, n: Int = 4): DataFrame = {
-    import spark.implicits._
-    val grams = docGrams(Tables.fanout(
-      Tables.documents(spark, dir).select($"doc_id", $"text")), n)
-    decontScore(
-      grams.filter($"doc_id" % BenchMod =!= 0),
-      grams.filter($"doc_id" % BenchMod === 0).select($"gh").distinct())
-  }
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 4): DataFrame =
+    // memoized per (session, dir, n): the flagged-id table is the
+    // shared intermediate of F3 itself, F18's contaminated leg, F19's
+    // freeze, F16's manifest exclusion and the audit report — one
+    // gram pass instead of five (r16 opt; the pairs-memo precedent).
+    // Output is small (flagged docs × two longs), eagerly checkpointed.
+    NearDup.Shared.memo(spark, s"decontam:$dir:$n") {
+      import spark.implicits._
+      val grams = docGrams(Tables.fanout(
+        Tables.documents(spark, dir).select($"doc_id", $"text")), n)
+      decontScore(
+        grams.filter($"doc_id" % BenchMod =!= 0),
+        grams.filter($"doc_id" % BenchMod === 0).select($"gh").distinct())
+        .localCheckpoint()
+    }
 
   /** Per-doc DISTINCT word-n-gram 64-bit hashes — the shared feature
     * of the batch decontam pass and the streaming scorer (E21). */
@@ -337,13 +344,16 @@ object Govern {
   /** The frozen benchmark gram set (the static side E21 broadcasts;
     * eagerly materialized — the nightly "index the benchmarks" job). */
   private[graft] def benchGramSet(spark: SparkSession, dir: String,
-                                  n: Int = 4): DataFrame = {
-    import spark.implicits._
-    docGrams(Tables.fanout(Tables.documents(spark, dir)
-      .select($"doc_id", $"text")), n)
-      .filter($"doc_id" % BenchMod === 0).select($"gh").distinct()
-      .localCheckpoint()
-  }
+                                  n: Int = 4): DataFrame =
+    // memoized per (session, dir, n): the frozen benchmark gram set
+    // E21 broadcasts is also F19's freeze input (r16 opt)
+    NearDup.Shared.memo(spark, s"benchGrams:$dir:$n") {
+      import spark.implicits._
+      docGrams(Tables.fanout(Tables.documents(spark, dir)
+        .select($"doc_id", $"text")), n)
+        .filter($"doc_id" % BenchMod === 0).select($"gh").distinct()
+        .localCheckpoint()
+    }
 
   def decontaminateSql(n: Int = 4): String =
     s"""WITH grams AS (
@@ -1037,12 +1047,14 @@ object Govern {
     * absent (C21's tokenize join). */
   def curriculumOrder(spark: SparkSession, dir: String): DataFrame =
     curriculumOrderOf(Tables.fanout(Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))))
+      .select(col("doc_id"), col("text"))),
+      scored = Some(TextAnalysis.pplScoresFor(spark, dir)))
 
   /** Frame-based core of F20 (docs = (doc_id, text)). */
-  private[graft] def curriculumOrderOf(docs: DataFrame): DataFrame = {
+  private[graft] def curriculumOrderOf(docs: DataFrame,
+                                       scored: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
-    val keyed = TextAnalysis.perplexityOf(docs)
+    val keyed = scored.getOrElse(TextAnalysis.perplexityOf(docs))
       .select($"doc_id",
         floor($"bits_per_token" * lit(1e6) + lit(0.5)).cast("long").as("bits_micros"))
       .withColumn("band", expr("bits_micros div 1000000").cast("int"))
@@ -1467,11 +1479,18 @@ object Govern {
     * then a per-source hash agg — output is domain-cardinality (tiny).
     * The verdict thresholds compare n·k > N, never divide. */
   def sourceQualityBlock(spark: SparkSession, dir: String): DataFrame =
-    sourceQualityBlockOf(
-      Tables.fanout(Tables.documents(spark, dir)
-        .select(col("doc_id"), col("text"), col("source"), col("n_chars")))
-        .filter(col("doc_id") % BenchMod =!= 0),
-      decontaminate(spark, dir).select(col("doc_id")))
+    // memoized per (session, dir): the per-source verdict table is
+    // domain-cardinality metadata shared by F18 itself, E22's frozen
+    // admission table, F19's freeze and the audit's blocked leg —
+    // one normalize+flag pass instead of four (r16 opt).
+    NearDup.Shared.memo(spark, s"sourceBlock:$dir") {
+      sourceQualityBlockOf(
+        Tables.fanout(Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"), col("source"), col("n_chars")))
+          .filter(col("doc_id") % BenchMod =!= 0),
+        decontaminate(spark, dir).select(col("doc_id")))
+        .localCheckpoint()
+    }
 
   /** Frame-based core of F18 (docs = (doc_id, text, source, n_chars),
     * already restricted to the corpus under curation; contaminatedIds
@@ -1524,26 +1543,29 @@ object Govern {
       .filter($"doc_id" % BenchMod =!= 0)
     val normed = docs.select($"doc_id", $"source",
       md5(lower(trim(regexp_replace($"text", "\\s+", " ")))).as("h"))
-    val groups = normed.groupBy($"h")
-      .agg(count(lit(1)).as("cnt"), min($"doc_id").as("keeper"))
+    val groups = dupGroupsFor(spark, dir)
     val base = normed.join(groups, Seq("h"))
       .select($"doc_id", $"source",
         (($"cnt" > 1) && ($"doc_id" =!= $"keeper")).as("is_dup"))
-    // eager: the flagged-id set feeds the contaminated flag AND the
-    // source-verdict leg — the dir-based sourceQualityBlock would
-    // re-run the whole 4-gram decontaminate pass a second time
-    // (r15 review's catch; curationFreezeOf already shares it this way)
-    val contIds = decontaminate(spark, dir)
-      .select($"doc_id").localCheckpoint()
-    val cont = contIds.select($"doc_id", lit(true).as("contaminated"))
+    // decontaminate and sourceQualityBlock are session-memoized
+    // (checkpointed) dir-level artifacts now, so both legs read the
+    // shared tables instead of re-running the 4-gram pass (r15
+    // review's sharing, promoted to the session memo in r16 opt).
+    // Pre-warm the INDEPENDENT artifacts concurrently (guide §2.6 —
+    // per-key memo cells let distinct keys build in parallel; the
+    // sourceBlock leg nests the decontam build in its own thread):
+    graft.Par.jobs(
+      () => { sourceQualityBlock(spark, dir); () },
+      () => { TextAnalysis.nbTrainFor(spark, dir); () },
+      () => { TextAnalysis.dsirFitFor(spark, dir); () },
+      () => { dupGroupsFor(spark, dir); () })
+    val cont = decontaminate(spark, dir)
+      .select($"doc_id", lit(true).as("contaminated"))
     val lowq = TextAnalysis.nbQualityClassify(spark, dir)
       .select($"doc_id", ($"pred" === "drop").as("low_quality"))
     val desel = TextAnalysis.dsirSelect(spark, dir)
       .select($"doc_id", (!$"selected").as("deselected"))
-    val blocked = sourceQualityBlockOf(
-      Tables.fanout(Tables.documents(spark, dir)
-        .select($"doc_id", $"text", $"source", $"n_chars"))
-        .filter($"doc_id" % BenchMod =!= 0), contIds)
+    val blocked = sourceQualityBlock(spark, dir)
       .select($"source", $"blocked".as("blocked_source"))
     base
       .join(cont, Seq("doc_id"), "left")
@@ -1613,10 +1635,44 @@ object Govern {
 
   /** Build every frozen curation artifact from the batch corpus —
     * exactly the states the batch stages themselves train, so tagging
-    * the replayed corpus hash-equals F19's composed oracle. */
-  private[graft] def curationFreeze(spark: SparkSession, dir: String): CurationState =
-    curationFreezeOf(Tables.fanout(Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))))
+    * the replayed corpus hash-equals F19's composed oracle. The
+    * dir-based freeze assembles the session-memoized artifacts (NB
+    * model, DSIR fit, benchmark grams, contamination flags, source
+    * verdicts, dup groups) instead of retraining each one — the
+    * nightly jobs run once per session, the freeze just snapshots
+    * them (r16 opt); [[curationFreezeOf]] stays the self-contained
+    * frame-based core for crafted spec corpora. */
+  private[graft] def curationFreeze(spark: SparkSession, dir: String): CurationState = {
+    import spark.implicits._
+    // pre-warm the independent frozen artifacts concurrently (guide
+    // §2.6; benchGramSet and the sourceBlock leg share the gram scan
+    // family but build distinct memo keys)
+    graft.Par.jobs(
+      () => { sourceQualityBlock(spark, dir); () },
+      () => { TextAnalysis.nbTrainFor(spark, dir); () },
+      () => { TextAnalysis.dsirFitFor(spark, dir); () },
+      () => { dupGroupsFor(spark, dir); () },
+      () => { benchGramSet(spark, dir); () })
+    val fit = TextAnalysis.dsirFitFor(spark, dir)
+    val (model, priors) = TextAnalysis.nbTrainFor(spark, dir)
+    CurationState(dupGroupsFor(spark, dir), benchGramSet(spark, dir),
+      model, priors, fit._1, fit._3,
+      sourceQualityBlock(spark, dir).select($"source", $"blocked"))
+  }
+
+  /** The normalized-hash duplicate groups over the corpus under
+    * curation (benchmark members excluded), memoized per (session,
+    * dir) — shared by the audit's dup leg and the freeze. */
+  private[graft] def dupGroupsFor(spark: SparkSession, dir: String): DataFrame =
+    NearDup.Shared.memo(spark, s"dupGroups:$dir") {
+      import spark.implicits._
+      Tables.fanout(Tables.documents(spark, dir).select($"doc_id", $"text"))
+        .filter($"doc_id" % BenchMod =!= 0)
+        .select($"doc_id", md5(lower(trim(regexp_replace($"text", "\\s+", " ")))).as("h"))
+        .groupBy($"h")
+        .agg(count(lit(1)).as("cnt"), min($"doc_id").as("keeper"))
+        .localCheckpoint()
+    }
 
   /** Frame-based core of the freeze (docsAll = the FULL corpus
     * including benchmark members, (doc_id, text, source, n_chars)) —

@@ -63,17 +63,35 @@ object NearDup {
     * point, not a leak. */
   private[graft] object Shared {
     private val cache = scala.collection.mutable.HashMap[(SparkSession, String, String), AnyRef]()
-    def memo[T <: AnyRef](spark: SparkSession, tag: String)(build: => T): T = synchronized {
-      cache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
+    // per-key build cells (r16 opt): DIFFERENT keys build concurrently
+    // (the multi-memo owners pre-warm their artifacts in Par.jobs —
+    // guide §2.6) while the same key still builds exactly once. The
+    // cell factory does no work inside computeIfAbsent (the r7
+    // nested-memo deadlock was about running builds there); nested
+    // builds of DIFFERENT keys (keeper → closure → pairs,
+    // sourceBlock → decontam) take distinct cells, and the build
+    // graph is acyclic, so no lock cycle exists.
+    private val cells =
+      new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Object]()
+    def memo[T <: AnyRef](spark: SparkSession, tag: String)(build: => T): T = {
       val key = (spark, spark.conf.get("spark.sql.shuffle.partitions", ""), tag)
-      cache.getOrElseUpdate(key, {
-        // log the one-time materialization cost (memos eagerly
-        // localCheckpoint) so Bench can attribute memo OWNERSHIP
-        val t0 = System.nanoTime()
-        val v = build
-        graft.MemoLog.record(tag, (System.nanoTime() - t0) / 1e9)
-        v
-      }).asInstanceOf[T]
+      val cell = cells.computeIfAbsent(key, _ => new Object)
+      cell.synchronized {
+        synchronized {
+          cache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
+          cache.get(key)
+        } match {
+          case Some(v) => v.asInstanceOf[T]
+          case None =>
+            // log the one-time materialization cost (memos eagerly
+            // localCheckpoint) so Bench can attribute memo OWNERSHIP
+            val t0 = System.nanoTime()
+            val v = build
+            graft.MemoLog.record(tag, (System.nanoTime() - t0) / 1e9)
+            synchronized { cache.update(key, v) }
+            v
+        }
+      }
     }
   }
 
@@ -639,26 +657,33 @@ object NearDup {
     val batch = shinglePostings(docs)
       .select(pmod($"sh", lit(nBuckets)).cast("int").as("bucket"), $"sh", $"doc_id")
       .localCheckpoint()
-    // postings first (invisible until the commit row lands) …
-    batch.withColumn("batch_id", lit(batchId))
-      .repartition(col("bucket"))
-      .write.partitionBy("bucket").mode(mode).parquet(s"$path/postings")
-    // … the per-doc RAW size sidecar (the serve's Jaccard denominators:
-    // an O(docs) two-long read instead of an O(postings) aggregate;
-    // exact under deletes because tombstones are doc-level) …
-    batch.groupBy($"doc_id").agg(count(lit(1)).as("n_raw"))
-      .withColumn("batch_id", lit(batchId))
-      .coalesce(1).write.mode(mode).parquet(s"$path/sizes")
-    // … the DF-DELTA sidecar: one (bucket, sh, n_new) row per distinct
-    // batch shingle — O(batch) to write, and the ONLY store the
-    // cap-crossing detection below reads. Each row collapses a whole
-    // per-batch posting list to one count, so the cumulative read is
-    // per-SHINGLE-per-batch, never per-posting …
-    batch.groupBy($"bucket", $"sh")
-      .agg(count(lit(1)).as("n_new"))
-      .withColumn("batch_id", lit(batchId))
-      .repartition(col("bucket"))
-      .write.partitionBy("bucket").mode(mode).parquet(s"$path/dfs")
+    // postings + the two stats sidecars write CONCURRENTLY (guide
+    // §2.6 — all three derive from the checkpointed batch and target
+    // disjoint directories; every one must land before the commit row
+    // below, which Par.jobs' join guarantees):
+    //   postings — invisible until the commit row lands;
+    //   sizes    — the per-doc RAW size sidecar (the serve's Jaccard
+    //              denominators: an O(docs) two-long read instead of
+    //              an O(postings) aggregate; exact under deletes
+    //              because tombstones are doc-level);
+    //   dfs      — the DF-DELTA sidecar: one (bucket, sh, n_new) row
+    //              per distinct batch shingle — O(batch) to write, and
+    //              the ONLY store the cap-crossing detection below
+    //              reads. Each row collapses a whole per-batch posting
+    //              list to one count, so the cumulative read is
+    //              per-SHINGLE-per-batch, never per-posting.
+    graft.Par.jobs(
+      () => batch.withColumn("batch_id", lit(batchId))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").mode(mode).parquet(s"$path/postings"),
+      () => batch.groupBy($"doc_id").agg(count(lit(1)).as("n_raw"))
+        .withColumn("batch_id", lit(batchId))
+        .coalesce(1).write.mode(mode).parquet(s"$path/sizes"),
+      () => batch.groupBy($"bucket", $"sh")
+        .agg(count(lit(1)).as("n_new"))
+        .withColumn("batch_id", lit(batchId))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").mode(mode).parquet(s"$path/dfs"))
     // … the HOT-CANDIDATE log: a shingle's df can only grow when new
     // (sh, doc) rows land — i.e. only for shingles IN this batch — so
     // summing the batch's shingles' df deltas across the dfs sidecar

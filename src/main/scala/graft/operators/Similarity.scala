@@ -1047,9 +1047,12 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/deletes"), true)
-    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    lists.withColumn("batch_id", lit(batchId)).repartition(col("cell"))
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/lists")
+    // centroids and lists are independent writes to disjoint dirs
+    // (guide §2.6); the commit row still lands strictly after both
+    graft.Par.jobs(
+      () => centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids"),
+      () => lists.withColumn("batch_id", lit(batchId)).repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$path/lists"))
     ivfCommit(spark, path, batchId, overwrite = true)
   }
 

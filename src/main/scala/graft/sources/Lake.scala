@@ -19,6 +19,14 @@ object Lake {
 
   private val sharedDirs =
     scala.collection.mutable.HashMap[(SparkSession, String), String]()
+  // per-(session, key) build cells: two DIFFERENT keys build
+  // concurrently (the fleet cutover overlaps its four kind builds —
+  // guide §2.6) while the SAME key still builds exactly once. The
+  // cell factory does no work inside computeIfAbsent (the documented
+  // nested-memo deadlock is about running builds there), and the
+  // cell monitor is reentrant for nested same-key resolution.
+  private val sharedCells =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Object]()
 
   /** Session-lifetime SHARED serving index: `build` runs once per
     * (session, key); every later caller reuses the directory — the
@@ -46,30 +54,37 @@ object Lake {
   def sharedIndex(spark: SparkSession, key: String,
                   catalogDir: Option[String] = None,
                   stamp: String = "")
-                 (build: String => Unit): String =
-    sharedDirs.synchronized {
-      sharedDirs.getOrElseUpdate((spark, s"$key@$stamp"), {
-        val t0 = System.nanoTime()
-        try {
-        val cat = catalogDir.orElse(
-          Some(graft.GraftConfig.ambient.catalogDir).filter(_.nonEmpty))
-        cat match {
-          case Some(c) => Catalog.resolveOrBuild(spark, c, "shared", key, stamp)(build)
-          case None =>
-            val tmp = java.nio.file.Files.createTempDirectory("graft_shared_idx").toString
-            Runtime.getRuntime.addShutdownHook(new Thread(() => {
-              try {
-                val p = new org.apache.hadoop.fs.Path(tmp)
-                p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
-              } catch { case _: Throwable => () }
-            }))
-            build(tmp)
-            tmp
-        }
-        } finally graft.MemoLog.record(s"sharedIndex:$key",
-          (System.nanoTime() - t0) / 1e9)
-      })
+                 (build: String => Unit): String = {
+    val mapKey = (spark, s"$key@$stamp")
+    val cell = sharedCells.computeIfAbsent(mapKey, _ => new Object)
+    cell.synchronized {
+      sharedDirs.synchronized(sharedDirs.get(mapKey)) match {
+        case Some(d) => d
+        case None =>
+          val t0 = System.nanoTime()
+          val d = try {
+            val cat = catalogDir.orElse(
+              Some(graft.GraftConfig.ambient.catalogDir).filter(_.nonEmpty))
+            cat match {
+              case Some(c) => Catalog.resolveOrBuild(spark, c, "shared", key, stamp)(build)
+              case None =>
+                val tmp = java.nio.file.Files.createTempDirectory("graft_shared_idx").toString
+                Runtime.getRuntime.addShutdownHook(new Thread(() => {
+                  try {
+                    val p = new org.apache.hadoop.fs.Path(tmp)
+                    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+                  } catch { case _: Throwable => () }
+                }))
+                build(tmp)
+                tmp
+            }
+          } finally graft.MemoLog.record(s"sharedIndex:$key",
+            (System.nanoTime() - t0) / 1e9)
+          sharedDirs.synchronized(sharedDirs.update(mapKey, d))
+          d
+      }
     }
+  }
 
   /** Run `build` against a scratch on-disk index directory, eagerly
     * materialize its result (`localCheckpoint` — the returned frame

@@ -340,7 +340,7 @@ object Streams {
     import spark.implicits._
     val docs = Tables.fanout(graft.Tables.documents(spark, dir)
       .select($"doc_id", $"text"))
-    val (model, priors) = graft.operators.TextAnalysis.nbTrain(docs)
+    val (model, priors) = graft.operators.TextAnalysis.nbTrainFor(spark, dir)
     graft.operators.TextAnalysis.nbScore(docs, model, priors)
   }
 
@@ -361,8 +361,8 @@ object Streams {
     import spark.implicits._
     val docs = Tables.fanout(graft.Tables.documents(spark, dir)
       .select($"doc_id", $"text"))
-    val (ratio, eps) = graft.operators.TextAnalysis.dsirTrain(docs)
-    graft.operators.TextAnalysis.dsirScore(docs, ratio, eps)
+    val fit = graft.operators.TextAnalysis.dsirFitFor(spark, dir)
+    graft.operators.TextAnalysis.dsirScore(docs, fit._1, fit._3)
   }
 
   /** E22 `stream_source_block` — the domain blocklist (F18) applied
@@ -540,8 +540,9 @@ object Streams {
     val TA = graft.operators.TextAnalysis
     val docsAll = Tables.fanout(graft.Tables.documents(spark, dir)
       .select($"doc_id", $"lang", $"text"))
-    val (counts, scal) = TA.perplexityLm(docsAll.select($"doc_id", $"text"))
-    TA.ccnetServe(docsAll, counts, scal, TA.ccnetThresholds(docsAll))
+    val (counts, scal) = TA.perplexityLmFor(spark, dir)
+    TA.ccnetServe(docsAll, counts, scal,
+      TA.ccnetThresholdsFromBuckets(TA.ccnetBucketsFor(spark, dir)))
   }
 
   /** E21 `stream_decontaminate` — benchmark contamination flagging
